@@ -1,0 +1,381 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational core: the reference's six analytics queries (main.py:18-159)
+  * re-expressed on the TPC-H-ish test schema, plus TPC-H-style join/agg
+  * workhorses.
+  *
+  * Numeric discipline (so the DuckDB oracle hash-matches): money columns are
+  * cast to DECIMAL before SUM (exact, order-independent), then the final
+  * value is cast back to DOUBLE; integer-valued aggregates stay in
+  * integer/long domain until one final double division. Never sum raw
+  * doubles — double summation is partition-order-dependent.
+  *
+  * Scale notes (100 TB):
+  *   - percent-of-total is a 1-row aggregate broadcast back over the grouped
+  *     set (reference does the same with a CTE cross join, main.py:41-50) —
+  *     never a window over an unpartitioned sort.
+  *   - dimension joins (nation/region/customer-at-dim-scale) broadcast;
+  *     fact-fact joins shuffle on the join key and lean on AQE for skew.
+  */
+object Relational {
+
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+
+  /** Reference query1 (main.py:18-52): CASE string→numeric map, NOT IN
+    * filter, count-distinct + avg per group, percent-of-total via 1-row
+    * cross join. Here: order priority mapped 5..1, grouped by customer
+    * market segment (orders ⋈ customer is a broadcast-able dim join at
+    * dev scale; at 100 TB it's a shuffle join on custkey and AQE handles
+    * skew).
+    */
+  def q1SegPct(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val pri = expr(
+      """CASE o_orderpriority
+           WHEN '1-URGENT' THEN 5 WHEN '2-HIGH' THEN 4 WHEN '3-MEDIUM' THEN 3
+           WHEN '4-NOT SPECIFIED' THEN 2 WHEN '5-LOW' THEN 1 END""")
+    val fo = o
+      .filter(!col("o_orderstatus").isin("P"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("mktsegment"), col("o_orderkey"), pri.as("pri"))
+    val seg = fo
+      .groupBy("mktsegment")
+      .agg(
+        countDistinct(col("o_orderkey")).as("num_orders"),
+        round(avg(col("pri")), 2).as("avg_priority"))
+    val tot = seg.agg(sum(col("num_orders")).as("world_total"))
+    seg
+      .crossJoin(broadcast(tot))
+      .select(
+        col("mktsegment"),
+        col("num_orders"),
+        col("avg_priority"),
+        round(col("num_orders") * 100.0 / col("world_total"), 2).as("pct_of_total"))
+      .orderBy(col("pct_of_total").desc, col("mktsegment"))
+  }
+
+  val q1SegPctSql: String =
+    """WITH fo AS (
+         SELECT c.c_mktsegment AS mktsegment, o.o_orderkey,
+                CASE o.o_orderpriority
+                  WHEN '1-URGENT' THEN 5 WHEN '2-HIGH' THEN 4 WHEN '3-MEDIUM' THEN 3
+                  WHEN '4-NOT SPECIFIED' THEN 2 WHEN '5-LOW' THEN 1 END AS pri
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE o.o_orderstatus NOT IN ('P')),
+       seg AS (
+         SELECT mktsegment, COUNT(DISTINCT o_orderkey) AS num_orders,
+                ROUND(AVG(pri), 2) AS avg_priority
+         FROM fo GROUP BY mktsegment),
+       tot AS (SELECT SUM(num_orders) AS world_total FROM seg)
+       SELECT mktsegment, num_orders, avg_priority,
+              ROUND(num_orders * 100.0 / world_total, 2) AS pct_of_total
+       FROM seg, tot
+       ORDER BY pct_of_total DESC, mktsegment"""
+
+  /** Reference query2 (main.py:54-74): filtered per-group distinct count,
+    * percent-of-world, global total carried on every row. High-value orders
+    * per customer nation. */
+  def q2TopNationShare(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 150000.0)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val per = o
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(countDistinct(col("o_orderkey")).as("num_high_value"))
+    val tot = per.agg(sum(col("num_high_value")).as("world_total"))
+    per
+      .crossJoin(broadcast(tot))
+      .select(
+        col("nation"),
+        col("num_high_value"),
+        round(col("num_high_value") * 100.0 / col("world_total"), 2).as("pct_of_world"),
+        col("world_total"))
+      .orderBy(col("num_high_value").desc, col("nation"))
+  }
+
+  val q2TopNationShareSql: String =
+    """WITH hv AS (
+         SELECT n.n_name AS nation, o.o_orderkey
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE o.o_totalprice > 150000.0),
+       per AS (SELECT nation, COUNT(DISTINCT o_orderkey) AS num_high_value
+               FROM hv GROUP BY nation),
+       tot AS (SELECT SUM(num_high_value) AS world_total FROM per)
+       SELECT nation, num_high_value,
+              ROUND(num_high_value * 100.0 / world_total, 2) AS pct_of_world,
+              world_total
+       FROM per, tot
+       ORDER BY num_high_value DESC, nation"""
+
+  /** Reference query3 (main.py:76-91): one-row stats with conditional
+    * COUNT(DISTINCT CASE WHEN ...) and LOWER/LIKE matching. Parts whose name
+    * mentions 'red' vs all parts vs typed parts. */
+  def q3NameStats(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    p.agg(
+        countDistinct(col("p_partkey")).as("total_parts"),
+        countDistinct(when(col("p_type").isNotNull, col("p_partkey"))).as("parts_with_type"),
+        countDistinct(when(lower(col("p_name")).like("%red%"), col("p_partkey")))
+          .as("parts_red"))
+      .select(
+        col("parts_red"),
+        col("total_parts"),
+        col("parts_with_type"),
+        round(col("parts_red") * 100.0 / col("total_parts"), 2).as("pct_of_all"),
+        round(col("parts_red") * 100.0 / col("parts_with_type"), 2).as("pct_of_typed"))
+  }
+
+  val q3NameStatsSql: String =
+    """WITH s AS (
+         SELECT COUNT(DISTINCT p_partkey) AS total_parts,
+                COUNT(DISTINCT CASE WHEN p_type IS NOT NULL THEN p_partkey END) AS parts_with_type,
+                COUNT(DISTINCT CASE WHEN LOWER(p_name) LIKE '%red%' THEN p_partkey END) AS parts_red
+         FROM part)
+       SELECT parts_red, total_parts, parts_with_type,
+              ROUND(parts_red * 100.0 / total_parts, 2) AS pct_of_all,
+              ROUND(parts_red * 100.0 / parts_with_type, 2) AS pct_of_typed
+       FROM s"""
+
+  /** Reference query4 (main.py:93-108): RANK + FIRST_VALUE percent-of-top.
+    * Nations ranked by distinct customers. The window runs over the
+    * *aggregated* set (≤ nation count rows) so the unpartitioned sort is
+    * bounded regardless of fact-table scale. */
+  def q4RankNations(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val counts = c
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(countDistinct(col("c_custkey")).as("num_customers"))
+    val w = Window.orderBy(col("num_customers").desc)
+    counts
+      .select(
+        col("n_name"),
+        col("num_customers"),
+        rank().over(w).as("rank_in_world"),
+        round(col("num_customers") * 100.0 / first(col("num_customers")).over(w), 2)
+          .as("pct_of_top"))
+      .orderBy(col("rank_in_world"), col("n_name"))
+  }
+
+  val q4RankNationsSql: String =
+    """WITH counts AS (
+         SELECT n_name, COUNT(DISTINCT c_custkey) AS num_customers
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name)
+       SELECT n_name, num_customers,
+              RANK() OVER (ORDER BY num_customers DESC) AS rank_in_world,
+              ROUND(100.0 * num_customers /
+                    FIRST_VALUE(num_customers) OVER (ORDER BY num_customers DESC), 2) AS pct_of_top
+       FROM counts
+       ORDER BY rank_in_world, n_name"""
+
+  /** Reference query5 (main.py:110-137): count items inside a delimited
+    * string (`LENGTH(x) - LENGTH(REPLACE(x, ',', '')) + 1`), TRIM filter,
+    * group-sum/avg, deterministic top-10. Words per part name for large
+    * parts, by brand. */
+  def q5WordCount(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables
+      .part(s, dir)
+      .filter(col("p_size") >= 40 && trim(col("p_name")) =!= "")
+      .select(
+        col("p_brand"),
+        col("p_name"),
+        (length(col("p_name")) - length(regexp_replace(col("p_name"), " ", "")) + 1)
+          .as("num_words"))
+    p.groupBy("p_brand")
+      .agg(
+        countDistinct(col("p_name")).as("num_large_parts"),
+        sum(col("num_words")).as("total_words"),
+        round(avg(col("num_words")), 2).as("avg_words_per_part"))
+      .orderBy(col("total_words").desc, col("p_brand"))
+      .limit(10)
+  }
+
+  val q5WordCountSql: String =
+    """WITH large_parts AS (
+         SELECT p_brand, p_name,
+                LENGTH(p_name) - LENGTH(REPLACE(p_name, ' ', '')) + 1 AS num_words
+         FROM part
+         WHERE p_size >= 40 AND TRIM(p_name) != ''),
+       per_brand AS (
+         SELECT p_brand,
+                COUNT(DISTINCT p_name) AS num_large_parts,
+                SUM(num_words) AS total_words,
+                ROUND(AVG(num_words), 2) AS avg_words_per_part
+         FROM large_parts GROUP BY p_brand)
+       SELECT p_brand, num_large_parts, total_words, avg_words_per_part
+       FROM per_brand
+       ORDER BY total_words DESC, p_brand
+       LIMIT 10"""
+
+  /** Reference query6 (main.py:139-159): ratio of two distinct counts per
+    * group with an emptiness guard and deterministic top-10. Orders per
+    * customer by nation. */
+  def q6OrdersPerCust(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir).filter(trim(col("c_name")) =!= "")
+    val n = Tables.nation(s, dir)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        countDistinct(col("o_orderkey")).as("total_orders"),
+        countDistinct(col("o_custkey")).as("total_customers"))
+      .filter(col("total_customers") > 0)
+      .select(
+        col("n_name"),
+        col("total_orders"),
+        col("total_customers"),
+        round(col("total_orders") * 1.0 / col("total_customers"), 2)
+          .as("avg_orders_per_customer"))
+      .orderBy(col("avg_orders_per_customer").desc, col("n_name"))
+      .limit(10)
+  }
+
+  val q6OrdersPerCustSql: String =
+    """WITH per AS (
+         SELECT n_name,
+                COUNT(DISTINCT o_orderkey) AS total_orders,
+                COUNT(DISTINCT o_custkey) AS total_customers
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE TRIM(c_name) != ''
+         GROUP BY n_name)
+       SELECT n_name, total_orders, total_customers,
+              ROUND(total_orders * 1.0 / total_customers, 2) AS avg_orders_per_customer
+       FROM per
+       WHERE total_customers > 0
+       ORDER BY avg_orders_per_customer DESC, n_name
+       LIMIT 10"""
+
+  /** TPC-H-Q1-style pricing summary: the map-side-partial-agg workhorse.
+    * Money sums go through DECIMAL (exact, order-independent) and come out
+    * DOUBLE. At scale this is one scan + one shuffle of ~|groups| rows per
+    * partition thanks to partial aggregation. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    l.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"), 14, 2)).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice"), 14, 2) * (lit(1).cast(DecimalType(4, 2)) - dec(col("l_discount"), 4, 2)))
+          .cast("double")
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                       (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+              COUNT(*) AS count_order
+       FROM lineitem
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  /** TPC-H-Q5-style multiway join: fact ⋈ fact shuffle (lineitem ⋈ orders)
+    * with broadcast dimension joins stacked on top; revenue per nation in
+    * one region. */
+  def q5JoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(dec(col("l_extendedprice"), 14, 2) * (lit(1).cast(DecimalType(4, 2)) - dec(col("l_discount"), 4, 2)))
+          .cast("double")
+          .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5JoinRevenueSql: String =
+    """SELECT n_name,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                       (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+       GROUP BY n_name
+       ORDER BY revenue DESC, n_name"""
+
+  /** Left-semi join: customers having at least one order. Semi joins beat
+    * `IN (subquery)`-as-inner-join at scale: no duplicate amplification, and
+    * the probe side short-circuits on first match. */
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val joinSemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+       WHERE c_custkey IN (SELECT o_custkey FROM orders)
+       ORDER BY c_custkey"""
+
+  /** Left-anti join: customers with no high-value order (every customer has
+    * *some* order in the test data, so the anti-side is filtered to make the
+    * result non-trivial). */
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+       ORDER BY c_custkey"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_seg_pct" -> (q1SegPct _),
+    "q2_topnation_share" -> (q2TopNationShare _),
+    "q3_name_stats" -> (q3NameStats _),
+    "q4_rank_nations" -> (q4RankNations _),
+    "q5_word_count" -> (q5WordCount _),
+    "q6_orders_per_cust" -> (q6OrdersPerCust _),
+    "q1_agg" -> (q1Agg _),
+    "q5_join_revenue" -> (q5JoinRevenue _),
+    "join_semi" -> (joinSemi _),
+    "join_anti" -> (joinAnti _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_seg_pct" -> q1SegPctSql,
+    "q2_topnation_share" -> q2TopNationShareSql,
+    "q3_name_stats" -> q3NameStatsSql,
+    "q4_rank_nations" -> q4RankNationsSql,
+    "q5_word_count" -> q5WordCountSql,
+    "q6_orders_per_cust" -> q6OrdersPerCustSql,
+    "q1_agg" -> q1AggSql,
+    "q5_join_revenue" -> q5JoinRevenueSql,
+    "join_semi" -> joinSemiSql,
+    "join_anti" -> joinAntiSql)
+}

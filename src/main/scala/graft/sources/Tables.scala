@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the ten driver-generated test tables (TESTDATA.md).
+  *
+  * All loads are bare parquet scans so Catalyst sees the files directly:
+  * column pruning and predicate pushdown reach the reader (`PushedFilters` /
+  * `ReadSchema` in explain), which at 100 TB is the difference between
+  * scanning the columns a query touches and scanning everything.
+  *
+  * The reference ingests one permissive CSV
+  * (`read_csv_auto('hotels.csv', ignore_errors=true)`, reference main.py:30);
+  * [[csv]] is the equivalent tolerant reader for user-supplied files.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case n        => spark.read.parquet(s"$dir/$n.parquet")
+    }
+
+  /** events.parquet carries INT64 TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects outright. With `spark.sql.legacy.parquet.nanosAsLong`
+    * the column arrives as raw nanos; integer-divide (not double-divide —
+    * epoch nanos exceed 2^53) down to micros, the same truncation DuckDB
+    * applies internally, so oracle comparisons agree.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Permissive CSV reader: header inference + malformed-row drop, the Spark
+    * rendering of the reference's `read_csv_auto(..., ignore_errors=true)`.
+    */
+  def csv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("mode", "DROPMALFORMED")
+      .csv(path)
+}
