@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling operators — the reference samples every query result to ~500
+  * rows, randomly (`df.sample(n=500, random_state=42)`) or stratified per
+  * group (main.py:256-262), before exporting to its small-table store.
+  *
+  * Seeded-RNG sampling is not reproducible across engines, so both samplers
+  * here are *deterministic*: a multiplicative hash scramble
+  * (`(key * 40503) % 65536`, a Knuth-style Fibonacci multiplier kept within
+  * exact integer range of both engines) stands in for the RNG. Same rows
+  * every run, every engine, any partitioning.
+  *
+  * Scale: [[deterministic]] is a pure filter — it pushes down to the scan,
+  * shuffles nothing, and samples 100 TB as cheaply as a WHERE clause.
+  * [[stratified]] shuffles once on the stratum key; per-stratum state is a
+  * bounded top-N. Neither does `ORDER BY rand()` (a global sort at scale).
+  */
+object Sampling {
+
+  /** ~5% deterministic sample of events (scramble < 3277/65536). */
+  def deterministic(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .filter((col("event_id") * 40503L) % 65536L < 3277L)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+
+  val deterministicSql: String =
+    """SELECT event_id, user_id, event_type, value
+       FROM events
+       WHERE (event_id * 40503) % 65536 < 3277
+       ORDER BY event_id"""
+
+  /** Stratified sample: at most 100 events per event_type, chosen by the
+    * scrambled order (pseudo-random but engine-independent). */
+  def stratified(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("event_type")
+      .orderBy(((col("event_id") * 40503L) % 65536L).asc, col("event_id"))
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        col("value"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= 100)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  val stratifiedSql: String =
+    """WITH ranked AS (
+         SELECT event_id, user_id, event_type, value,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY (event_id * 40503) % 65536, event_id) AS rk
+         FROM events)
+       SELECT event_id, user_id, event_type, value
+       FROM ranked WHERE rk <= 100
+       ORDER BY event_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_det" -> (deterministic _),
+    "sample_stratified" -> (stratified _))
+
+  val oracles: Map[String, String] = Map(
+    "sample_det" -> deterministicSql,
+    "sample_stratified" -> stratifiedSql)
+}

@@ -1,0 +1,252 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / event-time analytics over the `events` table.
+  *
+  * Extends the reference's window usage (RANK/FIRST_VALUE, main.py:104-105)
+  * to the full set a production event pipeline needs: tumbling windows,
+  * moving aggregates, sessionization, per-group top-k, running totals.
+  *
+  * Numeric discipline: `value` is an arbitrary random double, and summing
+  * raw doubles is partition-order-dependent. Every aggregate here works on
+  * integer cents (`FLOOR(value*100)` — one deterministic IEEE multiply +
+  * floor), sums exactly in long space, and divides once at the end. The
+  * DuckDB oracle does the identical arithmetic.
+  *
+  * Timestamps are emitted as `unix_micros` bigints (`*_us`) so the oracle
+  * comparison never depends on either engine's timestamp rendering.
+  *
+  * Scale: every window below is partitioned by `user_id`/`event_type` —
+  * state is bounded per key and Spark distributes keys across executors.
+  * There is no unpartitioned ORDER BY over raw events anywhere.
+  */
+object Windows {
+
+  private def cents(c: String): org.apache.spark.sql.Column =
+    floor(col(c) * 100.0).cast("long")
+
+  /** Tumbling hourly aggregate: the batch shape of a streaming windowed agg
+    * (see [[graft.streaming.EventStreams]]). One shuffle on (hour, type);
+    * partial aggregation makes the shuffle ~|groups| not |rows|. */
+  def hourly(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy(
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("num_events"),
+        (sum(cents("value")) / 100.0).as("total_value"))
+      .orderBy("hour_us", "event_type")
+
+  val hourlySql: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+              COUNT(*) AS num_events,
+              SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total_value
+       FROM events
+       GROUP BY 1, 2
+       ORDER BY hour_us, event_type"""
+
+  /** Per-user moving average over the trailing 4 events (ROWS BETWEEN 3
+    * PRECEDING AND CURRENT ROW), deterministic tie-break on event_id. */
+  def movingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(sum(cents("value")).over(w) / (count(lit(1)).over(w) * 100.0), 4)
+          .as("moving_avg"))
+      .orderBy("event_id")
+  }
+
+  val movingAvgSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+              ROUND(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                    / (COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 100.0),
+                    4) AS moving_avg
+       FROM events
+       ORDER BY event_id"""
+
+  /** Sessionization: a new session starts after a >30 min gap per user;
+    * session_id = running count of session starts. The canonical
+    * lag-gap + cumulative-sum pattern — two windows over the same
+    * (user_id, ts) partitioning, one shuffle total. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn(
+        "new_session",
+        when(
+          col("ts_us") - lag(col("ts_us"), 1).over(
+            Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))) >
+            lit(1800000000L),
+          1L).otherwise(lit(0L)))
+      .withColumn(
+        "session_id",
+        sum(col("new_session")).over(
+          Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))))
+      .select("event_id", "user_id", "ts_us", "session_id")
+      .orderBy("event_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH g AS (
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                     > 1800000000 THEN 1 ELSE 0 END AS new_session
+         FROM events)
+       SELECT event_id, user_id, ts_us,
+              SUM(new_session) OVER
+                (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_id
+       FROM g
+       ORDER BY event_id"""
+
+  /** Top-3 events per type by value (row_number, deterministic tie-break).
+    * At scale this is the classic "grouped top-k": the window shuffles once
+    * on event_type; no global sort. */
+  def topkPerType(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        col("event_id"),
+        col("user_id"),
+        col("value"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= 3)
+      .orderBy("event_type", "rk")
+  }
+
+  val topkPerTypeSql: String =
+    """WITH ranked AS (
+         SELECT event_type, event_id, user_id, value,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY value DESC, event_id) AS rk
+         FROM events)
+       SELECT event_type, event_id, user_id, value, rk
+       FROM ranked WHERE rk <= 3
+       ORDER BY event_type, rk"""
+
+  /** Running total of value (cents-exact) per user ordered by time. */
+  def cumsum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (sum(cents("value")).over(w) / 100.0).as("running_value"))
+      .orderBy("event_id")
+  }
+
+  val cumsumSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+              SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+                AS running_value
+       FROM events
+       ORDER BY event_id"""
+
+  /** As-of join: each event picks the user's latest order with
+    * o_orderdate <= ts (DuckDB expresses this natively with ASOF JOIN).
+    *
+    * Spark has no asof operator; the scalable rendering is the union+window
+    * trick: tag order rows and event rows, union them, and per user let each
+    * event inherit the most recent order attributes via last_value(ignore
+    * nulls) over (user, time). One shuffle on user_id, zero pairwise
+    * blow-up — this survives 100 TB where an inequality join would not.
+    *
+    * Orders are first deduped to one row per (custkey, orderdate) keeping
+    * max(o_orderkey), making the as-of match unique and both engines
+    * deterministic. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("t_us"),
+        col("event_id"))
+    val o = Tables
+      .orders(s, dir)
+      .groupBy(
+        col("o_custkey").as("user_id"),
+        // o_orderdate arrives as TIMESTAMP_NTZ; cast is wall-time-preserving
+        // under the UTC session and makes unix_micros applicable
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+
+    val tagged = o
+      .select(col("user_id"), col("t_us"), lit(null).cast("long").as("event_id"), col("o_orderkey"))
+      .unionByName(
+        e.select(col("user_id"), col("t_us"), col("event_id"), lit(null).cast("long").as("o_orderkey")))
+
+    // order rows sort before event rows at identical t_us (is_event 0 < 1)
+    // so an order dated exactly at the event time is visible to it (>= match)
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("t_us"), col("o_orderkey").isNull.cast("int"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("matched_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("event_id").isNotNull && col("matched_orderkey").isNotNull)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("t_us").as("ts_us"),
+        col("matched_orderkey"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """WITH o AS (
+         SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t_us,
+                MAX(o_orderkey) AS o_orderkey
+         FROM orders GROUP BY 1, 2),
+       e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events)
+       SELECT e.event_id, e.user_id, e.t_us AS ts_us,
+              o.o_orderkey AS matched_orderkey
+       FROM e ASOF JOIN o
+         ON e.user_id = o.user_id AND e.t_us >= o.t_us
+       ORDER BY e.event_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_hourly" -> (hourly _),
+    "win_moving_avg" -> (movingAvg _),
+    "win_sessionize" -> (sessionize _),
+    "win_topk" -> (topkPerType _),
+    "win_cumsum" -> (cumsum _),
+    "asof_join" -> (asofJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "win_hourly" -> hourlySql,
+    "win_moving_avg" -> movingAvgSql,
+    "win_sessionize" -> sessionizeSql,
+    "win_topk" -> topkPerTypeSql,
+    "win_cumsum" -> cumsumSql,
+    "asof_join" -> asofJoinSql)
+}

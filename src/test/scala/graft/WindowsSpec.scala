@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{Sampling, Windows}
+import org.apache.spark.sql.functions._
+
+class WindowsSpec extends GraftSpecBase {
+
+  test("all window queries run with rows") {
+    for ((name, fn) <- Windows.queries) {
+      assert(fn(spark, sfDir).count() > 0, s"$name empty")
+    }
+  }
+
+  test("sessionize: session ids start at 0 and are non-decreasing per user") {
+    val bad = Windows
+      .sessionize(spark, sfDir)
+      .groupBy("user_id")
+      .agg(min("session_id").as("mn"))
+      .filter(col("mn") =!= 0)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("topk returns at most 3 rows per event_type") {
+    val over = Windows
+      .topkPerType(spark, sfDir)
+      .groupBy("event_type")
+      .count()
+      .filter(col("count") > 3)
+      .count()
+    assert(over == 0)
+  }
+
+  test("asof join matches each event to an order dated at or before it") {
+    val e = Windows.asofJoin(spark, sfDir)
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+    val violations = e
+      .join(o, e("matched_orderkey") === o("o_orderkey"))
+      .filter(col("od_us") > col("ts_us"))
+      .count()
+    assert(violations == 0)
+  }
+
+  test("moving_avg covers every event exactly once") {
+    val n = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(Windows.movingAvg(spark, sfDir).count() == n)
+  }
+
+  test("deterministic sample is stable and ~5%") {
+    val a = Sampling.deterministic(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    val b = Sampling.deterministic(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    val total = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(a.size > total * 0.02 && a.size < total * 0.09, s"${a.size} of $total")
+  }
+
+  test("stratified sample caps each stratum at 100") {
+    val over = Sampling
+      .stratified(spark, sfDir)
+      .groupBy("event_type")
+      .count()
+      .filter(col("count") > 100)
+      .count()
+    assert(over == 0)
+  }
+}
