@@ -1,0 +1,267 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` / `embeddings` tables —
+  * the core of any LLM training-data pipeline.
+  *
+  * Scale architecture: every near-dup variant is candidate-generation by
+  * *key equality* (hash bucket / LSH band / shared n-gram) followed by
+  * verification, so candidate generation is a shuffle join that scales
+  * linearly — never an O(n²) pairwise comparison. The two pairwise-exact
+  * variants ([[ngramJaccard]], [[embeddingPairs]]) exist as oracle-checkable
+  * ground truth at test scale; their banner comments name the LSH operator
+  * that replaces them at 100 TB.
+  *
+  * Float discipline: embedding math is quantized to integer thousandths
+  * (`FLOOR(x*1000)`); integer sums are order-independent, and the remaining
+  * scalar ops (sqrt/div) are exactly-rounded IEEE — so Spark and the DuckDB
+  * oracle agree bit-for-bit. See [[Similarity]] for the same trick.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-group on content, keep the smallest doc_id.
+    * One shuffle on a 128-bit hash — uniformly distributed, no skew. */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper_doc_id")
+
+  val exactSql: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id,
+              COUNT(*) AS n_copies
+       FROM documents
+       GROUP BY 1
+       ORDER BY keeper_doc_id"""
+
+  /** Normalized exact dedup: lowercase + whitespace-collapse + trim before
+    * hashing, catching trivially reformatted copies. */
+  def exactNorm(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(lower(regexp_replace(col("text"), "\\s+", " ")))
+    Tables
+      .documents(s, dir)
+      .groupBy(md5(norm).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper_doc_id")
+  }
+
+  val exactNormSql: String =
+    """SELECT md5(TRIM(LOWER(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+              MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+       FROM documents
+       GROUP BY 1
+       ORDER BY keeper_doc_id"""
+
+  /** Distinct word-3-gram shingles per document. */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), split(col("text"), " ").as("w"))
+    d.filter(size(col("w")) >= 3)
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(0), size(col("w")) - 3),
+            i =>
+              concat_ws(
+                " ",
+                element_at(col("w"), i + 1),
+                element_at(col("w"), i + 2),
+                element_at(col("w"), i + 3)))).as("gram"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard: top-20 most similar document pairs by word-3-gram
+    * Jaccard. Candidates come from an equality join on shared grams, so the
+    * only pairs ever materialized share at least one shingle. At 100 TB the
+    * hot-gram guard (drop shingles occurring in > K docs — stop-shingles
+    * carry no signal and quadratic-blow-up risk) plus [[minhash]] replace
+    * this exact variant. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val g = shingles(s, dir)
+    val counts = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val a = g.as("a")
+    val b = g.as("b")
+    val inter = a
+      .join(b, col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "na"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "nb"), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        round(col("n_inter") / (col("na") + col("nb") - col("n_inter")).cast("double"), 4)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  val ngramJaccardSql: String =
+    """WITH w AS (
+         SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+         WHERE len(string_split(text, ' ')) >= 3),
+       grams AS (
+         SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
+         FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
+       counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              ROUND(n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE), 4) AS jaccard
+       FROM inter
+       JOIN counts ca ON ca.doc_id = doc_a
+       JOIN counts cb ON cb.doc_id = doc_b
+       ORDER BY jaccard DESC, doc_a, doc_b
+       LIMIT 20"""
+
+  /** Quantized embedding vector + its exact integer self-dot. */
+  private def quantized(s: SparkSession, dir: String): DataFrame = {
+    val qv = transform(col("embedding"), x => floor(x.cast("double") * 1000).cast("long"))
+    Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), col("label"), qv.as("qv"))
+      .withColumn(
+        "nq",
+        aggregate(transform(col("qv"), x => x * x), lit(0L), (acc, v) => acc + v))
+  }
+
+  /** Embedding-cosine near-dup pairs (top-20 most similar) over quantized
+    * vectors.
+    * Exact all-pairs — the oracle-checkable ground truth. The all-pairs
+    * join is the part that does NOT survive 100 TB; [[Similarity.annLsh]]
+    * is the bucketed replacement and this operator's scaladoc is the
+    * contract it must match. */
+  def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
+    val q = quantized(s, dir)
+    val a = q.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nq").as("na"))
+    val b = q.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("nq").as("nb"))
+    val dot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", dot / (sqrt(col("na")) * sqrt(col("nb"))))
+      .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  val embeddingPairsSql: String =
+    """WITH q AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         FROM embeddings),
+       n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nq FROM q),
+       p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                    list_dot_product(a.qv, b.qv) / (sqrt(a.nq) * sqrt(b.nq)) AS cos_sim
+             FROM n a JOIN n b ON a.vec_id < b.vec_id
+             ORDER BY cos_sim DESC, vec_a, vec_b
+             LIMIT 20)
+       SELECT vec_a, vec_b, ROUND(cos_sim, 4) AS cos_sim FROM p"""
+
+  /** MinHash signatures: 64 permutations approximated by seeded xxhash64
+    * over shingles; min per permutation per doc. One narrow map + one
+    * groupBy — signature cost is linear in corpus size. */
+  private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val g = shingles(s, dir)
+    val sigCols = (0 until 64).map(i => min(xxhash64(lit(i), col("gram"))).as(s"h$i"))
+    g.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup detection (the 100 TB dedup path):
+    * 64-perm signatures → 16 bands of 4 → band-equality bucket join for
+    * candidates → signature-agreement estimate of Jaccard, keep >= 0.5.
+    * Candidate generation is pure key-equality shuffle; nothing quadratic
+    * ever materializes beyond per-bucket pairs.
+    *
+    * No SQL oracle: minhash values depend on xxhash64, which portable SQL
+    * cannot reproduce — the driver records a rows-only check, and
+    * [[ngramJaccard]] (exact, oracle-checked) validates the same semantics
+    * at test scale. */
+  def minhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(s, dir)
+      .withColumn("sig", array((0 until 64).map(i => col(s"h$i")): _*))
+      .select("doc_id", "sig")
+    val banded = sigs.select(
+      col("doc_id"),
+      col("sig"),
+      explode(
+        transform(
+          sequence(lit(0), lit(15)),
+          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("bh"))))
+        .as("bb"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("bb"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("bb"))
+    val cand = a
+      .join(b, a("bb") === b("bb") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .distinct()
+    cand
+      .withColumn(
+        "est_jaccard",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0),
+          (acc, v) => acc + v) / 64.0)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup detection: 64-bit signature from per-token bit votes,
+    * candidates via 4×16-bit block index (any pair within hamming distance 3
+    * shares a block; we verify at <= 8). Bit-vote aggregation is an
+    * explode + groupBy — linear, partial-aggregated. No SQL oracle
+    * (xxhash64-dependent): rows-only check. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+    val votes = toks
+      .select(col("doc_id"), col("th"), explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("vote", when(expr("shiftright(th, bit) & 1") === 1, 1).otherwise(-1))
+      .groupBy("doc_id", "bit")
+      .agg(sum(col("vote")).as("v"))
+    val sig = votes
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L))
+          .as("simhash"))
+    val blocks = sig
+      .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("blk"))
+      .withColumn("bv", expr("shiftright(simhash, blk * 16) & 65535"))
+      .select(col("doc_id"), col("simhash"), struct(col("blk"), col("bv")).as("b"))
+    val a = blocks.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("b"))
+    val b = blocks.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("b"))
+    a.join(b, a("b") === b("b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 8)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exact _),
+    "dedup_exact_norm" -> (exactNorm _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_embedding" -> (embeddingPairs _),
+    "dedup_minhash" -> (minhash _),
+    "dedup_simhash" -> (simhash _))
+
+  /** minhash/simhash intentionally absent: xxhash64-based, not portable SQL. */
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> exactSql,
+    "dedup_exact_norm" -> exactNormSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_embedding" -> embeddingPairsSql)
+}

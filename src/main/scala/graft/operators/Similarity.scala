@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Same float discipline as [[Dedup]]: vectors quantized to integer
+  * thousandths, so dot products and norms are exact integers and the DuckDB
+  * oracle matches bit-for-bit; cosine = dot / (sqrt(na)·sqrt(nb)) with each
+  * scalar op exactly-rounded IEEE.
+  *
+  * Scale story:
+  *   - [[annBrute]] is O(corpus × queries) with the small query set
+  *     broadcast — correct baseline, fine whenever |queries| is bounded.
+  *   - [[annLsh]] is the 100 TB path: sign-random-hyperplane buckets make
+  *     candidate generation a key-equality shuffle; each query only scores
+  *     its own bucket's candidates.
+  *   - [[knnJoin]] shows aggregate-then-search: per-label integer
+  *     sum-vectors (cosine is scale-invariant, so the un-normalized sum
+  *     IS the centroid direction — no float division ever happens).
+  */
+object Similarity {
+
+  private def quantize(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * 1000).cast("long"))
+
+  private def selfDot(c: Column): Column =
+    aggregate(transform(c, x => x * x), lit(0L), (acc, v) => acc + v)
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+      .withColumn("nq", selfDot(col("qv")))
+
+  /** Brute-force cosine top-5 per query vector (queries = vec_id % 100 = 0,
+    * self excluded). The query side is tiny and broadcast; the corpus is
+    * scanned once — the plan is a BroadcastNestedLoopJoin by construction,
+    * which is exactly right: every (query, candidate) pair must be scored. */
+  def annBrute(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+    val queries = corpus
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("query_qv"), col("nq").as("query_nq"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    corpus
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn(
+        "cos_sim",
+        dot(col("qv"), col("query_qv")) / (sqrt(col("nq")) * sqrt(col("query_nq"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos_sim"), 4).as("cos_sim"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  val annBruteSql: String =
+    """WITH q AS (
+         SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         FROM embeddings),
+       n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nq FROM q),
+       queries AS (SELECT vec_id AS query_id, qv AS query_qv, nq AS query_nq
+                   FROM n WHERE vec_id % 100 = 0),
+       scored AS (
+         SELECT query_id, c.vec_id AS neighbor_id,
+                list_dot_product(c.qv, query_qv) / (sqrt(c.nq) * sqrt(query_nq)) AS cos_sim
+         FROM n c CROSS JOIN queries
+         WHERE c.vec_id <> query_id),
+       ranked AS (
+         SELECT query_id, neighbor_id, cos_sim,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rk
+         FROM scored)
+       SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim, rk
+       FROM ranked WHERE rk <= 5
+       ORDER BY query_id, rk"""
+
+  /** LSH-bucketed ANN — the scale path. 8 deterministic pseudo-random
+    * hyperplanes (integer weights from a multiplicative scramble) hash each
+    * vector to an 8-bit sign bucket; queries only score candidates in their
+    * own bucket. Spark-only (rows-check): the oracle-checked [[annBrute]]
+    * defines the semantics this approximates. */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    // weight(p, d) = scramble in [-32768, 32767], identical every run
+    val planes = (0 until 8).map { p =>
+      val weights = (0 until 64).map(d => lit(((p * 97 + d) * 40503L) % 65536L - 32768L))
+      val proj = (0 until 64)
+        .map(d => element_at(col("qv"), d + 1) * weights(d))
+        .reduce(_ + _)
+      when(proj >= 0, 1L << p).otherwise(0L)
+    }
+    val bucketed = quantized(s, dir).withColumn("bucket", planes.reduce(_ + _))
+    val queries = bucketed
+      .filter(col("vec_id") % 100 === 0)
+      .select(
+        col("vec_id").as("query_id"),
+        col("qv").as("query_qv"),
+        col("nq").as("query_nq"),
+        col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    bucketed
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn(
+        "cos_sim",
+        dot(col("qv"), col("query_qv")) / (sqrt(col("nq")) * sqrt(col("query_nq"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos_sim"), 4).as("cos_sim"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** k-NN join against per-label centroids: elementwise integer sum-vector
+    * per label (posexplode + groupBy — linear, no collect to driver), then
+    * top-3 nearest vectors per centroid. Cosine's scale-invariance means
+    * the integer sum-vector needs no division — exactness preserved. */
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    val q = quantized(s, dir)
+    val sums = q
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(col("v")).as("sv"))
+      .groupBy("label")
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("sv")))), x => x.getField("sv"))
+          .as("cv"))
+      .withColumn("nc", selfDot(col("cv")))
+      .select(col("label").as("c_label"), col("cv"), col("nc"))
+    val w = Window.partitionBy("c_label").orderBy(col("cos_sim").desc, col("vec_id"))
+    q.crossJoin(broadcast(sums))
+      .withColumn(
+        "cos_sim",
+        dot(col("qv"), col("cv")) / (sqrt(col("nq")) * sqrt(col("nc"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_label").as("label"), col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"), col("rk"))
+      .orderBy("label", "rk")
+  }
+
+  val knnJoinSql: String =
+    """WITH q AS (
+         SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         FROM embeddings),
+       n AS (SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nq FROM q),
+       e AS (SELECT label, i, SUM(qv[i]) AS sv
+             FROM q, UNNEST(range(1, len(qv) + 1)) AS t(i)
+             GROUP BY 1, 2),
+       c AS (SELECT label AS c_label, LIST(sv ORDER BY i) AS cv FROM e GROUP BY 1),
+       cn AS (SELECT c_label, cv, list_dot_product(cv, cv) AS nc FROM c),
+       scored AS (
+         SELECT cn.c_label AS label, n.vec_id,
+                list_dot_product(n.qv, cn.cv) / (sqrt(n.nq) * sqrt(cn.nc)) AS cos_sim
+         FROM n CROSS JOIN cn),
+       ranked AS (
+         SELECT label, vec_id, cos_sim,
+                ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos_sim DESC, vec_id) AS rk
+         FROM scored)
+       SELECT label, vec_id, ROUND(cos_sim, 4) AS cos_sim, rk
+       FROM ranked WHERE rk <= 3
+       ORDER BY label, rk"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute_topk" -> (annBrute _),
+    "ann_lsh_topk" -> (annLsh _),
+    "knn_join" -> (knnJoin _))
+
+  /** ann_lsh_topk intentionally absent (bucketing is engine-specific);
+    * ann_brute_topk is its oracle-checked exact counterpart. */
+  val oracles: Map[String, String] = Map(
+    "ann_brute_topk" -> annBruteSql,
+    "knn_join" -> knnJoinSql)
+}

@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: the per-document
+  * statistics a large-scale training-data pipeline computes before
+  * filtering/deduplicating a corpus.
+  *
+  * Everything here is a narrow map over codegen'd builtin functions — zero
+  * shuffles except where a distinct-token count genuinely requires one
+  * ([[quality]]). At 100 TB these operators stream through the corpus at
+  * scan speed.
+  *
+  * Counting idiom: occurrences of a pattern `p` in `t` are
+  * `(len(t) - len(replace(t, p, ''))) / len(p)` — the reference uses the
+  * same trick to count attractions (main.py:116). It is pure arithmetic on
+  * codegen'd builtins and reproduces exactly in the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** #occurrences of literal `pat` in column `c` (expression-only). */
+  private def countOcc(c: Column, pat: String): Column =
+    (length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(pat), ""))) / pat.length
+
+  private def countOccSql(c: String, pat: String): String =
+    s"(LENGTH($c) - LENGTH(REPLACE($c, '$pat', ''))) / ${pat.length}"
+
+  /** Whitespace-token count for single-space-separated text. */
+  private def nTokens(c: Column): Column =
+    length(c) - length(regexp_replace(c, " ", "")) + 1
+
+  /** Per-document surface statistics: tokens, chars, average token length. */
+  def stats(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        nTokens(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        round(
+          (length(regexp_replace(col("text"), " ", ""))) /
+            nTokens(col("text")).cast("double"),
+          4).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  val statsSql: String =
+    """SELECT doc_id, lang,
+              CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+              CAST(LENGTH(text) AS BIGINT) AS n_chars,
+              ROUND(LENGTH(REPLACE(text, ' ', '')) /
+                    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS DOUBLE), 4) AS avg_token_len
+       FROM documents
+       WHERE LENGTH(TRIM(text)) > 0
+       ORDER BY doc_id"""
+
+  /** Stopword-hit language ID: count hits of per-language stopword markers
+    * (space-padded to match whole words) and take the argmax with a fixed
+    * tie-break order. The n-gram-heuristic shape of fasttext-style langid,
+    * kept expression-only so it runs at scan speed. */
+  def langid(s: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    def hits(words: Seq[String]): Column =
+      words.map(w => countOcc(padded, s" $w ")).reduce(_ + _).cast("long")
+    val en = hits(Seq("the", "a", "of"))
+    val de = hits(Seq("der", "und", "das"))
+    val es = hits(Seq("el", "los", "que"))
+    val fr = hits(Seq("le", "les", "est"))
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        en.as("en_hits"), de.as("de_hits"), es.as("es_hits"), fr.as("fr_hits"))
+      .withColumn(
+        "pred_lang",
+        when(col("en_hits") >= greatest(col("de_hits"), col("es_hits"), col("fr_hits")), "en")
+          .when(col("de_hits") >= greatest(col("es_hits"), col("fr_hits")), "de")
+          .when(col("es_hits") >= col("fr_hits"), "es")
+          .otherwise("fr"))
+      .orderBy("doc_id")
+  }
+
+  val langidSql: String = {
+    def hits(words: Seq[String]): String =
+      words
+        .map(w => countOccSql("(' ' || text || ' ')", s" $w "))
+        .mkString("CAST(", " + ", " AS BIGINT)")
+    s"""WITH h AS (
+         SELECT doc_id, lang AS labeled_lang,
+                ${hits(Seq("the", "a", "of"))} AS en_hits,
+                ${hits(Seq("der", "und", "das"))} AS de_hits,
+                ${hits(Seq("el", "los", "que"))} AS es_hits,
+                ${hits(Seq("le", "les", "est"))} AS fr_hits
+         FROM documents)
+       SELECT doc_id, labeled_lang, en_hits, de_hits, es_hits, fr_hits,
+              CASE WHEN en_hits >= GREATEST(de_hits, es_hits, fr_hits) THEN 'en'
+                   WHEN de_hits >= GREATEST(es_hits, fr_hits) THEN 'de'
+                   WHEN es_hits >= fr_hits THEN 'es'
+                   ELSE 'fr' END AS pred_lang
+       FROM h
+       ORDER BY doc_id"""
+  }
+
+  /** Quality scoring: token count, distinct-token count (lexical
+    * diversity), type-token ratio, stopword ratio, and a composite score.
+    * The distinct count explodes tokens — the one shuffle in this module,
+    * partial-aggregated so the shuffle carries (doc, token) pairs already
+    * deduplicated per partition. */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).filter(length(trim(col("text"))) > 0)
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val diversity = toks
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"))
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val stopHits = Seq("the", "a", "of", "and")
+      .map(w => countOcc(padded, s" $w "))
+      .reduce(_ + _)
+      .cast("long")
+    d.select(col("doc_id"), col("n_chars"), stopHits.as("stop_hits"))
+      .join(diversity, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_distinct"),
+        round(col("n_distinct") / col("n_tokens").cast("double"), 4).as("ttr"),
+        round(col("stop_hits") / col("n_tokens").cast("double"), 4).as("stop_ratio"),
+        round(
+          col("n_distinct") / col("n_tokens").cast("double") * 0.5 +
+            when(col("n_chars").between(100, 2000), 0.5).otherwise(0.0),
+          4).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val qualitySql: String = {
+    val stop = Seq("the", "a", "of", "and")
+      .map(w => countOccSql("(' ' || text || ' ')", s" $w "))
+      .mkString("CAST(", " + ", " AS BIGINT)")
+    s"""WITH d AS (SELECT * FROM documents WHERE LENGTH(TRIM(text)) > 0),
+       toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM d),
+       div AS (SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct
+               FROM toks GROUP BY doc_id),
+       base AS (SELECT doc_id, n_chars, $stop AS stop_hits FROM d)
+       SELECT b.doc_id, n_tokens, n_distinct,
+              ROUND(n_distinct / CAST(n_tokens AS DOUBLE), 4) AS ttr,
+              ROUND(stop_hits / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
+              ROUND(n_distinct / CAST(n_tokens AS DOUBLE) * 0.5 +
+                    CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 0.5 ELSE 0.0 END, 4) AS quality_score
+       FROM base b JOIN div USING (doc_id)
+       ORDER BY doc_id"""
+  }
+
+  /** Document fingerprints: content hash (md5), its 8-char prefix (bucket
+    * key for downstream dedup sharding), and length. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("content_md5"),
+        substring(md5(col("text")), 1, 8).as("fp_bucket"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    """SELECT doc_id, md5(text) AS content_md5,
+              SUBSTR(md5(text), 1, 8) AS fp_bucket,
+              CAST(LENGTH(text) AS BIGINT) AS n_chars
+       FROM documents
+       ORDER BY doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (stats _),
+    "text_langid" -> (langid _),
+    "text_quality" -> (quality _),
+    "text_fingerprint" -> (fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> statsSql,
+    "text_langid" -> langidSql,
+    "text_quality" -> qualitySql,
+    "text_fingerprint" -> fingerprintSql)
+}
