@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Export sinks — the Spark rendering of the reference's result
+  * persistence: full results into the analytical store and ~500-row
+  * samples into a small-table store (reference main.py:264-289 DuckDB
+  * tables, main.py:300-338 SQLite transfer).
+  *
+  * At scale the "small-table store" pattern stays the same: full results
+  * are partitioned parquet (splittable, predicate-prunable); dashboards
+  * read a coalesced sample extract, never the full table.
+  */
+object Sinks {
+
+  /** Full-result sink: snappy parquet, optionally partitioned by columns
+    * (partition pruning for downstream readers). */
+  def fullParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Sample sink: one CSV file with header — the SQLite-export analog for
+    * dashboard-scale extracts. Coalesce(1) is deliberate and safe ONLY for
+    * pre-sampled data (the reference caps samples at ~500 rows). */
+  def sampleCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .csv(path)
+
+  /** Sorted, single-file parquet extract (small results only). */
+  def sampleParquet(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+}

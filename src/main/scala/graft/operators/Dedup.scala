@@ -84,8 +84,20 @@ object Dedup {
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val g = shingles(s, dir)
     val counts = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val a = g.as("a")
-    val b = g.as("b")
+    // Hot-gram guard: a gram shared by > 20 documents is a stop-shingle —
+    // it contributes ~zero discrimination but O(df²) candidate pairs. The
+    // denominator still uses the FULL per-doc gram count, so jaccard is a
+    // (tight) lower bound for near-dup pairs, which by definition share
+    // mostly *rare* grams. This is what keeps candidate generation linear
+    // at 100 TB.
+    val rare = g
+      .groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20)
+      .select("gram")
+    val gr = g.join(rare, "gram")
+    val a = gr.as("a")
+    val b = gr.as("b")
     val inter = a
       .join(b, col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -110,9 +122,11 @@ object Dedup {
          SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
          FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
        counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+       rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 20),
+       gr AS (SELECT g.doc_id, g.gram FROM grams g JOIN rare USING (gram)),
        inter AS (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-         FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
          GROUP BY 1, 2)
        SELECT doc_a, doc_b,
               ROUND(n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE), 4) AS jaccard
@@ -128,9 +142,7 @@ object Dedup {
     Tables
       .embeddings(s, dir)
       .select(col("vec_id"), col("label"), qv.as("qv"))
-      .withColumn(
-        "nq",
-        aggregate(transform(col("qv"), x => x * x), lit(0L), (acc, v) => acc + v))
+      .withColumn("nq", Similarity.selfDot(col("qv")))
   }
 
   /** Embedding-cosine near-dup pairs (top-20 most similar) over quantized
@@ -143,7 +155,7 @@ object Dedup {
     val q = quantized(s, dir)
     val a = q.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nq").as("na"))
     val b = q.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("nq").as("nb"))
-    val dot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val dot = Similarity.dot(col("qa"), col("qb"))
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos_sim", dot / (sqrt(col("na")) * sqrt(col("nb"))))

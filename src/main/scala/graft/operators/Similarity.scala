@@ -27,11 +27,12 @@ object Similarity {
   private def quantize(c: Column): Column =
     transform(c, x => floor(x.cast("double") * 1000).cast("long"))
 
-  private def selfDot(c: Column): Column =
-    aggregate(transform(c, x => x * x), lit(0L), (acc, v) => acc + v)
+  /** Both dots route through the native codegen'd [[graft.functions.LongArrayDot]]
+    * (`graft_dot`) — identical integer math to `aggregate(zip_with(...))`
+    * but inside WholeStageCodegen. */
+  private[operators] def selfDot(c: Column): Column = call_function("graft_dot", c, c)
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  private[operators] def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   private def quantized(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -89,13 +90,12 @@ object Similarity {
     * own bucket. Spark-only (rows-check): the oracle-checked [[annBrute]]
     * defines the semantics this approximates. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    // weight(p, d) = scramble in [-32768, 32767], identical every run
+    // weight(p, d) = scramble in [-32768, 32767], identical every run;
+    // each plane projection is one graft_dot against a literal weight
+    // vector (a 512-term inline expression tree would defeat codegen)
     val planes = (0 until 8).map { p =>
-      val weights = (0 until 64).map(d => lit(((p * 97 + d) * 40503L) % 65536L - 32768L))
-      val proj = (0 until 64)
-        .map(d => element_at(col("qv"), d + 1) * weights(d))
-        .reduce(_ + _)
-      when(proj >= 0, 1L << p).otherwise(0L)
+      val weights = array((0 until 64).map(d => lit(((p * 97 + d) * 40503L) % 65536L - 32768L)): _*)
+      when(dot(col("qv"), weights) >= 0, 1L << p).otherwise(0L)
     }
     val bucketed = quantized(s, dir).withColumn("bucket", planes.reduce(_ + _))
     val queries = bucketed

