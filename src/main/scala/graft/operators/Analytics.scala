@@ -1,0 +1,254 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wider analytics surface: multi-level aggregation (ROLLUP), pivoting,
+  * set operations, histograms, exact percentiles, and date/string function
+  * coverage — the operator families an analytics-engine user expects beyond
+  * the reference's six queries.
+  *
+  * Scale notes: ROLLUP/pivot are single-shuffle grouped aggregations (pivot
+  * with an explicit value list — never the implicit distinct-scan variant,
+  * which adds a full extra pass at 100 TB). Histogram is a pure map +
+  * groupBy on a derived integer. Percentiles use exact interpolation on
+  * bounded groups (per-segment); for unbounded cardinality at scale the
+  * approx_percentile sketch is the drop-in.
+  */
+object Analytics {
+
+  /** ROLLUP over (region, nation): per-nation, per-region subtotal, and
+    * grand-total customer counts in one pass. NULL group keys are labeled
+    * so the oracle comparison is unambiguous. */
+  def rollup(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .select(
+        coalesce(col("r_name"), lit("<all>")).as("region"),
+        coalesce(col("n_name"), lit("<all>")).as("nation"),
+        col("n_customers"))
+      .orderBy("region", "nation")
+  }
+
+  val rollupSql: String =
+    """SELECT COALESCE(r_name, '<all>') AS region,
+              COALESCE(n_name, '<all>') AS nation,
+              COUNT(*) AS n_customers
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY ROLLUP (r_name, n_name)
+       ORDER BY region, nation"""
+
+  /** Pivot: event counts per user across the five event types. The value
+    * list is explicit — the implicit form needs a distinct pre-scan, a
+    * whole extra pass over the fact table at scale. The oracle is the
+    * conditional-aggregation equivalent (what pivot compiles to). */
+  def pivot(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  val pivotSql: String =
+    """SELECT user_id,
+              COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+              COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+              COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+              COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+              COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+       FROM events
+       GROUP BY user_id
+       ORDER BY user_id"""
+
+  /** Set operations: building-segment customers who placed a high-value
+    * order (INTERSECT) minus those who also placed a low-value one
+    * (EXCEPT). */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("custkey"))
+    val high = o.filter(col("o_totalprice") > 200000.0).select(col("o_custkey").as("custkey"))
+    val low = o.filter(col("o_totalprice") < 50000.0).select(col("o_custkey").as("custkey"))
+    building.intersect(high).except(low).orderBy("custkey")
+  }
+
+  val setOpsSql: String =
+    """(SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+       EXCEPT
+       SELECT o_custkey FROM orders WHERE o_totalprice < 50000.0
+       ORDER BY custkey"""
+
+  /** Fixed-width histogram of order totals: integer bucket index from pure
+    * arithmetic (deterministic in any engine), 25k-wide buckets. */
+  def histogram(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .groupBy(floor(col("o_totalprice") / 25000.0).cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (floor(col("o_totalprice") / 25000.0).cast("long") * 25000).as("bucket_lo"))
+      .select("bucket", "bucket_lo", "n_orders")
+      .orderBy("bucket")
+
+  val histogramSql: String =
+    """SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+              CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) * 25000 AS bucket_lo,
+              COUNT(*) AS n_orders
+       FROM orders
+       GROUP BY 1
+       ORDER BY bucket"""
+
+  /** Exact interpolated percentiles of order totals per market segment.
+    * Money goes through integer cents so the sort keys are exact; the
+    * interpolation `(1-f)*lo + f*hi` is the same formula in Spark's
+    * `percentile` and DuckDB's `quantile_cont`. */
+  def percentiles(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .withColumn("cents", floor(col("o_totalprice") * 100.0).cast("long"))
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(
+        expr("percentile(cents, 0.5)").as("p50_cents"),
+        expr("percentile(cents, 0.9)").as("p90_cents"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        col("mktsegment"),
+        round(col("p50_cents") / 100.0, 2).as("median_price"),
+        round(col("p90_cents") / 100.0, 2).as("p90_price"),
+        col("n_orders"))
+      .orderBy("mktsegment")
+  }
+
+  val percentilesSql: String =
+    """SELECT c_mktsegment AS mktsegment,
+              ROUND(quantile_cont(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT), 0.5) / 100.0, 2) AS median_price,
+              ROUND(quantile_cont(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT), 0.9) / 100.0, 2) AS p90_price,
+              COUNT(*) AS n_orders
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY 1
+       ORDER BY mktsegment"""
+
+  /** Date-dimension aggregation: orders by year and quarter with first/last
+    * day bounds — the calendar-function coverage (year/quarter/month agree
+    * across engines; day-of-week numbering does not and is avoided). */
+  def dates(s: SparkSession, dir: String): DataFrame = {
+    val od = col("o_orderdate").cast("timestamp")
+    Tables
+      .orders(s, dir)
+      .groupBy(year(od).as("o_year"), quarter(od).as("o_quarter"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .select(
+        col("o_year"),
+        col("o_quarter"),
+        col("n_orders"),
+        (col("total_cents") / 100.0).as("total_price"))
+      .orderBy("o_year", "o_quarter")
+  }
+
+  val datesSql: String =
+    """SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+              CAST(QUARTER(o_orderdate) AS INT) AS o_quarter,
+              COUNT(*) AS n_orders,
+              SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+       FROM orders
+       GROUP BY 1, 2
+       ORDER BY o_year, o_quarter"""
+
+  /** String-function coverage over part names: case mapping, substring,
+    * first-token regex extraction, padded composite keys. */
+  def strings(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .part(s, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 3).as("name_prefix"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        concat_ws("|", col("p_brand"), lpad(col("p_partkey").cast("string"), 6, "0"))
+          .as("brand_key"),
+        length(col("p_name")).cast("long").as("name_len"))
+      .orderBy("p_partkey")
+
+  val stringsSql: String =
+    """SELECT p_partkey,
+              UPPER(p_name) AS name_upper,
+              SUBSTR(p_name, 1, 3) AS name_prefix,
+              regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+              p_brand || '|' || LPAD(CAST(p_partkey AS VARCHAR), 6, '0') AS brand_key,
+              CAST(LENGTH(p_name) AS BIGINT) AS name_len
+       FROM part
+       ORDER BY p_partkey"""
+
+  /** The reference dashboard's headline metrics (dashboard.py:44-56): one
+    * row of cross-query sums, composed from this engine's own operators. */
+  def dashMetrics(s: SparkSession, dir: String): DataFrame = {
+    val totalOrders = Relational
+      .q1SegPct(s, dir)
+      .agg(sum(col("num_orders")).as("total_orders"))
+    val highValue = Relational
+      .q2TopNationShare(s, dir)
+      .agg(sum(col("num_high_value")).as("total_high_value"))
+    val customers = Relational
+      .q6OrdersPerCust(s, dir)
+      .agg(sum(col("total_customers")).as("top10_nation_customers"))
+    totalOrders.crossJoin(highValue).crossJoin(customers)
+  }
+
+  val dashMetricsSql: String =
+    """WITH fo AS (
+         SELECT c.c_mktsegment AS mktsegment, o.o_orderkey
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE o.o_orderstatus NOT IN ('P')),
+       seg AS (SELECT mktsegment, COUNT(DISTINCT o_orderkey) AS num_orders FROM fo GROUP BY 1),
+       hv AS (
+         SELECT n.n_name AS nation, COUNT(DISTINCT o.o_orderkey) AS num_high_value
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE o.o_totalprice > 150000.0 GROUP BY 1),
+       pc AS (
+         SELECT n_name, COUNT(DISTINCT o_orderkey) AS total_orders,
+                COUNT(DISTINCT o_custkey) AS total_customers,
+                ROUND(COUNT(DISTINCT o_orderkey) * 1.0 / COUNT(DISTINCT o_custkey), 2) AS aopc
+         FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+         WHERE TRIM(c_name) != '' GROUP BY n_name
+         ORDER BY aopc DESC, n_name LIMIT 10)
+       SELECT (SELECT SUM(num_orders) FROM seg) AS total_orders,
+              (SELECT SUM(num_high_value) FROM hv) AS total_high_value,
+              (SELECT SUM(total_customers) FROM pc) AS top10_nation_customers"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_rollup" -> (rollup _),
+    "agg_pivot" -> (pivot _),
+    "set_ops" -> (setOps _),
+    "agg_histogram" -> (histogram _),
+    "agg_percentiles" -> (percentiles _),
+    "date_agg" -> (dates _),
+    "string_funcs" -> (strings _),
+    "dash_metrics" -> (dashMetrics _))
+
+  val oracles: Map[String, String] = Map(
+    "agg_rollup" -> rollupSql,
+    "agg_pivot" -> pivotSql,
+    "set_ops" -> setOpsSql,
+    "agg_histogram" -> histogramSql,
+    "agg_percentiles" -> percentilesSql,
+    "date_agg" -> datesSql,
+    "string_funcs" -> stringsSql,
+    "dash_metrics" -> dashMetricsSql)
+}
