@@ -177,9 +177,15 @@ object Dedup {
              LIMIT 20)
        SELECT vec_a, vec_b, ROUND(cos_sim, 4) AS cos_sim FROM p"""
 
-  /** MinHash signatures: 64 permutations approximated by seeded xxhash64
-    * over shingles; min per permutation per doc. One narrow map + one
-    * groupBy — signature cost is linear in corpus size. */
+  /** MinHash signatures: 64 permutations approximated by independently
+    * seeded xxhash64 over shingles; min per permutation per doc. One
+    * narrow map + one groupBy — linear in corpus size.
+    *
+    * NOTE: the cheaper Kirsch–Mitzenmacher construction (h1 + i·h2) was
+    * tried and reverted — with min-wise hashing its components are
+    * correlated (one low-hash shingle dominates many permutations), which
+    * collapses band diversity and blows up the candidate join. Independent
+    * seeds are the price of sane LSH banding. */
   private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     val g = shingles(s, dir)
     val sigCols = (0 until 64).map(i => min(xxhash64(lit(i), col("gram"))).as(s"h$i"))
