@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // keep derby metastore + warehouse (bucketed-table specs) out of the repo
+  "-Dderby.system.home=/tmp/graft_derby",
+  "-Dspark.sql.warehouse.dir=/tmp/graft_warehouse",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
