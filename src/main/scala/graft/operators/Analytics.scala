@@ -228,9 +228,9 @@ object Analytics {
          FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
          WHERE TRIM(c_name) != '' GROUP BY n_name
          ORDER BY aopc DESC, n_name LIMIT 10)
-       SELECT (SELECT SUM(num_orders) FROM seg) AS total_orders,
-              (SELECT SUM(num_high_value) FROM hv) AS total_high_value,
-              (SELECT SUM(total_customers) FROM pc) AS top10_nation_customers"""
+       SELECT (SELECT CAST(SUM(num_orders) AS BIGINT) FROM seg) AS total_orders,
+              (SELECT CAST(SUM(num_high_value) AS BIGINT) FROM hv) AS total_high_value,
+              (SELECT CAST(SUM(total_customers) AS BIGINT) FROM pc) AS top10_nation_customers"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_rollup" -> (rollup _),

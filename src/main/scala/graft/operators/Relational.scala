@@ -110,7 +110,7 @@ object Relational {
          WHERE o.o_totalprice > 150000.0),
        per AS (SELECT nation, COUNT(DISTINCT o_orderkey) AS num_high_value
                FROM hv GROUP BY nation),
-       tot AS (SELECT SUM(num_high_value) AS world_total FROM per)
+       tot AS (SELECT CAST(SUM(num_high_value) AS BIGINT) AS world_total FROM per)
        SELECT nation, num_high_value,
               ROUND(num_high_value * 100.0 / world_total, 2) AS pct_of_world,
               world_total
@@ -175,7 +175,7 @@ object Relational {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name)
        SELECT n_name, num_customers,
-              RANK() OVER (ORDER BY num_customers DESC) AS rank_in_world,
+              CAST(RANK() OVER (ORDER BY num_customers DESC) AS INT) AS rank_in_world,
               ROUND(100.0 * num_customers /
                     FIRST_VALUE(num_customers) OVER (ORDER BY num_customers DESC), 2) AS pct_of_top
        FROM counts
@@ -212,7 +212,7 @@ object Relational {
        per_brand AS (
          SELECT p_brand,
                 COUNT(DISTINCT p_name) AS num_large_parts,
-                SUM(num_words) AS total_words,
+                CAST(SUM(num_words) AS BIGINT) AS total_words,
                 ROUND(AVG(num_words), 2) AS avg_words_per_part
          FROM large_parts GROUP BY p_brand)
        SELECT p_brand, num_large_parts, total_words, avg_words_per_part

@@ -77,8 +77,8 @@ object Similarity {
          WHERE c.vec_id <> query_id),
        ranked AS (
          SELECT query_id, neighbor_id, cos_sim,
-                ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY cos_sim DESC, neighbor_id) AS rk
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rk
          FROM scored)
        SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim, rk
        FROM ranked WHERE rk <= 5
@@ -162,7 +162,7 @@ object Similarity {
          FROM n CROSS JOIN cn),
        ranked AS (
          SELECT label, vec_id, cos_sim,
-                ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos_sim DESC, vec_id) AS rk
+                CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
          FROM scored)
        SELECT label, vec_id, ROUND(cos_sim, 4) AS cos_sim, rk
        FROM ranked WHERE rk <= 3

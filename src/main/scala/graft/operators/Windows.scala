@@ -115,8 +115,8 @@ object Windows {
                      > 1800000000 THEN 1 ELSE 0 END AS new_session
          FROM events)
        SELECT event_id, user_id, ts_us,
-              SUM(new_session) OVER
-                (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_id
+              CAST(SUM(new_session) OVER
+                (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_id
        FROM g
        ORDER BY event_id"""
 
@@ -140,8 +140,8 @@ object Windows {
   val topkPerTypeSql: String =
     """WITH ranked AS (
          SELECT event_type, event_id, user_id, value,
-                ROW_NUMBER() OVER (PARTITION BY event_type
-                                   ORDER BY value DESC, event_id) AS rk
+                CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY value DESC, event_id) AS INT) AS rk
          FROM events)
        SELECT event_type, event_id, user_id, value, rk
        FROM ranked WHERE rk <= 3

@@ -47,6 +47,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         ok_shape = spark_df.shape == duck_df.shape
         ok_cols = list(spark_df.columns) == list(duck_df.columns)
+        # dtype drift (e.g. int32 vs int64, hugeint->object) may break the
+        # driver's value hashing even when == passes — surface it loudly
+        if ok_cols:
+            dt = [(c, str(spark_df[c].dtype), str(duck_df[c].dtype))
+                  for c in spark_df.columns
+                  if str(spark_df[c].dtype) != str(duck_df[c].dtype)]
+            if dt:
+                print(f"WARN {name}: dtype drift {dt}")
         if not (ok_shape and ok_cols):
             print(f"FAIL {name}: shape spark={spark_df.shape} duck={duck_df.shape} "
                   f"cols spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
