@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.LongArrayDot
+import graft.functions.{LongArrayDot, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (
         FunctionIdentifier("graft_dot"),
@@ -25,4 +25,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_dot(a, b) - exact dot product of two BIGINT arrays",
           ""),
         (children: Seq[Expression]) => LongArrayDot(children.head, children(1))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_simhash"),
+        new ExpressionInfo(
+          classOf[SimHash64].getName,
+          null,
+          "graft_simhash",
+          "graft_simhash(text) - 64-bit simhash of whitespace-tokenized text",
+          ""),
+        (children: Seq[Expression]) => SimHash64(children.head)))
+  }
 }

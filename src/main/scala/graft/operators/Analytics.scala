@@ -232,7 +232,28 @@ object Analytics {
               (SELECT CAST(SUM(num_high_value) AS BIGINT) FROM hv) AS total_high_value,
               (SELECT CAST(SUM(total_customers) AS BIGINT) FROM pc) AS top10_nation_customers"""
 
+  /** Sketch aggregates — the 100 TB path for cardinality and quantiles:
+    * HyperLogLog++ (`approx_count_distinct`, rsd 1%) and a quantile sketch
+    * (`approx_percentile`, accuracy 10000) next to their exact values.
+    * Sketch outputs are engine-specific (rows-only check); the exact
+    * columns anchor the error empirically. */
+  def sketches(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.agg(
+        countDistinct(col("o_custkey")).as("exact_custs"),
+        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_custs"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx_median"),
+        expr("percentile(CAST(FLOOR(o_totalprice * 100) AS BIGINT), 0.5) / 100.0")
+          .as("exact_median"))
+      .select(
+        col("exact_custs"),
+        col("approx_custs"),
+        round(col("approx_median"), 2).as("approx_median"),
+        round(col("exact_median"), 2).as("exact_median"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_sketches" -> (sketches _),
     "agg_rollup" -> (rollup _),
     "agg_pivot" -> (pivot _),
     "set_ops" -> (setOps _),

@@ -90,12 +90,16 @@ object Dedup {
     // (tight) lower bound for near-dup pairs, which by definition share
     // mostly *rare* grams. This is what keeps candidate generation linear
     // at 100 TB.
-    val rare = g
+    // grams join on their xxhash64 (8-byte shuffle key instead of a ~25-byte
+    // string; a collision would need two distinct grams with equal 64-bit
+    // hashes among ~10^5 grams — P ≈ 1e-11, far below every other risk)
+    val gh = g.select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+    val rare = gh
       .groupBy("gram")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= 20)
       .select("gram")
-    val gr = g.join(rare, "gram")
+    val gr = gh.join(rare, "gram")
     val a = gr.as("a")
     val b = gr.as("b")
     val inter = a
@@ -206,20 +210,25 @@ object Dedup {
     val sigs = minhashSignatures(s, dir)
       .withColumn("sig", array((0 until 64).map(i => col(s"h$i")): _*))
       .select("doc_id", "sig")
+    // band rows carry ONLY (doc_id, band-hash): the candidate join shuffles
+    // 16 bytes/row instead of the 512-byte signature; signatures re-attach
+    // to the (few) surviving pairs afterwards
     val banded = sigs.select(
       col("doc_id"),
-      col("sig"),
       explode(
         transform(
           sequence(lit(0), lit(15)),
           b => struct(b.as("band"), xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("bh"))))
         .as("bb"))
-    val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("bb"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("bb"))
-    val cand = a
+    val a = banded.select(col("doc_id").as("doc_a"), col("bb"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("bb"))
+    val pairs = a
       .join(b, a("bb") === b("bb") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .select("doc_a", "doc_b")
       .distinct()
+    val cand = pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
     cand
       .withColumn(
         "est_jaccard",
@@ -232,31 +241,30 @@ object Dedup {
       .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
   }
 
-  /** SimHash near-dup detection: 64-bit signature from per-token bit votes,
-    * candidates via 4×16-bit block index (any pair within hamming distance 3
-    * shares a block; we verify at <= 8). Bit-vote aggregation is an
-    * explode + groupBy — linear, partial-aggregated. No SQL oracle
-    * (xxhash64-dependent): rows-only check. */
+  /** SimHash near-dup detection: 64-bit signature from per-token bit votes
+    * (computed in one pass by the native [[graft.functions.SimHash64]]
+    * expression — no explode, no shuffle, scan-speed), candidates via
+    * 4×16-bit block index (any pair within hamming distance 3 shares a
+    * block; we verify at <= 8). No SQL oracle (token-hash-dependent):
+    * rows-only check. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables
+    val sig = Tables
       .documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .distinct()
-      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
-    val votes = toks
-      .select(col("doc_id"), col("th"), explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("vote", when(expr("shiftright(th, bit) & 1") === 1, 1).otherwise(-1))
-      .groupBy("doc_id", "bit")
-      .agg(sum(col("vote")).as("v"))
-    val sig = votes
-      .groupBy("doc_id")
-      .agg(
-        sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L))
-          .as("simhash"))
-    val blocks = sig
+      .select(col("doc_id"), call_function("graft_simhash", col("text")).as("simhash"))
+    val allBlocks = sig
       .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("blk"))
       .withColumn("bv", expr("shiftright(simhash, blk * 16) & 65535"))
       .select(col("doc_id"), col("simhash"), struct(col("blk"), col("bv")).as("b"))
+    // Hot-block guard (same scale argument as the hot-gram filter in
+    // ngramJaccard): a block value shared by hundreds of docs is a corpus-
+    // wide pattern, not a duplication signal, and costs O(df²) candidates.
+    // True near-dups still collide in one of their other, rarer blocks.
+    val rareBlocks = allBlocks
+      .groupBy("b")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 200)
+      .select("b")
+    val blocks = allBlocks.join(rareBlocks, "b")
     val a = blocks.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("b"))
     val b = blocks.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("b"))
     a.join(b, a("b") === b("b") && col("doc_a") < col("doc_b"))
