@@ -276,7 +276,28 @@ object Dedup {
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
 
+  /** Corpus materializer: the operator a pipeline user actually runs —
+    * drop every document that near-duplicates a lower-id one (union of
+    * exact-hash dups and minhash pairs), keep the rest. One left-anti join
+    * against the condemned set; linear end-to-end. Rows-only check
+    * (depends on minhash); DedupSpec pins the keeper invariants. */
+  def corpusDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val exactDrops = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), collect_list(col("doc_id")).as("ids"))
+      .select(explode(col("ids")).as("doc_id"), col("keeper"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select("doc_id")
+    val nearDrops = minhash(s, dir).select(col("doc_b").as("doc_id")).distinct()
+    docs
+      .join(exactDrops.unionByName(nearDrops).distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_dedup" -> (corpusDedup _),
     "dedup_exact" -> (exact _),
     "dedup_exact_norm" -> (exactNorm _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),

@@ -84,31 +84,53 @@ object Similarity {
        FROM ranked WHERE rk <= 5
        ORDER BY query_id, rk"""
 
-  /** LSH-bucketed ANN — the scale path. 8 deterministic pseudo-random
-    * hyperplanes (integer weights from a multiplicative scramble) hash each
-    * vector to an 8-bit sign bucket; queries only score candidates in their
-    * own bucket. Spark-only (rows-check): the oracle-checked [[annBrute]]
-    * defines the semantics this approximates. */
+  /** LSH-bucketed ANN — the scale path. 6 independent hash tables, each of
+    * 4 deterministic pseudo-random hyperplanes (integer weights from a
+    * multiplicative scramble): a vector lands in one 4-bit sign bucket per
+    * table, and a query scores the union of its 6 buckets' candidates.
+    * Multi-table trades a constant-factor candidate increase for
+    * exponentially better recall than one deep table (P[collide in ≥1 of
+    * 6 shallow tables] ≫ P[collide in 1 deep one] for true neighbors).
+    * Spark-only (rows-check): the oracle-checked [[annBrute]] defines the
+    * semantics this approximates; DedupSpec asserts LSH never reports a
+    * better neighbor than brute force and measures its recall.
+    */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    // weight(p, d) = scramble in [-32768, 32767], identical every run;
+    val nTables = 6
+    val planesPerTable = 4
+    // weight(t, p, d) = scramble in [-32768, 32767], identical every run;
     // each plane projection is one graft_dot against a literal weight
-    // vector (a 512-term inline expression tree would defeat codegen)
-    val planes = (0 until 8).map { p =>
-      val weights = array((0 until 64).map(d => lit(((p * 97 + d) * 40503L) % 65536L - 32768L)): _*)
-      when(dot(col("qv"), weights) >= 0, 1L << p).otherwise(0L)
-    }
-    val bucketed = quantized(s, dir).withColumn("bucket", planes.reduce(_ + _))
-    val queries = bucketed
+    // vector (a wide inline expression tree would defeat codegen)
+    def bucketCol(t: Int): org.apache.spark.sql.Column =
+      (0 until planesPerTable)
+        .map { p =>
+          val weights = array(
+            (0 until 64).map(d => lit((((t * 31 + p) * 97 + d) * 40503L) % 65536L - 32768L)): _*)
+          when(dot(col("qv"), weights) >= 0, 1L << p).otherwise(0L)
+        }
+        .reduce(_ + _)
+    val tables = array((0 until nTables).map(t => struct(lit(t).as("t"), bucketCol(t).as("b"))): _*)
+    val corpus = quantized(s, dir)
+    val bucketed = corpus.select(col("vec_id"), explode(tables).as("tb"))
+    val queryBuckets = bucketed
       .filter(col("vec_id") % 100 === 0)
-      .select(
-        col("vec_id").as("query_id"),
-        col("qv").as("query_qv"),
-        col("nq").as("query_nq"),
-        col("bucket"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
-    bucketed
-      .join(broadcast(queries), Seq("bucket"))
+      .select(col("vec_id").as("query_id"), col("tb"))
+    // candidate pairs carry only ids (same slim-shuffle pattern as minhash);
+    // a candidate colliding in several tables is deduped before scoring
+    val pairs = bucketed
+      .join(broadcast(queryBuckets), Seq("tb"))
       .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    pairs
+      .join(corpus, "vec_id")
+      .join(
+        broadcast(corpus.select(
+          col("vec_id").as("query_id"),
+          col("qv").as("query_qv"),
+          col("nq").as("query_nq"))),
+        "query_id")
       .withColumn(
         "cos_sim",
         dot(col("qv"), col("query_qv")) / (sqrt(col("nq")) * sqrt(col("query_nq"))))

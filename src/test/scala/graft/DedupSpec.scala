@@ -51,6 +51,25 @@ class DedupSpec extends GraftSpecBase {
     assert(bad == 0)
   }
 
+  test("multi-table lsh recall vs brute-force top-5 is material") {
+    val brute = Similarity.annBrute(spark, sfDir).select("query_id", "neighbor_id")
+    val lsh = Similarity.annLsh(spark, sfDir).select("query_id", "neighbor_id")
+    val hits = lsh.intersect(brute).count()
+    val total = brute.count()
+    // single-table 8-plane LSH managed ~8% recall on this corpus; the
+    // 6-table × 4-plane index must do materially better
+    assert(hits * 100 >= total * 30, s"recall ${hits}/${total} below 30%")
+  }
+
+  test("corpus_dedup keeps all minhash keepers and drops all condemned docs") {
+    val kept = Dedup.corpusDedup(spark, sfDir).select("doc_id")
+    val pairs = Dedup.minhash(spark, sfDir)
+    // no kept doc may appear as the higher-id member of a near-dup pair
+    val violations = kept.join(pairs, kept("doc_id") === pairs("doc_b")).count()
+    assert(violations == 0)
+    assert(kept.count() > 0)
+  }
+
   test("knn_join: 3 nearest per label centroid") {
     val out = Similarity.knnJoin(spark, sfDir)
     val badGroups = out.groupBy("label").count().filter(col("count") =!= 3).count()
