@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's stdout as JSON; sbt's default LoggedOutput
+// prefixes every forked-process line with [info]/[error], which breaks
+// that parse (BENCH_r01.json: "parsed": null). StdoutOutput passes the
+// child's stdout/stderr through verbatim.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -91,9 +91,10 @@ object Similarity {
     * Multi-table trades a constant-factor candidate increase for
     * exponentially better recall than one deep table (P[collide in ≥1 of
     * 6 shallow tables] ≫ P[collide in 1 deep one] for true neighbors).
-    * Spark-only (rows-check): the oracle-checked [[annBrute]] defines the
-    * semantics this approximates; DedupSpec asserts LSH never reports a
-    * better neighbor than brute force and measures its recall.
+    * The plane weights are pure integer arithmetic and the projections are
+    * integer dots, so the whole pipeline (bucketing included) is replayed
+    * exactly by the DuckDB oracle; DedupSpec additionally asserts LSH never
+    * reports a better neighbor than brute force and measures its recall.
     */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val nTables = 6
@@ -139,6 +140,45 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos_sim"), 4).as("cos_sim"), col("rk"))
       .orderBy("query_id", "rk")
   }
+
+  /** Exact SQL replay of [[annLsh]]: same integer plane weights
+    * (((t*31+p)*97+d)*40503 % 65536 - 32768), same 4-bit sign buckets per
+    * table, same candidate union and exact rescoring. Integer dots are
+    * exact in DuckDB's double arithmetic (|dot| < 2^53). */
+  val annLshSql: String =
+    """WITH q AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         FROM embeddings),
+       n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nq FROM q),
+       w AS (
+         SELECT t, p, LIST(((((t*31+p)*97+d)*40503) % 65536) - 32768 ORDER BY d) AS wv
+         FROM range(6) tt(t), range(4) pp(p), range(64) dd(d)
+         GROUP BY t, p),
+       proj AS (
+         SELECT n.vec_id, w.t,
+                SUM(CASE WHEN list_dot_product(n.qv, w.wv) >= 0 THEN (1 << p) ELSE 0 END) AS b
+         FROM n CROSS JOIN w
+         GROUP BY n.vec_id, w.t),
+       qb AS (SELECT vec_id AS query_id, t, b FROM proj WHERE vec_id % 100 = 0),
+       pairs AS (
+         SELECT DISTINCT qb.query_id, c.vec_id
+         FROM proj c JOIN qb ON c.t = qb.t AND c.b = qb.b
+         WHERE c.vec_id <> qb.query_id),
+       scored AS (
+         SELECT pairs.query_id, pairs.vec_id,
+                list_dot_product(c.qv, qn.qv) / (sqrt(c.nq) * sqrt(qn.nq)) AS cos_sim
+         FROM pairs
+         JOIN n c ON c.vec_id = pairs.vec_id
+         JOIN n qn ON qn.vec_id = pairs.query_id),
+       ranked AS (
+         SELECT query_id, vec_id AS neighbor_id, cos_sim,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+         FROM scored)
+       SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim, rk
+       FROM ranked WHERE rk <= 5
+       ORDER BY query_id, rk"""
 
   /** k-NN join against per-label centroids: elementwise integer sum-vector
     * per label (posexplode + groupBy — linear, no collect to driver), then
@@ -195,9 +235,8 @@ object Similarity {
     "ann_lsh_topk" -> (annLsh _),
     "knn_join" -> (knnJoin _))
 
-  /** ann_lsh_topk intentionally absent (bucketing is engine-specific);
-    * ann_brute_topk is its oracle-checked exact counterpart. */
   val oracles: Map[String, String] = Map(
     "ann_brute_topk" -> annBruteSql,
+    "ann_lsh_topk" -> annLshSql,
     "knn_join" -> knnJoinSql)
 }
