@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{LongArrayDot, SimHash64}
+import graft.functions.{GramHash64, LongArrayDot, LongVecMin, LongVecSum, MinHash64, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -35,5 +35,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_simhash(text) - 64-bit simhash of whitespace-tokenized text",
           ""),
         (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_minhash"),
+        new ExpressionInfo(
+          classOf[MinHash64].getName,
+          null,
+          "graft_minhash",
+          "graft_minhash(text) - 64-perm MinHash signature over word-3-gram shingles",
+          ""),
+        (children: Seq[Expression]) => MinHash64(children.head)))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_grams"),
+        new ExpressionInfo(
+          classOf[GramHash64].getName,
+          null,
+          "graft_grams",
+          "graft_grams(text) - distinct word-3-gram shingle hashes",
+          ""),
+        (children: Seq[Expression]) => GramHash64(children.head)))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_vec_sum"),
+        new ExpressionInfo(
+          classOf[LongVecSum].getName,
+          null,
+          "graft_vec_sum",
+          "graft_vec_sum(arr) - elementwise sum aggregate of BIGINT arrays",
+          ""),
+        (children: Seq[Expression]) => LongVecSum(children.head).toAggregateExpression()))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_vec_min"),
+        new ExpressionInfo(
+          classOf[LongVecMin].getName,
+          null,
+          "graft_vec_min",
+          "graft_vec_min(arr) - elementwise min aggregate of BIGINT arrays",
+          ""),
+        (children: Seq[Expression]) => LongVecMin(children.head).toAggregateExpression()))
   }
 }

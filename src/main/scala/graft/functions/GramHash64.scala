@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word-3-gram shingle hashes of a whitespace-tokenized text
+  * column, in one pass — the candidate-generation key array for exact
+  * n-gram Jaccard ([[graft.operators.Dedup.ngramJaccard]]).
+  *
+  * Why native: the declarative form (`array_distinct(transform(sequence,
+  * i -> xxhash64(element_at(w, i)...)))` over an aliased `split`) is a trap
+  * — Catalyst's projection collapsing inlines the `split` alias into every
+  * `element_at` site inside the lambda, so tokenization re-executes per
+  * gram element: O(words²) per document, interpreted. Measured 2.5× SLOWER
+  * than round 1's explode pipeline at sf0.1. This expression tokenizes
+  * once, rolls a 3-word hash window (same FNV-1a + murmur-finalizer family
+  * as [[MinHash64]]), and sort-dedups in place: one static call from
+  * generated code, zero shuffle, scan-speed.
+  *
+  * Gram identity is the 64-bit mixed hash, not the string: an 8-byte join
+  * key, no string concat; a collision needs two distinct grams with equal
+  * 64-bit hashes among ~10^5 grams (P ≈ 1e-11).
+  *
+  * Returns NULL for texts with fewer than 3 words (no shingles).
+  * Registered as SQL function `graft_grams` by [[graft.GraftExtensions]].
+  */
+case class GramHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_grams requires STRING input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    GramHash64.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val resultVar = ctx.freshName("gramsResult")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => s"""
+        |ArrayData $resultVar = graft.functions.GramHash64.compute($c);
+        |if ($resultVar == null) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  ${ev.value} = $resultVar;
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_grams"
+}
+
+object GramHash64 {
+
+  import MinHash64.{fnv1a, mix2}
+
+  /** One-pass distinct 3-gram hashes (sorted ascending). Null if < 3 words. */
+  def compute(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    var grams = new Array[Long](math.max(8, n / 8))
+    var nGrams = 0
+    var w1 = 0L; var w2 = 0L; var w3 = 0L
+    var nWords = 0
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        if (i > start) {
+          w1 = w2; w2 = w3; w3 = fnv1a(bytes, start, i)
+          nWords += 1
+          if (nWords >= 3) {
+            if (nGrams == grams.length) grams = java.util.Arrays.copyOf(grams, nGrams * 2)
+            grams(nGrams) = mix2(mix2(w1, w2), w3)
+            nGrams += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    if (nGrams == 0) return null
+    java.util.Arrays.sort(grams, 0, nGrams)
+    // in-place dedup of the sorted prefix
+    var out = 1
+    i = 1
+    while (i < nGrams) {
+      if (grams(i) != grams(out - 1)) { grams(out) = grams(i); out += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(grams, out))
+  }
+}

@@ -57,58 +57,45 @@ object Dedup {
        GROUP BY 1
        ORDER BY keeper_doc_id"""
 
-  /** Distinct word-3-gram shingles per document. */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("doc_id"), split(col("text"), " ").as("w"))
-    d.filter(size(col("w")) >= 3)
-      .select(
-        col("doc_id"),
-        explode(
-          transform(
-            sequence(lit(0), size(col("w")) - 3),
-            i =>
-              concat_ws(
-                " ",
-                element_at(col("w"), i + 1),
-                element_at(col("w"), i + 2),
-                element_at(col("w"), i + 3)))).as("gram"))
-      .distinct()
-  }
-
   /** Exact n-gram Jaccard: top-20 most similar document pairs by word-3-gram
     * Jaccard. Candidates come from an equality join on shared grams, so the
     * only pairs ever materialized share at least one shingle. At 100 TB the
     * hot-gram guard (drop shingles occurring in > K docs — stop-shingles
     * carry no signal and quadratic-blow-up risk) plus [[minhash]] replace
-    * this exact variant. */
+    * this exact variant.
+    *
+    * Plan shape (3 shuffles, down from 8 stages in round 1):
+    *   - per-doc distinct gram-hash ARRAYS come from the native one-pass
+    *     [[graft.functions.GramHash64]] (`graft_grams`) — no explode/
+    *     distinct shuffle, no O(words²) lambda trap (see its scaladoc) —
+    *     and the per-doc gram count rides along as `size(garr)`, so no
+    *     separate counts aggregate and no two re-join stages;
+    *   - grams are identified by their 64-bit hash — an 8-byte join key
+    *     with no string concat; a collision needs two distinct grams with
+    *     equal 64-bit hashes among ~10^5 grams (P ≈ 1e-11);
+    *   - the hot-gram guard is a broadcast LEFT ANTI join against the
+    *     (tiny, by construction: grams with df > 20) stop-shingle set,
+    *     not a shuffle join against the full rare-gram list. The jaccard
+    *     denominator still uses the FULL per-doc gram count, so the
+    *     reported value is a tight lower bound for near-dup pairs, which
+    *     by definition share mostly *rare* grams. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val g = shingles(s, dir)
-    val counts = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    // Hot-gram guard: a gram shared by > 20 documents is a stop-shingle —
-    // it contributes ~zero discrimination but O(df²) candidate pairs. The
-    // denominator still uses the FULL per-doc gram count, so jaccard is a
-    // (tight) lower bound for near-dup pairs, which by definition share
-    // mostly *rare* grams. This is what keeps candidate generation linear
-    // at 100 TB.
-    // grams join on their xxhash64 (8-byte shuffle key instead of a ~25-byte
-    // string; a collision would need two distinct grams with equal 64-bit
-    // hashes among ~10^5 grams — P ≈ 1e-11, far below every other risk)
-    val gh = g.select(col("doc_id"), xxhash64(col("gram")).as("gram"))
-    val rare = gh
+    val g = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), call_function("graft_grams", col("text")).as("garr"))
+      .filter(col("garr").isNotNull)
+      .select(col("doc_id"), size(col("garr")).as("n_grams"), explode(col("garr")).as("gram"))
+    val hot = g
       .groupBy("gram")
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 20)
+      .filter(col("df") > 20)
       .select("gram")
-    val gr = gh.join(rare, "gram")
-    val a = gr.as("a")
-    val b = gr.as("b")
-    val inter = a
-      .join(b, col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val gr = g.join(broadcast(hot), Seq("gram"), "left_anti")
+    val a = gr.select(col("gram"), col("doc_id").as("doc_a"), col("n_grams").as("na"))
+    val b = gr.select(col("gram").as("gram_b"), col("doc_id").as("doc_b"), col("n_grams").as("nb"))
+    a.join(b, col("gram") === col("gram_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "na"), "doc_a")
-      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "nb"), "doc_b")
       .select(
         col("doc_a"),
         col("doc_b"),
@@ -181,35 +168,28 @@ object Dedup {
              LIMIT 20)
        SELECT vec_a, vec_b, ROUND(cos_sim, 4) AS cos_sim FROM p"""
 
-  /** MinHash signatures: 64 permutations approximated by independently
-    * seeded xxhash64 over shingles; min per permutation per doc. One
-    * narrow map + one groupBy — linear in corpus size.
-    *
-    * NOTE: the cheaper Kirsch–Mitzenmacher construction (h1 + i·h2) was
-    * tried and reverted — with min-wise hashing its components are
-    * correlated (one low-hash shingle dominates many permutations), which
-    * collapses band diversity and blows up the candidate join. Independent
-    * seeds are the price of sane LSH banding. */
-  private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val g = shingles(s, dir)
-    val sigCols = (0 until 64).map(i => min(xxhash64(lit(i), col("gram"))).as(s"h$i"))
-    g.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-  }
-
   /** MinHash + LSH near-dup detection (the 100 TB dedup path):
     * 64-perm signatures → 16 bands of 4 → band-equality bucket join for
     * candidates → signature-agreement estimate of Jaccard, keep >= 0.5.
     * Candidate generation is pure key-equality shuffle; nothing quadratic
     * ever materializes beyond per-bucket pairs.
     *
-    * No SQL oracle: minhash values depend on xxhash64, which portable SQL
-    * cannot reproduce — the driver records a rows-only check, and
+    * Signatures come from the native one-pass [[graft.functions.MinHash64]]
+    * expression (`graft_minhash`) — zero shuffle, scan-speed; round 1's
+    * explode → distinct → 64-expression aggregate (two shuffles + a 64-wide
+    * generated aggregate whose codegen alone cost seconds) is gone. The
+    * Kirsch–Mitzenmacher seed shortcut remains off the table (correlated
+    * permutations collapse band diversity — see MinHash64 scaladoc).
+    *
+    * No SQL oracle: minhash values depend on the engine hash, which portable
+    * SQL cannot reproduce — the driver records a rows-only check, and
     * [[ngramJaccard]] (exact, oracle-checked) validates the same semantics
     * at test scale. */
   def minhash(s: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(s, dir)
-      .withColumn("sig", array((0 until 64).map(i => col(s"h$i")): _*))
-      .select("doc_id", "sig")
+    val sigs = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), call_function("graft_minhash", col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
     // band rows carry ONLY (doc_id, band-hash): the candidate join shuffles
     // 16 bytes/row instead of the 512-byte signature; signatures re-attach
     // to the (few) surviving pairs afterwards
@@ -220,10 +200,10 @@ object Dedup {
           sequence(lit(0), lit(15)),
           b => struct(b.as("band"), xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("bh"))))
         .as("bb"))
-    val a = banded.select(col("doc_id").as("doc_a"), col("bb"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("bb"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("bb").as("bb_a"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("bb").as("bb_b"))
     val pairs = a
-      .join(b, a("bb") === b("bb") && col("doc_a") < col("doc_b"))
+      .join(b, col("bb_a") === col("bb_b") && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
     val cand = pairs
@@ -259,15 +239,17 @@ object Dedup {
     // ngramJaccard): a block value shared by hundreds of docs is a corpus-
     // wide pattern, not a duplication signal, and costs O(df²) candidates.
     // True near-dups still collide in one of their other, rarer blocks.
-    val rareBlocks = allBlocks
+    // The hot set is tiny by construction → broadcast LEFT ANTI, so the
+    // block list is shuffled once (for the self-join), not twice.
+    val hotBlocks = allBlocks
       .groupBy("b")
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 200)
+      .filter(col("df") > 200)
       .select("b")
-    val blocks = allBlocks.join(rareBlocks, "b")
-    val a = blocks.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("b"))
-    val b = blocks.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("b"))
-    a.join(b, a("b") === b("b") && col("doc_a") < col("doc_b"))
+    val blocks = allBlocks.join(broadcast(hotBlocks), Seq("b"), "left_anti")
+    val a = blocks.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("b").as("b_a"))
+    val b = blocks.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("b").as("b_b"))
+    a.join(b, col("b_a") === col("b_b") && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sh_a", "sh_b")
       .distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))

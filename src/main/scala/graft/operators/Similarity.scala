@@ -181,19 +181,19 @@ object Similarity {
        ORDER BY query_id, rk"""
 
   /** k-NN join against per-label centroids: elementwise integer sum-vector
-    * per label (posexplode + groupBy — linear, no collect to driver), then
-    * top-3 nearest vectors per centroid. Cosine's scale-invariance means
-    * the integer sum-vector needs no division — exactness preserved. */
+    * per label via the native `graft_vec_sum` aggregate
+    * ([[graft.functions.LongVecSum]]) — ONE grouped aggregate with map-side
+    * partial aggregation, so the shuffle carries one 512-byte array per
+    * (label, map-partition). Round 1's posexplode → groupBy(label, pos) →
+    * collect_list → array_sort inflated the shuffle 64× and sorted it back;
+    * all gone. Then top-3 nearest vectors per centroid. Cosine's
+    * scale-invariance means the integer sum-vector needs no division —
+    * exactness preserved. */
   def knnJoin(s: SparkSession, dir: String): DataFrame = {
     val q = quantized(s, dir)
     val sums = q
-      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
-      .groupBy("label", "pos")
-      .agg(sum(col("v")).as("sv"))
       .groupBy("label")
-      .agg(
-        transform(array_sort(collect_list(struct(col("pos"), col("sv")))), x => x.getField("sv"))
-          .as("cv"))
+      .agg(call_function("graft_vec_sum", col("qv")).as("cv"))
       .withColumn("nc", selfDot(col("cv")))
       .select(col("label").as("c_label"), col("cv"), col("nc"))
     val w = Window.partitionBy("c_label").orderBy(col("cos_sim").desc, col("vec_id"))
