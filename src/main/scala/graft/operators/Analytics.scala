@@ -46,6 +46,35 @@ object Analytics {
        GROUP BY ROLLUP (r_name, n_name)
        ORDER BY region, nation"""
 
+  /** CUBE over (market segment, order status): all four grouping
+    * combinations — per (seg, status), per seg, per status, grand total —
+    * in ONE shuffle (Spark expands grouping sets map-side; no extra pass
+    * per combination). Money through integer cents as everywhere. */
+  def cube(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (sum(floor(col("o_totalprice") * 100).cast("long")) / 100.0).as("total_price"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("<all>")).as("mktsegment"),
+        coalesce(col("o_orderstatus"), lit("<all>")).as("orderstatus"),
+        col("n_orders"),
+        col("total_price"))
+      .orderBy("mktsegment", "orderstatus")
+  }
+
+  val cubeSql: String =
+    """SELECT COALESCE(c_mktsegment, '<all>') AS mktsegment,
+              COALESCE(o_orderstatus, '<all>') AS orderstatus,
+              COUNT(*) AS n_orders,
+              SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY CUBE (c_mktsegment, o_orderstatus)
+       ORDER BY mktsegment, orderstatus"""
+
   /** Pivot: event counts per user across the five event types. The value
     * list is explicit — the implicit form needs a distinct pre-scan, a
     * whole extra pass over the fact table at scale. The oracle is the
@@ -254,6 +283,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_sketches" -> (sketches _),
+    "agg_cube" -> (cube _),
     "agg_rollup" -> (rollup _),
     "agg_pivot" -> (pivot _),
     "set_ops" -> (setOps _),
@@ -264,6 +294,7 @@ object Analytics {
     "dash_metrics" -> (dashMetrics _))
 
   val oracles: Map[String, String] = Map(
+    "agg_cube" -> cubeSql,
     "agg_rollup" -> rollupSql,
     "agg_pivot" -> pivotSql,
     "set_ops" -> setOpsSql,

@@ -80,9 +80,77 @@ object Multimodal {
        FROM documents
        ORDER BY doc_id"""
 
+  /** A synthetic "video" row: opaque binary payload + frame geometry. */
+  case class VideoIn(doc_id: Long, payload: Array[Byte])
+
+  /** One sampled frame: source frame index, presentation time, content
+    * fingerprint. */
+  case class Frame(doc_id: Long, frame_idx: Long, src_frame: Long, ts_ms: Long, frame_hash: String)
+
+  /** STUB frame sampler — stands in for a video codec's keyframe reader.
+    * Treats the payload as 64 fixed 32-byte "frames" at 25 fps and samples
+    * every 8th; the hash is the md5 of the frame's bytes. Deterministic so
+    * the DuckDB oracle can replay it; a real deployment swaps only this
+    * object. */
+  object FrameSampler {
+    val FrameBytes = 32
+    val SampleEvery = 8
+    val FrameMs = 40L // 25 fps
+    def sampleBatch(batch: Seq[VideoIn]): Seq[Frame] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      batch.flatMap { v =>
+        val nFrames = v.payload.length / FrameBytes
+        (0 until nFrames by SampleEvery).zipWithIndex.map { case (src, idx) =>
+          md.reset()
+          val hex = md5Hex(md, v.payload, src * FrameBytes, FrameBytes)
+          Frame(v.doc_id, idx.toLong, src.toLong, src * FrameMs, hex)
+        }
+      }
+    }
+    private def md5Hex(md: java.security.MessageDigest, bytes: Array[Byte], from: Int, len: Int): String = {
+      md.update(bytes, from, len)
+      md.digest().map("%02x".format(_)).mkString
+    }
+  }
+
+  /** Frame-sampling plumbing: documents → deterministic fake video payload
+    * (2048 bytes = 64 "frames") → per-partition batched sampling → one row
+    * per kept frame. Same architecture as [[features]]: the decode is a
+    * stub, the binary-column schema, batch shape, and row-explosion
+    * semantics (1 video row → N frame rows out of `mapPartitions`, no
+    * `explode` needed) are the real, tested part. Narrow map — at 100 TB
+    * frame extraction streams at scan speed with per-task memory bounded
+    * by batch size. */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val videos: Dataset[VideoIn] = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        encode(repeat(md5(col("doc_id").cast("string")), 64), "UTF-8").as("payload"))
+      .as[VideoIn]
+    videos
+      .mapPartitions(it => it.grouped(32).flatMap(FrameSampler.sampleBatch))
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  // the fake payload is 64 repeats of a 32-char md5 hex string (ascii: one
+  // byte per char), so frame f covers string offset f*32+1, length 32
+  val frameSampleSql: String =
+    """SELECT doc_id,
+              CAST(i AS BIGINT) AS frame_idx,
+              CAST(i * 8 AS BIGINT) AS src_frame,
+              CAST(i * 8 * 40 AS BIGINT) AS ts_ms,
+              md5(substr(repeat(md5(CAST(doc_id AS VARCHAR)), 64), CAST(i * 8 * 32 + 1 AS INT), 32)) AS frame_hash
+       FROM documents, UNNEST(range(8)) AS t(i)
+       ORDER BY doc_id, frame_idx"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_features" -> (features _))
+    "mm_features" -> (features _),
+    "mm_frame_sample" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
-    "mm_features" -> featuresSql)
+    "mm_features" -> featuresSql,
+    "mm_frame_sample" -> frameSampleSql)
 }

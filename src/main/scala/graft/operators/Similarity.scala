@@ -180,6 +180,117 @@ object Similarity {
        FROM ranked WHERE rk <= 5
        ORDER BY query_id, rk"""
 
+  /** IVF (inverted-file) ANN — the classic coarse-quantizer scale path,
+    * complementing [[annLsh]]: partition the corpus into K=16 cells around
+    * centroids, probe only the 4 nearest cells per query.
+    *
+    * Cell construction is one Lloyd refinement from a deterministic hash
+    * partition (`vec_id % K`): centroids via the native `graft_vec_sum`
+    * aggregate (cosine is scale-invariant — the un-normalized integer sum
+    * IS the centroid direction, no float division), then every vector
+    * re-assigns to its nearest centroid.
+    *
+    * Scale shape: the K-row codebook is collected into ONE broadcast row,
+    * so assignment is a narrow map (16 `graft_dot`s per vector inside a
+    * `transform`/`array_max` — no 16× row expansion, no shuffle);
+    * candidate generation is a broadcast join of the (tiny) probe list
+    * against cell-assigned vectors. At 100 TB: write vectors partitioned
+    * by cell and probing prunes 12/16 of the corpus at the reader.
+    *
+    * Every score is integer dots + exactly-rounded IEEE sqrt/div, so the
+    * DuckDB oracle replays the whole pipeline bit-for-bit (argmax ties
+    * break toward the lower cell id in both engines). */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val corpus = quantized(s, dir)
+    val cents = corpus
+      .groupBy((col("vec_id") % k).cast("int").as("cell"))
+      .agg(call_function("graft_vec_sum", col("qv")).as("cv"))
+      .withColumn("nc", selfDot(col("cv")))
+    val codebook = cents.agg(
+      array_sort(collect_list(struct(col("cell"), col("cv"), col("nc")))).as("cb"))
+    val withCb = corpus.crossJoin(broadcast(codebook))
+    def cellScore(c: Column): Column =
+      dot(col("qv"), c.getField("cv")) / (sqrt(col("nq")) * sqrt(c.getField("nc")))
+    val assigned = withCb
+      .withColumn(
+        "best",
+        array_max(transform(
+          col("cb"),
+          c => struct(cellScore(c).as("cs"), (c.getField("cell") * -1).as("negcell")))))
+      .select(col("vec_id"), col("qv"), col("nq"), (col("best.negcell") * -1).as("cell"))
+    val wp = Window.partitionBy("query_id").orderBy(col("cs").desc, col("cell"))
+    val probes = withCb
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("qv"), col("nq"), explode(col("cb")).as("c"))
+      .select(col("query_id"), col("c.cell").as("cell"), cellScore(col("c")).as("cs"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= 4)
+      .select("query_id", "cell")
+    val qvecs = corpus
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("query_qv"), col("nq").as("query_nq"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qvecs), "query_id")
+      .withColumn(
+        "cos_sim",
+        dot(col("qv"), col("query_qv")) / (sqrt(col("nq")) * sqrt(col("query_nq"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos_sim"), 4).as("cos_sim"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Exact SQL replay of [[annIvf]]: same hash-partition seed cells, same
+    * integer centroid sums, same argmax assignment (ties to lower cell),
+    * same 4-cell probe and exact rescore. */
+  val annIvfSql: String =
+    """WITH q AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         FROM embeddings),
+       n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nq FROM q),
+       e AS (SELECT vec_id % 16 AS cell, i, SUM(qv[i]) AS sv
+             FROM q, UNNEST(range(1, len(qv) + 1)) AS t(i)
+             GROUP BY 1, 2),
+       c AS (SELECT cell, LIST(sv ORDER BY i) AS cv FROM e GROUP BY 1),
+       cn AS (SELECT cell, cv, list_dot_product(cv, cv) AS nc FROM c),
+       score AS (
+         SELECT n.vec_id, cn.cell,
+                list_dot_product(n.qv, cn.cv) / (sqrt(n.nq) * sqrt(cn.nc)) AS cs
+         FROM n CROSS JOIN cn),
+       assign AS (
+         SELECT vec_id, cell FROM (
+           SELECT vec_id, cell,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS r
+           FROM score) WHERE r = 1),
+       probes AS (
+         SELECT vec_id AS query_id, cell FROM (
+           SELECT vec_id, cell,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS r
+           FROM score WHERE vec_id % 100 = 0) WHERE r <= 4),
+       cand AS (
+         SELECT p.query_id, a.vec_id
+         FROM assign a JOIN probes p ON a.cell = p.cell
+         WHERE a.vec_id <> p.query_id),
+       scored AS (
+         SELECT cand.query_id, cand.vec_id,
+                list_dot_product(cb.qv, qn.qv) / (sqrt(cb.nq) * sqrt(qn.nq)) AS cos_sim
+         FROM cand
+         JOIN n cb ON cb.vec_id = cand.vec_id
+         JOIN n qn ON qn.vec_id = cand.query_id),
+       ranked AS (
+         SELECT query_id, vec_id AS neighbor_id, cos_sim,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+         FROM scored)
+       SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim, rk
+       FROM ranked WHERE rk <= 5
+       ORDER BY query_id, rk"""
+
   /** k-NN join against per-label centroids: elementwise integer sum-vector
     * per label via the native `graft_vec_sum` aggregate
     * ([[graft.functions.LongVecSum]]) — ONE grouped aggregate with map-side
@@ -233,10 +344,12 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> (annBrute _),
     "ann_lsh_topk" -> (annLsh _),
+    "ann_ivf_topk" -> (annIvf _),
     "knn_join" -> (knnJoin _))
 
   val oracles: Map[String, String] = Map(
     "ann_brute_topk" -> annBruteSql,
     "ann_lsh_topk" -> annLshSql,
+    "ann_ivf_topk" -> annIvfSql,
     "knn_join" -> knnJoinSql)
 }

@@ -173,13 +173,88 @@ object TextAnalysis {
        FROM documents
        ORDER BY doc_id"""
 
+  /** BPE-style pre-tokenizer statistics: token counts under the
+    * GPT-2-family pre-tokenization split (alpha runs | digit runs | single
+    * non-alnum marks), the standard first stage before byte-pair merging.
+    * `chars_per_token` is the compression-ratio proxy pipelines use to
+    * budget token costs per document. Pure narrow map — regex matching at
+    * scan speed, identical leftmost-match semantics in Java regex and
+    * DuckDB's RE2 for this alternation. */
+  def tokensBpe(s: SparkSession, dir: String): DataFrame = {
+    def nMatches(c: Column, pat: String): Column =
+      size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        nMatches(col("text"), "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]").as("n_tokens"),
+        nMatches(col("text"), "[A-Za-z]+").as("n_alpha"),
+        nMatches(col("text"), "[0-9]+").as("n_digit"),
+        nMatches(col("text"), "[^A-Za-z0-9 ]").as("n_mark"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn(
+        "chars_per_token",
+        when(col("n_tokens") > 0, round(col("n_chars") / col("n_tokens").cast("double"), 4)))
+      .orderBy("doc_id")
+  }
+
+  val tokensBpeSql: String =
+    """SELECT doc_id,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_tokens,
+              len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha,
+              len(regexp_extract_all(text, '[0-9]+')) AS n_digit,
+              len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_mark,
+              CAST(LENGTH(text) AS BIGINT) AS n_chars,
+              CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) > 0
+                   THEN ROUND(LENGTH(text) / CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS DOUBLE), 4)
+              END AS chars_per_token
+       FROM documents
+       ORDER BY doc_id"""
+
+  /** Pipeline scrub pass: count and mask URL- and email-shaped spans (the
+    * canonical pre-training PII/noise scrub), fingerprint the cleaned text.
+    * Narrow map; the cleaned md5 lets a downstream exact-dedup run on
+    * scrubbed content directly. */
+  def scrub(s: SparkSession, dir: String): DataFrame = {
+    val urlPat = "https?://[^ ]+"
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    val clean = regexp_replace(
+      regexp_replace(col("text"), urlPat, "<URL>"),
+      emailPat,
+      "<EMAIL>")
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(urlPat), lit(0))).cast("long").as("n_urls"),
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).cast("long").as("n_emails"),
+        length(clean).cast("long").as("clean_len"),
+        md5(clean).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val scrubSql: String =
+    """SELECT doc_id,
+              len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
+              len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS n_emails,
+              CAST(LENGTH(regexp_replace(regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+                                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g')) AS BIGINT) AS clean_len,
+              md5(regexp_replace(regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+                                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g')) AS clean_md5
+       FROM documents
+       ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens_bpe" -> (tokensBpe _),
+    "text_scrub" -> (scrub _),
     "text_stats" -> (stats _),
     "text_langid" -> (langid _),
     "text_quality" -> (quality _),
     "text_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_tokens_bpe" -> tokensBpeSql,
+    "text_scrub" -> scrubSql,
     "text_stats" -> statsSql,
     "text_langid" -> langidSql,
     "text_quality" -> qualitySql,

@@ -234,7 +234,79 @@ object Windows {
          ON e.user_id = o.user_id AND e.t_us >= o.t_us
        ORDER BY e.event_id"""
 
+  /** Banded range join (interval self-join): per user, ordered event pairs
+    * (a → b) with `b.ts ∈ [a.ts, a.ts + 5 min]`, aggregated to per-user
+    * pair counts. The naive form is a non-equi join — Spark would plan a
+    * nested-loop. Instead each left row is duplicated into its 5-minute
+    * bucket and the next (`ts DIV W` and `+1`), the right row keeps its own
+    * bucket, and the join becomes pure key equality on (user, bucket) with
+    * the range predicate demoted to a post-join filter: every qualifying
+    * pair matches in exactly one bucket (the right bucket is unique), so no
+    * dedup pass. 2× row duplication buys a linear shuffle join at any
+    * scale — the standard epsilon-join banding trick. */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val W = 300000000L // 5 minutes in micros
+    val e = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val a = e
+      .select(col("user_id"), col("event_id").as("id_a"), col("ts_us").as("ts_a"))
+      .withColumn(
+        "bucket",
+        explode(array(expr(s"ts_a DIV $W"), expr(s"ts_a DIV $W") + 1)))
+    val b = e
+      .select(col("user_id").as("user_b"), col("event_id").as("id_b"), col("ts_us").as("ts_b"))
+      .withColumn("bucket_b", expr(s"ts_b DIV $W"))
+    a.join(
+        b,
+        col("bucket") === col("bucket_b") && col("user_id") === col("user_b") &&
+          col("id_a") =!= col("id_b") &&
+          col("ts_b") >= col("ts_a") && col("ts_b") <= col("ts_a") + W)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), min(col("ts_b") - col("ts_a")).as("min_gap_us"))
+      .orderBy("user_id")
+  }
+
+  val rangeJoinSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+       SELECT a.user_id, COUNT(*) AS n_pairs, MIN(b.ts_us - a.ts_us) AS min_gap_us
+       FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id <> b.event_id
+         AND b.ts_us BETWEEN a.ts_us AND a.ts_us + 300000000
+       GROUP BY 1
+       ORDER BY a.user_id"""
+
+  /** Weekly cohort retention matrix: each user's cohort is their first
+    * active ISO week; count distinct users from cohort `c` active in week
+    * `w`. Two shuffles — a per-user min (map-side-combined) and the
+    * (cohort, week) distinct count; the cohort table joins back to events
+    * on user_id (shuffle join: both sides are user-keyed and large at
+    * 100 TB — AQE handles relative sizing). No window over an
+    * unpartitioned sort anywhere. */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .events(s, dir)
+      .select(col("user_id"), unix_micros(date_trunc("week", col("ts"))).as("week_us"))
+    val cohorts = e
+      .groupBy("user_id")
+      .agg(min(col("week_us")).as("cohort_us"))
+    e.join(cohorts, "user_id")
+      .groupBy("cohort_us", "week_us")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_us", "week_us")
+  }
+
+  val retentionSql: String =
+    """WITH e AS (
+         SELECT user_id, epoch_us(date_trunc('week', ts)) AS week_us FROM events),
+       cohorts AS (SELECT user_id, MIN(week_us) AS cohort_us FROM e GROUP BY 1)
+       SELECT cohort_us, week_us, COUNT(DISTINCT e.user_id) AS n_active
+       FROM e JOIN cohorts USING (user_id)
+       GROUP BY 1, 2
+       ORDER BY cohort_us, week_us"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_retention" -> (retention _),
+    "range_join" -> (rangeJoin _),
     "win_hourly" -> (hourly _),
     "win_moving_avg" -> (movingAvg _),
     "win_sessionize" -> (sessionize _),
@@ -243,6 +315,8 @@ object Windows {
     "asof_join" -> (asofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "win_retention" -> retentionSql,
+    "range_join" -> rangeJoinSql,
     "win_hourly" -> hourlySql,
     "win_moving_avg" -> movingAvgSql,
     "win_sessionize" -> sessionizeSql,

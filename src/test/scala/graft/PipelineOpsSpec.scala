@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.{Analytics, Multimodal, Similarity, TextAnalysis, Windows}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-2 operator additions: cube, retention, banded
+  * range join, BPE-ish tokenizer, scrub, IVF ANN, frame sampling. */
+class PipelineOpsSpec extends GraftSpecBase {
+
+  test("cube grand total equals order count and slice sums agree") {
+    val c = Analytics.cube(spark, sfDir).cache()
+    val nOrders = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    val grand = c
+      .filter(col("mktsegment") === "<all>" && col("orderstatus") === "<all>")
+      .collect()(0)
+      .getAs[Long]("n_orders")
+    assert(grand == nOrders)
+    val leafSum = c
+      .filter(col("mktsegment") =!= "<all>" && col("orderstatus") =!= "<all>")
+      .agg(sum("n_orders"))
+      .collect()(0)
+      .getLong(0)
+    assert(leafSum == nOrders)
+    c.unpersist()
+  }
+
+  test("retention: activity never precedes the cohort week") {
+    val r = Windows.retention(spark, sfDir)
+    assert(r.filter(col("week_us") < col("cohort_us")).count() == 0)
+    assert(r.count() > 0)
+  }
+
+  test("banded range join equals the naive non-equi join") {
+    val banded = Windows.rangeJoin(spark, sfDir)
+    val e = graft.sources.Tables
+      .events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val a = e.select(col("user_id"), col("event_id").as("id_a"), col("ts_us").as("ts_a"))
+    val b = e.select(col("user_id").as("user_b"), col("event_id").as("id_b"), col("ts_us").as("ts_b"))
+    val naive = a
+      .join(
+        b,
+        col("user_id") === col("user_b") && col("id_a") =!= col("id_b") &&
+          col("ts_b") >= col("ts_a") && col("ts_b") <= col("ts_a") + 300000000L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), min(col("ts_b") - col("ts_a")).as("min_gap_us"))
+    assert(banded.exceptAll(naive).isEmpty && naive.exceptAll(banded).isEmpty)
+  }
+
+  test("bpe tokenizer: class counts partition the token count") {
+    val t = TextAnalysis.tokensBpe(spark, sfDir)
+    val bad = t.filter(col("n_tokens") =!= col("n_alpha") + col("n_digit") + col("n_mark"))
+    assert(bad.count() == 0)
+    assert(t.filter(col("n_tokens") > 0).count() > 0)
+  }
+
+  test("scrub: documents without scrubbed spans keep their length") {
+    val docs = graft.sources.Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("orig_len"))
+    val joined = TextAnalysis.scrub(spark, sfDir).join(docs, "doc_id")
+    val bad = joined.filter(
+      col("n_urls") === 0 && col("n_emails") === 0 && col("clean_len") =!= col("orig_len"))
+    assert(bad.count() == 0)
+  }
+
+  test("IVF ANN: reasonable recall vs brute force, never better than brute") {
+    val brute = Similarity.annBrute(spark, sfDir).select("query_id", "neighbor_id")
+    val ivf = Similarity.annIvf(spark, sfDir).select("query_id", "neighbor_id")
+    val nBrute = brute.count()
+    val hit = ivf.intersect(brute).count()
+    assert(nBrute > 0)
+    val recall = hit.toDouble / nBrute
+    assert(recall >= 0.3, s"IVF recall $recall below floor")
+    // the top-1 IVF score can never exceed the top-1 brute score
+    val b1 = Similarity
+      .annBrute(spark, sfDir)
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("cos_sim").as("b_cos"))
+    val i1 = Similarity
+      .annIvf(spark, sfDir)
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("cos_sim").as("i_cos"))
+    assert(i1.join(b1, "query_id").filter(col("i_cos") > col("b_cos")).count() == 0)
+  }
+
+  test("frame sample: 8 frames per doc at the right source offsets") {
+    val f = Multimodal.frameSample(spark, sfDir).cache()
+    val perDoc = f.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    assert(perDoc.filter(col("n") =!= 8).count() == 0)
+    assert(f.filter(col("src_frame") =!= col("frame_idx") * 8).count() == 0)
+    assert(f.filter(col("ts_ms") =!= col("src_frame") * 40).count() == 0)
+    f.unpersist()
+  }
+}
