@@ -33,4 +33,12 @@ object Sinks {
   /** Sorted, single-file parquet extract (small results only). */
   def sampleParquet(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Line-delimited JSON sink — the interchange format for feeding
+    * downstream non-JVM consumers (labeling UIs, eval harnesses).
+    * Splittable on read like parquet; gzip keeps the size sane. */
+  def jsonLines(df: DataFrame, path: String, compress: Boolean = true): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (compress) w.option("compression", "gzip") else w).json(path)
+  }
 }

@@ -146,11 +146,78 @@ object Multimodal {
        FROM documents, UNNEST(range(8)) AS t(i)
        ORDER BY doc_id, frame_idx"""
 
+  /** Resize output: original + target geometry and the resampled payload's
+    * fingerprint. */
+  case class Resized(
+      doc_id: Long,
+      orig_w: Long,
+      orig_h: Long,
+      new_w: Long,
+      new_h: Long,
+      n_bytes_out: Long,
+      resized_hash: String)
+
+  /** STUB resizer — stands in for an image scaler. Geometry derives from
+    * payload size exactly like [[MediaDecoder]]; the "resampled" payload is
+    * the first ceil(n/2) bytes (deterministic, oracle-replayable). A real
+    * deployment swaps only this object. */
+  object Resizer {
+    def resizeBatch(batch: Seq[MediaIn]): Seq[Resized] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      batch.map { m =>
+        val n = m.payload.length.toLong
+        val w = 64 + n % 512
+        val h = 64 + (n * 7) % 512
+        val outLen = ((n + 1) / 2).toInt
+        md.reset()
+        md.update(m.payload, 0, outLen)
+        val hex = md.digest().map("%02x".format(_)).mkString
+        Resized(m.doc_id, w, h, math.max(32L, w / 2), math.max(32L, h / 2), outLen.toLong, hex)
+      }
+    }
+  }
+
+  /** Half-resolution resize pass over the same binary payloads as
+    * [[features]] — the third multimodal verb (decode / extract /
+    * **resize** / frame-sample), batched per partition like the rest.
+    * Narrow map; scan-speed at any corpus size. */
+  def resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media: Dataset[MediaIn] = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        element_at(array(lit("png"), lit("jpeg"), lit("wav")), (col("doc_id") % 3 + 1).cast("int"))
+          .as("format"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaIn]
+    media
+      .mapPartitions(it => it.grouped(32).flatMap(Resizer.resizeBatch))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  // document text is ASCII (verified against the generated data), so
+  // substr-by-chars == slice-by-bytes and md5(substr(text, ...)) replays
+  // the byte-level stub exactly
+  val resizeSql: String =
+    """SELECT doc_id,
+              64 + strlen(text) % 512 AS orig_w,
+              64 + (strlen(text) * 7) % 512 AS orig_h,
+              GREATEST(32, (64 + strlen(text) % 512) // 2) AS new_w,
+              GREATEST(32, (64 + (strlen(text) * 7) % 512) // 2) AS new_h,
+              CAST((strlen(text) + 1) // 2 AS BIGINT) AS n_bytes_out,
+              md5(substr(text, 1, CAST((strlen(text) + 1) // 2 AS INT))) AS resized_hash
+       FROM documents
+       ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> (features _),
+    "mm_resize" -> (resize _),
     "mm_frame_sample" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
     "mm_features" -> featuresSql,
+    "mm_resize" -> resizeSql,
     "mm_frame_sample" -> frameSampleSql)
 }

@@ -34,6 +34,19 @@ object EventStreams {
         col("num_events"),
         col("total_value"))
 
+  /** Streaming exact dedup — the incremental twin of
+    * [[graft.operators.Dedup.exact]]: drop any document whose content hash
+    * was already seen within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`: state is evicted once the hash is
+    * older than the watermark, so state size tracks the horizon, not the
+    * stream's history — the property that makes streaming dedup viable on
+    * an unbounded corpus). */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("content_hash")
+
   case class Ev(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(sessionId: Long, lastTsUs: Long)
   case class SessionOut(event_id: Long, user_id: Long, ts_us: Long, session_id: Long)

@@ -31,6 +31,27 @@ class SinksSpec extends GraftSpecBase {
     assert(back.count() > 0 && back.columns.contains("event_id"))
   }
 
+  test("jsonLines round-trips rows and schema") {
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val df = Relational.q1Agg(spark, sfDir)
+    Sinks.jsonLines(df, s"$dir/q1json")
+    val back = spark.read.json(s"$dir/q1json")
+    assert(back.count() == df.count())
+    assert(df.columns.toSet.subsetOf(back.columns.toSet))
+  }
+
+  test("mm_resize halves geometry and fingerprints the resampled prefix") {
+    val out = Multimodal.resize(spark, sfDir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(out.count() == docs.count())
+    assert(out.filter(col("new_w") =!= greatest(lit(32L), col("orig_w") / 2).cast("long")).count() == 0)
+    val mismatch = out
+      .join(docs, "doc_id")
+      .filter(col("resized_hash") =!= md5(col("text").substr(lit(1), ((length(col("text")) + 1) / 2).cast("int"))))
+      .count()
+    assert(mismatch == 0)
+  }
+
   test("mm_features: stub decode produces full coverage with stable hashes") {
     val out = Multimodal.features(spark, sfDir)
     val n = spark.read.parquet(s"$sfDir/documents.parquet").count()

@@ -47,6 +47,28 @@ class StreamingSpec extends GraftSpecBase {
     assert(streamed == batch)
   }
 
+  test("streaming exact dedup keeps one row per distinct content") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(mins: Int) = new Timestamp(base.getTime + mins * 60000L)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    input.addData(Seq(
+      (1L, at(0), "alpha beta gamma"),
+      (2L, at(1), "delta epsilon"),
+      (3L, at(2), "alpha beta gamma"), // dup of 1 within watermark
+      (4L, at(3), "zeta eta"),
+      (5L, at(4), "delta epsilon"))) // dup of 2 within watermark
+    val streamDf = input.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.dedupExact(streamDf)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_out").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L))
+  }
+
   test("streaming sessionize equals batch sessionize on bounded ordered input") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
