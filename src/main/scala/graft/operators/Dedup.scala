@@ -64,36 +64,50 @@ object Dedup {
     * carry no signal and quadratic-blow-up risk) plus [[minhash]] replace
     * this exact variant.
     *
-    * Plan shape (3 shuffles, down from 8 stages in round 1):
+    * Plan shape (ONE scan, two shuffles — down from 8 stages in round 1):
     *   - per-doc distinct gram-hash ARRAYS come from the native one-pass
     *     [[graft.functions.GramHash64]] (`graft_grams`) — no explode/
     *     distinct shuffle, no O(words²) lambda trap (see its scaladoc) —
-    *     and the per-doc gram count rides along as `size(garr)`, so no
-    *     separate counts aggregate and no two re-join stages;
-    *   - grams are identified by their 64-bit hash — an 8-byte join key
+    *     and the per-doc gram count rides along as `size(garr)`;
+    *   - grams are identified by their 64-bit hash — an 8-byte shuffle key
     *     with no string concat; a collision needs two distinct grams with
     *     equal 64-bit hashes among ~10^5 grams (P ≈ 1e-11);
-    *   - the hot-gram guard is a broadcast LEFT ANTI join against the
-    *     (tiny, by construction: grams with df > 20) stop-shingle set,
-    *     not a shuffle join against the full rare-gram list. The jaccard
-    *     denominator still uses the FULL per-doc gram count, so the
-    *     reported value is a tight lower bound for near-dup pairs, which
-    *     by definition share mostly *rare* grams. */
+    *   - instead of a gram self-JOIN (which shuffles the gram list twice
+    *     and re-derives it once per branch), docs sharing a gram are
+    *     collected into one bucket (`groupBy(gram) + collect_list`) and
+    *     pairs expand IN PLACE with a nested transform — possible
+    *     precisely because the hot-gram guard bounds every bucket at 20
+    *     docs (≤190 pairs). A gram with df > 20 is a stop-shingle: ~zero
+    *     discrimination, O(df²) pair risk — dropping it (bucket filter
+    *     `size ≤ 20`) is what keeps candidates linear at 100 TB. The
+    *     jaccard denominator still uses the FULL per-doc gram count, so
+    *     the reported value is a tight lower bound for near-dup pairs,
+    *     which by definition share mostly *rare* grams. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val g = Tables
       .documents(s, dir)
       .select(col("doc_id"), call_function("graft_grams", col("text")).as("garr"))
       .filter(col("garr").isNotNull)
       .select(col("doc_id"), size(col("garr")).as("n_grams"), explode(col("garr")).as("gram"))
-    val hot = g
+    val buckets = g
       .groupBy("gram")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > 20)
-      .select("gram")
-    val gr = g.join(broadcast(hot), Seq("gram"), "left_anti")
-    val a = gr.select(col("gram"), col("doc_id").as("doc_a"), col("n_grams").as("na"))
-    val b = gr.select(col("gram").as("gram_b"), col("doc_id").as("doc_b"), col("n_grams").as("nb"))
-    a.join(b, col("gram") === col("gram_b") && col("doc_a") < col("doc_b"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_grams")))).as("ds"))
+      .filter(size(col("ds")).between(2, 20))
+    buckets
+      .select(
+        explode(
+          flatten(transform(
+            col("ds"),
+            (x, i) =>
+              transform(
+                slice(col("ds"), i + 2, size(col("ds"))),
+                y =>
+                  struct(
+                    x.getField("doc_id").as("doc_a"),
+                    y.getField("doc_id").as("doc_b"),
+                    x.getField("n_grams").as("na"),
+                    y.getField("n_grams").as("nb")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.na"), col("p.nb"))
       .groupBy("doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("n_inter"))
       .select(
