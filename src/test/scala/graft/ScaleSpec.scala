@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Relational, Scale}
+import graft.operators.{Relational, Scale, Similarity, Windows}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -50,6 +50,31 @@ class ScaleSpec extends GraftSpecBase {
       assert(read.contains(c), s"missing $c in $read")
     for (c <- Seq("l_orderkey", "l_partkey", "l_shipdate", "l_tax"))
       assert(!read.contains(c), s"unpruned $c in $read")
+  }
+
+  test("banded range join never plans a nested loop") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Windows.rangeJoin(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("IVF assignment is a narrow map: only the 1-row codebook nested-loops") {
+    val plan = Similarity.annIvf(spark, sfDir).queryExecution.executedPlan.toString
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    // two intentional 1-row codebook cross joins (assignment + probes);
+    // anything more means a candidate path degenerated to all-pairs
+    assert(nlj <= 2, s"unexpected nested loops ($nlj) in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("knn centroid aggregation runs on the ObjectHashAggregate path") {
+    val plan = Similarity.knnJoin(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"graft_vec_sum not object-hash-aggregated:\n$plan")
+    assert(!plan.contains("Generate explode"), s"posexplode crept back in:\n$plan")
   }
 
   test("q5_join_revenue pushes the region filter into the parquet scan") {
