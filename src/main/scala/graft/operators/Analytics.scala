@@ -261,6 +261,40 @@ object Analytics {
               (SELECT CAST(SUM(num_high_value) AS BIGINT) FROM hv) AS total_high_value,
               (SELECT CAST(SUM(total_customers) AS BIGINT) FROM pc) AS top10_nation_customers"""
 
+  /** Data-quality profile of the orders table — the standard first pass
+    * over any new corpus drop: row count, per-column null counts, value
+    * bounds, key cardinality, and a referential-integrity count (orders
+    * whose customer exists). One aggregate pass + one broadcast semi join;
+    * at 100 TB this is a single scan. */
+  def dqProfile(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val withCust = o
+      .join(broadcast(c.select(col("c_custkey"))), col("o_custkey") === col("c_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_with_customer"))
+    o.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("o_custkey"))).as("n_null_custkey"),
+        (count(lit(1)) - count(col("o_orderstatus"))).as("n_null_status"),
+        (count(lit(1)) - count(col("o_totalprice"))).as("n_null_price"),
+        countDistinct(col("o_custkey")).as("n_distinct_cust"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"),
+        (min(floor(col("o_totalprice") * 100).cast("long")) / 100.0).as("min_price"),
+        (max(floor(col("o_totalprice") * 100).cast("long")) / 100.0).as("max_price"))
+      .crossJoin(withCust)
+  }
+
+  val dqProfileSql: String =
+    """SELECT (SELECT COUNT(*) FROM orders) AS n_rows,
+              (SELECT COUNT(*) - COUNT(o_custkey) FROM orders) AS n_null_custkey,
+              (SELECT COUNT(*) - COUNT(o_orderstatus) FROM orders) AS n_null_status,
+              (SELECT COUNT(*) - COUNT(o_totalprice) FROM orders) AS n_null_price,
+              (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_distinct_cust,
+              (SELECT COUNT(DISTINCT o_orderstatus) FROM orders) AS n_statuses,
+              (SELECT MIN(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) / 100.0 FROM orders) AS min_price,
+              (SELECT MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) / 100.0 FROM orders) AS max_price,
+              (SELECT COUNT(*) FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS n_with_customer"""
+
   /** Sketch aggregates — the 100 TB path for cardinality and quantiles:
     * HyperLogLog++ (`approx_count_distinct`, rsd 1%) and a quantile sketch
     * (`approx_percentile`, accuracy 10000) next to their exact values.
@@ -283,6 +317,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_sketches" -> (sketches _),
+    "dq_profile" -> (dqProfile _),
     "agg_cube" -> (cube _),
     "agg_rollup" -> (rollup _),
     "agg_pivot" -> (pivot _),
@@ -294,6 +329,7 @@ object Analytics {
     "dash_metrics" -> (dashMetrics _))
 
   val oracles: Map[String, String] = Map(
+    "dq_profile" -> dqProfileSql,
     "agg_cube" -> cubeSql,
     "agg_rollup" -> rollupSql,
     "agg_pivot" -> pivotSql,

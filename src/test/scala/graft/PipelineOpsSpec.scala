@@ -24,6 +24,15 @@ class PipelineOpsSpec extends GraftSpecBase {
     c.unpersist()
   }
 
+  test("dq profile: counts are consistent and bounds ordered") {
+    val r = Analytics.dqProfile(spark, sfDir).collect()(0)
+    val nRows = r.getAs[Long]("n_rows")
+    assert(nRows == spark.read.parquet(s"$sfDir/orders.parquet").count())
+    assert(r.getAs[Long]("n_with_customer") <= nRows)
+    assert(r.getAs[Long]("n_distinct_cust") <= nRows)
+    assert(r.getAs[Double]("min_price") <= r.getAs[Double]("max_price"))
+  }
+
   test("retention: activity never precedes the cohort week") {
     val r = Windows.retention(spark, sfDir)
     assert(r.filter(col("week_us") < col("cohort_us")).count() == 0)
