@@ -47,6 +47,29 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream interval join — the incremental twin of
+    * [[graft.operators.Windows.rangeJoin]]: pair each event with same-user
+    * events up to 5 minutes later. Watermarks on BOTH sides plus the time
+    * bound in the join condition are what let Spark evict join state: a
+    * buffered left row can stop waiting once the right watermark passes
+    * `ts + 5 min`. Without the bound, stream-stream join state grows
+    * forever — the condition is load-bearing, not a filter. */
+  def rangeJoin(left: DataFrame, right: DataFrame): DataFrame =
+    left
+      .selectExpr("user_id AS user_a", "event_id AS id_a", "ts AS ts_a")
+      .withWatermark("ts_a", "1 hour")
+      .join(
+        right
+          .selectExpr("user_id AS user_b", "event_id AS id_b", "ts AS ts_b")
+          .withWatermark("ts_b", "1 hour"),
+        expr("""user_a = user_b AND id_a != id_b AND
+                ts_b >= ts_a AND ts_b <= ts_a + interval 5 minutes"""))
+      .select(
+        col("user_a").as("user_id"),
+        col("id_a"),
+        col("id_b"),
+        (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("gap_us"))
+
   case class Ev(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(sessionId: Long, lastTsUs: Long)
   case class SessionOut(event_id: Long, user_id: Long, ts_us: Long, session_id: Long)

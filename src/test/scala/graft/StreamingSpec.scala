@@ -69,6 +69,29 @@ class StreamingSpec extends GraftSpecBase {
     assert(kept == Set(1L, 2L, 4L))
   }
 
+  test("stream-stream interval join matches the batch banded range join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val rows = raw.select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSeq
+    val inL = MemoryStream[(Long, Long, Timestamp)]
+    val inR = MemoryStream[(Long, Long, Timestamp)]
+    inL.addData(rows); inR.addData(rows)
+    val q = EventStreams.rangeJoin(
+        inL.toDF().toDF("event_id", "user_id", "ts"),
+        inR.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("rj_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamedPairs = spark.table("rj_out").count()
+    val batchPairs = Windows.rangeJoin(spark, sfDir)
+      .agg(sum("n_pairs")).collect()(0).getLong(0)
+    assert(streamedPairs == batchPairs)
+  }
+
   test("streaming sessionize equals batch sessionize on bounded ordered input") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
