@@ -355,7 +355,46 @@ object Relational {
        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
        ORDER BY c_custkey"""
 
+  /** TPC-H-Q18-style "large volume customers": orders whose total lineitem
+    * quantity exceeds a threshold, with their customer. The HAVING-filtered
+    * aggregate runs FIRST (one shuffle on orderkey, map-side partial sums),
+    * leaving a tiny key set that AQE then broadcasts into the orders join —
+    * the canonical aggregate-then-join pattern that beats join-then-filter
+    * by the full fact-table width at 100 TB. */
+  def q18BigOrders(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val big = l
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"), 18, 2)).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    big
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_name"),
+        col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("total_qty").cast("double").as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18BigOrdersSql: String =
+    """WITH big AS (
+         SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+         FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+       SELECT c_name, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+              CAST(total_qty AS DOUBLE) AS total_qty
+       FROM big
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       ORDER BY total_qty DESC, o_orderkey
+       LIMIT 100"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_big_orders" -> (q18BigOrders _),
     "q1_seg_pct" -> (q1SegPct _),
     "q2_topnation_share" -> (q2TopNationShare _),
     "q3_name_stats" -> (q3NameStats _),
@@ -368,6 +407,7 @@ object Relational {
     "join_anti" -> (joinAnti _))
 
   val oracles: Map[String, String] = Map(
+    "q18_big_orders" -> q18BigOrdersSql,
     "q1_seg_pct" -> q1SegPctSql,
     "q2_topnation_share" -> q2TopNationShareSql,
     "q3_name_stats" -> q3NameStatsSql,

@@ -65,11 +65,36 @@ object Sampling {
        FROM ranked WHERE rk <= 100
        ORDER BY event_id"""
 
+  /** Weighted deterministic sample of documents: keep probability scales
+    * with document length (`w = min(1, n_chars/500)` — a stand-in for any
+    * quality score), decided by comparing the scrambled key against the
+    * weight in EXACT integer space (`scramble < floor(w * 65536)`), so
+    * both engines keep identical rows. Like [[deterministic]] this is a
+    * pure pushdown-able filter — weighted corpus downsampling at 100 TB
+    * costs one scan, no shuffle, no RNG. */
+  def weighted(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .filter(
+        (col("doc_id") * 40503L) % 65536L <
+          floor(least(lit(1.0), col("n_chars") / 500.0) * 65536.0).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  val weightedSql: String =
+    """SELECT doc_id, lang, n_chars
+       FROM documents
+       WHERE (doc_id * 40503) % 65536 <
+             CAST(FLOOR(LEAST(1.0, n_chars / 500.0) * 65536.0) AS BIGINT)
+       ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_det" -> (deterministic _),
+    "sample_weighted" -> (weighted _),
     "sample_stratified" -> (stratified _))
 
   val oracles: Map[String, String] = Map(
     "sample_det" -> deterministicSql,
+    "sample_weighted" -> weightedSql,
     "sample_stratified" -> stratifiedSql)
 }

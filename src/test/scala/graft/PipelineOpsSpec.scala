@@ -33,6 +33,21 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(r.getAs[Double]("min_price") <= r.getAs[Double]("max_price"))
   }
 
+  test("q18: every returned order exceeds the quantity threshold") {
+    val r = graft.operators.Relational.q18BigOrders(spark, sfDir)
+    assert(r.count() > 0)
+    assert(r.filter(col("total_qty") <= 150.0).count() == 0)
+  }
+
+  test("weighted sample: long docs kept at a higher rate than short docs") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val kept = graft.operators.Sampling.weighted(spark, sfDir)
+    val full = docs.agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    val samp = kept.agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    assert(kept.count() > 0 && kept.count() < docs.count())
+    assert(samp > full, s"weighted sample mean $samp not above corpus mean $full")
+  }
+
   test("retention: activity never precedes the cohort week") {
     val r = Windows.retention(spark, sfDir)
     assert(r.filter(col("week_us") < col("cohort_us")).count() == 0)
