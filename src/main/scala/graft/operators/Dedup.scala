@@ -84,14 +84,20 @@ object Dedup {
     *     the reported value is a tight lower bound for near-dup pairs,
     *     which by definition share mostly *rare* grams. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // (doc_id, n_grams) packs into one BIGINT (n_grams < 2^16 by the doc
+    // length cap; doc_id < 2^47): halves the collect_list/shuffle width and
+    // keeps the packed sort order == (doc_id, n_grams) order, so doc_a <
+    // doc_b still falls out of the sorted bucket expansion
     val g = Tables
       .documents(s, dir)
       .select(col("doc_id"), call_function("graft_grams", col("text")).as("garr"))
       .filter(col("garr").isNotNull)
-      .select(col("doc_id"), size(col("garr")).as("n_grams"), explode(col("garr")).as("gram"))
+      .select(
+        (col("doc_id") * 65536L + size(col("garr"))).as("dn"),
+        explode(col("garr")).as("gram"))
     val buckets = g
       .groupBy("gram")
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_grams")))).as("ds"))
+      .agg(array_sort(collect_list(col("dn"))).as("ds"))
       .filter(size(col("ds")).between(2, 20))
     buckets
       .select(
@@ -101,15 +107,15 @@ object Dedup {
             (x, i) =>
               transform(
                 slice(col("ds"), i + 2, size(col("ds"))),
-                y =>
-                  struct(
-                    x.getField("doc_id").as("doc_a"),
-                    y.getField("doc_id").as("doc_b"),
-                    x.getField("n_grams").as("na"),
-                    y.getField("n_grams").as("nb")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("p.na"), col("p.nb"))
-      .groupBy("doc_a", "doc_b", "na", "nb")
+                y => struct(x.as("pa"), y.as("pb")))))).as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .agg(count(lit(1)).as("n_inter"))
+      .select(
+        expr("pa DIV 65536").as("doc_a"),
+        expr("pb DIV 65536").as("doc_b"),
+        (col("pa") % 65536L).as("na"),
+        (col("pb") % 65536L).as("nb"),
+        col("n_inter"))
       .select(
         col("doc_a"),
         col("doc_b"),
