@@ -393,7 +393,33 @@ object Relational {
        ORDER BY total_qty DESC, o_orderkey
        LIMIT 100"""
 
+  /** SQL front door: the engine's tables registered as temp views and
+    * queried with a plain SQL string — `spark.sql` runs through the same
+    * Catalyst pipeline (and graft extensions) as the DataFrame API, so THE
+    * SAME string serves as the DuckDB oracle. Also the only consumer of
+    * the supplier table, closing 10/10 table coverage: supplier revenue
+    * per nation (lineitem ⋈ supplier ⋈ nation, dims broadcast by AQE). */
+  val sqlSupplierRevSql: String =
+    """SELECT n_name AS nation, s_name AS supplier_name,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                       (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n_items
+       FROM lineitem
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       GROUP BY 1, 2
+       ORDER BY revenue DESC, supplier_name
+       LIMIT 25"""
+
+  def sqlSupplierRev(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    s.sql(sqlSupplierRevSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_supplier_rev" -> (sqlSupplierRev _),
     "q18_big_orders" -> (q18BigOrders _),
     "q1_seg_pct" -> (q1SegPct _),
     "q2_topnation_share" -> (q2TopNationShare _),
@@ -407,6 +433,7 @@ object Relational {
     "join_anti" -> (joinAnti _))
 
   val oracles: Map[String, String] = Map(
+    "sql_supplier_rev" -> sqlSupplierRevSql,
     "q18_big_orders" -> q18BigOrdersSql,
     "q1_seg_pct" -> q1SegPctSql,
     "q2_topnation_share" -> q2TopNationShareSql,
