@@ -1,0 +1,98 @@
+package graft
+
+import graft.functions.{GramHash64, MinHash64}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Kernel-level checks of the native expressions/aggregates against their
+  * declarative reference implementations (seeded-random inputs). */
+class FunctionsSpec extends GraftSpecBase {
+
+  test("graft_dot equals aggregate(zip_with(*)) on random arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def arr() = Array.fill(64)(rnd.nextLong() % 100000)
+    val df = Seq.fill(200)((arr(), arr())).toDF("a", "b")
+    val out = df.select(
+      call_function("graft_dot", col("a"), col("b")).as("nat"),
+      aggregate(zip_with(col("a"), col("b"), _ * _), lit(0L), _ + _).as("ref"))
+    assert(out.filter(col("nat") =!= col("ref")).count() == 0)
+  }
+
+  test("graft_vec_sum equals the posexplode reference aggregation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = Seq
+      .fill(300)((rnd.nextInt(5).toLong, Array.fill(16)(rnd.nextLong() % 1000)))
+      .toDF("k", "v")
+    val nat = df
+      .groupBy("k")
+      .agg(call_function("graft_vec_sum", col("v")).as("s"))
+    val ref = df
+      .select(col("k"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("k", "pos")
+      .agg(sum("x").as("sx"))
+      .groupBy("k")
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("sx")))), c => c.getField("sx"))
+          .as("s"))
+    assert(nat.exceptAll(ref).isEmpty && ref.exceptAll(nat).isEmpty)
+  }
+
+  test("graft_vec_min equals the posexplode min reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = Seq
+      .fill(300)((rnd.nextInt(4).toLong, Array.fill(16)(rnd.nextLong() % 100000)))
+      .toDF("k", "v")
+    val nat = df.groupBy("k").agg(call_function("graft_vec_min", col("v")).as("s"))
+    val ref = df
+      .select(col("k"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("k", "pos")
+      .agg(min("x").as("sx"))
+      .groupBy("k")
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("sx")))), c => c.getField("sx"))
+          .as("s"))
+    assert(nat.exceptAll(ref).isEmpty && ref.exceptAll(nat).isEmpty)
+  }
+
+  test("minhash kernel: deterministic, 64 wide, null under 3 words, dup-invariant") {
+    def sig(t: String) = Option(MinHash64.compute(UTF8String.fromString(t))).map(_.toLongArray())
+    assert(sig("a b").isEmpty)
+    val s1 = sig("the quick brown fox jumps").get
+    assert(s1.length == 64)
+    assert(sig("the quick brown fox jumps").get.sameElements(s1))
+    // shingle multiset invariance: repeating the exact shingles cannot
+    // change any permutation minimum
+    val rep = sig("the quick brown fox jumps the quick brown fox jumps").get
+    // repeated text introduces cross-boundary shingles, so minima can only
+    // DECREASE, never increase
+    assert(rep.zip(s1).forall { case (r, o) => r <= o })
+    assert(!sig("entirely different words here now").get.sameElements(s1))
+  }
+
+  test("gram kernel: distinct count, sorted output, null under 3 words") {
+    def grams(t: String) = Option(GramHash64.compute(UTF8String.fromString(t))).map(_.toLongArray())
+    assert(grams("one two").isEmpty)
+    val g = grams("a b c d e").get
+    assert(g.length == 3) // (a b c), (b c d), (c d e)
+    assert(g.sameElements(g.sorted) && g.distinct.length == g.length)
+    // duplicated shingles collapse: "a b c a b c" has grams
+    // (a b c), (b c a), (c a b), (a b c) -> 3 distinct
+    assert(grams("a b c a b c").get.length == 3)
+    // extra internal spaces produce the same tokens
+    assert(grams("a  b   c d e").get.sameElements(g))
+  }
+
+  test("minhash agreement tracks true jaccard on overlapping docs") {
+    def sig(t: String) = MinHash64.compute(UTF8String.fromString(t)).toLongArray()
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val far = (100 to 140).map(i => s"w$i").mkString(" ")
+    def agree(a: Array[Long], b: Array[Long]) =
+      a.zip(b).count { case (x, y) => x == y } / 64.0
+    assert(agree(sig(base), sig(near)) > 0.7, "near-dup signatures should mostly agree")
+    assert(agree(sig(base), sig(far)) < 0.3, "unrelated signatures should rarely agree")
+  }
+}
