@@ -234,6 +234,40 @@ object Windows {
          ON e.user_id = o.user_id AND e.t_us >= o.t_us
        ORDER BY e.event_id"""
 
+  /** Time-based RANGE window frame: per user, the running sum of event
+    * values over the trailing 10 minutes — a frame defined by the ORDER-BY
+    * VALUE distance (micros), not a row count, so ties and gaps behave
+    * correctly. Same per-user partitioning scale story as every window
+    * here; integer-cents discipline for the sum. */
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_us"))
+      .rangeBetween(-600000000L, Window.currentRow)
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        cents("value").as("v"))
+      .withColumn("sum_10min", sum(col("v")).over(w) / 100.0)
+      .select("event_id", "user_id", "ts_us", "sum_10min")
+      .orderBy("event_id")
+  }
+
+  val rangeFrameSql: String =
+    """WITH e AS (
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                CAST(FLOOR(value * 100) AS BIGINT) AS v
+         FROM events)
+       SELECT event_id, user_id, ts_us,
+              SUM(v) OVER (PARTITION BY user_id ORDER BY ts_us
+                           RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) / 100.0
+                AS sum_10min
+       FROM e
+       ORDER BY event_id"""
+
   /** Banded range join (interval self-join): per user, ordered event pairs
     * (a → b) with `b.ts ∈ [a.ts, a.ts + 5 min]`, aggregated to per-user
     * pair counts. The naive form is a non-equi join — Spark would plan a
@@ -306,6 +340,7 @@ object Windows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_retention" -> (retention _),
+    "win_range_frame" -> (rangeFrame _),
     "range_join" -> (rangeJoin _),
     "win_hourly" -> (hourly _),
     "win_moving_avg" -> (movingAvg _),
@@ -316,6 +351,7 @@ object Windows {
 
   val oracles: Map[String, String] = Map(
     "win_retention" -> retentionSql,
+    "win_range_frame" -> rangeFrameSql,
     "range_join" -> rangeJoinSql,
     "win_hourly" -> hourlySql,
     "win_moving_avg" -> movingAvgSql,
