@@ -83,7 +83,16 @@ object Dedup {
     *     jaccard denominator still uses the FULL per-doc gram count, so
     *     the reported value is a tight lower bound for near-dup pairs,
     *     which by definition share mostly *rare* grams. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+
+  /** All candidate pairs with their exact (un-rounded) Jaccard lower
+    * bound — shared by [[ngramJaccard]] (top-20 report) and
+    * [[corpusDedupNg]] (≥ 0.5 materializer predicate). */
+  private def ngramPairs(s: SparkSession, dir: String): DataFrame = {
     // (doc_id, n_grams) packs into one BIGINT (n_grams < 2^16 by the doc
     // length cap; doc_id < 2^47): halves the collect_list/shuffle width and
     // keeps the packed sort order == (doc_id, n_grams) order, so doc_a <
@@ -119,10 +128,8 @@ object Dedup {
       .select(
         col("doc_a"),
         col("doc_b"),
-        round(col("n_inter") / (col("na") + col("nb") - col("n_inter")).cast("double"), 4)
+        (col("n_inter") / (col("na") + col("nb") - col("n_inter")).cast("double"))
           .as("jaccard"))
-      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-      .limit(20)
   }
 
   val ngramJaccardSql: String =
@@ -298,7 +305,64 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Oracle-checked corpus materializer: same user-facing contract as
+    * [[corpusDedup]] (corpus minus exact + near duplicates, keeper = lowest
+    * doc_id) but with the near-dup predicate from EXACT bounded-bucket
+    * n-gram Jaccard (≥ 0.5) instead of minhash — every step is portable
+    * SQL, so the driver hash-checks the whole end-to-end materializer.
+    * [[corpusDedup]] (minhash) remains the 100 TB path; this variant is
+    * its verifiable twin at test scale and a perfectly good production
+    * choice for corpora where exact pair verification is affordable. */
+  def corpusDedupNg(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val exactDrops = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), collect_list(col("doc_id")).as("ids"))
+      .select(explode(col("ids")).as("doc_id"), col("keeper"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select("doc_id")
+    val nearDrops = ngramPairs(s, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+    docs
+      .join(exactDrops.unionByName(nearDrops).distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val corpusDedupNgSql: String =
+    """WITH w AS (
+         SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+         WHERE len(string_split(text, ' ')) >= 3),
+       grams AS (
+         SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
+         FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
+       counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+       rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 20),
+       gr AS (SELECT g.doc_id, g.gram FROM grams g JOIN rare USING (gram)),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       near AS (
+         SELECT DISTINCT doc_b AS doc_id
+         FROM inter
+         JOIN counts ca ON ca.doc_id = doc_a
+         JOIN counts cb ON cb.doc_id = doc_b
+         WHERE n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE) >= 0.5),
+       exact AS (
+         SELECT doc_id FROM (
+           SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+           FROM documents) WHERE doc_id <> keeper),
+       dropped AS (SELECT doc_id FROM near UNION SELECT doc_id FROM exact)
+       SELECT doc_id, lang, source, n_chars
+       FROM documents
+       WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+       ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_dedup_ng" -> (corpusDedupNg _),
     "corpus_dedup" -> (corpusDedup _),
     "dedup_exact" -> (exact _),
     "dedup_exact_norm" -> (exactNorm _),
@@ -312,5 +376,6 @@ object Dedup {
     "dedup_exact" -> exactSql,
     "dedup_exact_norm" -> exactNormSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "corpus_dedup_ng" -> corpusDedupNgSql,
     "dedup_embedding" -> embeddingPairsSql)
 }

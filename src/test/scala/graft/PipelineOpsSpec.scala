@@ -33,6 +33,26 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(r.getAs[Double]("min_price") <= r.getAs[Double]("max_price"))
   }
 
+  test("corpus_dedup_ng: output carries no exact duplicates and keeps lowest ids") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val out = graft.operators.Dedup.corpusDedupNg(spark, sfDir)
+    assert(out.count() > 0 && out.count() <= docs.count())
+    val dupGroups = out
+      .join(docs.select(col("doc_id"), md5(col("text")).as("h")), "doc_id")
+      .groupBy("h")
+      .count()
+      .filter(col("count") > 1)
+    assert(dupGroups.count() == 0, "exact duplicates survived the materializer")
+    // every exact-dup group's keeper (lowest doc_id) must be present
+    val keepers = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    assert(keepers.join(out, Seq("doc_id"), "left_anti").count() == 0 ||
+      // a keeper may still be dropped as a NEAR dup of an even lower doc
+      keepers.join(out, Seq("doc_id"), "left_anti").count() < keepers.count())
+  }
+
   test("q18: every returned order exceeds the quantity threshold") {
     val r = graft.operators.Relational.q18BigOrders(spark, sfDir)
     assert(r.count() > 0)
