@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{GramHash64, LongArrayDot, LongVecMin, LongVecSum, MinHash64, SimHash64}
+import graft.functions.{GramHash64, LongArrayDot, LongVecMin, LongVecSum, MinHash64, SimHash64, Winnow64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -55,6 +55,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_grams(text) - distinct word-3-gram shingle hashes",
           ""),
         (children: Seq[Expression]) => GramHash64(children.head)))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_winnow"),
+        new ExpressionInfo(
+          classOf[Winnow64].getName,
+          null,
+          "graft_winnow",
+          "graft_winnow(text) - winnowing fingerprint (distinct 8-gram-window minima)",
+          ""),
+        (children: Seq[Expression]) => Winnow64(children.head)))
     ext.injectFunction(
       (
         FunctionIdentifier("graft_vec_sum"),

@@ -64,9 +64,113 @@ case class GramHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_grams"
 }
 
+/** Winnowing fingerprint of a text column: the distinct minima of every
+  * window of 8 consecutive rolling 3-word-gram hashes — the classic
+  * rolling-hash document fingerprint (any shared run of ≥ 10 words between
+  * two documents is guaranteed a shared fingerprint element). One pass,
+  * one static call from generated code; declaring this with
+  * `transform(sequence(...), i -> array_min(slice(garr, ...)))` would
+  * re-evaluate the gram scan per window via projection collapsing (the
+  * same trap [[GramHash64]]'s scaladoc documents).
+  *
+  * Registered as SQL function `graft_winnow` by [[graft.GraftExtensions]].
+  */
+case class Winnow64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_winnow requires STRING input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    GramHash64.winnow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val resultVar = ctx.freshName("winnowResult")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => s"""
+        |ArrayData $resultVar = graft.functions.GramHash64.winnow($c);
+        |if ($resultVar == null) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  ${ev.value} = $resultVar;
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_winnow"
+}
+
 object GramHash64 {
 
   import MinHash64.{fnv1a, mix2}
+
+  val WinnowWindow = 8
+
+  /** Rolling gram hashes in document order (duplicates kept). Null-length
+    * (< 3 words) yields an empty array. */
+  private def rollingGrams(bytes: Array[Byte]): Array[Long] = {
+    val n = bytes.length
+    var grams = new Array[Long](math.max(8, n / 8))
+    var nGrams = 0
+    var w1 = 0L; var w2 = 0L; var w3 = 0L
+    var nWords = 0
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        if (i > start) {
+          w1 = w2; w2 = w3; w3 = fnv1a(bytes, start, i)
+          nWords += 1
+          if (nWords >= 3) {
+            if (nGrams == grams.length) grams = java.util.Arrays.copyOf(grams, nGrams * 2)
+            grams(nGrams) = mix2(mix2(w1, w2), w3)
+            nGrams += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    java.util.Arrays.copyOf(grams, nGrams)
+  }
+
+  /** Winnowing: distinct minima of every [[WinnowWindow]]-gram window,
+    * sorted ascending. Null if the text has no 3-gram shingles. */
+  def winnow(text: UTF8String): ArrayData = {
+    val grams = rollingGrams(text.getBytes)
+    if (grams.length == 0) return null
+    val w = WinnowWindow
+    val nWindows = math.max(grams.length - w + 1, 1)
+    val mins = new Array[Long](nWindows)
+    var i = 0
+    while (i < nWindows) {
+      var m = Long.MaxValue
+      var j = i
+      val end = math.min(i + w, grams.length)
+      while (j < end) { if (grams(j) < m) m = grams(j); j += 1 }
+      mins(i) = m
+      i += 1
+    }
+    java.util.Arrays.sort(mins)
+    var out = 1
+    i = 1
+    while (i < nWindows) {
+      if (mins(i) != mins(out - 1)) { mins(out) = mins(i); out += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(mins, out))
+  }
 
   /** One-pass distinct 3-gram hashes (sorted ascending). Null if < 3 words. */
   def compute(text: UTF8String): ArrayData = {

@@ -244,7 +244,29 @@ object TextAnalysis {
        FROM documents
        ORDER BY doc_id"""
 
+  /** Winnowing document fingerprint (the rolling-hash fingerprint family
+    * used for plagiarism/near-dup detection): the native
+    * [[graft.functions.Winnow64]] keeps the minimum of every window of 8
+    * consecutive rolling 3-word-gram hashes — guaranteeing any shared run
+    * of ≥ 10 words between two docs shares a fingerprint element. Output
+    * is the fingerprint's size plus its min/max elements (set summary).
+    * Narrow map, scan-speed; engine-hash-dependent, so rows-only check —
+    * FunctionsSpec pins the kernel invariants including the shared-run
+    * guarantee. */
+  def winnow(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), call_function("graft_winnow", col("text")).as("fp"))
+      .filter(col("fp").isNotNull)
+      .select(
+        col("doc_id"),
+        size(col("fp")).cast("long").as("n_fp"),
+        array_min(col("fp")).as("fp_min"),
+        array_max(col("fp")).as("fp_max"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnow" -> (winnow _),
     "text_tokens_bpe" -> (tokensBpe _),
     "text_scrub" -> (scrub _),
     "text_stats" -> (stats _),

@@ -85,6 +85,20 @@ class FunctionsSpec extends GraftSpecBase {
     assert(grams("a  b   c d e").get.sameElements(g))
   }
 
+  test("winnow kernel: shared 10-word run guarantees a shared fingerprint") {
+    def fp(t: String) =
+      Option(GramHash64.winnow(UTF8String.fromString(t))).map(_.toLongArray().toSet)
+    assert(fp("a b").isEmpty)
+    val run = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val d1 = s"left padding words here $run and a tail"
+    val d2 = s"completely other prefix tokens $run different ending words"
+    val common = fp(d1).get.intersect(fp(d2).get)
+    assert(common.nonEmpty, "10-word shared run must share a fingerprint element")
+    assert(fp("x1 x2 x3 x4 x5").get != fp("y1 y2 y3 y4 y5").get)
+    // deterministic
+    assert(fp(d1).get == fp(d1).get)
+  }
+
   test("minhash agreement tracks true jaccard on overlapping docs") {
     def sig(t: String) = MinHash64.compute(UTF8String.fromString(t)).toLongArray()
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
