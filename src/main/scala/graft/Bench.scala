@@ -18,11 +18,18 @@ object Bench {
     // operators, loaded classes) — the regime a long-lived cluster runs in.
     // Profiling showed first runs are 3-8x slower purely from one-time
     // compile/scheduling costs; data at the target SF is still read cold.
-    val warmDir = "/root/testdata/sf0.001"
+    val warmDir =
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory) "/root/testdata/sf0.001"
+      else sfDir
+    var warmFailures = 0
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count()
-      catch { case _: Throwable => () }
+      catch { case _: Throwable => warmFailures += 1 }
     }
+    if (warmFailures > 0)
+      System.err.println(
+        s"[bench] WARNING: $warmFailures/${SparkEntry.queries.size} warmup queries failed " +
+          s"on $warmDir — timed numbers include first-run compile costs")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -35,8 +35,10 @@ object Sinks {
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Line-delimited JSON sink — the interchange format for feeding
-    * downstream non-JVM consumers (labeling UIs, eval harnesses).
-    * Splittable on read like parquet; gzip keeps the size sane. */
+    * downstream non-JVM consumers (labeling UIs, eval harnesses). One part
+    * file per task, so reads parallelize ACROSS parts; note gzip is not a
+    * splittable codec (each part is one read task) — pass compress=false
+    * when single parts may grow large and need intra-file splitting. */
   def jsonLines(df: DataFrame, path: String, compress: Boolean = true): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (compress) w.option("compression", "gzip") else w).json(path)

@@ -172,36 +172,19 @@ object GramHash64 {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(mins, out))
   }
 
-  /** One-pass distinct 3-gram hashes (sorted ascending). Null if < 3 words. */
+  /** One-pass distinct 3-gram hashes (sorted ascending). Null if < 3 words.
+    * Tokenization = non-empty space-separated runs (consecutive/leading/
+    * trailing spaces produce no empty tokens); the SQL oracles collapse
+    * whitespace before splitting so both engines shingle the same token
+    * sequence. */
   def compute(text: UTF8String): ArrayData = {
-    val bytes = text.getBytes
-    val n = bytes.length
-    var grams = new Array[Long](math.max(8, n / 8))
-    var nGrams = 0
-    var w1 = 0L; var w2 = 0L; var w3 = 0L
-    var nWords = 0
-    var start = 0
-    var i = 0
-    while (i <= n) {
-      if (i == n || bytes(i) == ' ') {
-        if (i > start) {
-          w1 = w2; w2 = w3; w3 = fnv1a(bytes, start, i)
-          nWords += 1
-          if (nWords >= 3) {
-            if (nGrams == grams.length) grams = java.util.Arrays.copyOf(grams, nGrams * 2)
-            grams(nGrams) = mix2(mix2(w1, w2), w3)
-            nGrams += 1
-          }
-        }
-        start = i + 1
-      }
-      i += 1
-    }
+    val grams = rollingGrams(text.getBytes)
+    val nGrams = grams.length
     if (nGrams == 0) return null
-    java.util.Arrays.sort(grams, 0, nGrams)
-    // in-place dedup of the sorted prefix
+    java.util.Arrays.sort(grams)
+    // in-place dedup of the sorted array
     var out = 1
-    i = 1
+    var i = 1
     while (i < nGrams) {
       if (grams(i) != grams(out - 1)) { grams(out) = grams(i); out += 1 }
       i += 1

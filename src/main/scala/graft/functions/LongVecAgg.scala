@@ -61,10 +61,22 @@ abstract class LongVecAgg extends TypedImperativeAggregate[Array[Long]] with Una
       if (buffer.length <= n) buffer else java.util.Arrays.copyOf(buffer, n)
     }
 
+  /** NULL semantics: a NULL array — or an array CONTAINING a null element —
+    * is skipped like any SQL aggregate skips null input. `toLongArray`
+    * would silently read null slots as 0, corrupting sums/minima. */
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v == null) buffer
-    else combine(buffer, v.asInstanceOf[ArrayData].toLongArray())
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) return buffer
+        i += 1
+      }
+      combine(buffer, arr.toLongArray())
+    }
   }
 
   override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] =

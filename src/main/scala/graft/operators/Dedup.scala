@@ -93,16 +93,24 @@ object Dedup {
     * bound — shared by [[ngramJaccard]] (top-20 report) and
     * [[corpusDedupNg]] (≥ 0.5 materializer predicate). */
   private def ngramPairs(s: SparkSession, dir: String): DataFrame = {
-    // (doc_id, n_grams) packs into one BIGINT (n_grams < 2^16 by the doc
-    // length cap; doc_id < 2^47): halves the collect_list/shuffle width and
-    // keeps the packed sort order == (doc_id, n_grams) order, so doc_a <
-    // doc_b still falls out of the sorted bucket expansion
+    // (doc_id, n_grams) packs into one BIGINT: halves the collect_list/
+    // shuffle width and keeps the packed sort order == (doc_id, n_grams)
+    // order, so doc_a < doc_b still falls out of the sorted bucket
+    // expansion. Envelope: n_grams < 2^20 (a ~1M-word single document) and
+    // doc_id < 2^43 — both asserted LOUDLY below (assert_true throws on
+    // violation) rather than silently corrupting ids on pathological input.
+    val pack = 1048576L // 2^20
     val g = Tables
       .documents(s, dir)
       .select(col("doc_id"), call_function("graft_grams", col("text")).as("garr"))
       .filter(col("garr").isNotNull)
+      .filter(
+        assert_true(
+          size(col("garr")) < pack && col("doc_id") >= 0 && col("doc_id") < (1L << 43),
+          lit("ngramPairs packing envelope exceeded: doc too large or doc_id out of range"))
+          .isNull)
       .select(
-        (col("doc_id") * 65536L + size(col("garr"))).as("dn"),
+        (col("doc_id") * pack + size(col("garr"))).as("dn"),
         explode(col("garr")).as("gram"))
     val buckets = g
       .groupBy("gram")
@@ -120,10 +128,10 @@ object Dedup {
       .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .agg(count(lit(1)).as("n_inter"))
       .select(
-        expr("pa DIV 65536").as("doc_a"),
-        expr("pb DIV 65536").as("doc_b"),
-        (col("pa") % 65536L).as("na"),
-        (col("pb") % 65536L).as("nb"),
+        expr("pa DIV 1048576").as("doc_a"),
+        expr("pb DIV 1048576").as("doc_b"),
+        (col("pa") % pack).as("na"),
+        (col("pb") % pack).as("nb"),
         col("n_inter"))
       .select(
         col("doc_a"),
@@ -134,8 +142,9 @@ object Dedup {
 
   val ngramJaccardSql: String =
     """WITH w AS (
-         SELECT doc_id, string_split(text, ' ') AS arr FROM documents
-         WHERE len(string_split(text, ' ')) >= 3),
+         SELECT doc_id, string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS arr
+         FROM documents
+         WHERE len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) >= 3),
        grams AS (
          SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
          FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
@@ -333,8 +342,9 @@ object Dedup {
 
   val corpusDedupNgSql: String =
     """WITH w AS (
-         SELECT doc_id, string_split(text, ' ') AS arr FROM documents
-         WHERE len(string_split(text, ' ')) >= 3),
+         SELECT doc_id, string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS arr
+         FROM documents
+         WHERE len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) >= 3),
        grams AS (
          SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
          FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),

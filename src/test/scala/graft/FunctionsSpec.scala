@@ -57,6 +57,28 @@ class FunctionsSpec extends GraftSpecBase {
     assert(nat.exceptAll(ref).isEmpty && ref.exceptAll(nat).isEmpty)
   }
 
+  test("vec aggregates skip null arrays and arrays containing null elements") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array[java.lang.Long](1L, 2L)),
+      (1L, Array[java.lang.Long](10L, null)), // contains null -> skipped
+      (1L, null.asInstanceOf[Array[java.lang.Long]]), // null array -> skipped
+      (1L, Array[java.lang.Long](3L, 4L)))
+      .toDF("k", "v")
+    val s = df
+      .groupBy("k")
+      .agg(call_function("graft_vec_sum", col("v")).as("s"))
+      .collect()(0)
+      .getSeq[Long](1)
+    assert(s == Seq(4L, 6L), s"expected Seq(4, 6), got $s")
+    val m = df
+      .groupBy("k")
+      .agg(call_function("graft_vec_min", col("v")).as("m"))
+      .collect()(0)
+      .getSeq[Long](1)
+    assert(m == Seq(1L, 2L), s"expected Seq(1, 2), got $m")
+  }
+
   test("minhash kernel: deterministic, 64 wide, null under 3 words, dup-invariant") {
     def sig(t: String) = Option(MinHash64.compute(UTF8String.fromString(t))).map(_.toLongArray())
     assert(sig("a b").isEmpty)
