@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{GramHash64, LongArrayDot, LongVecMin, LongVecSum, MinHash64, SimHash64, Winnow64}
+import graft.functions.{GramHash64, LongArrayDot, LongVecMin, LongVecSum, LshBuckets, MinHash64, SimHash64, Winnow64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -65,6 +65,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_winnow(text) - winnowing fingerprint (distinct 8-gram-window minima)",
           ""),
         (children: Seq[Expression]) => Winnow64(children.head)))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_lsh_buckets"),
+        new ExpressionInfo(
+          classOf[LshBuckets].getName,
+          null,
+          "graft_lsh_buckets",
+          "graft_lsh_buckets(qv) - 6 random-hyperplane LSH table buckets",
+          ""),
+        (children: Seq[Expression]) => LshBuckets(children.head)))
     ext.injectFunction(
       (
         FunctionIdentifier("graft_vec_sum"),

@@ -97,22 +97,16 @@ object Similarity {
     * reports a better neighbor than brute force and measures its recall.
     */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val nTables = 6
-    val planesPerTable = 4
-    // weight(t, p, d) = scramble in [-32768, 32767], identical every run;
-    // each plane projection is one graft_dot against a literal weight
-    // vector (a wide inline expression tree would defeat codegen)
-    def bucketCol(t: Int): org.apache.spark.sql.Column =
-      (0 until planesPerTable)
-        .map { p =>
-          val weights = array(
-            (0 until 64).map(d => lit((((t * 31 + p) * 97 + d) * 40503L) % 65536L - 32768L)): _*)
-          when(dot(col("qv"), weights) >= 0, 1L << p).otherwise(0L)
-        }
-        .reduce(_ + _)
-    val tables = array((0 until nTables).map(t => struct(lit(t).as("t"), bucketCol(t).as("b"))): _*)
+    // all 6 bucket values come from ONE native call per vector
+    // ([[graft.functions.LshBuckets]] — same integer weight formula the
+    // oracle replays); posexplode yields (table, bucket) pairs without the
+    // round-1 plan bloat of 24 inline 64-element literal weight arrays
     val corpus = quantized(s, dir)
-    val bucketed = corpus.select(col("vec_id"), explode(tables).as("tb"))
+    val bucketed = corpus
+      .select(
+        col("vec_id"),
+        posexplode(call_function("graft_lsh_buckets", col("qv"))).as(Seq("t", "b")))
+      .select(col("vec_id"), struct(col("t"), col("b")).as("tb"))
     val queryBuckets = bucketed
       .filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("tb"))
