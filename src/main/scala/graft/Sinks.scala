@@ -34,6 +34,14 @@ object Sinks {
   def sampleParquet(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** IVF vector store: vectors written partitioned by their coarse cell,
+    * so an ANN probe of k cells prunes the other partitions AT THE READER
+    * (PartitionFilters, no data touched) — the storage half of
+    * [[graft.operators.Similarity.annIvf]]'s scale story. Expects a `cell`
+    * column (the operator's assignment); everything else is passthrough. */
+  def ivfPartitioned(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(path)
+
   /** Line-delimited JSON sink — the interchange format for feeding
     * downstream non-JVM consumers (labeling UIs, eval harnesses). One part
     * file per task, so reads parallelize ACROSS parts; note gzip is not a

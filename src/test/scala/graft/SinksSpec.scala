@@ -31,6 +31,19 @@ class SinksSpec extends GraftSpecBase {
     assert(back.count() > 0 && back.columns.contains("event_id"))
   }
 
+  test("ivfPartitioned store prunes non-probed cells at the reader") {
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val vecs = Tables
+      .embeddings(spark, sfDir)
+      .withColumn("cell", (col("vec_id") % 16).cast("int"))
+    Sinks.ivfPartitioned(vecs, s"$dir/ivf")
+    val probe = spark.read.parquet(s"$dir/ivf").filter(col("cell").isin(3, 7))
+    val plan = probe.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"cell filter not pushed to partition pruning:\n$plan")
+    assert(probe.count() == vecs.filter(col("cell").isin(3, 7)).count())
+  }
+
   test("jsonLines round-trips rows and schema") {
     val dir = Files.createTempDirectory("graft_sink").toString
     val df = Relational.q1Agg(spark, sfDir)

@@ -69,6 +69,32 @@ class StreamingSpec extends GraftSpecBase {
     assert(kept == Set(1L, 2L, 4L))
   }
 
+  test("foreachBatch parquet sink persists the streamed aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val rows = raw.select("event_id", "user_id", "ts", "event_type", "value").collect()
+    val input = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    input.addData(rows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3), r.getDouble(4))).toSeq)
+    val streamDf = input.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
+    val q = EventStreams.hourly(streamDf)
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Sinks.fullParquet(batch, s"$dir/hourly"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val persisted = spark.read.parquet(s"$dir/hourly")
+      .select("hour_us", "event_type", "num_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    val batchRes = Windows.hourly(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(persisted == batchRes)
+  }
+
   test("stream-stream interval join matches the batch banded range join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
