@@ -274,6 +274,23 @@ object Analytics {
               (SELECT CAST(SUM(num_high_value) AS BIGINT) FROM hv) AS total_high_value,
               (SELECT CAST(SUM(total_customers) AS BIGINT) FROM pc) AS top10_nation_customers"""
 
+  /** Catalog census: one row per table with its row count — the sanity
+    * check run after every data drop. Each count is a metadata-cheap
+    * aggregate (parquet row-group counts; no column data read) and the
+    * union is 10 one-row frames. */
+  def catalogCounts(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.names
+      .map(n =>
+        graft.sources.Tables(s, dir, n).agg(count(lit(1)).as("n_rows"))
+          .select(lit(n).as("table_name"), col("n_rows")))
+      .reduce(_ unionByName _)
+      .orderBy("table_name")
+
+  val catalogCountsSql: String =
+    graft.sources.Tables.names
+      .map(n => s"SELECT '$n' AS table_name, COUNT(*) AS n_rows FROM $n")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+
   /** Data-quality profile of the orders table — the standard first pass
     * over any new corpus drop: row count, per-column null counts, value
     * bounds, key cardinality, and a referential-integrity count (orders
@@ -330,6 +347,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_sketches" -> (sketches _),
+    "catalog_counts" -> (catalogCounts _),
     "dq_profile" -> (dqProfile _),
     "agg_cube" -> (cube _),
     "agg_rollup" -> (rollup _),
@@ -342,6 +360,7 @@ object Analytics {
     "dash_metrics" -> (dashMetrics _))
 
   val oracles: Map[String, String] = Map(
+    "catalog_counts" -> catalogCountsSql,
     "dq_profile" -> dqProfileSql,
     "agg_cube" -> cubeSql,
     "agg_rollup" -> rollupSql,

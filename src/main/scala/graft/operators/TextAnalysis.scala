@@ -265,7 +265,31 @@ object TextAnalysis {
         array_max(col("fp")).as("fp_max"))
       .orderBy("doc_id")
 
+  /** Corpus heavy hitters: the 20 most frequent words — stopword discovery
+    * for quality scoring and the hot-key census every text pipeline runs
+    * first. One explode + one count groupBy; the final top-20 is a
+    * TakeOrderedAndProject (per-partition partial top-k, then a merge of
+    * 20-row heaps — never a global sort). */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+
+  val heavyHittersSql: String =
+    """SELECT word, COUNT(*) AS n
+       FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+       WHERE LENGTH(word) > 0
+       GROUP BY word
+       ORDER BY n DESC, word
+       LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters" -> (heavyHitters _),
     "text_winnow" -> (winnow _),
     "text_tokens_bpe" -> (tokensBpe _),
     "text_scrub" -> (scrub _),
@@ -275,6 +299,7 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_heavy_hitters" -> heavyHittersSql,
     "text_tokens_bpe" -> tokensBpeSql,
     "text_scrub" -> scrubSql,
     "text_stats" -> statsSql,

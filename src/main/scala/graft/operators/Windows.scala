@@ -309,6 +309,51 @@ object Windows {
        GROUP BY 1
        ORDER BY a.user_id"""
 
+  /** Conversion funnel (view → click → purchase, in order): per user the
+    * first view, the first click AT OR AFTER that view, and the first
+    * purchase at or after that click; reported as one row of stage counts.
+    * Three grouped aggregations chained by user-keyed joins — each stage's
+    * survivor set only shrinks, so the joins get cheaper down the funnel;
+    * everything is user-partitioned (no global sort, no window over an
+    * unpartitioned set). */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val v = e
+      .filter(col("event_type") === "view")
+      .groupBy("user_id")
+      .agg(min(col("ts_us")).as("v_ts"))
+    val c = e
+      .filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts_us") >= col("v_ts"))
+      .groupBy("user_id")
+      .agg(min(col("ts_us")).as("c_ts"))
+    val p = e
+      .filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts_us") >= col("c_ts"))
+      .groupBy("user_id")
+      .agg(min(col("ts_us")).as("p_ts"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  val funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       v AS (SELECT user_id, MIN(ts_us) AS v_ts FROM e WHERE event_type = 'view' GROUP BY 1),
+       c AS (SELECT e.user_id, MIN(e.ts_us) AS c_ts
+             FROM e JOIN v ON e.user_id = v.user_id
+             WHERE e.event_type = 'click' AND e.ts_us >= v.v_ts GROUP BY 1),
+       p AS (SELECT e.user_id, MIN(e.ts_us) AS p_ts
+             FROM e JOIN c ON e.user_id = c.user_id
+             WHERE e.event_type = 'purchase' AND e.ts_us >= c.c_ts GROUP BY 1)
+       SELECT (SELECT COUNT(*) FROM v) AS n_view,
+              (SELECT COUNT(*) FROM c) AS n_view_click,
+              (SELECT COUNT(*) FROM p) AS n_view_click_purchase"""
+
   /** Weekly cohort retention matrix: each user's cohort is their first
     * active ISO week; count distinct users from cohort `c` active in week
     * `w`. Two shuffles — a per-user min (map-side-combined) and the
@@ -340,6 +385,7 @@ object Windows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_retention" -> (retention _),
+    "win_funnel" -> (funnel _),
     "win_range_frame" -> (rangeFrame _),
     "range_join" -> (rangeJoin _),
     "win_hourly" -> (hourly _),
@@ -351,6 +397,7 @@ object Windows {
 
   val oracles: Map[String, String] = Map(
     "win_retention" -> retentionSql,
+    "win_funnel" -> funnelSql,
     "win_range_frame" -> rangeFrameSql,
     "range_join" -> rangeJoinSql,
     "win_hourly" -> hourlySql,

@@ -66,6 +66,20 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(samp > full, s"weighted sample mean $samp not above corpus mean $full")
   }
 
+  test("funnel stages are monotonically shrinking") {
+    val r = Windows.funnel(spark, sfDir).collect()(0)
+    val (v, c, p) = (r.getAs[Long]("n_view"), r.getAs[Long]("n_view_click"),
+      r.getAs[Long]("n_view_click_purchase"))
+    assert(v >= c && c >= p, s"funnel not monotonic: $v, $c, $p")
+    assert(v > 0)
+  }
+
+  test("catalog counts cover all ten tables with positive rows") {
+    val r = Analytics.catalogCounts(spark, sfDir).collect()
+    assert(r.length == 10)
+    assert(r.forall(_.getAs[Long]("n_rows") > 0))
+  }
+
   test("retention: activity never precedes the cohort week") {
     val r = Windows.retention(spark, sfDir)
     assert(r.filter(col("week_us") < col("cohort_us")).count() == 0)
