@@ -30,6 +30,25 @@ class DedupSpec extends GraftSpecBase {
     assert(mh.forall(r => r.getAs[Double]("est_jaccard") >= 0.5))
   }
 
+  test("minhash-detected pairs have genuinely overlapping gram sets") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def gramSet(t: String): Set[Long] =
+      Option(graft.functions.GramHash64.compute(UTF8String.fromString(t)))
+        .map(_.toLongArray().toSet).getOrElse(Set.empty)
+    val confident = Dedup.minhash(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.7).collect()
+    assert(confident.nonEmpty, "expected at least one confident minhash pair at sf0.001")
+    for (r <- confident) {
+      val (a, b) = (gramSet(texts(r.getLong(0))), gramSet(texts(r.getLong(1))))
+      val j = a.intersect(b).size.toDouble / a.union(b).size
+      assert(j >= 0.3, s"minhash est ${r.getDouble(2)} but true jaccard $j for pair " +
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
   test("simhash pairs have hamming <= 8 and doc_a < doc_b") {
     val sh = Dedup.simhash(spark, sfDir)
     assert(sh.filter(col("hamming") > 8 || col("doc_a") >= col("doc_b")).count() == 0)
