@@ -164,13 +164,14 @@ object Dedup {
        LIMIT 20"""
 
   /** Quantized embedding vector + its exact integer self-dot. */
-  private def quantized(s: SparkSession, dir: String): DataFrame = {
-    val qv = transform(col("embedding"), x => floor(x.cast("double") * 1000).cast("long"))
+  private def quantized(s: SparkSession, dir: String): DataFrame =
     Tables
       .embeddings(s, dir)
-      .select(col("vec_id"), col("label"), qv.as("qv"))
+      .select(
+        col("vec_id"),
+        col("label"),
+        graft.functions.VectorOps.quantize(col("embedding")).as("qv"))
       .withColumn("nq", Similarity.selfDot(col("qv")))
-  }
 
   /** Embedding-cosine near-dup pairs (top-20 most similar) over quantized
     * vectors.

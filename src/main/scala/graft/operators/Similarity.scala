@@ -24,15 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def quantize(c: Column): Column =
-    transform(c, x => floor(x.cast("double") * 1000).cast("long"))
+  // column-level vector math lives in the public [[graft.functions.VectorOps]]
+  // facade; the operators just compose it
+  private def quantize(c: Column): Column = graft.functions.VectorOps.quantize(c)
 
-  /** Both dots route through the native codegen'd [[graft.functions.LongArrayDot]]
-    * (`graft_dot`) — identical integer math to `aggregate(zip_with(...))`
-    * but inside WholeStageCodegen. */
-  private[operators] def selfDot(c: Column): Column = call_function("graft_dot", c, c)
+  private[operators] def selfDot(c: Column): Column = graft.functions.VectorOps.selfDot(c)
 
-  private[operators] def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  private[operators] def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
   private def quantized(s: SparkSession, dir: String): DataFrame =
     Tables
