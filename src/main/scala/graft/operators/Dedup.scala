@@ -163,6 +163,37 @@ object Dedup {
        ORDER BY jaccard DESC, doc_a, doc_b
        LIMIT 20"""
 
+  /** Edit-distance enrichment of the top n-gram pairs: Levenshtein over
+    * 40-char prefixes of the 20 most similar pairs — the string-distance
+    * verification step a dedup pipeline applies to its few survivors
+    * (never to the corpus: Levenshtein is O(len²) per pair and belongs
+    * AFTER candidate generation, on a bounded set). */
+  def editSim(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pre = substring(col("text"), 1, 40)
+    val a = docs.select(col("doc_id").as("doc_a"), pre.as("pre_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), pre.as("pre_b"))
+    ngramJaccard(s, dir)
+      .join(broadcast(a), "doc_a")
+      .join(broadcast(b), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("jaccard"),
+        levenshtein(col("pre_a"), col("pre_b")).as("lev40"),
+        round(lit(1.0) - levenshtein(col("pre_a"), col("pre_b")) / 40.0, 4).as("prefix_sim"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+  }
+
+  val editSimSql: String =
+    s"""SELECT doc_a, doc_b, jaccard,
+              CAST(levenshtein(substr(da.text, 1, 40), substr(db.text, 1, 40)) AS INT) AS lev40,
+              ROUND(1.0 - levenshtein(substr(da.text, 1, 40), substr(db.text, 1, 40)) / 40.0, 4) AS prefix_sim
+       FROM ($ngramJaccardSql) top20
+       JOIN documents da ON da.doc_id = top20.doc_a
+       JOIN documents db ON db.doc_id = top20.doc_b
+       ORDER BY jaccard DESC, doc_a, doc_b"""
+
   /** Quantized embedding vector + its exact integer self-dot. */
   private def quantized(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -373,6 +404,7 @@ object Dedup {
        ORDER BY doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_edit_sim" -> (editSim _),
     "corpus_dedup_ng" -> (corpusDedupNg _),
     "corpus_dedup" -> (corpusDedup _),
     "dedup_exact" -> (exact _),
@@ -387,6 +419,7 @@ object Dedup {
     "dedup_exact" -> exactSql,
     "dedup_exact_norm" -> exactNormSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "text_edit_sim" -> editSimSql,
     "corpus_dedup_ng" -> corpusDedupNgSql,
     "dedup_embedding" -> embeddingPairsSql)
 }

@@ -393,6 +393,37 @@ object Relational {
        ORDER BY total_qty DESC, o_orderkey
        LIMIT 100"""
 
+  /** Ship-latency profile: days between order date and line-item ship date
+    * per order priority — date-arithmetic coverage (datediff on DATE-cast
+    * wall dates agrees across engines) over the lineitem ⋈ orders
+    * fact-fact shuffle join. Integer day counts sum exactly; one double
+    * division at the end. */
+  def qShipLatency(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val d = datediff(
+      to_date(col("l_shipdate").cast("timestamp")),
+      to_date(col("o_orderdate").cast("timestamp")))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"), d.as("d"))
+      .groupBy("priority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("d").cast("long")) / count(lit(1)).cast("double"), 2).as("avg_days"),
+        max(col("d")).as("max_days"))
+      .orderBy("priority")
+  }
+
+  val qShipLatencySql: String =
+    """SELECT o_orderpriority AS priority,
+              COUNT(*) AS n_items,
+              ROUND(CAST(SUM(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT)
+                    / CAST(COUNT(*) AS DOUBLE), 2) AS avg_days,
+              CAST(MAX(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS INT) AS max_days
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY 1
+       ORDER BY priority"""
+
   /** SQL front door: the engine's tables registered as temp views and
     * queried with a plain SQL string — `spark.sql` runs through the same
     * Catalyst pipeline (and graft extensions) as the DataFrame API, so THE
@@ -419,6 +450,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ship_latency" -> (qShipLatency _),
     "sql_supplier_rev" -> (sqlSupplierRev _),
     "q18_big_orders" -> (q18BigOrders _),
     "q1_seg_pct" -> (q1SegPct _),
@@ -433,6 +465,7 @@ object Relational {
     "join_anti" -> (joinAnti _))
 
   val oracles: Map[String, String] = Map(
+    "q_ship_latency" -> qShipLatencySql,
     "sql_supplier_rev" -> sqlSupplierRevSql,
     "q18_big_orders" -> q18BigOrdersSql,
     "q1_seg_pct" -> q1SegPctSql,
