@@ -32,19 +32,29 @@ object Bench {
           s"on $warmDir — timed numbers include first-run compile costs")
     // min of two timed runs per query: scheduler/GC noise on a shared box
     // is strictly additive, so the min is the better point estimate of the
-    // query's true cost
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // query's true cost. A FAILING query must not masquerade as a fast one
+    // (an exception path returns in ms) — failures are named loudly on
+    // stderr and in the JSON.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (t1, ok1) = timeOnce(fn)
+      val (t2, ok2) = timeOnce(fn)
+      (name, math.min(t1, t2), ok1 && ok2)
+    }
+    val failed = timed.collect { case (name, _, false) => name }
+    failed.foreach(n => System.err.println(s"[bench] ERROR: query $n FAILED during timing"))
+    val qs = timed.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = timed.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

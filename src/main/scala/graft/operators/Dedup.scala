@@ -194,15 +194,10 @@ object Dedup {
        JOIN documents db ON db.doc_id = top20.doc_b
        ORDER BY jaccard DESC, doc_a, doc_b"""
 
-  /** Quantized embedding vector + its exact integer self-dot. */
+  /** Quantized embedding vector + its exact integer self-dot
+    * (one definition, shared with [[Similarity]]). */
   private def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables
-      .embeddings(s, dir)
-      .select(
-        col("vec_id"),
-        col("label"),
-        graft.functions.VectorOps.quantize(col("embedding")).as("qv"))
-      .withColumn("nq", Similarity.selfDot(col("qv")))
+    Similarity.quantizedEmbeddings(s, dir)
 
   /** Embedding-cosine near-dup pairs (top-20 most similar) over quantized
     * vectors.
@@ -214,10 +209,11 @@ object Dedup {
     val q = quantized(s, dir)
     val a = q.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nq").as("na"))
     val b = q.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("nq").as("nb"))
-    val dot = Similarity.dot(col("qa"), col("qb"))
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", dot / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn(
+        "cos_sim",
+        graft.functions.VectorOps.cosine(col("qa"), col("na"), col("qb"), col("nb")))
       .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
       .limit(20)
       .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 4).as("cos_sim"))

@@ -32,11 +32,16 @@ object Similarity {
 
   private[operators] def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
-  private def quantized(s: SparkSession, dir: String): DataFrame =
+  /** Embeddings with quantized vector + exact integer self-dot — the shared
+    * input frame of every vector operator here and in [[Dedup]]. */
+  private[operators] def quantizedEmbeddings(s: SparkSession, dir: String): DataFrame =
     Tables
       .embeddings(s, dir)
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
       .withColumn("nq", selfDot(col("qv")))
+
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    quantizedEmbeddings(s, dir)
 
   /** Brute-force cosine top-5 per query vector (queries = vec_id % 100 = 0,
     * self excluded). The query side is tiny and broadcast; the corpus is
@@ -53,7 +58,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn(
         "cos_sim",
-        dot(col("qv"), col("query_qv")) / (sqrt(col("nq")) * sqrt(col("query_nq"))))
+        graft.functions.VectorOps.cosine(col("qv"), col("nq"), col("query_qv"), col("query_nq")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos_sim"), 4).as("cos_sim"), col("rk"))
@@ -126,7 +131,7 @@ object Similarity {
         "query_id")
       .withColumn(
         "cos_sim",
-        dot(col("qv"), col("query_qv")) / (sqrt(col("nq")) * sqrt(col("query_nq"))))
+        graft.functions.VectorOps.cosine(col("qv"), col("nq"), col("query_qv"), col("query_nq")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos_sim"), 4).as("cos_sim"), col("rk"))
@@ -203,7 +208,7 @@ object Similarity {
       array_sort(collect_list(struct(col("cell"), col("cv"), col("nc")))).as("cb"))
     val withCb = corpus.crossJoin(broadcast(codebook))
     def cellScore(c: Column): Column =
-      dot(col("qv"), c.getField("cv")) / (sqrt(col("nq")) * sqrt(c.getField("nc")))
+      graft.functions.VectorOps.cosine(col("qv"), col("nq"), c.getField("cv"), c.getField("nc"))
     val assigned = withCb
       .withColumn(
         "best",
@@ -229,7 +234,7 @@ object Similarity {
       .join(broadcast(qvecs), "query_id")
       .withColumn(
         "cos_sim",
-        dot(col("qv"), col("query_qv")) / (sqrt(col("nq")) * sqrt(col("query_nq"))))
+        graft.functions.VectorOps.cosine(col("qv"), col("nq"), col("query_qv"), col("query_nq")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos_sim"), 4).as("cos_sim"), col("rk"))
@@ -303,7 +308,7 @@ object Similarity {
     q.crossJoin(broadcast(sums))
       .withColumn(
         "cos_sim",
-        dot(col("qv"), col("cv")) / (sqrt(col("nq")) * sqrt(col("nc"))))
+        graft.functions.VectorOps.cosine(col("qv"), col("nq"), col("cv"), col("nc")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("c_label").as("label"), col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"), col("rk"))

@@ -39,7 +39,9 @@ class SinksSpec extends GraftSpecBase {
     Sinks.ivfPartitioned(vecs, s"$dir/ivf")
     val probe = spark.read.parquet(s"$dir/ivf").filter(col("cell").isin(3, 7))
     val plan = probe.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
-    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+    // the filter must appear INSIDE the PartitionFilters list — the label
+    // alone prints even when nothing is pushed ("PartitionFilters: []")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
       s"cell filter not pushed to partition pruning:\n$plan")
     assert(probe.count() == vecs.filter(col("cell").isin(3, 7)).count())
   }

@@ -9,30 +9,32 @@ import java.sql.Timestamp
 
 class StreamingSpec extends GraftSpecBase {
 
+  /** The events table through the PRODUCTION loader (nanos handling lives
+    * in exactly one place: [[graft.sources.Tables.events]]). */
+  private def rawEvents() = graft.sources.Tables.events(spark, sfDir)
+
   private def loadEvents() = {
     import spark.implicits._
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    rawEvents()
       .select(col("event_id"), col("user_id"), col("ts").cast("timestamp"), col("value"))
       .as[Ev]
       .collect()
       .sortBy(e => (e.ts.getTime, e.event_id))
   }
 
+  /** Typed 5-column event rows for MemoryStream feeding. */
+  private def eventRows(): Seq[(Long, Long, Timestamp, String, Double)] =
+    rawEvents()
+      .select("event_id", "user_id", "ts", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+
   test("streaming hourly agg equals batch hourly agg on bounded input") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[Ev]
-    val events = loadEvents()
-    // streaming df needs event_type; rebuild from parquet rows directly
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    val rows = raw.select("event_id", "user_id", "ts", "event_type", "value").collect()
-    case class EvT(event_id: Long, user_id: Long, ts: Timestamp, event_type: String, value: Double)
     val typedInput = MemoryStream[(Long, Long, Timestamp, String, Double)]
-    typedInput.addData(rows.map(r =>
-      (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3), r.getDouble(4))).toSeq)
+    typedInput.addData(eventRows())
     val streamDf = typedInput.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
     val q = EventStreams.hourly(streamDf)
       .writeStream.format("memory").queryName("hourly_out")
@@ -73,12 +75,8 @@ class StreamingSpec extends GraftSpecBase {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    val rows = raw.select("event_id", "user_id", "ts", "event_type", "value").collect()
     val input = MemoryStream[(Long, Long, Timestamp, String, Double)]
-    input.addData(rows.map(r =>
-      (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3), r.getDouble(4))).toSeq)
+    input.addData(eventRows())
     val streamDf = input.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
     val q = EventStreams.hourly(streamDf)
       .writeStream
@@ -98,10 +96,7 @@ class StreamingSpec extends GraftSpecBase {
   test("stream-stream interval join matches the batch banded range join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    val rows = raw.select("event_id", "user_id", "ts").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSeq
+    val rows = eventRows().map { case (id, uid, ts, _, _) => (id, uid, ts) }
     val inL = MemoryStream[(Long, Long, Timestamp)]
     val inR = MemoryStream[(Long, Long, Timestamp)]
     inL.addData(rows); inR.addData(rows)
