@@ -288,7 +288,29 @@ object TextAnalysis {
        ORDER BY n DESC, word
        LIMIT 20"""
 
+  /** Approximate heavy hitters — the sketch twin of [[heavyHitters]]:
+    * `stat.freqItems` (Karp–Shenker–Papadimitriou one-pass frequent
+    * items) over the exploded word stream at 1% support. The result is a
+    * SUPERSET of every word above support (false positives possible,
+    * false negatives not) computed with bounded per-partition state —
+    * the 100 TB path when an exact count-all groupBy is too expensive.
+    * Engine-specific sketch → rows-only check; the spec asserts the
+    * superset guarantee against the exact top-20. */
+  def topkApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables
+      .documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val items = words.stat
+      .freqItems(Seq("word"), 0.01)
+      .collect()(0)
+      .getSeq[String](0)
+    items.sorted.toDF("word").select(col("word"), length(col("word")).cast("long").as("word_len"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_topk_approx" -> (topkApprox _),
     "text_heavy_hitters" -> (heavyHitters _),
     "text_winnow" -> (winnow _),
     "text_tokens_bpe" -> (tokensBpe _),

@@ -309,6 +309,47 @@ object Windows {
        GROUP BY 1
        ORDER BY a.user_id"""
 
+  /** NTILE quartiles: order totals bucketed into 4 equal-frequency tiles
+    * per market segment, reported as per-(segment, quartile) stats. The
+    * window is per-segment (bounded partitions, no global sort); money in
+    * integer cents as everywhere. */
+  def ntileQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val w = Window
+      .partitionBy("mktsegment")
+      .orderBy(col("cents"), col("o_orderkey"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_mktsegment").as("mktsegment"),
+        col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy("mktsegment", "quartile")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (min(col("cents")) / 100.0).as("lo_price"),
+        (max(col("cents")) / 100.0).as("hi_price"))
+      .orderBy("mktsegment", "quartile")
+  }
+
+  val ntileQuartilesSql: String =
+    """WITH j AS (
+         SELECT c_mktsegment AS mktsegment, o_orderkey,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders JOIN customer ON o_custkey = c_custkey),
+       t AS (
+         SELECT mktsegment, cents,
+                CAST(NTILE(4) OVER (PARTITION BY mktsegment
+                                    ORDER BY cents, o_orderkey) AS INT) AS quartile
+         FROM j)
+       SELECT mktsegment, quartile, COUNT(*) AS n_orders,
+              MIN(cents) / 100.0 AS lo_price,
+              MAX(cents) / 100.0 AS hi_price
+       FROM t
+       GROUP BY 1, 2
+       ORDER BY mktsegment, quartile"""
+
   /** Conversion funnel (view → click → purchase, in order): per user the
     * first view, the first click AT OR AFTER that view, and the first
     * purchase at or after that click; reported as one row of stage counts.
@@ -386,6 +427,7 @@ object Windows {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_retention" -> (retention _),
     "win_funnel" -> (funnel _),
+    "win_ntile" -> (ntileQuartiles _),
     "win_range_frame" -> (rangeFrame _),
     "range_join" -> (rangeJoin _),
     "win_hourly" -> (hourly _),
@@ -398,6 +440,7 @@ object Windows {
   val oracles: Map[String, String] = Map(
     "win_retention" -> retentionSql,
     "win_funnel" -> funnelSql,
+    "win_ntile" -> ntileQuartilesSql,
     "win_range_frame" -> rangeFrameSql,
     "range_join" -> rangeJoinSql,
     "win_hourly" -> hourlySql,

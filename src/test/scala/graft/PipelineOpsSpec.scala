@@ -66,6 +66,23 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(samp > full, s"weighted sample mean $samp not above corpus mean $full")
   }
 
+  test("ntile quartiles: four tiles per segment, ordered price bands") {
+    val r = Windows.ntileQuartiles(spark, sfDir).cache()
+    val badCount = r.groupBy("mktsegment").count().filter(col("count") =!= 4).count()
+    assert(badCount == 0, "each segment must have exactly 4 quartiles")
+    assert(r.filter(col("lo_price") > col("hi_price")).count() == 0)
+    r.unpersist()
+  }
+
+  test("approx frequent items is a superset of the exact top words") {
+    val approx = TextAnalysis.topkApprox(spark, sfDir)
+      .select("word").collect().map(_.getString(0)).toSet
+    val exactTop = TextAnalysis.heavyHitters(spark, sfDir)
+      .limit(5).collect().map(_.getString(0)).toSet
+    assert(exactTop.subsetOf(approx),
+      s"exact top words ${exactTop.diff(approx)} missing from approx set")
+  }
+
   test("funnel stages are monotonically shrinking") {
     val r = Windows.funnel(spark, sfDir).collect()(0)
     val (v, c, p) = (r.getAs[Long]("n_view"), r.getAs[Long]("n_view_click"),
