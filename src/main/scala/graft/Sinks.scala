@@ -34,6 +34,13 @@ object Sinks {
   def sampleParquet(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** ORC sink — the other columnar interchange format (Hive-ecosystem
+    * consumers); same partitioning semantics as [[fullParquet]]. */
+  def fullOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** IVF vector store: vectors written partitioned by their coarse cell,
     * so an ANN probe of k cells prunes the other partitions AT THE READER
     * (PartitionFilters, no data touched) — the storage half of

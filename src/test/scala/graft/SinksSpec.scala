@@ -46,6 +46,15 @@ class SinksSpec extends GraftSpecBase {
     assert(probe.count() == vecs.filter(col("cell").isin(3, 7)).count())
   }
 
+  test("fullOrc round-trips rows and schema") {
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val df = Relational.q1Agg(spark, sfDir)
+    Sinks.fullOrc(df, s"$dir/q1orc")
+    val back = spark.read.orc(s"$dir/q1orc")
+    assert(back.count() == df.count())
+    assert(back.columns.toSet == df.columns.toSet)
+  }
+
   test("jsonLines round-trips rows and schema") {
     val dir = Files.createTempDirectory("graft_sink").toString
     val df = Relational.q1Agg(spark, sfDir)
