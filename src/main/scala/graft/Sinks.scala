@@ -34,6 +34,36 @@ object Sinks {
   def sampleParquet(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Key-based upsert into a parquet store: rows from `updates` replace
+    * base rows with the same key; everything else is kept. The plan is one
+    * left-anti join + union — the incremental-corpus-drop primitive for
+    * stores without a transactional table format. NOT atomic: the rewrite
+    * goes through a staging directory and a swap, so a reader never sees a
+    * half-written store, but concurrent writers are the caller's problem
+    * (use a transactional format when you have one). */
+  def upsertParquet(spark: org.apache.spark.sql.SparkSession, path: String, updates: DataFrame, key: String): Unit = {
+    val merged =
+      if (new java.io.File(path).exists()) {
+        val base = spark.read.parquet(path)
+        base
+          .join(updates.select(key).withColumnRenamed(key, "__k"),
+            base(key) === org.apache.spark.sql.functions.col("__k"), "left_anti")
+          .unionByName(updates)
+      } else updates
+    val staging = path + ".staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    val target = new java.io.File(path)
+    if (target.exists()) {
+      val old = new java.io.File(path + ".old")
+      target.renameTo(old)
+      new java.io.File(staging).renameTo(target)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(old)
+    } else new java.io.File(staging).renameTo(target)
+  }
+
   /** ORC sink — the other columnar interchange format (Hive-ecosystem
     * consumers); same partitioning semantics as [[fullParquet]]. */
   def fullOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {

@@ -46,6 +46,31 @@ class SinksSpec extends GraftSpecBase {
     assert(probe.count() == vecs.filter(col("cell").isin(3, 7)).count())
   }
 
+  test("upsertParquet replaces keyed rows and keeps the rest") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sink").toString + "/store"
+    Sinks.upsertParquet(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), "id")
+    Sinks.upsertParquet(spark, dir,
+      Seq((2L, "B2"), (4L, "d")).toDF("id", "v"), "id")
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d"))
+  }
+
+  test("permissive csv reader drops malformed rows") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.csv"),
+      "id,n\n1,10\n2,not_a_number\n3,30\n")
+    val df = Tables.csv(spark, s"$dir/data.csv")
+    // inferSchema types n as a number from the good rows at sample time or
+    // falls back to string; either way the reader must not throw and must
+    // surface the well-formed rows
+    assert(df.count() >= 2)
+    assert(df.columns.toSeq == Seq("id", "n"))
+  }
+
   test("fullOrc round-trips rows and schema") {
     val dir = Files.createTempDirectory("graft_sink").toString
     val df = Relational.q1Agg(spark, sfDir)
