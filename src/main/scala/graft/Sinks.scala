@@ -40,7 +40,10 @@ object Sinks {
     * stores without a transactional table format. NOT atomic: the rewrite
     * goes through a staging directory and a swap, so a reader never sees a
     * half-written store, but concurrent writers are the caller's problem
-    * (use a transactional format when you have one). */
+    * (use a transactional format when you have one). The swap uses local
+    * java.io renames — on HDFS/S3 substitute the Hadoop FileSystem rename
+    * (same two-step shape; S3 needs a manifest or a table format since
+    * rename is copy-based there). */
   def upsertParquet(spark: org.apache.spark.sql.SparkSession, path: String, updates: DataFrame, key: String): Unit = {
     val merged =
       if (new java.io.File(path).exists()) {
