@@ -18,9 +18,11 @@ object Bench {
     // operators, loaded classes) — the regime a long-lived cluster runs in.
     // Profiling showed first runs are 3-8x slower purely from one-time
     // compile/scheduling costs; data at the target SF is still read cold.
-    val warmDir =
-      if (new java.io.File("/root/testdata/sf0.001").isDirectory) "/root/testdata/sf0.001"
-      else sfDir
+    // Warmup dir: env-overridable (the sfDir fallback means warmup runs at
+    // full scale — correct, just slower), default to the smallest local SF.
+    val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR").filter(d => new java.io.File(d).isDirectory)
+      .orElse(Option("/root/testdata/sf0.001").filter(d => new java.io.File(d).isDirectory))
+      .getOrElse(sfDir)
     var warmFailures = 0
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count()
@@ -30,21 +32,27 @@ object Bench {
       System.err.println(
         s"[bench] WARNING: $warmFailures/${SparkEntry.queries.size} warmup queries failed " +
           s"on $warmDir — timed numbers include first-run compile costs")
-    // min of two timed runs per query: scheduler/GC noise on a shared box
-    // is strictly additive, so the min is the better point estimate of the
-    // query's true cost. A FAILING query must not masquerade as a fast one
-    // (an exception path returns in ms) — failures are named loudly on
-    // stderr and in the JSON.
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-      ((System.nanoTime() - t0) / 1e9, ok)
+    // Two full passes over the suite, per-query min across passes: scheduler/
+    // GC noise on a shared box is strictly additive, so the min is the better
+    // point estimate. Pass-wise (not per-query back-to-back) because the
+    // engine shares run-scoped intermediates (the dedup candidate frame):
+    // clearing shared caches at the START of each pass means the shared
+    // pipeline is computed exactly once per pass, its cost landing on its
+    // first consumer in BOTH passes — so the min still reports it honestly
+    // instead of timing a cache hit. A FAILING query must not masquerade as
+    // a fast one (an exception path returns in ms) — failures are named
+    // loudly on stderr and in the JSON.
+    def timedPass(): Seq[(String, Double, Boolean)] = {
+      graft.operators.Dedup.clearSharedCache()
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
     }
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (t1, ok1) = timeOnce(fn)
-      val (t2, ok2) = timeOnce(fn)
+    val timed = timedPass().zip(timedPass()).map { case ((name, t1, ok1), (_, t2, ok2)) =>
       (name, math.min(t1, t2), ok1 && ok2)
     }
     val failed = timed.collect { case (name, _, false) => name }

@@ -53,7 +53,7 @@ object Analytics {
   def cube(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
       .cube(col("c_mktsegment"), col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n_orders"),
@@ -146,7 +146,9 @@ object Analytics {
   def percentiles(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    // customer joins carry no broadcast hint (fact-scale at 100 TB; AQE
+    // still broadcasts it at dev scale on its own) — here and below
+    o.join(c, col("o_custkey") === col("c_custkey"))
       .withColumn("cents", floor(col("o_totalprice") * 100.0).cast("long"))
       .groupBy(col("c_mktsegment").as("mktsegment"))
       .agg(
@@ -239,7 +241,7 @@ object Analytics {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
     val m12 = o
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .agg(
         countDistinct(when(!col("o_orderstatus").isin("P"), col("o_orderkey")))
           .as("total_orders"),
@@ -300,7 +302,7 @@ object Analytics {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
     val withCust = o
-      .join(broadcast(c.select(col("c_custkey"))), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(c.select(col("c_custkey")), col("o_custkey") === col("c_custkey"), "left_semi")
       .agg(count(lit(1)).as("n_with_customer"))
     o.agg(
         count(lit(1)).as("n_rows"),

@@ -89,10 +89,37 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
 
+  /** Run-scoped cache of the candidate-pair frame. Three operators consume
+    * the same candidate-generation DAG ([[ngramJaccard]], [[corpusDedupNg]],
+    * [[editSim]] via ngramJaccard); without sharing, each re-executes the
+    * full explode + bucket + pair-expansion pipeline — measured at ~1/3 of
+    * the whole suite's runtime in round 2. The cached frame holds ONLY the
+    * surviving candidate pairs (doc_a, doc_b, jaccard) — orders of magnitude
+    * smaller than the corpus (bounded buckets cap pairs per gram at 190) —
+    * and spills to disk if an executor is short on memory
+    * (MEMORY_AND_DISK). Keyed per (session, data dir); call
+    * [[clearSharedCache]] to release (Bench does, between timing passes, so
+    * the pipeline cost stays visible exactly once per pass). */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def ngramPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.computeIfAbsent(
+      (s, dir),
+      k =>
+        ngramPairsPlan(k._1, k._2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Unpersist and forget every shared candidate frame (all sessions/dirs). */
+  def clearSharedCache(): Unit = {
+    pairsCache.forEach((_, df) => df.unpersist(blocking = false))
+    pairsCache.clear()
+  }
+
   /** All candidate pairs with their exact (un-rounded) Jaccard lower
-    * bound — shared by [[ngramJaccard]] (top-20 report) and
-    * [[corpusDedupNg]] (≥ 0.5 materializer predicate). */
-  private def ngramPairs(s: SparkSession, dir: String): DataFrame = {
+    * bound — shared (via the [[ngramPairs]] cache) by [[ngramJaccard]]
+    * (top-20 report) and [[corpusDedupNg]] (≥ 0.5 materializer predicate). */
+  private def ngramPairsPlan(s: SparkSession, dir: String): DataFrame = {
     // (doc_id, n_grams) packs into one BIGINT: halves the collect_list/
     // shuffle width and keeps the packed sort order == (doc_id, n_grams)
     // order, so doc_a < doc_b still falls out of the sorted bucket
@@ -167,15 +194,20 @@ object Dedup {
     * 40-char prefixes of the 20 most similar pairs — the string-distance
     * verification step a dedup pipeline applies to its few survivors
     * (never to the corpus: Levenshtein is O(len²) per pair and belongs
-    * AFTER candidate generation, on a bounded set). */
+    * AFTER candidate generation, on a bounded set).
+    *
+    * Join orientation matters at scale: the BOUNDED side (the 20-row pair
+    * set) is the broadcast build side, and the corpus-sized documents scans
+    * are the probe side — never the reverse (a corpus-sized broadcast OOMs
+    * the driver at 100 TB). Each inner join's output is again ≤ 20 rows, so
+    * the second join's build side stays bounded too. */
   def editSim(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val pre = substring(col("text"), 1, 40)
     val a = docs.select(col("doc_id").as("doc_a"), pre.as("pre_a"))
     val b = docs.select(col("doc_id").as("doc_b"), pre.as("pre_b"))
-    ngramJaccard(s, dir)
-      .join(broadcast(a), "doc_a")
-      .join(broadcast(b), "doc_b")
+    val withA = a.join(broadcast(ngramJaccard(s, dir)), "doc_a")
+    b.join(broadcast(withA), "doc_b")
       .select(
         col("doc_a"),
         col("doc_b"),

@@ -40,9 +40,12 @@ object Relational {
       """CASE o_orderpriority
            WHEN '1-URGENT' THEN 5 WHEN '2-HIGH' THEN 4 WHEN '3-MEDIUM' THEN 3
            WHEN '4-NOT SPECIFIED' THEN 2 WHEN '5-LOW' THEN 1 END""")
+    // no broadcast hint on customer: it is dim-like at dev scale (AQE
+    // broadcasts it on its own) but fact-scale at 100 TB, where a pinned
+    // hint would override the planner exactly when it's wrong
     val fo = o
       .filter(!col("o_orderstatus").isin("P"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("mktsegment"), col("o_orderkey"), pri.as("pri"))
     val seg = fo
       .groupBy("mktsegment")
@@ -86,7 +89,7 @@ object Relational {
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
     val per = o
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
       .agg(countDistinct(col("o_orderkey")).as("num_high_value"))
@@ -227,7 +230,7 @@ object Relational {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir).filter(trim(col("c_name")) =!= "")
     val n = Tables.nation(s, dir)
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(
@@ -299,7 +302,7 @@ object Relational {
     val n = Tables.nation(s, dir)
     val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
@@ -371,7 +374,7 @@ object Relational {
       .filter(col("total_qty") > 150)
     big
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .select(
         col("c_name"),
         col("o_orderkey"),

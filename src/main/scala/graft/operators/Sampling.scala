@@ -37,19 +37,31 @@ object Sampling {
        ORDER BY event_id"""
 
   /** Stratified sample: at most 100 events per event_type, chosen by the
-    * scrambled order (pseudo-random but engine-independent). */
+    * scrambled order (pseudo-random but engine-independent).
+    *
+    * Scale shape: a window partitioned by event_type alone (~5 values)
+    * would sort ~1/5 of the table per task. Partial-top-k instead: top-100
+    * per (physical partition, type) — one shuffle spread over pids×types
+    * balanced groups — then a merge over the surviving ≤ 100×pids×types
+    * rows. The global top-100 is contained in the union of per-partition
+    * top-100s for any partitioning. */
   def stratified(s: SparkSession, dir: String): DataFrame = {
+    val scramble = (col("event_id") * 40503L) % 65536L
+    val wLocal = Window
+      .partitionBy("__pid", "event_type")
+      .orderBy(scramble.asc, col("event_id"))
+    val partial = Tables
+      .events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("rk", row_number().over(wLocal))
+      .filter(col("rk") <= 100)
+      .drop("__pid", "rk")
     val w = Window
       .partitionBy("event_type")
-      .orderBy(((col("event_id") * 40503L) % 65536L).asc, col("event_id"))
-    Tables
-      .events(s, dir)
-      .select(
-        col("event_id"),
-        col("user_id"),
-        col("event_type"),
-        col("value"),
-        row_number().over(w).as("rk"))
+      .orderBy(scramble.asc, col("event_id"))
+    partial
+      .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 100)
       .select("event_id", "user_id", "event_type", "value")
       .orderBy("event_id")

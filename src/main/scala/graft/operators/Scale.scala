@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scale techniques that only show up in *how* a query runs, not what it
@@ -47,6 +48,79 @@ object Scale {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_lines"))
       .orderBy("o_orderpriority")
+  }
+
+  /** Distributed row_number: adds exact 1-based rank `__rn` (ordered by
+    * `orderCols` within each `partCols` group) and the group size `__n` —
+    * WITHOUT ever sorting a whole group on one task. A plain
+    * `row_number().over(Window.partitionBy(partCols))` puts each group's
+    * entire row set through a single task's sort: when `partCols` has low
+    * cardinality (e.g. 5 market segments) that is the full table on 5
+    * tasks, a scale-killer this utility exists to replace.
+    *
+    * The group is split on a DETERMINISTIC value-derived bucket of the
+    * leading order column (fixed-width over the observed [min, max] — one
+    * cheap bounds aggregate broadcast as a single row), NOT on
+    * `spark_partition_id()` or `repartitionByRange`: the rank is joined
+    * against offsets computed in a second DAG branch, and a bucket id that
+    * depended on physical partitioning could differ between the two
+    * branches if the planner doesn't reuse the exchange — value-derived
+    * buckets are identical however often the subtree is recomputed.
+    *
+    * Plan shape, every sort bounded:
+    *   1. bounds: 1-row min/max of `bucketOn` (map-side-combined scan);
+    *      `__bkt = (v - lo) * buckets DIV (hi - lo + 1)` — monotone in v,
+    *      so bucket order == value order and equal values share a bucket.
+    *   2. local rank within (`__bkt`, partCols) — one shuffle spread over
+    *      buckets×groups sort groups of ~|group|/buckets rows.
+    *   3. per-(bucket, group) counts (tiny: one row per bucket×group) →
+    *      running per-group offsets via a window over that TINY frame
+    *      (bounded by bucket count, not data) → broadcast join back:
+    *      `__rn = local rank + preceding buckets' count`, `__n` = group
+    *      size.
+    *
+    * `bucketOn` must be the leading column of `orderCols` (or monotone in
+    * it) and numeric; `orderCols` should be a total order (include a
+    * unique tiebreaker). Fixed-width buckets balance when values are
+    * roughly uniform — for pathological value skew substitute quantile
+    * boundaries from `approx_percentile` in step 1 (same join shape); a
+    * hot single VALUE is inherent to ranking (ties must meet one task) and
+    * is what the tiebreaker keeps bounded. */
+  def globalRank(
+      df: DataFrame,
+      partCols: Seq[String],
+      bucketOn: Column,
+      orderCols: Seq[Column],
+      buckets: Int = 256): DataFrame = {
+    val bounds = df.agg(min(bucketOn).as("__lo"), max(bucketOn).as("__hi"))
+    val bucketed = df
+      .crossJoin(broadcast(bounds))
+      // exact long numerator; the one double divide is monotone in it
+      // (IEEE division by a fixed positive divisor preserves order), so
+      // bucket(v) stays monotone in v even at the precision edge
+      .withColumn(
+        "__bkt",
+        floor(
+          ((bucketOn - col("__lo")) * buckets) /
+            (col("__hi") - col("__lo") + lit(1))).cast("long"))
+      .drop("__lo", "__hi")
+    val localKeys = ("__bkt" +: partCols).map(col)
+    val wLocal = Window.partitionBy(localKeys: _*).orderBy(orderCols: _*)
+    val local = bucketed.withColumn("__lrn", row_number().over(wLocal))
+    val counts = bucketed.groupBy(localKeys: _*).agg(count(lit(1)).as("__cnt"))
+    val wGroup = Window.partitionBy(partCols.map(col): _*)
+    val off = counts
+      .withColumn(
+        "__offset",
+        coalesce(
+          sum(col("__cnt")).over(wGroup.orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(wGroup))
+      .drop("__cnt")
+    local
+      .join(broadcast(off), "__bkt" +: partCols)
+      .withColumn("__rn", col("__lrn") + col("__offset"))
+      .drop("__bkt", "__lrn", "__offset")
   }
 
   /** Salted join for skewed keys: replicate the build side `salt` times and

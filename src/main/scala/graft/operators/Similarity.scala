@@ -32,6 +32,22 @@ object Similarity {
 
   private[operators] def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
+  /** Loud exactness guard for integer centroid sum-vectors: self-dot must
+    * stay exact in BOTH engines — below 2^63 for the Long accumulation and
+    * below 2^53 for the DuckDB double replay. Both hold iff every element
+    * is ≤ sqrt(2^53 / 64) ≈ 1.18e7, asserted here (with headroom) so a
+    * too-heavy cell/label FAILS the job with a clear message instead of
+    * silently wrapping — the fix at scale is a larger K (lighter cells).
+    * With quantized elements ≤ ~1000 the envelope admits ≥ 11k worst-case
+    * aligned vectors per cell and far more in practice (random signs
+    * cancel: element magnitude grows ~√count). */
+  private def assertCentroidExact(cv: Column, what: String): Column =
+    assert_true(
+      array_max(transform(cv, x => abs(x))) <= 11000000L,
+      lit(s"$what sum-vector element exceeds the exactness envelope (|e| > 1.1e7): " +
+        "too many vectors aggregate into one group — increase the cell/group count"))
+      .isNull
+
   /** Embeddings with quantized vector + exact integer self-dot — the shared
     * input frame of every vector operator here and in [[Dedup]]. */
   private[operators] def quantizedEmbeddings(s: SparkSession, dir: String): DataFrame =
@@ -52,13 +68,28 @@ object Similarity {
     val queries = corpus
       .filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("qv").as("query_qv"), col("nq").as("query_nq"))
+    // top-5 per query via partial-top-k-then-merge: a window keyed on
+    // query_id alone would sort a corpus-sized candidate set per task;
+    // keying phase 1 on (physical partition, query_id) bounds every sort
+    // at the partition size, and the merge set is ≤ 5×pids×queries rows
+    val wLocal = Window.partitionBy("__pid", "query_id").orderBy(col("cos_sim").desc, col("vec_id"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
     corpus
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn(
-        "cos_sim",
-        graft.functions.VectorOps.cosine(col("qv"), col("nq"), col("query_qv"), col("query_nq")))
+      // project the wide vectors away BEFORE the ranking shuffle: the
+      // window exchanges only (query_id, vec_id, cos_sim), 24 bytes/row,
+      // not the 512-byte embedding arrays
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        graft.functions.VectorOps
+          .cosine(col("qv"), col("nq"), col("query_qv"), col("query_nq"))
+          .as("cos_sim"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("rk", row_number().over(wLocal))
+      .filter(col("rk") <= 5)
+      .drop("__pid", "rk")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("cos_sim"), 4).as("cos_sim"), col("rk"))
@@ -121,13 +152,19 @@ object Similarity {
       .select("query_id", "vec_id")
       .distinct()
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    // the broadcast re-attach side is the FILTERED query set (same filter
+    // as queryBuckets) — broadcasting the unfiltered corpus here would ship
+    // every vector to every executor and OOM the driver at scale
     pairs
       .join(corpus, "vec_id")
       .join(
-        broadcast(corpus.select(
-          col("vec_id").as("query_id"),
-          col("qv").as("query_qv"),
-          col("nq").as("query_nq"))),
+        broadcast(
+          corpus
+            .filter(col("vec_id") % 100 === 0)
+            .select(
+              col("vec_id").as("query_id"),
+              col("qv").as("query_qv"),
+              col("nq").as("query_nq"))),
         "query_id")
       .withColumn(
         "cos_sim",
@@ -203,6 +240,7 @@ object Similarity {
     val cents = corpus
       .groupBy((col("vec_id") % k).cast("int").as("cell"))
       .agg(call_function("graft_vec_sum", col("qv")).as("cv"))
+      .filter(assertCentroidExact(col("cv"), "IVF centroid"))
       .withColumn("nc", selfDot(col("cv")))
     val codebook = cents.agg(
       array_sort(collect_list(struct(col("cell"), col("cv"), col("nc")))).as("cb"))
@@ -302,13 +340,26 @@ object Similarity {
     val sums = q
       .groupBy("label")
       .agg(call_function("graft_vec_sum", col("qv")).as("cv"))
+      .filter(assertCentroidExact(col("cv"), "per-label centroid"))
       .withColumn("nc", selfDot(col("cv")))
       .select(col("label").as("c_label"), col("cv"), col("nc"))
+    // top-3 per label via partial-top-k-then-merge (label cardinality is
+    // small, so a label-keyed window alone would sort the whole scored set
+    // on a handful of tasks — same fix as [[Windows.topkPerType]])
+    val wLocal = Window.partitionBy("__pid", "c_label").orderBy(col("cos_sim").desc, col("vec_id"))
     val w = Window.partitionBy("c_label").orderBy(col("cos_sim").desc, col("vec_id"))
     q.crossJoin(broadcast(sums))
-      .withColumn(
-        "cos_sim",
-        graft.functions.VectorOps.cosine(col("qv"), col("nq"), col("cv"), col("nc")))
+      // narrow projection before the ranking shuffle (see annBrute)
+      .select(
+        col("c_label"),
+        col("vec_id"),
+        graft.functions.VectorOps
+          .cosine(col("qv"), col("nq"), col("cv"), col("nc"))
+          .as("cos_sim"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("rk", row_number().over(wLocal))
+      .filter(col("rk") <= 3)
+      .drop("__pid", "rk")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("c_label").as("label"), col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"), col("rk"))

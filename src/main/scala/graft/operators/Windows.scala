@@ -121,18 +121,31 @@ object Windows {
        ORDER BY event_id"""
 
   /** Top-3 events per type by value (row_number, deterministic tie-break).
-    * At scale this is the classic "grouped top-k": the window shuffles once
-    * on event_type; no global sort. */
+    *
+    * Scale shape: event_type has ~5 values, so a window partitioned by it
+    * alone would sort ~1/5 of the fact table on a single task. Instead the
+    * classic partial-top-k-then-merge: phase 1 takes the top-3 per
+    * (physical input partition, type) — the window keys on
+    * (`spark_partition_id()`, event_type), so the one shuffle spreads the
+    * same data over pids×types balanced sort groups — and phase 2 merges
+    * the surviving ≤ 3×pids×types rows (tiny) into the global top-3 per
+    * type. The global top-k is always contained in the union of
+    * per-partition top-k's, for any partitioning of the input. */
   def topkPerType(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
-    Tables
+    val e = Tables
       .events(s, dir)
-      .select(
-        col("event_type"),
-        col("event_id"),
-        col("user_id"),
-        col("value"),
-        row_number().over(w).as("rk"))
+      .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
+    val wLocal = Window
+      .partitionBy("__pid", "event_type")
+      .orderBy(col("value").desc, col("event_id"))
+    val partial = e
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("rk", row_number().over(wLocal))
+      .filter(col("rk") <= 3)
+      .drop("__pid", "rk")
+    val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+    partial
+      .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .orderBy("event_type", "rk")
   }
@@ -310,21 +323,35 @@ object Windows {
        ORDER BY a.user_id"""
 
   /** NTILE quartiles: order totals bucketed into 4 equal-frequency tiles
-    * per market segment, reported as per-(segment, quartile) stats. The
-    * window is per-segment (bounded partitions, no global sort); money in
-    * integer cents as everywhere. */
+    * per market segment, reported as per-(segment, quartile) stats.
+    *
+    * Scale shape: `ntile(4) OVER (PARTITION BY mktsegment ...)` would sort
+    * ~1/5 of the fact table per task (5 segment values — partitions grow
+    * linearly with the table). Instead: exact distributed rank via
+    * [[Scale.globalRank]] (deterministic value-bucket split + per-bucket
+    * rank + tiny offset merge — every sort bounded by the bucket size),
+    * then NTILE's closed form over (rank, group size): with
+    * q = n DIV 4 and r = n MOD 4, the first r tiles hold q+1 rows and the
+    * rest q — a narrow map, bit-identical to both engines' NTILE including
+    * tie-splitting, because the rank order (cents, o_orderkey) is total.
+    * Money in integer cents as everywhere. */
   def ntileQuartiles(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
-    val w = Window
-      .partitionBy("mktsegment")
-      .orderBy(col("cents"), col("o_orderkey"))
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    val base = o
+      .join(c, col("o_custkey") === col("c_custkey"))
       .select(
         col("c_mktsegment").as("mktsegment"),
         col("o_orderkey"),
         floor(col("o_totalprice") * 100).cast("long").as("cents"))
-      .withColumn("quartile", ntile(4).over(w))
+    Scale
+      .globalRank(base, Seq("mktsegment"), col("cents"), Seq(col("cents"), col("o_orderkey")))
+      .withColumn(
+        "quartile",
+        expr("""CASE WHEN __rn <= (__n % 4) * (__n DIV 4 + 1)
+                     THEN (__rn - 1) DIV (__n DIV 4 + 1) + 1
+                     ELSE (__n % 4) + (__rn - (__n % 4) * (__n DIV 4 + 1) - 1) DIV (__n DIV 4) + 1
+                END""").cast("int"))
       .groupBy("mktsegment", "quartile")
       .agg(
         count(lit(1)).as("n_orders"),
