@@ -67,21 +67,39 @@ object Scale {
     * branches if the planner doesn't reuse the exchange — value-derived
     * buckets are identical however often the subtree is recomputed.
     *
-    * Plan shape, every sort bounded:
-    *   1. bounds: 1-row min/max of `bucketOn` (map-side-combined scan);
+    * Plan shape, every sort bounded, the expensive input computed ONCE:
+    *   1. bounds: 1-row min/max of `bucketOn` (by default over `df`; pass
+    *      `boundsOf` to aim this scan at a cheaper frame — see below);
     *      `__bkt = (v - lo) * buckets DIV (hi - lo + 1)` — monotone in v,
     *      so bucket order == value order and equal values share a bucket.
     *   2. local rank within (`__bkt`, partCols) — one shuffle spread over
     *      buckets×groups sort groups of ~|group|/buckets rows.
-    *   3. per-(bucket, group) counts (tiny: one row per bucket×group) →
-    *      running per-group offsets via a window over that TINY frame
-    *      (bounded by bucket count, not data) → broadcast join back:
-    *      `__rn = local rank + preceding buckets' count`, `__n` = group
-    *      size.
+    *   3. per-(bucket, group) sizes = `max(__lrn)` taken FROM the ranked
+    *      frame itself (the bucket count IS the max local rank), so there
+    *      is a single lineage through the expensive scan/join: the
+    *      aggregate's required distribution (`__bkt`, partCols) is the
+    *      window's own shuffle, which Spark's ReuseExchange dedupes across
+    *      the two consumers (plan-asserted in ScaleSpec). Sizes (one row
+    *      per bucket×group) → running per-group offsets via a window over
+    *      that TINY frame (bounded by bucket count, not data) → broadcast
+    *      join back: `__rn = local rank + preceding buckets' count`,
+    *      `__n` = group size.
     *
     * `bucketOn` must be the leading column of `orderCols` (or monotone in
-    * it) and numeric; `orderCols` should be a total order (include a
-    * unique tiebreaker). Fixed-width buckets balance when values are
+    * it), numeric, and NON-NULL — null would silently vanish in the bucket
+    * join, so it is asserted loudly instead (coalesce nulls to a sentinel
+    * below the real minimum first if you need them ranked). Overflow
+    * envelope: `(hi - lo) * buckets` must fit a Long, i.e. the value span
+    * must stay under ~2^63/buckets (3.6e16 at the default 256) — asserted
+    * against the observed bounds. `orderCols` should be a total order
+    * (include a unique tiebreaker).
+    *
+    * `boundsOf`: the bucket range only needs MONOTONICITY for correctness
+    * (out-of-range values land in buckets <0 or ≥`buckets`, which rank
+    * fine — coverage affects balance, not answers), so the bounds scan can
+    * run on any frame where `bucketOn` resolves whose range roughly covers
+    * `df`'s — e.g. a narrow single-column projection of one base table
+    * instead of the full join. Fixed-width buckets balance when values are
     * roughly uniform — for pathological value skew substitute quantile
     * boundaries from `approx_percentile` in step 1 (same join shape); a
     * hot single VALUE is inherent to ranking (ties must meet one task) and
@@ -91,10 +109,23 @@ object Scale {
       partCols: Seq[String],
       bucketOn: Column,
       orderCols: Seq[Column],
-      buckets: Int = 256): DataFrame = {
-    val bounds = df.agg(min(bucketOn).as("__lo"), max(bucketOn).as("__hi"))
+      buckets: Int = 256,
+      boundsOf: Option[DataFrame] = None): DataFrame = {
+    val bounds = boundsOf
+      .getOrElse(df)
+      .agg(min(bucketOn).as("__lo"), max(bucketOn).as("__hi"))
     val bucketed = df
       .crossJoin(broadcast(bounds))
+      .filter(
+        assert_true(
+          bucketOn.isNotNull,
+          lit("globalRank: bucketOn is NULL — coalesce nulls to a sentinel before ranking"))
+          .isNull)
+      .filter(
+        assert_true(
+          (col("__hi") - col("__lo")) < lit(Long.MaxValue / buckets),
+          lit("globalRank: bucketOn span too wide — (hi-lo)*buckets overflows Long; reduce buckets"))
+          .isNull)
       // exact long numerator; the one double divide is monotone in it
       // (IEEE division by a fixed positive divisor preserves order), so
       // bucket(v) stays monotone in v even at the precision edge
@@ -104,10 +135,17 @@ object Scale {
           ((bucketOn - col("__lo")) * buckets) /
             (col("__hi") - col("__lo") + lit(1))).cast("long"))
       .drop("__lo", "__hi")
+      // semantically a no-op (bucketOn is asserted non-null, so __bkt is
+      // too) but load-bearing for the plan: it plants the isnotnull(__bkt)
+      // constraint BELOW the shuffle in both consumers, so constraint
+      // inference doesn't place it differently per branch — which would
+      // break the exchange's canonical equality and with it the stage
+      // reuse that makes the expensive input run once
+      .filter(col("__bkt").isNotNull)
     val localKeys = ("__bkt" +: partCols).map(col)
     val wLocal = Window.partitionBy(localKeys: _*).orderBy(orderCols: _*)
     val local = bucketed.withColumn("__lrn", row_number().over(wLocal))
-    val counts = bucketed.groupBy(localKeys: _*).agg(count(lit(1)).as("__cnt"))
+    val counts = local.groupBy(localKeys: _*).agg(max(col("__lrn")).as("__cnt"))
     val wGroup = Window.partitionBy(partCols.map(col): _*)
     val off = counts
       .withColumn(

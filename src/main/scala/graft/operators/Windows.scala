@@ -345,7 +345,14 @@ object Windows {
         col("o_orderkey"),
         floor(col("o_totalprice") * 100).cast("long").as("cents"))
     Scale
-      .globalRank(base, Seq("mktsegment"), col("cents"), Seq(col("cents"), col("o_orderkey")))
+      .globalRank(
+        base,
+        Seq("mktsegment"),
+        col("cents"),
+        Seq(col("cents"), col("o_orderkey")),
+        // bounds only need a covering range, not the join: a one-column
+        // orders scan instead of a second pass over orders⋈customer
+        boundsOf = Some(o.select(floor(col("o_totalprice") * 100).cast("long").as("cents"))))
       .withColumn(
         "quartile",
         expr("""CASE WHEN __rn <= (__n % 4) * (__n DIV 4 + 1)

@@ -84,4 +84,113 @@ class ScaleSpec extends GraftSpecBase {
       .explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(plan.contains("EqualTo(r_name,ASIA)"), "region filter not pushed down")
   }
+
+  // ---- Scale.globalRank: exact-rank property + edge cases + plan shape ----
+
+  private def rankFixture(n: Int) = {
+    // deterministic, no RNG: negative values, heavy skew (1/3 of rows share
+    // one value), collisions across groups — ties must resolve by the id
+    // tiebreaker identically to a plain window row_number
+    spark
+      .range(n)
+      .select(
+        (col("id") % 7).as("g"),
+        when(col("id") % 3 === 0, lit(7L))
+          .otherwise(pmod(hash(col("id")), lit(100)) - 50)
+          .cast("long")
+          .as("v"),
+        col("id"))
+  }
+
+  private def assertRankMatches(df: org.apache.spark.sql.DataFrame, buckets: Int): Unit = {
+    val got = Scale
+      .globalRank(df, Seq("g"), col("v"), Seq(col("v"), col("id")), buckets = buckets)
+      .select("g", "id", "__rn", "__n")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val want = df
+      .withColumn("__rn", row_number().over(w.orderBy(col("v"), col("id"))).cast("long"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .select("g", "id", "__rn", "__n")
+    assert(got.count() == df.count(), "globalRank dropped or duplicated rows")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "globalRank disagrees with window row_number")
+  }
+
+  test("globalRank equals row_number under skew, negatives and tie-heavy data") {
+    assertRankMatches(rankFixture(5000), buckets = 16)
+  }
+
+  test("globalRank survives the degenerate hi==lo range (all values equal)") {
+    val df = spark.range(500).select(lit(0L).as("g"), lit(42L).as("v"), col("id"))
+    assertRankMatches(df, buckets = 8)
+  }
+
+  test("globalRank handles more buckets than rows") {
+    assertRankMatches(rankFixture(10), buckets = 256)
+  }
+
+  test("globalRank fails loudly on NULL bucketOn instead of dropping rows") {
+    val df = spark
+      .range(100)
+      .select(lit(0L).as("g"), when(col("id") === 50, lit(null)).otherwise(col("id")).as("v"), col("id"))
+    val e = intercept[Exception] {
+      Scale.globalRank(df, Seq("g"), col("v"), Seq(col("v"), col("id"))).count()
+    }
+    assert(e.getMessage.contains("bucketOn is NULL"), s"wrong error: ${e.getMessage}")
+  }
+
+  test("globalRank fails loudly when the value span would overflow bucketing") {
+    val df = spark
+      .range(2)
+      .select(lit(0L).as("g"), (col("id") * lit(Long.MaxValue / 100)).as("v"), col("id"))
+    val e = intercept[Exception] {
+      Scale.globalRank(df, Seq("g"), col("v"), Seq(col("v"), col("id"))).count()
+    }
+    assert(e.getMessage.contains("span too wide"), s"wrong error: ${e.getMessage}")
+  }
+
+  test("win_ntile computes the orders-customer join once (exchange reuse)") {
+    val df = Windows.ntileQuartiles(spark, sfDir)
+    df.collect() // AQE finalizes stage reuse only at execution
+    val finalPlan = df.queryExecution.executedPlan
+      .collectFirst { case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan }
+      .getOrElse(df.queryExecution.executedPlan)
+    val s = finalPlan.toString
+    val customerScans = "customer.parquet".r.findAllIn(s).size
+    assert(customerScans == 1, s"customer scanned $customerScans times:\n$s")
+    // orders: once through the join + once in the narrow bounds scan
+    val ordersScans = "orders.parquet".r.findAllIn(s).size
+    assert(ordersScans <= 2, s"orders scanned $ordersScans times — ranked branch not reused:\n$s")
+    assert(s.contains("ReusedExchange"), s"no exchange reuse in:\n$s")
+  }
+
+  test("no full-table window partitions on a single low-cardinality key") {
+    // the scale-killer this guards against: row_number() over
+    // Window.partitionBy(<5-value column>) directly on a fact table puts
+    // ~1/5 of the table through one task's sort. Phase-1 windows must key
+    // on (__pid/__bkt, group); a single-key window is only legal above a
+    // barrier (Aggregate or another Window) that already shrank the frame.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+    val highCard = Set("user_id", "query_id", "doc_id", "event_id", "id")
+    def scanBelowWithoutBarrier(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: LWindow => false
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case other => other.children.exists(scanBelowWithoutBarrier)
+    }
+    for (
+      (name, df) <- Seq(
+        "win_topk" -> Windows.topkPerType(spark, sfDir),
+        "win_ntile" -> Windows.ntileQuartiles(spark, sfDir),
+        "sample_stratified" -> graft.operators.Sampling.stratified(spark, sfDir))
+    ) {
+      val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(windows.nonEmpty, s"$name: expected window nodes")
+      for (w <- windows if w.children.exists(scanBelowWithoutBarrier)) {
+        val partNames = w.partitionSpec.flatMap(_.references.map(_.name))
+        assert(
+          partNames.size >= 2 || partNames.exists(highCard),
+          s"$name: full-table window partitioned only by ${partNames.mkString(",")} — single-task sort at scale")
+      }
+    }
+  }
 }
