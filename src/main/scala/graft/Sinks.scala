@@ -45,27 +45,73 @@ object Sinks {
     * (same two-step shape; S3 needs a manifest or a table format since
     * rename is copy-based there). */
   def upsertParquet(spark: org.apache.spark.sql.SparkSession, path: String, updates: DataFrame, key: String): Unit = {
+    val target = new java.io.File(path)
+    val old = new java.io.File(path + ".old")
+    // self-heal the one non-atomic window: a crash between the two renames
+    // below leaves no live target but a complete `.old` — restore it so
+    // this run merges against the last consistent store instead of
+    // resurrecting from nothing
+    if (!target.exists() && old.exists()) mustRename(old, target)
+    // a stale `.old` alongside a live target is leftover garbage from a
+    // crashed cleanup; it would make the swap's first rename fail
+    if (old.exists()) rmTree(old)
     val merged =
-      if (new java.io.File(path).exists()) {
+      if (target.exists()) {
         val base = spark.read.parquet(path)
         base
           .join(updates.select(key).withColumnRenamed(key, "__k"),
             base(key) === org.apache.spark.sql.functions.col("__k"), "left_anti")
           .unionByName(updates)
       } else updates
-    val staging = path + ".staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    val target = new java.io.File(path)
+    val staging = new java.io.File(path + ".staging")
+    merged.write.mode(SaveMode.Overwrite).parquet(staging.getPath)
     if (target.exists()) {
-      val old = new java.io.File(path + ".old")
-      target.renameTo(old)
-      new java.io.File(staging).renameTo(target)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      mustRename(target, old)
+      try mustRename(staging, target)
+      catch {
+        case e: java.io.IOException =>
+          // roll back so readers keep serving the previous consistent store
+          mustRename(old, target)
+          throw e
       }
-      rm(old)
-    } else new java.io.File(staging).renameTo(target)
+      rmTree(old)
+    } else mustRename(staging, target)
   }
+
+  /** Rename that REFUSES to fail silently — `java.io.File.renameTo` returns
+    * a boolean that is fatally easy to ignore (a prior version did, and a
+    * crashed run could then serve stale data forever without a word). */
+  private[graft] def mustRename(src: java.io.File, dst: java.io.File): Unit =
+    if (!src.renameTo(dst))
+      throw new java.io.IOException(
+        s"upsertParquet: rename $src -> $dst failed (src exists=${src.exists()}, dst exists=${dst.exists()})")
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    if (f.exists() && !f.delete())
+      throw new java.io.IOException(s"upsertParquet: could not delete $f")
+  }
+
+  /** JDBC export — the Spark rendering of the reference's SQLite transfer
+    * (main.py:300-338: sample tables copied into a second queryable store
+    * for dashboard/BI consumers). `df.write.jdbc` batches inserts per
+    * partition; like the reference this is for SAMPLE-SCALE extracts (a
+    * single-node DB is the destination), so callers should pass pre-sampled
+    * frames — at 100 TB the full-result path stays parquet and only
+    * aggregates/samples cross the JDBC boundary. numPartitions caps the
+    * concurrent connections a big frame would otherwise open. */
+  def jdbc(
+      df: DataFrame,
+      url: String,
+      table: String,
+      mode: SaveMode = SaveMode.Overwrite,
+      numPartitions: Int = 4): Unit =
+    df.coalesce(numPartitions).write.mode(mode).jdbc(url, table, new java.util.Properties)
+
+  /** Read a table back from a JDBC store (round-trip check + the query side
+    * of the reference's second store). */
+  def readJdbc(spark: org.apache.spark.sql.SparkSession, url: String, table: String): DataFrame =
+    spark.read.jdbc(url, table, new java.util.Properties)
 
   /** ORC sink — the other columnar interchange format (Hive-ecosystem
     * consumers); same partitioning semantics as [[fullParquet]]. */

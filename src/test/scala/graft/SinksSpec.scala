@@ -58,6 +58,66 @@ class SinksSpec extends GraftSpecBase {
     assert(out == Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d"))
   }
 
+  test("upsertParquet recovers from a stale .old left by a crashed run") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sink").toString + "/store"
+    Sinks.upsertParquet(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "id")
+    // simulate a crash that left garbage at .old — pre-fix this made BOTH
+    // swap renames fail silently and the store served stale data forever
+    val old = new java.io.File(dir + ".old")
+    assert(old.mkdirs())
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir + ".old/garbage"), "x")
+    Sinks.upsertParquet(spark, dir, Seq((2L, "B2")).toDF("id", "v"), "id")
+    val out = spark.read.parquet(dir).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "B2"), s"store served stale or partial data: $out")
+    assert(!old.exists(), ".old not cleaned up after a successful swap")
+  }
+
+  test("upsertParquet restores the store when a crash left only .old") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sink").toString + "/store"
+    Sinks.upsertParquet(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "id")
+    // simulate a crash BETWEEN the two renames: target moved to .old,
+    // staging never promoted — no live store remains
+    Sinks.mustRename(new java.io.File(dir), new java.io.File(dir + ".old"))
+    Sinks.upsertParquet(spark, dir, Seq((3L, "c")).toDF("id", "v"), "id")
+    val out = spark.read.parquet(dir).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "b", 3L -> "c"),
+      s"pre-crash rows lost instead of recovered from .old: $out")
+  }
+
+  test("a failed rename raises instead of returning silently") {
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val e = intercept[java.io.IOException] {
+      Sinks.mustRename(new java.io.File(s"$dir/does_not_exist"), new java.io.File(s"$dir/dst"))
+    }
+    assert(e.getMessage.contains("rename"), s"unhelpful error: ${e.getMessage}")
+  }
+
+  test("jdbc sink round-trips a sample table through embedded Derby") {
+    val dbDir = Files.createTempDirectory("graft_derby").toString + "/db"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val df = Relational.q1Agg(spark, sfDir)
+    Sinks.jdbc(df, url, "q1_export")
+    val back = Sinks.readJdbc(spark, url, "q1_export")
+    assert(back.count() == df.count())
+    assert(back.columns.map(_.toLowerCase).toSet == df.columns.map(_.toLowerCase).toSet)
+    // cell-exact: Derby round-trip must not perturb values
+    val a = df.collect().map(_.toSeq.map(String.valueOf)).map(_.mkString("|")).sorted
+    val b = back.collect().map(_.toSeq.map(String.valueOf)).map(_.mkString("|")).sorted
+    assert(a.sameElements(b), "JDBC round-trip changed values")
+  }
+
+  test("jdbc sink append mode accumulates rows") {
+    import spark.implicits._
+    val dbDir = Files.createTempDirectory("graft_derby").toString + "/db"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Sinks.jdbc(df, url, "t_append")
+    Sinks.jdbc(Seq((3L, "c")).toDF("id", "v"), url, "t_append", org.apache.spark.sql.SaveMode.Append)
+    assert(Sinks.readJdbc(spark, url, "t_append").count() == 3)
+  }
+
   test("permissive csv reader drops malformed rows") {
     val dir = Files.createTempDirectory("graft_csv").toString
     java.nio.file.Files.writeString(
