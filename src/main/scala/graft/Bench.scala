@@ -55,14 +55,25 @@ object Bench {
     val timed = timedPass().zip(timedPass()).map { case ((name, t1, ok1), (_, t2, ok2)) =>
       (name, math.min(t1, t2), ok1 && ok2)
     }
+    // release the pass-2 persisted candidate frame — harmless here (the JVM
+    // exits) but mandatory if this main is ever invoked in-process
+    graft.operators.Dedup.clearSharedCache()
     val failed = timed.collect { case (name, _, false) => name }
     failed.foreach(n => System.err.println(s"[bench] ERROR: query $n FAILED during timing"))
     val qs = timed.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-query caveat for JSON consumers: within a pass these queries share
+    // one cached candidate-pair pipeline (graft.operators.Dedup.pairsCache),
+    // so whichever runs first in alphabetical order carries the pipeline
+    // cost and the others time a cache hit — the suite TOTAL is honest,
+    // per-query deltas across rounds for this set are not standalone costs
+    val sharedCache = Seq("corpus_dedup_ng", "dedup_ngram_jaccard", "text_edit_sim")
+      .filter(SparkEntry.queries.contains)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"shared_cache":$sharedCache,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

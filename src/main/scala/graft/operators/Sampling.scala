@@ -36,6 +36,17 @@ object Sampling {
        WHERE (event_id * 40503) % 65536 < 3277
        ORDER BY event_id"""
 
+  /** Seeded Bernoulli sample — the thin wrapper over native `df.sample`
+    * that mirrors the reference's `random_state=42` call (main.py:256-258).
+    * Deterministic for a FIXED seed, partitioning and row order (Spark
+    * seeds its per-partition RNG from seed + partition index), but NOT
+    * reproducible across engines or repartitionings — which is why the
+    * oracle-checked samplers above use the hash scramble instead. Use this
+    * one when statistical (uncorrelated-with-key) sampling matters more
+    * than cross-engine replay. */
+  def seeded(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+
   /** Stratified sample: at most 100 events per event_type, chosen by the
     * scrambled order (pseudo-random but engine-independent).
     *

@@ -55,6 +55,17 @@ class WindowsSpec extends GraftSpecBase {
     assert(a.size > total * 0.02 && a.size < total * 0.09, s"${a.size} of $total")
   }
 
+  test("seeded sample is deterministic per seed and tracks the fraction") {
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+    val a = Sampling.seeded(e, 0.05).select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.seeded(e, 0.05).select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b, "same seed must select the same rows")
+    val other = Sampling.seeded(e, 0.05, seed = 7L).select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a != other, "different seeds should select different rows")
+    val total = e.count()
+    assert(a.size > total * 0.02 && a.size < total * 0.09, s"${a.size} of $total")
+  }
+
   test("stratified sample caps each stratum at 100") {
     val over = Sampling
       .stratified(spark, sfDir)
