@@ -86,11 +86,14 @@ object Sinks {
       throw new java.io.IOException(
         s"upsertParquet: rename $src -> $dst failed (src exists=${src.exists()}, dst exists=${dst.exists()})")
 
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rmTree))
-    if (f.exists() && !f.delete())
-      throw new java.io.IOException(s"upsertParquet: could not delete $f")
-  }
+  private def rmTree(f: java.io.File): Unit =
+    try if (f.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    else if (f.exists() && !f.delete())
+      throw new java.io.IOException(s"could not delete $f")
+    catch {
+      case e: java.io.IOException =>
+        throw new java.io.IOException(s"upsertParquet: cleanup of $f failed", e)
+    }
 
   /** JDBC export — the Spark rendering of the reference's SQLite transfer
     * (main.py:300-338: sample tables copied into a second queryable store

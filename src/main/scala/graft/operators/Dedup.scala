@@ -140,19 +140,23 @@ object Dedup {
       })
 
   private def ngramPairs(s: SparkSession, dir: String): DataFrame = {
-    val stamp = sourceStamp(dir)
     hookCleanup(s)
     pairsCache
       .compute(
         (s, dir),
-        (k, cur) =>
+        (k, cur) => {
+          // stamp read inside the critical section: reading it outside
+          // would let a concurrent rewrite install a fresh frame under an
+          // outdated stamp and thrash the next caller into a rebuild
+          val stamp = sourceStamp(dir)
           if (cur != null && cur._1 == stamp) cur
           else {
             if (cur != null) cur._2.unpersist(blocking = false)
             (stamp,
               ngramPairsPlan(k._1, k._2)
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-          })
+          }
+        })
       ._2
   }
 

@@ -88,11 +88,14 @@ object Scale {
     * `bucketOn` must be the leading column of `orderCols` (or monotone in
     * it), numeric, and NON-NULL — null would silently vanish in the bucket
     * join, so it is asserted loudly instead (coalesce nulls to a sentinel
-    * below the real minimum first if you need them ranked). Overflow
-    * envelope: `(hi - lo) * buckets` must fit a Long, i.e. the value span
-    * must stay under ~2^63/buckets (3.6e16 at the default 256) — asserted
-    * against the observed bounds. `orderCols` should be a total order
-    * (include a unique tiebreaker).
+    * below the real minimum first if you need them ranked). The bucket is
+    * computed in DOUBLE space: every step (long→double cast, subtracting /
+    * multiplying / dividing by per-run constants, clamping, floor) is
+    * monotone non-decreasing under IEEE rounding, which is the only
+    * property bucketing needs — so ANY Long span is safe; rounding can
+    * only merge neighboring values into one bucket (balance, not
+    * correctness). `orderCols` should be a total order (include a unique
+    * tiebreaker).
     *
     * `boundsOf`: the bucket range only needs MONOTONICITY for correctness
     * (out-of-range values land in buckets <0 or ≥`buckets`, which rank
@@ -121,19 +124,22 @@ object Scale {
           bucketOn.isNotNull,
           lit("globalRank: bucketOn is NULL — coalesce nulls to a sentinel before ranking"))
           .isNull)
-      .filter(
-        assert_true(
-          (col("__hi") - col("__lo")) < lit(Long.MaxValue / buckets),
-          lit("globalRank: bucketOn span too wide — (hi-lo)*buckets overflows Long; reduce buckets"))
-          .isNull)
-      // exact long numerator; the one double divide is monotone in it
-      // (IEEE division by a fixed positive divisor preserves order), so
-      // bucket(v) stays monotone in v even at the precision edge
+      // all-double arithmetic: overflow-free for any Long span (a prior
+      // exact-long version overflowed at spans > 2^63/buckets), and
+      // monotone non-decreasing at every step, so bucket order still
+      // follows value order. The clamp bounds the bucket id when boundsOf
+      // under-covers df (a far outlier would otherwise blow the long
+      // cast); clamping is itself monotone, so outliers just pool in the
+      // edge bucket — balance degrades, answers don't.
       .withColumn(
         "__bkt",
         floor(
-          ((bucketOn - col("__lo")) * buckets) /
-            (col("__hi") - col("__lo") + lit(1))).cast("long"))
+          least(
+            greatest(
+              (bucketOn.cast("double") - col("__lo").cast("double")) * buckets /
+                (col("__hi").cast("double") - col("__lo").cast("double") + lit(1.0d)),
+              lit(-1e15d)),
+            lit(1e15d))).cast("long"))
       .drop("__lo", "__hi")
       // semantically a no-op (bucketOn is asserted non-null, so __bkt is
       // too) but load-bearing for the plan: it plants the isnotnull(__bkt)

@@ -110,17 +110,19 @@ class DedupSpec extends GraftSpecBase {
 
   test("shared pairs cache refreshes when the documents table changes on disk") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stale").toString
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    docs.filter(col("doc_id") < 100).coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val first = Dedup.ngramJaccard(spark, dir).collect()
-    assert(first.forall(_.getLong(0) < 100))
-    // replace the table in place with a DISJOINT doc_id range: a stale
-    // cache hit would keep returning pairs from the old corpus
-    docs.filter(col("doc_id") >= 100 && col("doc_id") < 400).coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val second = Dedup.ngramJaccard(spark, dir).collect()
-    assert(second.nonEmpty && second.forall(_.getLong(0) >= 100),
-      "cache served results from the replaced corpus")
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      docs.filter(col("doc_id") < 100).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val first = Dedup.ngramJaccard(spark, dir).collect()
+      assert(first.forall(_.getLong(0) < 100))
+      // replace the table in place with a DISJOINT doc_id range: a stale
+      // cache hit would keep returning pairs from the old corpus
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 400).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val second = Dedup.ngramJaccard(spark, dir).collect()
+      assert(second.nonEmpty && second.forall(_.getLong(0) >= 100),
+        "cache served results from the replaced corpus")
+    } finally Dedup.clearSharedCache() // the shared session outlives this suite
   }
 }

@@ -139,14 +139,35 @@ class ScaleSpec extends GraftSpecBase {
     assert(e.getMessage.contains("bucketOn is NULL"), s"wrong error: ${e.getMessage}")
   }
 
-  test("globalRank fails loudly when the value span would overflow bucketing") {
+  test("globalRank ranks exactly across the full Long value span") {
+    // spans near 2^63 used to overflow exact-long bucketing; the all-double
+    // monotone bucket must rank these correctly, not reject or corrupt them
     val df = spark
-      .range(2)
-      .select(lit(0L).as("g"), (col("id") * lit(Long.MaxValue / 100)).as("v"), col("id"))
-    val e = intercept[Exception] {
-      Scale.globalRank(df, Seq("g"), col("v"), Seq(col("v"), col("id"))).count()
-    }
-    assert(e.getMessage.contains("span too wide"), s"wrong error: ${e.getMessage}")
+      .range(100)
+      .select(
+        (col("id") % 3).as("g"),
+        (col("id") * lit(Long.MaxValue / 100) - lit(Long.MaxValue / 2)).as("v"),
+        col("id"))
+    assertRankMatches(df, buckets = 16)
+  }
+
+  test("globalRank stays exact when boundsOf under-covers the data (outliers)") {
+    val df = spark
+      .range(1000)
+      .select(lit(0L).as("g"),
+        when(col("id") === 999, lit(Long.MaxValue / 2)).otherwise(col("id")).as("v"),
+        col("id"))
+    val got = Scale
+      .globalRank(df, Seq("g"), col("v"), Seq(col("v"), col("id")),
+        boundsOf = Some(df.filter(col("v") < 500)))
+      .select("g", "id", "__rn", "__n")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val want = df
+      .withColumn("__rn", row_number().over(w.orderBy(col("v"), col("id"))).cast("long"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .select("g", "id", "__rn", "__n")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "out-of-bounds outlier mis-ranked")
   }
 
   test("win_ntile computes the orders-customer join once (exchange reuse)") {
