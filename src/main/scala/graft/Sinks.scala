@@ -59,8 +59,11 @@ object Sinks {
       if (target.exists()) {
         val base = spark.read.parquet(path)
         base
+          // null-safe equality: a NULL-key update must still REPLACE the
+          // NULL-key base row (plain === is NULL for NULLs, which kept the
+          // old row AND appended the update — silent duplicates per call)
           .join(updates.select(key).withColumnRenamed(key, "__k"),
-            base(key) === org.apache.spark.sql.functions.col("__k"), "left_anti")
+            base(key) <=> org.apache.spark.sql.functions.col("__k"), "left_anti")
           .unionByName(updates)
       } else updates
     val staging = new java.io.File(path + ".staging")
@@ -70,8 +73,10 @@ object Sinks {
       try mustRename(staging, target)
       catch {
         case e: java.io.IOException =>
-          // roll back so readers keep serving the previous consistent store
-          mustRename(old, target)
+          // roll back so readers keep serving the previous consistent store;
+          // if even the rollback fails, keep the ORIGINAL failure primary
+          try mustRename(old, target)
+          catch { case rb: java.io.IOException => e.addSuppressed(rb) }
           throw e
       }
       rmTree(old)
@@ -102,19 +107,28 @@ object Sinks {
     * single-node DB is the destination), so callers should pass pre-sampled
     * frames — at 100 TB the full-result path stays parquet and only
     * aggregates/samples cross the JDBC boundary. numPartitions caps the
-    * concurrent connections a big frame would otherwise open. */
+    * concurrent connections a big frame would otherwise open — note
+    * coalesce propagates UP a shuffle-free lineage (like [[sampleCsv]]'s
+    * coalesce(1)), so feeding an unshuffled full-table computation here
+    * would run it at numPartitions-wide parallelism: pre-sample first.
+    * `props` carries credentials/driver for authenticated stores. */
   def jdbc(
       df: DataFrame,
       url: String,
       table: String,
       mode: SaveMode = SaveMode.Overwrite,
-      numPartitions: Int = 4): Unit =
-    df.coalesce(numPartitions).write.mode(mode).jdbc(url, table, new java.util.Properties)
+      numPartitions: Int = 4,
+      props: java.util.Properties = new java.util.Properties): Unit =
+    df.coalesce(numPartitions).write.mode(mode).jdbc(url, table, props)
 
   /** Read a table back from a JDBC store (round-trip check + the query side
     * of the reference's second store). */
-  def readJdbc(spark: org.apache.spark.sql.SparkSession, url: String, table: String): DataFrame =
-    spark.read.jdbc(url, table, new java.util.Properties)
+  def readJdbc(
+      spark: org.apache.spark.sql.SparkSession,
+      url: String,
+      table: String,
+      props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
 
   /** ORC sink — the other columnar interchange format (Hive-ecosystem
     * consumers); same partitioning semantics as [[fullParquet]]. */

@@ -124,6 +124,11 @@ object Scale {
           bucketOn.isNotNull,
           lit("globalRank: bucketOn is NULL — coalesce nulls to a sentinel before ranking"))
           .isNull)
+      .filter(
+        assert_true(
+          col("__lo").isNotNull,
+          lit("globalRank: bounds frame is empty or all-NULL — it must observe at least one bucketOn value"))
+          .isNull)
       // all-double arithmetic: overflow-free for any Long span (a prior
       // exact-long version overflowed at spans > 2^63/buckets), and
       // monotone non-decreasing at every step, so bucket order still

@@ -170,6 +170,17 @@ class ScaleSpec extends GraftSpecBase {
       "out-of-bounds outlier mis-ranked")
   }
 
+  test("globalRank fails loudly on an empty bounds frame instead of returning nothing") {
+    val df = rankFixture(100)
+    val e = intercept[Exception] {
+      Scale
+        .globalRank(df, Seq("g"), col("v"), Seq(col("v"), col("id")),
+          boundsOf = Some(df.filter(lit(false))))
+        .count()
+    }
+    assert(e.getMessage.contains("bounds frame is empty"), s"wrong error: ${e.getMessage}")
+  }
+
   test("win_ntile computes the orders-customer join once (exchange reuse)") {
     val df = Windows.ntileQuartiles(spark, sfDir)
     df.collect() // AQE finalizes stage reuse only at execution

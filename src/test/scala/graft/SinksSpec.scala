@@ -86,6 +86,18 @@ class SinksSpec extends GraftSpecBase {
       s"pre-crash rows lost instead of recovered from .old: $out")
   }
 
+  test("upsertParquet replaces NULL-key rows instead of accumulating duplicates") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sink").toString + "/store"
+    val withNull = Seq((Option(1L), "a"), (Option.empty[Long], "n1")).toDF("id", "v")
+    Sinks.upsertParquet(spark, dir, withNull, "id")
+    Sinks.upsertParquet(spark, dir, Seq((Option.empty[Long], "n2")).toDF("id", "v"), "id")
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1)).toMap
+    assert(rows == Map(Some(1L) -> "a", None -> "n2"), s"NULL-key row not replaced: $rows")
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("a failed rename raises instead of returning silently") {
     val dir = Files.createTempDirectory("graft_sink").toString
     val e = intercept[java.io.IOException] {
