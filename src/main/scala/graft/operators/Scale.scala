@@ -68,8 +68,9 @@ object Scale {
     * buckets are identical however often the subtree is recomputed.
     *
     * Plan shape, every sort bounded, the expensive input computed ONCE:
-    *   1. bounds: 1-row min/max of `bucketOn` (by default over `df`; pass
-    *      `boundsOf` to aim this scan at a cheaper frame — see below);
+    *   1. bounds: 1-row min/max of `bucketOn` — or, with `quantileBounds`,
+    *      one approx_percentile boundary array — (by default over `df`;
+    *      pass `boundsOf` to aim this scan at a cheaper frame — see below);
     *      `__bkt = (v - lo) * buckets DIV (hi - lo + 1)` — monotone in v,
     *      so bucket order == value order and equal values share a bucket.
     *   2. local rank within (`__bkt`, partCols) — one shuffle spread over
@@ -103,20 +104,57 @@ object Scale {
     * run on any frame where `bucketOn` resolves whose range roughly covers
     * `df`'s — e.g. a narrow single-column projection of one base table
     * instead of the full join. Fixed-width buckets balance when values are
-    * roughly uniform — for pathological value skew substitute quantile
-    * boundaries from `approx_percentile` in step 1 (same join shape); a
-    * hot single VALUE is inherent to ranking (ties must meet one task) and
-    * is what the tiebreaker keeps bounded. */
+    * roughly uniform; for pathological value skew pass
+    * `quantileBounds = true` to split on `approx_percentile` boundaries
+    * instead (equal-frequency buckets by construction — same plan shape,
+    * the bounds row just carries a boundary array and the bucket becomes a
+    * boundary count, still monotone). A hot single VALUE is inherent to
+    * ranking (ties must meet one task) and is what the tiebreaker keeps
+    * bounded under either mode. */
   def globalRank(
       df: DataFrame,
       partCols: Seq[String],
       bucketOn: Column,
       orderCols: Seq[Column],
       buckets: Int = 256,
-      boundsOf: Option[DataFrame] = None): DataFrame = {
-    val bounds = boundsOf
-      .getOrElse(df)
-      .agg(min(bucketOn).as("__lo"), max(bucketOn).as("__hi"))
+      boundsOf: Option[DataFrame] = None,
+      quantileBounds: Boolean = false): DataFrame = {
+    val boundsSrc = boundsOf.getOrElse(df)
+    val bounds =
+      if (quantileBounds)
+        // interior quantile boundaries (1/b .. (b-1)/b). approx_percentile
+        // returns observed values, so boundaries are exact members of the
+        // domain; accuracy 10k bounds the sketch at ~10k centroids — a
+        // constant-size aggregate state regardless of input size
+        boundsSrc.agg(
+          percentile_approx(
+            bucketOn,
+            lit((1 until buckets).map(_.toDouble / buckets).toArray),
+            lit(10000)).as("__bs"))
+      else boundsSrc.agg(min(bucketOn).as("__lo"), max(bucketOn).as("__hi"))
+    val boundsSentinel = if (quantileBounds) col("__bs") else col("__lo")
+    val rawBucket =
+      if (quantileBounds)
+        // # of boundaries <= v: monotone non-decreasing in v, equal values
+        // share a bucket, and every bucket holds ~1/buckets of the data by
+        // construction — immune to value skew. The lambda runs over a
+        // ≤(buckets-1)-element broadcast array per row.
+        size(filter(col("__bs"), b => b <= bucketOn)).cast("long")
+      else
+        // all-double arithmetic: overflow-free for any Long span (a prior
+        // exact-long version overflowed at spans > 2^63/buckets), and
+        // monotone non-decreasing at every step, so bucket order still
+        // follows value order. The clamp bounds the bucket id when boundsOf
+        // under-covers df (a far outlier would otherwise blow the long
+        // cast); clamping is itself monotone, so outliers just pool in the
+        // edge bucket — balance degrades, answers don't.
+        floor(
+          least(
+            greatest(
+              (bucketOn.cast("double") - col("__lo").cast("double")) * buckets /
+                (col("__hi").cast("double") - col("__lo").cast("double") + lit(1.0d)),
+              lit(-1e15d)),
+            lit(1e15d))).cast("long")
     val bucketed = df
       .crossJoin(broadcast(bounds))
       .filter(
@@ -126,26 +164,11 @@ object Scale {
           .isNull)
       .filter(
         assert_true(
-          col("__lo").isNotNull,
+          boundsSentinel.isNotNull,
           lit("globalRank: bounds frame is empty or all-NULL — it must observe at least one bucketOn value"))
           .isNull)
-      // all-double arithmetic: overflow-free for any Long span (a prior
-      // exact-long version overflowed at spans > 2^63/buckets), and
-      // monotone non-decreasing at every step, so bucket order still
-      // follows value order. The clamp bounds the bucket id when boundsOf
-      // under-covers df (a far outlier would otherwise blow the long
-      // cast); clamping is itself monotone, so outliers just pool in the
-      // edge bucket — balance degrades, answers don't.
-      .withColumn(
-        "__bkt",
-        floor(
-          least(
-            greatest(
-              (bucketOn.cast("double") - col("__lo").cast("double")) * buckets /
-                (col("__hi").cast("double") - col("__lo").cast("double") + lit(1.0d)),
-              lit(-1e15d)),
-            lit(1e15d))).cast("long"))
-      .drop("__lo", "__hi")
+      .withColumn("__bkt", rawBucket)
+      .drop((if (quantileBounds) Seq("__bs") else Seq("__lo", "__hi")): _*)
       // semantically a no-op (bucketOn is asserted non-null, so __bkt is
       // too) but load-bearing for the plan: it plants the isnotnull(__bkt)
       // constraint BELOW the shuffle in both consumers, so constraint

@@ -170,6 +170,31 @@ class ScaleSpec extends GraftSpecBase {
       "out-of-bounds outlier mis-ranked")
   }
 
+  test("globalRank quantile mode stays exact under pathological value skew") {
+    // 90% of values crowd [0,100) while stragglers reach ~1e11 — fixed-width
+    // buckets put ~all rows in bucket 0; quantile boundaries must still
+    // produce exact ranks (and balanced buckets, which this can't observe
+    // directly — correctness is the contract, balance the motivation)
+    val df = spark
+      .range(10000)
+      .select(
+        (col("id") % 4).as("g"),
+        when(col("id") % 10 < 9, col("id") % 100)
+          .otherwise(col("id") * lit(10000000L)).as("v"),
+        col("id"))
+    val got = Scale
+      .globalRank(df, Seq("g"), col("v"), Seq(col("v"), col("id")),
+        buckets = 32, quantileBounds = true)
+      .select("g", "id", "__rn", "__n")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val want = df
+      .withColumn("__rn", row_number().over(w.orderBy(col("v"), col("id"))).cast("long"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .select("g", "id", "__rn", "__n")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "quantile-bucketed rank disagrees with window row_number")
+  }
+
   test("globalRank fails loudly on an empty bounds frame instead of returning nothing") {
     val df = rankFixture(100)
     val e = intercept[Exception] {
