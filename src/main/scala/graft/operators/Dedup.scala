@@ -481,7 +481,142 @@ object Dedup {
        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
        ORDER BY doc_id"""
 
+  /** Transitive near-duplicate clusters: connected components over the
+    * union of the exact-hash and n-gram-Jaccard (≥ 0.5) duplicate
+    * relations. The materializers above DROP duplicates (keeper = lowest
+    * id); this operator EXPOSES the groups — every document gets
+    * `cluster_id` = the lowest doc_id reachable through any chain of
+    * duplicate pairs (singletons cluster with themselves) plus the cluster
+    * size — the form a training-data pipeline needs to pick one
+    * representative per group, weight clusters, or audit what got dropped.
+    *
+    * Implementation: min-label propagation over the candidate PAIR graph,
+    * never the corpus — every edge came from the bounded-bucket pipelines,
+    * so the iterated frames are orders of magnitude smaller than the data.
+    * Each round relaxes labels across edges (join + groupBy on the edge
+    * frame) and then PATH-HALVES (each label replaced by its label's
+    * label — a self-join on the tiny label frame), which contracts chains
+    * exponentially: convergence in O(log diameter) rounds instead of
+    * diameter (a 50-round loud guard catches pathology; labels only
+    * decrease, so the halving step cannot oscillate). Rounds persist and
+    * the fixpoint is localCheckpoint'ed so the returned frame carries no
+    * per-round lineage. At petabyte scale the one upgrade is a reliable
+    * checkpoint dir instead of localCheckpoint — the per-round plan is
+    * unchanged. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = Tables.documents(s, dir)
+    val exactEdges = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), collect_list(col("doc_id")).as("ids"))
+      .select(explode(col("ids")).as("doc_a"), col("keeper").as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val nearEdges = ngramPairs(s, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+    val half = exactEdges.unionByName(nearEdges)
+    val edges = half
+      .unionByName(half.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    var labels = edges
+      .select(col("doc_a").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist(MEMORY_AND_DISK)
+    // the handle actually persisted (labels becomes a projection of it
+    // after round 1 — unpersisting the projection would not reliably free
+    // the cached parent)
+    var cached = labels
+    try {
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0) {
+        rounds += 1
+        assert(rounds <= 50, "dedupClusters: label propagation did not converge in 50 rounds")
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("nbr")), "doc_b")
+          .groupBy(col("doc_a").as("doc_id"))
+          .agg(min(col("nbr")).as("nbr_min"))
+        val relaxed = labels
+          .withColumnRenamed("cluster_id", "old")
+          .join(nbrMin, "doc_id")
+          .select(col("doc_id"), least(col("old"), col("nbr_min")).as("mid"), col("old"))
+        // path-halving: follow the label one hop (labels[label]) — labels
+        // only shrink, so this is always ≤ and strictly contracts chains
+        val next = relaxed
+          .join(
+            labels.select(col("doc_id").as("__lid"), col("cluster_id").as("__ll")),
+            col("mid") === col("__lid"), "left")
+          .select(
+            col("doc_id"),
+            least(col("mid"), coalesce(col("__ll"), col("mid"))).as("cluster_id"),
+            col("old"))
+          .persist(MEMORY_AND_DISK)
+        changed = next.filter(col("cluster_id") =!= col("old")).count()
+        cached.unpersist(blocking = false)
+        cached = next
+        labels = next.drop("old")
+      }
+      val stable = labels.localCheckpoint(true) // cut the O(rounds) lineage
+      docs
+        .join(stable.withColumnRenamed("cluster_id", "cl"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cl"), col("doc_id")).as("cluster_id"))
+        .withColumn(
+          "cluster_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+        .orderBy("doc_id")
+    } finally {
+      cached.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+    }
+  }
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE w AS (
+         SELECT doc_id, string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS arr
+         FROM documents
+         WHERE len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) >= 3),
+       grams AS (
+         SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
+         FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
+       counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+       rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 20),
+       gr AS (SELECT g.doc_id, g.gram FROM grams g JOIN rare USING (gram)),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       near AS (
+         SELECT doc_a, doc_b
+         FROM inter
+         JOIN counts ca ON ca.doc_id = doc_a
+         JOIN counts cb ON cb.doc_id = doc_b
+         WHERE n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE) >= 0.5),
+       exact_e AS (
+         SELECT keeper AS doc_a, doc_id AS doc_b FROM (
+           SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+           FROM documents) WHERE doc_id <> keeper),
+       edges AS (
+         SELECT doc_a AS a, doc_b AS b FROM near
+         UNION SELECT doc_b, doc_a FROM near
+         UNION SELECT doc_a, doc_b FROM exact_e
+         UNION SELECT doc_b, doc_a FROM exact_e),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+       fin AS (
+         SELECT d.doc_id, CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+         FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id)
+       SELECT doc_id, cluster_id,
+              CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+       FROM fin
+       ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (dedupClusters _),
     "text_edit_sim" -> (editSim _),
     "corpus_dedup_ng" -> (corpusDedupNg _),
     "corpus_dedup" -> (corpusDedup _),
@@ -494,6 +629,7 @@ object Dedup {
 
   /** minhash/simhash intentionally absent: xxhash64-based, not portable SQL. */
   val oracles: Map[String, String] = Map(
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_exact" -> exactSql,
     "dedup_exact_norm" -> exactNormSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,

@@ -108,6 +108,26 @@ class DedupSpec extends GraftSpecBase {
     assert(fp == de)
   }
 
+  test("dedup_clusters: reps self-map, exact dups co-cluster, sizes consistent") {
+    val out = Dedup.dedupClusters(spark, sfDir).persist()
+    try {
+      assert(out.filter(col("cluster_id") > col("doc_id")).count() == 0,
+        "cluster_id must be the minimum member id")
+      val reps = out.select(col("cluster_id")).distinct()
+      val selfMapped = out.filter(col("doc_id") === col("cluster_id")).select(col("cluster_id"))
+      assert(reps.exceptAll(selfMapped).count() == 0,
+        "every cluster's representative must be a member mapping to itself")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val split = docs.join(out, "doc_id").groupBy("h")
+        .agg(countDistinct("cluster_id").as("k")).filter(col("k") > 1).count()
+      assert(split == 0, "exact duplicates ended up in different clusters")
+      val sz = out.groupBy("cluster_id").count()
+      assert(out.join(sz, "cluster_id").filter(col("cluster_size") =!= col("count")).count() == 0,
+        "cluster_size disagrees with actual membership")
+    } finally out.unpersist()
+  }
+
   test("shared pairs cache refreshes when the documents table changes on disk") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stale").toString
     try {
