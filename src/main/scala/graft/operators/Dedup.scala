@@ -409,14 +409,20 @@ object Dedup {
     * exact-hash dups and minhash pairs), keep the rest. One left-anti join
     * against the condemned set; linear end-to-end. Rows-only check
     * (depends on minhash); DedupSpec pins the keeper invariants. */
-  def corpusDedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val exactDrops = docs
+  /** Non-keeper exact duplicates as (doc_id, keeper) pairs — the ONE
+    * definition of the exact-duplicate relation (keeper = lowest doc_id
+    * per md5(text) group), shared by both materializers and
+    * [[dedupClusters]] so the keeper rule can never desynchronize. */
+  private def exactDupPairs(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keeper"), collect_list(col("doc_id")).as("ids"))
       .select(explode(col("ids")).as("doc_id"), col("keeper"))
       .filter(col("doc_id") =!= col("keeper"))
-      .select("doc_id")
+
+  def corpusDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val exactDrops = exactDupPairs(docs).select("doc_id")
     val nearDrops = minhash(s, dir).select(col("doc_b").as("doc_id")).distinct()
     docs
       .join(exactDrops.unionByName(nearDrops).distinct(), Seq("doc_id"), "left_anti")
@@ -434,12 +440,7 @@ object Dedup {
     * choice for corpora where exact pair verification is affordable. */
   def corpusDedupNg(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val exactDrops = docs
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("keeper"), collect_list(col("doc_id")).as("ids"))
-      .select(explode(col("ids")).as("doc_id"), col("keeper"))
-      .filter(col("doc_id") =!= col("keeper"))
-      .select("doc_id")
+    val exactDrops = exactDupPairs(docs).select("doc_id")
     val nearDrops = ngramPairs(s, dir)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_b").as("doc_id"))
@@ -506,11 +507,8 @@ object Dedup {
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = Tables.documents(s, dir)
-    val exactEdges = docs
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("keeper"), collect_list(col("doc_id")).as("ids"))
-      .select(explode(col("ids")).as("doc_a"), col("keeper").as("doc_b"))
-      .filter(col("doc_a") =!= col("doc_b"))
+    val exactEdges = exactDupPairs(docs)
+      .select(col("doc_id").as("doc_a"), col("keeper").as("doc_b"))
     val nearEdges = ngramPairs(s, dir)
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b")
@@ -553,7 +551,14 @@ object Dedup {
             least(col("mid"), coalesce(col("__ll"), col("mid"))).as("cluster_id"),
             col("old"))
           .persist(MEMORY_AND_DISK)
-        changed = next.filter(col("cluster_id") =!= col("old")).count()
+        changed =
+          try next.filter(col("cluster_id") =!= col("old")).count()
+          catch {
+            // this count is the job that can surface upstream loud guards
+            // (e.g. the packing-envelope assert); don't leak the
+            // just-persisted frame on the error path
+            case t: Throwable => next.unpersist(blocking = false); throw t
+          }
         cached.unpersist(blocking = false)
         cached = next
         labels = next.drop("old")

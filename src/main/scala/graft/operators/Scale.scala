@@ -106,11 +106,14 @@ object Scale {
     * instead of the full join. Fixed-width buckets balance when values are
     * roughly uniform; for pathological value skew pass
     * `quantileBounds = true` to split on `approx_percentile` boundaries
-    * instead (equal-frequency buckets by construction — same plan shape,
-    * the bounds row just carries a boundary array and the bucket becomes a
-    * boundary count, still monotone). A hot single VALUE is inherent to
-    * ranking (ties must meet one task) and is what the tiebreaker keeps
-    * bounded under either mode. */
+    * instead (equal-frequency buckets by construction; the bucket becomes
+    * a boundary count, still monotone). Quantile mode runs the bounds
+    * aggregate EAGERLY (one driver-visible row) and embeds the boundaries
+    * as a literal: the sketch is merge-order-dependent, so leaving it as a
+    * lazy subquery could bucket the two DAG branches differently on
+    * recomputation — the literal is stable by construction. A hot single
+    * VALUE is inherent to ranking (ties must meet one task) and is what
+    * the tiebreaker keeps bounded under either mode. */
   def globalRank(
       df: DataFrame,
       partCols: Seq[String],
@@ -120,27 +123,48 @@ object Scale {
       boundsOf: Option[DataFrame] = None,
       quantileBounds: Boolean = false): DataFrame = {
     val boundsSrc = boundsOf.getOrElse(df)
-    val bounds =
-      if (quantileBounds)
-        // interior quantile boundaries (1/b .. (b-1)/b). approx_percentile
-        // returns observed values, so boundaries are exact members of the
-        // domain; accuracy 10k bounds the sketch at ~10k centroids — a
-        // constant-size aggregate state regardless of input size
-        boundsSrc.agg(
+    if (quantileBounds) {
+      // interior quantile boundaries (1/b .. (b-1)/b). approx_percentile
+      // returns observed values, so boundaries are exact members of the
+      // domain; accuracy 10k bounds the sketch at ~10k centroids — a
+      // constant-size aggregate state regardless of input size.
+      //
+      // Collected EAGERLY into a literal (one driver-side row), unlike the
+      // lazy min/max subquery of fixed-width mode: the sketch's result
+      // depends on partial-merge order, so two recomputations could yield
+      // slightly different boundaries — and a bucket id that differed
+      // between the rank and offset branches would silently corrupt ranks
+      // (the exact recomputation hazard the value-derived-bucket design
+      // exists to rule out). A literal boundary array is immune by
+      // construction. min/max need no such treatment: they are
+      // merge-order-independent.
+      val row = boundsSrc
+        .agg(
           percentile_approx(
             bucketOn,
             lit((1 until buckets).map(_.toDouble / buckets).toArray),
             lit(10000)).as("__bs"))
-      else boundsSrc.agg(min(bucketOn).as("__lo"), max(bucketOn).as("__hi"))
-    val boundsSentinel = if (quantileBounds) col("__bs") else col("__lo")
+        .head()
+      require(
+        !row.isNullAt(0),
+        "globalRank: bounds frame is empty or all-NULL — it must observe at least one bucketOn value")
+      val boundary = array(row.getSeq[Any](0).map(lit): _*)
+      // # of boundaries <= v: monotone non-decreasing in v, equal values
+      // share a bucket, and every bucket holds ~1/buckets of the data by
+      // construction — immune to value skew. The lambda runs over a
+      // ≤(buckets-1)-element literal array per row.
+      return rankWithBuckets(
+        df.filter(
+          assert_true(
+            bucketOn.isNotNull,
+            lit("globalRank: bucketOn is NULL — coalesce nulls to a sentinel before ranking"))
+            .isNull)
+          .withColumn("__bkt", size(filter(boundary, b => b <= bucketOn)).cast("long")),
+        partCols,
+        orderCols)
+    }
+    val bounds = boundsSrc.agg(min(bucketOn).as("__lo"), max(bucketOn).as("__hi"))
     val rawBucket =
-      if (quantileBounds)
-        // # of boundaries <= v: monotone non-decreasing in v, equal values
-        // share a bucket, and every bucket holds ~1/buckets of the data by
-        // construction — immune to value skew. The lambda runs over a
-        // ≤(buckets-1)-element broadcast array per row.
-        size(filter(col("__bs"), b => b <= bucketOn)).cast("long")
-      else
         // all-double arithmetic: overflow-free for any Long span (a prior
         // exact-long version overflowed at spans > 2^63/buckets), and
         // monotone non-decreasing at every step, so bucket order still
@@ -164,18 +188,30 @@ object Scale {
           .isNull)
       .filter(
         assert_true(
-          boundsSentinel.isNotNull,
+          col("__lo").isNotNull,
           lit("globalRank: bounds frame is empty or all-NULL — it must observe at least one bucketOn value"))
           .isNull)
       .withColumn("__bkt", rawBucket)
-      .drop((if (quantileBounds) Seq("__bs") else Seq("__lo", "__hi")): _*)
-      // semantically a no-op (bucketOn is asserted non-null, so __bkt is
-      // too) but load-bearing for the plan: it plants the isnotnull(__bkt)
-      // constraint BELOW the shuffle in both consumers, so constraint
-      // inference doesn't place it differently per branch — which would
-      // break the exchange's canonical equality and with it the stage
-      // reuse that makes the expensive input run once
-      .filter(col("__bkt").isNotNull)
+      .drop("__lo", "__hi")
+    rankWithBuckets(bucketed, partCols, orderCols)
+  }
+
+  /** Steps 2-3 of [[globalRank]]: local rank within (`__bkt`, partCols),
+    * per-bucket sizes from the ranked frame itself, offsets over the tiny
+    * counts frame, broadcast join back. Requires a deterministic,
+    * value-monotone, non-null `__bkt` column (both bucketing modes above
+    * guarantee it). */
+  private def rankWithBuckets(
+      withBkt: DataFrame,
+      partCols: Seq[String],
+      orderCols: Seq[Column]): DataFrame = {
+    // the isnotnull filter is semantically a no-op (both bucket modes
+    // assert their inputs non-null) but load-bearing for the plan: it
+    // plants the isnotnull(__bkt) constraint BELOW the shuffle in both
+    // consumers, so constraint inference doesn't place it differently per
+    // branch — which would break the exchange's canonical equality and
+    // with it the stage reuse that makes the expensive input run once
+    val bucketed = withBkt.filter(col("__bkt").isNotNull)
     val localKeys = ("__bkt" +: partCols).map(col)
     val wLocal = Window.partitionBy(localKeys: _*).orderBy(orderCols: _*)
     val local = bucketed.withColumn("__lrn", row_number().over(wLocal))

@@ -102,9 +102,14 @@ class ScaleSpec extends GraftSpecBase {
         col("id"))
   }
 
-  private def assertRankMatches(df: org.apache.spark.sql.DataFrame, buckets: Int): Unit = {
+  private def assertRankMatches(
+      df: org.apache.spark.sql.DataFrame,
+      buckets: Int,
+      boundsOf: Option[org.apache.spark.sql.DataFrame] = None,
+      quantileBounds: Boolean = false): Unit = {
     val got = Scale
-      .globalRank(df, Seq("g"), col("v"), Seq(col("v"), col("id")), buckets = buckets)
+      .globalRank(df, Seq("g"), col("v"), Seq(col("v"), col("id")),
+        buckets = buckets, boundsOf = boundsOf, quantileBounds = quantileBounds)
       .select("g", "id", "__rn", "__n")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
     val want = df
@@ -157,17 +162,7 @@ class ScaleSpec extends GraftSpecBase {
       .select(lit(0L).as("g"),
         when(col("id") === 999, lit(Long.MaxValue / 2)).otherwise(col("id")).as("v"),
         col("id"))
-    val got = Scale
-      .globalRank(df, Seq("g"), col("v"), Seq(col("v"), col("id")),
-        boundsOf = Some(df.filter(col("v") < 500)))
-      .select("g", "id", "__rn", "__n")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
-    val want = df
-      .withColumn("__rn", row_number().over(w.orderBy(col("v"), col("id"))).cast("long"))
-      .withColumn("__n", count(lit(1)).over(w))
-      .select("g", "id", "__rn", "__n")
-    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
-      "out-of-bounds outlier mis-ranked")
+    assertRankMatches(df, buckets = 256, boundsOf = Some(df.filter(col("v") < 500)))
   }
 
   test("globalRank quantile mode stays exact under pathological value skew") {
@@ -182,17 +177,7 @@ class ScaleSpec extends GraftSpecBase {
         when(col("id") % 10 < 9, col("id") % 100)
           .otherwise(col("id") * lit(10000000L)).as("v"),
         col("id"))
-    val got = Scale
-      .globalRank(df, Seq("g"), col("v"), Seq(col("v"), col("id")),
-        buckets = 32, quantileBounds = true)
-      .select("g", "id", "__rn", "__n")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
-    val want = df
-      .withColumn("__rn", row_number().over(w.orderBy(col("v"), col("id"))).cast("long"))
-      .withColumn("__n", count(lit(1)).over(w))
-      .select("g", "id", "__rn", "__n")
-    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
-      "quantile-bucketed rank disagrees with window row_number")
+    assertRankMatches(df, buckets = 32, quantileBounds = true)
   }
 
   test("globalRank fails loudly on an empty bounds frame instead of returning nothing") {
