@@ -499,11 +499,14 @@ object Dedup {
     * label — a self-join on the tiny label frame), which contracts chains
     * exponentially: convergence in O(log diameter) rounds instead of
     * diameter (a 50-round loud guard catches pathology; labels only
-    * decrease, so the halving step cannot oscillate). Rounds persist and
-    * the fixpoint is localCheckpoint'ed so the returned frame carries no
-    * per-round lineage. At petabyte scale the one upgrade is a reliable
-    * checkpoint dir instead of localCheckpoint — the per-round plan is
-    * unchanged. */
+    * decrease, so the halving step cannot oscillate). Every round
+    * localCheckpoints its label frame EAGERLY — each round references the
+    * previous labels three times, so carrying lineage would grow the
+    * logical plan ~3× per round (a 15-round chain graph OOMed the driver
+    * on a 2 GB plan string before this; DedupSpec's long-chain test pins
+    * the fix) — checkpointing keeps the per-round plan constant-size.
+    * At petabyte scale the one upgrade is a reliable checkpoint dir
+    * instead of localCheckpoint — the per-round plan is unchanged. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = Tables.documents(s, dir)
@@ -517,16 +520,16 @@ object Dedup {
       .unionByName(half.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
       .persist(MEMORY_AND_DISK)
-    var labels = edges
-      .select(col("doc_a").as("doc_id"))
-      .distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .persist(MEMORY_AND_DISK)
-    // the handle actually persisted (labels becomes a projection of it
-    // after round 1 — unpersisting the projection would not reliably free
-    // the cached parent)
-    var cached = labels
     try {
+      // eager localCheckpoint per round (not persist): truncates the
+      // logical plan so round k's plan doesn't embed rounds 1..k-1;
+      // checkpoint blocks are reclaimed by the ContextCleaner when the
+      // frames are garbage collected
+      var labels = edges
+        .select(col("doc_a").as("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", col("doc_id"))
+        .localCheckpoint(true)
       var changed = 1L
       var rounds = 0
       while (changed > 0) {
@@ -550,31 +553,18 @@ object Dedup {
             col("doc_id"),
             least(col("mid"), coalesce(col("__ll"), col("mid"))).as("cluster_id"),
             col("old"))
-          .persist(MEMORY_AND_DISK)
-        changed =
-          try next.filter(col("cluster_id") =!= col("old")).count()
-          catch {
-            // this count is the job that can surface upstream loud guards
-            // (e.g. the packing-envelope assert); don't leak the
-            // just-persisted frame on the error path
-            case t: Throwable => next.unpersist(blocking = false); throw t
-          }
-        cached.unpersist(blocking = false)
-        cached = next
+          .localCheckpoint(true)
+        changed = next.filter(col("cluster_id") =!= col("old")).count()
         labels = next.drop("old")
       }
-      val stable = labels.localCheckpoint(true) // cut the O(rounds) lineage
       docs
-        .join(stable.withColumnRenamed("cluster_id", "cl"), Seq("doc_id"), "left")
+        .join(labels.withColumnRenamed("cluster_id", "cl"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("cl"), col("doc_id")).as("cluster_id"))
         .withColumn(
           "cluster_size",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
         .orderBy("doc_id")
-    } finally {
-      cached.unpersist(blocking = false)
-      edges.unpersist(blocking = false)
-    }
+    } finally edges.unpersist(blocking = false)
   }
 
   val dedupClustersSql: String =

@@ -128,6 +128,29 @@ class DedupSpec extends GraftSpecBase {
     } finally out.unpersist()
   }
 
+  test("dedup_clusters converges fast on a long near-dup chain (path-halving)") {
+    // 60 sliding windows stepping 2 over a shared word sequence: adjacent
+    // docs overlap 9 of their 11 words (Jaccard ~0.6 ≥ 0.5), docs two
+    // apart fall below threshold — a pure chain of diameter ~60. Linear
+    // propagation would need ~60 rounds and trip the 50-round loud guard;
+    // path-halving must finish well inside it and still produce ONE
+    // cluster rooted at doc 0.
+    val dir = java.nio.file.Files.createTempDirectory("graft_chain").toString
+    val words = (0 until 130).map(i => s"w$i")
+    val rows = (0L until 60L).map { i =>
+      (i, words.slice(2 * i.toInt, 2 * i.toInt + 11).mkString(" "))
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val out = Dedup.dedupClusters(spark, dir).collect()
+      assert(out.length == 60)
+      assert(out.forall(_.getLong(1) == 0L), "chain must collapse into one cluster rooted at 0")
+      assert(out.forall(_.getLong(2) == 60L), "cluster_size must cover the whole chain")
+    } finally Dedup.clearSharedCache()
+  }
+
   test("shared pairs cache refreshes when the documents table changes on disk") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stale").toString
     try {
