@@ -69,7 +69,9 @@ object Bench {
     // so whichever runs first in alphabetical order carries the pipeline
     // cost and the others time a cache hit — the suite TOTAL is honest,
     // per-query deltas across rounds for this set are not standalone costs
-    val sharedCache = Seq("corpus_dedup_ng", "dedup_clusters", "dedup_ngram_jaccard", "text_edit_sim")
+    val sharedCache = Seq(
+      "corpus_dedup", "corpus_dedup_ng", "dedup_clusters",
+      "dedup_minhash", "dedup_ngram_jaccard", "text_edit_sim")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     println(

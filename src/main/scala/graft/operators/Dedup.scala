@@ -94,14 +94,15 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
 
-  /** Run-scoped cache of the candidate-pair frame. Three operators consume
-    * the same candidate-generation DAG ([[ngramJaccard]], [[corpusDedupNg]],
-    * [[editSim]] via ngramJaccard); without sharing, each re-executes the
-    * full explode + bucket + pair-expansion pipeline — measured at ~1/3 of
-    * the whole suite's runtime in round 2. The cached frame holds ONLY the
-    * surviving candidate pairs (doc_a, doc_b, jaccard) — orders of magnitude
-    * smaller than the corpus (bounded buckets cap pairs per gram at 190) —
-    * and spills to disk if an executor is short on memory (MEMORY_AND_DISK).
+  /** Run-scoped cache of shared candidate-pair frames, keyed by (session,
+    * dir, pipeline tag). The "ngram" frame feeds [[ngramJaccard]],
+    * [[corpusDedupNg]], [[dedupClusters]] and [[editSim]]; the "minhash"
+    * frame feeds [[minhash]] and [[corpusDedup]]. Without sharing, each
+    * consumer re-executes its full candidate pipeline — measured at ~1/3
+    * of the whole suite's runtime in round 2. Cached frames hold ONLY the
+    * surviving candidate pairs — orders of magnitude smaller than the
+    * corpus (bounded buckets/bands cap pairs per key) — and spill to disk
+    * if an executor is short on memory (MEMORY_AND_DISK).
     *
     * Lifecycle/staleness: each entry is keyed per (session, data dir) AND
     * stamped with a snapshot of the source file's (mtime, length) — if the
@@ -114,7 +115,7 @@ object Dedup {
     * releases everything eagerly (Bench does, between timing passes, so the
     * pipeline cost stays visible exactly once per pass). */
   private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), (String, DataFrame)]()
 
   private val cleanupHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
@@ -139,12 +140,15 @@ object Dedup {
         }
       })
 
-  private def ngramPairs(s: SparkSession, dir: String): DataFrame = {
+  /** The generic stamp-keyed run-scoped cache behind [[ngramPairs]] and
+    * [[minhashPairs]] — each tag is one shared candidate frame. */
+  private def cachedByStamp(tag: String, s: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame = {
     hookCleanup(s)
     pairsCache
       .compute(
-        (s, dir),
-        (k, cur) => {
+        (s, dir, tag),
+        (_, cur) => {
           // stamp read inside the critical section: reading it outside
           // would let a concurrent rewrite install a fresh frame under an
           // outdated stamp and thrash the next caller into a rebuild
@@ -152,13 +156,14 @@ object Dedup {
           if (cur != null && cur._1 == stamp) cur
           else {
             if (cur != null) cur._2.unpersist(blocking = false)
-            (stamp,
-              ngramPairsPlan(k._1, k._2)
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            (stamp, build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
           }
         })
       ._2
   }
+
+  private def ngramPairs(s: SparkSession, dir: String): DataFrame =
+    cachedByStamp("ngram", s, dir)(ngramPairsPlan(s, dir))
 
   /** Unpersist and forget every shared candidate frame (all sessions/dirs). */
   def clearSharedCache(): Unit = {
@@ -331,7 +336,17 @@ object Dedup {
     * SQL cannot reproduce — the driver records a rows-only check, and
     * [[ngramJaccard]] (exact, oracle-checked) validates the same semantics
     * at test scale. */
-  def minhash(s: SparkSession, dir: String): DataFrame = {
+  def minhash(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir)
+      .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
+
+  /** Surviving minhash pairs (unordered) — shared via the stamp cache by
+    * [[minhash]] and [[corpusDedup]] (two consumers, one banding
+    * pipeline; same staleness/lifecycle contract as [[ngramPairs]]). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    cachedByStamp("minhash", s, dir)(minhashPairsPlan(s, dir))
+
+  private def minhashPairsPlan(s: SparkSession, dir: String): DataFrame = {
     val sigs = Tables
       .documents(s, dir)
       .select(col("doc_id"), call_function("graft_minhash", col("text")).as("sig"))
@@ -364,7 +379,6 @@ object Dedup {
           (acc, v) => acc + v) / 64.0)
       .filter(col("est_jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
-      .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
   }
 
   /** SimHash near-dup detection: 64-bit signature from per-token bit votes
@@ -423,7 +437,7 @@ object Dedup {
   def corpusDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val exactDrops = exactDupPairs(docs).select("doc_id")
-    val nearDrops = minhash(s, dir).select(col("doc_b").as("doc_id")).distinct()
+    val nearDrops = minhashPairs(s, dir).select(col("doc_b").as("doc_id")).distinct()
     docs
       .join(exactDrops.unionByName(nearDrops).distinct(), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
