@@ -64,16 +64,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // per-query caveat for JSON consumers: within a pass these queries share
-    // one cached candidate-pair pipeline (graft.operators.Dedup.pairsCache),
-    // so whichever runs first in alphabetical order carries the pipeline
-    // cost and the others time a cache hit — the suite TOTAL is honest,
-    // per-query deltas across rounds for this set are not standalone costs
+    // per-query caveat for JSON consumers: within a pass each GROUP below
+    // shares one cached candidate pipeline (graft.operators.Dedup's
+    // stamp-keyed cache), so the group's alphabetically-first query carries
+    // that pipeline's cost and the rest time a cache hit — the suite TOTAL
+    // is honest, per-query deltas across rounds within a group are not
+    // standalone costs
     val sharedCache = Seq(
-      "corpus_dedup", "corpus_dedup_ng", "dedup_clusters",
-      "dedup_minhash", "dedup_ngram_jaccard", "text_edit_sim")
-      .filter(SparkEntry.queries.contains)
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
+      "ngram" -> Seq("corpus_dedup_ng", "dedup_clusters", "dedup_ngram_jaccard", "text_edit_sim"),
+      "minhash" -> Seq("corpus_dedup", "dedup_minhash"))
+      .map { case (tag, qs) =>
+        s"\"$tag\":" + qs.filter(SparkEntry.queries.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
+      }
+      .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"shared_cache":$sharedCache,"sf":"$sfDir"}""")
     spark.stop()

@@ -534,16 +534,28 @@ object Dedup {
       .unionByName(half.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
       .persist(MEMORY_AND_DISK)
+    // eager localCheckpoint per round (not persist): truncates the logical
+    // plan so round k's plan doesn't embed rounds 1..k-1. Each superseded
+    // round's checkpoint blocks are freed as soon as the next round has
+    // materialized (GC + ContextCleaner would reclaim them eventually, but
+    // a long loop shouldn't accumulate rounds × frames of storage waiting
+    // for a driver GC); only the FINAL frame — which backs the returned
+    // plan — is left to the GC path.
+    var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    def ckpt(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(true) // eager: materialized before we free the previous round
+      prevRdd.foreach(_.unpersist(blocking = false))
+      prevRdd = ck.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+      ck
+    }
     try {
-      // eager localCheckpoint per round (not persist): truncates the
-      // logical plan so round k's plan doesn't embed rounds 1..k-1;
-      // checkpoint blocks are reclaimed by the ContextCleaner when the
-      // frames are garbage collected
-      var labels = edges
-        .select(col("doc_a").as("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", col("doc_id"))
-        .localCheckpoint(true)
+      var labels = ckpt(
+        edges
+          .select(col("doc_a").as("doc_id"))
+          .distinct()
+          .withColumn("cluster_id", col("doc_id")))
       var changed = 1L
       var rounds = 0
       while (changed > 0) {
@@ -559,15 +571,15 @@ object Dedup {
           .select(col("doc_id"), least(col("old"), col("nbr_min")).as("mid"), col("old"))
         // path-halving: follow the label one hop (labels[label]) — labels
         // only shrink, so this is always ≤ and strictly contracts chains
-        val next = relaxed
-          .join(
-            labels.select(col("doc_id").as("__lid"), col("cluster_id").as("__ll")),
-            col("mid") === col("__lid"), "left")
-          .select(
-            col("doc_id"),
-            least(col("mid"), coalesce(col("__ll"), col("mid"))).as("cluster_id"),
-            col("old"))
-          .localCheckpoint(true)
+        val next = ckpt(
+          relaxed
+            .join(
+              labels.select(col("doc_id").as("__lid"), col("cluster_id").as("__ll")),
+              col("mid") === col("__lid"), "left")
+            .select(
+              col("doc_id"),
+              least(col("mid"), coalesce(col("__ll"), col("mid"))).as("cluster_id"),
+              col("old")))
         changed = next.filter(col("cluster_id") =!= col("old")).count()
         labels = next.drop("old")
       }
@@ -578,6 +590,9 @@ object Dedup {
           "cluster_size",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
         .orderBy("doc_id")
+    } catch {
+      // on failure nothing will consume the last checkpoint — free it too
+      case t: Throwable => prevRdd.foreach(_.unpersist(blocking = false)); throw t
     } finally edges.unpersist(blocking = false)
   }
 
