@@ -180,6 +180,38 @@ class ScaleSpec extends GraftSpecBase {
     assertRankMatches(df, buckets = 32, quantileBounds = true)
   }
 
+  test("globalRank property: exact for generated distributions (both bucket modes)") {
+    // generator-based sweep with a FIXED seed (reproducible runs): random
+    // group counts, value ranges spanning sign changes, duplicate-heavy
+    // multipliers — both bucketing modes must agree with window row_number
+    // on every draw
+    import org.scalacheck.rng.Seed
+    import org.scalacheck.Gen
+    val gen = for {
+      n <- Gen.choose(1, 800)
+      groups <- Gen.choose(1, 9)
+      valMod <- Gen.choose(2L, 5000L) // small modulus → many ties
+      shift <- Gen.choose(-1000000L, 1000000L)
+      buckets <- Gen.oneOf(1, 2, 7, 64, 300)
+      quantile <- Gen.oneOf(true, false)
+    } yield (n, groups, valMod, shift, buckets, quantile)
+    var seed = Seed(42L)
+    for (_ <- 1 to 8) {
+      val (n, groups, valMod, shift, buckets, quantile) =
+        gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val df = spark
+        .range(n)
+        .select(
+          (col("id") % groups).as("g"),
+          (pmod(hash(col("id")), lit(valMod)) + shift).cast("long").as("v"),
+          col("id"))
+      withClue(s"n=$n groups=$groups valMod=$valMod shift=$shift buckets=$buckets quantile=$quantile: ") {
+        assertRankMatches(df, buckets = buckets, quantileBounds = quantile)
+      }
+    }
+  }
+
   test("globalRank fails loudly on an empty bounds frame instead of returning nothing") {
     val df = rankFixture(100)
     val e = intercept[Exception] {
