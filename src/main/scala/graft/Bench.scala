@@ -60,7 +60,12 @@ object Bench {
     graft.operators.Dedup.clearSharedCache()
     val failed = timed.collect { case (name, _, false) => name }
     failed.foreach(n => System.err.println(s"[bench] ERROR: query $n FAILED during timing"))
-    val qs = timed.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // 3-decimal times: ms resolution is all the comparison needs, and the
+    // single JSON line must stay well inside the driver's stdout tail
+    // window (9+ significant digits × 65 queries overflowed it in round 4
+    // and the driver recorded parsed=null)
+    def dp3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = timed.map { case (k, v, _) => s"\"" + k + "\":" + dp3(v) }
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -77,8 +82,15 @@ object Bench {
         s"\"$tag\":" + qs.filter(SparkEntry.queries.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
       }
       .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"shared_cache":$sharedCache,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"shared_cache":$sharedCache,"sf":"$sfDir"}"""
+    println(json)
+    // belt and braces for tail-window truncation: the same JSON goes to a
+    // file the driver (or a human) can read whole
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_out.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"[bench] WARN: bench_out.json not written: $e") }
     spark.stop()
   }
 }

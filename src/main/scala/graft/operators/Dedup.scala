@@ -83,11 +83,19 @@ object Dedup {
     *     pairs expand IN PLACE with a nested transform — possible
     *     precisely because the hot-gram guard bounds every bucket at 20
     *     docs (≤190 pairs). A gram with df > 20 is a stop-shingle: ~zero
-    *     discrimination, O(df²) pair risk — dropping it (bucket filter
-    *     `size ≤ 20`) is what keeps candidates linear at 100 TB. The
-    *     jaccard denominator still uses the FULL per-doc gram count, so
-    *     the reported value is a tight lower bound for near-dup pairs,
-    *     which by definition share mostly *rare* grams. */
+    *     discrimination, O(df²) pair risk — dropping it is what keeps
+    *     candidates linear at 100 TB. Crucially the df filter runs BEFORE
+    *     any collect: gram df is aggregated on the slim 8-byte key (a
+    *     map-side-combined count — constant aggregation state no matter
+    *     how hot the gram), rare grams (df ∈ [2, 20]) semi-join back, and
+    *     only then does `collect_list` buffer a bucket — so a corpus-wide
+    *     stop-shingle with df = 10⁸ costs one counter, never a 10⁸-element
+    *     aggregation buffer. (Filtering on `size(collect_list(...))`
+    *     AFTER collecting would bound the *pairs* but OOM the buffer on
+    *     exactly the keys the guard exists for.) The jaccard denominator
+    *     still uses the FULL per-doc gram count, so the reported value is
+    *     a tight lower bound for near-dup pairs, which by definition
+    *     share mostly *rare* grams. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramPairs(s, dir)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -173,8 +181,10 @@ object Dedup {
 
   /** All candidate pairs with their exact (un-rounded) Jaccard lower
     * bound — shared (via the [[ngramPairs]] cache) by [[ngramJaccard]]
-    * (top-20 report) and [[corpusDedupNg]] (≥ 0.5 materializer predicate). */
-  private def ngramPairsPlan(s: SparkSession, dir: String): DataFrame = {
+    * (top-20 report) and [[corpusDedupNg]] (≥ 0.5 materializer predicate).
+    * Package-visible so DedupSpec can assert the candidate-count bound and
+    * the aggregate-before-collect plan shape directly. */
+  private[graft] def ngramPairsPlan(s: SparkSession, dir: String): DataFrame = {
     // (doc_id, n_grams) packs into one BIGINT: halves the collect_list/
     // shuffle width and keeps the packed sort order == (doc_id, n_grams)
     // order, so doc_a < doc_b still falls out of the sorted bucket
@@ -194,10 +204,22 @@ object Dedup {
       .select(
         (col("doc_id") * pack + size(col("garr"))).as("dn"),
         explode(col("garr")).as("gram"))
+    // hot-gram guard, aggregate-before-collect (mirrors the oracle's
+    // `rare AS (... HAVING COUNT(*) <= 20)` CTE): df is a counted 8-byte
+    // key — bounded aggregation state even for a df=10⁸ stop-shingle —
+    // and only rare grams ever reach a collect_list buffer. The semi-join
+    // and the count aggregate shuffle the SAME child on the same key, so
+    // ReuseExchange runs the gram explode once; the bucket collect then
+    // rides the join's existing gram partitioning without re-shuffling.
+    val rare = g
+      .groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 20))
+      .select("gram")
     val buckets = g
+      .join(rare, Seq("gram"), "left_semi")
       .groupBy("gram")
       .agg(array_sort(collect_list(col("dn"))).as("ds"))
-      .filter(size(col("ds")).between(2, 20))
     buckets
       .select(
         explode(
@@ -323,7 +345,10 @@ object Dedup {
     * 64-perm signatures → 16 bands of 4 → band-equality bucket join for
     * candidates → signature-agreement estimate of Jaccard, keep >= 0.5.
     * Candidate generation is pure key-equality shuffle; nothing quadratic
-    * ever materializes beyond per-bucket pairs.
+    * ever materializes beyond per-bucket pairs, and a hot-band guard
+    * (see [[minhashCandidates]]) caps every bucket's df so even a
+    * boilerplate mega-cluster — 10⁶ near-identical pages sharing a band
+    * hash, the NORM in web corpora — cannot emit O(n²) join rows.
     *
     * Signatures come from the native one-pass [[graft.functions.MinHash64]]
     * expression (`graft_minhash`) — zero shuffle, scan-speed; round 1's
@@ -346,28 +371,73 @@ object Dedup {
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     cachedByStamp("minhash", s, dir)(minhashPairsPlan(s, dir))
 
-  private def minhashPairsPlan(s: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables
+  /** Per-doc 64-slot minhash signatures — shared by the candidate stage
+    * and the signature re-attach of [[minhashPairsPlan]]. */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    Tables
       .documents(s, dir)
       .select(col("doc_id"), call_function("graft_minhash", col("text")).as("sig"))
       .filter(col("sig").isNotNull)
+
+  /** Distinct candidate pairs from the band-equality bucket join, with the
+    * hot-band guard: a band hash shared by more than [[bandDfCap]] docs is
+    * dropped from candidate generation (same scale argument as the df ≤ 20
+    * hot-gram filter and simhash's df > 200 block guard — O(df²) pairs for
+    * ~zero signal). For a moderately-hot band the pairs are not lost: a
+    * true near-dup pair collides in one of its 15 other, rarer bands with
+    * the usual LSH multi-band probability. What IS intentionally skipped
+    * is pairing WITHIN a boilerplate mega-cluster so large that every band
+    * it touches is hot — the standard web-scale recall/cost trade; its
+    * exactly-identical members are still caught by [[exact]]/[[corpusDedup]]'s
+    * exact-hash stage, which is O(n) on any cluster size.
+    *
+    * Unlike simhash's guard the hot set is NOT broadcast: simhash block
+    * values live in a domain bounded by construction (4 × 2¹⁶), while band
+    * hashes are 64-bit with up to |bandRows|/cap hot values in the worst
+    * case — so the guard is a shuffled LEFT ANTI on the band key, and
+    * ReuseExchange dedupes its exchange with the count aggregate's (both
+    * shuffle the same banded child on `bb`).
+    *
+    * Package-visible so DedupSpec's mega-cluster fixture can assert the
+    * candidate-count bound directly. */
+  private[graft] def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
     // band rows carry ONLY (doc_id, band-hash): the candidate join shuffles
     // 16 bytes/row instead of the 512-byte signature; signatures re-attach
     // to the (few) surviving pairs afterwards
-    val banded = sigs.select(
+    val banded = minhashSigs(s, dir).select(
       col("doc_id"),
       explode(
         transform(
           sequence(lit(0), lit(15)),
           b => struct(b.as("band"), xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("bh"))))
         .as("bb"))
-    val a = banded.select(col("doc_id").as("doc_a"), col("bb").as("bb_a"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("bb").as("bb_b"))
-    val pairs = a
-      .join(b, col("bb_a") === col("bb_b") && col("doc_a") < col("doc_b"))
+    val hotBands = banded
+      .groupBy("bb")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > bandDfCap)
+      .select("bb")
+    val cold = banded.join(hotBands, Seq("bb"), "left_anti")
+    val a = cold.select(col("doc_id").as("doc_a"), col("bb").as("bb_a"))
+    val b = cold.select(col("doc_id").as("doc_b"), col("bb").as("bb_b"))
+    a.join(b, col("bb_a") === col("bb_b") && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    val cand = pairs
+  }
+
+  /** Hot-band df cap for [[minhashCandidates]]: a surviving band bucket
+    * yields ≤ cap·(cap−1)/2 ≈ 20k pairs — bounded executor work per key. */
+  private[graft] val bandDfCap = 200
+
+  /** Hot-block df cap for [[simhash]] — same bound, same argument. Total
+    * output is then ≤ blockRows × cap/2 (every surviving bucket pairs each
+    * row with < cap others): LINEAR in corpus size with constant cap/2,
+    * even when a splintered mega-cluster fills many buckets to just under
+    * the cap — pinned by DedupSpec's mega-cluster fixture. */
+  private[graft] val blockDfCap = 200
+
+  private def minhashPairsPlan(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(s, dir)
+    val cand = minhashCandidates(s, dir)
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
     cand
@@ -404,7 +474,7 @@ object Dedup {
     val hotBlocks = allBlocks
       .groupBy("b")
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") > 200)
+      .filter(col("df") > blockDfCap)
       .select("b")
     val blocks = allBlocks.join(broadcast(hotBlocks), Seq("b"), "left_anti")
     val a = blocks.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("b").as("b_a"))
@@ -519,9 +589,22 @@ object Dedup {
     * logical plan ~3× per round (a 15-round chain graph OOMed the driver
     * on a 2 GB plan string before this; DedupSpec's long-chain test pins
     * the fix) — checkpointing keeps the per-round plan constant-size.
-    * At petabyte scale the one upgrade is a reliable checkpoint dir
-    * instead of localCheckpoint — the per-round plan is unchanged. */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    *
+    * `checkpointDir`: the petabyte upgrade. When set, each round uses a
+    * RELIABLE `df.checkpoint` into that directory instead of
+    * `localCheckpoint` — label frames survive executor loss, which a
+    * multi-hour 100 TB run needs (localCheckpoint blocks die with their
+    * executor and fail the whole loop on any node churn). The per-round
+    * plan is unchanged. Reliable mode skips the eager per-round block
+    * eviction (checkpoint data is files, not cached executor blocks);
+    * superseded rounds' files persist until the checkpoint dir is
+    * cleaned — bounded at rounds × |label frame|, and the label frame
+    * covers only pair-graph members, orders of magnitude smaller than
+    * the corpus. */
+  def dedupClusters(
+      s: SparkSession,
+      dir: String,
+      checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = Tables.documents(s, dir)
     val exactEdges = exactDupPairs(docs)
@@ -541,15 +624,18 @@ object Dedup {
     // a long loop shouldn't accumulate rounds × frames of storage waiting
     // for a driver GC); only the FINAL frame — which backs the returned
     // plan — is left to the GC path.
+    checkpointDir.foreach(s.sparkContext.setCheckpointDir)
     var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
-    def ckpt(df: DataFrame): DataFrame = {
-      val ck = df.localCheckpoint(true) // eager: materialized before we free the previous round
-      prevRdd.foreach(_.unpersist(blocking = false))
-      prevRdd = ck.queryExecution.analyzed.collectFirst {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) // reliable: files, no block eviction
+      else {
+        val ck = df.localCheckpoint(true) // eager: materialized before we free the previous round
+        prevRdd.foreach(_.unpersist(blocking = false))
+        prevRdd = ck.queryExecution.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }
+        ck
       }
-      ck
-    }
     try {
       var labels = ckpt(
         edges
@@ -640,7 +726,7 @@ object Dedup {
        ORDER BY doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_clusters" -> (dedupClusters _),
+    "dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "text_edit_sim" -> (editSim _),
     "corpus_dedup_ng" -> (corpusDedupNg _),
     "corpus_dedup" -> (corpusDedup _),

@@ -228,8 +228,12 @@ object Similarity {
     * so assignment is a narrow map (16 `graft_dot`s per vector inside a
     * `transform`/`array_max` — no 16× row expansion, no shuffle);
     * candidate generation is a broadcast join of the (tiny) probe list
-    * against cell-assigned vectors. At 100 TB: write vectors partitioned
-    * by cell and probing prunes 12/16 of the corpus at the reader.
+    * against cell-assigned vectors. The whole operator reads the corpus
+    * exactly TWICE (centroid pass + assignment pass): the query sample is
+    * materialized once into a checkpointed frame that feeds both the
+    * probe list and the rescoring vectors, instead of two more scans.
+    * At 100 TB: write vectors partitioned by cell and probing prunes
+    * 12/16 of the corpus at the reader.
     *
     * Every score is integer dots + exactly-rounded IEEE sqrt/div, so the
     * DuckDB oracle replays the whole pipeline bit-for-bit (argmax ties
@@ -254,17 +258,28 @@ object Similarity {
           col("cb"),
           c => struct(cellScore(c).as("cs"), (c.getField("cell") * -1).as("negcell")))))
       .select(col("vec_id"), col("qv"), col("nq"), (col("best.negcell") * -1).as("cell"))
-    val wp = Window.partitionBy("query_id").orderBy(col("cs").desc, col("cell"))
-    val probes = withCb
+    // ONE query frame feeds both the probe list and the rescoring vectors
+    // (they were two independent corpus scans before — four total with the
+    // centroid and assignment passes; now the whole operator runs two).
+    // Eager localCheckpoint: the frame is tiny by construction (the 1%
+    // query sample), materializing it once means neither consumer re-scans
+    // the corpus, and lineage truncation keeps the parquet scan out of the
+    // final executed plan (plan-asserted in DedupSpec). Cleanup is the GC +
+    // ContextCleaner path, same as [[Dedup.dedupClusters]]'s final frame.
+    val qf = corpus
       .filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("qv"), col("nq"), explode(col("cb")).as("c"))
+      .select(col("vec_id").as("query_id"), col("qv"), col("nq"))
+      .localCheckpoint(true)
+    val wp = Window.partitionBy("query_id").orderBy(col("cs").desc, col("cell"))
+    val probes = qf
+      .crossJoin(broadcast(codebook))
+      .select(col("query_id"), col("qv"), col("nq"), explode(col("cb")).as("c"))
       .select(col("query_id"), col("c.cell").as("cell"), cellScore(col("c")).as("cs"))
       .withColumn("pr", row_number().over(wp))
       .filter(col("pr") <= 4)
       .select("query_id", "cell")
-    val qvecs = corpus
-      .filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("qv").as("query_qv"), col("nq").as("query_nq"))
+    val qvecs = qf
+      .select(col("query_id"), col("qv").as("query_qv"), col("nq").as("query_nq"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
     assigned
       .join(broadcast(probes), Seq("cell"))

@@ -134,8 +134,10 @@ class DedupSpec extends GraftSpecBase {
     // apart fall below threshold — a pure chain of diameter ~60. Linear
     // propagation would need ~60 rounds and trip the 50-round loud guard;
     // path-halving must finish well inside it and still produce ONE
-    // cluster rooted at doc 0.
+    // cluster rooted at doc 0. Run in BOTH checkpoint modes: the default
+    // localCheckpoint and the petabyte-path reliable checkpoint dir.
     val dir = java.nio.file.Files.createTempDirectory("graft_chain").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val words = (0 until 130).map(i => s"w$i")
     val rows = (0L until 60L).map { i =>
       (i, words.slice(2 * i.toInt, 2 * i.toInt + 11).mkString(" "))
@@ -144,11 +146,85 @@ class DedupSpec extends GraftSpecBase {
     rows.toDF("doc_id", "text").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     try {
-      val out = Dedup.dedupClusters(spark, dir).collect()
-      assert(out.length == 60)
-      assert(out.forall(_.getLong(1) == 0L), "chain must collapse into one cluster rooted at 0")
-      assert(out.forall(_.getLong(2) == 60L), "cluster_size must cover the whole chain")
+      for (mode <- Seq(None, Some(ckptDir))) {
+        val out = Dedup.dedupClusters(spark, dir, mode).collect()
+        assert(out.length == 60, s"mode=$mode")
+        assert(out.forall(_.getLong(1) == 0L), s"mode=$mode: chain must collapse into one cluster rooted at 0")
+        assert(out.forall(_.getLong(2) == 60L), s"mode=$mode: cluster_size must cover the whole chain")
+      }
+      val ckptFiles = new java.io.File(ckptDir).listFiles()
+      assert(ckptFiles != null && ckptFiles.nonEmpty,
+        "reliable mode must have written checkpoint data into the given dir")
     } finally Dedup.clearSharedCache()
+  }
+
+  test("near-dup candidate pipelines stay bounded on a boilerplate mega-cluster") {
+    // 1000 NEAR-identical docs — each differs from the shared boilerplate
+    // by one trailing word, so the exact-hash stage can NOT absorb them —
+    // the web-corpus pathology the hot-key guards exist for. Plus one
+    // genuine near-dup pair on a disjoint vocabulary that candidate
+    // generation must still find. Unguarded generation emits ~n²/2 ≈ 500k
+    // pairs here; all three pipelines must stay orders of magnitude below.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mega").toString
+    import spark.implicits._
+    val base = (0 until 60).map(i => s"common$i").mkString(" ")
+    val mega = (0L until 1000L).map(i => (i, s"$base uniq$i"))
+    val planted = Seq(
+      (5000L, (0 until 11).map(i => s"rare$i").mkString(" ")),
+      (5001L, (2 until 13).map(i => s"rare$i").mkString(" ")))
+    (mega ++ planted).toDF("doc_id", "text").coalesce(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val quadratic = 1000L * 999 / 2 // ≈ 500k distinct pairs when unguarded
+      // ngram and minhash DROP mega-cluster pairs (hot keys carry no
+      // signal): candidates must collapse to ~the planted pair
+      val bound = 20000L
+      val ngramCand = Dedup.ngramPairsPlan(spark, dir)
+      val nCand = ngramCand.count()
+      assert(nCand <= bound, s"ngram candidates $nCand not bounded (unguarded ≈ $quadratic)")
+      assert(
+        ngramCand
+          .filter(col("doc_a") === 5000 && col("doc_b") === 5001 && col("jaccard") >= 0.5)
+          .count() == 1,
+        "planted near-dup pair lost by the hot-gram guard")
+      val mhCand = Dedup.minhashCandidates(spark, dir)
+      val mCand = mhCand.count()
+      assert(mCand <= bound, s"minhash candidates $mCand not bounded (unguarded ≈ $quadratic)")
+      assert(
+        mhCand.filter(col("doc_a") === 5000 && col("doc_b") === 5001).count() == 1,
+        "planted near-dup pair lost by the hot-band guard")
+      // simhash splinters the mega-cluster across many just-under-cap
+      // buckets (swing bits from the unique word) and legitimately REPORTS
+      // those pairs — its guard's guarantee is per-bucket work ≤ cap and
+      // total output ≤ blockRows × cap/2: linear in corpus size, below the
+      // deduped unguarded quadratic
+      val shPairs = Dedup.simhash(spark, dir).count()
+      val shBound = 4L * 1002 * Dedup.blockDfCap / 2
+      assert(shPairs <= shBound, s"simhash pairs $shPairs above linear bound $shBound")
+      assert(shBound < quadratic, "fixture too small to discriminate the simhash bound")
+    } finally Dedup.clearSharedCache()
+  }
+
+  test("ngram pipeline aggregates gram df BEFORE any collect (plan shape)") {
+    // the guard's whole point is that a df=10⁸ stop-shingle costs one
+    // counter, never a 10⁸-element collect_list buffer — pin the ordering:
+    // every collect_list aggregate must sit above the rare-gram semi-join
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = Dedup.ngramPairsPlan(spark, sfDir).queryExecution.optimizedPlan
+    val collectAggs = plan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.exists {
+            case ae: AggregateExpression => ae.aggregateFunction.isInstanceOf[CollectList]
+            case _ => false
+          }) =>
+        a
+    }
+    assert(collectAggs.nonEmpty, s"no collect_list aggregate found in:\n$plan")
+    for (a <- collectAggs)
+      assert(
+        a.child.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty,
+        s"collect_list buffers before the rare-gram semi-join — df guard must run first:\n$plan")
   }
 
   test("shared pairs cache refreshes when the documents table changes on disk") {
