@@ -86,9 +86,10 @@ object Bench {
       s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"shared_cache":$sharedCache,"sf":"$sfDir"}"""
     println(json)
     // belt and braces for tail-window truncation: the same JSON goes to a
-    // file the driver (or a human) can read whole
+    // file the driver (or a human) can read whole — cwd by default,
+    // overridable when the bench is launched from elsewhere
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_out.json"),
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception => System.err.println(s"[bench] WARN: bench_out.json not written: $e") }
     spark.stop()

@@ -346,9 +346,11 @@ object Dedup {
     * candidates → signature-agreement estimate of Jaccard, keep >= 0.5.
     * Candidate generation is pure key-equality shuffle; nothing quadratic
     * ever materializes beyond per-bucket pairs, and a hot-band guard
-    * (see [[minhashCandidates]]) caps every bucket's df so even a
-    * boilerplate mega-cluster — 10⁶ near-identical pages sharing a band
-    * hash, the NORM in web corpora — cannot emit O(n²) join rows.
+    * (see [[minhashCandidates]]) switches any bucket above a df cap to
+    * linear star pairing, so even a boilerplate mega-cluster — 10⁶
+    * near-identical pages sharing a band hash, the NORM in web corpora —
+    * emits O(n) candidate rows instead of O(n²), while still collapsing
+    * to one representative downstream.
     *
     * Signatures come from the native one-pass [[graft.functions.MinHash64]]
     * expression (`graft_minhash`) — zero shuffle, scan-speed; round 1's
@@ -380,23 +382,28 @@ object Dedup {
       .filter(col("sig").isNotNull)
 
   /** Distinct candidate pairs from the band-equality bucket join, with the
-    * hot-band guard: a band hash shared by more than [[bandDfCap]] docs is
-    * dropped from candidate generation (same scale argument as the df ≤ 20
-    * hot-gram filter and simhash's df > 200 block guard — O(df²) pairs for
-    * ~zero signal). For a moderately-hot band the pairs are not lost: a
-    * true near-dup pair collides in one of its 15 other, rarer bands with
-    * the usual LSH multi-band probability. What IS intentionally skipped
-    * is pairing WITHIN a boilerplate mega-cluster so large that every band
-    * it touches is hot — the standard web-scale recall/cost trade; its
-    * exactly-identical members are still caught by [[exact]]/[[corpusDedup]]'s
-    * exact-hash stage, which is O(n) on any cluster size.
+    * hot-band guard: a band hash shared by more than [[bandDfCap]] docs
+    * switches that bucket from ALL-PAIRS (O(df²)) to STAR pairing — every
+    * member pairs with the bucket's lowest doc_id only, O(df) rows. A
+    * band collision is 4 agreeing minhash slots, i.e. a strong near-dup
+    * signal even when the bucket is huge (a boilerplate mega-cluster —
+    * 10⁶ near-identical pages, the NORM in web corpora), so unlike the
+    * zero-signal stop-shingles the ngram guard DROPS, hot bands are
+    * worth keeping at linear cost: the star reaches every member, the
+    * downstream est_jaccard ≥ 0.5 filter kills false collisions, and
+    * [[corpusDedup]] (keeper = lowest id — exactly the star's center)
+    * still collapses the cluster to one representative. Cluster members
+    * near-identical to each other but NOT to the representative lose
+    * their direct edge — [[dedupClusters]]' transitive closure restores
+    * the connectivity through the center. Cold buckets are unchanged:
+    * df ≤ cap means ≤ cap·(cap−1)/2 ≈ 20k pairs of bounded work.
     *
     * Unlike simhash's guard the hot set is NOT broadcast: simhash block
     * values live in a domain bounded by construction (4 × 2¹⁶), while band
     * hashes are 64-bit with up to |bandRows|/cap hot values in the worst
-    * case — so the guard is a shuffled LEFT ANTI on the band key, and
-    * ReuseExchange dedupes its exchange with the count aggregate's (both
-    * shuffle the same banded child on `bb`).
+    * case — so hot membership is decided by shuffled joins on the band
+    * key, and ReuseExchange collapses the three uses (df aggregate, cold
+    * anti-join, hot star join) onto ONE exchange of the banded child.
     *
     * Package-visible so DedupSpec's mega-cluster fixture can assert the
     * candidate-count bound directly. */
@@ -413,15 +420,22 @@ object Dedup {
         .as("bb"))
     val hotBands = banded
       .groupBy("bb")
-      .agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("rep"))
       .filter(col("df") > bandDfCap)
-      .select("bb")
-    val cold = banded.join(hotBands, Seq("bb"), "left_anti")
+      .select("bb", "rep")
+    val cold = banded.join(hotBands.select("bb"), Seq("bb"), "left_anti")
     val a = cold.select(col("doc_id").as("doc_a"), col("bb").as("bb_a"))
     val b = cold.select(col("doc_id").as("doc_b"), col("bb").as("bb_b"))
-    a.join(b, col("bb_a") === col("bb_b") && col("doc_a") < col("doc_b"))
+    val coldPairs = a
+      .join(b, col("bb_a") === col("bb_b") && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-      .distinct()
+    // rep = min(doc_id) of the bucket, so rep < doc_id for every emitted
+    // row — the (doc_a < doc_b) orientation holds by construction
+    val starPairs = banded
+      .join(hotBands, Seq("bb"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    coldPairs.unionByName(starPairs).distinct()
   }
 
   /** Hot-band df cap for [[minhashCandidates]]: a surviving band bucket
@@ -590,17 +604,22 @@ object Dedup {
     * on a 2 GB plan string before this; DedupSpec's long-chain test pins
     * the fix) — checkpointing keeps the per-round plan constant-size.
     *
-    * `checkpointDir`: the petabyte upgrade. When set, each round uses a
-    * RELIABLE `df.checkpoint` into that directory instead of
-    * `localCheckpoint` — label frames survive executor loss, which a
-    * multi-hour 100 TB run needs (localCheckpoint blocks die with their
-    * executor and fail the whole loop on any node churn). The per-round
-    * plan is unchanged. Reliable mode skips the eager per-round block
-    * eviction (checkpoint data is files, not cached executor blocks);
-    * superseded rounds' files persist until the checkpoint dir is
-    * cleaned — bounded at rounds × |label frame|, and the label frame
-    * covers only pair-graph members, orders of magnitude smaller than
-    * the corpus. */
+    * `checkpointDir`: the petabyte upgrade. When set, each round's label
+    * frame is written to `<dir>/round_<k>` as parquet and read back —
+    * RELIABLE files that survive executor loss, which a multi-hour
+    * 100 TB run needs (localCheckpoint blocks die with their executor
+    * and fail the whole loop on any node churn). A parquet round-trip
+    * beats `Dataset.checkpoint(reliable)` on both counts that matter
+    * here: the write IS the materialization (reliable RDD checkpointing
+    * launches a second job that recomputes the round from lineage —
+    * doubling every round's cost), and no session-global
+    * `setCheckpointDir` mutation (two concurrent dedupClusters calls on
+    * one session cannot redirect each other's files). Superseded rounds
+    * are deleted eagerly through the dir's Hadoop FileSystem (works for
+    * HDFS/object stores, not just local disk); only the FINAL round's
+    * files — which back the returned plan — remain, so the caller owns
+    * exactly one |label frame| of residue and cleans the dir when done
+    * consuming the result. */
   def dedupClusters(
       s: SparkSession,
       dir: String,
@@ -624,18 +643,29 @@ object Dedup {
     // a long loop shouldn't accumulate rounds × frames of storage waiting
     // for a driver GC); only the FINAL frame — which backs the returned
     // plan — is left to the GC path.
-    checkpointDir.foreach(s.sparkContext.setCheckpointDir)
     var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
-    def ckpt(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) // reliable: files, no block eviction
-      else {
+    var prevPath: Option[String] = None
+    var roundIdx = 0
+    def dropPath(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    def ckpt(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(base) => // reliable: parquet round-trip, write == materialize
+        roundIdx += 1
+        val path = s"$base/round_$roundIdx"
+        df.write.mode("overwrite").parquet(path)
+        prevPath.foreach(dropPath) // superseded round freed eagerly, same as local mode
+        prevPath = Some(path)
+        s.read.parquet(path)
+      case None =>
         val ck = df.localCheckpoint(true) // eager: materialized before we free the previous round
         prevRdd.foreach(_.unpersist(blocking = false))
         prevRdd = ck.queryExecution.analyzed.collectFirst {
           case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
         }
         ck
-      }
+    }
     try {
       var labels = ckpt(
         edges

@@ -230,8 +230,8 @@ object Similarity {
     * candidate generation is a broadcast join of the (tiny) probe list
     * against cell-assigned vectors. The whole operator reads the corpus
     * exactly TWICE (centroid pass + assignment pass): the query sample is
-    * materialized once into a checkpointed frame that feeds both the
-    * probe list and the rescoring vectors, instead of two more scans.
+    * persisted once and that cached frame feeds both the probe list and
+    * the rescoring vectors, instead of two more scans.
     * At 100 TB: write vectors partitioned by cell and probing prunes
     * 12/16 of the corpus at the reader.
     *
@@ -260,16 +260,18 @@ object Similarity {
       .select(col("vec_id"), col("qv"), col("nq"), (col("best.negcell") * -1).as("cell"))
     // ONE query frame feeds both the probe list and the rescoring vectors
     // (they were two independent corpus scans before — four total with the
-    // centroid and assignment passes; now the whole operator runs two).
-    // Eager localCheckpoint: the frame is tiny by construction (the 1%
-    // query sample), materializing it once means neither consumer re-scans
-    // the corpus, and lineage truncation keeps the parquet scan out of the
-    // final executed plan (plan-asserted in DedupSpec). Cleanup is the GC +
-    // ContextCleaner path, same as [[Dedup.dedupClusters]]'s final frame.
+    // centroid and assignment passes; now the whole operator executes two).
+    // Lazy persist, NOT an eager localCheckpoint: no job runs at plan-
+    // construction time, the first consumer's action populates the cache
+    // and the second reads it, and on executor loss the partition
+    // recomputes from lineage instead of failing the query (checkpoint
+    // blocks die with their executor). The frame is tiny by construction
+    // (the 1% query sample). Cleanup is the GC + ContextCleaner path —
+    // plan shape (≤ 2 embeddings file scans) is pinned in ScaleSpec.
     val qf = corpus
       .filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("qv"), col("nq"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wp = Window.partitionBy("query_id").orderBy(col("cs").desc, col("cell"))
     val probes = qf
       .crossJoin(broadcast(codebook))

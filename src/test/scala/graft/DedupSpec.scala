@@ -172,12 +172,16 @@ class DedupSpec extends GraftSpecBase {
     val planted = Seq(
       (5000L, (0 until 11).map(i => s"rare$i").mkString(" ")),
       (5001L, (2 until 13).map(i => s"rare$i").mkString(" ")))
-    (mega ++ planted).toDF("doc_id", "text").coalesce(2)
+    (mega ++ planted).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("mega"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(2)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     try {
       val quadratic = 1000L * 999 / 2 // ≈ 500k distinct pairs when unguarded
-      // ngram and minhash DROP mega-cluster pairs (hot keys carry no
-      // signal): candidates must collapse to ~the planted pair
+      // ngram DROPS mega-cluster pairs (a df>20 gram is a zero-signal
+      // stop-shingle): candidates must collapse to ~the planted pair
       val bound = 20000L
       val ngramCand = Dedup.ngramPairsPlan(spark, dir)
       val nCand = ngramCand.count()
@@ -187,12 +191,25 @@ class DedupSpec extends GraftSpecBase {
           .filter(col("doc_a") === 5000 && col("doc_b") === 5001 && col("jaccard") >= 0.5)
           .count() == 1,
         "planted near-dup pair lost by the hot-gram guard")
-      val mhCand = Dedup.minhashCandidates(spark, dir)
-      val mCand = mhCand.count()
-      assert(mCand <= bound, s"minhash candidates $mCand not bounded (unguarded ≈ $quadratic)")
-      assert(
-        mhCand.filter(col("doc_a") === 5000 && col("doc_b") === 5001).count() == 1,
-        "planted near-dup pair lost by the hot-band guard")
+      // minhash STARS mega-cluster buckets (a band collision is 4 agreeing
+      // minhash slots — strong signal even when hot): candidate count stays
+      // linear, but every member keeps an edge to the bucket representative
+      // so the cluster still deduplicates
+      val mhCand = Dedup.minhashCandidates(spark, dir).persist()
+      try {
+        val mCand = mhCand.count()
+        assert(mCand <= bound, s"minhash candidates $mCand not bounded (unguarded ≈ $quadratic)")
+        assert(
+          mhCand.filter(col("doc_a") === 5000 && col("doc_b") === 5001).count() == 1,
+          "planted near-dup pair lost by the hot-band guard")
+        val starReached = mhCand.filter(col("doc_b") < 1000).select("doc_b").distinct().count()
+        assert(starReached >= 900,
+          s"star pairing reached only $starReached/999 mega members — hot-band guard dropping near-dups")
+      } finally mhCand.unpersist()
+      // end-to-end: the minhash materializer must collapse the mega-cluster
+      // to representatives, not keep all 1000 near-identical docs
+      val kept = Dedup.corpusDedup(spark, dir).count()
+      assert(kept <= 100, s"mega-cluster not collapsed: $kept of 1002 docs kept")
       // simhash splinters the mega-cluster across many just-under-cap
       // buckets (swing bits from the unique word) and legitimately REPORTS
       // those pairs — its guard's guarantee is per-bucket work ≤ cap and

@@ -71,6 +71,29 @@ class ScaleSpec extends GraftSpecBase {
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
 
+  test("IVF executes at most two embeddings file scans") {
+    // centroid pass + assignment pass read the files; the query sample
+    // feeds BOTH the probe list and the rescoring vectors from one
+    // persisted frame (InMemoryTableScan), not two more corpus scans —
+    // the r4 verdict's 4-scan finding must not regress. AQE is disabled
+    // for the assertion so ReuseExchange collapses the duplicated codebook
+    // broadcast at planning time (AQE does the same reuse, but only at
+    // runtime, which a static plan inspection can't see).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Similarity.annIvf(spark, sfDir).queryExecution.executedPlan
+      val fileScans = plan.collect { case f: FileSourceScanExec => f }
+      assert(fileScans.size <= 2,
+        s"embeddings scanned ${fileScans.size} times (want ≤ 2) in:\n$plan")
+      val cacheScans = plan.collect { case c: InMemoryTableScanExec => c }
+      assert(cacheScans.size == 2,
+        s"probes + rescore must both read the persisted query sample, got ${cacheScans.size} in:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("knn centroid aggregation runs on the ObjectHashAggregate path") {
     val plan = Similarity.knnJoin(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), s"graft_vec_sum not object-hash-aggregated:\n$plan")
