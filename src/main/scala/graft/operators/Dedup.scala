@@ -102,82 +102,26 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
 
-  /** Run-scoped cache of shared candidate-pair frames, keyed by (session,
-    * dir, pipeline tag). The "ngram" frame feeds [[ngramJaccard]],
+  /** Shared candidate-pair frames, cached via [[PipelineCache]] (stamp-
+    * keyed on the documents table — see that object for the lifecycle and
+    * staleness contract). The "ngram" frame feeds [[ngramJaccard]],
     * [[corpusDedupNg]], [[dedupClusters]] and [[editSim]]; the "minhash"
     * frame feeds [[minhash]] and [[corpusDedup]]. Without sharing, each
     * consumer re-executes its full candidate pipeline — measured at ~1/3
     * of the whole suite's runtime in round 2. Cached frames hold ONLY the
     * surviving candidate pairs — orders of magnitude smaller than the
     * corpus (bounded buckets/bands cap pairs per key) — and spill to disk
-    * if an executor is short on memory (MEMORY_AND_DISK).
-    *
-    * Lifecycle/staleness: each entry is keyed per (session, data dir) AND
-    * stamped with a snapshot of the source file's (mtime, length) — if the
-    * documents table changes on disk, the next call sees a different stamp,
-    * unpersists the stale frame and recomputes, so the consuming operators
-    * never serve results older than their input. One entry per (session,
-    * dir) is held at a time (replacement evicts), and a context-shutdown
-    * listener drops every entry for a stopping session, so no persisted
-    * frame or session ref outlives its SparkContext. [[clearSharedCache]]
-    * releases everything eagerly (Bench does, between timing passes, so the
-    * pipeline cost stays visible exactly once per pass). */
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), (String, DataFrame)]()
-
-  private val cleanupHooked =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
-
-  /** Cheap driver-side change stamp of the shared pipeline's one input. */
-  private def sourceStamp(dir: String): String = {
-    val f = new java.io.File(dir, "documents.parquet")
-    def walk(x: java.io.File): Seq[String] =
-      if (x.isDirectory)
-        Option(x.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
-      else Seq(s"${x.getName}:${x.lastModified}:${x.length}")
-    walk(f).mkString(",")
-  }
-
-  private def hookCleanup(s: SparkSession): Unit =
-    if (cleanupHooked.add(s))
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          pairsCache.keySet.removeIf(_._1 eq s)
-          cleanupHooked.remove(s)
-        }
-      })
-
-  /** The generic stamp-keyed run-scoped cache behind [[ngramPairs]] and
-    * [[minhashPairs]] — each tag is one shared candidate frame. */
+    * if an executor is short on memory (MEMORY_AND_DISK). */
   private def cachedByStamp(tag: String, s: SparkSession, dir: String)(
-      build: => DataFrame): DataFrame = {
-    hookCleanup(s)
-    pairsCache
-      .compute(
-        (s, dir, tag),
-        (_, cur) => {
-          // stamp read inside the critical section: reading it outside
-          // would let a concurrent rewrite install a fresh frame under an
-          // outdated stamp and thrash the next caller into a rebuild
-          val stamp = sourceStamp(dir)
-          if (cur != null && cur._1 == stamp) cur
-          else {
-            if (cur != null) cur._2.unpersist(blocking = false)
-            (stamp, build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-          }
-        })
-      ._2
-  }
+      build: => DataFrame): DataFrame =
+    PipelineCache.cached(tag, s, dir, "documents.parquet")(build)
 
   private def ngramPairs(s: SparkSession, dir: String): DataFrame =
     cachedByStamp("ngram", s, dir)(ngramPairsPlan(s, dir))
 
-  /** Unpersist and forget every shared candidate frame (all sessions/dirs). */
-  def clearSharedCache(): Unit = {
-    pairsCache.forEach((_, v) => v._2.unpersist(blocking = false))
-    pairsCache.clear()
-  }
+  /** Unpersist and forget every shared pipeline frame (all sessions/dirs,
+    * including [[Similarity]]'s — delegates to [[PipelineCache.clear]]). */
+  def clearSharedCache(): Unit = PipelineCache.clear()
 
   /** All candidate pairs with their exact (un-rounded) Jaccard lower
     * bound — shared (via the [[ngramPairs]] cache) by [[ngramJaccard]]
@@ -207,10 +151,15 @@ object Dedup {
     // hot-gram guard, aggregate-before-collect (mirrors the oracle's
     // `rare AS (... HAVING COUNT(*) <= 20)` CTE): df is a counted 8-byte
     // key — bounded aggregation state even for a df=10⁸ stop-shingle —
-    // and only rare grams ever reach a collect_list buffer. The semi-join
-    // and the count aggregate shuffle the SAME child on the same key, so
-    // ReuseExchange runs the gram explode once; the bucket collect then
-    // rides the join's existing gram partitioning without re-shuffling.
+    // and only rare grams ever reach a collect_list buffer. The guard's
+    // price is one extra pass of the exploded grams: the count aggregate
+    // shuffles partial (gram, count) rows while the semi-join shuffles raw
+    // (dn, gram) rows — different exchange children, so ReuseExchange
+    // cannot collapse them and the scan + explode runs twice. That is the
+    // deliberate trade: a second pass over slim 8/16-byte rows instead of
+    // one unbounded collect_list buffer on exactly the hottest keys. The
+    // bucket collect after the join is free of a third shuffle — it rides
+    // the join's existing gram partitioning.
     val rare = g
       .groupBy("gram")
       .agg(count(lit(1)).as("df"))
@@ -392,18 +341,24 @@ object Dedup {
     * worth keeping at linear cost: the star reaches every member, the
     * downstream est_jaccard ≥ 0.5 filter kills false collisions, and
     * [[corpusDedup]] (keeper = lowest id — exactly the star's center)
-    * still collapses the cluster to one representative. Cluster members
-    * near-identical to each other but NOT to the representative lose
-    * their direct edge — [[dedupClusters]]' transitive closure restores
-    * the connectivity through the center. Cold buckets are unchanged:
-    * df ≤ cap means ≤ cap·(cap−1)/2 ≈ 20k pairs of bounded work.
+    * still collapses the cluster to one representative. The accepted
+    * recall trade: two members near-identical to EACH OTHER whose
+    * est_jaccard to the bucket representative falls below the 0.5
+    * threshold lose their direct edge and nothing downstream restores it
+    * ([[dedupClusters]] builds its closure from the NGRAM pipeline, not
+    * these pairs) — geometrically rare for 4-slot band collisions, and
+    * still strictly more recall than dropping hot bands wholesale. Cold
+    * buckets are unchanged: df ≤ cap means ≤ cap·(cap−1)/2 ≈ 20k pairs
+    * of bounded work.
     *
     * Unlike simhash's guard the hot set is NOT broadcast: simhash block
     * values live in a domain bounded by construction (4 × 2¹⁶), while band
     * hashes are 64-bit with up to |bandRows|/cap hot values in the worst
     * case — so hot membership is decided by shuffled joins on the band
-    * key, and ReuseExchange collapses the three uses (df aggregate, cold
-    * anti-join, hot star join) onto ONE exchange of the banded child.
+    * key. The cold anti-join and the hot star join shuffle the SAME banded
+    * child on `bb` (one exchange, reused); the df aggregate's partial-agg
+    * exchange is its own — the guard's net cost is one extra shuffle of
+    * 16-byte band rows.
     *
     * Package-visible so DedupSpec's mega-cluster fixture can assert the
     * candidate-count bound directly. */
@@ -707,8 +662,19 @@ object Dedup {
           count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
         .orderBy("doc_id")
     } catch {
-      // on failure nothing will consume the last checkpoint — free it too
-      case t: Throwable => prevRdd.foreach(_.unpersist(blocking = false)); throw t
+      // on failure nothing will consume the last checkpoint — free it too;
+      // in reliable mode that means removing every written round dir
+      // (idempotent: superseded rounds are already gone), so a failed
+      // 100 TB run leaves no parquet residue to accumulate across retries
+      case t: Throwable =>
+        prevRdd.foreach(_.unpersist(blocking = false))
+        checkpointDir.foreach { base =>
+          (1 to roundIdx).foreach { i =>
+            try dropPath(s"$base/round_$i")
+            catch { case e: Exception => t.addSuppressed(e) }
+          }
+        }
+        throw t
     } finally edges.unpersist(blocking = false)
   }
 

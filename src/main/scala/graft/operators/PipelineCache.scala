@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Run-scoped cache of shared pipeline frames, keyed by (session, dir,
+  * tag) and stamped with a snapshot of the source table's file listing
+  * (name, mtime, length). Shared by [[Dedup]]'s candidate-pair pipelines
+  * and [[Similarity.annIvf]]'s query-sample frame.
+  *
+  * Lifecycle/staleness: if the source table changes on disk, the next
+  * call sees a different stamp, unpersists the stale frame and recomputes
+  * — consuming operators never serve results older than their input.
+  * This matters beyond the obvious: Spark's CacheManager matches cached
+  * plans by path equality, so a bare `.persist` of a re-read path would
+  * silently substitute the OLD cached data into a NEW plan after an
+  * in-place rewrite. The explicit unpersist-on-stamp-change here is what
+  * defeats that. One entry per (session, dir, tag) is held at a time
+  * (replacement evicts), and a context-shutdown listener drops every
+  * entry for a stopping session, so no persisted frame or session ref
+  * outlives its SparkContext. [[clear]] releases everything eagerly
+  * (Bench does, between timing passes, so shared pipeline cost stays
+  * visible exactly once per pass). */
+private[graft] object PipelineCache {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), (String, DataFrame)]()
+
+  private val cleanupHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Cheap driver-side change stamp of one source table under `dir`. */
+  private def sourceStamp(dir: String, table: String): String = {
+    val f = new java.io.File(dir, table)
+    def walk(x: java.io.File): Seq[String] =
+      if (x.isDirectory)
+        Option(x.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(s"${x.getName}:${x.lastModified}:${x.length}")
+    walk(f).mkString(",")
+  }
+
+  private def hookCleanup(s: SparkSession): Unit =
+    if (cleanupHooked.add(s))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          cache.keySet.removeIf(_._1 eq s)
+          cleanupHooked.remove(s)
+        }
+      })
+
+  /** Build-or-reuse the frame for `tag`, persisted MEMORY_AND_DISK,
+    * stamped against `table` (e.g. "documents.parquet") under `dir`. */
+  def cached(tag: String, s: SparkSession, dir: String, table: String)(
+      build: => DataFrame): DataFrame = {
+    hookCleanup(s)
+    cache
+      .compute(
+        (s, dir, tag),
+        (_, cur) => {
+          // stamp read inside the critical section: reading it outside
+          // would let a concurrent rewrite install a fresh frame under an
+          // outdated stamp and thrash the next caller into a rebuild
+          val stamp = sourceStamp(dir, table)
+          if (cur != null && cur._1 == stamp) cur
+          else {
+            if (cur != null) cur._2.unpersist(blocking = false)
+            (stamp, build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          }
+        })
+      ._2
+  }
+
+  /** Unpersist and forget every shared frame (all sessions/dirs/tags). */
+  def clear(): Unit = {
+    cache.forEach((_, v) => v._2.unpersist(blocking = false))
+    cache.clear()
+  }
+}

@@ -228,10 +228,11 @@ object Similarity {
     * so assignment is a narrow map (16 `graft_dot`s per vector inside a
     * `transform`/`array_max` — no 16× row expansion, no shuffle);
     * candidate generation is a broadcast join of the (tiny) probe list
-    * against cell-assigned vectors. The whole operator reads the corpus
-    * exactly TWICE (centroid pass + assignment pass): the query sample is
-    * persisted once and that cached frame feeds both the probe list and
-    * the rescoring vectors, instead of two more scans.
+    * against cell-assigned vectors. The whole operator runs THREE file
+    * passes over the corpus — centroid, assignment, and one filtered pass
+    * that materializes the query sample into a cached frame — after which
+    * the probe list and the rescoring vectors both read that tiny cache
+    * instead of adding two more corpus scans (the round-4 shape).
     * At 100 TB: write vectors partitioned by cell and probing prunes
     * 12/16 of the corpus at the reader.
     *
@@ -260,18 +261,23 @@ object Similarity {
       .select(col("vec_id"), col("qv"), col("nq"), (col("best.negcell") * -1).as("cell"))
     // ONE query frame feeds both the probe list and the rescoring vectors
     // (they were two independent corpus scans before — four total with the
-    // centroid and assignment passes; now the whole operator executes two).
-    // Lazy persist, NOT an eager localCheckpoint: no job runs at plan-
+    // centroid and assignment passes). Lazy persist via the stamp-keyed
+    // PipelineCache, NOT an eager localCheckpoint: no job runs at plan-
     // construction time, the first consumer's action populates the cache
     // and the second reads it, and on executor loss the partition
     // recomputes from lineage instead of failing the query (checkpoint
     // blocks die with their executor). The frame is tiny by construction
-    // (the 1% query sample). Cleanup is the GC + ContextCleaner path —
-    // plan shape (≤ 2 embeddings file scans) is pinned in ScaleSpec.
-    val qf = corpus
-      .filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("qv"), col("nq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (the 1% query sample). The stamp keying matters for correctness,
+    // not just reuse: a bare .persist would let Spark's CacheManager
+    // serve STALE sample rows after an in-place rewrite of the
+    // embeddings table (plans match by path), while the stamp unpersists
+    // and rebuilds — pinned by PipelineOpsSpec's rewrite test. Plan shape
+    // (≤ 2 plan-visible embeddings scans; the cache-populate pass happens
+    // at runtime inside the InMemoryRelation) is pinned in ScaleSpec.
+    val qf = PipelineCache.cached("ivf_qsample", s, dir, "embeddings.parquet")(
+      corpus
+        .filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("qv"), col("nq")))
     val wp = Window.partitionBy("query_id").orderBy(col("cs").desc, col("cell"))
     val probes = qf
       .crossJoin(broadcast(codebook))

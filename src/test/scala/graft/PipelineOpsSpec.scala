@@ -157,6 +157,33 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(i1.join(b1, "query_id").filter(col("i_cos") > col("b_cos")).count() == 0)
   }
 
+  test("IVF query-sample cache refreshes when the embeddings table changes on disk") {
+    // annIvf's query sample rides the stamp-keyed PipelineCache; a bare
+    // .persist would let Spark's CacheManager (which matches cached plans
+    // by path) serve the OLD sample after an in-place rewrite — the exact
+    // staleness bug this pins against
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stale").toString
+    import spark.implicits._
+    def write(ids: Range): Unit =
+      ids.map(i => (i.toLong, s"l${i % 5}", Array.tabulate(8)(d => (i % 7) + d * 0.25f + 0.5f)))
+        .toDF("vec_id", "label", "embedding")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
+      write(0 until 400)
+      val first = Similarity.annIvf(spark, dir)
+        .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(first.nonEmpty && first.forall(_ < 400))
+      // replace the table in place with a DISJOINT vec_id range: a stale
+      // cached sample would keep emitting query_ids from the old corpus
+      write(1000 until 1400)
+      val second = Similarity.annIvf(spark, dir)
+        .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(second.nonEmpty && second.forall(_ >= 1000),
+        s"stale query sample served after the embeddings rewrite: ${second.mkString(",")}")
+    } finally graft.operators.Dedup.clearSharedCache()
+  }
+
   test("frame sample: 8 frames per doc at the right source offsets") {
     val f = Multimodal.frameSample(spark, sfDir).cache()
     val perDoc = f.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -75,10 +75,14 @@ class ScaleSpec extends GraftSpecBase {
     // centroid pass + assignment pass read the files; the query sample
     // feeds BOTH the probe list and the rescoring vectors from one
     // persisted frame (InMemoryTableScan), not two more corpus scans —
-    // the r4 verdict's 4-scan finding must not regress. AQE is disabled
-    // for the assertion so ReuseExchange collapses the duplicated codebook
-    // broadcast at planning time (AQE does the same reuse, but only at
-    // runtime, which a static plan inspection can't see).
+    // the r4 verdict's 4-scan finding must not regress. (The cache's
+    // populate pass is a third runtime read hidden inside the
+    // InMemoryRelation — this test pins the PLAN-visible scan count,
+    // i.e. that neither consumer re-reads the files per-query.) AQE is
+    // disabled for the assertion so ReuseExchange collapses the
+    // duplicated codebook broadcast at planning time (AQE does the same
+    // reuse, but only at runtime, which a static plan inspection can't
+    // see).
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
