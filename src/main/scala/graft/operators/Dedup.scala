@@ -151,21 +151,20 @@ object Dedup {
     // hot-gram guard, aggregate-before-collect (mirrors the oracle's
     // `rare AS (... HAVING COUNT(*) <= 20)` CTE): df is a counted 8-byte
     // key — bounded aggregation state even for a df=10⁸ stop-shingle —
-    // and only rare grams ever reach a collect_list buffer. The guard's
-    // price is one extra pass of the exploded grams: the count aggregate
-    // shuffles partial (gram, count) rows while the semi-join shuffles raw
-    // (dn, gram) rows — different exchange children, so ReuseExchange
-    // cannot collapse them and the scan + explode runs twice. That is the
-    // deliberate trade: a second pass over slim 8/16-byte rows instead of
-    // one unbounded collect_list buffer on exactly the hottest keys. The
-    // bucket collect after the join is free of a third shuffle — it rides
-    // the join's existing gram partitioning.
-    val rare = g
+    // and only rare grams ever reach a collect_list buffer. The explicit
+    // repartition on `gram` is what makes the guard FREE: the df count,
+    // the semi-join (both sides) and the bucket collect all ride this ONE
+    // exchange (identical subtree → ReuseExchange / AQE stage reuse), so
+    // the scan + explode + shuffle of the exploded grams happens once —
+    // same total I/O as the unguarded round-3 shape, minus its unbounded
+    // collect_list buffer on exactly the hottest keys.
+    val gp = g.repartition(col("gram"))
+    val rare = gp
       .groupBy("gram")
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 20))
       .select("gram")
-    val buckets = g
+    val buckets = gp
       .join(rare, Seq("gram"), "left_semi")
       .groupBy("gram")
       .agg(array_sort(collect_list(col("dn"))).as("ds"))
@@ -351,21 +350,27 @@ object Dedup {
     * buckets are unchanged: df ≤ cap means ≤ cap·(cap−1)/2 ≈ 20k pairs
     * of bounded work.
     *
-    * Unlike simhash's guard the hot set is NOT broadcast: simhash block
-    * values live in a domain bounded by construction (4 × 2¹⁶), while band
+    * Unlike simhash's guard the hot set is NOT broadcast (simhash block
+    * values live in a domain bounded by construction, 4 × 2¹⁶, while band
     * hashes are 64-bit with up to |bandRows|/cap hot values in the worst
-    * case — so hot membership is decided by shuffled joins on the band
-    * key. The cold anti-join and the hot star join shuffle the SAME banded
-    * child on `bb` (one exchange, reused); the df aggregate's partial-agg
-    * exchange is its own — the guard's net cost is one extra shuffle of
-    * 16-byte band rows.
+    * case) — and there is no join at all: bucket df and representative
+    * come from a window over the banded rows, so the whole candidate
+    * stage is ONE shuffle of 16-byte band rows. Cold buckets then
+    * collect_list on the window's existing `bb` partitioning (bounded at
+    * cap members — the unbounded-buffer hazard cannot recur) and expand
+    * pairs in place exactly like [[ngramPairsPlan]]; hot rows emit their
+    * star edge directly. A mega-cluster band bucket makes the window
+    * buffer df × 16-byte rows for that one key — spill-backed
+    * (ExternalAppendOnlyUnsafeRowArray), linear, and carrying real
+    * signal, unlike ngram's zero-signal stop-shingles which never
+    * deserve the spill and are counted-then-dropped instead.
     *
     * Package-visible so DedupSpec's mega-cluster fixture can assert the
     * candidate-count bound directly. */
   private[graft] def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    // band rows carry ONLY (doc_id, band-hash): the candidate join shuffles
-    // 16 bytes/row instead of the 512-byte signature; signatures re-attach
-    // to the (few) surviving pairs afterwards
+    // band rows carry ONLY (doc_id, band-hash): the candidate shuffle
+    // moves 16 bytes/row instead of the 512-byte signature; signatures
+    // re-attach to the (few) surviving pairs afterwards
     val banded = minhashSigs(s, dir).select(
       col("doc_id"),
       explode(
@@ -373,22 +378,27 @@ object Dedup {
           sequence(lit(0), lit(15)),
           b => struct(b.as("band"), xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("bh"))))
         .as("bb"))
-    val hotBands = banded
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bb")
+    val withDf = banded
+      .withColumn("df", count(lit(1)).over(w))
+      .withColumn("rep", min(col("doc_id")).over(w))
+    val coldPairs = withDf
+      .filter(col("df") <= bandDfCap)
       .groupBy("bb")
-      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("rep"))
-      .filter(col("df") > bandDfCap)
-      .select("bb", "rep")
-    val cold = banded.join(hotBands.select("bb"), Seq("bb"), "left_anti")
-    val a = cold.select(col("doc_id").as("doc_a"), col("bb").as("bb_a"))
-    val b = cold.select(col("doc_id").as("doc_b"), col("bb").as("bb_b"))
-    val coldPairs = a
-      .join(b, col("bb_a") === col("bb_b") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .select(
+        explode(
+          flatten(transform(
+            col("ds"),
+            (x, i) =>
+              transform(
+                slice(col("ds"), i + 2, size(col("ds"))),
+                y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
     // rep = min(doc_id) of the bucket, so rep < doc_id for every emitted
     // row — the (doc_a < doc_b) orientation holds by construction
-    val starPairs = banded
-      .join(hotBands, Seq("bb"))
-      .filter(col("doc_id") =!= col("rep"))
+    val starPairs = withDf
+      .filter(col("df") > bandDfCap && col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
     coldPairs.unionByName(starPairs).distinct()
   }
