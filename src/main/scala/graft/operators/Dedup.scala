@@ -152,12 +152,19 @@ object Dedup {
     // `rare AS (... HAVING COUNT(*) <= 20)` CTE): df is a counted 8-byte
     // key — bounded aggregation state even for a df=10⁸ stop-shingle —
     // and only rare grams ever reach a collect_list buffer. The explicit
-    // repartition on `gram` is what makes the guard FREE: the df count,
-    // the semi-join (both sides) and the bucket collect all ride this ONE
-    // exchange (identical subtree → ReuseExchange / AQE stage reuse), so
-    // the scan + explode + shuffle of the exploded grams happens once —
-    // same total I/O as the unguarded round-3 shape, minus its unbounded
-    // collect_list buffer on exactly the hottest keys.
+    // repartition on `gram` lets the df count, the semi-join (both sides)
+    // and the bucket collect all ride ONE exchange (identical subtree →
+    // ReuseExchange / AQE stage reuse), so the scan + explode + shuffle of
+    // the exploded grams happens once. The trade it buys that with: the
+    // count is planned ABOVE the exchange (partial+final both post-
+    // shuffle), so a df=10⁸ stop-shingle ships all 10⁸ occurrences to one
+    // reducer task — a scan-speed straggler with constant aggregation
+    // state (count + in-place semi-join drop), NOT an OOM. The
+    // alternative — no repartition, map-side-combined df count — shrinks
+    // the count's shuffle but still co-locates the hot gram's rows on one
+    // task at the semi-join AND adds a second wide exchange of the
+    // exploded rows, so the single-exchange shape wins at every scale;
+    // the straggler is the accepted cost of exact df semantics.
     val gp = g.repartition(col("gram"))
     val rare = gp
       .groupBy("gram")
@@ -307,6 +314,15 @@ object Dedup {
     * Kirsch–Mitzenmacher seed shortcut remains off the table (correlated
     * permutations collapse band diversity — see MinHash64 scaladoc).
     *
+    * Output contract above the cap: inside a hot bucket (band df >
+    * `spark.graft.dedup.bandDfCap`, default 200) member–member pairs are
+    * reported only transitively through the bucket's lowest-id
+    * representative — a member whose est_jaccard to the rep falls below
+    * 0.5 keeps no direct edge to the other members. Geometrically rare
+    * for a 4-slot band collision, and strictly more recall than dropping
+    * hot bands; raise the cap if exact pair enumeration inside huge
+    * boilerplate clusters matters more than bounded work per key.
+    *
     * No SQL oracle: minhash values depend on the engine hash, which portable
     * SQL cannot reproduce — the driver records a rows-only check, and
     * [[ngramJaccard]] (exact, oracle-checked) validates the same semantics
@@ -378,12 +394,13 @@ object Dedup {
           sequence(lit(0), lit(15)),
           b => struct(b.as("band"), xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("bh"))))
         .as("bb"))
+    val cap = bandDfCap(s)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("bb")
     val withDf = banded
       .withColumn("df", count(lit(1)).over(w))
       .withColumn("rep", min(col("doc_id")).over(w))
     val coldPairs = withDf
-      .filter(col("df") <= bandDfCap)
+      .filter(col("df") <= cap)
       .groupBy("bb")
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .select(
@@ -398,14 +415,20 @@ object Dedup {
     // rep = min(doc_id) of the bucket, so rep < doc_id for every emitted
     // row — the (doc_a < doc_b) orientation holds by construction
     val starPairs = withDf
-      .filter(col("df") > bandDfCap && col("doc_id") =!= col("rep"))
+      .filter(col("df") > cap && col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
     coldPairs.unionByName(starPairs).distinct()
   }
 
   /** Hot-band df cap for [[minhashCandidates]]: a surviving band bucket
-    * yields ≤ cap·(cap−1)/2 ≈ 20k pairs — bounded executor work per key. */
-  private[graft] val bandDfCap = 200
+    * yields ≤ cap·(cap−1)/2 ≈ 20k pairs — bounded executor work per key.
+    * Tunable per session via `spark.graft.dedup.bandDfCap` (default 200)
+    * because the cap is also an OUTPUT-semantics knob, not just a perf
+    * one: above it, hot buckets switch to star pairing (see
+    * [[minhashCandidates]]), which represents member–member edges only
+    * transitively through the bucket representative. */
+  private[graft] def bandDfCap(s: SparkSession): Int =
+    s.conf.get("spark.graft.dedup.bandDfCap", "200").toInt
 
   /** Hot-block df cap for [[simhash]] — same bound, same argument. Total
     * output is then ≤ blockRows × cap/2 (every surviving bucket pairs each
@@ -570,16 +593,19 @@ object Dedup {
     * the fix) — checkpointing keeps the per-round plan constant-size.
     *
     * `checkpointDir`: the petabyte upgrade. When set, each round's label
-    * frame is written to `<dir>/round_<k>` as parquet and read back —
-    * RELIABLE files that survive executor loss, which a multi-hour
-    * 100 TB run needs (localCheckpoint blocks die with their executor
-    * and fail the whole loop on any node churn). A parquet round-trip
-    * beats `Dataset.checkpoint(reliable)` on both counts that matter
-    * here: the write IS the materialization (reliable RDD checkpointing
-    * launches a second job that recomputes the round from lineage —
-    * doubling every round's cost), and no session-global
+    * frame is written as parquet under `<dir>/run_<uuid>/round_<k>` and
+    * read back — RELIABLE files that survive executor loss, which a
+    * multi-hour 100 TB run needs (localCheckpoint blocks die with their
+    * executor and fail the whole loop on any node churn). A parquet
+    * round-trip beats `Dataset.checkpoint(reliable)` on both counts that
+    * matter here: the write IS the materialization (reliable RDD
+    * checkpointing launches a second job that recomputes the round from
+    * lineage — doubling every round's cost), and no session-global
     * `setCheckpointDir` mutation (two concurrent dedupClusters calls on
-    * one session cannot redirect each other's files). Superseded rounds
+    * one session cannot redirect each other's files). The per-call
+    * `run_<uuid>` namespace closes the other concurrency hole: two calls
+    * passed the SAME dir write disjoint paths instead of overwriting and
+    * eagerly deleting each other's `round_<k>` files. Superseded rounds
     * are deleted eagerly through the dir's Hadoop FileSystem (works for
     * HDFS/object stores, not just local disk); only the FINAL round's
     * files — which back the returned plan — remain, so the caller owns
@@ -611,11 +637,14 @@ object Dedup {
     var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     var prevPath: Option[String] = None
     var roundIdx = 0
+    // per-call namespace: concurrent calls sharing a checkpointDir must
+    // not overwrite / eagerly-delete each other's round files
+    val runBase = checkpointDir.map(base => s"$base/run_${java.util.UUID.randomUUID}")
     def dropPath(p: String): Unit = {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
     }
-    def ckpt(df: DataFrame): DataFrame = checkpointDir match {
+    def ckpt(df: DataFrame): DataFrame = runBase match {
       case Some(base) => // reliable: parquet round-trip, write == materialize
         roundIdx += 1
         val path = s"$base/round_$roundIdx"
@@ -673,16 +702,14 @@ object Dedup {
         .orderBy("doc_id")
     } catch {
       // on failure nothing will consume the last checkpoint — free it too;
-      // in reliable mode that means removing every written round dir
-      // (idempotent: superseded rounds are already gone), so a failed
+      // in reliable mode that means removing this call's whole run dir
+      // (superseded rounds inside it are already gone), so a failed
       // 100 TB run leaves no parquet residue to accumulate across retries
       case t: Throwable =>
         prevRdd.foreach(_.unpersist(blocking = false))
-        checkpointDir.foreach { base =>
-          (1 to roundIdx).foreach { i =>
-            try dropPath(s"$base/round_$i")
-            catch { case e: Exception => t.addSuppressed(e) }
-          }
+        runBase.foreach { base =>
+          try dropPath(base)
+          catch { case e: Exception => t.addSuppressed(e) }
         }
         throw t
     } finally edges.unpersist(blocking = false)

@@ -14,7 +14,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * plans by path equality, so a bare `.persist` of a re-read path would
   * silently substitute the OLD cached data into a NEW plan after an
   * in-place rewrite. The explicit unpersist-on-stamp-change here is what
-  * defeats that. One entry per (session, dir, tag) is held at a time
+  * defeats that.
+  *
+  * Known race, accepted for the run-scoped single-driver use this cache
+  * serves: the stale frame is unpersisted with `blocking = false`, so a
+  * query ALREADY mid-execution against its InMemoryRelation when the
+  * stamp flips can have evicted partitions recompute from lineage over
+  * the NEW file contents and observe mixed old/new data. The contract is
+  * therefore: an in-place rewrite concurrent with a running consumer
+  * yields undefined rows for that one in-flight query; every query
+  * STARTED after the rewrite sees a consistent fresh frame. Callers that
+  * rewrite inputs while queries are executing need their own fencing.
+  *
+  * One entry per (session, dir, tag) is held at a time
   * (replacement evicts), and a context-shutdown listener drops every
   * entry for a stopping session, so no persisted frame or session ref
   * outlives its SparkContext. [[clear]] releases everything eagerly

@@ -155,6 +155,13 @@ class DedupSpec extends GraftSpecBase {
       val ckptFiles = new java.io.File(ckptDir).listFiles()
       assert(ckptFiles != null && ckptFiles.nonEmpty,
         "reliable mode must have written checkpoint data into the given dir")
+      // per-call run_<uuid> namespace: a second call against the SAME dir
+      // must land in a fresh subdir, never touching the first call's files
+      val out2 = Dedup.dedupClusters(spark, dir, Some(ckptDir)).collect()
+      assert(out2.length == 60)
+      val runDirs = new java.io.File(ckptDir).listFiles().filter(_.getName.startsWith("run_"))
+      assert(runDirs.length == 2,
+        s"expected 2 distinct run namespaces after 2 calls, found ${runDirs.length}")
     } finally Dedup.clearSharedCache()
   }
 
