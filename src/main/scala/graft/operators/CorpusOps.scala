@@ -1,0 +1,292 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-lifecycle operators for an LLM training-data pipeline: the jobs
+  * that run BETWEEN crawls — deterministic dataset splitting, benchmark
+  * decontamination, and incremental dedup of a new batch against an
+  * established corpus. All three are oracle-exact (portable SQL twins).
+  *
+  * The reference engine (main.py) has no corpus lifecycle; these extend
+  * the dedup/text surface the same way [[Dedup]] and [[TextAnalysis]] do,
+  * reusing the word-3-gram machinery ([[graft.functions.GramHash64]]) so
+  * "near-duplicate" means the same thing in every operator.
+  */
+object CorpusOps {
+
+  /** Deterministic content-hash train/val/test split (80/10/10): bucket =
+    * first 3 hex chars of md5(text) (4096 buckets; hex is lexicographic,
+    * so string range-compare == numeric compare), train < 0xccd ≈ 80.0%,
+    * val < 0xe66 ≈ 90.0%, test = rest.
+    *
+    * Hashing CONTENT (not doc_id) is the property that matters in a
+    * training pipeline: the same document always lands in the same split
+    * across crawls, re-ingestions and id reassignments, so a re-crawled
+    * page can never migrate from test into train and leak. Null/empty
+    * texts land in `test` (the audit bucket), never silently in train.
+    *
+    * Scale shape: one narrow codegen'd map over the scan, zero shuffles
+    * besides the output sort (drop the orderBy and write
+    * partitionBy("split") at 100 TB — the assignment itself never
+    * shuffles). */
+  def dataSplit(s: SparkSession, dir: String): DataFrame = {
+    val b = substring(md5(col("text")), 1, 3)
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_chars"),
+        when(b < "ccd", "train").when(b < "e66", "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val dataSplitSql: String =
+    """SELECT doc_id, lang, n_chars,
+              CASE WHEN substr(md5(text), 1, 3) < 'ccd' THEN 'train'
+                   WHEN substr(md5(text), 1, 3) < 'e66' THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents
+       ORDER BY doc_id"""
+
+  /** Benchmark decontamination: which training documents contain a held-out
+    * eval document? For every (train, eval) pair sharing word-3-grams,
+    * containment = |grams(train) ∩ grams(eval)| / |grams(eval)| — the
+    * standard n-gram-overlap decontamination check — reported at ≥ 0.5.
+    * Eval set = `evalSource` (default src0), training corpus = the rest.
+    *
+    * Scale shape — the part that matters at 100 TB: the eval side is an
+    * eval BENCHMARK, bounded by construction (MBs, not TBs), so its
+    * exploded gram set is broadcast and the corpus is never shuffled at
+    * all. One scan of the training side, a broadcast hash join per gram,
+    * then a partial-aggregated groupBy whose key space is bounded by
+    * |train docs touched| × |eval docs| — no corpus-sized exchange, no
+    * hot-gram hazard (a stop-gram fans out to at most |eval docs| rows
+    * per occurrence, absorbed map-side). Grams are 64-bit hashes
+    * ([[graft.functions.GramHash64]]) — an 8-byte join key, collision
+    * P ≈ 1e-11 (same trade as [[Dedup.ngramJaccard]]). */
+  def contamination(
+      s: SparkSession,
+      dir: String,
+      evalSource: String = "src0"): DataFrame = {
+    val docs = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        call_function("graft_grams", col("text")).as("garr"))
+      .filter(col("garr").isNotNull)
+    val ev = docs
+      .filter(col("source") === evalSource)
+      .select(col("doc_id").as("eval_doc"), size(col("garr")).as("n_eval"), col("garr"))
+      .select(col("eval_doc"), col("n_eval"), explode(col("garr")).as("gram"))
+    val tr = docs
+      .filter(col("source") =!= evalSource)
+      .select(col("doc_id").as("train_doc"), explode(col("garr")).as("gram"))
+    tr.join(broadcast(ev), "gram")
+      .groupBy("train_doc", "eval_doc", "n_eval")
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("containment", col("n_inter") / col("n_eval").cast("double"))
+      .filter(col("containment") >= 0.5)
+      .select(
+        col("train_doc"),
+        col("eval_doc"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy(col("containment").desc, col("train_doc"), col("eval_doc"))
+  }
+
+  val contaminationSql: String =
+    """WITH w AS (
+         SELECT doc_id, source, string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS arr
+         FROM documents
+         WHERE len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) >= 3),
+       grams AS (
+         SELECT DISTINCT doc_id, source, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
+         FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
+       ev AS (SELECT doc_id, gram FROM grams WHERE source = 'src0'),
+       evn AS (SELECT doc_id, COUNT(*) AS n FROM ev GROUP BY 1),
+       tr AS (SELECT doc_id, gram FROM grams WHERE source <> 'src0'),
+       inter AS (
+         SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc, COUNT(*) AS n_inter
+         FROM tr JOIN ev ON tr.gram = ev.gram
+         GROUP BY 1, 2),
+       c AS (
+         SELECT train_doc, eval_doc, n_inter / CAST(evn.n AS DOUBLE) AS containment
+         FROM inter JOIN evn ON evn.doc_id = eval_doc),
+       r AS (
+         SELECT train_doc, eval_doc, ROUND(containment, 4) AS containment
+         FROM c WHERE containment >= 0.5)
+       SELECT train_doc, eval_doc, containment
+       FROM r
+       ORDER BY containment DESC, train_doc, eval_doc"""
+
+  /** Incremental dedup: admit a new crawl batch (`deltaSource`, default
+    * src19) against an ESTABLISHED corpus (every other source). A delta
+    * document is dropped when it
+    *   - exact-duplicates (md5 of text) any corpus document, or an
+    *     earlier (lower doc_id) delta document; or
+    *   - near-duplicates (word-3-gram Jaccard ≥ 0.5, the same relation as
+    *     [[Dedup.corpusDedupNg]]) any corpus document — IN EITHER
+    *     DIRECTION: the corpus always wins, even when the delta document
+    *     has the lower doc_id (this is where incremental semantics differ
+    *     from the batch materializer's keeper-by-lowest-id rule) — or a
+    *     lower-id delta document.
+    * Returns the surviving delta rows — the batch that is safe to append.
+    *
+    * Scale shape — why this is NOT "run batch dedup on corpus + delta":
+    * candidate generation is delta-restricted. The delta's distinct gram
+    * set (small: a crawl batch is ~0.1% of the corpus) is broadcast and
+    * semi-joins the corpus's exploded gram stream MAP-SIDE, so only gram
+    * occurrences that could possibly pair with the delta ever reach the
+    * exchange — shuffle volume scales with the DELTA, not the corpus.
+    * Gram df for the hot-gram guard is still counted over every surviving
+    * row (all docs, delta-present grams only), so df ∈ [2, 20] means
+    * exactly what it means in the full pipeline and the candidate pairs
+    * that touch the delta are IDENTICAL to the full pipeline's — a shared
+    * gram with a delta doc is delta-present by definition, so the
+    * restriction loses nothing (the full-pipeline SQL oracle, filtered to
+    * delta-touching pairs, hash-matches this plan's output). At 100 TB
+    * the natural next step is persisting the corpus's rare-gram index
+    * between crawls so admission touches only the index and the delta;
+    * the query shape here is that job's first run. */
+  def dedupIncremental(
+      s: SparkSession,
+      dir: String,
+      deltaSource: String = "src19"): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isDelta = col("source") === deltaSource
+    val delta = docs.filter(isDelta)
+    // exact stage: md5 against corpus (any), and earlier-delta (lower id)
+    val hashes = docs.select(col("doc_id"), isDelta.as("d"), md5(col("text")).as("h"))
+    val dh = hashes.filter(col("d")).select(col("doc_id"), col("h"))
+    val ch = hashes.filter(!col("d")).select(col("h")).distinct()
+    val exactVsCorpus = dh.join(ch, Seq("h"), "left_semi").select("doc_id")
+    val exactVsDelta = dh
+      .as("x")
+      .join(
+        dh.select(col("doc_id").as("pid"), col("h").as("ph")),
+        col("ph") === col("h") && col("pid") < col("doc_id"),
+        "left_semi")
+      .select("doc_id")
+    // near stage: delta-restricted candidate generation (see scaladoc)
+    val pack = 1048576L
+    val g = docs
+      .select(
+        col("doc_id"),
+        isDelta.as("d"),
+        call_function("graft_grams", col("text")).as("garr"))
+      .filter(col("garr").isNotNull)
+      // one bit tighter than ngramPairsPlan's envelope: dn carries a
+      // delta flag in the low bit, so doc_id must fit 2^42
+      .filter(
+        assert_true(
+          size(col("garr")) < pack && col("doc_id") >= 0 && col("doc_id") < (1L << 42),
+          lit("dedupIncremental packing envelope exceeded"))
+          .isNull)
+      .select(
+        (col("doc_id") * pack * 2 + size(col("garr")) * 2 + col("d").cast("long")).as("dn"),
+        explode(col("garr")).as("gram"))
+    val deltaGrams = g.filter(col("dn") % 2 === 1).select("gram").distinct()
+    // map-side prune: only delta-present grams survive to the exchange
+    val gf = g.join(broadcast(deltaGrams), Seq("gram"), "left_semi")
+    val gp = gf.repartition(col("gram"))
+    val rare = gp
+      .groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 20))
+      .select("gram")
+    val buckets = gp
+      .join(rare, Seq("gram"), "left_semi")
+      .groupBy("gram")
+      .agg(array_sort(collect_list(col("dn"))).as("ds"))
+    val pairs = buckets
+      .select(
+        explode(
+          flatten(transform(
+            col("ds"),
+            (x, i) =>
+              transform(
+                slice(col("ds"), i + 2, size(col("ds"))),
+                y => struct(x.as("pa"), y.as("pb")))))).as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .agg(count(lit(1)).as("n_inter"))
+      .select(
+        expr("pa DIV 2097152").as("doc_a"),
+        expr("pb DIV 2097152").as("doc_b"),
+        (col("pa") % 2).as("da"),
+        (col("pb") % 2).as("db"),
+        expr("(pa DIV 2) % 1048576").as("na"),
+        expr("(pb DIV 2) % 1048576").as("nb"),
+        col("n_inter"))
+      .filter(
+        (col("n_inter") / (col("na") + col("nb") - col("n_inter")).cast("double")) >= 0.5)
+    // delta doc_b with ANY partner (corpus either way, or earlier delta);
+    // delta doc_a whose partner is corpus (the corpus-wins direction)
+    val nearDrops = pairs
+      .filter(col("db") === 1)
+      .select(col("doc_b").as("doc_id"))
+      .unionByName(
+        pairs.filter(col("da") === 1 && col("db") === 0).select(col("doc_a").as("doc_id")))
+    val drops = exactVsCorpus
+      .unionByName(exactVsDelta)
+      .unionByName(nearDrops)
+      .distinct()
+    delta
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH w AS (
+         SELECT doc_id, string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS arr
+         FROM documents
+         WHERE len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) >= 3),
+       grams AS (
+         SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
+         FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
+       counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+       rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 20),
+       gr AS (SELECT g.doc_id, g.gram FROM grams g JOIN rare USING (gram)),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       near AS (
+         SELECT doc_a, doc_b
+         FROM inter
+         JOIN counts ca ON ca.doc_id = doc_a
+         JOIN counts cb ON cb.doc_id = doc_b
+         WHERE n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE) >= 0.5),
+       delta AS (SELECT doc_id FROM documents WHERE source = 'src19'),
+       corpus AS (SELECT doc_id FROM documents WHERE source <> 'src19'),
+       exact_hit AS (
+         SELECT d.doc_id
+         FROM documents d
+         JOIN documents c ON md5(d.text) = md5(c.text)
+         WHERE d.source = 'src19'
+           AND (c.source <> 'src19' OR (c.source = 'src19' AND c.doc_id < d.doc_id))),
+       near_hit AS (
+         SELECT doc_b AS doc_id FROM near WHERE doc_b IN (SELECT doc_id FROM delta)
+         UNION
+         SELECT doc_a FROM near
+         WHERE doc_a IN (SELECT doc_id FROM delta)
+           AND doc_b IN (SELECT doc_id FROM corpus)),
+       dropped AS (SELECT doc_id FROM exact_hit UNION SELECT doc_id FROM near_hit)
+       SELECT doc_id, lang, source, n_chars
+       FROM documents
+       WHERE source = 'src19' AND doc_id NOT IN (SELECT doc_id FROM dropped)
+       ORDER BY doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "data_split" -> (dataSplit _),
+    "text_contamination" -> ((s, d) => contamination(s, d)),
+    "dedup_incremental" -> ((s, d) => dedupIncremental(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "data_split" -> dataSplitSql,
+    "text_contamination" -> contaminationSql,
+    "dedup_incremental" -> dedupIncrementalSql)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.CorpusOps
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends GraftSpecBase {
+
+  test("all corpus-lifecycle queries run and return rows") {
+    for ((name, fn) <- CorpusOps.queries)
+      assert(fn(spark, sfDir).count() > 0, s"$name empty")
+  }
+
+  test("data_split: deterministic, content-stable, ~80/10/10") {
+    val a = CorpusOps.dataSplit(spark, sfDir).collect()
+    val b = CorpusOps.dataSplit(spark, sfDir).collect()
+    assert(a.sameElements(b), "split assignment must be deterministic")
+    val frac = a.count(_.getAs[String]("split") == "train").toDouble / a.length
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac out of band")
+    assert(a.map(_.getAs[String]("split")).toSet == Set("train", "val", "test"))
+    // content stability: identical texts always land in the same split —
+    // the anti-leakage property that doc_id-based splitting lacks
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val withText = CorpusOps.dataSplit(spark, sfDir)
+      .join(docs.select("doc_id", "text"), "doc_id")
+    val splitsPerText = withText.groupBy("text")
+      .agg(countDistinct(col("split")).as("n"))
+      .agg(max(col("n")).as("m"))
+      .collect()(0).getLong(0)
+    assert(splitsPerText == 1L, "same text must always get the same split")
+  }
+
+  test("contamination finds a fully-contained eval doc and nothing else") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_contam").toString
+    import spark.implicits._
+    Seq(
+      (1L, "e0 e1 e2 e3 e4", "src0"), // eval doc: 3 grams
+      (2L, "pre0 pre1 e0 e1 e2 e3 e4 post0", "srcT"), // contains all 3 -> 1.0
+      (3L, "x0 x1 x2 x3", "srcT"), // disjoint -> absent
+      (4L, "e0 e1 e2 zz", "srcT") // shares 1 of 3 grams -> 0.33 < 0.5 -> absent
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.contamination(spark, dir).collect()
+    assert(out.length == 1, s"expected exactly one contaminated pair, got ${out.toSeq}")
+    assert(out(0).getLong(0) == 2L && out(0).getLong(1) == 1L)
+    assert(out(0).getDouble(2) == 1.0)
+  }
+
+  test("dedup_incremental: corpus wins regardless of id; delta keeps its earliest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    import spark.implicits._
+    def run(p: String) = (0 to 10).map(i => s"$p$i").mkString(" ")
+    def runShift(p: String) = (2 to 12).map(i => s"$p$i").mkString(" ")
+    Seq(
+      // established corpus
+      (10L, run("beta"), "srcA"),
+      (11L, run("gamma"), "srcA"),
+      // new crawl batch
+      (3L, runShift("beta"), "src19"), // near-dup of corpus 10, LOWER id -> dropped
+      (20L, run("gamma"), "src19"), // exact dup of corpus 11 -> dropped
+      (21L, run("zeta"), "src19"), // kept (earliest of the zeta pair)
+      (22L, runShift("zeta"), "src19"), // near-dup of lower delta 21 -> dropped
+      (30L, run("uniq"), "src19") // unique -> kept
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = CorpusOps.dedupIncremental(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(21L, 30L), s"kept $kept — expected Seq(21, 30)")
+  }
+}
