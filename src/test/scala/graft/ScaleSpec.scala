@@ -294,4 +294,42 @@ class ScaleSpec extends GraftSpecBase {
       }
     }
   }
+
+  // ---- CorpusOps: plan shapes the 100 TB story depends on ----
+
+  test("contamination never shuffles the corpus: broadcast gram join, one pair exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan =
+        graft.operators.CorpusOps.contamination(spark, sfDir).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"eval gram set not broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join crept in:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= 1,
+        s"expected only the (train,eval) pair aggregate to hash-exchange, got $exchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("dedup_incremental prunes the gram stream with a broadcast semi-join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.operators.CorpusOps
+        .dedupIncremental(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      // the delta-gram prune is hinted broadcast: it must survive even with
+      // auto-broadcast off, and sit on the map side (a LeftSemi BHJ), so
+      // only delta-present gram rows ever reach the wide exchange
+      assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(plan).isDefined,
+        s"delta-gram prune not a broadcast semi-join:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("data_split assignment plans zero hash exchanges (narrow map + output sort only)") {
+    val plan =
+      graft.operators.CorpusOps.dataSplit(spark, sfDir).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 0, s"split assignment must not shuffle:\n$plan")
+  }
 }
