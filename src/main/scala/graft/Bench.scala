@@ -76,7 +76,9 @@ object Bench {
     // is honest, per-query deltas across rounds within a group are not
     // standalone costs
     val sharedCache = Seq(
-      "ngram" -> Seq("corpus_dedup_ng", "dedup_clusters", "dedup_ngram_jaccard", "text_edit_sim"),
+      "ngram" -> Seq(
+        "corpus_dedup_ng", "dedup_clusters", "dedup_incremental", "dedup_ngram_jaccard",
+        "text_edit_sim"),
       "minhash" -> Seq("corpus_dedup", "dedup_minhash"))
       .map { case (tag, qs) =>
         s"\"$tag\":" + qs.filter(SparkEntry.queries.contains).map("\"" + _ + "\"").mkString("[", ",", "]")

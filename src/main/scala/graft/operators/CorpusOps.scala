@@ -150,7 +150,17 @@ object CorpusOps {
     * delta-touching pairs, hash-matches this plan's output). At 100 TB
     * the natural next step is persisting the corpus's rare-gram index
     * between crawls so admission touches only the index and the delta;
-    * the query shape here is that job's first run. */
+    * the query shape here is that job's first run.
+    *
+    * Index reuse: when the run-scoped shared ngram PAIR frame is already
+    * cached and fresh (another query in this run paid for it —
+    * [[PipelineCache.peek]]), the near stage filters THAT instead of
+    * re-deriving grams: the delta-touching pairs of the full pipeline
+    * are exactly what the delta-restricted build produces (a shared gram
+    * with a delta doc is delta-present by definition), so both paths are
+    * hash-identical — spec-pinned by running the same fixture cold and
+    * warm. On miss, nothing is built eagerly: the delta-restricted plan
+    * below remains the standalone shape. */
   def dedupIncremental(
       s: SparkSession,
       dir: String,
@@ -170,7 +180,52 @@ object CorpusOps {
         col("ph") === col("h") && col("pid") < col("doc_id"),
         "left_semi")
       .select("doc_id")
-    // near stage: delta-restricted candidate generation (see scaladoc)
+    // near stage: reuse the shared pair index when warm, else the
+    // delta-restricted build (see scaladoc) — identical output either way
+    val nearPairs: DataFrame = Dedup.ngramPairsIfCached(s, dir) match {
+      case Some(p) =>
+        val dIds = delta.select(col("doc_id"))
+        p.filter(col("jaccard") >= 0.5)
+          .join(
+            broadcast(dIds.select(col("doc_id").as("doc_a"), lit(1L).as("da_"))),
+            Seq("doc_a"),
+            "left")
+          .join(
+            broadcast(dIds.select(col("doc_id").as("doc_b"), lit(1L).as("db_"))),
+            Seq("doc_b"),
+            "left")
+          .select(
+            col("doc_a"),
+            col("doc_b"),
+            coalesce(col("da_"), lit(0L)).as("da"),
+            coalesce(col("db_"), lit(0L)).as("db"))
+      case None => deltaRestrictedNearPairs(s, docs, isDelta)
+    }
+    // delta doc_b with ANY partner (corpus either way, or earlier delta);
+    // delta doc_a whose partner is corpus (the corpus-wins direction)
+    val nearDrops = nearPairs
+      .filter(col("db") === 1)
+      .select(col("doc_b").as("doc_id"))
+      .unionByName(
+        nearPairs.filter(col("da") === 1 && col("db") === 0).select(col("doc_a").as("doc_id")))
+    val drops = exactVsCorpus
+      .unionByName(exactVsDelta)
+      .unionByName(nearDrops)
+      .distinct()
+    delta
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Near-dup pairs (Jaccard ≥ 0.5) restricted to delta-present grams,
+    * with delta-membership flags — the standalone shape of
+    * [[dedupIncremental]]'s near stage (see its scaladoc for why this
+    * equals the full pipeline on every delta-touching pair). */
+  private def deltaRestrictedNearPairs(
+      s: SparkSession,
+      docs: DataFrame,
+      isDelta: org.apache.spark.sql.Column): DataFrame = {
     val pack = 1048576L
     val g = docs
       .select(
@@ -201,7 +256,7 @@ object CorpusOps {
       .join(rare, Seq("gram"), "left_semi")
       .groupBy("gram")
       .agg(array_sort(collect_list(col("dn"))).as("ds"))
-    val pairs = buckets
+    buckets
       .select(
         explode(
           flatten(transform(
@@ -222,21 +277,7 @@ object CorpusOps {
         col("n_inter"))
       .filter(
         (col("n_inter") / (col("na") + col("nb") - col("n_inter")).cast("double")) >= 0.5)
-    // delta doc_b with ANY partner (corpus either way, or earlier delta);
-    // delta doc_a whose partner is corpus (the corpus-wins direction)
-    val nearDrops = pairs
-      .filter(col("db") === 1)
-      .select(col("doc_b").as("doc_id"))
-      .unionByName(
-        pairs.filter(col("da") === 1 && col("db") === 0).select(col("doc_a").as("doc_id")))
-    val drops = exactVsCorpus
-      .unionByName(exactVsDelta)
-      .unionByName(nearDrops)
-      .distinct()
-    delta
-      .join(drops, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      .orderBy("doc_id")
+      .select(col("doc_a"), col("doc_b"), col("da"), col("db"))
   }
 
   val dedupIncrementalSql: String =

@@ -119,6 +119,11 @@ object Dedup {
   private def ngramPairs(s: SparkSession, dir: String): DataFrame =
     cachedByStamp("ngram", s, dir)(ngramPairsPlan(s, dir))
 
+  /** The shared ngram pair frame IF it is already cached and fresh —
+    * never triggers a build. See [[PipelineCache.peek]]. */
+  private[graft] def ngramPairsIfCached(s: SparkSession, dir: String): Option[DataFrame] =
+    PipelineCache.peek("ngram", s, dir, "documents.parquet")
+
   /** Unpersist and forget every shared pipeline frame (all sessions/dirs,
     * including [[Similarity]]'s — delegates to [[PipelineCache.clear]]). */
   def clearSharedCache(): Unit = PipelineCache.clear()

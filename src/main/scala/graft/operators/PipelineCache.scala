@@ -82,6 +82,17 @@ private[graft] object PipelineCache {
       ._2
   }
 
+  /** A FRESH cached frame for `tag` if one exists — no build, no
+    * eviction (a stale entry is left for the next [[cached]] call to
+    * replace). Lets an operator reuse an index another query already
+    * paid for, falling back to its own cheaper-than-full plan on miss
+    * ([[CorpusOps.dedupIncremental]] does exactly this with the ngram
+    * pair frame). */
+  def peek(tag: String, s: SparkSession, dir: String, table: String): Option[DataFrame] =
+    Option(cache.get((s, dir, tag))).collect {
+      case (stamp, df) if stamp == sourceStamp(dir, table) => df
+    }
+
   /** Unpersist and forget every shared frame (all sessions/dirs/tags). */
   def clear(): Unit = {
     cache.forEach((_, v) => v._2.unpersist(blocking = false))

@@ -71,4 +71,30 @@ class CorpusOpsSpec extends GraftSpecBase {
     val kept = CorpusOps.dedupIncremental(spark, dir).collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(21L, 30L), s"kept $kept — expected Seq(21, 30)")
   }
+
+  test("dedup_incremental: index-reuse (warm) path matches the standalone (cold) path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr2").toString
+    import spark.implicits._
+    def run(p: String, from: Int = 0) = (from to from + 10).map(i => s"$p$i").mkString(" ")
+    Seq(
+      (10L, run("beta"), "srcA"),
+      (3L, run("beta", 2), "src19"),
+      (21L, run("zeta"), "src19"),
+      (30L, run("uniq"), "src19")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      graft.operators.Dedup.clearSharedCache()
+      assert(graft.operators.Dedup.ngramPairsIfCached(spark, dir).isEmpty)
+      val cold = CorpusOps.dedupIncremental(spark, dir).collect().toSeq
+      // warm the shared ngram pair frame the way any other consumer would
+      graft.operators.Dedup.ngramJaccard(spark, dir).count()
+      assert(graft.operators.Dedup.ngramPairsIfCached(spark, dir).isDefined)
+      val warm = CorpusOps.dedupIncremental(spark, dir).collect().toSeq
+      assert(warm == cold, s"warm path diverged:\nwarm=$warm\ncold=$cold")
+    } finally graft.operators.Dedup.clearSharedCache()
+  }
 }

@@ -314,6 +314,9 @@ class ScaleSpec extends GraftSpecBase {
   test("dedup_incremental prunes the gram stream with a broadcast semi-join") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the STANDALONE (cold-cache) shape is the one under test — a warm
+    // shared ngram frame would legitimately switch to the index-reuse path
+    graft.operators.Dedup.clearSharedCache()
     try {
       val plan = graft.operators.CorpusOps
         .dedupIncremental(spark, sfDir)
