@@ -166,7 +166,12 @@ object CorpusOps {
       dir: String,
       deltaSource: String = "src19"): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val isDelta = col("source") === deltaSource
+    // null-safe: a NULL source is never the incoming batch — it is
+    // established data, i.e. corpus. Without the coalesce a NULL flag
+    // would poison the dn packing below and silently drop the doc from
+    // candidate generation (diverging from the oracle, which builds its
+    // gram CTEs with no source predicate at all).
+    val isDelta = coalesce(col("source") === deltaSource, lit(false))
     val delta = docs.filter(isDelta)
     // exact stage: md5 against corpus (any), and earlier-delta (lower id)
     val hashes = docs.select(col("doc_id"), isDelta.as("d"), md5(col("text")).as("h"))
@@ -302,19 +307,18 @@ object CorpusOps {
          JOIN counts cb ON cb.doc_id = doc_b
          WHERE n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE) >= 0.5),
        delta AS (SELECT doc_id FROM documents WHERE source = 'src19'),
-       corpus AS (SELECT doc_id FROM documents WHERE source <> 'src19'),
        exact_hit AS (
          SELECT d.doc_id
          FROM documents d
          JOIN documents c ON md5(d.text) = md5(c.text)
          WHERE d.source = 'src19'
-           AND (c.source <> 'src19' OR (c.source = 'src19' AND c.doc_id < d.doc_id))),
+           AND (c.source IS DISTINCT FROM 'src19' OR c.doc_id < d.doc_id)),
        near_hit AS (
          SELECT doc_b AS doc_id FROM near WHERE doc_b IN (SELECT doc_id FROM delta)
          UNION
          SELECT doc_a FROM near
          WHERE doc_a IN (SELECT doc_id FROM delta)
-           AND doc_b IN (SELECT doc_id FROM corpus)),
+           AND doc_b NOT IN (SELECT doc_id FROM delta)),
        dropped AS (SELECT doc_id FROM exact_hit UNION SELECT doc_id FROM near_hit)
        SELECT doc_id, lang, source, n_chars
        FROM documents

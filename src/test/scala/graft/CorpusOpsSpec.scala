@@ -55,14 +55,19 @@ class CorpusOpsSpec extends GraftSpecBase {
     def runShift(p: String) = (2 to 12).map(i => s"$p$i").mkString(" ")
     Seq(
       // established corpus
-      (10L, run("beta"), "srcA"),
-      (11L, run("gamma"), "srcA"),
+      (10L, run("beta"), Some("srcA")),
+      (11L, run("gamma"), Some("srcA")),
+      // NULL source = established data too (corpus), never the batch
+      (40L, run("eta"), None),
       // new crawl batch
-      (3L, runShift("beta"), "src19"), // near-dup of corpus 10, LOWER id -> dropped
-      (20L, run("gamma"), "src19"), // exact dup of corpus 11 -> dropped
-      (21L, run("zeta"), "src19"), // kept (earliest of the zeta pair)
-      (22L, runShift("zeta"), "src19"), // near-dup of lower delta 21 -> dropped
-      (30L, run("uniq"), "src19") // unique -> kept
+      (3L, runShift("beta"), Some("src19")), // near-dup of corpus 10, LOWER id -> dropped
+      (20L, run("gamma"), Some("src19")), // exact dup of corpus 11 -> dropped
+      (21L, run("zeta"), Some("src19")), // kept (earliest of the zeta pair)
+      (22L, runShift("zeta"), Some("src19")), // near-dup of lower delta 21 -> dropped
+      (30L, run("uniq"), Some("src19")), // unique -> kept
+      (35L, runShift("eta"), Some("src19")), // near-dup of NULL-source 40 -> dropped
+      (39L, run("theta"), Some("src19")), // near-dup of HIGHER-id null-source 41 -> dropped
+      (41L, runShift("theta"), None)
     ).toDF("doc_id", "text", "source")
       .withColumn("lang", lit("en"))
       .withColumn("n_chars", length(col("text")))
@@ -70,6 +75,34 @@ class CorpusOpsSpec extends GraftSpecBase {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val kept = CorpusOps.dedupIncremental(spark, dir).collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(21L, 30L), s"kept $kept — expected Seq(21, 30)")
+  }
+
+  test("dedup_incremental matches its oracle SQL on the null-source fixture") {
+    // the fixture above exercises branches the driver's testdata never
+    // hits (NULL source, corpus-wins-with-higher-id) — replay the oracle
+    // semantics in Spark SQL over the same parquet and compare outputs
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr3").toString
+    import spark.implicits._
+    def run(p: String, from: Int = 0) = (from to from + 10).map(i => s"$p$i").mkString(" ")
+    Seq(
+      (10L, run("beta"), Some("srcA")),
+      (40L, run("eta"), None),
+      (3L, run("beta", 2), Some("src19")),
+      (35L, run("eta", 2), Some("src19")),
+      (39L, run("theta"), Some("src19")),
+      (41L, run("theta", 2), None),
+      (30L, run("uniq"), Some("src19"))
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      graft.operators.Dedup.clearSharedCache()
+      val kept = CorpusOps.dedupIncremental(spark, dir).collect().map(_.getLong(0)).toSeq
+      assert(kept == Seq(30L), s"kept $kept — 3 (corpus 10), 35 (null-src 40), " +
+        "39 (higher-id null-src 41) must all drop; only 30 survives")
+    } finally graft.operators.Dedup.clearSharedCache()
   }
 
   test("dedup_incremental: index-reuse (warm) path matches the standalone (cold) path") {
