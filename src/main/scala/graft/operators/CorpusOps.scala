@@ -24,8 +24,10 @@ object CorpusOps {
     * Hashing CONTENT (not doc_id) is the property that matters in a
     * training pipeline: the same document always lands in the same split
     * across crawls, re-ingestions and id reassignments, so a re-crawled
-    * page can never migrate from test into train and leak. Null/empty
-    * texts land in `test` (the audit bucket), never silently in train.
+    * page can never migrate from test into train and leak. NULL texts
+    * land in `test` (md5(NULL) is NULL, no WHEN matches); the empty
+    * string hashes to 'd41…' which falls in `val` — neither ever lands
+    * silently in train.
     *
     * Scale shape: one narrow codegen'd map over the scan, zero shuffles
     * besides the output sort (drop the orderBy and write
@@ -82,8 +84,12 @@ object CorpusOps {
       .filter(col("source") === evalSource)
       .select(col("doc_id").as("eval_doc"), size(col("garr")).as("n_eval"), col("garr"))
       .select(col("eval_doc"), col("n_eval"), explode(col("garr")).as("gram"))
+    // null-safe: a NULL-source doc has unknown provenance and must be
+    // CHECKED as training data (same convention as [[dedupIncremental]]:
+    // NULL source = established corpus), not silently skipped — plain
+    // =!= is NULL for NULLs and the filter would drop them
     val tr = docs
-      .filter(col("source") =!= evalSource)
+      .filter(coalesce(col("source") =!= evalSource, lit(true)))
       .select(col("doc_id").as("train_doc"), explode(col("garr")).as("gram"))
     tr.join(broadcast(ev), "gram")
       .groupBy("train_doc", "eval_doc", "n_eval")
@@ -107,7 +113,7 @@ object CorpusOps {
          FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
        ev AS (SELECT doc_id, gram FROM grams WHERE source = 'src0'),
        evn AS (SELECT doc_id, COUNT(*) AS n FROM ev GROUP BY 1),
-       tr AS (SELECT doc_id, gram FROM grams WHERE source <> 'src0'),
+       tr AS (SELECT doc_id, gram FROM grams WHERE source IS DISTINCT FROM 'src0'),
        inter AS (
          SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc, COUNT(*) AS n_inter
          FROM tr JOIN ev ON tr.gram = ev.gram
@@ -137,10 +143,22 @@ object CorpusOps {
     *
     * Scale shape — why this is NOT "run batch dedup on corpus + delta":
     * candidate generation is delta-restricted. The delta's distinct gram
-    * set (small: a crawl batch is ~0.1% of the corpus) is broadcast and
-    * semi-joins the corpus's exploded gram stream MAP-SIDE, so only gram
-    * occurrences that could possibly pair with the delta ever reach the
-    * exchange — shuffle volume scales with the DELTA, not the corpus.
+    * set semi-joins the corpus's exploded gram stream MAP-SIDE (broadcast),
+    * so only gram occurrences that could possibly pair with the delta ever
+    * reach the exchange — shuffle volume scales with the DELTA, not the
+    * corpus. The broadcast is SIZE-GATED, not assumed: "a crawl batch is
+    * small relative to the corpus" does not make it absolutely small
+    * (0.1% of a 100 TB corpus is ~100 GB of text whose distinct gram
+    * hashes run to tens of GB — no executor survives that broadcast), so
+    * the builder first counts the delta's distinct grams with one
+    * delta-only job (the delta scan is filter-pushed; the corpus is never
+    * touched) and only hints broadcast when the count is at most
+    * `spark.graft.corpus.deltaGramBroadcastMax` (default 2M grams ≈
+    * tens of MB as a hash relation). Above the gate it falls back to a
+    * plain shuffle semi-join — a linear, spill-safe exchange of the
+    * exploded corpus grams, the honest cost of an oversized batch (or
+    * sub-batch the admission, or use [[GramIndex]] and never touch the
+    * corpus at all).
     * Gram df for the hot-gram guard is still counted over every surviving
     * row (all docs, delta-present grams only), so df ∈ [2, 20] means
     * exactly what it means in the full pipeline and the candidate pairs
@@ -172,24 +190,38 @@ object CorpusOps {
     // candidate generation (diverging from the oracle, which builds its
     // gram CTEs with no source predicate at all).
     val isDelta = coalesce(col("source") === deltaSource, lit(false))
-    val delta = docs.filter(isDelta)
+    // plain === in a filter already drops NULLs, and unlike the coalesce
+    // form it pushes to the parquet scan — every delta-side scan below
+    // reads only the batch's row groups
+    val delta = docs.filter(col("source") === deltaSource)
     // exact stage: md5 against corpus (any), and earlier-delta (lower id)
     val hashes = docs.select(col("doc_id"), isDelta.as("d"), md5(col("text")).as("h"))
     val dh = hashes.filter(col("d")).select(col("doc_id"), col("h"))
     val ch = hashes.filter(!col("d")).select(col("h")).distinct()
     val exactVsCorpus = dh.join(ch, Seq("h"), "left_semi").select("doc_id")
+    // "earlier delta wins" via groupBy-min, not a self-join probe: a
+    // duplicate-hash group of size g costs one min() aggregate, O(g),
+    // where the semi-join shape this replaced probed O(g) per row —
+    // O(g²) per group when a delta carries huge identical-boilerplate
+    // runs. doc dropped ⇔ its doc_id exceeds the group's min.
     val exactVsDelta = dh
-      .as("x")
-      .join(
-        dh.select(col("doc_id").as("pid"), col("h").as("ph")),
-        col("ph") === col("h") && col("pid") < col("doc_id"),
-        "left_semi")
+      .join(dh.groupBy("h").agg(min(col("doc_id")).as("first_id")), "h")
+      .filter(col("doc_id") > col("first_id"))
       .select("doc_id")
     // near stage: reuse the shared pair index when warm, else the
     // delta-restricted build (see scaladoc) — identical output either way
     val nearPairs: DataFrame = Dedup.ngramPairsIfCached(s, dir) match {
       case Some(p) =>
-        val dIds = delta.select(col("doc_id"))
+        // the cold path packs a delta flag into the low bit and so
+        // rejects delta doc_ids ≥ 2^42; assert the same envelope here so
+        // an input cannot succeed warm and throw cold (the shared frame
+        // itself enforces only ngramPairsPlan's looser 2^43 bound)
+        val dIds = delta
+          .select(col("doc_id"))
+          .filter(
+            assert_true(
+              col("doc_id") >= 0 && col("doc_id") < (1L << 42),
+              lit("dedupIncremental packing envelope exceeded")).isNull)
         p.filter(col("jaccard") >= 0.5)
           .join(
             broadcast(dIds.select(col("doc_id").as("doc_a"), lit(1L).as("da_"))),
@@ -204,7 +236,7 @@ object CorpusOps {
             col("doc_b"),
             coalesce(col("da_"), lit(0L)).as("da"),
             coalesce(col("db_"), lit(0L)).as("db"))
-      case None => deltaRestrictedNearPairs(s, docs, isDelta)
+      case None => deltaRestrictedNearPairs(s, docs, delta, isDelta)
     }
     // delta doc_b with ANY partner (corpus either way, or earlier delta);
     // delta doc_a whose partner is corpus (the corpus-wins direction)
@@ -230,6 +262,7 @@ object CorpusOps {
   private def deltaRestrictedNearPairs(
       s: SparkSession,
       docs: DataFrame,
+      delta: DataFrame,
       isDelta: org.apache.spark.sql.Column): DataFrame = {
     val pack = 1048576L
     val g = docs
@@ -248,9 +281,22 @@ object CorpusOps {
       .select(
         (col("doc_id") * pack * 2 + size(col("garr")) * 2 + col("d").cast("long")).as("dn"),
         explode(col("garr")).as("gram"))
-    val deltaGrams = g.filter(col("dn") % 2 === 1).select("gram").distinct()
-    // map-side prune: only delta-present grams survive to the exchange
-    val gf = g.join(broadcast(deltaGrams), Seq("gram"), "left_semi")
+    // delta gram set derived from the DELTA scan (filter-pushed), not
+    // from g: the size gate below must be priced with a delta-only job,
+    // never a corpus scan. The set is identical to g's flagged rows.
+    val deltaGrams = delta
+      .select(explode(call_function("graft_grams", col("text"))).as("gram"))
+      .distinct()
+    // map-side prune: only delta-present grams survive to the exchange.
+    // Broadcast only under the measured gate (see scaladoc) — an
+    // oversized batch degrades to a linear shuffle semi-join, not an
+    // executor-killing broadcast. The count is one eager delta-only job;
+    // the plan re-derives deltaGrams (the delta is small by the gate's
+    // own admission when the broadcast path is taken).
+    val gateMax = s.conf.get("spark.graft.corpus.deltaGramBroadcastMax", "2000000").toLong
+    val gf =
+      if (deltaGrams.count() <= gateMax) g.join(broadcast(deltaGrams), Seq("gram"), "left_semi")
+      else g.join(deltaGrams, Seq("gram"), "left_semi")
     val gp = gf.repartition(col("gram"))
     val rare = gp
       .groupBy("gram")

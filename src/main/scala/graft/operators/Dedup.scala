@@ -338,9 +338,16 @@ object Dedup {
 
   /** Surviving minhash pairs (unordered) — shared via the stamp cache by
     * [[minhash]] and [[corpusDedup]] (two consumers, one banding
-    * pipeline; same staleness/lifecycle contract as [[ngramPairs]]). */
+    * pipeline; same staleness/lifecycle contract as [[ngramPairs]]).
+    * The cache tag carries the session's [[bandDfCap]]: the cap is an
+    * OUTPUT-semantics knob (above it, hot buckets switch to star
+    * pairing), so a mid-session cap change must miss the cache and
+    * rebuild rather than silently serve pairs computed under the old
+    * cap. A superseded cap's entry lingers until [[clearSharedCache]]
+    * or replacement — bounded by the number of distinct caps a session
+    * actually uses. */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    cachedByStamp("minhash", s, dir)(minhashPairsPlan(s, dir))
+    cachedByStamp(s"minhash:cap${bandDfCap(s)}", s, dir)(minhashPairsPlan(s, dir))
 
   /** Per-doc 64-slot minhash signatures — shared by the candidate stage
     * and the signature re-attach of [[minhashPairsPlan]]. */

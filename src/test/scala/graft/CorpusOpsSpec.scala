@@ -29,23 +29,25 @@ class CorpusOpsSpec extends GraftSpecBase {
     assert(splitsPerText == 1L, "same text must always get the same split")
   }
 
-  test("contamination finds a fully-contained eval doc and nothing else") {
+  test("contamination finds contained eval docs — including in NULL-source training data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_contam").toString
     import spark.implicits._
     Seq(
-      (1L, "e0 e1 e2 e3 e4", "src0"), // eval doc: 3 grams
-      (2L, "pre0 pre1 e0 e1 e2 e3 e4 post0", "srcT"), // contains all 3 -> 1.0
-      (3L, "x0 x1 x2 x3", "srcT"), // disjoint -> absent
-      (4L, "e0 e1 e2 zz", "srcT") // shares 1 of 3 grams -> 0.33 < 0.5 -> absent
+      (1L, "e0 e1 e2 e3 e4", Some("src0")), // eval doc: 3 grams
+      (2L, "pre0 pre1 e0 e1 e2 e3 e4 post0", Some("srcT")), // contains all 3 -> 1.0
+      (3L, "x0 x1 x2 x3", Some("srcT")), // disjoint -> absent
+      (4L, "e0 e1 e2 zz", Some("srcT")), // shares 1 of 3 grams -> 0.33 < 0.5 -> absent
+      // unknown provenance must be CHECKED as training data, not skipped
+      (5L, "e0 e1 e2 e3 e4 tail0", None) // NULL source, contains all 3 -> 1.0
     ).toDF("doc_id", "text", "source")
       .withColumn("lang", lit("en"))
       .withColumn("n_chars", length(col("text")))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = CorpusOps.contamination(spark, dir).collect()
-    assert(out.length == 1, s"expected exactly one contaminated pair, got ${out.toSeq}")
-    assert(out(0).getLong(0) == 2L && out(0).getLong(1) == 1L)
-    assert(out(0).getDouble(2) == 1.0)
+    assert(out.length == 2, s"expected exactly two contaminated pairs, got ${out.toSeq}")
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 1L), (5L, 1L)))
+    assert(out.forall(_.getDouble(2) == 1.0))
   }
 
   test("dedup_incremental: corpus wins regardless of id; delta keeps its earliest") {

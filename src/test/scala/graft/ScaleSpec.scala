@@ -311,7 +311,7 @@ class ScaleSpec extends GraftSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("dedup_incremental prunes the gram stream with a broadcast semi-join") {
+  test("dedup_incremental prunes the gram stream with a broadcast semi-join UNDER the gate") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     // the STANDALONE (cold-cache) shape is the one under test — a warm
@@ -321,12 +321,37 @@ class ScaleSpec extends GraftSpecBase {
       val plan = graft.operators.CorpusOps
         .dedupIncremental(spark, sfDir)
         .queryExecution.executedPlan.toString
-      // the delta-gram prune is hinted broadcast: it must survive even with
-      // auto-broadcast off, and sit on the map side (a LeftSemi BHJ), so
-      // only delta-present gram rows ever reach the wide exchange
+      // within the size gate (default 2M delta grams) the delta-gram prune
+      // is hinted broadcast: it must survive even with auto-broadcast off,
+      // and sit on the map side (a LeftSemi BHJ), so only delta-present
+      // gram rows ever reach the wide exchange
       assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(plan).isDefined,
         s"delta-gram prune not a broadcast semi-join:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("dedup_incremental ABOVE the gate: no delta-gram broadcast, same rows") {
+    // an oversized batch must degrade to a linear shuffle semi-join — the
+    // unconditional broadcast was the one plan in the repo that could not
+    // survive its own 100 TB design point
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    graft.operators.Dedup.clearSharedCache()
+    try {
+      val under = graft.operators.CorpusOps.dedupIncremental(spark, sfDir).collect().toSeq
+      spark.conf.set("spark.graft.corpus.deltaGramBroadcastMax", "0")
+      graft.operators.Dedup.clearSharedCache()
+      val df = graft.operators.CorpusOps.dedupIncremental(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"delta-gram prune still broadcasts above the gate:\n$plan")
+      assert(plan.contains("LeftSemi"), s"gram prune lost its semi-join shape:\n$plan")
+      assert(df.collect().toSeq == under, "gated fallback changed the admitted batch")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.unset("spark.graft.corpus.deltaGramBroadcastMax")
+      graft.operators.Dedup.clearSharedCache()
+    }
   }
 
   test("data_split assignment plans zero hash exchanges (narrow map + output sort only)") {
