@@ -297,27 +297,10 @@ object CorpusOps {
     val gf =
       if (deltaGrams.count() <= gateMax) g.join(broadcast(deltaGrams), Seq("gram"), "left_semi")
       else g.join(deltaGrams, Seq("gram"), "left_semi")
-    val gp = gf.repartition(col("gram"))
-    val rare = gp
-      .groupBy("gram")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, 20))
-      .select("gram")
-    val buckets = gp
-      .join(rare, Seq("gram"), "left_semi")
-      .groupBy("gram")
-      .agg(array_sort(collect_list(col("dn"))).as("ds"))
-    buckets
-      .select(
-        explode(
-          flatten(transform(
-            col("ds"),
-            (x, i) =>
-              transform(
-                slice(col("ds"), i + 2, size(col("ds"))),
-                y => struct(x.as("pa"), y.as("pb")))))).as("p"))
-      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
-      .agg(count(lit(1)).as("n_inter"))
+    // shared salted-exchange engine (see its scaladoc): a stop-shingle
+    // that survives the delta prune (delta batches DO contain corpus-wide
+    // boilerplate) spreads over the salt fanout instead of one reducer
+    Dedup.rarePairCounts(s, gf)
       .select(
         expr("pa DIV 2097152").as("doc_a"),
         expr("pb DIV 2097152").as("doc_b"),

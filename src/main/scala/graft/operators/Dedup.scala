@@ -69,7 +69,7 @@ object Dedup {
     * mtime/length stamp — an in-place change to the documents table is
     * picked up on the next call, not served stale. See the cache doc below.
     *
-    * Plan shape (ONE scan, two shuffles — down from 8 stages in round 1):
+    * Plan shape:
     *   - per-doc distinct gram-hash ARRAYS come from the native one-pass
     *     [[graft.functions.GramHash64]] (`graft_grams`) — no explode/
     *     distinct shuffle, no O(words²) lambda trap (see its scaladoc) —
@@ -84,18 +84,12 @@ object Dedup {
     *     precisely because the hot-gram guard bounds every bucket at 20
     *     docs (≤190 pairs). A gram with df > 20 is a stop-shingle: ~zero
     *     discrimination, O(df²) pair risk — dropping it is what keeps
-    *     candidates linear at 100 TB. Crucially the df filter runs BEFORE
-    *     any collect: gram df is aggregated on the slim 8-byte key (a
-    *     map-side-combined count — constant aggregation state no matter
-    *     how hot the gram), rare grams (df ∈ [2, 20]) semi-join back, and
-    *     only then does `collect_list` buffer a bucket — so a corpus-wide
-    *     stop-shingle with df = 10⁸ costs one counter, never a 10⁸-element
-    *     aggregation buffer. (Filtering on `size(collect_list(...))`
-    *     AFTER collecting would bound the *pairs* but OOM the buffer on
-    *     exactly the keys the guard exists for.) The jaccard denominator
-    *     still uses the FULL per-doc gram count, so the reported value is
-    *     a tight lower bound for near-dup pairs, which by definition
-    *     share mostly *rare* grams. */
+    *     candidates linear at 100 TB. The df guard, its straggler-free
+    *     exchange shape and the aggregate-before-collect discipline live
+    *     in [[rarePairCounts]] (shared with the incremental admission
+    *     path). The jaccard denominator still uses the FULL per-doc gram
+    *     count, so the reported value is a tight lower bound for
+    *     near-dup pairs, which by definition share mostly *rare* grams. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramPairs(s, dir)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -153,31 +147,84 @@ object Dedup {
       .select(
         (col("doc_id") * pack + size(col("garr"))).as("dn"),
         explode(col("garr")).as("gram"))
-    // hot-gram guard, aggregate-before-collect (mirrors the oracle's
-    // `rare AS (... HAVING COUNT(*) <= 20)` CTE): df is a counted 8-byte
-    // key — bounded aggregation state even for a df=10⁸ stop-shingle —
-    // and only rare grams ever reach a collect_list buffer. The explicit
-    // repartition on `gram` lets the df count, the semi-join (both sides)
-    // and the bucket collect all ride ONE exchange (identical subtree →
-    // ReuseExchange / AQE stage reuse), so the scan + explode + shuffle of
-    // the exploded grams happens once. The trade it buys that with: the
-    // count is planned ABOVE the exchange (partial+final both post-
-    // shuffle), so a df=10⁸ stop-shingle ships all 10⁸ occurrences to one
-    // reducer task — a scan-speed straggler with constant aggregation
-    // state (count + in-place semi-join drop), NOT an OOM. The
-    // alternative — no repartition, map-side-combined df count — shrinks
-    // the count's shuffle but still co-locates the hot gram's rows on one
-    // task at the semi-join AND adds a second wide exchange of the
-    // exploded rows, so the single-exchange shape wins at every scale;
-    // the straggler is the accepted cost of exact df semantics.
-    val gp = g.repartition(col("gram"))
-    val rare = gp
+    rarePairCounts(s, g)
+      .select(
+        expr("pa DIV 1048576").as("doc_a"),
+        expr("pb DIV 1048576").as("doc_b"),
+        (col("pa") % pack).as("na"),
+        (col("pb") % pack).as("nb"),
+        col("n_inter"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (col("n_inter") / (col("na") + col("nb") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** Salt fanout for the rare-gram df count / bucket exchange: a hot
+    * gram's occurrences spread across this many shuffle cells instead of
+    * one reducer. Session-tunable (`spark.graft.dedup.gramSaltFanout`,
+    * default 32 = one cell per local core); on a 1000-executor cluster
+    * set it to ~the core count so a df=10⁸ stop-shingle costs each task
+    * ~df/fanout rows. Purely a physical knob — output is invariant. */
+  private[graft] def gramSaltFanout(s: SparkSession): Int = {
+    val f = s.conf.get("spark.graft.dedup.gramSaltFanout", "32").toInt
+    require(f > 0, s"spark.graft.dedup.gramSaltFanout must be positive, got $f")
+    f
+  }
+
+  /** Candidate pair intersection counts `(pa, pb, n_inter)` over grams
+    * with df ∈ [2, 20], from a `(dn, gram)` exploded stream — the shared
+    * engine of [[ngramPairsPlan]] and the delta-restricted build in
+    * [[CorpusOps.dedupIncremental]] (`dn` is each caller's packed doc
+    * id + metadata; opaque here, compared only for sorting/pairing).
+    *
+    * Hot-gram guard, aggregate-before-collect (mirrors the oracle's
+    * `rare AS (... HAVING COUNT(*) <= 20)` CTE): df is a counted 8-byte
+    * key — bounded aggregation state even for a df=10⁸ stop-shingle —
+    * and only rare grams ever reach a collect_list buffer.
+    *
+    * Exchange shape — no hot-key straggler anywhere, priced honestly:
+    *   - the df count is its OWN aggregation subplan: `partial_count`
+    *     combines MAP-SIDE, so its exchange carries one row per gram per
+    *     map task — a df=10⁸ stop-shingle ships ≤ #tasks partial counts,
+    *     never 10⁸ occurrences to one reducer (the round-5/6 straggler).
+    *     Column pruning reads ONLY the text column for this pass.
+    *   - the wide stream joins the rare set SALTED: rows carry
+    *     salt = hash(dn) mod [[gramSaltFanout]] and the rare set is
+    *     expanded × fanout, so when the rare set is too big to broadcast
+    *     (the 100 TB regime) the semi-join's exchange spreads a hot
+    *     gram's occurrences across fanout cells and drops them there —
+    *     the round-6 shape co-located all of them on one reducer before
+    *     dropping them. When rare IS small (test scale) the optimizer
+    *     broadcasts it and hot rows never reach any exchange at all.
+    *   - only rare-gram rows (≤ 20 per gram) reach the final tiny
+    *     exchange that buckets them per gram for in-place pair
+    *     expansion. (Filtering on `size(collect_list(...))` AFTER
+    *     collecting would bound the *pairs* but OOM the buffer on
+    *     exactly the keys the guard exists for.)
+    * Why TWO scans and not a shared exchange: the round-6 comment
+    * claimed the count, semi-join and collect all rode one repartition —
+    * plan inspection shows that never held: Catalyst column-prunes the
+    * count branch to a text-only scan (it needs no doc ids), making the
+    * two subtrees canonically different, and no variant survives both
+    * ColumnPruning and the planner's replacement of a user repartition
+    * below a join (probed: REPARTITION_BY_COL/NUM vs ENSURE_REQUIREMENTS
+    * origins never match, so AQE stage reuse is structurally
+    * unavailable). The honest price of exact df was always a second
+    * (narrower, text-only) scan; this shape keeps it and spends it on
+    * deleting both stragglers. */
+  private[graft] def rarePairCounts(s: SparkSession, g: DataFrame): DataFrame = {
+    val fanout = gramSaltFanout(s)
+    val rare = g
       .groupBy("gram")
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 20))
       .select("gram")
-    val buckets = gp
-      .join(rare, Seq("gram"), "left_semi")
+    val rareExp = rare.crossJoin(s.range(fanout).select(col("id").as("salt")))
+    val buckets = g
+      .withColumn("salt", pmod(xxhash64(col("dn")), lit(fanout.toLong)))
+      .join(rareExp, Seq("gram", "salt"), "left_semi")
       .groupBy("gram")
       .agg(array_sort(collect_list(col("dn"))).as("ds"))
     buckets
@@ -191,17 +238,6 @@ object Dedup {
                 y => struct(x.as("pa"), y.as("pb")))))).as("p"))
       .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .agg(count(lit(1)).as("n_inter"))
-      .select(
-        expr("pa DIV 1048576").as("doc_a"),
-        expr("pb DIV 1048576").as("doc_b"),
-        (col("pa") % pack).as("na"),
-        (col("pb") % pack).as("nb"),
-        col("n_inter"))
-      .select(
-        col("doc_a"),
-        col("doc_b"),
-        (col("n_inter") / (col("na") + col("nb") - col("n_inter")).cast("double"))
-          .as("jaccard"))
   }
 
   val ngramJaccardSql: String =

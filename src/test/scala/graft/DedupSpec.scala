@@ -251,6 +251,56 @@ class DedupSpec extends GraftSpecBase {
         s"collect_list buffers before the rare-gram semi-join — df guard must run first:\n$plan")
   }
 
+  test("ngram df count combines map-side and the rare semi-join is salted (no stragglers)") {
+    // the round-5/6 straggler: a df=10⁸ stop-shingle shipped ALL its
+    // occurrences to one reducer — once for the df count, once for the
+    // semi-join that dropped them. Pin the three plan facts that delete
+    // both: (1) the df count's partial aggregate runs BELOW its exchange
+    // (map-side combine: ≤ one row per gram per task crosses the wire),
+    // (2) both passes are column-pruned to (doc_id, text) — doc_id stays
+    // because the loud packing-envelope assert reads it — (3) when
+    // the rare set cannot broadcast, the wide stream joins it on
+    // (gram, salt) so hot occurrences spread across the salt fanout.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Dedup.clearSharedCache()
+      val plan = Dedup.ngramPairsPlan(spark, sfDir).queryExecution.executedPlan
+      val dfCountMapSide = plan.collect {
+        case e: ShuffleExchangeExec if e.child.collectFirst {
+              case h: BaseAggregateExec
+                  if h.aggregateExpressions.exists(_.mode == Partial) &&
+                    h.groupingExpressions.map(_.name) == Seq("gram") =>
+                h
+            }.isDefined =>
+          e
+      }
+      assert(dfCountMapSide.nonEmpty,
+        s"gram df count does not combine map-side (straggler regressed):\n$plan")
+      val scans = plan.collect { case f: FileSourceScanExec => f.schema.fieldNames.toSet }
+      assert(scans.nonEmpty && scans.forall(_.subsetOf(Set("doc_id", "text"))),
+        s"documents scans not pruned to (doc_id, text), scans=$scans:\n$plan")
+      val semiKeyCounts = plan.collect {
+        case j: SortMergeJoinExec if j.joinType == LeftSemi => j.leftKeys.length
+        case j: ShuffledHashJoinExec if j.joinType == LeftSemi => j.leftKeys.length
+      }
+      assert(semiKeyCounts.contains(2),
+        s"rare-gram semi-join not salted (keys per semi-join: $semiKeyCounts):\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      Dedup.clearSharedCache()
+    }
+  }
+
   test("shared pairs cache refreshes when the documents table changes on disk") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stale").toString
     try {
