@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{GramHash64, LongArrayDot, LongVecMin, LongVecSum, LshBuckets, MinHash64, SimHash64, Winnow64}
+import graft.functions.{CappedLongCollect, GramHash64, LongArrayDot, LongVecMin, LongVecSum, LshBuckets, MinHash64, SimHash64, Winnow64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -95,5 +95,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_vec_min(arr) - elementwise min aggregate of BIGINT arrays",
           ""),
         (children: Seq[Expression]) => LongVecMin(children.head).toAggregateExpression()))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_collect_capped"),
+        new ExpressionInfo(
+          classOf[CappedLongCollect].getName,
+          null,
+          "graft_collect_capped",
+          "graft_collect_capped(x, cap) - sorted BIGINT collect, NULL past cap elements",
+          ""),
+        (children: Seq[Expression]) =>
+          CappedLongCollect(children.head, children(1)).toAggregateExpression()))
   }
 }

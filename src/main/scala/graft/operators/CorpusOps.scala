@@ -297,9 +297,10 @@ object CorpusOps {
     val gf =
       if (deltaGrams.count() <= gateMax) g.join(broadcast(deltaGrams), Seq("gram"), "left_semi")
       else g.join(deltaGrams, Seq("gram"), "left_semi")
-    // shared salted-exchange engine (see its scaladoc): a stop-shingle
+    // shared capped-collect engine (see its scaladoc): a stop-shingle
     // that survives the delta prune (delta batches DO contain corpus-wide
-    // boilerplate) spreads over the salt fanout instead of one reducer
+    // boilerplate) costs ≤ 21 buffered longs per map task, never an
+    // unbounded buffer or a single-reducer straggler
     Dedup.rarePairCounts(s, gf)
       .select(
         expr("pa DIV 2097152").as("doc_a"),

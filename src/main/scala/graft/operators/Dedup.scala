@@ -161,72 +161,40 @@ object Dedup {
           .as("jaccard"))
   }
 
-  /** Salt fanout for the rare-gram df count / bucket exchange: a hot
-    * gram's occurrences spread across this many shuffle cells instead of
-    * one reducer. Session-tunable (`spark.graft.dedup.gramSaltFanout`,
-    * default 32 = one cell per local core); on a 1000-executor cluster
-    * set it to ~the core count so a df=10⁸ stop-shingle costs each task
-    * ~df/fanout rows. Purely a physical knob — output is invariant. */
-  private[graft] def gramSaltFanout(s: SparkSession): Int = {
-    val f = s.conf.get("spark.graft.dedup.gramSaltFanout", "32").toInt
-    require(f > 0, s"spark.graft.dedup.gramSaltFanout must be positive, got $f")
-    f
-  }
-
   /** Candidate pair intersection counts `(pa, pb, n_inter)` over grams
     * with df ∈ [2, 20], from a `(dn, gram)` exploded stream — the shared
     * engine of [[ngramPairsPlan]] and the delta-restricted build in
     * [[CorpusOps.dedupIncremental]] (`dn` is each caller's packed doc
     * id + metadata; opaque here, compared only for sorting/pairing).
     *
-    * Hot-gram guard, aggregate-before-collect (mirrors the oracle's
-    * `rare AS (... HAVING COUNT(*) <= 20)` CTE): df is a counted 8-byte
-    * key — bounded aggregation state even for a df=10⁸ stop-shingle —
-    * and only rare grams ever reach a collect_list buffer.
-    *
-    * Exchange shape — no hot-key straggler anywhere, priced honestly:
-    *   - the df count is its OWN aggregation subplan: `partial_count`
-    *     combines MAP-SIDE, so its exchange carries one row per gram per
-    *     map task — a df=10⁸ stop-shingle ships ≤ #tasks partial counts,
-    *     never 10⁸ occurrences to one reducer (the round-5/6 straggler).
-    *     Column pruning reads ONLY the text column for this pass.
-    *   - the wide stream joins the rare set SALTED: rows carry
-    *     salt = hash(dn) mod [[gramSaltFanout]] and the rare set is
-    *     expanded × fanout, so when the rare set is too big to broadcast
-    *     (the 100 TB regime) the semi-join's exchange spreads a hot
-    *     gram's occurrences across fanout cells and drops them there —
-    *     the round-6 shape co-located all of them on one reducer before
-    *     dropping them. When rare IS small (test scale) the optimizer
-    *     broadcasts it and hot rows never reach any exchange at all.
-    *   - only rare-gram rows (≤ 20 per gram) reach the final tiny
-    *     exchange that buckets them per gram for in-place pair
-    *     expansion. (Filtering on `size(collect_list(...))` AFTER
-    *     collecting would bound the *pairs* but OOM the buffer on
-    *     exactly the keys the guard exists for.)
-    * Why TWO scans and not a shared exchange: the round-6 comment
-    * claimed the count, semi-join and collect all rode one repartition —
-    * plan inspection shows that never held: Catalyst column-prunes the
-    * count branch to a text-only scan (it needs no doc ids), making the
-    * two subtrees canonically different, and no variant survives both
-    * ColumnPruning and the planner's replacement of a user repartition
-    * below a join (probed: REPARTITION_BY_COL/NUM vs ENSURE_REQUIREMENTS
-    * origins never match, so AQE stage reuse is structurally
-    * unavailable). The honest price of exact df was always a second
-    * (narrower, text-only) scan; this shape keeps it and spends it on
-    * deleting both stragglers. */
+    * Hot-gram guard (mirrors the oracle's `rare AS (... HAVING
+    * COUNT(*) <= 20)` CTE), executed as ONE aggregation: per gram, an
+    * exact `count` plus the native capped collect
+    * ([[graft.functions.CappedLongCollect]], `graft_collect_capped`)
+    * that keeps at most 21 values and evaluates to NULL past the cap —
+    * precisely the stop-shingle groups the df filter drops. That single
+    * primitive replaces rounds 4-6's count → rare-filter → semi-join →
+    * collect chain and its two documented scale hazards at once:
+    *   - aggregation state is ≤ 21 longs per gram NO MATTER how hot the
+    *     key (collect_list would buffer a df=10⁸ stop-shingle before any
+    *     size filter could run — the round-4 OOM hazard);
+    *   - both aggregates combine MAP-SIDE, so the one exchange here
+    *     carries per-(gram, task) partials — a df=10⁸ gram crosses the
+    *     wire as one count + ≤ 21 longs per map task instead of shipping
+    *     all 10⁸ occurrences to a single reducer (the round-5/6
+    *     straggler). Plan probing also showed the old chain paid a
+    *     SECOND corpus scan for its count branch (column pruning split
+    *     the "shared" exchange); this shape is one scan, one exchange,
+    *     no straggler, no spill risk.
+    * Only rare buckets (≤ 20 docs → ≤ 190 pairs) reach the in-place
+    * pair expansion. */
   private[graft] def rarePairCounts(s: SparkSession, g: DataFrame): DataFrame = {
-    val fanout = gramSaltFanout(s)
-    val rare = g
-      .groupBy("gram")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, 20))
-      .select("gram")
-    val rareExp = rare.crossJoin(s.range(fanout).select(col("id").as("salt")))
     val buckets = g
-      .withColumn("salt", pmod(xxhash64(col("dn")), lit(fanout.toLong)))
-      .join(rareExp, Seq("gram", "salt"), "left_semi")
       .groupBy("gram")
-      .agg(array_sort(collect_list(col("dn"))).as("ds"))
+      .agg(
+        count(lit(1)).as("df"),
+        call_function("graft_collect_capped", col("dn"), lit(20)).as("ds"))
+      .filter(col("df").between(2, 20))
     buckets
       .select(
         explode(

@@ -229,74 +229,68 @@ class DedupSpec extends GraftSpecBase {
     } finally Dedup.clearSharedCache()
   }
 
-  test("ngram pipeline aggregates gram df BEFORE any collect (plan shape)") {
-    // the guard's whole point is that a df=10⁸ stop-shingle costs one
-    // counter, never a 10⁸-element collect_list buffer — pin the ordering:
-    // every collect_list aggregate must sit above the rare-gram semi-join
+  test("ngram pipeline never plans an unbounded collect (capped native aggregate only)") {
+    // the guard's whole point is that a df=10⁸ stop-shingle costs ≤ 21
+    // buffered longs, never a 10⁸-element collect_list buffer — pin that
+    // the only collect in the pipeline is the capped native aggregate
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList}
-    import org.apache.spark.sql.catalyst.plans.LeftSemi
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     val plan = Dedup.ngramPairsPlan(spark, sfDir).queryExecution.optimizedPlan
-    val collectAggs = plan.collect {
+    val unbounded = plan.collect {
       case a: Aggregate if a.aggregateExpressions.exists(_.exists {
             case ae: AggregateExpression => ae.aggregateFunction.isInstanceOf[CollectList]
             case _ => false
           }) =>
         a
     }
-    assert(collectAggs.nonEmpty, s"no collect_list aggregate found in:\n$plan")
-    for (a <- collectAggs)
-      assert(
-        a.child.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty,
-        s"collect_list buffers before the rare-gram semi-join — df guard must run first:\n$plan")
+    assert(unbounded.isEmpty, s"unbounded collect_list crept back in:\n$plan")
+    val capped = plan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.exists {
+            case ae: AggregateExpression =>
+              ae.aggregateFunction.isInstanceOf[graft.functions.CappedLongCollect]
+            case _ => false
+          }) =>
+        a
+    }
+    assert(capped.nonEmpty, s"capped collect aggregate missing from:\n$plan")
   }
 
-  test("ngram df count combines map-side and the rare semi-join is salted (no stragglers)") {
-    // the round-5/6 straggler: a df=10⁸ stop-shingle shipped ALL its
-    // occurrences to one reducer — once for the df count, once for the
-    // semi-join that dropped them. Pin the three plan facts that delete
-    // both: (1) the df count's partial aggregate runs BELOW its exchange
-    // (map-side combine: ≤ one row per gram per task crosses the wire),
-    // (2) both passes are column-pruned to (doc_id, text) — doc_id stays
-    // because the loud packing-envelope assert reads it — (3) when
-    // the rare set cannot broadcast, the wide stream joins it on
-    // (gram, salt) so hot occurrences spread across the salt fanout.
-    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+  test("ngram bucket aggregation: one scan, map-side partials, no stragglers") {
+    // the round-5/6 straggler shipped a hot gram's every occurrence to
+    // one reducer (count + semi-join), and the round-6 plan silently paid
+    // a second corpus scan for its count branch. Pin the capped-collect
+    // shape that deletes all of it: (1) ONE documents scan, pruned to
+    // (doc_id, text) — doc_id stays because the loud packing-envelope
+    // assert reads it — (2) the gram aggregation's PARTIAL mode runs
+    // below its exchange (map-side combine: a hot gram crosses the wire
+    // as one count + ≤ 21 longs per task, never raw occurrences).
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, PartialMerge}
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
-    import org.apache.spark.sql.catalyst.plans.LeftSemi
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       Dedup.clearSharedCache()
       val plan = Dedup.ngramPairsPlan(spark, sfDir).queryExecution.executedPlan
-      val dfCountMapSide = plan.collect {
+      val scans = plan.collect { case f: FileSourceScanExec => f.schema.fieldNames.toSet }
+      assert(scans.size == 1, s"documents scanned ${scans.size} times (want 1):\n$plan")
+      assert(scans.head.subsetOf(Set("doc_id", "text")),
+        s"documents scan not pruned to (doc_id, text), read ${scans.head}:\n$plan")
+      val gramPartialBelowExchange = plan.collect {
         case e: ShuffleExchangeExec if e.child.collectFirst {
               case h: BaseAggregateExec
-                  if h.aggregateExpressions.exists(_.mode == Partial) &&
+                  if h.aggregateExpressions.exists(a =>
+                    a.mode == Partial || a.mode == PartialMerge) &&
                     h.groupingExpressions.map(_.name) == Seq("gram") =>
                 h
             }.isDefined =>
           e
       }
-      assert(dfCountMapSide.nonEmpty,
-        s"gram df count does not combine map-side (straggler regressed):\n$plan")
-      val scans = plan.collect { case f: FileSourceScanExec => f.schema.fieldNames.toSet }
-      assert(scans.nonEmpty && scans.forall(_.subsetOf(Set("doc_id", "text"))),
-        s"documents scans not pruned to (doc_id, text), scans=$scans:\n$plan")
-      val semiKeyCounts = plan.collect {
-        case j: SortMergeJoinExec if j.joinType == LeftSemi => j.leftKeys.length
-        case j: ShuffledHashJoinExec if j.joinType == LeftSemi => j.leftKeys.length
-      }
-      assert(semiKeyCounts.contains(2),
-        s"rare-gram semi-join not salted (keys per semi-join: $semiKeyCounts):\n$plan")
+      assert(gramPartialBelowExchange.nonEmpty,
+        s"gram aggregation does not combine map-side (straggler regressed):\n$plan")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       Dedup.clearSharedCache()
     }
   }

@@ -121,6 +121,38 @@ class FunctionsSpec extends GraftSpecBase {
     assert(fp(d1).get == fp(d1).get)
   }
 
+  test("graft_collect_capped: sorted under cap, NULL past cap, skips null inputs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq[(Long, java.lang.Long)](
+      (1L, 5L), (1L, 3L), (1L, 9L), // under cap -> sorted [3,5,9]
+      (2L, 1L), (2L, 2L), (2L, 3L), (2L, 4L), // over cap(3) -> NULL
+      (3L, 7L), (3L, null), // null input skipped -> [7]
+      (4L, null) // only nulls -> NULL
+    ).toDF("k", "v")
+    val out = df
+      .groupBy("k")
+      .agg(
+        expr("graft_collect_capped(v, 3)").as("c"),
+        count(col("v")).as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Long](1)))
+      .toMap
+    assert(out(1L).get == Seq(3L, 5L, 9L))
+    assert(out(2L).isEmpty, "past-cap group must evaluate to NULL")
+    assert(out(3L).get == Seq(7L))
+    assert(out(4L).isEmpty, "all-null group must evaluate to NULL")
+    // repartitioned (forces partial/merge path across many partitions):
+    // same results — merge must respect the cap and ordering
+    val shuffled = df.repartition(7, col("v"))
+      .groupBy("k")
+      .agg(expr("graft_collect_capped(v, 3)").as("c"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Long](1)))
+      .toMap
+    assert(shuffled == out)
+  }
+
   test("minhash agreement tracks true jaccard on overlapping docs") {
     def sig(t: String) = MinHash64.compute(UTF8String.fromString(t)).toLongArray()
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
