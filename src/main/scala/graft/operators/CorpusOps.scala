@@ -166,9 +166,11 @@ object CorpusOps {
     * gram with a delta doc is delta-present by definition, so the
     * restriction loses nothing (the full-pipeline SQL oracle, filtered to
     * delta-touching pairs, hash-matches this plan's output). At 100 TB
-    * the natural next step is persisting the corpus's rare-gram index
-    * between crawls so admission touches only the index and the delta;
-    * the query shape here is that job's first run.
+    * the amortized path is [[dedupIncrementalIndexed]]: the same contract
+    * served from the persisted [[GramIndex]], zero corpus scans per
+    * crawl; this operator is the from-scratch shape (and what builds
+    * confidence in the index path — both are driver-oracled against the
+    * same SQL).
     *
     * Index reuse: when the run-scoped shared ngram PAIR frame is already
     * cached and fresh (another query in this run paid for it —
@@ -199,15 +201,7 @@ object CorpusOps {
     val dh = hashes.filter(col("d")).select(col("doc_id"), col("h"))
     val ch = hashes.filter(!col("d")).select(col("h")).distinct()
     val exactVsCorpus = dh.join(ch, Seq("h"), "left_semi").select("doc_id")
-    // "earlier delta wins" via groupBy-min, not a self-join probe: a
-    // duplicate-hash group of size g costs one min() aggregate, O(g),
-    // where the semi-join shape this replaced probed O(g) per row —
-    // O(g²) per group when a delta carries huge identical-boilerplate
-    // runs. doc dropped ⇔ its doc_id exceeds the group's min.
-    val exactVsDelta = dh
-      .join(dh.groupBy("h").agg(min(col("doc_id")).as("first_id")), "h")
-      .filter(col("doc_id") > col("first_id"))
-      .select("doc_id")
+    val exactVsDelta = earlierDeltaDups(dh)
     // near stage: reuse the shared pair index when warm, else the
     // delta-restricted build (see scaladoc) — identical output either way
     val nearPairs: DataFrame = Dedup.ngramPairsIfCached(s, dir) match {
@@ -238,8 +232,28 @@ object CorpusOps {
             coalesce(col("db_"), lit(0L)).as("db"))
       case None => deltaRestrictedNearPairs(s, docs, delta, isDelta)
     }
-    // delta doc_b with ANY partner (corpus either way, or earlier delta);
-    // delta doc_a whose partner is corpus (the corpus-wins direction)
+    survivors(delta, exactVsCorpus, exactVsDelta, nearPairs)
+  }
+
+  /** "Earlier delta wins" via groupBy-min, not a self-join probe: a
+    * duplicate-hash group of size g costs one min() aggregate, O(g),
+    * where the semi-join shape this replaced probed O(g) per row —
+    * O(g²) per group when a delta carries huge identical-boilerplate
+    * runs. doc dropped ⇔ its doc_id exceeds the group's min. */
+  private def earlierDeltaDups(dh: DataFrame): DataFrame =
+    dh.join(dh.groupBy("h").agg(min(col("doc_id")).as("first_id")), "h")
+      .filter(col("doc_id") > col("first_id"))
+      .select("doc_id")
+
+  /** Shared admission tail: delta doc_b with ANY near partner (corpus
+    * either way, or earlier delta); delta doc_a whose partner is corpus
+    * (the corpus-wins direction); plus both exact stages — everything
+    * else survives. */
+  private def survivors(
+      delta: DataFrame,
+      exactVsCorpus: DataFrame,
+      exactVsDelta: DataFrame,
+      nearPairs: DataFrame): DataFrame = {
     val nearDrops = nearPairs
       .filter(col("db") === 1)
       .select(col("doc_b").as("doc_id"))
@@ -293,7 +307,7 @@ object CorpusOps {
     // executor-killing broadcast. The count is one eager delta-only job;
     // the plan re-derives deltaGrams (the delta is small by the gate's
     // own admission when the broadcast path is taken).
-    val gateMax = s.conf.get("spark.graft.corpus.deltaGramBroadcastMax", "2000000").toLong
+    val gateMax = broadcastGate(s)
     val gf =
       if (deltaGrams.count() <= gateMax) g.join(broadcast(deltaGrams), Seq("gram"), "left_semi")
       else g.join(deltaGrams, Seq("gram"), "left_semi")
@@ -301,18 +315,143 @@ object CorpusOps {
     // that survives the delta prune (delta batches DO contain corpus-wide
     // boilerplate) costs ≤ 21 buffered longs per map task, never an
     // unbounded buffer or a single-reducer straggler
-    Dedup.rarePairCounts(s, gf)
-      .select(
-        expr("pa DIV 2097152").as("doc_a"),
-        expr("pb DIV 2097152").as("doc_b"),
-        (col("pa") % 2).as("da"),
-        (col("pb") % 2).as("db"),
-        expr("(pa DIV 2) % 1048576").as("na"),
-        expr("(pb DIV 2) % 1048576").as("nb"),
-        col("n_inter"))
+    decodeFlaggedPairs(Dedup.rarePairCounts(s, gf))
+  }
+
+  /** All delta-sized broadcast decisions in the admission operators share
+    * this one measured gate (distinct delta grams / delta rows vs
+    * `spark.graft.corpus.deltaGramBroadcastMax`): under it, delta-derived
+    * sets are hinted broadcast; above it, every probe degrades to a
+    * linear shuffle join instead of an executor-killing broadcast. */
+  private def broadcastGate(s: SparkSession): Long =
+    s.conf.get("spark.graft.corpus.deltaGramBroadcastMax", "2000000").toLong
+
+  /** Decode `(pa, pb, n_inter)` flag-packed pair counts into
+    * `(doc_a, doc_b, da, db)` near-dup pairs at Jaccard ≥ 0.5. */
+  private def decodeFlaggedPairs(pc: DataFrame): DataFrame =
+    pc.select(
+      expr("pa DIV 2097152").as("doc_a"),
+      expr("pb DIV 2097152").as("doc_b"),
+      (col("pa") % 2).as("da"),
+      (col("pb") % 2).as("db"),
+      expr("(pa DIV 2) % 1048576").as("na"),
+      expr("(pb DIV 2) % 1048576").as("nb"),
+      col("n_inter"))
       .filter(
         (col("n_inter") / (col("na") + col("nb") - col("n_inter")).cast("double")) >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("da"), col("db"))
+
+  /** Incremental admission against the PERSISTED rare-gram index
+    * ([[GramIndex]]) — identical output contract to [[dedupIncremental]],
+    * but the established corpus is never scanned: the exact stage probes
+    * the index's hash set, and the near stage joins the delta's capped
+    * gram aggregation against the index's `(gram, df, ds)` rows. Every
+    * `documents` scan in the plan carries the pushed batch-source filter
+    * (spec-pinned), so per-crawl cost is O(delta + matched index rows) —
+    * the amortization a pipeline that admits batches daily against a
+    * slowly-growing corpus actually needs.
+    *
+    * Exactness vs the full pipeline: combined df = delta df + index df
+    * equals the all-docs df for every delta-present gram (the only grams
+    * that can produce delta-touching pairs), the member bucket is the
+    * concatenation of both sides' packed lists, and grams with delta
+    * df > 20 are pre-dropped (total df ≥ delta df can never re-enter the
+    * rarity band). The same fixture therefore hash-matches the standalone
+    * operator cold — spec-pinned, and `dedup_incremental_idx` runs the
+    * SAME DuckDB oracle as `dedup_incremental` through the driver.
+    *
+    * Broadcast safety: the index side is corpus-sized, so it is only
+    * ever probed (broadcast of the DELTA under [[broadcastGate]]) or
+    * shuffle-joined (linear in the INDEX, still never the corpus text).
+    *
+    * `buildIfStale`: a stale/missing index (stamp mismatch —
+    * [[GramIndex.isFresh]]) is rebuilt by default; pass false to fail
+    * loudly instead — a scheduled admission job that expects a
+    * maintained index should not silently pay a full rebuild. */
+  def dedupIncrementalIndexed(
+      s: SparkSession,
+      dir: String,
+      indexPath: String,
+      deltaSource: String = "src19",
+      buildIfStale: Boolean = true): DataFrame = {
+    if (!GramIndex.isFresh(s, dir, indexPath, deltaSource)) {
+      if (!buildIfStale)
+        throw new IllegalStateException(
+          s"gram index at $indexPath is missing or stale for $dir (deltaSource=$deltaSource)")
+      GramIndex.build(s, dir, indexPath, deltaSource)
+    }
+    val gateMax = broadcastGate(s)
+    val delta = Tables.documents(s, dir).filter(col("source") === deltaSource)
+    val dh = delta.select(col("doc_id"), md5(col("text")).as("h"))
+    val nDelta = delta.count() // eager delta-only job pricing the gates
+    val exactVsCorpus =
+      if (nDelta <= gateMax)
+        GramIndex.hashes(s, indexPath).join(broadcast(dh), Seq("h")).select("doc_id")
+      else dh.join(GramIndex.hashes(s, indexPath), Seq("h"), "left_semi").select("doc_id")
+    val pack = 1048576L
+    val dG = delta
+      .select(col("doc_id"), call_function("graft_grams", col("text")).as("garr"))
+      .filter(col("garr").isNotNull)
+      .filter(
+        assert_true(
+          size(col("garr")) < pack && col("doc_id") >= 0 && col("doc_id") < (1L << 42),
+          lit("dedupIncremental packing envelope exceeded"))
+          .isNull)
+      .select(
+        (col("doc_id") * pack * 2 + size(col("garr")) * 2 + 1L).as("dn"),
+        explode(col("garr")).as("gram"))
+    val dAgg = dG
+      .groupBy("gram")
+      .agg(
+        count(lit(1)).as("dfd"),
+        call_function("graft_collect_capped", col("dn"), lit(20)).as("dsd"))
+      // total df ≥ delta df: a gram hotter than the cap inside the batch
+      // alone can never be rare, so its (NULL) bucket is dropped here
+      .filter(col("dfd") <= 20)
+    val nGrams = dAgg.count()
+    val probe = dAgg.select("gram")
+    val probed =
+      if (nGrams <= gateMax)
+        GramIndex.grams(s, indexPath).join(broadcast(probe), Seq("gram"), "left_semi")
+      else GramIndex.grams(s, indexPath).join(probe, Seq("gram"), "left_semi")
+    val buckets = dAgg
+      .join(probed, Seq("gram"), "left")
+      .filter((col("dfd") + coalesce(col("df"), lit(0L))).between(2, 20))
+      // index df ≤ 20 ⇒ its ds is non-NULL by construction; absent gram
+      // (no corpus occurrences) contributes an empty member list
+      .select(
+        array_sort(
+          concat(col("dsd"), coalesce(col("ds"), expr("CAST(array() AS ARRAY<BIGINT>)"))))
+          .as("ds"))
+    val pairCounts = buckets
+      .select(
+        explode(
+          flatten(transform(
+            col("ds"),
+            (x, i) =>
+              transform(
+                slice(col("ds"), i + 2, size(col("ds"))),
+                y => struct(x.as("pa"), y.as("pb")))))).as("p"))
+      // corpus–corpus member pairs carry no admission signal: drop them
+      // before they enter the pair aggregate
+      .filter((col("p.pa") % 2) + (col("p.pb") % 2) >= 1)
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .agg(count(lit(1)).as("n_inter"))
+    survivors(delta, exactVsCorpus, earlierDeltaDups(dh), decodeFlaggedPairs(pairCounts))
+  }
+
+  /** Stable per-dataset scratch location for [[dedupIncrementalIndexed]]'s
+    * driver-run twin (`dedup_incremental_idx`): the first call builds the
+    * index, later calls (e.g. bench passes) find it fresh and skip the
+    * build — the persisted-between-crawls behavior, observable in the
+    * bench numbers. */
+  private[graft] def defaultIndexPath(dir: String): String = {
+    val h = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_))
+      .mkString
+    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_gram_index_$h").getPath
   }
 
   val dedupIncrementalSql: String =
@@ -358,10 +497,13 @@ object CorpusOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_split" -> (dataSplit _),
     "text_contamination" -> ((s, d) => contamination(s, d)),
-    "dedup_incremental" -> ((s, d) => dedupIncremental(s, d)))
+    "dedup_incremental" -> ((s, d) => dedupIncremental(s, d)),
+    "dedup_incremental_idx" -> ((s, d) => dedupIncrementalIndexed(s, d, defaultIndexPath(d))))
 
   val oracles: Map[String, String] = Map(
     "data_split" -> dataSplitSql,
     "text_contamination" -> contaminationSql,
-    "dedup_incremental" -> dedupIncrementalSql)
+    "dedup_incremental" -> dedupIncrementalSql,
+    // the indexed operator has the SAME output contract — same oracle
+    "dedup_incremental_idx" -> dedupIncrementalSql)
 }

@@ -40,8 +40,9 @@ private[graft] object PipelineCache {
   private val cleanupHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
-  /** Cheap driver-side change stamp of one source table under `dir`. */
-  private def sourceStamp(dir: String, table: String): String = {
+  /** Cheap driver-side change stamp of one source table under `dir`.
+    * Also the freshness token of [[GramIndex]]'s on-disk metadata. */
+  private[graft] def sourceStamp(dir: String, table: String): String = {
     val f = new java.io.File(dir, table)
     def walk(x: java.io.File): Seq[String] =
       if (x.isDirectory)

@@ -107,6 +107,63 @@ class CorpusOpsSpec extends GraftSpecBase {
     } finally graft.operators.Dedup.clearSharedCache()
   }
 
+  test("indexed admission: zero corpus scans, parity with standalone, loud staleness") {
+    val base = java.nio.file.Files.createTempDirectory("graft_gidx").toString
+    val dir = s"$base/data"
+    val idx = s"$base/idx"
+    import spark.implicits._
+    def run(p: String, from: Int = 0) = (from to from + 10).map(i => s"$p$i").mkString(" ")
+    def writeDocs(extra: Seq[(Long, String, Option[String])]): Unit =
+      (Seq(
+        (10L, run("beta"), Some("srcA")),
+        (40L, run("eta"), None), // NULL source = corpus, must be indexed
+        (3L, run("beta", 2), Some("src19")), // near-dup of corpus 10 -> dropped
+        (20L, run("beta"), Some("src19")), // exact dup of corpus 10 -> dropped
+        (21L, run("zeta"), Some("src19")), // kept (earliest of the zeta pair)
+        (22L, run("zeta", 2), Some("src19")), // near-dup of lower delta 21 -> dropped
+        (35L, run("eta", 2), Some("src19")), // near-dup of NULL-source 40 -> dropped
+        (30L, run("uniq"), Some("src19")) // kept
+      ) ++ extra)
+        .toDF("doc_id", "text", "source")
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeDocs(Nil)
+    try {
+      graft.operators.Dedup.clearSharedCache()
+      val expected = CorpusOps.dedupIncremental(spark, dir).collect().toSeq
+      assert(expected.map(_.getLong(0)) == Seq(21L, 30L))
+      graft.operators.GramIndex.build(spark, dir, idx)
+      assert(graft.operators.GramIndex.isFresh(spark, dir, idx))
+      val df = CorpusOps.dedupIncrementalIndexed(spark, dir, idx, buildIfStale = false)
+      // zero corpus scans: every documents scan must carry the pushed
+      // batch-source filter — the corpus side comes only from the index
+      val plan = df.queryExecution.executedPlan.toString
+      val docScanLines = plan.split("\n").filter(l =>
+        l.contains("FileScan parquet") && l.contains("documents.parquet"))
+      assert(docScanLines.nonEmpty, s"no documents scans found in:\n$plan")
+      for (l <- docScanLines)
+        assert(l.contains("EqualTo(source,src19)"),
+          s"corpus-side documents scan leaked into the indexed plan:\n$l")
+      assert(df.collect().toSeq == expected, "indexed admission diverged from standalone")
+      // staleness: any table change flips the stamp — strict mode fails
+      // loudly, default mode rebuilds and matches the new standalone run
+      writeDocs(Seq((50L, run("newcorpus"), Some("srcA")),
+        (51L, run("newcorpus", 2), Some("src19")))) // near-dup of NEW corpus 50
+      assert(!graft.operators.GramIndex.isFresh(spark, dir, idx), "stamp did not flip")
+      intercept[IllegalStateException] {
+        CorpusOps.dedupIncrementalIndexed(spark, dir, idx, buildIfStale = false)
+      }
+      graft.operators.Dedup.clearSharedCache()
+      val expected2 = CorpusOps.dedupIncremental(spark, dir).collect().toSeq
+      val rebuilt = CorpusOps.dedupIncrementalIndexed(spark, dir, idx).collect().toSeq
+      assert(rebuilt == expected2, "rebuilt-index admission diverged from standalone")
+      assert(rebuilt.map(_.getAs[Long]("doc_id")).forall(id => id != 51L),
+        "doc 51 near-dups new corpus doc 50 and must be dropped after rebuild")
+    } finally graft.operators.Dedup.clearSharedCache()
+  }
+
   test("dedup_incremental: index-reuse (warm) path matches the standalone (cold) path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_incr2").toString
     import spark.implicits._
