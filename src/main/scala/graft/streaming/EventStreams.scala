@@ -70,6 +70,95 @@ object EventStreams {
         col("id_b"),
         (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("gap_us"))
 
+  case class AdmitIn(
+      doc_id: Long,
+      lang: String,
+      source: String,
+      n_chars: Long,
+      na: Int,
+      ds: Option[Seq[Long]])
+  case class Admitted(doc_id: Long, lang: String, source: String, n_chars: Long)
+
+  /** Streaming incremental admission — the online twin of
+    * [[graft.operators.CorpusOps.dedupIncrementalIndexed]]: each arriving
+    * document is admitted as a SINGLETON batch against the frozen
+    * [[graft.operators.GramIndex]] of the established corpus.
+    *
+    *   - exact, intra-stream: `dropDuplicatesWithinWatermark` on the
+    *     content hash — state evicts with the 2 h watermark, so memory
+    *     tracks the horizon, not stream history (first arrival wins;
+    *     replaying in doc_id order reproduces the batch keeper rule).
+    *   - exact, vs corpus: stream-static LEFT ANTI against the index's
+    *     hash set — stateless, the static side is the join's build/probe
+    *     artifact, never stream state.
+    *   - near, vs corpus: grams explode and LEFT OUTER join the index's
+    *     rare rows (corpus df ∈ [1, 19]: the arriving doc adds one
+    *     occurrence, so total df ∈ [2, 20] — exactly the batch rarity
+    *     band for a singleton delta), then one stateless
+    *     `flatMapGroupsWithState` pass per doc computes Jaccard against
+    *     every matched corpus doc from the index's packed member lists
+    *     (work per doc ≤ 20 members × its gram count) and suppresses the
+    *     doc on any match ≥ 0.5 — the corpus always wins, as in batch.
+    *
+    * The deliberate semantic gap vs the batch operator: near-duplicates
+    * BETWEEN stream documents are not detected online (that needs
+    * cross-doc gram state proportional to the stream); the standard
+    * lambda answer is this operator for admission latency plus the batch
+    * [[graft.operators.CorpusOps.dedupIncremental]] at the next index
+    * rebuild. On fixtures without intra-batch near-dup pairs the two are
+    * row-identical — parity is spec-pinned.
+    *
+    * `docs` is streaming with (doc_id, text, source, lang, n_chars, ts);
+    * `corpusHashes` / `gramIndex` are the static frames of
+    * [[graft.operators.GramIndex.hashes]] / `.grams`. */
+  def admitIncremental(
+      docs: DataFrame,
+      corpusHashes: DataFrame,
+      gramIndex: DataFrame): Dataset[Admitted] = {
+    import docs.sparkSession.implicits._
+    val deduped = docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("content_hash")
+      .join(
+        corpusHashes.withColumnRenamed("h", "content_hash"),
+        Seq("content_hash"),
+        "left_anti")
+    val rare = gramIndex.filter(col("df").between(1, 19)).select(col("gram"), col("ds"))
+    val exploded = deduped
+      .withColumn("garr", call_function("graft_grams", col("text")))
+      .withColumn("na", coalesce(size(col("garr")), lit(0)))
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"), col("na"),
+        // explode_outer: a doc with < 3 words has no shingles and must
+        // still reach the verdict stage (it survives the near check)
+        explode_outer(col("garr")).as("gram"))
+      .join(rare, Seq("gram"), "left_outer")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("na"), col("ds"))
+      .as[AdmitIn]
+    exploded
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[AdmitIn], _: GroupState[Boolean]) => {
+          val rs = rows.toArray
+          val head = rs.head
+          // per matched corpus doc: shared-gram count + its gram count,
+          // decoded from the index packing dn = cdoc·2²¹ + n_grams·2
+          val inter = scala.collection.mutable.HashMap.empty[Long, (Int, Long)]
+          for (r <- rs; dsArr <- r.ds; dn <- dsArr) {
+            val cdoc = dn >>> 21
+            val nb = (dn >>> 1) & 1048575L
+            val cur = inter.getOrElse(cdoc, (0, nb))
+            inter.update(cdoc, (cur._1 + 1, nb))
+          }
+          val nearDup = inter.valuesIterator.exists { case (n, nb) =>
+            n.toDouble / (head.na + nb - n) >= 0.5
+          }
+          if (nearDup) Iterator.empty
+          else Iterator(Admitted(head.doc_id, head.lang, head.source, head.n_chars))
+        })
+  }
+
   case class Ev(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(sessionId: Long, lastTsUs: Long)
   case class SessionOut(event_id: Long, user_id: Long, ts_us: Long, session_id: Long)

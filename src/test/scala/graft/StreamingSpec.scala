@@ -113,6 +113,61 @@ class StreamingSpec extends GraftSpecBase {
     assert(streamedPairs == batchPairs)
   }
 
+  test("streaming admission equals batch dedup_incremental on a replayed fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_admit").toString
+    val dir = s"$base/data"
+    val idx = s"$base/idx"
+    def run(p: String, from: Int = 0) = (from to from + 10).map(i => s"$p$i").mkString(" ")
+    val corpus = Seq(
+      (10L, run("beta"), Some("srcA")),
+      (40L, run("eta"), None)) // NULL source = corpus: must be indexed too
+    // fixture constraint for exact parity (see admitIncremental scaladoc):
+    // no intra-batch NEAR-dup pair that isn't also a vs-corpus drop
+    val delta = Seq(
+      (50L, run("beta"), Some("src19")), // exact dup of corpus 10 -> dropped
+      (51L, run("beta"), Some("src19")), // exact dup of 50 (and corpus) -> dropped
+      (52L, run("beta", 2), Some("src19")), // near-dup of corpus 10 -> dropped
+      (53L, run("uniq"), Some("src19")), // kept
+      (54L, run("eta", 2), Some("src19")), // near-dup of NULL-source 40 -> dropped
+      (55L, run("solo"), Some("src19")), // kept
+      (56L, "tiny doc", Some("src19"))) // < 3 words: no shingles, kept
+    (corpus ++ delta)
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      graft.operators.Dedup.clearSharedCache()
+      val batch = graft.operators.CorpusOps.dedupIncremental(spark, dir)
+        .collect().map(_.toSeq).toSet
+      assert(batch.map(_.head) == Set(53L, 55L, 56L), s"unexpected batch baseline: $batch")
+      // index of the established corpus (src19 excluded by build)
+      graft.operators.GramIndex.build(spark, dir, idx)
+      val baseTs = Timestamp.valueOf("2026-01-01 00:00:00")
+      val input = MemoryStream[(Long, String, String, String, Long, Timestamp)]
+      // replay the batch in doc_id order (the batch keeper rule)
+      input.addData(delta.zipWithIndex.map { case ((id, text, src), i) =>
+        (id, text, src.get, "en", text.length.toLong, new Timestamp(baseTs.getTime + i * 60000L))
+      })
+      val streamDf = input.toDF().toDF("doc_id", "text", "source", "lang", "n_chars", "ts")
+      val q = EventStreams.admitIncremental(
+          streamDf,
+          graft.operators.GramIndex.hashes(spark, idx),
+          graft.operators.GramIndex.grams(spark, idx))
+        .writeStream.format("memory").queryName("admit_out")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("admit_out")
+        .select("doc_id", "lang", "source", "n_chars")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"streaming admission diverged:\nstream=$streamed\nbatch=$batch")
+    } finally graft.operators.Dedup.clearSharedCache()
+  }
+
   test("streaming sessionize equals batch sessionize on bounded ordered input") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
