@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CappedLongCollect, GramHash64, LongArrayDot, LongVecMin, LongVecSum, LshBuckets, MinHash64, SimHash64, Winnow64}
+import graft.functions.{CappedLongCollect, GramHash64, LongArrayDot, LongVecMin, LongVecSum, LshBuckets, MinHash64, RollGrams64, SimHash64, Winnow64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -55,6 +55,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_grams(text) - distinct word-3-gram shingle hashes",
           ""),
         (children: Seq[Expression]) => GramHash64(children.head)))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_grams_roll"),
+        new ExpressionInfo(
+          classOf[RollGrams64].getName,
+          null,
+          "graft_grams_roll",
+          "graft_grams_roll(text) - word-3-gram shingle hashes in document order",
+          ""),
+        (children: Seq[Expression]) => RollGrams64(children.head)))
     ext.injectFunction(
       (
         FunctionIdentifier("graft_winnow"),

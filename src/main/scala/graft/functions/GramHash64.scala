@@ -64,6 +64,55 @@ case class GramHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_grams"
 }
 
+/** Rolling word-3-gram shingle hashes IN DOCUMENT ORDER, duplicates
+  * kept — element i is the shingle starting at word i (0-based), so the
+  * array index IS the word position. The positional sibling of
+  * [[GramHash64]] (same tokenization, same hash family — the two join
+  * against each other), powering span reporting in
+  * [[graft.operators.CorpusOps.contamination]]: where the distinct
+  * variant answers "how much overlaps", this answers "WHERE it
+  * overlaps". One pass, one static call from generated code; NULL for
+  * texts with fewer than 3 words.
+  *
+  * Registered as SQL function `graft_grams_roll` by
+  * [[graft.GraftExtensions]].
+  */
+case class RollGrams64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_grams_roll requires STRING input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    GramHash64.rolling(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val resultVar = ctx.freshName("rollResult")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => s"""
+        |ArrayData $resultVar = graft.functions.GramHash64.rolling($c);
+        |if ($resultVar == null) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  ${ev.value} = $resultVar;
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_grams_roll"
+}
+
 /** Winnowing fingerprint of a text column: the distinct minima of every
   * window of 8 consecutive rolling 3-word-gram hashes — the classic
   * rolling-hash document fingerprint (any shared run of ≥ 10 words between
@@ -143,6 +192,13 @@ object GramHash64 {
       i += 1
     }
     java.util.Arrays.copyOf(grams, nGrams)
+  }
+
+  /** Rolling gram hashes in document order (see [[RollGrams64]]).
+    * Null if the text has no 3-gram shingles. */
+  def rolling(text: UTF8String): ArrayData = {
+    val grams = rollingGrams(text.getBytes)
+    if (grams.length == 0) null else UnsafeArrayData.fromPrimitiveArray(grams)
   }
 
   /** Winnowing: distinct minima of every [[WinnowWindow]]-gram window,

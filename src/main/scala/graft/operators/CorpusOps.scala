@@ -56,50 +56,74 @@ object CorpusOps {
   /** Benchmark decontamination: which training documents contain a held-out
     * eval document? For every (train, eval) pair sharing word-3-grams,
     * containment = |grams(train) ∩ grams(eval)| / |grams(eval)| — the
-    * standard n-gram-overlap decontamination check — reported at ≥ 0.5.
+    * standard n-gram-overlap decontamination check — reported at ≥ 0.5,
+    * with the evidence a decontamination report actually needs per pair:
+    * `n_matched` / `n_eval` (the raw overlap behind the ratio) and
+    * `first_pos` / `last_pos` — the 1-based WORD positions in the
+    * training document of the earliest and latest matched shingle, i.e.
+    * the span to excise or inspect. Positions come from the positional
+    * gram variant ([[graft.functions.RollGrams64]], `graft_grams_roll` —
+    * array index = word position) on the training side only; the eval
+    * side stays a distinct-gram broadcast.
     * Eval set = `evalSource` (default src0), training corpus = the rest.
     *
     * Scale shape — the part that matters at 100 TB: the eval side is an
     * eval BENCHMARK, bounded by construction (MBs, not TBs), so its
     * exploded gram set is broadcast and the corpus is never shuffled at
     * all. One scan of the training side, a broadcast hash join per gram,
-    * then a partial-aggregated groupBy whose key space is bounded by
-    * |train docs touched| × |eval docs| — no corpus-sized exchange, no
-    * hot-gram hazard (a stop-gram fans out to at most |eval docs| rows
-    * per occurrence, absorbed map-side). Grams are 64-bit hashes
+    * then two partial-aggregated groupBys (per-matched-gram span, then
+    * per-pair rollup) whose key spaces are bounded by
+    * |train docs touched| × |eval docs| × |eval grams| — no corpus-sized
+    * exchange, no hot-gram hazard (a stop-gram fans out to at most
+    * |eval docs| rows per occurrence, absorbed map-side). Grams are
+    * 64-bit hashes
     * ([[graft.functions.GramHash64]]) — an 8-byte join key, collision
     * P ≈ 1e-11 (same trade as [[Dedup.ngramJaccard]]). */
   def contamination(
       s: SparkSession,
       dir: String,
       evalSource: String = "src0"): DataFrame = {
-    val docs = Tables
-      .documents(s, dir)
-      .select(
-        col("doc_id"),
-        col("source"),
-        call_function("graft_grams", col("text")).as("garr"))
-      .filter(col("garr").isNotNull)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
     val ev = docs
       .filter(col("source") === evalSource)
-      .select(col("doc_id").as("eval_doc"), size(col("garr")).as("n_eval"), col("garr"))
-      .select(col("eval_doc"), col("n_eval"), explode(col("garr")).as("gram"))
+      .select(col("doc_id").as("eval_doc"), call_function("graft_grams", col("text")).as("garr"))
+      .filter(col("garr").isNotNull)
+      .select(col("eval_doc"), size(col("garr")).as("n_eval"), explode(col("garr")).as("gram"))
     // null-safe: a NULL-source doc has unknown provenance and must be
     // CHECKED as training data (same convention as [[dedupIncremental]]:
     // NULL source = established corpus), not silently skipped — plain
-    // =!= is NULL for NULLs and the filter would drop them
+    // =!= is NULL for NULLs and the filter would drop them. Positional
+    // (rolling) grams on this side: array index = 0-based word position.
     val tr = docs
       .filter(coalesce(col("source") =!= evalSource, lit(true)))
-      .select(col("doc_id").as("train_doc"), explode(col("garr")).as("gram"))
+      .select(
+        col("doc_id").as("train_doc"),
+        call_function("graft_grams_roll", col("text")).as("rarr"))
+      .filter(col("rarr").isNotNull)
+      .select(col("train_doc"), posexplode(col("rarr")).as(Seq("pos", "gram")))
+    // two explicit aggregations instead of countDistinct: the first
+    // collapses repeated occurrences of a matched gram (keeping its
+    // position extremes), the second counts distinct matched grams —
+    // both exchanges carry only MATCHED (train, eval) rows, bounded by
+    // the broadcast eval side; the corpus is still never shuffled
     tr.join(broadcast(ev), "gram")
+      .groupBy("train_doc", "eval_doc", "n_eval", "gram")
+      .agg(min(col("pos")).as("mp"), max(col("pos")).as("xp"))
       .groupBy("train_doc", "eval_doc", "n_eval")
-      .agg(count(lit(1)).as("n_inter"))
-      .withColumn("containment", col("n_inter") / col("n_eval").cast("double"))
+      .agg(
+        count(lit(1)).as("n_matched"),
+        (min(col("mp")) + 1).cast("long").as("first_pos"),
+        (max(col("xp")) + 1).cast("long").as("last_pos"))
+      .withColumn("containment", col("n_matched") / col("n_eval").cast("double"))
       .filter(col("containment") >= 0.5)
       .select(
         col("train_doc"),
         col("eval_doc"),
-        round(col("containment"), 4).as("containment"))
+        round(col("containment"), 4).as("containment"),
+        col("n_matched"),
+        col("n_eval").cast("long").as("n_eval"),
+        col("first_pos"),
+        col("last_pos"))
       .orderBy(col("containment").desc, col("train_doc"), col("eval_doc"))
   }
 
@@ -108,24 +132,29 @@ object CorpusOps {
          SELECT doc_id, source, string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS arr
          FROM documents
          WHERE len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) >= 3),
-       grams AS (
-         SELECT DISTINCT doc_id, source, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
+       pg AS (
+         SELECT doc_id, source, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram, i AS pos
          FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
-       ev AS (SELECT doc_id, gram FROM grams WHERE source = 'src0'),
+       ev AS (SELECT DISTINCT doc_id, gram FROM pg WHERE source = 'src0'),
        evn AS (SELECT doc_id, COUNT(*) AS n FROM ev GROUP BY 1),
-       tr AS (SELECT doc_id, gram FROM grams WHERE source IS DISTINCT FROM 'src0'),
-       inter AS (
-         SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc, COUNT(*) AS n_inter
+       tr AS (SELECT doc_id, gram, pos FROM pg WHERE source IS DISTINCT FROM 'src0'),
+       gi AS (
+         SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc, tr.gram,
+                MIN(pos) AS mp, MAX(pos) AS xp
          FROM tr JOIN ev ON tr.gram = ev.gram
-         GROUP BY 1, 2),
+         GROUP BY 1, 2, 3),
+       inter AS (
+         SELECT train_doc, eval_doc, COUNT(*) AS n_matched,
+                MIN(mp) AS first_pos, MAX(xp) AS last_pos
+         FROM gi GROUP BY 1, 2),
        c AS (
-         SELECT train_doc, eval_doc, n_inter / CAST(evn.n AS DOUBLE) AS containment
-         FROM inter JOIN evn ON evn.doc_id = eval_doc),
-       r AS (
-         SELECT train_doc, eval_doc, ROUND(containment, 4) AS containment
-         FROM c WHERE containment >= 0.5)
-       SELECT train_doc, eval_doc, containment
-       FROM r
+         SELECT train_doc, eval_doc, n_matched, CAST(evn.n AS BIGINT) AS n_eval,
+                first_pos, last_pos,
+                n_matched / CAST(evn.n AS DOUBLE) AS containment
+         FROM inter JOIN evn ON evn.doc_id = eval_doc)
+       SELECT train_doc, eval_doc, ROUND(containment, 4) AS containment,
+              n_matched, n_eval, first_pos, last_pos
+       FROM c WHERE containment >= 0.5
        ORDER BY containment DESC, train_doc, eval_doc"""
 
   /** Incremental dedup: admit a new crawl batch (`deltaSource`, default

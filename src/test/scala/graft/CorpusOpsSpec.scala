@@ -48,6 +48,12 @@ class CorpusOpsSpec extends GraftSpecBase {
     assert(out.length == 2, s"expected exactly two contaminated pairs, got ${out.toSeq}")
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 1L), (5L, 1L)))
     assert(out.forall(_.getDouble(2) == 1.0))
+    // span evidence: doc 2 = "pre0 pre1 e0 e1 e2 e3 e4 post0" — the 3
+    // matched shingles start at words 3..5 (1-based); doc 5 starts at 1
+    val byTrain = out.map(r => r.getLong(0) ->
+      (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(byTrain(2L) == ((3L, 3L, 3L, 5L)), s"doc 2 span wrong: ${byTrain(2L)}")
+    assert(byTrain(5L) == ((3L, 3L, 1L, 3L)), s"doc 5 span wrong: ${byTrain(5L)}")
   }
 
   test("dedup_incremental: corpus wins regardless of id; delta keeps its earliest") {
