@@ -39,7 +39,13 @@ import org.apache.spark.sql.functions._
   * the next crawl) conservatively invalidates; a production deployment
   * with a separate corpus table stamps only that. Consumers check
   * [[isFresh]] and rebuild (or fail loudly) — never serve silently
-  * stale candidates.
+  * stale candidates. Concurrency: [[build]] overwrites in place and the
+  * meta file is written LAST, so a crash mid-build leaves a stale-by-
+  * stamp index (rebuilt on next use), but a build racing a concurrent
+  * READER of the same path can fail that reader's scan — serialize
+  * builds against admissions per index path (the driver's usage is
+  * sequential), or write to a versioned path and swap, as
+  * [[graft.Sinks.upsertParquet]] does.
   *
   * Packing matches [[CorpusOps.dedupIncremental]]'s delta-flag scheme:
   * `dn = doc_id·2²¹ + n_grams·2 + flag` with flag 0 for corpus members,
