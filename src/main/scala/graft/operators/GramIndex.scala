@@ -104,6 +104,91 @@ object GramIndex {
     writeMeta(s, indexPath, Seq(stamp(dir), deltaSource, Pack.toString).mkString("\n"))
   }
 
+  /** Fold the rows of `oldDelta` into the index — they are established
+    * corpus once admitted — and re-bind the exclusion to `newDelta`: the
+    * between-crawls maintenance step that closes the loop
+    * (build → admit src19 → absorb → the next crawl arrives as src20).
+    * Cost is one delta-side scan (filter-pushed) plus a LINEAR pass over
+    * the index (full-outer gram merge + hash union) — the corpus text is
+    * never re-scanned, which is the entire point of keeping the index.
+    *
+    * Post-condition (spec-pinned): the absorbed index is row-identical
+    * to `build(..., newDelta)` from scratch. That equivalence requires
+    * two loudly-enforced preconditions: the index is fresh for
+    * `oldDelta` (a stale base would merge into the wrong corpus), and
+    * the table holds no `newDelta` rows yet (they would be inside the
+    * old index but excluded from a rebuild — absorb must run BEFORE the
+    * next batch lands).
+    *
+    * Crash safety: the meta file is deleted FIRST and rewritten LAST, so
+    * a crash anywhere inside the swap leaves a stale-by-stamp index that
+    * the next consumer rebuilds — never a silently inconsistent one. */
+  def absorb(
+      s: SparkSession,
+      dir: String,
+      indexPath: String,
+      oldDelta: String = "src19",
+      newDelta: String = "src20"): Unit = {
+    if (!isFresh(s, dir, indexPath, oldDelta))
+      throw new IllegalStateException(
+        s"absorb: index at $indexPath is missing or stale for $dir (deltaSource=$oldDelta)")
+    val docs = Tables.documents(s, dir)
+    if (docs.filter(col("source") === newDelta).limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"absorb: table already holds '$newDelta' rows — absorb must run before the " +
+          "next batch lands (rebuild instead)")
+    val batch = docs.filter(col("source") === oldDelta)
+    val bg = batch
+      .select(col("doc_id"), call_function("graft_grams", col("text")).as("garr"))
+      .filter(col("garr").isNotNull)
+      .filter(
+        assert_true(
+          size(col("garr")) < Pack && col("doc_id") >= 0 && col("doc_id") < (1L << 42),
+          lit("GramIndex packing envelope exceeded: doc too large or doc_id out of range"))
+          .isNull)
+      .select(
+        (col("doc_id") * Pack * 2 + size(col("garr")) * 2).as("dn"),
+        explode(col("garr")).as("gram"))
+      .groupBy("gram")
+      .agg(
+        count(lit(1)).as("df2"),
+        call_function("graft_collect_capped", col("dn"), lit(DfCap)).as("ds2"))
+    val empty = expr("CAST(array() AS ARRAY<BIGINT>)")
+    val mergedDf = coalesce(col("df"), lit(0L)) + coalesce(col("df2"), lit(0L))
+    val merged = grams(s, indexPath)
+      .join(bg, Seq("gram"), "full_outer")
+      .select(
+        col("gram"),
+        mergedDf.as("dfm"),
+        // a side over its own cap has a NULL list, but then the merged
+        // df is over the cap too and the WHEN discards the concat
+        when(
+          mergedDf <= DfCap,
+          array_sort(concat(coalesce(col("ds"), empty), coalesce(col("ds2"), empty))))
+          .otherwise(lit(null))
+          .as("dsm"))
+      .select(col("gram"), col("dfm").as("df"), col("dsm").as("ds"))
+    val mergedHashes = hashes(s, indexPath)
+      .unionByName(batch.select(md5(col("text")).as("h")).filter(col("h").isNotNull))
+      .distinct()
+    // invalidate before touching data; swap via staging (overwriting a
+    // path Spark is currently reading from is rejected, and rightly so)
+    val fs = metaPath(indexPath).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(metaPath(indexPath), false)
+    merged.repartitionByRange(col("gram")).write.mode("overwrite").parquet(s"$indexPath/grams_new")
+    mergedHashes.write.mode("overwrite").parquet(s"$indexPath/hashes_new")
+    def swap(name: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$indexPath/$name")
+      val next = new org.apache.hadoop.fs.Path(s"$indexPath/${name}_new")
+      fs.delete(live, true)
+      if (!fs.rename(next, live))
+        throw new java.io.IOException(s"absorb: rename $next -> $live failed")
+    }
+    swap("grams")
+    swap("hashes")
+    writeMeta(s, indexPath, Seq(stamp(dir), newDelta, Pack.toString).mkString("\n"))
+  }
+
   /** True iff the index at `indexPath` exists and was built from the
     * CURRENT on-disk state of `dir`'s documents table with the same
     * excluded batch source. */

@@ -170,6 +170,50 @@ class CorpusOpsSpec extends GraftSpecBase {
     } finally graft.operators.Dedup.clearSharedCache()
   }
 
+  test("GramIndex.absorb equals a from-scratch rebuild after batch rotation") {
+    import graft.operators.GramIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_absorb").toString
+    val dir = s"$base/data"
+    import spark.implicits._
+    def run(p: String, from: Int = 0) = (from to from + 10).map(i => s"$p$i").mkString(" ")
+    def write(extra: Seq[(Long, String, Option[String])]): Unit =
+      (Seq(
+        (10L, run("beta"), Some("srcA")),
+        (40L, run("eta"), None),
+        (3L, run("beta", 2), Some("src19")), // shares grams with corpus 10
+        (20L, run("beta"), Some("src19")), // exact copy of corpus 10 (hash union hit)
+        (30L, run("uniq"), Some("src19"))
+      ) ++ extra)
+        .toDF("doc_id", "text", "source")
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write(Nil)
+    // absorb of a missing index must fail loudly, never silently rebuild
+    intercept[IllegalStateException] {
+      GramIndex.absorb(spark, dir, s"$base/nowhere", "src19", "src20")
+    }
+    GramIndex.build(spark, dir, s"$base/idxA", "src19")
+    GramIndex.absorb(spark, dir, s"$base/idxA", "src19", "src20")
+    assert(GramIndex.isFresh(spark, dir, s"$base/idxA", "src20"), "absorb did not re-bind")
+    GramIndex.build(spark, dir, s"$base/idxB", "src20")
+    def gramRows(p: String) = GramIndex.grams(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getSeq[Long](2)).map(_.toList))).toSet
+    def hashRows(p: String) = GramIndex.hashes(spark, p).collect().map(_.getString(0)).toSet
+    assert(gramRows(s"$base/idxA") == gramRows(s"$base/idxB"),
+      "absorbed gram rows diverge from a rebuild")
+    assert(hashRows(s"$base/idxA") == hashRows(s"$base/idxB"),
+      "absorbed hash set diverges from a rebuild")
+    // once the next batch has landed, absorb's equivalence is gone — loud
+    write(Seq((60L, run("next"), Some("src20"))))
+    GramIndex.build(spark, dir, s"$base/idxC", "src19")
+    val e = intercept[IllegalStateException] {
+      GramIndex.absorb(spark, dir, s"$base/idxC", "src19", "src20")
+    }
+    assert(e.getMessage.contains("before the next batch lands"), e.getMessage)
+  }
+
   test("dedup_incremental: index-reuse (warm) path matches the standalone (cold) path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_incr2").toString
     import spark.implicits._
