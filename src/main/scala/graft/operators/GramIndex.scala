@@ -61,6 +61,13 @@ object GramIndex {
     * generation — must match the live pipeline's rarity band. */
   private[graft] val DfCap = 20
 
+  /** On-disk format version, stored in meta and checked by [[isFresh]].
+    * The stamp only tracks the DATA; this tracks the CODE: bump it
+    * whenever gram hashing, the dn packing scheme, or the rarity cap
+    * changes, or an index persisted by an older build would be served
+    * false-fresh with incompatible content. */
+  private[graft] val FormatVersion = s"v1:pack$Pack:df$DfCap"
+
   /** Build (overwrite) the index at `indexPath` from every document in
     * `dir` that is NOT the incoming batch (`source != deltaSource`;
     * NULL source = established corpus, same convention as admission). */
@@ -101,7 +108,7 @@ object GramIndex {
       .write
       .mode("overwrite")
       .parquet(s"$indexPath/hashes")
-    writeMeta(s, indexPath, Seq(stamp(dir), deltaSource, Pack.toString).mkString("\n"))
+    writeMeta(s, indexPath, Seq(stamp(dir), deltaSource, FormatVersion).mkString("\n"))
   }
 
   /** Fold the rows of `oldDelta` into the index — they are established
@@ -186,7 +193,7 @@ object GramIndex {
     }
     swap("grams")
     swap("hashes")
-    writeMeta(s, indexPath, Seq(stamp(dir), newDelta, Pack.toString).mkString("\n"))
+    writeMeta(s, indexPath, Seq(stamp(dir), newDelta, FormatVersion).mkString("\n"))
   }
 
   /** True iff the index at `indexPath` exists and was built from the
@@ -199,7 +206,7 @@ object GramIndex {
       deltaSource: String = "src19"): Boolean =
     readMeta(s, indexPath).exists { lines =>
       lines.length >= 3 && lines(0) == stamp(dir) && lines(1) == deltaSource &&
-      lines(2) == Pack.toString
+      lines(2) == FormatVersion
     }
 
   private[graft] def grams(s: SparkSession, indexPath: String): DataFrame =
