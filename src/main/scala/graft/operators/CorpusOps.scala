@@ -245,13 +245,18 @@ object CorpusOps {
             assert_true(
               col("doc_id") >= 0 && col("doc_id") < (1L << 42),
               lit("dedupIncremental packing envelope exceeded")).isNull)
+        // no broadcast hints: both sides here are small-ish (bounded
+        // candidate pairs vs delta ids) but neither is small by FIAT —
+        // AQE picks broadcast from MEASURED sizes and degrades to a
+        // shuffle when a huge batch would make the hint the same
+        // executor-killer the gram gate exists to prevent
         p.filter(col("jaccard") >= 0.5)
           .join(
-            broadcast(dIds.select(col("doc_id").as("doc_a"), lit(1L).as("da_"))),
+            dIds.select(col("doc_id").as("doc_a"), lit(1L).as("da_")),
             Seq("doc_a"),
             "left")
           .join(
-            broadcast(dIds.select(col("doc_id").as("doc_b"), lit(1L).as("db_"))),
+            dIds.select(col("doc_id").as("doc_b"), lit(1L).as("db_")),
             Seq("doc_b"),
             "left")
           .select(
@@ -412,7 +417,21 @@ object CorpusOps {
     val gateMax = broadcastGate(s)
     val delta = Tables.documents(s, dir).filter(col("source") === deltaSource)
     val dh = delta.select(col("doc_id"), md5(col("text")).as("h"))
-    val nDelta = delta.count() // eager delta-only job pricing the gates
+    // ONE eager delta-only job prices both gates: distinct grams (the
+    // gram-probe build side) and distinct docs (the hash-probe build
+    // side — counted via doc_id so gramless tiny docs are included).
+    // The gram count is pre-rarity-filter, i.e. an upper bound of the
+    // actual build side — conservative in the safe direction.
+    val gateRow = delta
+      .select(
+        col("doc_id"),
+        explode_outer(call_function("graft_grams", col("text"))).as("gram"))
+      .agg(
+        count_distinct(col("gram")).as("ng"),
+        count_distinct(col("doc_id")).as("nd"))
+      .head()
+    val nGrams = gateRow.getLong(0)
+    val nDelta = gateRow.getLong(1)
     val exactVsCorpus =
       if (nDelta <= gateMax)
         GramIndex.hashes(s, indexPath).join(broadcast(dh), Seq("h")).select("doc_id")
@@ -437,7 +456,6 @@ object CorpusOps {
       // total df ≥ delta df: a gram hotter than the cap inside the batch
       // alone can never be rare, so its (NULL) bucket is dropped here
       .filter(col("dfd") <= 20)
-    val nGrams = dAgg.count()
     val probe = dAgg.select("gram")
     val probed =
       if (nGrams <= gateMax)

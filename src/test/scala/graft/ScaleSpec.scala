@@ -356,6 +356,29 @@ class ScaleSpec extends GraftSpecBase {
     }
   }
 
+  test("indexed admission probes the index by broadcast only under the gate") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_gate").toString + "/idx"
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.operators.GramIndex.build(spark, sfDir, idx)
+      val under = graft.operators.CorpusOps
+        .dedupIncrementalIndexed(spark, sfDir, idx, buildIfStale = false)
+      assert(under.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "delta probes not broadcast under the gate")
+      val rowsUnder = under.collect().toSeq
+      spark.conf.set("spark.graft.corpus.deltaGramBroadcastMax", "0")
+      val over = graft.operators.CorpusOps
+        .dedupIncrementalIndexed(spark, sfDir, idx, buildIfStale = false)
+      assert(!over.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "index probe still broadcasts above the gate")
+      assert(over.collect().toSeq == rowsUnder, "gated probe fallback changed the admitted batch")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.unset("spark.graft.corpus.deltaGramBroadcastMax")
+    }
+  }
+
   test("data_split assignment plans zero hash exchanges (narrow map + output sort only)") {
     val plan =
       graft.operators.CorpusOps.dataSplit(spark, sfDir).queryExecution.executedPlan.toString
