@@ -127,6 +127,93 @@ object CorpusOps {
       .orderBy(col("containment").desc, col("train_doc"), col("eval_doc"))
   }
 
+  /** Token-budget training shards: assign every document (doc_id order)
+    * to shard `floor(exclusive_prefix_tokens / budget)` — the packing
+    * step that turns a curated corpus into fixed-size training chunks
+    * whose boundaries never split mid-document and never depend on
+    * physical partitioning.
+    *
+    * The naive formulation is `SUM(tokens) OVER (ORDER BY doc_id)` — an
+    * un-partitioned window that drags the ENTIRE table through one
+    * task's sort (Spark even warns). This is the scalable two-phase
+    * exact prefix sum instead:
+    *   1. doc_id quantile boundaries are collected EAGERLY into
+    *      literals (`approxQuantile`, same discipline as
+    *      [[Scale.globalRank]]'s quantile mode: an eager literal makes
+    *      every branch bucket rows identically — deriving buckets from
+    *      `spark_partition_id` would be a correctness trap, since each
+    *      plan branch re-runs the range partitioner's sampling);
+    *   2. per-bucket token totals (one map-side-combined aggregation of
+    *      ~`spark.sql.shuffle.partitions` rows) come back to the driver,
+    *      which turns them into per-bucket exclusive offsets — literals
+    *      again;
+    *   3. one window per BUCKET (partitionBy __bkt, bounded by the
+    *      quantile split, bucket count scales with the cluster) computes
+    *      the local exclusive cumsum; offset + local = exact global
+    *      prefix, integer end to end.
+    * Budget: `spark.graft.corpus.shardTokenBudget` (default 50k tokens).
+    * Token count = the whitespace formula shared with `text_stats`. */
+  def corpusShard(s: SparkSession, dir: String): DataFrame = {
+    val budget = s.conf.get("spark.graft.corpus.shardTokenBudget", "50000").toLong
+    require(budget > 0, s"shardTokenBudget must be positive, got $budget")
+    val nTok = length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1
+    val t = Tables
+      .documents(s, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), nTok.cast("long").as("n_tokens"))
+    val nb = math.max(s.conf.get("spark.sql.shuffle.partitions").toInt, 1)
+    val bounds = t.stat
+      .approxQuantile("doc_id", (1 until nb).map(_.toDouble / nb).toArray, 0.001)
+      .distinct
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("doc_id") > b, 1).otherwise(0)
+    }
+    val tb = t.withColumn("__bkt", bucket)
+    // per-bucket totals → exclusive offsets, computed on the driver over
+    // ≤ nb rows and folded back in as a literal CASE
+    val partials = tb
+      .groupBy("__bkt")
+      .agg(sum(col("n_tokens")).as("tot"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = partials
+      .scanLeft((0, 0L, 0L)) { case ((_, acc, _), (bkt, tot)) => (bkt, acc + tot, acc) }
+      .drop(1)
+      .map { case (bkt, _, off) => (bkt, off) }
+    // broadcast join, not a when-chain: at cluster scale the bucket
+    // count tracks shuffle.partitions (thousands) and a thousand-deep
+    // CASE is its own codegen blowup
+    import s.implicits._
+    val offDf = offsets.toSeq.toDF("__bkt", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__bkt")
+      .orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    tb.join(broadcast(offDf), Seq("__bkt"))
+      .withColumn("__ex", col("__off") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        expr(s"__ex DIV $budget").as("shard"))
+      .orderBy("doc_id")
+  }
+
+  val corpusShardSql: String =
+    """WITH t AS (
+         SELECT doc_id,
+                CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+         FROM documents
+         WHERE LENGTH(TRIM(text)) > 0),
+       c AS (
+         SELECT doc_id, n_tokens,
+                COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ex
+         FROM t)
+       SELECT doc_id, n_tokens, CAST(ex // 50000 AS BIGINT) AS shard
+       FROM c
+       ORDER BY doc_id"""
+
   val contaminationSql: String =
     """WITH w AS (
          SELECT doc_id, source, string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS arr
@@ -545,12 +632,14 @@ object CorpusOps {
     "data_split" -> (dataSplit _),
     "text_contamination" -> ((s, d) => contamination(s, d)),
     "dedup_incremental" -> ((s, d) => dedupIncremental(s, d)),
-    "dedup_incremental_idx" -> ((s, d) => dedupIncrementalIndexed(s, d, defaultIndexPath(d))))
+    "dedup_incremental_idx" -> ((s, d) => dedupIncrementalIndexed(s, d, defaultIndexPath(d))),
+    "corpus_shard" -> (corpusShard _))
 
   val oracles: Map[String, String] = Map(
     "data_split" -> dataSplitSql,
     "text_contamination" -> contaminationSql,
     "dedup_incremental" -> dedupIncrementalSql,
     // the indexed operator has the SAME output contract — same oracle
-    "dedup_incremental_idx" -> dedupIncrementalSql)
+    "dedup_incremental_idx" -> dedupIncrementalSql,
+    "corpus_shard" -> corpusShardSql)
 }

@@ -170,6 +170,42 @@ class CorpusOpsSpec extends GraftSpecBase {
     } finally graft.operators.Dedup.clearSharedCache()
   }
 
+  test("corpus_shard: exact two-phase prefix sum, no un-partitioned window") {
+    // parity with the naive single-window formulation on real data —
+    // the two-phase bucket/offset machinery must be EXACT, not close
+    import org.apache.spark.sql.expressions.Window
+    val naive = graft.sources.Tables.documents(spark, sfDir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(
+        col("doc_id"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+          .cast("long").as("n_tokens"))
+      .withColumn(
+        "ex",
+        coalesce(
+          sum(col("n_tokens")).over(
+            Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), expr("ex DIV 50000").as("shard"))
+    val got = CorpusOps.corpusShard(spark, sfDir)
+    assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0,
+      "two-phase shard assignment diverges from the naive global window")
+    // determinism across invocations (fresh quantile sampling each time)
+    assert(got.collect().toSeq == CorpusOps.corpusShard(spark, sfDir).collect().toSeq)
+    // shards are contiguous in doc_id order and non-decreasing
+    val shards = got.select("shard").collect().map(_.getLong(0))
+    assert(shards.zip(shards.drop(1)).forall { case (a, b) => a <= b }, "shards not monotone")
+    // the scale property itself: no window in the plan may be
+    // un-partitioned (that is the single-task global sort this operator
+    // exists to avoid)
+    val windows = got.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "corpus_shard plans an un-partitioned window")
+  }
+
   test("GramIndex.absorb equals a from-scratch rebuild after batch rotation") {
     import graft.operators.GramIndex
     val base = java.nio.file.Files.createTempDirectory("graft_absorb").toString
