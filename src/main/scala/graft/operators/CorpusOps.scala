@@ -588,6 +588,109 @@ object CorpusOps {
     new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_gram_index_$h").getPath
   }
 
+  /** The one-call curation materializer — the operator a training-data
+    * user actually runs on a raw drop: keep exactly the documents that
+    *   - survive full dedup ([[Dedup.corpusDedupNg]]: exact + near-dup
+    *     drops, keeper = lowest doc_id — the oracle-checked predicate),
+    *   - classify as English ([[TextAnalysis.langid]] stopword argmax),
+    *   - score ≥ 0.5 composite quality ([[TextAnalysis.quality]]),
+    * each labeled with its deterministic content-hash split
+    * ([[dataSplit]]) — training-ready in one call.
+    *
+    * Built by COMPOSITION of already-oracled frames, which is the point:
+    * every predicate here is individually hash-verified against DuckDB,
+    * and the composition is again oracle-exact end to end. Scale shape
+    * inherits from the parts (the dedup predicate rides the shared
+    * cached pair frame; langid/quality/split are narrow scans) plus
+    * three doc_id equi-joins that AQE sizes. */
+  def curate(s: SparkSession, dir: String): DataFrame = {
+    val survivors = Dedup.corpusDedupNg(s, dir).select(col("doc_id"), col("n_chars"))
+    val lang = TextAnalysis.langid(s, dir).select(col("doc_id"), col("pred_lang"))
+    val quality = TextAnalysis.quality(s, dir).select(col("doc_id"), col("quality_score"))
+    val split = dataSplit(s, dir).select(col("doc_id"), col("split"))
+    survivors
+      .join(lang, "doc_id")
+      .join(quality, "doc_id")
+      .join(split, "doc_id")
+      .filter(col("pred_lang") === "en" && col("quality_score") >= 0.5)
+      .select(
+        col("doc_id"),
+        col("pred_lang"),
+        col("quality_score"),
+        col("split"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val curateSql: String = {
+    def occ(c: String, pat: String): String =
+      s"(LENGTH($c) - LENGTH(REPLACE($c, '$pat', ''))) / ${pat.length}"
+    def hits(words: Seq[String]): String =
+      words.map(w => occ("(' ' || text || ' ')", s" $w ")).mkString("CAST(", " + ", " AS BIGINT)")
+    s"""WITH w AS (
+         SELECT doc_id, string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS arr
+         FROM documents
+         WHERE len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) >= 3),
+       grams AS (
+         SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
+         FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
+       counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+       rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 20),
+       gr AS (SELECT g.doc_id, g.gram FROM grams g JOIN rare USING (gram)),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       near AS (
+         SELECT DISTINCT doc_b AS doc_id
+         FROM inter
+         JOIN counts ca ON ca.doc_id = doc_a
+         JOIN counts cb ON cb.doc_id = doc_b
+         WHERE n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE) >= 0.5),
+       exact AS (
+         SELECT doc_id FROM (
+           SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+           FROM documents) WHERE doc_id <> keeper),
+       dropped AS (SELECT doc_id FROM near UNION SELECT doc_id FROM exact),
+       lid AS (
+         SELECT doc_id,
+                CASE WHEN ${hits(Seq("the", "a", "of"))} >=
+                          GREATEST(${hits(Seq("der", "und", "das"))},
+                                   ${hits(Seq("el", "los", "que"))},
+                                   ${hits(Seq("le", "les", "est"))}) THEN 'en'
+                     WHEN ${hits(Seq("der", "und", "das"))} >=
+                          GREATEST(${hits(Seq("el", "los", "que"))},
+                                   ${hits(Seq("le", "les", "est"))}) THEN 'de'
+                     WHEN ${hits(Seq("el", "los", "que"))} >=
+                          ${hits(Seq("le", "les", "est"))} THEN 'es'
+                     ELSE 'fr' END AS pred_lang
+         FROM documents),
+       dq AS (SELECT * FROM documents WHERE LENGTH(TRIM(text)) > 0),
+       toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM dq),
+       div AS (SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct
+               FROM toks GROUP BY doc_id),
+       q AS (
+         SELECT b.doc_id,
+                ROUND(n_distinct / CAST(n_tokens AS DOUBLE) * 0.5 +
+                      CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 0.5 ELSE 0.0 END, 4)
+                  AS quality_score
+         FROM dq b JOIN div USING (doc_id)),
+       sp AS (
+         SELECT doc_id,
+                CASE WHEN substr(md5(text), 1, 3) < 'ccd' THEN 'train'
+                     WHEN substr(md5(text), 1, 3) < 'e66' THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents)
+       SELECT d.doc_id, lid.pred_lang, q.quality_score, sp.split, d.n_chars
+       FROM documents d
+       JOIN lid USING (doc_id)
+       JOIN q USING (doc_id)
+       JOIN sp USING (doc_id)
+       WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+         AND lid.pred_lang = 'en' AND q.quality_score >= 0.5
+       ORDER BY d.doc_id"""
+  }
+
   val dedupIncrementalSql: String =
     """WITH w AS (
          SELECT doc_id, string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS arr
@@ -633,7 +736,8 @@ object CorpusOps {
     "text_contamination" -> ((s, d) => contamination(s, d)),
     "dedup_incremental" -> ((s, d) => dedupIncremental(s, d)),
     "dedup_incremental_idx" -> ((s, d) => dedupIncrementalIndexed(s, d, defaultIndexPath(d))),
-    "corpus_shard" -> (corpusShard _))
+    "corpus_shard" -> (corpusShard _),
+    "corpus_curate" -> (curate _))
 
   val oracles: Map[String, String] = Map(
     "data_split" -> dataSplitSql,
@@ -641,5 +745,6 @@ object CorpusOps {
     "dedup_incremental" -> dedupIncrementalSql,
     // the indexed operator has the SAME output contract — same oracle
     "dedup_incremental_idx" -> dedupIncrementalSql,
-    "corpus_shard" -> corpusShardSql)
+    "corpus_shard" -> corpusShardSql,
+    "corpus_curate" -> curateSql)
 }

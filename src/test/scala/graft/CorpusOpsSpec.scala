@@ -170,6 +170,32 @@ class CorpusOpsSpec extends GraftSpecBase {
     } finally graft.operators.Dedup.clearSharedCache()
   }
 
+  test("corpus_curate: composition of its oracled parts, filters genuinely applied") {
+    import graft.operators.{CorpusOps, Dedup}
+    import graft.operators.TextAnalysis
+    try {
+      Dedup.clearSharedCache()
+      val out = CorpusOps.curate(spark, sfDir)
+      val rows = out.collect()
+      assert(rows.nonEmpty, "curated corpus empty")
+      assert(rows.forall(_.getAs[String]("pred_lang") == "en"))
+      assert(rows.forall(_.getAs[Double]("quality_score") >= 0.5))
+      assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val", "test")))
+      val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+      // every curated doc is a dedup survivor; every dropped dup is absent
+      val keepers = Dedup.corpusDedupNg(spark, sfDir).collect().map(_.getLong(0)).toSet
+      assert(ids.subsetOf(keepers), "curated doc that dedup dropped")
+      // the quality filter excludes someone on real data — otherwise
+      // this test would pass with the filter deleted (every synthetic
+      // doc classifies 'en', so language can't discriminate here; the
+      // pred_lang=="en" invariant above still pins that filter's wiring)
+      val lowQ = TextAnalysis.quality(spark, sfDir)
+        .filter(col("quality_score") < 0.5).count()
+      assert(lowQ > 0, s"fixture cannot discriminate on quality")
+      assert(ids.size < keepers.size, "filters excluded nobody")
+    } finally graft.operators.Dedup.clearSharedCache()
+  }
+
   test("corpus_shard: exact two-phase prefix sum, no un-partitioned window") {
     // parity with the naive single-window formulation on real data —
     // the two-phase bucket/offset machinery must be EXACT, not close
