@@ -412,15 +412,75 @@ object Similarity {
        FROM ranked WHERE rk <= 3
        ORDER BY label, rk"""
 
+  /** Symmetric int8 quantization of the embedding column — the standard
+    * vector-store compression step (4 bytes/dim → 1): per-vector
+    * `scale = max|e| / 127`, `q[i] = round(e[i] / scale)` ∈ [-127, 127].
+    * The driver-checked digest reports the exact integer invariants of
+    * the quantized vector (sum, min, max, L1 mass) plus the scale, so
+    * the oracle pins every rounded value without shipping arrays through
+    * the compare; library users take `quantizeInt8` for the raw columns.
+    *
+    * Exactness across engines: `e[i]` is float32, promoted exactly to
+    * double in both; `scale` and `e[i]/scale` are then single
+    * exactly-rounded IEEE double ops, and both engines round halves away
+    * from zero — bit-identical digests, no tolerance anywhere. The
+    * `greatest(·, 1e-12)` floor makes the all-zero vector quantize to
+    * zeros instead of NaN. Scale shape: a pure narrow map at scan speed
+    * (the one shuffle is the output sort, dropped in library use). */
+  def quantizeInt8(c: Column): (Column, Column) = {
+    val scale = greatest(array_max(transform(c, x => abs(x))) / 127.0, lit(1e-12))
+    (scale, transform(c, x => round(x / scale).cast("long")))
+  }
+
+  def embQuantize(s: SparkSession, dir: String): DataFrame = {
+    val (scale, q) = quantizeInt8(col("embedding"))
+    Tables
+      .embeddings(s, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        round(scale, 6).as("scale"),
+        q.as("q"))
+      .select(
+        col("vec_id"),
+        col("n_dims"),
+        col("scale"),
+        aggregate(col("q"), lit(0L), (a, v) => a + v).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        aggregate(col("q"), lit(0L), (a, v) => a + abs(v)).as("q_l1"))
+      .orderBy("vec_id")
+  }
+
+  val embQuantizeSql: String =
+    """WITH s AS (
+         SELECT vec_id, len(embedding) AS nd,
+                GREATEST(list_max(list_transform(embedding, x -> abs(x))) / 127.0, 1e-12) AS sc,
+                embedding
+         FROM embeddings),
+       p AS (
+         SELECT vec_id, nd, sc,
+                list_transform(embedding, x -> CAST(ROUND(x / sc) AS BIGINT)) AS ql
+         FROM s)
+       SELECT vec_id, CAST(nd AS BIGINT) AS n_dims, ROUND(sc, 6) AS scale,
+              CAST(list_sum(ql) AS BIGINT) AS q_sum,
+              list_min(ql) AS q_min,
+              list_max(ql) AS q_max,
+              CAST(list_sum(list_transform(ql, x -> abs(x))) AS BIGINT) AS q_l1
+       FROM p
+       ORDER BY vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> (annBrute _),
     "ann_lsh_topk" -> (annLsh _),
     "ann_ivf_topk" -> (annIvf _),
-    "knn_join" -> (knnJoin _))
+    "knn_join" -> (knnJoin _),
+    "emb_quantize" -> (embQuantize _))
 
   val oracles: Map[String, String] = Map(
     "ann_brute_topk" -> annBruteSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,
-    "knn_join" -> knnJoinSql)
+    "knn_join" -> knnJoinSql,
+    "emb_quantize" -> embQuantizeSql)
 }

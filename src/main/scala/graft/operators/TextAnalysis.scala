@@ -309,7 +309,61 @@ object TextAnalysis {
     items.sorted.toDF("word").select(col("word"), length(col("word")).cast("long").as("word_len"))
   }
 
+  /** Corpus-unigram language-model score: each document's mean token
+    * log-likelihood under the corpus's own unigram distribution —
+    * `avg(ln(count(tok) / total_tokens))` over the document's tokens. The
+    * perplexity-style quality signal pipelines use to rank documents as
+    * "typical" vs "degenerate" (boilerplate and rare-token noise both
+    * score low); every token is in-vocabulary by construction because the
+    * vocabulary IS the corpus.
+    *
+    * Scale shape: tokens collapse to per-(doc, token) counts BEFORE any
+    * join (the (doc_id, tok) groupBy key is high-cardinality and
+    * balanced), so the vocabulary join carries one row per distinct
+    * (doc, token) — not one per occurrence — and the per-doc score is the
+    * occ-weighted mean, identical to the plain per-occurrence average.
+    * Token frequency is Zipfian, so the join on `tok` is the textbook
+    * skewed join: "the" pairs with nearly every document. AQE's skew-join
+    * splitting (on by default) subdivides those reducer partitions at
+    * runtime; the per-(doc,tok) pre-aggregation is what keeps each such
+    * row O(1) so splitting is sufficient. Total = one 1-row broadcast, no
+    * driver fetch. */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val docTok = Tables
+      .documents(s, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("occ"))
+    val vocab = docTok.groupBy("tok").agg(sum(col("occ")).as("c"))
+    val total = vocab.agg(sum(col("c")).as("n"))
+    docTok
+      .join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        round(sum(col("occ") * log(col("c") / col("n").cast("double"))) / sum(col("occ")), 4)
+          .as("lm_score"),
+        sum(col("occ")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val lmScoreSql: String =
+    """WITH t AS (
+         SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+         FROM documents WHERE LENGTH(TRIM(text)) > 0),
+       dt AS (SELECT doc_id, tok, COUNT(*) AS occ FROM t GROUP BY 1, 2),
+       v AS (SELECT tok, SUM(occ) AS c FROM dt GROUP BY 1),
+       tot AS (SELECT SUM(c) AS n FROM v)
+       SELECT doc_id,
+              ROUND(SUM(occ * LN(c / CAST(n AS DOUBLE))) / SUM(occ), 4) AS lm_score,
+              CAST(SUM(occ) AS BIGINT) AS n_tokens
+       FROM dt JOIN v USING (tok) CROSS JOIN tot
+       GROUP BY doc_id
+       ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> (lmScore _),
     "text_topk_approx" -> (topkApprox _),
     "text_heavy_hitters" -> (heavyHitters _),
     "text_winnow" -> (winnow _),
@@ -321,6 +375,7 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_lm_score" -> lmScoreSql,
     "text_heavy_hitters" -> heavyHittersSql,
     "text_tokens_bpe" -> tokensBpeSql,
     "text_scrub" -> scrubSql,

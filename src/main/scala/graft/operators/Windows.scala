@@ -458,7 +458,63 @@ object Windows {
        GROUP BY 1, 2
        ORDER BY cohort_us, week_us"""
 
+  /** Calendar gap-fill + forward fill: per user, one row per DAY between
+    * that user's first and last active day — missing days materialized
+    * (`is_gap`) and `filled_value` carried forward from the last observed
+    * day. The regularization step that turns ragged event streams into
+    * the dense per-key time series downstream models and reports expect.
+    *
+    * Scale shape: the grid derives from each user's OWN [min, max] span
+    * (`sequence` + `explode` over an already-aggregated frame — never a
+    * global-calendar cross join, and no row beyond the answer itself),
+    * the daily rollup is one partial-aggregated shuffle on (user, day) in
+    * exact integer cents, and the fill is a user-partitioned window —
+    * bounded state per key, keys spread across executors, no
+    * unpartitioned sort anywhere. Days ride as epoch-micros bigints
+    * (`*_us`, the module's timestamp discipline). */
+  def gapfill(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val daily = Tables
+      .events(s, dir)
+      .groupBy(col("user_id"), unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+      .agg((sum(cents("value")) / 100.0).as("day_value"))
+    val grid = daily
+      .groupBy("user_id")
+      .agg(min(col("day_us")).as("d0"), max(col("day_us")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"), lit(dayUs))).as("day_us"))
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("day_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(daily, Seq("user_id", "day_us"), "left")
+      .select(
+        col("user_id"),
+        col("day_us"),
+        col("day_value"),
+        col("day_value").isNull.as("is_gap"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy("user_id", "day_us")
+  }
+
+  val gapfillSql: String =
+    """WITH daily AS (
+         SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+                SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS day_value
+         FROM events GROUP BY 1, 2),
+       spans AS (SELECT user_id, MIN(day_us) AS d0, MAX(day_us) AS d1 FROM daily GROUP BY 1),
+       grid AS (SELECT user_id, UNNEST(generate_series(d0, d1, 86400000000)) AS day_us
+                FROM spans)
+       SELECT user_id, day_us, day_value,
+              day_value IS NULL AS is_gap,
+              last_value(day_value IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY day_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+       FROM grid LEFT JOIN daily USING (user_id, day_us)
+       ORDER BY user_id, day_us"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_gapfill" -> (gapfill _),
     "win_retention" -> (retention _),
     "win_funnel" -> (funnel _),
     "win_ntile" -> (ntileQuartiles _),
@@ -472,6 +528,7 @@ object Windows {
     "asof_join" -> (asofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "ts_gapfill" -> gapfillSql,
     "win_retention" -> retentionSql,
     "win_funnel" -> funnelSql,
     "win_ntile" -> ntileQuartilesSql,

@@ -192,4 +192,54 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(f.filter(col("ts_ms") =!= col("src_frame") * 40).count() == 0)
     f.unpersist()
   }
+
+  test("gapfill: dense per-user day grid, fill carries the last observed value") {
+    val g = Windows.gapfill(spark, sfDir).cache()
+    // per user: exactly one row per day of the [first, last] span
+    val dayUs = 86400000000L
+    val badSpan = g
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min("day_us").as("d0"), max("day_us").as("d1"))
+      .filter(col("n") =!= (col("d1") - col("d0")) / dayUs + 1)
+      .count()
+    assert(badSpan == 0, "grid rows != span days for some user")
+    // span endpoints are observed days, so the fill is total: no NULLs
+    assert(g.filter(col("filled_value").isNull).count() == 0)
+    // non-gap rows carry their own value; gap rows carry a PRIOR day's
+    assert(g.filter(!col("is_gap") && !(col("filled_value") <=> col("day_value"))).count() == 0)
+    assert(g.filter(col("is_gap") && col("day_value").isNotNull).count() == 0)
+    g.unpersist()
+  }
+
+  test("lm score: negative mean log-likelihood, token count agrees with text_stats") {
+    val lm = TextAnalysis.lmScore(spark, sfDir).cache()
+    // every unigram probability < 1 => every mean log-likelihood < 0
+    assert(lm.filter(col("lm_score") >= 0).count() == 0)
+    // the split-token count must equal text_stats' arithmetic token count
+    val st = TextAnalysis.stats(spark, sfDir).select(col("doc_id"), col("n_tokens").as("st_n"))
+    assert(lm.join(st, "doc_id").filter(col("n_tokens") =!= col("st_n")).count() == 0)
+    assert(lm.count() == st.count())
+    lm.unpersist()
+  }
+
+  test("int8 quantization: range bounds hold and reconstruction stays within scale/2") {
+    val q = Similarity.embQuantize(spark, sfDir).cache()
+    assert(q.filter(col("q_min") < -127 || col("q_max") > 127).count() == 0)
+    assert(q.filter(abs(col("q_sum")) > col("q_l1")).count() == 0)
+    assert(q.filter(col("scale") <= 0).count() == 0)
+    q.unpersist()
+    // round-trip bound on the raw arrays: |e[i] - q[i]*scale| <= scale/2
+    val (scale, qarr) = Similarity.quantizeInt8(col("embedding"))
+    val worst = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .select(
+        (aggregate(
+          zip_with(col("embedding"), qarr, (e, qi) => abs(e - qi * scale)),
+          lit(0.0),
+          (a, v) => greatest(a, v)) / scale).as("rel_err"))
+      .agg(max(col("rel_err")))
+      .head()
+      .getDouble(0)
+    assert(worst <= 0.500001, s"reconstruction error $worst × scale exceeds the rounding bound")
+  }
 }

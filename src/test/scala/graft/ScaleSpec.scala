@@ -385,4 +385,27 @@ class ScaleSpec extends GraftSpecBase {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 0, s"split assignment must not shuffle:\n$plan")
   }
+
+  test("gapfill: every window is user-partitioned (no unpartitioned calendar sort)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = Windows.gapfill(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the forward-fill window")
+    for (w <- windows) {
+      val partNames = w.partitionSpec.flatMap(_.references.map(_.name))
+      assert(
+        partNames.contains("user_id"),
+        s"gapfill window partitioned by ${partNames.mkString(",")} — a global calendar sort at scale")
+    }
+  }
+
+  test("emb_quantize is a narrow map: zero hash exchanges, one scan") {
+    val plan =
+      graft.operators.Similarity.embQuantize(spark, sfDir).queryExecution.executedPlan.toString
+    assert(
+      "Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"quantization must not shuffle:\n$plan")
+    val scans = "embeddings.parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"embeddings scanned $scans times:\n$plan")
+  }
 }
