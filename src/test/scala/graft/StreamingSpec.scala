@@ -185,4 +185,43 @@ class StreamingSpec extends GraftSpecBase {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
   }
+
+  test("streaming decontamination equals the batch contamination drop set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    // static side: the batch operator's eval gram frame (eval = src0)
+    val evalGrams = docs
+      .filter(col("source") === "src0")
+      .select(
+        col("doc_id").as("eval_doc"),
+        call_function("graft_grams", col("text")).as("garr"))
+      .filter(col("garr").isNotNull)
+      .select(col("eval_doc"), size(col("garr")).as("n_eval"), explode(col("garr")).as("gram"))
+    // stream side: every training doc (NULL source included — checked as
+    // training data, the batch operator's convention)
+    val train = docs
+      .filter(coalesce(col("source") =!= "src0", lit(true)))
+      .select("doc_id", "text", "source", "lang", "n_chars")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)), r.getString(3), r.getLong(4)))
+      .toSeq
+    val input = MemoryStream[(Long, String, Option[String], String, Long)]
+    input.addData(train)
+    val q = EventStreams.decontaminate(
+        input.toDF().toDF("doc_id", "text", "source", "lang", "n_chars"),
+        evalGrams)
+      .writeStream.format("memory").queryName("decontam_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("decontam_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val dropped = graft.operators.CorpusOps.contamination(spark, sfDir)
+      .select("train_doc").collect().map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "fixture has no contaminated doc — parity test is vacuous")
+    val expected = train.map(_._1).toSet -- dropped
+    assert(streamed == expected,
+      s"decontamination diverged: missing=${expected -- streamed} extra=${streamed -- expected}")
+  }
 }
