@@ -93,8 +93,8 @@ object Bench {
     // standalone costs
     val sharedCache = Seq(
       "ngram" -> Seq(
-        "corpus_dedup_ng", "dedup_clusters", "dedup_incremental", "dedup_ngram_jaccard",
-        "text_edit_sim"),
+        "corpus_curate", "corpus_dedup_ng", "dedup_clusters", "dedup_incremental",
+        "dedup_ngram_jaccard", "text_edit_sim"),
       "minhash" -> Seq("corpus_dedup", "dedup_minhash"))
       .map { case (tag, qs) =>
         s"\"$tag\":" + qs.filter(SparkEntry.queries.contains).map("\"" + _ + "\"").mkString("[", ",", "]")

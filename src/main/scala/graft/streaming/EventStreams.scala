@@ -190,9 +190,13 @@ object EventStreams {
     * front with [[dedupExact]] when the stream can repeat). */
   def decontaminate(docs: DataFrame, evalGrams: DataFrame): Dataset[Clean] = {
     import docs.sparkSession.implicits._
+    // broadcast by hint, not by measurement: each micro-batch is planned
+    // without AQE (stateful workloads disable it), and letting the
+    // planner shuffle the stream against a frame that is MBs by contract
+    // would put an exchange in every trigger
     val exploded = docs
       .withColumn("gram", explode_outer(call_function("graft_grams", col("text"))))
-      .join(evalGrams, Seq("gram"), "left_outer")
+      .join(broadcast(evalGrams), Seq("gram"), "left_outer")
       .select(
         col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("eval_doc"), col("n_eval"), col("gram"))
