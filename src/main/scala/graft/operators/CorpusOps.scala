@@ -731,7 +731,72 @@ object CorpusOps {
        WHERE source = 'src19' AND doc_id NOT IN (SELECT doc_id FROM dropped)
        ORDER BY doc_id"""
 
+  /** Language-mix rebalancing: deterministically downsample the corpus to
+    * the largest subset achieving a TARGET language composition
+    * (en 40%, de/es/fr/zh 15% each — the "don't let English drown the
+    * rest" step after curation). The binding language (smallest
+    * `count/share`) is kept whole; every other language is thinned to
+    * match, via the same content-hash bucketing as [[dataSplit]]
+    * (bucket = first 3 hex chars of md5(text), 4096 buckets), so the kept
+    * set is stable across re-crawls and id reassignments. Languages
+    * outside the target list have share 0 by definition and are excluded.
+    *
+    * Rates are COMPUTED from the live per-language counts, not
+    * hard-coded: `T = min(count_l / share_l)` is the largest total with
+    * the exact target proportions, and `rate_l = min(1, share_l·T /
+    * count_l)`. All rate arithmetic is a fixed IEEE double expression
+    * over exact integer counts — both engines derive bit-identical rates,
+    * so the bucket comparison keeps identical rows (hash sampling makes
+    * achieved proportions approximate at ±O(1/√n); the RATES are exact).
+    *
+    * Scale shape: one tiny per-language count (partial-aggregated, ≤
+    * |langs| rows), rates broadcast back, then a scan-speed filter — the
+    * corpus is never shuffled; output sort aside, cost is two corpus
+    * scans (count + filter). */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val shares = Seq(("en", 0.4), ("de", 0.15), ("es", 0.15), ("fr", 0.15), ("zh", 0.15))
+      .toDF("lang", "share")
+    val jt = Tables
+      .documents(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("cnt"))
+      .join(shares, "lang")
+    val t = jt.agg(min(col("cnt") / col("share")).as("tt"))
+    val rates = jt
+      .crossJoin(broadcast(t))
+      .select(col("lang"), least(lit(1.0), col("share") * col("tt") / col("cnt")).as("rate"))
+    val bucket = conv(substring(md5(col("text")), 1, 3), 16, 10).cast("int")
+    Tables
+      .documents(s, dir)
+      .join(broadcast(rates), "lang")
+      .filter(bucket < col("rate") * 4096.0)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val corpusMixSql: String =
+    """WITH sh AS (
+         -- shares CAST to DOUBLE: a bare 0.4 is DECIMAL in DuckDB, and
+         -- decimal division would diverge from Spark's IEEE doubles
+         SELECT lang, CAST(share AS DOUBLE) AS share
+         FROM (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15),
+                      ('fr', 0.15), ('zh', 0.15)) s(lang, share)),
+       jt AS (
+         SELECT c.lang, c.cnt, sh.share
+         FROM (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1) c
+         JOIN sh USING (lang)),
+       t AS (SELECT MIN(cnt / share) AS tt FROM jt),
+       rates AS (
+         SELECT lang, LEAST(1.0, share * tt / cnt) AS rate
+         FROM jt CROSS JOIN t)
+       SELECT d.doc_id, d.lang, d.source, d.n_chars
+       FROM documents d JOIN rates USING (lang)
+       WHERE CAST(('0x' || substr(md5(d.text), 1, 3)) AS INT) < rate * 4096.0
+       ORDER BY d.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_mix" -> (corpusMix _),
     "data_split" -> (dataSplit _),
     "text_contamination" -> ((s, d) => contamination(s, d)),
     "dedup_incremental" -> ((s, d) => dedupIncremental(s, d)),
@@ -740,6 +805,7 @@ object CorpusOps {
     "corpus_curate" -> (curate _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_mix" -> corpusMixSql,
     "data_split" -> dataSplitSql,
     "text_contamination" -> contaminationSql,
     "dedup_incremental" -> dedupIncrementalSql,

@@ -513,7 +513,78 @@ object Windows {
        FROM grid LEFT JOIN daily USING (user_id, day_us)
        ORDER BY user_id, day_us"""
 
+  /** Trailing-window z-score anomaly detection: flag each event whose
+    * value sits more than 3σ from the mean of the SAME user's previous
+    * ≤ 20 events (window excludes the current row, so an outlier never
+    * masks itself; ≥ 10 priors required, zero-variance windows skipped —
+    * no division by zero, no ±Inf z). The monitoring primitive behind
+    * "this user's metric just jumped".
+    *
+    * Exactness across engines: the window aggregates are INTEGER moments
+    * — count, Σcents, Σcents² — summed exactly in long space (cents ≤
+    * 10⁵ ⇒ Σc² ≤ 4·10¹² per 20-row window, far inside both long and
+    * double-exact range), so mean/variance/z are a fixed IEEE expression
+    * over identical integers in both engines: bit-identical, no
+    * tolerance. The one float op before the moments is the module's usual
+    * deterministic `floor(value·100)`.
+    *
+    * Scale shape: one user-partitioned window (bounded 20-row state per
+    * key, keys spread across executors), then a filter — no global sort,
+    * no second pass. */
+  def anomaly(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-20, -1)
+    val c = Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("value"),
+        cents("value").as("cents"))
+    val stats = c
+      .withColumn("n", count(col("cents")).over(w))
+      .withColumn("s", sum(col("cents")).over(w))
+      .withColumn("s2", sum(col("cents") * col("cents")).over(w))
+    val mean = col("s").cast("double") / col("n")
+    val vari = (col("s2") - col("s").cast("double") * col("s") / col("n")) / col("n")
+    stats
+      .filter(col("n") >= 10 && vari > 0 && abs(col("cents") - mean) > lit(3) * sqrt(vari))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts_us"),
+        col("value"),
+        round((col("cents") - mean) / sqrt(vari), 4).as("z"))
+      .orderBy("event_id")
+  }
+
+  val anomalySql: String =
+    """WITH c AS (
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+                CAST(FLOOR(value * 100) AS BIGINT) AS cents
+         FROM events),
+       w AS (
+         SELECT *,
+                COUNT(cents) OVER win AS n,
+                SUM(cents) OVER win AS s,
+                SUM(cents * cents) OVER win AS s2
+         FROM c
+         WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+       SELECT event_id, user_id, ts_us, value,
+              ROUND((cents - CAST(s AS DOUBLE) / n) /
+                    sqrt((s2 - CAST(s AS DOUBLE) * s / n) / n), 4) AS z
+       FROM w
+       WHERE n >= 10 AND (s2 - CAST(s AS DOUBLE) * s / n) / n > 0
+         AND ABS(cents - CAST(s AS DOUBLE) / n) >
+             3 * sqrt((s2 - CAST(s AS DOUBLE) * s / n) / n)
+       ORDER BY event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_anomaly" -> (anomaly _),
     "ts_gapfill" -> (gapfill _),
     "win_retention" -> (retention _),
     "win_funnel" -> (funnel _),
@@ -528,6 +599,7 @@ object Windows {
     "asof_join" -> (asofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "win_anomaly" -> anomalySql,
     "ts_gapfill" -> gapfillSql,
     "win_retention" -> retentionSql,
     "win_funnel" -> funnelSql,

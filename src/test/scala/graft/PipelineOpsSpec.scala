@@ -222,6 +222,40 @@ class PipelineOpsSpec extends GraftSpecBase {
     lm.unpersist()
   }
 
+  test("anomaly: flags only >=3-sigma deviations, never without history") {
+    val a = Windows.anomaly(spark, sfDir).cache()
+    assert(a.count() > 0, "fixture produced no anomalies — test is vacuous")
+    // |cents - mean| > 3 sigma  =>  |z| >= 3.0 even after 4-dp rounding
+    assert(a.filter(abs(col("z")) < 3.0).count() == 0)
+    // brute recheck: every flagged event's user has >= 10 earlier events
+    val e = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id").as("u"), unix_micros(col("ts")).as("t"), col("event_id").as("i"))
+    val withPriors = a.join(e, a("user_id") === col("u"))
+      .filter(col("t") < col("ts_us") || (col("t") === col("ts_us") && col("i") < col("event_id")))
+      .groupBy(a("event_id")).count()
+      .filter(col("count") < 10)
+    assert(withPriors.count() == 0, "an event was flagged with fewer than 10 prior events")
+    a.unpersist()
+  }
+
+  test("corpus mix: binding language kept whole, only target languages, stable") {
+    val m = graft.operators.CorpusOps.corpusMix(spark, sfDir).cache()
+    val kept = m.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet.subsetOf(Set("en", "de", "es", "fr", "zh")))
+    // T = min(cnt/share) makes that language's rate exactly 1: kept whole
+    assert(kept.exists { case (l, k) => k == full(l) },
+      s"no binding language kept whole: kept=$kept full=$full")
+    // every language thinned, never grown
+    assert(kept.forall { case (l, k) => k <= full(l) })
+    // content-hash bucketing: a second run keeps the identical rows
+    val again = graft.operators.CorpusOps.corpusMix(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(m.collect().map(_.getLong(0)).toSet == again)
+    m.unpersist()
+  }
+
   test("int8 quantization: range bounds hold and reconstruction stays within scale/2") {
     val q = Similarity.embQuantize(spark, sfDir).cache()
     assert(q.filter(col("q_min") < -127 || col("q_max") > 127).count() == 0)

@@ -399,6 +399,16 @@ class ScaleSpec extends GraftSpecBase {
     }
   }
 
+  test("corpus_mix joins the corpus by broadcast: rates move, the corpus never shuffles") {
+    val plan =
+      graft.operators.CorpusOps.corpusMix(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rates not broadcast:\n$plan")
+    // the only hash exchanges allowed are the tiny per-language count
+    // aggregations (≤ |langs| rows each) — never a corpus-sized one
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"corpus-sized shuffle in mix plan ($exchanges exchanges):\n$plan")
+  }
+
   test("emb_quantize is a narrow map: zero hash exchanges, one scan") {
     val plan =
       graft.operators.Similarity.embQuantize(spark, sfDir).queryExecution.executedPlan.toString
