@@ -362,7 +362,75 @@ object TextAnalysis {
        GROUP BY doc_id
        ORDER BY doc_id"""
 
+  /** Within-document repetition signals — the Gopher-family quality
+    * filters that catch degenerate machine text: `rep_gram_frac` is the
+    * fraction of word-3-gram POSITIONS occupied by a repeat
+    * (`1 − distinct_grams / (n_words − 2)`; boilerplate loops score high)
+    * and `top_tok_share` is the modal token's share of the document
+    * (keyword-stuffing detector). Words are whitespace-normalized, the
+    * same tokenization as the dedup gram pipeline, so "repetition" here
+    * and "near-duplicate" there measure the same text.
+    *
+    * Distinct gram counting rides [[graft.functions.GramHash64]]'s
+    * deduped hash array — `size(garr)` is the distinct count with zero
+    * extra work (same 64-bit-collision trade as the dedup pipeline,
+    * P ≈ 1e-11). Scale shape: the gram fraction is a pure narrow map;
+    * the modal token needs the one honest shuffle — per-(doc, token)
+    * counts on a high-cardinality balanced key, then a per-doc max. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val arr = split(trim(regexp_replace(col("text"), " +", " ")), " ")
+    val base = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        arr.as("arr"),
+        call_function("graft_grams", col("text")).as("garr"))
+      .filter(size(col("arr")) >= 3)
+    val tk = base
+      .select(col("doc_id"), explode(col("arr")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("max_tok"))
+    base
+      .select(col("doc_id"), size(col("arr")).as("nw"), size(col("garr")).as("ndg"))
+      .join(tk, "doc_id")
+      .select(
+        col("doc_id"),
+        col("nw").cast("long").as("n_words"),
+        (col("nw") - 2).cast("long").as("n_grams"),
+        col("ndg").cast("long").as("n_grams_distinct"),
+        round(lit(1) - col("ndg") / (col("nw") - 2).cast("double"), 4).as("rep_gram_frac"),
+        round(col("max_tok") / col("nw").cast("double"), 4).as("top_tok_share"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionSql: String =
+    """WITH f AS (
+         SELECT doc_id, string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS arr
+         FROM documents
+         WHERE len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) >= 3),
+       g AS (
+         SELECT doc_id, COUNT(DISTINCT arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]) AS ndg
+         FROM f, UNNEST(range(1, len(arr) - 1)) AS t(i)
+         GROUP BY doc_id),
+       tk AS (
+         SELECT doc_id, MAX(c) AS max_tok
+         FROM (SELECT doc_id, tok, COUNT(*) AS c
+               FROM (SELECT doc_id, UNNEST(arr) AS tok FROM f)
+               GROUP BY 1, 2)
+         GROUP BY 1)
+       SELECT f.doc_id,
+              CAST(len(arr) AS BIGINT) AS n_words,
+              CAST(len(arr) - 2 AS BIGINT) AS n_grams,
+              CAST(ndg AS BIGINT) AS n_grams_distinct,
+              ROUND(1 - ndg / CAST(len(arr) - 2 AS DOUBLE), 4) AS rep_gram_frac,
+              ROUND(max_tok / CAST(len(arr) AS DOUBLE), 4) AS top_tok_share
+       FROM f JOIN g USING (doc_id) JOIN tk USING (doc_id)
+       ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (repetition _),
     "text_lm_score" -> (lmScore _),
     "text_topk_approx" -> (topkApprox _),
     "text_heavy_hitters" -> (heavyHitters _),
@@ -375,6 +443,7 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" -> repetitionSql,
     "text_lm_score" -> lmScoreSql,
     "text_heavy_hitters" -> heavyHittersSql,
     "text_tokens_bpe" -> tokensBpeSql,

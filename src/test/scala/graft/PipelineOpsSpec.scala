@@ -256,6 +256,24 @@ class PipelineOpsSpec extends GraftSpecBase {
     m.unpersist()
   }
 
+  test("repetition: fractions bounded, a literally-repeating doc scores near 1") {
+    val r = TextAnalysis.repetition(spark, sfDir).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("rep_gram_frac") < 0 || col("rep_gram_frac") > 1).count() == 0)
+    assert(r.filter(col("top_tok_share") <= 0 || col("top_tok_share") > 1).count() == 0)
+    assert(r.filter(col("n_grams_distinct") > col("n_grams")).count() == 0)
+    r.unpersist()
+    // synthetic sanity: "a b c" * 50 has 3 distinct grams over 148 positions
+    val dir = java.nio.file.Files.createTempDirectory("rep_fixture").toString
+    import spark.implicits._
+    Seq((1L, ("a b c " * 50).trim, "en", "srcX", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = TextAnalysis.repetition(spark, dir).head()
+    assert(row.getAs[Long]("n_words") == 150 && row.getAs[Long]("n_grams_distinct") == 3)
+    assert(row.getAs[Double]("rep_gram_frac") > 0.97)
+  }
+
   test("int8 quantization: range bounds hold and reconstruction stays within scale/2") {
     val q = Similarity.embQuantize(spark, sfDir).cache()
     assert(q.filter(col("q_min") < -127 || col("q_max") > 127).count() == 0)
