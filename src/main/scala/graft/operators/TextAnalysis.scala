@@ -429,7 +429,80 @@ object TextAnalysis {
        FROM f JOIN g USING (doc_id) JOIN tk USING (doc_id)
        ORDER BY doc_id"""
 
+  /** TF-IDF keyword retrieval: rank documents for a literal term query
+    * ("spark join stream") by `Σ_t tf(t,d) · ln(N / df(t))` — the
+    * classic relevance score, top 20. Extends the reference's LIKE-style
+    * matching (main.py:85) to ranked multi-term search.
+    *
+    * Determinism discipline: the score is a FIXED-ORDER three-term column
+    * expression over integer tf/df/N (never a float aggregation whose
+    * summation order could differ between engines), so scores are
+    * bit-identical and the top-20 cut falls on the same rows; ties break
+    * on doc_id. Scale shape: tf via the whole-word counting idiom (scan
+    * speed), df/N one 1-row aggregate broadcast back, ranking a
+    * TakeOrdered (per-partition partial top-k, no global sort). Two
+    * corpus scans total. */
+  def search(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "join", "stream")
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    def tf(t: String): Column = countOcc(padded, s" $t ").cast("long")
+    val d = Tables
+      .documents(s, dir)
+      .select(col("doc_id") +: terms.map(t => tf(t).as(s"tf_$t")): _*)
+    val dfs = d.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("tf_spark") > 0, 1L).otherwise(0L)).as("df_spark"),
+      sum(when(col("tf_join") > 0, 1L).otherwise(0L)).as("df_join"),
+      sum(when(col("tf_stream") > 0, 1L).otherwise(0L)).as("df_stream"))
+    val score = terms
+      .map(t => col(s"tf_$t") * log(col("n").cast("double") / col(s"df_$t")))
+      .reduce(_ + _)
+    d.crossJoin(broadcast(dfs))
+      .select(
+        col("doc_id"),
+        col("tf_spark"),
+        col("tf_join"),
+        col("tf_stream"),
+        score.as("sc"))
+      .filter(col("sc") > 0)
+      .orderBy(col("sc").desc, col("doc_id"))
+      .limit(20)
+      .select(
+        col("doc_id"),
+        col("tf_spark"),
+        col("tf_join"),
+        col("tf_stream"),
+        round(col("sc"), 4).as("score"))
+  }
+
+  val searchSql: String = {
+    def tf(t: String): String =
+      s"CAST(${countOccSql("(' ' || text || ' ')", s" $t ")} AS BIGINT)"
+    s"""WITH d AS (
+         SELECT doc_id, ${tf("spark")} AS tf_spark, ${tf("join")} AS tf_join,
+                ${tf("stream")} AS tf_stream
+         FROM documents),
+       agg AS (
+         SELECT COUNT(*) AS n,
+                SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+                SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+                SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS df_stream
+         FROM d),
+       scored AS (
+         SELECT doc_id, tf_spark, tf_join, tf_stream,
+                tf_spark * LN(CAST(n AS DOUBLE) / df_spark) +
+                tf_join * LN(CAST(n AS DOUBLE) / df_join) +
+                tf_stream * LN(CAST(n AS DOUBLE) / df_stream) AS sc
+         FROM d CROSS JOIN agg)
+       SELECT doc_id, tf_spark, tf_join, tf_stream, ROUND(sc, 4) AS score
+       FROM scored
+       WHERE sc > 0
+       ORDER BY sc DESC, doc_id
+       LIMIT 20"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_search" -> (search _),
     "text_repetition" -> (repetition _),
     "text_lm_score" -> (lmScore _),
     "text_topk_approx" -> (topkApprox _),
@@ -443,6 +516,7 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_search" -> searchSql,
     "text_repetition" -> repetitionSql,
     "text_lm_score" -> lmScoreSql,
     "text_heavy_hitters" -> heavyHittersSql,

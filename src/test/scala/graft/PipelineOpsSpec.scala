@@ -274,6 +274,16 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(row.getAs[Double]("rep_gram_frac") > 0.97)
   }
 
+  test("search: top-20 ranked by score, every hit matches at least one term") {
+    val r = TextAnalysis.search(spark, sfDir).collect()
+    assert(r.length == 20)
+    val scores = r.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "scores not descending")
+    assert(r.forall(row =>
+      row.getAs[Long]("tf_spark") > 0 || row.getAs[Long]("tf_join") > 0 ||
+        row.getAs[Long]("tf_stream") > 0))
+  }
+
   test("int8 quantization: range bounds hold and reconstruction stays within scale/2") {
     val q = Similarity.embQuantize(spark, sfDir).cache()
     assert(q.filter(col("q_min") < -127 || col("q_max") > 127).count() == 0)
