@@ -409,6 +409,24 @@ class ScaleSpec extends GraftSpecBase {
     assert(exchanges <= 2, s"corpus-sized shuffle in mix plan ($exchanges exchanges):\n$plan")
   }
 
+  test("lm_score vocabulary join consumes aggregates, never raw exploded occurrences") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, LogicalPlan}
+    val df = graft.operators.TextAnalysis.lmScore(spark, sfDir)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    val tokJoins = joins.filter(_.condition.exists(_.references.exists(_.name == "tok")))
+    assert(tokJoins.nonEmpty, "expected the vocabulary join on tok")
+    // a Generate (explode) reachable without crossing an Aggregate means
+    // per-OCCURRENCE rows reach the join — the skew shape the operator
+    // exists to avoid
+    def generateAboveAggregate(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: Generate  => true
+      case other        => other.children.exists(generateAboveAggregate)
+    }
+    for (j <- tokJoins; c <- j.children)
+      assert(!generateAboveAggregate(c), s"raw exploded occurrences reach the tok join:\n$j")
+  }
+
   test("emb_quantize is a narrow map: zero hash exchanges, one scan") {
     val plan =
       graft.operators.Similarity.embQuantize(spark, sfDir).queryExecution.executedPlan.toString
