@@ -223,6 +223,52 @@ object EventStreams {
   }
 
   case class Ev(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
+  case class AnomOut(event_id: Long, user_id: Long, ts_us: Long, value: Double, z: Double)
+
+  /** Streaming z-score anomaly detection — the incremental twin of
+    * [[graft.operators.Windows.anomaly]]: flag each event > 3σ from the
+    * mean of the SAME user's previous ≤ 20 events. State is a per-user
+    * ring of the last 20 integer cents — 160 bytes per active user, fixed
+    * forever, the bounded-custom-state case flatMapGroupsWithState exists
+    * for. Arithmetic mirrors the batch operator op-for-op (integer
+    * moments, the same IEEE expression, the same HALF_UP 4-dp rounding),
+    * so on an ordered replay the streamed flags are row-identical —
+    * spec-pinned. Same ordering contract as [[sessionize]]: events arrive
+    * in event-time order per user (tests feed sorted input; production
+    * fronts this with a watermark + sort within trigger). */
+  def anomalies(events: Dataset[Ev]): Dataset[AnomOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[Ev], state: GroupState[List[Long]]) => {
+          def micros(t: Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          var ring = state.getOption.getOrElse(Nil) // oldest first, ≤ 20 cents
+          val out = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).flatMap { e =>
+            val c = math.floor(e.value * 100.0).toLong
+            val n = ring.size
+            val res =
+              if (n >= 10) {
+                val s = ring.sum
+                val s2 = ring.iterator.map(x => x * x).sum
+                val mean = s.toDouble / n
+                val vari = (s2 - s.toDouble * s / n) / n
+                if (vari > 0 && math.abs(c - mean) > 3 * math.sqrt(vari)) {
+                  val z = BigDecimal((c - mean) / math.sqrt(vari))
+                    .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                    .toDouble
+                  Some(AnomOut(e.event_id, userId, micros(e.ts), e.value, z))
+                } else None
+              } else None
+            ring = (ring :+ c).takeRight(20)
+            res
+          }
+          state.update(ring)
+          out.iterator
+        })
+  }
+
   case class SessionState(sessionId: Long, lastTsUs: Long)
   case class SessionOut(event_id: Long, user_id: Long, ts_us: Long, session_id: Long)
 

@@ -186,6 +186,27 @@ class StreamingSpec extends GraftSpecBase {
     assert(streamed == batch)
   }
 
+  test("streaming anomaly flags equal batch win_anomaly on ordered replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    input.addData(loadEvents().toSeq)
+    val q = EventStreams.anomalies(input.toDS())
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("anom_out")
+      .select("event_id", "user_id", "ts_us", "value", "z")
+      .collect().map(_.toSeq).toSet
+    val batch = Windows.anomaly(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"), col("z"))
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "fixture has no anomalies — parity test is vacuous")
+    assert(streamed == batch,
+      s"streaming anomaly diverged: missing=${batch -- streamed} extra=${streamed -- batch}")
+  }
+
   test("streaming decontamination equals the batch contamination drop set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
