@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windows.queries ++ Sampling.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Analytics.queries ++ CorpusOps.queries
+      Multimodal.queries ++ Analytics.queries ++ CorpusOps.queries ++
+      CorpusProfile.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Windows.oracles ++ Sampling.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ Analytics.oracles ++ CorpusOps.oracles
+      Multimodal.oracles ++ Analytics.oracles ++ CorpusOps.oracles ++
+      CorpusProfile.oracles
 }

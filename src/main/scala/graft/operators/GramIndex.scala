@@ -215,13 +215,13 @@ object GramIndex {
   private[graft] def hashes(s: SparkSession, indexPath: String): DataFrame =
     s.read.parquet(s"$indexPath/hashes")
 
-  private def stamp(dir: String): String =
+  private[operators] def stamp(dir: String): String =
     PipelineCache.sourceStamp(dir, "documents.parquet")
 
-  private def metaPath(indexPath: String) =
+  private[operators] def metaPath(indexPath: String) =
     new org.apache.hadoop.fs.Path(s"$indexPath/meta")
 
-  private def writeMeta(s: SparkSession, indexPath: String, content: String): Unit = {
+  private[operators] def writeMeta(s: SparkSession, indexPath: String, content: String): Unit = {
     val p = metaPath(indexPath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -229,7 +229,7 @@ object GramIndex {
     finally out.close()
   }
 
-  private def readMeta(s: SparkSession, indexPath: String): Option[Array[String]] = {
+  private[operators] def readMeta(s: SparkSession, indexPath: String): Option[Array[String]] = {
     val p = metaPath(indexPath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None

@@ -301,4 +301,40 @@ class CorpusOpsSpec extends GraftSpecBase {
       assert(warm == cold, s"warm path diverged:\nwarm=$warm\ncold=$cold")
     } finally graft.operators.Dedup.clearSharedCache()
   }
+
+  test("corpus profile: anchors exact at small cardinality, counters add up") {
+    import graft.operators.CorpusProfile
+    val p = CorpusProfile.corpusProfile(spark, sfDir).cache()
+    // lgK=12 HLL is in exact (sparse) mode at tens of distincts per source
+    assert(p.filter(col("distinct_est") =!= col("distinct_exact")).count() == 0,
+      "HLL estimate diverged from exact in the sparse regime")
+    val corpusDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(coalesce(col("source") =!= "src19", lit(true))).count()
+    val profiled = p.agg(sum(col("n_docs"))).head().getLong(0)
+    assert(profiled == corpusDocs, s"profile covers $profiled of $corpusDocs corpus docs")
+    p.unpersist()
+  }
+
+  test("corpus profile absorb: estimate-identical to a from-scratch rebuild") {
+    import graft.operators.CorpusProfile
+    val base = java.nio.file.Files.createTempDirectory("profile_absorb").toString
+    val pa = s"$base/absorbed"
+    val pb = s"$base/rebuilt"
+    CorpusProfile.build(spark, sfDir, pa, deltaSource = "src19")
+    // next batch already landed -> absorb must refuse
+    intercept[IllegalStateException] {
+      CorpusProfile.absorb(spark, sfDir, pa, oldDelta = "src19", newDelta = "src5")
+    }
+    CorpusProfile.absorb(spark, sfDir, pa, oldDelta = "src19", newDelta = "srcNONE")
+    assert(CorpusProfile.isFresh(spark, sfDir, pa, deltaSource = "srcNONE"))
+    CorpusProfile.build(spark, sfDir, pb, deltaSource = "srcNONE")
+    def snap(path: String) = CorpusProfile.read(spark, path)
+      .collect().map(_.toSeq).toSet
+    assert(snap(pa) == snap(pb),
+      s"absorbed profile diverged from rebuild:\nabsorbed=${snap(pa)}\nrebuilt=${snap(pb)}")
+    // absorbing against a stale base refuses loudly
+    intercept[IllegalStateException] {
+      CorpusProfile.absorb(spark, sfDir, pa, oldDelta = "src19", newDelta = "srcNONE")
+    }
+  }
 }
