@@ -127,6 +127,87 @@ object CorpusOps {
       .orderBy(col("containment").desc, col("train_doc"), col("eval_doc"))
   }
 
+  /** Decontamination EXCISION — the action step after
+    * [[contamination]]'s report: for every flagged training document,
+    * cut the contaminated word span (all matched shingles, widened to
+    * whole 3-grams: words `first_pos .. last_pos+2`) and return the
+    * cleaned document's stats + content fingerprint. Report → excise is
+    * the standard two-step decontamination pipeline; keeping them
+    * separate means the report stays auditable and the cut replayable.
+    *
+    * Scale shape: the span frame is bounded by the report (tiny by
+    * construction — it is a subset of eval-doc pairs), so it broadcasts
+    * into one corpus scan; the cut itself is array slicing in a narrow
+    * map. Words use the dedup pipeline's whitespace normalization, the
+    * same positions [[graft.functions.RollGrams64]] indexed. */
+  def contaminationExcise(
+      s: SparkSession,
+      dir: String,
+      evalSource: String = "src0"): DataFrame = {
+    val spans = contamination(s, dir, evalSource)
+      .groupBy("train_doc")
+      .agg(min(col("first_pos")).as("fp"), max(col("last_pos")).as("lp"))
+    val arr = split(trim(regexp_replace(col("text"), " +", " ")), " ")
+    Tables
+      .documents(s, dir)
+      .join(broadcast(spans), col("doc_id") === col("train_doc"))
+      .select(col("doc_id"), arr.as("arr"), col("fp"), col("lp"))
+      .select(
+        col("doc_id"),
+        size(col("arr")).cast("long").as("n_words"),
+        (col("lp") + 2 - col("fp") + 1).as("n_removed"),
+        md5(
+          array_join(
+            concat(
+              slice(col("arr"), lit(1), (col("fp") - 1).cast("int")),
+              slice(col("arr"), (col("lp") + 3).cast("int"), size(col("arr")))),
+            " ")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val contaminationExciseSql: String =
+    // spans CTE = the contamination oracle's pair frame, rolled up per
+    // train doc; COALESCE('') because DuckDB's array_to_string of an
+    // empty list is NULL where Spark's array_join is ''
+    """WITH w AS (
+         SELECT doc_id, source, string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS arr
+         FROM documents
+         WHERE len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) >= 3),
+       pg AS (
+         SELECT doc_id, source, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram, i AS pos
+         FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
+       ev AS (SELECT DISTINCT doc_id, gram FROM pg WHERE source = 'src0'),
+       evn AS (SELECT doc_id, COUNT(*) AS n FROM ev GROUP BY 1),
+       tr AS (SELECT doc_id, gram, pos FROM pg WHERE source IS DISTINCT FROM 'src0'),
+       gi AS (
+         SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc, tr.gram,
+                MIN(pos) AS mp, MAX(pos) AS xp
+         FROM tr JOIN ev ON tr.gram = ev.gram
+         GROUP BY 1, 2, 3),
+       inter AS (
+         SELECT train_doc, eval_doc, COUNT(*) AS n_matched,
+                MIN(mp) AS first_pos, MAX(xp) AS last_pos
+         FROM gi GROUP BY 1, 2),
+       hits AS (
+         SELECT train_doc, first_pos, last_pos
+         FROM inter JOIN evn ON evn.doc_id = eval_doc
+         WHERE n_matched / CAST(evn.n AS DOUBLE) >= 0.5),
+       spans AS (
+         SELECT train_doc, MIN(first_pos) AS fp, MAX(last_pos) AS lp
+         FROM hits GROUP BY 1),
+       da AS (
+         SELECT doc_id, string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS arr
+         FROM documents)
+       SELECT doc_id,
+              CAST(len(arr) AS BIGINT) AS n_words,
+              lp + 2 - fp + 1 AS n_removed,
+              md5(COALESCE(array_to_string(
+                list_concat(list_slice(arr, 1, CAST(fp - 1 AS INT)),
+                            list_slice(arr, CAST(lp + 3 AS INT), len(arr))), ' '), ''))
+                AS clean_md5
+       FROM da JOIN spans ON doc_id = train_doc
+       ORDER BY doc_id"""
+
   /** Token-budget training shards: assign every document (doc_id order)
     * to shard `floor(exclusive_prefix_tokens / budget)` — the packing
     * step that turns a curated corpus into fixed-size training chunks
@@ -796,6 +877,7 @@ object CorpusOps {
        ORDER BY d.doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "contamination_excise" -> ((s, d) => contaminationExcise(s, d)),
     "corpus_mix" -> (corpusMix _),
     "data_split" -> (dataSplit _),
     "text_contamination" -> ((s, d) => contamination(s, d)),
@@ -805,6 +887,7 @@ object CorpusOps {
     "corpus_curate" -> (curate _))
 
   val oracles: Map[String, String] = Map(
+    "contamination_excise" -> contaminationExciseSql,
     "corpus_mix" -> corpusMixSql,
     "data_split" -> dataSplitSql,
     "text_contamination" -> contaminationSql,

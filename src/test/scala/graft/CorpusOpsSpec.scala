@@ -302,6 +302,21 @@ class CorpusOpsSpec extends GraftSpecBase {
     } finally graft.operators.Dedup.clearSharedCache()
   }
 
+  test("excision: every flagged doc loses a whole-gram span and changes content") {
+    val e = CorpusOps.contaminationExcise(spark, sfDir).cache()
+    assert(e.count() > 0, "fixture has no contaminated doc — test is vacuous")
+    // a span covers at least one whole 3-gram and fits in the document
+    assert(e.filter(col("n_removed") < 3 || col("n_removed") > col("n_words")).count() == 0)
+    // the cleaned fingerprint never equals the normalized original's
+    val orig = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id"),
+        md5(concat_ws(" ", split(trim(regexp_replace(col("text"), " +", " ")), " ")))
+          .as("orig_md5"))
+    assert(e.join(orig, "doc_id").filter(col("clean_md5") === col("orig_md5")).count() == 0)
+    e.unpersist()
+  }
+
   test("corpus profile: anchors exact at small cardinality, counters add up") {
     import graft.operators.CorpusProfile
     val p = CorpusProfile.corpusProfile(spark, sfDir).cache()
