@@ -193,6 +193,48 @@ class PipelineOpsSpec extends GraftSpecBase {
     f.unpersist()
   }
 
+  test("gapfill property: equals a brute-force reference on generated ragged series") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    val rnd = new scala.util.Random(7)
+    // ragged fixture: single-day users, long gaps, multi-event days
+    // ts as raw epoch NANOS bigint — the on-disk shape Tables.events expects
+    val rows = (0 until 12).flatMap { u =>
+      val nDays = 1 + rnd.nextInt(6)
+      val days = Seq.fill(nDays)(rnd.nextInt(40)).distinct.sorted
+      days.flatMap { d =>
+        (0 to rnd.nextInt(2)).map { k =>
+          (u * 1000L + d * 10L + k, u.toLong,
+            (1704067200000L + d * 86400000L + k * 3600000L) * 1000000L,
+            "view", rnd.nextDouble() * 100 - 20)
+        }
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("gapfill_prop").toString
+    rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Windows.gapfill(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getBoolean(3), r.getDouble(4)))
+      .toSeq
+    // brute force in plain Scala
+    val byUser = rows.groupBy(_._2)
+    val expected = byUser.toSeq.flatMap { case (u, es) =>
+      val daily = es
+        .groupBy(e => e._3 / 86400000000000L * dayUs)
+        .map { case (d, g) => d -> g.map(e => math.floor(e._5 * 100).toLong).sum / 100.0 }
+      val d0 = daily.keys.min
+      val d1 = daily.keys.max
+      var lastVal: Option[Double] = None
+      (d0 to d1 by dayUs).map { d =>
+        val v = daily.get(d)
+        if (v.isDefined) lastVal = v
+        (u, d, v.map(x => x: Any), v.isEmpty, lastVal.get)
+      }
+    }
+    assert(got.toSet == expected.toSet, "gapfill diverged from the brute-force reference")
+  }
+
   test("gapfill: dense per-user day grid, fill carries the last observed value") {
     val g = Windows.gapfill(spark, sfDir).cache()
     // per user: exactly one row per day of the [first, last] span

@@ -282,6 +282,7 @@ class ScaleSpec extends GraftSpecBase {
       (name, df) <- Seq(
         "win_topk" -> Windows.topkPerType(spark, sfDir),
         "win_ntile" -> Windows.ntileQuartiles(spark, sfDir),
+        "win_anomaly" -> Windows.anomaly(spark, sfDir),
         "sample_stratified" -> graft.operators.Sampling.stratified(spark, sfDir))
     ) {
       val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
@@ -425,6 +426,15 @@ class ScaleSpec extends GraftSpecBase {
     }
     for (j <- tokJoins; c <- j.children)
       assert(!generateAboveAggregate(c), s"raw exploded occurrences reach the tok join:\n$j")
+  }
+
+  test("text_search ranks via TakeOrdered, never a global sort") {
+    val plan = graft.operators.TextAnalysis.search(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected partial top-k ranking:\n$plan")
+    assert(
+      !"Exchange rangepartitioning".r.findFirstIn(plan).isDefined,
+      s"global sort in search plan:\n$plan")
   }
 
   test("emb_quantize is a narrow map: zero hash exchanges, one scan") {
