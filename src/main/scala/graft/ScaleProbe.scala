@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling probe: how do the heavy document operators behave when the
+  * corpus grows N×?
+  *
+  * Builds (once, reused across runs) a synthetic N× documents table from
+  * an existing SF dir: N copies with offset doc_ids, each copy's text
+  * passed through a distinct Caesar letter rotation so content is
+  * DISTINCT across copies — per-copy token/gram statistics match the
+  * source (same df distribution, same rarity band) while the global
+  * distinct-gram count scales ~N×, which is what a real corpus does.
+  * Plain duplication would instead multiply every gram's df by N and
+  * empty the rarity band — a probe that flatters the pipeline.
+  *
+  * Times each probed operator on the source (1×) and the synthetic (N×)
+  * table, min-of-2 per point, and prints one JSON line of seconds +
+  * N×/1× ratios. A ratio ≈ N is linear scaling; the interesting
+  * operators are the candidate-pair pipelines whose naive formulations
+  * are quadratic.
+  *
+  * Usage: `runMain graft.ScaleProbe [srcDir] [factor]` (defaults
+  * /root/testdata/sf0.1, 10×). Not part of the driver contract — a
+  * design-verification tool.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val bigDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_scale_probe_${factor}x").getPath
+    val marker = new java.io.File(s"$bigDir/_built_from_" + srcDir.replaceAll("[^a-zA-Z0-9.]", "_"))
+    if (!marker.exists()) {
+      val d = spark.read.parquet(s"$srcDir/documents.parquet")
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      val copies = (0 until factor).map { k =>
+        val shifted = alpha.drop(k % 26) + alpha.take(k % 26)
+        d.select(
+          (col("doc_id") + lit(k.toLong * 100000000L)).as("doc_id"),
+          translate(col("text"), alpha, shifted).as("text"),
+          col("lang"),
+          col("source"),
+          col("n_chars"))
+      }
+      copies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+    }
+
+    import graft.operators.{CorpusOps, Dedup, TextAnalysis}
+    val probes: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "dedup_exact" -> (Dedup.exact _),
+      "text_quality" -> (TextAnalysis.quality _),
+      "text_lm_score" -> (TextAnalysis.lmScore _),
+      "text_repetition" -> (TextAnalysis.repetition _),
+      "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+      "corpus_dedup_ng" -> (Dedup.corpusDedupNg _),
+      "corpus_curate" -> (CorpusOps.curate _))
+
+    def time(dir: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      def once(): Double = {
+        Dedup.clearSharedCache()
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+
+    def dp(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val results = probes.map { case (name, fn) =>
+      val t1 = time(srcDir, fn)
+      val tn = time(bigDir, fn)
+      (name, t1, tn)
+    }
+    val json = results
+      .map { case (n, t1, tn) =>
+        s"""\"$n\":{\"t1\":${dp(t1)},\"tN\":${dp(tn)},\"ratio\":${dp(tn / math.max(t1, 1e-9))}}"""
+      }
+      .mkString("{\"factor\":" + factor + ",", ",", "}")
+    println(json)
+    spark.stop()
+  }
+}
