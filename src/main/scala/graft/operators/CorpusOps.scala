@@ -655,18 +655,25 @@ object CorpusOps {
     survivors(delta, exactVsCorpus, earlierDeltaDups(dh), decodeFlaggedPairs(pairCounts))
   }
 
-  /** Stable per-dataset scratch location for [[dedupIncrementalIndexed]]'s
+  /** Stable per-dataset store location for [[dedupIncrementalIndexed]]'s
     * driver-run twin (`dedup_incremental_idx`): the first call builds the
     * index, later calls (e.g. bench passes) find it fresh and skip the
     * build — the persisted-between-crawls behavior, observable in the
-    * bench numbers. */
-  private[graft] def defaultIndexPath(dir: String): String = {
+    * bench numbers. Rooted at `spark.graft.corpus.storeRoot` when set
+    * (any Hadoop filesystem — HDFS/object-store URIs work, the store IO
+    * goes through the Hadoop FS API throughout), else the local tmpdir. */
+  private[graft] def defaultIndexPath(s: SparkSession, dir: String): String =
+    storePath(s, dir, "graft_gram_index")
+
+  private[operators] def storePath(s: SparkSession, dir: String, prefix: String): String = {
+    val root =
+      s.conf.get("spark.graft.corpus.storeRoot", System.getProperty("java.io.tmpdir"))
     val h = java.security.MessageDigest
       .getInstance("MD5")
       .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_))
       .mkString
-    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_gram_index_$h").getPath
+    new org.apache.hadoop.fs.Path(root, s"${prefix}_$h").toString
   }
 
   /** The one-call curation materializer — the operator a training-data
@@ -882,7 +889,7 @@ object CorpusOps {
     "data_split" -> (dataSplit _),
     "text_contamination" -> ((s, d) => contamination(s, d)),
     "dedup_incremental" -> ((s, d) => dedupIncremental(s, d)),
-    "dedup_incremental_idx" -> ((s, d) => dedupIncrementalIndexed(s, d, defaultIndexPath(d))),
+    "dedup_incremental_idx" -> ((s, d) => dedupIncrementalIndexed(s, d, defaultIndexPath(s, d))),
     "corpus_shard" -> (corpusShard _),
     "corpus_curate" -> (curate _))
 

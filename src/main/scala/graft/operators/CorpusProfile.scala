@@ -129,14 +129,11 @@ object CorpusProfile {
       col("n_chars"),
       expr("hll_sketch_estimate(content_hll)").as("distinct_est"))
 
-  private[graft] def defaultPath(dir: String): String = {
-    val h = java.security.MessageDigest
-      .getInstance("MD5")
-      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_))
-      .mkString
-    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_corpus_profile_$h").getPath
-  }
+  /** Store location: `spark.graft.corpus.storeRoot` when set (any Hadoop
+    * filesystem), else the local tmpdir — same convention as the gram
+    * index. */
+  private[graft] def defaultPath(s: SparkSession, dir: String): String =
+    CorpusOps.storePath(s, dir, "graft_corpus_profile")
 
   /** Driver-run twin: build-if-stale (first call pays one corpus scan,
     * later calls read ≤|sources| rows), then join the EXACT per-source
@@ -147,7 +144,7 @@ object CorpusProfile {
     * production monitor reads [[read]] alone. Profile excludes the
     * admission batch (src19), so the anchor side does too. */
   def corpusProfile(s: SparkSession, dir: String): DataFrame = {
-    val path = defaultPath(dir)
+    val path = defaultPath(s, dir)
     if (!isFresh(s, dir, path)) build(s, dir, path)
     val exact = Tables
       .documents(s, dir)
