@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   * operators are the candidate-pair pipelines whose naive formulations
   * are quadratic.
   *
+  * Caveats: factor is capped at 26 (only 26 distinct Caesar rotations),
+  * and only lowercase a–z is rotated — digits/uppercase/punctuation stay
+  * identical across copies. The driver-generated documents are lowercase
+  * word soup, so the distinct-content premise holds there; a corpus with
+  * heavy non-alpha content would need a different perturbation.
+  *
   * Usage: `runMain graft.ScaleProbe [srcDir] [factor]` (defaults
   * /root/testdata/sf0.1, 10×). Not part of the driver contract — a
   * design-verification tool.
@@ -29,6 +35,10 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    // 26 distinct Caesar rotations exist; beyond that k % 26 wraps and
+    // copies duplicate earlier ones exactly, silently breaking the
+    // distinct-content premise the measurements rest on
+    require(factor >= 1 && factor <= 26, s"factor must be in [1, 26], got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -39,10 +49,14 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // synthetic dir keyed by (source, factor): a marker-only scheme with
+    // a shared dir would silently time data built from a DIFFERENT
+    // source after an interleaved run against another corpus
+    val srcTag = srcDir.replaceAll("[^a-zA-Z0-9.]", "_")
     val bigDir = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      s"graft_scale_probe_${factor}x").getPath
-    val marker = new java.io.File(s"$bigDir/_built_from_" + srcDir.replaceAll("[^a-zA-Z0-9.]", "_"))
+      s"graft_scale_probe_${srcTag}_${factor}x").getPath
+    val marker = new java.io.File(s"$bigDir/_built")
     if (!marker.exists()) {
       val d = spark.read.parquet(s"$srcDir/documents.parquet")
       val alpha = "abcdefghijklmnopqrstuvwxyz"

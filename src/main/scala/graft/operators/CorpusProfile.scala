@@ -60,6 +60,11 @@ object CorpusProfile {
     val corpus = Tables
       .documents(s, dir)
       .filter(coalesce(col("source") =!= deltaSource, lit(true)))
+    // invalidate BEFORE overwriting: a crash mid-write must leave a
+    // stale-by-meta profile, never an old fresh-looking meta over
+    // partial rows (same order as [[absorb]]'s swap)
+    val fs = GramIndex.metaPath(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(GramIndex.metaPath(path), false)
     profileOf(corpus).write.mode("overwrite").parquet(s"$path/rows")
     GramIndex.writeMeta(
       s, path, Seq(GramIndex.stamp(dir), deltaSource, FormatVersion).mkString("\n"))
@@ -141,14 +146,23 @@ object CorpusProfile {
     * agg_sketches discipline for engine-specific sketch output
     * (rows-only check; the anchor column is what the spec bounds).
     * The anchor scan is the driver-check cost, not the store's: a
-    * production monitor reads [[read]] alone. Profile excludes the
-    * admission batch (src19), so the anchor side does too. */
+    * production monitor reads [[read]] alone.
+    *
+    * A store that [[absorb]] has rotated to a different excluded source
+    * is still CURRENT (stamp + version match) — this query adopts its
+    * recorded exclusion for the anchor side instead of clobbering the
+    * maintained artifact with a src19-excluding rebuild; only a
+    * stamp/version mismatch triggers build. */
   def corpusProfile(s: SparkSession, dir: String): DataFrame = {
     val path = defaultPath(s, dir)
-    if (!isFresh(s, dir, path)) build(s, dir, path)
+    val recorded = GramIndex
+      .readMeta(s, path)
+      .filter(l => l.length >= 3 && l(0) == GramIndex.stamp(dir) && l(2) == FormatVersion)
+      .map(_(1))
+    val deltaSource = recorded.getOrElse { build(s, dir, path); "src19" }
     val exact = Tables
       .documents(s, dir)
-      .filter(coalesce(col("source") =!= "src19", lit(true)))
+      .filter(coalesce(col("source") =!= deltaSource, lit(true)))
       .groupBy("source")
       .agg(countDistinct(md5(col("text"))).as("distinct_exact"))
     // null-safe anchor join: the NULL-source bucket is a legitimate

@@ -337,13 +337,19 @@ object TextAnalysis {
       .agg(count(lit(1)).as("occ"))
     val vocab = docTok.groupBy("tok").agg(sum(col("occ")).as("c"))
     val total = vocab.agg(sum(col("c")).as("n"))
+    // log-likelihoods quantized to integer micro-nats BEFORE the per-doc
+    // sum, so the aggregation is exact long addition — order-independent
+    // by construction, per the module's determinism discipline (a raw
+    // double sum would round differently between engines for docs near a
+    // 4-dp boundary). |ln p|·1e6 ≤ ~2e7, ×occ×terms stays far inside
+    // long AND double-exact range.
+    val microNats = round(log(col("c") / col("n").cast("double")) * 1e6).cast("long")
     docTok
       .join(vocab, "tok")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(
-        round(sum(col("occ") * log(col("c") / col("n").cast("double"))) / sum(col("occ")), 4)
-          .as("lm_score"),
+        round(sum(col("occ") * microNats) / (sum(col("occ")) * 1e6), 4).as("lm_score"),
         sum(col("occ")).cast("long").as("n_tokens"))
       .orderBy("doc_id")
   }
@@ -356,7 +362,8 @@ object TextAnalysis {
        v AS (SELECT tok, SUM(occ) AS c FROM dt GROUP BY 1),
        tot AS (SELECT SUM(c) AS n FROM v)
        SELECT doc_id,
-              ROUND(SUM(occ * LN(c / CAST(n AS DOUBLE))) / SUM(occ), 4) AS lm_score,
+              ROUND(SUM(occ * CAST(ROUND(LN(c / CAST(n AS DOUBLE)) * 1e6) AS BIGINT)) /
+                    (SUM(occ) * 1e6), 4) AS lm_score,
               CAST(SUM(occ) AS BIGINT) AS n_tokens
        FROM dt JOIN v USING (tok) CROSS JOIN tot
        GROUP BY doc_id
@@ -444,8 +451,13 @@ object TextAnalysis {
     * corpus scans total. */
   def search(s: SparkSession, dir: String): DataFrame = {
     val terms = Seq("spark", "join", "stream")
-    val padded = concat(lit(" "), col("text"), lit(" "))
-    def tf(t: String): Column = countOcc(padded, s" $t ").cast("long")
+    // tf by filtering the token array — exact occurrence counts (the
+    // padded-REPLACE idiom undercounts ADJACENT repeats because each
+    // match consumes the shared delimiter space; fine for langid's
+    // argmax, wrong for a ranking tf)
+    val toks = split(col("text"), " ")
+    def tf(t: String): Column =
+      coalesce(size(filter(toks, x => x === t)), lit(0)).cast("long")
     val d = Tables
       .documents(s, dir)
       .select(col("doc_id") +: terms.map(t => tf(t).as(s"tf_$t")): _*)
@@ -454,8 +466,12 @@ object TextAnalysis {
       sum(when(col("tf_spark") > 0, 1L).otherwise(0L)).as("df_spark"),
       sum(when(col("tf_join") > 0, 1L).otherwise(0L)).as("df_join"),
       sum(when(col("tf_stream") > 0, 1L).otherwise(0L)).as("df_stream"))
+    // df = 0 guard: without it a term absent from the corpus makes
+    // 0 · ln(n/0) = NaN poison every score and empty the result set
     val score = terms
-      .map(t => col(s"tf_$t") * log(col("n").cast("double") / col(s"df_$t")))
+      .map(t =>
+        when(col(s"df_$t") > 0, col(s"tf_$t") * log(col("n").cast("double") / col(s"df_$t")))
+          .otherwise(lit(0.0)))
       .reduce(_ + _)
     d.crossJoin(broadcast(dfs))
       .select(
@@ -477,7 +493,9 @@ object TextAnalysis {
 
   val searchSql: String = {
     def tf(t: String): String =
-      s"CAST(${countOccSql("(' ' || text || ' ')", s" $t ")} AS BIGINT)"
+      s"CAST(COALESCE(len(list_filter(string_split(text, ' '), x -> x = '$t')), 0) AS BIGINT)"
+    def term(t: String): String =
+      s"CASE WHEN df_$t > 0 THEN tf_$t * LN(CAST(n AS DOUBLE) / df_$t) ELSE 0.0 END"
     s"""WITH d AS (
          SELECT doc_id, ${tf("spark")} AS tf_spark, ${tf("join")} AS tf_join,
                 ${tf("stream")} AS tf_stream
@@ -490,9 +508,7 @@ object TextAnalysis {
          FROM d),
        scored AS (
          SELECT doc_id, tf_spark, tf_join, tf_stream,
-                tf_spark * LN(CAST(n AS DOUBLE) / df_spark) +
-                tf_join * LN(CAST(n AS DOUBLE) / df_join) +
-                tf_stream * LN(CAST(n AS DOUBLE) / df_stream) AS sc
+                ${term("spark")} + ${term("join")} + ${term("stream")} AS sc
          FROM d CROSS JOIN agg)
        SELECT doc_id, tf_spark, tf_join, tf_stream, ROUND(sc, 4) AS score
        FROM scored
