@@ -330,6 +330,26 @@ class CorpusOpsSpec extends GraftSpecBase {
     p.unpersist()
   }
 
+  test("corpus_profile adopts an absorbed store's rotation instead of clobbering it") {
+    import graft.operators.{CorpusProfile, GramIndex}
+    val root = java.nio.file.Files.createTempDirectory("profile_rotate").toString
+    spark.conf.set("spark.graft.corpus.storeRoot", root)
+    try {
+      CorpusProfile.corpusProfile(spark, sfDir).count() // builds at src19
+      val path = CorpusProfile.defaultPath(spark, sfDir)
+      CorpusProfile.absorb(spark, sfDir, path, oldDelta = "src19", newDelta = "srcNONE")
+      assert(CorpusProfile.isFresh(spark, sfDir, path, deltaSource = "srcNONE"))
+      // a read-looking query must not rebuild the maintained artifact
+      val out = CorpusProfile.corpusProfile(spark, sfDir)
+      assert(out.count() > 0)
+      assert(CorpusProfile.isFresh(spark, sfDir, path, deltaSource = "srcNONE"),
+        "corpus_profile clobbered the absorbed store back to the src19 exclusion")
+      // and the anchor side follows the recorded exclusion: src19 rows
+      // are now established corpus, so the src19 bucket appears
+      assert(out.filter(col("source") === "src19").count() == 1)
+    } finally spark.conf.unset("spark.graft.corpus.storeRoot")
+  }
+
   test("corpus profile absorb: estimate-identical to a from-scratch rebuild") {
     import graft.operators.CorpusProfile
     val base = java.nio.file.Files.createTempDirectory("profile_absorb").toString

@@ -326,6 +326,24 @@ class PipelineOpsSpec extends GraftSpecBase {
         row.getAs[Long]("tf_stream") > 0))
   }
 
+  test("search: adjacent repeats count fully, an absent term never poisons scores") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("search_fixture").toString
+    // no doc contains "stream"; doc 1 has ADJACENT repeats of "spark"
+    Seq(
+      (1L, "spark spark spark join", "en", "srcX", 0L),
+      (2L, "join alone here today", "en", "srcX", 0L),
+      (3L, "nothing relevant at all", "en", "srcX", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.search(spark, dir).collect()
+    assert(r.nonEmpty, "zero-df term poisoned every score (NaN)")
+    val byId = r.map(row => row.getAs[Long]("doc_id") -> row).toMap
+    assert(byId(1L).getAs[Long]("tf_spark") == 3,
+      s"adjacent repeats undercounted: tf_spark=${byId(1L).getAs[Long]("tf_spark")}")
+    assert(!byId.contains(3L), "a doc matching no term scored > 0")
+  }
+
   test("int8 quantization: range bounds hold and reconstruction stays within scale/2") {
     val q = Similarity.embQuantize(spark, sfDir).cache()
     assert(q.filter(col("q_min") < -127 || col("q_max") > 127).count() == 0)
