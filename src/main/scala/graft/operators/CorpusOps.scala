@@ -883,7 +883,104 @@ object CorpusOps {
        WHERE CAST(('0x' || substr(md5(d.text), 1, 3)) AS INT) < rate * 4096.0
        ORDER BY d.doc_id"""
 
+  /** Admission-time distribution drift: before [[dedupIncremental]] admits
+    * a batch, does the batch LOOK like the corpus? Per language: document
+    * share in the batch vs the established corpus (and the share delta —
+    * the "this crawl is suddenly 40% one language" red flag) plus mean
+    * document length both sides (the "this crawl is all boilerplate
+    * stubs" flag). The monitoring read a pipeline takes BEFORE admission;
+    * [[CorpusProfile]] is its persisted between-crawls sibling.
+    *
+    * NULL-source docs count as established corpus (the module's
+    * [[dedupIncremental]] convention) and NULL langs roll up under
+    * `(none)` so no document silently vanishes from the census.
+    *
+    * Determinism discipline: counts and char sums aggregate as exact
+    * longs; every share/mean is a single division of exact integers
+    * (exactly-rounded IEEE, same both engines), guarded against empty
+    * sides with explicit CASE/when. The share delta is computed from the
+    * UNROUNDED shares, then rounded once.
+    *
+    * Scale shape: ONE corpus scan — per-language conditional aggregates
+    * (map-side partial, shuffle carries |langs| partial rows per task),
+    * then totals via an unpartitioned window over the PER-LANGUAGE frame.
+    * That window is safe where a corpus-sized `OVER ()` would not be: its
+    * input is bounded by language cardinality (hundreds of rows at any
+    * corpus size). A totals re-aggregate branch would instead duplicate
+    * the corpus scan — column pruning narrows the two branches' scans
+    * differently, which defeats exchange reuse (the trap round 7 probed
+    * and documented on the ngram pipeline) — so the window keeps the
+    * operator one-scan BY CONSTRUCTION, not by optimizer luck
+    * (plan-pinned in ScaleSpec). Output is |langs| rows. */
+  def batchDrift(
+      s: SparkSession,
+      dir: String,
+      batchSource: String = "src19"): DataFrame = {
+    val isBatch = coalesce(col("source") === batchSource, lit(false))
+    val perLang = Tables
+      .documents(s, dir)
+      .groupBy(coalesce(col("lang"), lit("(none)")).as("lang"))
+      .agg(
+        sum(when(isBatch, 1L).otherwise(0L)).as("batch_docs"),
+        sum(when(!isBatch, 1L).otherwise(0L)).as("corpus_docs"),
+        sum(when(isBatch, col("n_chars")).otherwise(0L)).as("batch_chars"),
+        sum(when(!isBatch, col("n_chars")).otherwise(0L)).as("corpus_chars"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val batchShare = when(col("batch_total") > 0, col("batch_docs") / col("batch_total").cast("double"))
+    val corpusShare = when(col("corpus_total") > 0, col("corpus_docs") / col("corpus_total").cast("double"))
+    perLang
+      .withColumn("batch_total", sum(col("batch_docs")).over(all))
+      .withColumn("corpus_total", sum(col("corpus_docs")).over(all))
+      .select(
+        col("lang"),
+        col("batch_docs"),
+        col("corpus_docs"),
+        round(batchShare, 4).as("batch_share"),
+        round(corpusShare, 4).as("corpus_share"),
+        round(batchShare - corpusShare, 4).as("share_delta"),
+        when(col("batch_docs") > 0, round(col("batch_chars") / col("batch_docs").cast("double"), 2))
+          .as("batch_avg_chars"),
+        when(col("corpus_docs") > 0, round(col("corpus_chars") / col("corpus_docs").cast("double"), 2))
+          .as("corpus_avg_chars"))
+      .orderBy("lang")
+  }
+
+  val batchDriftSql: String =
+    """WITH d AS (
+         SELECT COALESCE(lang, '(none)') AS lang,
+                COALESCE(source = 'src19', FALSE) AS is_batch,
+                n_chars
+         FROM documents),
+       per_lang AS (
+         SELECT lang,
+                SUM(CASE WHEN is_batch THEN 1 ELSE 0 END) AS batch_docs,
+                SUM(CASE WHEN NOT is_batch THEN 1 ELSE 0 END) AS corpus_docs,
+                SUM(CASE WHEN is_batch THEN n_chars ELSE 0 END) AS batch_chars,
+                SUM(CASE WHEN NOT is_batch THEN n_chars ELSE 0 END) AS corpus_chars
+         FROM d GROUP BY 1),
+       with_totals AS (
+         SELECT *,
+                SUM(batch_docs) OVER () AS batch_total,
+                SUM(corpus_docs) OVER () AS corpus_total
+         FROM per_lang)
+       SELECT lang,
+              CAST(batch_docs AS BIGINT) AS batch_docs,
+              CAST(corpus_docs AS BIGINT) AS corpus_docs,
+              ROUND(CASE WHEN batch_total > 0 THEN batch_docs / CAST(batch_total AS DOUBLE) END, 4) AS batch_share,
+              ROUND(CASE WHEN corpus_total > 0 THEN corpus_docs / CAST(corpus_total AS DOUBLE) END, 4) AS corpus_share,
+              ROUND((CASE WHEN batch_total > 0 THEN batch_docs / CAST(batch_total AS DOUBLE) END) -
+                    (CASE WHEN corpus_total > 0 THEN corpus_docs / CAST(corpus_total AS DOUBLE) END), 4) AS share_delta,
+              CASE WHEN batch_docs > 0
+                   THEN ROUND(batch_chars / CAST(batch_docs AS DOUBLE), 2) END AS batch_avg_chars,
+              CASE WHEN corpus_docs > 0
+                   THEN ROUND(corpus_chars / CAST(corpus_docs AS DOUBLE), 2) END AS corpus_avg_chars
+       FROM with_totals
+       ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "batch_drift" -> ((s, d) => batchDrift(s, d)),
     "contamination_excise" -> ((s, d) => contaminationExcise(s, d)),
     "corpus_mix" -> (corpusMix _),
     "data_split" -> (dataSplit _),
@@ -894,6 +991,7 @@ object CorpusOps {
     "corpus_curate" -> (curate _))
 
   val oracles: Map[String, String] = Map(
+    "batch_drift" -> batchDriftSql,
     "contamination_excise" -> contaminationExciseSql,
     "corpus_mix" -> corpusMixSql,
     "data_split" -> dataSplitSql,

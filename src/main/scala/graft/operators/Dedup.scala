@@ -267,6 +267,86 @@ object Dedup {
        JOIN documents db ON db.doc_id = top20.doc_b
        ORDER BY jaccard DESC, doc_a, doc_b"""
 
+  /** Cross-source duplication matrix: for every pair of sources, how many
+    * near-duplicate pairs (n-gram Jaccard ≥ 0.5 — the [[corpusDedupNg]]
+    * materializer predicate) span them, with the exact Jaccard range.
+    * The provenance view of the duplicate graph: "crawl src7 is
+    * re-serving src3" shows up here as one hot cell before anyone
+    * inspects documents. Within-source pairs appear on the diagonal
+    * (source_a = source_b), so the matrix also ranks which single crawls
+    * self-duplicate most.
+    *
+    * NULL sources roll up under `(none)` (no document vanishes from the
+    * census); the pair is reported under the lexicographically ordered
+    * source pair so the matrix is one triangle, not two halves.
+    *
+    * Determinism discipline: min/max of exact-integer-division doubles
+    * (order-free — never a float SUM/AVG across an unordered pair set),
+    * rounded once for display.
+    *
+    * Scale shape: rides the SHARED cached pair frame ([[ngramPairs]] —
+    * bounded by the rare-gram df band, cached across consumers), so the
+    * marginal cost is two id-keyed joins against a two-column projection
+    * of the corpus and a |sources|²-bounded rollup. The pair side is
+    * duplicate-count-sized, far smaller than the corpus — AQE broadcasts
+    * it; no hardcoded hint because at 100 TB a pathological corpus could
+    * make it exceed driver memory, and a shuffle join is still linear. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramPairs(s, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+    val src = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), coalesce(col("source"), lit("(none)")).as("src"))
+    val withA = pairs.join(src.select(col("doc_id").as("doc_a"), col("src").as("sa")), "doc_a")
+    withA
+      .join(src.select(col("doc_id").as("doc_b"), col("src").as("sb")), "doc_b")
+      .select(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(min(col("jaccard")), 4).as("min_jaccard"),
+        round(max(col("jaccard")), 4).as("max_jaccard"))
+      .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapSql: String =
+    """WITH w AS (
+         SELECT doc_id, string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS arr
+         FROM documents
+         WHERE len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) >= 3),
+       grams AS (
+         SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
+         FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
+       counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+       rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 20),
+       gr AS (SELECT g.doc_id, g.gram FROM grams g JOIN rare USING (gram)),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       jp AS (
+         SELECT doc_a, doc_b,
+                n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE) AS jaccard
+         FROM inter
+         JOIN counts ca ON ca.doc_id = doc_a
+         JOIN counts cb ON cb.doc_id = doc_b
+         WHERE n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE) >= 0.5),
+       srcd AS (SELECT doc_id, COALESCE(source, '(none)') AS src FROM documents)
+       SELECT LEAST(a.src, b.src) AS source_a,
+              GREATEST(a.src, b.src) AS source_b,
+              COUNT(*) AS n_pairs,
+              ROUND(MIN(jaccard), 4) AS min_jaccard,
+              ROUND(MAX(jaccard), 4) AS max_jaccard
+       FROM jp
+       JOIN srcd a ON a.doc_id = jp.doc_a
+       JOIN srcd b ON b.doc_id = jp.doc_b
+       GROUP BY 1, 2
+       ORDER BY n_pairs DESC, source_a, source_b"""
+
   /** Quantized embedding vector + its exact integer self-dot
     * (one definition, shared with [[Similarity]]). */
   private def quantized(s: SparkSession, dir: String): DataFrame =
@@ -775,6 +855,7 @@ object Dedup {
        ORDER BY doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_overlap" -> (sourceOverlap _),
     "dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "text_edit_sim" -> (editSim _),
     "corpus_dedup_ng" -> (corpusDedupNg _),
@@ -788,6 +869,7 @@ object Dedup {
 
   /** minhash/simhash intentionally absent: xxhash64-based, not portable SQL. */
   val oracles: Map[String, String] = Map(
+    "source_overlap" -> sourceOverlapSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_exact" -> exactSql,
     "dedup_exact_norm" -> exactNormSql,

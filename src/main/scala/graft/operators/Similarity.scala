@@ -239,8 +239,20 @@ object Similarity {
     * Every score is integer dots + exactly-rounded IEEE sqrt/div, so the
     * DuckDB oracle replays the whole pipeline bit-for-bit (argmax ties
     * break toward the lower cell id in both engines). */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val k = 16
+  /** Cosine of the scanned frame's (qv, nq) vector against one codebook
+    * entry struct — the scoring kernel of IVF assignment and probing. */
+  private def cellScore(c: Column): Column =
+    graft.functions.VectorOps.cosine(col("qv"), col("nq"), c.getField("cv"), c.getField("nc"))
+
+  /** IVF cell construction shared by [[annIvf]] (probe search) and
+    * [[ivfDedup]] (cell-bounded near-dup pairing): one Lloyd refinement
+    * from the deterministic `vec_id % k` seed partition, centroids as
+    * exact integer sum-vectors, every vector re-assigned to its
+    * best-cosine cell (argmax ties to the lower cell id). Returns the
+    * assigned frame `(vec_id, qv, nq, cell)` and the 1-row broadcastable
+    * codebook. Assignment is a narrow map against the broadcast codebook
+    * — no shuffle, no row expansion. */
+  private def ivfCells(s: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
     val corpus = quantized(s, dir)
     val cents = corpus
       .groupBy((col("vec_id") % k).cast("int").as("cell"))
@@ -249,16 +261,21 @@ object Similarity {
       .withColumn("nc", selfDot(col("cv")))
     val codebook = cents.agg(
       array_sort(collect_list(struct(col("cell"), col("cv"), col("nc")))).as("cb"))
-    val withCb = corpus.crossJoin(broadcast(codebook))
-    def cellScore(c: Column): Column =
-      graft.functions.VectorOps.cosine(col("qv"), col("nq"), c.getField("cv"), c.getField("nc"))
-    val assigned = withCb
+    val assigned = corpus
+      .crossJoin(broadcast(codebook))
       .withColumn(
         "best",
         array_max(transform(
           col("cb"),
           c => struct(cellScore(c).as("cs"), (c.getField("cell") * -1).as("negcell")))))
       .select(col("vec_id"), col("qv"), col("nq"), (col("best.negcell") * -1).as("cell"))
+    (assigned, codebook)
+  }
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val corpus = quantized(s, dir)
+    val (assigned, codebook) = ivfCells(s, dir, k)
     // ONE query frame feeds both the probe list and the rescoring vectors
     // (they were two independent corpus scans before — four total with the
     // centroid and assignment passes). Lazy persist via the stamp-keyed
@@ -348,6 +365,94 @@ object Similarity {
        SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim, rk
        FROM ranked WHERE rk <= 5
        ORDER BY query_id, rk"""
+
+  /** IVF-cell-bounded embedding near-dup pairs — the SCALE path that
+    * [[graft.operators.Dedup.embeddingPairs]]'s scaladoc promises (its
+    * exact all-pairs join is the ground truth that does not survive
+    * 100 TB): candidate pairs are generated only WITHIN an IVF cell, so
+    * the quadratic term is (n/K)² per cell instead of n² — pick
+    * K ∝ corpus size (`spark.graft.dedup.ivfCells`, default 16) and
+    * per-cell work stays constant. Near-identical vectors score
+    * near-identically against every centroid, so true near-dups land in
+    * the same cell except at cell boundaries — the standard IVF recall
+    * trade, and the same contract as the banded/bucketed text paths
+    * (bounded work per key, geometrically rare misses).
+    *
+    * A session-tunable cell-population guard
+    * (`spark.graft.dedup.ivfCellCap`, default 100000) FAILS the job
+    * loudly if any cell would pair quadratically beyond the cap — the
+    * fix at scale is a larger K, same remedy as the centroid exactness
+    * guard.
+    *
+    * Scale shape: assignment is a narrow map against the broadcast
+    * codebook (see [[ivfCells]]); the self-join shuffles slim
+    * (cell, id, vector) rows by cell — at 100 TB, store vectors
+    * partitioned by cell (the [[graft.Sinks]] IVF store) and the pairing
+    * reads co-partitioned files with no shuffle at all. Output ranking
+    * is a TakeOrdered top-20, never a global sort. Exactness: integer
+    * dots + one IEEE division per pair, bit-identical in the DuckDB
+    * replay (same discipline as [[annIvf]]). */
+  def ivfDedup(s: SparkSession, dir: String): DataFrame = {
+    val k = s.conf.get("spark.graft.dedup.ivfCells", "16").toInt
+    val cap = s.conf.get("spark.graft.dedup.ivfCellCap", "100000").toLong
+    val (assigned, _) = ivfCells(s, dir, k)
+    val counts = assigned.groupBy("cell").agg(count(lit(1)).as("cell_df"))
+    val a = assigned
+      .join(broadcast(counts), "cell")
+      .filter(
+        assert_true(
+          col("cell_df") <= cap,
+          lit("IVF dedup cell exceeds spark.graft.dedup.ivfCellCap: " +
+            "quadratic pair blowup — increase spark.graft.dedup.ivfCells"))
+          .isNull)
+      .select(col("cell"), col("vec_id").as("vec_a"), col("qv").as("qa"), col("nq").as("na"))
+    val b = assigned
+      .select(col("cell"), col("vec_id").as("vec_b"), col("qv").as("qb"), col("nq").as("nb"))
+    a.join(b, "cell")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(
+        col("vec_a"),
+        col("vec_b"),
+        col("cell"),
+        graft.functions.VectorOps.cosine(col("qa"), col("na"), col("qb"), col("nb")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+      .select(col("vec_a"), col("vec_b"), col("cell"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  /** Exact SQL replay of [[ivfDedup]] at the default K=16: same cells,
+    * same assignment, pairs restricted to one cell, top-20 by cosine. */
+  val ivfDedupSql: String =
+    """WITH q AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         FROM embeddings),
+       n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nq FROM q),
+       e AS (SELECT vec_id % 16 AS cell, i, SUM(qv[i]) AS sv
+             FROM q, UNNEST(range(1, len(qv) + 1)) AS t(i)
+             GROUP BY 1, 2),
+       c AS (SELECT cell, LIST(sv ORDER BY i) AS cv FROM e GROUP BY 1),
+       cn AS (SELECT cell, cv, list_dot_product(cv, cv) AS nc FROM c),
+       score AS (
+         SELECT n.vec_id, cn.cell,
+                list_dot_product(n.qv, cn.cv) / (sqrt(n.nq) * sqrt(cn.nc)) AS cs
+         FROM n CROSS JOIN cn),
+       assign AS (
+         SELECT vec_id, cell FROM (
+           SELECT vec_id, cell,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS r
+           FROM score) WHERE r = 1),
+       p AS (
+         SELECT aa.vec_id AS vec_a, bb.vec_id AS vec_b,
+                CAST(aa.cell AS INT) AS cell,
+                list_dot_product(na.qv, nb.qv) / (sqrt(na.nq) * sqrt(nb.nq)) AS cos_sim
+         FROM assign aa
+         JOIN assign bb ON aa.cell = bb.cell AND aa.vec_id < bb.vec_id
+         JOIN n na ON na.vec_id = aa.vec_id
+         JOIN n nb ON nb.vec_id = bb.vec_id
+         ORDER BY cos_sim DESC, vec_a, vec_b
+         LIMIT 20)
+       SELECT vec_a, vec_b, cell, ROUND(cos_sim, 4) AS cos_sim FROM p"""
 
   /** k-NN join against per-label centroids: elementwise integer sum-vector
     * per label via the native `graft_vec_sum` aggregate
@@ -474,6 +579,7 @@ object Similarity {
     "ann_brute_topk" -> (annBrute _),
     "ann_lsh_topk" -> (annLsh _),
     "ann_ivf_topk" -> (annIvf _),
+    "dedup_embedding_ivf" -> (ivfDedup _),
     "knn_join" -> (knnJoin _),
     "emb_quantize" -> (embQuantize _))
 
@@ -481,6 +587,7 @@ object Similarity {
     "ann_brute_topk" -> annBruteSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,
+    "dedup_embedding_ivf" -> ivfDedupSql,
     "knn_join" -> knnJoinSql,
     "emb_quantize" -> embQuantizeSql)
 }

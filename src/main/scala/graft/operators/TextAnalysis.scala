@@ -244,6 +244,80 @@ object TextAnalysis {
        FROM documents
        ORDER BY doc_id"""
 
+  /** PII detection/redaction pass — the numeric-identifier sibling of
+    * [[scrub]] (which handles URLs/emails): IPv4-shaped dotted quads,
+    * NANP-shaped phone numbers (`ddd-ddd-dddd`), and long digit runs
+    * (≥ 9 consecutive digits — account/SSN-shaped identifiers), each
+    * masked to a typed placeholder and counted.
+    *
+    * Masking is SEQUENTIAL (ip → phone → id-run) and each count is taken
+    * on the string that pattern actually sees — so the counts are exactly
+    * the substitutions performed, even when patterns could interact
+    * (e.g. a digit run abutting a dotted quad: the quad is consumed
+    * first and the count of id-runs reflects the remainder). The three
+    * patterns use explicit `[0-9]` classes and leftmost-first
+    * alternation-free regexes, semantics identical in Java regex and
+    * DuckDB's RE2. `n_pii` is the total substitutions; `clean_md5`
+    * fingerprints the redacted text for downstream exact-dedup on
+    * scrubbed content (same contract as [[scrub]]).
+    *
+    * Scale shape: pure narrow map over codegen'd builtins — regex at
+    * scan speed, zero shuffles beyond the output sort (dropped in
+    * library use). This is deliberately a PATTERN pass, not an NER
+    * model: the shape of the plumbing (count + mask + fingerprint in one
+    * scan) is what a model-based PII stage would reuse. */
+  def pii(s: SparkSession, dir: String): DataFrame = {
+    val ipPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val phonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val idPat = "[0-9]{9,}"
+    def nMatches(c: Column, pat: String): Column =
+      size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+    val afterIp = regexp_replace(col("text"), ipPat, "<IP>")
+    val afterPhone = regexp_replace(afterIp, phonePat, "<PHONE>")
+    val clean = regexp_replace(afterPhone, idPat, "<ID>")
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        nMatches(col("text"), ipPat).as("n_ip"),
+        nMatches(afterIp, phonePat).as("n_phone"),
+        nMatches(afterPhone, idPat).as("n_idrun"),
+        clean.as("clean"))
+      .select(
+        col("doc_id"),
+        col("n_ip"),
+        col("n_phone"),
+        col("n_idrun"),
+        (col("n_ip") + col("n_phone") + col("n_idrun")).as("n_pii"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val piiSql: String = {
+    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val id = "[0-9]{9,}"
+    s"""WITH m AS (
+         SELECT doc_id,
+                text,
+                regexp_replace(text, '$ip', '<IP>', 'g') AS after_ip
+         FROM documents),
+       m2 AS (
+         SELECT doc_id, text, after_ip,
+                regexp_replace(after_ip, '$phone', '<PHONE>', 'g') AS after_phone
+         FROM m)
+       SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip,
+              CAST(len(regexp_extract_all(after_ip, '$phone')) AS BIGINT) AS n_phone,
+              CAST(len(regexp_extract_all(after_phone, '$id')) AS BIGINT) AS n_idrun,
+              CAST(len(regexp_extract_all(text, '$ip')) +
+                   len(regexp_extract_all(after_ip, '$phone')) +
+                   len(regexp_extract_all(after_phone, '$id')) AS BIGINT) AS n_pii,
+              md5(regexp_replace(after_phone, '$id', '<ID>', 'g')) AS clean_md5
+       FROM m2
+       ORDER BY doc_id"""
+  }
+
   /** Winnowing document fingerprint (the rolling-hash fingerprint family
     * used for plagiarism/near-dup detection): the native
     * [[graft.functions.Winnow64]] keeps the minimum of every window of 8
@@ -518,6 +592,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii" -> (pii _),
     "text_search" -> (search _),
     "text_repetition" -> (repetition _),
     "text_lm_score" -> (lmScore _),
@@ -532,6 +607,7 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_pii" -> piiSql,
     "text_search" -> searchSql,
     "text_repetition" -> repetitionSql,
     "text_lm_score" -> lmScoreSql,

@@ -583,7 +583,77 @@ object Windows {
              3 * sqrt((s2 - CAST(s AS DOUBLE) * s / n) / n)
        ORDER BY event_id"""
 
+  /** Funnel latency distribution: how long from a user's first `view` to
+    * their first `purchase` at or after it, reported as banded counts
+    * (< 1h, < 1d, < 7d, ≥ 7d) with exact min/max and mean latency — the
+    * "how fast do converters convert" companion to [[funnel]]'s "how many
+    * convert".
+    *
+    * Determinism discipline: latency is integer SECONDS (`DIV` on
+    * epoch-micros — exact long arithmetic), the per-band mean is one
+    * exact long sum divided once (never a float aggregation), and bands
+    * are closed-form CASE cuts — both engines bucket identically.
+    *
+    * Scale shape: two user-keyed grouped aggregates chained by a
+    * user-keyed join (the purchase side only sees users who viewed —
+    * survivor sets shrink down the funnel, same as [[funnel]]), then a
+    * 4-group band rollup whose shuffle carries one partial row per
+    * (band, map task). No windows, no unpartitioned sort. */
+  def conversionTime(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val v = e
+      .filter(col("event_type") === "view")
+      .groupBy("user_id")
+      .agg(min(col("ts_us")).as("v_ts"))
+    // v_ts is constant per user, so min() carries it through the aggregate
+    val p = e
+      .filter(col("event_type") === "purchase")
+      .join(v, "user_id")
+      .filter(col("ts_us") >= col("v_ts"))
+      .groupBy("user_id")
+      .agg(min(col("ts_us")).as("p_ts"), min(col("v_ts")).as("v_ts"))
+    val lat = p.select(col("user_id"), expr("(p_ts - v_ts) DIV 1000000").as("lat_s"))
+    val band = when(col("lat_s") < 3600L, struct(lit(1).as("band_ord"), lit("lt_1h").as("band")))
+      .when(col("lat_s") < 86400L, struct(lit(2).as("band_ord"), lit("lt_1d").as("band")))
+      .when(col("lat_s") < 604800L, struct(lit(3).as("band_ord"), lit("lt_7d").as("band")))
+      .otherwise(struct(lit(4).as("band_ord"), lit("ge_7d").as("band")))
+    lat
+      .select(band.as("b"), col("lat_s"))
+      .groupBy(col("b.band_ord").as("band_ord"), col("b.band").as("band"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        round(sum(col("lat_s")) / count(lit(1)).cast("double"), 2).as("avg_latency_s"),
+        min(col("lat_s")).as("min_latency_s"),
+        max(col("lat_s")).as("max_latency_s"))
+      .orderBy("band_ord")
+  }
+
+  val conversionTimeSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       v AS (SELECT user_id, MIN(ts_us) AS v_ts FROM e WHERE event_type = 'view' GROUP BY 1),
+       p AS (SELECT e.user_id, MIN(e.ts_us) AS p_ts, MIN(v.v_ts) AS v_ts
+             FROM e JOIN v ON e.user_id = v.user_id
+             WHERE e.event_type = 'purchase' AND e.ts_us >= v.v_ts GROUP BY 1),
+       lat AS (SELECT user_id, (p_ts - v_ts) // 1000000 AS lat_s FROM p),
+       banded AS (
+         SELECT lat_s,
+                CASE WHEN lat_s < 3600 THEN 1 WHEN lat_s < 86400 THEN 2
+                     WHEN lat_s < 604800 THEN 3 ELSE 4 END AS band_ord,
+                CASE WHEN lat_s < 3600 THEN 'lt_1h' WHEN lat_s < 86400 THEN 'lt_1d'
+                     WHEN lat_s < 604800 THEN 'lt_7d' ELSE 'ge_7d' END AS band
+         FROM lat)
+       SELECT band_ord, band, COUNT(*) AS n_users,
+              ROUND(SUM(lat_s) / CAST(COUNT(*) AS DOUBLE), 2) AS avg_latency_s,
+              MIN(lat_s) AS min_latency_s,
+              MAX(lat_s) AS max_latency_s
+       FROM banded
+       GROUP BY 1, 2
+       ORDER BY band_ord"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_conversion_time" -> (conversionTime _),
     "win_anomaly" -> (anomaly _),
     "ts_gapfill" -> (gapfill _),
     "win_retention" -> (retention _),
@@ -599,6 +669,7 @@ object Windows {
     "asof_join" -> (asofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "win_conversion_time" -> conversionTimeSql,
     "win_anomaly" -> anomalySql,
     "ts_gapfill" -> gapfillSql,
     "win_retention" -> retentionSql,

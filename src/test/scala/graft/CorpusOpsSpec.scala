@@ -10,6 +10,28 @@ class CorpusOpsSpec extends GraftSpecBase {
       assert(fn(spark, sfDir).count() > 0, s"$name empty")
   }
 
+  test("batch_drift census loses no document and its shares reconcile") {
+    val d = CorpusOps.batchDrift(spark, sfDir).collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nBatch = docs.filter(col("source") === "src19").count()
+    val nCorpus = docs.count() - nBatch
+    assert(d.map(_.getLong(1)).sum == nBatch, "batch docs don't add up")
+    assert(d.map(_.getLong(2)).sum == nCorpus, "corpus docs don't add up")
+    for (r <- d) {
+      val (bd, cd) = (r.getLong(1), r.getLong(2))
+      // avg chars present exactly when the side has documents
+      assert(r.isNullAt(6) == (bd == 0), s"batch_avg_chars null-contract broken: $r")
+      assert(r.isNullAt(7) == (cd == 0), s"corpus_avg_chars null-contract broken: $r")
+      // delta is computed from unrounded shares — reconciles with the
+      // rounded shares to within their own rounding
+      if (!r.isNullAt(3) && !r.isNullAt(4) && !r.isNullAt(5))
+        assert(math.abs(r.getDouble(5) - (r.getDouble(3) - r.getDouble(4))) <= 2e-4)
+    }
+    // shares sum to ~1 on each populated side
+    assert(math.abs(d.map(_.getDouble(3)).sum - 1.0) <= 1e-3)
+    assert(math.abs(d.map(_.getDouble(4)).sum - 1.0) <= 1e-3)
+  }
+
   test("data_split: deterministic, content-stable, ~80/10/10") {
     val a = CorpusOps.dataSplit(spark, sfDir).collect()
     val b = CorpusOps.dataSplit(spark, sfDir).collect()

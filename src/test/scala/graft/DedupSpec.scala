@@ -295,6 +295,61 @@ class DedupSpec extends GraftSpecBase {
     }
   }
 
+  test("source_overlap accounts for every near-dup pair exactly once, triangle-ordered") {
+    val m = Dedup.sourceOverlap(spark, sfDir)
+    val rows = m.collect()
+    assert(rows.nonEmpty)
+    // every matrix cell is lexicographically ordered (one triangle)
+    assert(rows.forall(r => r.getString(0) <= r.getString(1)),
+      "matrix cell with source_a > source_b")
+    // jaccard range sane and within the materializer predicate band
+    assert(rows.forall { r =>
+      val mn = r.getDouble(3); val mx = r.getDouble(4)
+      mn >= 0.5 && mn <= mx && mx <= 1.0
+    })
+    // the matrix is a complete partition of the >= 0.5 pair set: summed
+    // cells equal the pair frame's own count (no pair dropped by the
+    // source joins, none double-counted by the least/greatest fold)
+    val total = rows.map(_.getLong(2)).sum
+    val expected = Dedup
+      .ngramPairsPlan(spark, sfDir)
+      .filter(col("jaccard") >= 0.5)
+      .count()
+    assert(total == expected, s"matrix total $total != pair frame $expected")
+  }
+
+  test("ivf dedup finds the exact top near-dup pairs through cell-bounded pairing") {
+    val ivf = Similarity.ivfDedup(spark, sfDir).collect()
+    assert(ivf.length <= 20 && ivf.nonEmpty)
+    assert(ivf.forall(r => r.getLong(0) < r.getLong(1)), "vec_a >= vec_b")
+    val sims = ivf.map(_.getDouble(3))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "not cos-desc")
+    // recall vs the exact all-pairs ground truth: near-identical vectors
+    // score near-identically against every centroid, so planted near-dups
+    // co-cell except at boundaries
+    val exact = Dedup
+      .embeddingPairs(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val got = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall vs exact top-20 too low: $recall")
+  }
+
+  test("ivf dedup cell-population guard fails loudly, not quadratically") {
+    spark.conf.set("spark.graft.dedup.ivfCellCap", "1")
+    try {
+      val e = intercept[Exception] {
+        Similarity.ivfDedup(spark, sfDir).count()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+      assert(messages(e).exists(m => m != null && m.contains("ivfCellCap")),
+        s"guard tripped without its message: $e")
+    } finally spark.conf.set("spark.graft.dedup.ivfCellCap", "100000")
+  }
+
   test("shared pairs cache refreshes when the documents table changes on disk") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stale").toString
     try {

@@ -364,4 +364,44 @@ class PipelineOpsSpec extends GraftSpecBase {
       .getDouble(0)
     assert(worst <= 0.500001, s"reconstruction error $worst × scale exceeds the rounding bound")
   }
+
+  test("text_pii: counts reconcile and redaction changes exactly the flagged docs") {
+    val p = TextAnalysis.pii(spark, sfDir)
+    // n_pii is the exact sum of its parts
+    assert(p.filter(col("n_pii") =!= col("n_ip") + col("n_phone") + col("n_idrun")).count() == 0)
+    // an unflagged doc's redacted fingerprint IS its raw fingerprint; a
+    // flagged doc's never is (placeholders always change the text)
+    val joined = p.join(
+      spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), md5(col("text")).as("raw_md5")),
+      "doc_id")
+    assert(joined.filter(col("n_pii") === 0 && col("clean_md5") =!= col("raw_md5")).count() == 0,
+      "clean doc changed by redaction")
+    assert(joined.filter(col("n_pii") > 0 && col("clean_md5") === col("raw_md5")).count() == 0,
+      "flagged doc not changed by redaction")
+  }
+
+  test("conversion_time bands partition the converted-user set exactly") {
+    val bands = Windows.conversionTime(spark, sfDir).collect()
+    assert(bands.nonEmpty)
+    for (r <- bands) {
+      assert(r.getLong(2) > 0, "empty band emitted")
+      val (avg, mn, mx) = (r.getDouble(3), r.getLong(4), r.getLong(5))
+      assert(mn <= avg + 0.005 && avg <= mx + 0.005, s"band stats out of order: $r")
+    }
+    // the bands' user counts sum to an independently computed converted set
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+    val v = e
+      .filter(col("event_type") === "view")
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("vt"))
+    val converted = e
+      .filter(col("event_type") === "purchase")
+      .join(v, "user_id")
+      .filter(col("ts") >= col("vt"))
+      .select("user_id")
+      .distinct()
+      .count()
+    assert(bands.map(_.getLong(2)).sum == converted,
+      s"bands cover ${bands.map(_.getLong(2)).sum}, expected $converted converters")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Relational, Scale, Similarity, Windows}
+import graft.operators.{CorpusOps, Relational, Scale, Similarity, TextAnalysis, Windows}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -445,5 +445,46 @@ class ScaleSpec extends GraftSpecBase {
       s"quantization must not shuffle:\n$plan")
     val scans = "embeddings.parquet".r.findAllIn(plan).size
     assert(scans == 1, s"embeddings scanned $scans times:\n$plan")
+  }
+
+  test("batch_drift census is ONE corpus scan: window totals, no re-aggregate branch") {
+    // a totals branch re-reading per_lang would duplicate the documents
+    // scan under column pruning (the exchange-reuse trap); the window
+    // formulation is one-scan by construction
+    val plan =
+      graft.operators.CorpusOps.batchDrift(spark, sfDir).queryExecution.executedPlan.toString
+    val scans = "documents.parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"documents scanned $scans times:\n$plan")
+  }
+
+  test("text_pii is a narrow map: zero hash exchanges, no joins") {
+    val plan =
+      graft.operators.TextAnalysis.pii(spark, sfDir).queryExecution.executedPlan.toString
+    assert(
+      "Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"pii scrub must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"pii scrub must not join:\n$plan")
+    val scans = "documents.parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"documents scanned $scans times:\n$plan")
+  }
+
+  test("conversion_time plans grouped aggregates only — no window, no cartesian") {
+    val plan =
+      Windows.conversionTime(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window crept into the funnel-latency plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+  }
+
+  test("ivf dedup pairs only within cells: equi-join on cell, no all-pairs anywhere") {
+    val plan =
+      Similarity.ivfDedup(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // the only nested loops are 1-row codebook cross joins (assignment is
+    // replanned per self-join side + the cell-count guard): ≤ 3, never a
+    // corpus × corpus pairing
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nlj <= 3, s"unexpected nested loops ($nlj):\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected partial top-k ranking:\n$plan")
   }
 }
