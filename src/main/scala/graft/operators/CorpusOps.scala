@@ -208,6 +208,99 @@ object CorpusOps {
        FROM da JOIN spans ON doc_id = train_doc
        ORDER BY doc_id"""
 
+  /** Boilerplate excision — the corpus-self-referential sibling of
+    * [[contaminationExcise]]: word-3-grams appearing in ≥
+    * `spark.graft.text.boilerplateDf` documents (default 5) are
+    * boilerplate shingles (navigation chrome, footers, licence blocks —
+    * the text every crawl re-serves); every word position covered by one
+    * is cut and the cleaned text fingerprinted. Unlike the contamination
+    * cut (one contiguous span from a bounded eval set) boilerplate
+    * strikes in MANY disjoint spans, so the cut is per-position: covered
+    * positions are collected per doc and removal is one
+    * `array_except` over the position sequence — O(n_words) per doc via
+    * hashing, never an O(n·spans) per-word membership scan.
+    *
+    * Scale shape: the census is a count-only groupBy on the 8-byte gram
+    * key (map-side partials absorb any hot gram — no member lists, no
+    * collect); the positional pass joins (doc, pos, gram) occurrence
+    * rows against the census survivors on gram — output is linear in
+    * hot-gram OCCURRENCES, AQE splits the skewed reducers (same argument
+    * as [[TextAnalysis.lmScore]]'s vocabulary join); per-doc covered
+    * positions are bounded by the document's own length. Three corpus
+    * scans total (census, positional, cut — plan-pinned; the exploded
+    * gram stream is corpus×grams-sized, so materializing it to merge
+    * scans would cost more than the scans). Output rows = affected docs
+    * only. The df threshold deliberately overlaps the dedup band — a
+    * gram in 5+ docs is boilerplate HERE and a near-dup signal THERE;
+    * different questions over the same census machinery. */
+  def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val minDf = s.conf.get("spark.graft.text.boilerplateDf", "5").toLong
+    val arr = split(trim(regexp_replace(col("text"), " +", " ")), " ")
+    val base = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        arr.as("arr"),
+        call_function("graft_grams", col("text")).as("garr"),
+        call_function("graft_grams_roll", col("text")).as("rarr"))
+      .filter(col("garr").isNotNull && size(col("arr")) >= 3)
+    val hot = base
+      .select(explode(col("garr")).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("gram")
+    val covered = base
+      .select(col("doc_id"), posexplode(col("rarr")).as(Seq("p0", "gram")))
+      .join(hot, "gram")
+      .select(
+        col("doc_id"),
+        explode(array(col("p0") + 1, col("p0") + 2, col("p0") + 3)).as("p"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("p")).as("cov"))
+    base
+      .select(col("doc_id"), col("arr"))
+      .join(covered, "doc_id")
+      .select(
+        col("doc_id"),
+        size(col("arr")).cast("long").as("n_words"),
+        size(col("cov")).cast("long").as("n_removed"),
+        md5(
+          array_join(
+            transform(
+              array_except(sequence(lit(1), size(col("arr"))), col("cov")),
+              p => element_at(col("arr"), p)),
+            " ")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateSql: String =
+    """WITH w AS (
+         SELECT doc_id, string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS arr
+         FROM documents
+         WHERE len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) >= 3),
+       g AS (
+         SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
+         FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
+       hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 5),
+       pg AS (
+         SELECT doc_id, i AS pos, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
+         FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
+       cov AS (
+         SELECT DISTINCT doc_id, pos + o AS p
+         FROM pg JOIN hot USING (gram), UNNEST([0, 1, 2]) AS u(o)),
+       covl AS (SELECT doc_id, LIST(p ORDER BY p) AS pl, COUNT(*) AS n_removed
+                FROM cov GROUP BY 1)
+       SELECT w.doc_id,
+              CAST(len(arr) AS BIGINT) AS n_words,
+              CAST(n_removed AS BIGINT) AS n_removed,
+              md5(COALESCE(array_to_string(
+                list_transform(
+                  list_filter(range(1, len(arr) + 1), x -> NOT list_contains(pl, x)),
+                  x -> arr[x]), ' '), '')) AS clean_md5
+       FROM w JOIN covl USING (doc_id)
+       ORDER BY doc_id"""
+
   /** Token-budget training shards: assign every document (doc_id order)
     * to shard `floor(exclusive_prefix_tokens / budget)` — the packing
     * step that turns a curated corpus into fixed-size training chunks
@@ -980,6 +1073,7 @@ object CorpusOps {
        ORDER BY lang"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate" -> (boilerplate _),
     "batch_drift" -> ((s, d) => batchDrift(s, d)),
     "contamination_excise" -> ((s, d) => contaminationExcise(s, d)),
     "corpus_mix" -> (corpusMix _),
@@ -991,6 +1085,7 @@ object CorpusOps {
     "corpus_curate" -> (curate _))
 
   val oracles: Map[String, String] = Map(
+    "text_boilerplate" -> boilerplateSql,
     "batch_drift" -> batchDriftSql,
     "contamination_excise" -> contaminationExciseSql,
     "corpus_mix" -> corpusMixSql,

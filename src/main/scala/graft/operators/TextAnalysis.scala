@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: the per-document
@@ -243,6 +244,107 @@ object TextAnalysis {
                                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g')) AS clean_md5
        FROM documents
        ORDER BY doc_id"""
+
+  /** Robust per-language length-outlier census: exact LOWER median of
+    * document length, exact MAD (median absolute deviation), and the
+    * count/fraction of documents beyond 5·MAD — the robust-statistics
+    * version of the "too short / too long" pretraining filter (median and
+    * MAD don't move when the outliers themselves get worse; a mean/stddev
+    * fence does).
+    *
+    * Exact distributed median WITHOUT a corpus sort: lengths aggregate to
+    * a per-(lang, n_chars) VALUE HISTOGRAM first — bounded by
+    * |langs| × |distinct lengths|, which is document-length-bounded and
+    * tiny at any corpus size — and the median is read off the histogram's
+    * prefix sums (lowest value whose cumulative count reaches ⌈n/2⌉, the
+    * lower median — integer-exact in both engines, no interpolation).
+    * MAD repeats the same read on the |length − median| histogram. The
+    * windows run over the HISTOGRAM frame, never the corpus (the same
+    * bounded-frame argument as [[CorpusOps.batchDrift]]'s totals): one
+    * corpus scan, then everything downstream is a few thousand rows.
+    * NULL langs roll up under `(none)` (census discipline). MAD = 0
+    * (over half the documents share one exact length) flags every
+    * deviating document — the degenerate case is loud, not silent. */
+  def lenOutliers(s: SparkSession, dir: String): DataFrame = {
+    // the histogram feeds four downstream reads (totals, median, MAD,
+    // final census); persisting it via the stamp-keyed cache keeps the
+    // whole operator at ONE corpus scan — without it each branch would
+    // re-scan the corpus to rebuild a few-thousand-row aggregate (same
+    // move as annIvf's query sample; staleness handled by the stamp)
+    val hist = PipelineCache.cached("lenhist", s, dir, "documents.parquet")(
+      Tables
+        .documents(s, dir)
+        .groupBy(coalesce(col("lang"), lit("(none)")).as("lang"), col("n_chars"))
+        .agg(count(lit(1)).as("c")))
+    val tot = hist.groupBy("lang").agg(sum(col("c")).as("n"))
+    def medianOf(h: DataFrame, valueCol: String): DataFrame =
+      h.withColumn("cum", sum(col("c")).over(Window.partitionBy("lang").orderBy(valueCol)))
+        .join(tot, "lang")
+        .filter(col("cum") >= expr("(n + 1) DIV 2"))
+        .groupBy("lang")
+        .agg(min(col(valueCol)).as(s"med_$valueCol"))
+    val med = medianOf(hist, "n_chars")
+    val devHist = hist
+      .join(med, "lang")
+      .groupBy(col("lang"), abs(col("n_chars") - col("med_n_chars")).as("dev"))
+      .agg(sum(col("c")).as("c"))
+    val mad = medianOf(devHist, "dev")
+    hist
+      .join(med, "lang")
+      .join(mad, "lang")
+      .join(tot, "lang")
+      .groupBy(col("lang"), col("n"), col("med_n_chars"), col("med_dev"))
+      .agg(
+        sum(when(abs(col("n_chars") - col("med_n_chars")) > lit(5) * col("med_dev"), col("c"))
+          .otherwise(0L)).as("n_outliers"))
+      .select(
+        col("lang"),
+        col("n").as("n_docs"),
+        col("med_n_chars").as("median_chars"),
+        col("med_dev").as("mad_chars"),
+        col("n_outliers"),
+        round(col("n_outliers") / col("n").cast("double"), 4).as("outlier_frac"))
+      .orderBy("lang")
+  }
+
+  val lenOutliersSql: String =
+    """WITH hist AS (
+         SELECT COALESCE(lang, '(none)') AS lang, n_chars, COUNT(*) AS c
+         FROM documents GROUP BY 1, 2),
+       tot AS (SELECT lang, SUM(c) AS n FROM hist GROUP BY 1),
+       cum AS (
+         SELECT lang, n_chars, SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum
+         FROM hist),
+       med AS (
+         SELECT lang, MIN(n_chars) AS med
+         FROM cum JOIN tot USING (lang)
+         WHERE cum >= (n + 1) // 2
+         GROUP BY lang),
+       dev_hist AS (
+         SELECT h.lang, ABS(h.n_chars - m.med) AS dev, SUM(c) AS c
+         FROM hist h JOIN med m USING (lang) GROUP BY 1, 2),
+       dev_cum AS (
+         SELECT lang, dev, SUM(c) OVER (PARTITION BY lang ORDER BY dev) AS cum
+         FROM dev_hist),
+       mad AS (
+         SELECT lang, MIN(dev) AS mad
+         FROM dev_cum JOIN tot USING (lang)
+         WHERE cum >= (n + 1) // 2
+         GROUP BY lang)
+       SELECT h.lang,
+              CAST(n AS BIGINT) AS n_docs,
+              CAST(med AS BIGINT) AS median_chars,
+              CAST(mad AS BIGINT) AS mad_chars,
+              CAST(SUM(CASE WHEN ABS(h.n_chars - med) > 5 * mad THEN c ELSE 0 END) AS BIGINT)
+                AS n_outliers,
+              ROUND(SUM(CASE WHEN ABS(h.n_chars - med) > 5 * mad THEN c ELSE 0 END) /
+                    CAST(n AS DOUBLE), 4) AS outlier_frac
+       FROM hist h
+       JOIN med USING (lang)
+       JOIN mad USING (lang)
+       JOIN tot USING (lang)
+       GROUP BY h.lang, n, med, mad
+       ORDER BY lang"""
 
   /** PII detection/redaction pass — the numeric-identifier sibling of
     * [[scrub]] (which handles URLs/emails): IPv4-shaped dotted quads,
@@ -592,6 +694,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_len_outliers" -> (lenOutliers _),
     "text_pii" -> (pii _),
     "text_search" -> (search _),
     "text_repetition" -> (repetition _),
@@ -607,6 +710,7 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_len_outliers" -> lenOutliersSql,
     "text_pii" -> piiSql,
     "text_search" -> searchSql,
     "text_repetition" -> repetitionSql,

@@ -380,6 +380,59 @@ class PipelineOpsSpec extends GraftSpecBase {
       "flagged doc not changed by redaction")
   }
 
+  test("len_outliers: histogram median/MAD are exact and the fence catches a planted freak") {
+    // real table: census sanity (exact median/MAD positive, frac consistent)
+    val real = TextAnalysis.lenOutliers(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    for (r <- real) {
+      assert(r.getLong(2) > 0 && r.getLong(3) >= 0)
+      assert(math.abs(r.getDouble(5) - r.getLong(4).toDouble / r.getLong(1)) <= 1e-4)
+    }
+    // planted fixture: 30 docs of length ~100, one 10000-char freak —
+    // median/MAD must ignore the freak, the 5·MAD fence must flag it
+    val dir = java.nio.file.Files.createTempDirectory("graft_outlier").toString
+    try {
+      import spark.implicits._
+      val rows = (1 to 30).map(i => (i.toLong, s"doc $i body", "en", "srcX", 100L + (i % 3))) :+
+        ((31L, "freak body", "en", "srcX", 10000L))
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = TextAnalysis.lenOutliers(spark, dir).collect()
+      assert(out.length == 1)
+      val r = out(0)
+      assert(r.getLong(2) == 101L, s"median wrong: $r") // lower median of 100,101,102 mix
+      assert(r.getLong(3) <= 2L, s"MAD polluted by the freak: $r")
+      assert(r.getLong(4) == 1L, s"freak not flagged: $r")
+    } finally graft.operators.Dedup.clearSharedCache()
+  }
+
+  test("boilerplate: planted common shingle is cut from every carrier, exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    try {
+      import spark.implicits._
+      // 6 docs share the shingle "aaa bbb ccc" (df=6 ≥ 5) at position 3;
+      // the rest of each doc is unique filler, so only those 3 words go
+      val mk = (i: Int) => s"u$i v$i aaa bbb ccc w$i x$i y$i"
+      val rows = (1 to 6).map(i => (i.toLong, mk(i), "en", "srcX", 40L))
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = graft.operators.CorpusOps.boilerplate(spark, dir).collect()
+      assert(out.length == 6, s"every carrier must be cut, got ${out.length}")
+      for (r <- out) {
+        val i = r.getLong(0)
+        assert(r.getLong(1) == 8L, s"n_words wrong: $r")
+        assert(r.getLong(2) == 3L, s"exactly the shingle's 3 words must go: $r")
+        val expected = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"u$i v$i w$i x$i y$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(r.getString(3) == expected, s"cleaned text mismatch for doc $i")
+      }
+      // real table: removal counts stay within the doc and change content
+      val real = graft.operators.CorpusOps.boilerplate(spark, sfDir)
+      assert(real.filter(col("n_removed") < 1 || col("n_removed") > col("n_words")).count() == 0)
+    } finally graft.operators.Dedup.clearSharedCache()
+  }
+
   test("conversion_time bands partition the converted-user set exactly") {
     val bands = Windows.conversionTime(spark, sfDir).collect()
     assert(bands.nonEmpty)

@@ -476,6 +476,36 @@ class ScaleSpec extends GraftSpecBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
   }
 
+  test("len_outliers: every downstream read rides the cached histogram, zero re-scans") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TextAnalysis.lenOutliers(spark, sfDir).queryExecution.executedPlan
+      val fileScans = plan.collect { case f: FileSourceScanExec => f }
+      assert(fileScans.isEmpty,
+        s"corpus re-scanned ${fileScans.size} times instead of riding the histogram cache:\n$plan")
+      val cacheScans = plan.collect { case c: InMemoryTableScanExec => c }
+      assert(cacheScans.size >= 3,
+        s"expected the median/MAD/census branches to read the cached histogram, got ${cacheScans.size}:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      graft.operators.Dedup.clearSharedCache()
+    }
+  }
+
+  test("boilerplate: three corpus scans (census, positional, cut), no more") {
+    val plan =
+      graft.operators.CorpusOps.boilerplate(spark, sfDir).queryExecution.executedPlan.toString
+    val scans = "documents.parquet".r.findAllIn(plan).size
+    assert(scans == 3, s"documents scanned $scans times (want 3):\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // the census must be a count-only aggregate — a collect over a
+    // corpus-wide hot gram would be the unbounded-buffer hazard
+    assert(!plan.contains("collect_list"), s"unbounded collect in census:\n$plan")
+  }
+
   test("ivf dedup pairs only within cells: equi-join on cell, no all-pairs anywhere") {
     val plan =
       Similarity.ivfDedup(spark, sfDir).queryExecution.executedPlan.toString
