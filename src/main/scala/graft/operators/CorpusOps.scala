@@ -235,6 +235,7 @@ object CorpusOps {
     * different questions over the same census machinery. */
   def boilerplate(s: SparkSession, dir: String): DataFrame = {
     val minDf = s.conf.get("spark.graft.text.boilerplateDf", "5").toLong
+    require(minDf > 0, s"boilerplateDf must be positive, got $minDf")
     val arr = split(trim(regexp_replace(col("text"), " +", " ")), " ")
     val base = Tables
       .documents(s, dir)
@@ -275,10 +276,7 @@ object CorpusOps {
   }
 
   val boilerplateSql: String =
-    """WITH w AS (
-         SELECT doc_id, string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS arr
-         FROM documents
-         WHERE len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) >= 3),
+    s"""WITH ${Dedup.tokenizedDocsCteSql},
        g AS (
          SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
          FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),

@@ -208,11 +208,23 @@ object Dedup {
       .agg(count(lit(1)).as("n_inter"))
   }
 
-  val ngramJaccardSql: String =
-    """WITH w AS (
+  /** Oracle CTE for tokenized documents (`w`): whitespace-collapsed word
+    * arrays, ≥ 3 words — the SQL twin of the native tokenizer
+    * ([[graft.functions.GramHash64]]'s contract). Interpolated by every
+    * oracle that mirrors the gram pipeline (here and in [[CorpusOps]]) so
+    * a tokenization change can never silently diverge one copy. */
+  private[operators] val tokenizedDocsCteSql: String =
+    """w AS (
          SELECT doc_id, string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS arr
          FROM documents
-         WHERE len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) >= 3),
+         WHERE len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) >= 3)"""
+
+  /** Oracle CTE chain `w → grams → counts → rare → gr → inter`: distinct
+    * word-3-grams, the df ∈ [2, 20] rare band, and candidate-pair
+    * intersection counts — the SQL twin of [[rarePairCounts]]. One
+    * definition, interpolated by the four pair-pipeline oracles. */
+  private[operators] val rarePairCtesSql: String =
+    s"""$tokenizedDocsCteSql,
        grams AS (
          SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
          FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
@@ -222,7 +234,10 @@ object Dedup {
        inter AS (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
          FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         GROUP BY 1, 2)
+         GROUP BY 1, 2)"""
+
+  val ngramJaccardSql: String =
+    s"""WITH $rarePairCtesSql
        SELECT doc_a, doc_b,
               ROUND(n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE), 4) AS jaccard
        FROM inter
@@ -314,20 +329,7 @@ object Dedup {
   }
 
   val sourceOverlapSql: String =
-    """WITH w AS (
-         SELECT doc_id, string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS arr
-         FROM documents
-         WHERE len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) >= 3),
-       grams AS (
-         SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
-         FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
-       counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
-       rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 20),
-       gr AS (SELECT g.doc_id, g.gram FROM grams g JOIN rare USING (gram)),
-       inter AS (
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-         FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         GROUP BY 1, 2),
+    s"""WITH $rarePairCtesSql,
        jp AS (
          SELECT doc_a, doc_b,
                 n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE) AS jaccard
@@ -634,20 +636,7 @@ object Dedup {
   }
 
   val corpusDedupNgSql: String =
-    """WITH w AS (
-         SELECT doc_id, string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS arr
-         FROM documents
-         WHERE len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) >= 3),
-       grams AS (
-         SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
-         FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
-       counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
-       rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 20),
-       gr AS (SELECT g.doc_id, g.gram FROM grams g JOIN rare USING (gram)),
-       inter AS (
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-         FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         GROUP BY 1, 2),
+    s"""WITH $rarePairCtesSql,
        near AS (
          SELECT DISTINCT doc_b AS doc_id
          FROM inter
@@ -812,20 +801,7 @@ object Dedup {
   }
 
   val dedupClustersSql: String =
-    """WITH RECURSIVE w AS (
-         SELECT doc_id, string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS arr
-         FROM documents
-         WHERE len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) >= 3),
-       grams AS (
-         SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
-         FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
-       counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
-       rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 20),
-       gr AS (SELECT g.doc_id, g.gram FROM grams g JOIN rare USING (gram)),
-       inter AS (
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-         FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         GROUP BY 1, 2),
+    s"""WITH RECURSIVE $rarePairCtesSql,
        near AS (
          SELECT doc_a, doc_b
          FROM inter

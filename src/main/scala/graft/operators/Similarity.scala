@@ -385,19 +385,34 @@ object Similarity {
     * guard.
     *
     * Scale shape: assignment is a narrow map against the broadcast
-    * codebook (see [[ivfCells]]); the self-join shuffles slim
-    * (cell, id, vector) rows by cell — at 100 TB, store vectors
-    * partitioned by cell (the [[graft.Sinks]] IVF store) and the pairing
-    * reads co-partitioned files with no shuffle at all. Output ranking
+    * codebook (see [[ivfCells]]), computed ONCE and cached as the slim
+    * (vec_id, cell) frame its three consumers share; the self-join
+    * shuffles slim (cell, id, vector) rows by cell — at 100 TB, store
+    * vectors partitioned by cell (the [[graft.Sinks]] IVF store) and the
+    * pairing reads co-partitioned files with no shuffle at all. Output ranking
     * is a TakeOrdered top-20, never a global sort. Exactness: integer
     * dots + one IEEE division per pair, bit-identical in the DuckDB
     * replay (same discipline as [[annIvf]]). */
   def ivfDedup(s: SparkSession, dir: String): DataFrame = {
     val k = s.conf.get("spark.graft.dedup.ivfCells", "16").toInt
     val cap = s.conf.get("spark.graft.dedup.ivfCellCap", "100000").toLong
-    val (assigned, _) = ivfCells(s, dir, k)
-    val counts = assigned.groupBy("cell").agg(count(lit(1)).as("cell_df"))
-    val a = assigned
+    require(k > 0, s"spark.graft.dedup.ivfCells must be positive, got $k")
+    require(cap > 0, s"spark.graft.dedup.ivfCellCap must be positive, got $cap")
+    // the SLIM (vec_id, cell) assignment is cached (16 bytes/row — the
+    // slim-frame discipline; the 520-byte vectors are NOT cached, they
+    // re-join from the columnar scan below), because three consumers
+    // need it: both self-join sides and the cell-population guard.
+    // Uncached, each consumer would replay the assignment's
+    // k-cosines-per-vector map over its own corpus scan — 3× the
+    // operator's dominant cost. The tag carries k (an output-semantics
+    // knob) so changing the cell count can never serve a stale
+    // assignment — same discipline as the minhash cache's bandDfCap tag.
+    val slim = PipelineCache.cached(s"ivf_cells_k$k", s, dir, "embeddings.parquet")(
+      ivfCells(s, dir, k)._1.select(col("vec_id"), col("cell")))
+    val counts = slim.groupBy("cell").agg(count(lit(1)).as("cell_df"))
+    val vecs = quantized(s, dir)
+    val a = vecs
+      .join(slim, "vec_id")
       .join(broadcast(counts), "cell")
       .filter(
         assert_true(
@@ -406,7 +421,8 @@ object Similarity {
             "quadratic pair blowup — increase spark.graft.dedup.ivfCells"))
           .isNull)
       .select(col("cell"), col("vec_id").as("vec_a"), col("qv").as("qa"), col("nq").as("na"))
-    val b = assigned
+    val b = vecs
+      .join(slim, "vec_id")
       .select(col("cell"), col("vec_id").as("vec_b"), col("qv").as("qb"), col("nq").as("nb"))
     a.join(b, "cell")
       .filter(col("vec_a") < col("vec_b"))

@@ -506,15 +506,30 @@ class ScaleSpec extends GraftSpecBase {
     assert(!plan.contains("collect_list"), s"unbounded collect in census:\n$plan")
   }
 
-  test("ivf dedup pairs only within cells: equi-join on cell, no all-pairs anywhere") {
-    val plan =
-      Similarity.ivfDedup(spark, sfDir).queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
-    // the only nested loops are 1-row codebook cross joins (assignment is
-    // replanned per self-join side + the cell-count guard): ≤ 3, never a
-    // corpus × corpus pairing
-    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
-    assert(nlj <= 3, s"unexpected nested loops ($nlj):\n$plan")
-    assert(plan.contains("TakeOrderedAndProject"), s"expected partial top-k ranking:\n$plan")
+  test("ivf dedup: one assignment pass shared via cache, cell equi-join, no all-pairs") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      graft.operators.Dedup.clearSharedCache()
+      val plan = Similarity.ivfDedup(spark, sfDir).queryExecution.executedPlan
+      val str = plan.toString
+      assert(!str.contains("CartesianProduct"), s"cartesian in:\n$str")
+      // the k-cosines-per-vector assignment runs ONCE (inside the cached
+      // slim frame's populate pass); plan-visible embeddings scans are
+      // only the two vector re-joins — a third would mean a consumer
+      // regressed to replaying the assignment
+      val fileScans = plan.collect { case f: FileSourceScanExec => f }
+      assert(fileScans.size <= 2,
+        s"embeddings scanned ${fileScans.size} times (want ≤ 2):\n$str")
+      val cacheScans = plan.collect { case c: InMemoryTableScanExec => c }
+      assert(cacheScans.size >= 3,
+        s"both join sides + the guard must read the cached assignment, got ${cacheScans.size}:\n$str")
+      assert(str.contains("TakeOrderedAndProject"), s"expected partial top-k ranking:\n$str")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      graft.operators.Dedup.clearSharedCache()
+    }
   }
 }
