@@ -83,7 +83,12 @@ object ScaleProbe {
       "text_repetition" -> (TextAnalysis.repetition _),
       "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
       "corpus_dedup_ng" -> (Dedup.corpusDedupNg _),
-      "corpus_curate" -> (CorpusOps.curate _))
+      "corpus_curate" -> (CorpusOps.curate _),
+      // round-7 wave 4/5: the hot-gram excision (its census + positional
+      // join are the quadratic-risk shapes) and the near-dup provenance
+      // rollup (rides the pair frame; measures the frame + two id joins)
+      "text_boilerplate" -> (CorpusOps.boilerplate _),
+      "source_overlap" -> (Dedup.sourceOverlap _))
 
     def time(dir: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {

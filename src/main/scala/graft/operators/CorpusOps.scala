@@ -1016,6 +1016,17 @@ object CorpusOps {
         sum(when(!isBatch, 1L).otherwise(0L)).as("corpus_docs"),
         sum(when(isBatch, col("n_chars")).otherwise(0L)).as("batch_chars"),
         sum(when(!isBatch, col("n_chars")).otherwise(0L)).as("corpus_chars"))
+    driftFrom(perLang)
+  }
+
+  /** The drift arithmetic over a per-language census frame
+    * `(lang, batch_docs, corpus_docs, batch_chars, corpus_chars)` —
+    * shared verbatim by [[batchDrift]] (one-table conditional census) and
+    * the streaming monitor ([[graft.streaming.EventStreams.driftMonitor]],
+    * which builds the census by full-outer-joining a streamed batch
+    * census against the static corpus census). One definition means
+    * batch/stream parity is structural, not coincidental. */
+  private[graft] def driftFrom(perLang: DataFrame): DataFrame = {
     val all = org.apache.spark.sql.expressions.Window
       .partitionBy()
       .rowsBetween(Long.MinValue, Long.MaxValue)

@@ -302,4 +302,55 @@ object EventStreams {
           out.iterator
         })
   }
+
+  /** Streaming drift monitor — the incremental twin of
+    * [[graft.operators.CorpusOps.batchDrift]]: as a crawl batch streams
+    * in, maintain its per-language census (one streaming aggregate,
+    * complete mode — state is |langs| rows, bounded by language
+    * cardinality forever) and on every trigger publish the full drift
+    * report against the STATIC corpus census via `foreachBatch` — the
+    * same full-outer census merge and the same arithmetic
+    * ([[graft.operators.CorpusOps.driftFrom]], shared code) as the batch
+    * operator, so parity is structural. The report lands in a temp view
+    * (`outView`) refreshed per trigger: the "is this crawl drifting"
+    * dashboard read updates while the crawl is still arriving, instead
+    * of after a full-corpus batch job.
+    *
+    * `corpusCensus` must be the established-corpus frame
+    * `(lang, corpus_docs, corpus_chars)` — tiny by construction, joined
+    * on the driver-side micro-batch where AQE-less planning makes an
+    * explicit tiny-side join safe (same reasoning as [[decontaminate]]'s
+    * broadcast hint). */
+  def driftMonitor(
+      docs: DataFrame,
+      corpusCensus: DataFrame,
+      outView: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // capture the OWNING session: inside foreachBatch, batch.sparkSession
+    // is the stream's cloned micro-batch session, whose temp views are
+    // invisible to the caller — the view must register where the reader is
+    val owner = docs.sparkSession
+    val census = docs
+      .groupBy(coalesce(col("lang"), lit("(none)")).as("lang"))
+      .agg(count(lit(1)).as("batch_docs"), sum(col("n_chars")).as("batch_chars"))
+    census.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val perLang = batch
+          .join(corpusCensus, Seq("lang"), "full_outer")
+          .select(
+            col("lang"),
+            coalesce(col("batch_docs"), lit(0L)).as("batch_docs"),
+            coalesce(col("corpus_docs"), lit(0L)).as("corpus_docs"),
+            coalesce(col("batch_chars"), lit(0L)).as("batch_chars"),
+            coalesce(col("corpus_chars"), lit(0L)).as("corpus_chars"))
+        // materialize the |langs|-row report BEFORE registering the view:
+        // a lazy view over the micro-batch frame would recompute against
+        // a batch that no longer exists once the trigger completes
+        val out = graft.operators.CorpusOps.driftFrom(perLang)
+        val snap = owner.createDataFrame(
+          java.util.Arrays.asList(out.collect(): _*), out.schema)
+        snap.createOrReplaceTempView(outView)
+      }
+      .start()
+  }
 }

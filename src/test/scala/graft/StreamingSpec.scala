@@ -245,4 +245,43 @@ class StreamingSpec extends GraftSpecBase {
     assert(streamed == expected,
       s"decontamination diverged: missing=${expected -- streamed} extra=${streamed -- expected}")
   }
+
+  test("streaming drift monitor equals batch_drift after the batch fully streams in") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    // static side: the established corpus census (non-src19; NULL source
+    // counts as corpus — the batch operator's convention)
+    val corpusCensus = docs
+      .filter(!coalesce(col("source") === "src19", lit(false)))
+      .groupBy(coalesce(col("lang"), lit("(none)")).as("lang"))
+      .agg(count(lit(1)).as("corpus_docs"), sum(col("n_chars")).as("corpus_chars"))
+    // stream side: the arriving batch, replayed in two chunks so the
+    // monitor genuinely updates across triggers
+    val batchRows = docs
+      .filter(col("source") === "src19")
+      .select("doc_id", "lang", "n_chars")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(batchRows.nonEmpty, "fixture has no src19 batch — parity test is vacuous")
+    val input = MemoryStream[(Long, String, Long)]
+    val q = EventStreams.driftMonitor(
+      input.toDF().toDF("doc_id", "lang", "n_chars"),
+      corpusCensus,
+      "drift_snapshot")
+    try {
+      val (first, rest) = batchRows.splitAt(batchRows.size / 2)
+      input.addData(first)
+      q.processAllAvailable()
+      val mid = spark.table("drift_snapshot").agg(sum("batch_docs")).head().getLong(0)
+      assert(mid == first.size, s"mid-stream census wrong: $mid != ${first.size}")
+      input.addData(rest)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("drift_snapshot").orderBy("lang").collect().toSeq
+    val batch = graft.operators.CorpusOps.batchDrift(spark, sfDir).collect().toSeq
+    assert(streamed == batch,
+      s"drift diverged:\nstream=$streamed\nbatch =$batch")
+  }
 }
