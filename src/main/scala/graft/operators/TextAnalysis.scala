@@ -545,6 +545,83 @@ object TextAnalysis {
        GROUP BY doc_id
        ORDER BY doc_id"""
 
+  /** Corpus-bigram conditional LM score — [[lmScore]]'s second-order
+    * sibling: each document's mean conditional log-likelihood
+    * `avg(ln(c(w_i w_{i+1}) / c1(w_i)))` over its bigram positions, where
+    * `c` is the corpus bigram count and `c1(w)` counts w's occurrences
+    * AS A BIGRAM HEAD (so p = c/c1 is a true conditional distribution
+    * summing to 1 per head word, and every bigram is in-vocabulary by
+    * construction — the vocabulary IS the corpus). Degenerate repeated
+    * text scores HIGH here (its bigrams are corpus-frequent), rare-word
+    * salad scores LOW — combined with [[lmScore]] the pair separates
+    * "unusual vocabulary" from "unusual word order", which is the reason
+    * pipelines run both.
+    *
+    * Determinism discipline: identical to [[lmScore]] — log-likelihoods
+    * quantized to integer micro-nats BEFORE the per-doc sum, so the
+    * aggregation is exact long addition in both engines; the head count
+    * derives from the bigram census by splitting the bigram's first
+    * token (one definition of the head in both engines, no separate
+    * unigram pass to drift). Scale shape: per-(doc, bigram)
+    * pre-aggregation before the Zipfian census join (every row O(1),
+    * AQE splits the skew — the [[lmScore]] argument verbatim); the
+    * c1 fold is a tiny census-to-census aggregate. */
+  def lmBigram(s: SparkSession, dir: String): DataFrame = {
+    val arr = split(trim(regexp_replace(col("text"), " +", " ")), " ")
+    val docBigram = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), arr.as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          zip_with(
+            slice(col("arr"), lit(1), size(col("arr")) - 1),
+            slice(col("arr"), lit(2), size(col("arr")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .groupBy("doc_id", "bigram")
+      .agg(count(lit(1)).as("occ"))
+    val c2 = docBigram.groupBy("bigram").agg(sum(col("occ")).as("c2"))
+    val c1 = c2
+      .groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val census = c2
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(c1, "w1")
+      .select(
+        col("bigram"),
+        round(log(col("c2") / col("c1").cast("double")) * 1e6).cast("long").as("mn"))
+    docBigram
+      .join(census, "bigram")
+      .groupBy("doc_id")
+      .agg(
+        round(sum(col("occ") * col("mn")) / (sum(col("occ")) * 1e6), 4).as("lm_bigram_score"),
+        sum(col("occ")).cast("long").as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  val lmBigramSql: String =
+    """WITH w AS (
+         SELECT doc_id, string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS arr
+         FROM documents
+         WHERE len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) >= 2),
+       bg AS (
+         SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bigram
+         FROM w, UNNEST(range(1, len(arr))) AS t(i)),
+       db AS (SELECT doc_id, bigram, COUNT(*) AS occ FROM bg GROUP BY 1, 2),
+       c2 AS (SELECT bigram, SUM(occ) AS c2 FROM db GROUP BY 1),
+       c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+       census AS (
+         SELECT bigram,
+                CAST(ROUND(LN(c2 / CAST(c1 AS DOUBLE)) * 1e6) AS BIGINT) AS mn
+         FROM c2 JOIN c1 ON split_part(c2.bigram, ' ', 1) = c1.w1)
+       SELECT doc_id,
+              ROUND(SUM(occ * mn) / (SUM(occ) * 1e6), 4) AS lm_bigram_score,
+              CAST(SUM(occ) AS BIGINT) AS n_bigrams
+       FROM db JOIN census USING (bigram)
+       GROUP BY doc_id
+       ORDER BY doc_id"""
+
   /** Within-document repetition signals — the Gopher-family quality
     * filters that catch degenerate machine text: `rep_gram_frac` is the
     * fraction of word-3-gram POSITIONS occupied by a repeat
@@ -694,6 +771,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_bigram" -> (lmBigram _),
     "text_len_outliers" -> (lenOutliers _),
     "text_pii" -> (pii _),
     "text_search" -> (search _),
@@ -710,6 +788,7 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_lm_bigram" -> lmBigramSql,
     "text_len_outliers" -> lenOutliersSql,
     "text_pii" -> piiSql,
     "text_search" -> searchSql,

@@ -433,6 +433,20 @@ class PipelineOpsSpec extends GraftSpecBase {
     } finally graft.operators.Dedup.clearSharedCache()
   }
 
+  test("lm_bigram: conditional likelihoods are log-probabilities over every bigram position") {
+    val lm = TextAnalysis.lmBigram(spark, sfDir)
+    // ln p ≤ 0 always (a deterministic bigram scores exactly 0)
+    assert(lm.filter(col("lm_bigram_score") > 0).count() == 0)
+    // every bigram position is scored: n_bigrams == n_words − 1 per doc
+    val arr = split(trim(regexp_replace(col("text"), " +", " ")), " ")
+    val words = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), size(arr).cast("long").as("nw"))
+      .filter(col("nw") >= 2)
+    val bad = lm.join(words, "doc_id").filter(col("n_bigrams") =!= col("nw") - 1).count()
+    assert(bad == 0, "bigram positions dropped or double-counted")
+    assert(lm.count() == words.count(), "docs lost between tokenize and score")
+  }
+
   test("conversion_time bands partition the converted-user set exactly") {
     val bands = Windows.conversionTime(spark, sfDir).collect()
     assert(bands.nonEmpty)

@@ -428,6 +428,21 @@ class ScaleSpec extends GraftSpecBase {
       assert(!generateAboveAggregate(c), s"raw exploded occurrences reach the tok join:\n$j")
   }
 
+  test("lm_bigram census join consumes aggregates, never raw exploded occurrences") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, LogicalPlan}
+    val df = TextAnalysis.lmBigram(spark, sfDir)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    val bgJoins = joins.filter(_.condition.exists(_.references.exists(_.name == "bigram")))
+    assert(bgJoins.nonEmpty, "expected the census join on bigram")
+    def generateAboveAggregate(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: Generate  => true
+      case other        => other.children.exists(generateAboveAggregate)
+    }
+    for (j <- bgJoins; c <- j.children)
+      assert(!generateAboveAggregate(c), s"raw exploded occurrences reach the bigram join:\n$j")
+  }
+
   test("text_search ranks via TakeOrdered, never a global sort") {
     val plan = graft.operators.TextAnalysis.search(spark, sfDir)
       .queryExecution.executedPlan.toString
