@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CappedLongCollect, GramHash64, LongArrayDot, LongVecMin, LongVecSum, LshBuckets, MinHash64, RollGrams64, SimHash64, Winnow64}
+import graft.functions.{CappedLongCollect, DeflateLen, GramHash64, LongArrayDot, LongVecMin, LongVecSum, LshBuckets, MinHash64, RollGrams64, SimHash64, Winnow64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -105,6 +105,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_vec_min(arr) - elementwise min aggregate of BIGINT arrays",
           ""),
         (children: Seq[Expression]) => LongVecMin(children.head).toAggregateExpression()))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_deflate_len"),
+        new ExpressionInfo(
+          classOf[DeflateLen].getName,
+          null,
+          "graft_deflate_len",
+          "graft_deflate_len(text) - raw-DEFLATE compressed length (compressibility signal)",
+          ""),
+        (children: Seq[Expression]) => DeflateLen(children.head)))
     ext.injectFunction(
       (
         FunctionIdentifier("graft_collect_capped"),

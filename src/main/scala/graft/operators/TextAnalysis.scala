@@ -441,6 +441,29 @@ object TextAnalysis {
         array_max(col("fp")).as("fp_max"))
       .orderBy("doc_id")
 
+  /** Compressibility quality signal (CCNet/Gopher family): per document,
+    * the raw-DEFLATE compressed length over the byte length. Degenerate
+    * machine loops compress toward 0; natural prose sits much higher —
+    * the one-scan filter that catches repetition [[repetition]]'s
+    * gram-level counters can miss (e.g. long-period repeats beyond the
+    * 3-gram window). Uses the native [[graft.functions.DeflateLen]]
+    * expression — a narrow codegen'd map at scan speed, zero shuffles.
+    * The byte stream is zlib-implementation-specific, so rows-only check
+    * (the winnow/sketch convention); FunctionsSpec pins determinism and
+    * the repetition-vs-entropy separation. */
+  def compressRatio(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        call_function("graft_deflate_len", col("text")).as("deflate_len"))
+      .withColumn(
+        "compress_ratio",
+        round(col("deflate_len") / col("n_chars").cast("double"), 4))
+      .orderBy("doc_id")
+
   /** Corpus heavy hitters: the 20 most frequent words — stopword discovery
     * for quality scoring and the hot-key census every text pipeline runs
     * first. One explode + one count groupBy; the final top-20 is a
@@ -771,6 +794,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_compress_ratio" -> (compressRatio _),
     "text_lm_bigram" -> (lmBigram _),
     "text_len_outliers" -> (lenOutliers _),
     "text_pii" -> (pii _),

@@ -163,4 +163,27 @@ class FunctionsSpec extends GraftSpecBase {
     assert(agree(sig(base), sig(near)) > 0.7, "near-dup signatures should mostly agree")
     assert(agree(sig(base), sig(far)) < 0.3, "unrelated signatures should rarely agree")
   }
+
+  test("deflate kernel: deterministic, positive, repetition compresses far below entropy") {
+    import graft.functions.DeflateLen
+    def dl(t: String) = DeflateLen.compute(UTF8String.fromString(t))
+    val loop = "spam ham " * 500                      // degenerate machine loop
+    val rnd = new scala.util.Random(7)
+    val entropy = Array.fill(4500)(('a' + rnd.nextInt(26)).toChar).mkString
+    assert(dl(loop) == dl(loop), "non-deterministic compression")
+    assert(dl(loop) > 0 && dl(entropy) > 0)
+    // same length inputs: the loop must compress at least 10× below the
+    // high-entropy text — the separation the quality filter rests on
+    assert(loop.length == entropy.length, "fixture lengths drifted")
+    assert(dl(loop) * 10 < dl(entropy),
+      s"loop=${dl(loop)} entropy=${dl(entropy)} — compressibility signal has no separation")
+    // the operator: ratio consistent with its own columns on the real table
+    val cr = graft.operators.TextAnalysis.compressRatio(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    assert(cr.filter(col("deflate_len") <= 0).count() == 0)
+    assert(
+      cr.filter(
+        abs(col("compress_ratio") - round(col("deflate_len") / col("n_chars").cast("double"), 4)) >
+          lit(1e-9)).count() == 0)
+  }
 }
