@@ -645,6 +645,79 @@ object TextAnalysis {
        GROUP BY doc_id
        ORDER BY doc_id"""
 
+  /** Within-document token entropy: `H = Σ (c/n)·ln(n/c)` over the
+    * document's token distribution, in nats — the principled version of
+    * [[quality]]'s type-token ratio (TTR says how many distinct tokens;
+    * entropy says how evenly they're used — keyword-stuffed text has
+    * high TTR but low entropy). `norm_entropy` divides by the maximum
+    * `ln(n_types)` so 1.0 = perfectly even usage, comparable across
+    * document lengths.
+    *
+    * Determinism discipline: per-(doc, token) counts are exact longs and
+    * each `ln(n/c)` is quantized to integer micro-nats BEFORE the
+    * per-doc sum (exact long addition — the [[lmScore]] rule); the two
+    * final divisions are single IEEE ops. Scale shape: one balanced
+    * (doc, token) shuffle with map-side partials, then a per-doc rollup
+    * — the [[repetition]] modal-token shape exactly. */
+  def entropy(s: SparkSession, dir: String): DataFrame = {
+    val docTok = Tables
+      .documents(s, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+    val perDoc = docTok
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n"),
+        count(lit(1)).as("n_types"),
+        // Σ c·round(ln(n/c)·1e6) needs n; ln can't quantize until the
+        // doc total is known, so carry the (c → count of c) pairs? No —
+        // sum c·ln(n/c) = n·ln(n) − Σ c·ln(c): both terms quantize from
+        // PER-ROW values (ln(c) per distinct token, ln(n) once), keeping
+        // the aggregation one pass and still exact-integer
+        sum(col("c") * round(log(col("c")) * 1e6).cast("long")).as("sum_c_lnc"))
+    perDoc
+      .select(
+        col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        col("n_types").cast("long").as("n_types"),
+        round(
+          (col("n") * round(log(col("n")) * 1e6).cast("long") - col("sum_c_lnc")) /
+            (col("n") * 1e6),
+          4).as("entropy"),
+        when(
+          col("n_types") > 1,
+          round(
+            (col("n") * round(log(col("n")) * 1e6).cast("long") - col("sum_c_lnc")) /
+              (col("n") * 1e6) / log(col("n_types").cast("double")),
+            4)).as("norm_entropy"))
+      .orderBy("doc_id")
+  }
+
+  val entropySql: String =
+    """WITH t AS (
+         SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+         FROM documents WHERE LENGTH(TRIM(text)) > 0),
+       dt AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+       pd AS (
+         SELECT doc_id,
+                SUM(c) AS n,
+                COUNT(*) AS n_types,
+                SUM(c * CAST(ROUND(LN(c) * 1e6) AS BIGINT)) AS sum_c_lnc
+         FROM dt GROUP BY 1)
+       SELECT doc_id,
+              CAST(n AS BIGINT) AS n_tokens,
+              CAST(n_types AS BIGINT) AS n_types,
+              ROUND((n * CAST(ROUND(LN(n) * 1e6) AS BIGINT) - sum_c_lnc) / (n * 1e6), 4)
+                AS entropy,
+              CASE WHEN n_types > 1 THEN
+                ROUND((n * CAST(ROUND(LN(n) * 1e6) AS BIGINT) - sum_c_lnc) / (n * 1e6)
+                      / LN(CAST(n_types AS DOUBLE)), 4)
+              END AS norm_entropy
+       FROM pd
+       ORDER BY doc_id"""
+
   /** Within-document repetition signals — the Gopher-family quality
     * filters that catch degenerate machine text: `rep_gram_frac` is the
     * fraction of word-3-gram POSITIONS occupied by a repeat
@@ -794,6 +867,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> (entropy _),
     "text_compress_ratio" -> (compressRatio _),
     "text_lm_bigram" -> (lmBigram _),
     "text_len_outliers" -> (lenOutliers _),
@@ -812,6 +886,7 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_entropy" -> entropySql,
     "text_lm_bigram" -> lmBigramSql,
     "text_len_outliers" -> lenOutliersSql,
     "text_pii" -> piiSql,

@@ -583,6 +583,44 @@ object Windows {
              3 * sqrt((s2 - CAST(s AS DOUBLE) * s / n) / n)
        ORDER BY event_id"""
 
+  /** Seasonality profile: event count and exact value mass per
+    * (day-of-week × hour-of-day) cell — the "when does traffic happen"
+    * heatmap behind capacity planning and anomaly baselines (an hourly
+    * count is only anomalous relative to ITS cell). `pct_events` is each
+    * cell's share of all events.
+    *
+    * Cross-engine care: Spark's `dayofweek` is 1-7 (Sunday = 1), DuckDB's
+    * `date_part('dow')` is 0-6 (Sunday = 0) — normalized to 0 = Sunday
+    * here. Sums are integer cents (module discipline). Scale shape: one
+    * grouped aggregate to a 168-cell frame (map-side partials), totals
+    * via a window over that BOUNDED frame (the batchDrift argument —
+    * never a corpus-sized OVER ()). */
+  def seasonality(s: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    Tables
+      .events(s, dir)
+      .groupBy(
+        (dayofweek(col("ts")) - 1).as("dow"),
+        hour(col("ts")).as("hod"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(cents("value")) / 100.0).as("total_value"))
+      .withColumn("pct_events", round(col("n_events") / sum(col("n_events")).over(all) * 100.0, 4))
+      .orderBy("dow", "hod")
+  }
+
+  val seasonalitySql: String =
+    """WITH cells AS (
+         SELECT CAST(date_part('dow', ts) AS INT) AS dow,
+                CAST(date_part('hour', ts) AS INT) AS hod,
+                COUNT(*) AS n_events,
+                SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) / 100.0 AS total_value
+         FROM events GROUP BY 1, 2)
+       SELECT dow, hod, n_events, total_value,
+              ROUND(n_events / SUM(n_events) OVER () * 100.0, 4) AS pct_events
+       FROM cells
+       ORDER BY dow, hod"""
+
   /** Funnel latency distribution: how long from a user's first `view` to
     * their first `purchase` at or after it, reported as banded counts
     * (< 1h, < 1d, < 7d, ≥ 7d) with exact min/max and mean latency — the
@@ -653,6 +691,7 @@ object Windows {
        ORDER BY band_ord"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_seasonality" -> (seasonality _),
     "win_conversion_time" -> (conversionTime _),
     "win_anomaly" -> (anomaly _),
     "ts_gapfill" -> (gapfill _),
@@ -669,6 +708,7 @@ object Windows {
     "asof_join" -> (asofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "win_seasonality" -> seasonalitySql,
     "win_conversion_time" -> conversionTimeSql,
     "win_anomaly" -> anomalySql,
     "ts_gapfill" -> gapfillSql,

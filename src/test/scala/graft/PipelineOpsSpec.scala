@@ -447,6 +447,27 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(lm.count() == words.count(), "docs lost between tokenize and score")
   }
 
+  test("entropy: bounded by ln(types), zero iff single-type, norm in (0, 1]") {
+    val e = TextAnalysis.entropy(spark, sfDir)
+    assert(e.count() > 0)
+    // 0 ≤ H ≤ ln(n_types) (+ quantization slack); norm normalizes to ≤ 1
+    assert(e.filter(col("entropy") < -1e-4).count() == 0, "negative entropy")
+    assert(
+      e.filter(col("n_types") > 1 &&
+        (col("norm_entropy") <= 0 || col("norm_entropy") > 1.0001)).count() == 0,
+      "norm_entropy out of (0, 1]")
+    assert(e.filter(col("n_types") === 1 && col("entropy") =!= 0.0).count() == 0,
+      "single-type doc must have zero entropy")
+    // evenness: entropy of a doc is below that of a same-length doc with
+    // more types — weak monotonicity via the corpus-wide correlation of
+    // norm_entropy with TTR is overfit; instead pin the exact identity
+    // H == ln(n_tokens) for an all-distinct doc (norm == ln n / ln types = 1)
+    val allDistinct = e.filter(col("n_types") === col("n_tokens"))
+    if (allDistinct.count() > 0)
+      assert(allDistinct.filter(abs(col("norm_entropy") - 1.0) > 1e-3).count() == 0,
+        "all-distinct doc should have norm_entropy == 1")
+  }
+
   test("conversion_time bands partition the converted-user set exactly") {
     val bands = Windows.conversionTime(spark, sfDir).collect()
     assert(bands.nonEmpty)

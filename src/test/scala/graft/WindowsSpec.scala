@@ -47,6 +47,16 @@ class WindowsSpec extends GraftSpecBase {
     assert(Windows.movingAvg(spark, sfDir).count() == n)
   }
 
+  test("seasonality cells are a complete partition of events") {
+    val cells = Windows.seasonality(spark, sfDir).collect()
+    assert(cells.nonEmpty && cells.length <= 168, s"${cells.length} cells")
+    assert(cells.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 6), "dow out of range")
+    assert(cells.forall(r => r.getInt(1) >= 0 && r.getInt(1) <= 23), "hour out of range")
+    val total = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(cells.map(_.getLong(2)).sum == total, "events lost between cells")
+    assert(math.abs(cells.map(_.getDouble(4)).sum - 100.0) <= 0.05, "shares don't sum to 100%")
+  }
+
   test("deterministic sample is stable and ~5%") {
     val a = Sampling.deterministic(spark, sfDir).collect().map(_.getLong(0)).toSeq
     val b = Sampling.deterministic(spark, sfDir).collect().map(_.getLong(0)).toSeq
