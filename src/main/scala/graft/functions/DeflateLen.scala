@@ -47,20 +47,31 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
 
 object DeflateLen {
 
-  /** Raw-DEFLATE length at the default level. A fresh Deflater per call
-    * keeps the expression thread-safe under whole-stage codegen (one
-    * call per row; Deflater is cheap to construct relative to the
-    * compression work on document-sized inputs). */
+  /** One Deflater per task thread, reset between rows: a fresh Deflater
+    * per call would pay a native malloc/free of the full zlib state
+    * (~256 KB of window + hash chains) per ROW on the hot scan path —
+    * for short documents the allocation would dominate the compression.
+    * ThreadLocal keeps the same thread-safety under whole-stage codegen
+    * while amortizing the native allocation to once per executor task
+    * thread (bounded by the thread pool; the native state lives for the
+    * thread's lifetime, which is the standard trade for per-row native
+    * kernels). */
+  private val local: ThreadLocal[java.util.zip.Deflater] =
+    new ThreadLocal[java.util.zip.Deflater] {
+      override def initialValue(): java.util.zip.Deflater =
+        new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    }
+
+  /** Raw-DEFLATE length of the UTF-8 bytes at the default level. */
   def compute(text: UTF8String): Long = {
     val bytes = text.getBytes
-    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val d = local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 }

@@ -457,11 +457,14 @@ object TextAnalysis {
       .filter(length(col("text")) > 0)
       .select(
         col("doc_id"),
-        length(col("text")).cast("long").as("n_chars"),
+        // BYTES, not characters: the kernel compresses UTF-8 bytes, so a
+        // char denominator would inflate the ratio ~3× on CJK text and
+        // break any fixed threshold per script
+        octet_length(col("text")).cast("long").as("n_bytes"),
         call_function("graft_deflate_len", col("text")).as("deflate_len"))
       .withColumn(
         "compress_ratio",
-        round(col("deflate_len") / col("n_chars").cast("double"), 4))
+        round(col("deflate_len") / col("n_bytes").cast("double"), 4))
       .orderBy("doc_id")
 
   /** Corpus heavy hitters: the 20 most frequent words — stopword discovery

@@ -317,10 +317,14 @@ object EventStreams {
     * of after a full-corpus batch job.
     *
     * `corpusCensus` must be the established-corpus frame
-    * `(lang, corpus_docs, corpus_chars)` — tiny by construction, joined
-    * on the driver-side micro-batch where AQE-less planning makes an
-    * explicit tiny-side join safe (same reasoning as [[decontaminate]]'s
-    * broadcast hint). */
+    * `(lang, corpus_docs, corpus_chars)` — tiny by construction. It is
+    * collected ONCE at wiring time into a local relation: micro-batch
+    * planning runs without AQE, and a lazy source-backed frame would
+    * re-scan the corpus census from files on EVERY trigger (a full-outer
+    * join can't broadcast either side, so there is no hint to reach
+    * for — the [[decontaminate]] trick doesn't apply; materializing the
+    * static side is the move that keeps the per-trigger plan
+    * local-relation-sized). */
   def driftMonitor(
       docs: DataFrame,
       corpusCensus: DataFrame,
@@ -329,6 +333,9 @@ object EventStreams {
     // is the stream's cloned micro-batch session, whose temp views are
     // invisible to the caller — the view must register where the reader is
     val owner = docs.sparkSession
+    val censusLocal = owner.createDataFrame(
+      java.util.Arrays.asList(corpusCensus.collect(): _*),
+      corpusCensus.schema)
     val census = docs
       .groupBy(coalesce(col("lang"), lit("(none)")).as("lang"))
       .agg(count(lit(1)).as("batch_docs"), sum(col("n_chars")).as("batch_chars"))
@@ -336,7 +343,7 @@ object EventStreams {
       .outputMode("complete")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val perLang = batch
-          .join(corpusCensus, Seq("lang"), "full_outer")
+          .join(censusLocal, Seq("lang"), "full_outer")
           .select(
             col("lang"),
             coalesce(col("batch_docs"), lit(0L)).as("batch_docs"),

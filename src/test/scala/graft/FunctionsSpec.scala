@@ -177,13 +177,12 @@ class FunctionsSpec extends GraftSpecBase {
     assert(loop.length == entropy.length, "fixture lengths drifted")
     assert(dl(loop) * 10 < dl(entropy),
       s"loop=${dl(loop)} entropy=${dl(entropy)} — compressibility signal has no separation")
-    // the operator: ratio consistent with its own columns on the real table
+    // the operator on the real (ASCII) table: independent range property —
+    // prose never compresses to nothing, and DEFLATE of text never
+    // exceeds input by more than framing slack
     val cr = graft.operators.TextAnalysis.compressRatio(spark, sfDir)
-    import org.apache.spark.sql.functions._
     assert(cr.filter(col("deflate_len") <= 0).count() == 0)
-    assert(
-      cr.filter(
-        abs(col("compress_ratio") - round(col("deflate_len") / col("n_chars").cast("double"), 4)) >
-          lit(1e-9)).count() == 0)
+    assert(cr.filter(col("compress_ratio") <= 0.05 || col("compress_ratio") > 1.1).count() == 0,
+      "compress_ratio outside the plausible text band (0.05, 1.1]")
   }
 }

@@ -264,14 +264,14 @@ class StreamingSpec extends GraftSpecBase {
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .toSeq
-    assert(batchRows.nonEmpty, "fixture has no src19 batch — parity test is vacuous")
+    assert(batchRows.size >= 2, "fixture needs ≥ 2 src19 docs for a two-chunk replay")
     val input = MemoryStream[(Long, String, Long)]
     val q = EventStreams.driftMonitor(
       input.toDF().toDF("doc_id", "lang", "n_chars"),
       corpusCensus,
       "drift_snapshot")
     try {
-      val (first, rest) = batchRows.splitAt(batchRows.size / 2)
+      val (first, rest) = batchRows.splitAt((batchRows.size + 1) / 2)
       input.addData(first)
       q.processAllAvailable()
       val mid = spark.table("drift_snapshot").agg(sum("batch_docs")).head().getLong(0)
