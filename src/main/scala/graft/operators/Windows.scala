@@ -583,6 +583,51 @@ object Windows {
              3 * sqrt((s2 - CAST(s AS DOUBLE) * s / n) / n)
        ORDER BY event_id"""
 
+  /** Rolling median — the robust sibling of [[movingAvg]]: per user, the
+    * exact lower median of the trailing 21 values (current + 20
+    * preceding), in integer cents. A median window is a HOLISTIC
+    * aggregate (no partial-merge form), but over a BOUNDED frame it's
+    * just `sort_array(collect_list(...))` of ≤ 21 ints picked at
+    * ⌈n/2⌉ — per-row state bounded by the frame, partitioned by user,
+    * scan-linear. Lower-median (no interpolation) keeps both engines
+    * integer-exact; DuckDB replays it with the same sorted-list
+    * expression rather than its native `median()` (which interpolates
+    * on even counts). */
+  def rollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-20, 0)
+    Tables
+      .events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"), cents("value").as("c"))
+      .withColumn("win", sort_array(collect_list(col("c")).over(w)))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts_us"),
+        (col("c") / 100.0).as("value"),
+        (element_at(col("win"), ((size(col("win")) + 1) / 2).cast("int")) / 100.0)
+          .as("rolling_median"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  val rollingMedianSql: String =
+    """WITH e AS (
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                CAST(FLOOR(value * 100.0) AS BIGINT) AS c
+         FROM events),
+       win AS (
+         SELECT event_id, user_id, ts_us, c,
+                list_sort(LIST(c) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                        ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)) AS w
+         FROM e)
+       SELECT event_id, user_id, ts_us,
+              c / 100.0 AS value,
+              w[CAST((len(w) + 1) // 2 AS INT)] / 100.0 AS rolling_median
+       FROM win
+       ORDER BY user_id, ts_us, event_id"""
+
   /** Seasonality profile: event count and exact value mass per
     * (day-of-week × hour-of-day) cell — the "when does traffic happen"
     * heatmap behind capacity planning and anomaly baselines (an hourly
@@ -691,6 +736,7 @@ object Windows {
        ORDER BY band_ord"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rolling_median" -> (rollingMedian _),
     "win_seasonality" -> (seasonality _),
     "win_conversion_time" -> (conversionTime _),
     "win_anomaly" -> (anomaly _),
@@ -708,6 +754,7 @@ object Windows {
     "asof_join" -> (asofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "win_rolling_median" -> rollingMedianSql,
     "win_seasonality" -> seasonalitySql,
     "win_conversion_time" -> conversionTimeSql,
     "win_anomaly" -> anomalySql,

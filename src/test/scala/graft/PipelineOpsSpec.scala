@@ -468,6 +468,51 @@ class PipelineOpsSpec extends GraftSpecBase {
         "all-distinct doc should have norm_entropy == 1")
   }
 
+  test("entropy property: matches a direct reference on generated skewed documents") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_entropy").toString
+    try {
+      import spark.implicits._
+      val rnd = new scala.util.Random(13)
+      val docs = (1L to 60L).map { i =>
+        val vocab = (1 to (1 + rnd.nextInt(8))).map(v => s"t$v")
+        // Zipf-ish skew: low vocab indexes repeat much more often
+        val words = Seq.fill(1 + rnd.nextInt(50))(
+          vocab(math.min(vocab.size - 1, (math.abs(rnd.nextGaussian()) * vocab.size / 2).toInt)))
+        (i, words.mkString(" "), "en", "srcX", words.mkString(" ").length.toLong)
+      }
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = TextAnalysis.entropy(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      def ref(words: Seq[String]): Double = {
+        val counts = words.groupBy(identity).map(_._2.size.toLong)
+        val n = counts.sum
+        def mn(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+        val h = (n * mn(n) - counts.map(c => c * mn(c)).sum).toDouble / (n * 1e6)
+        BigDecimal(h).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      for ((i, text, _, _, _) <- docs) {
+        val expected = ref(text.split(" ").toSeq)
+        assert(got(i) == expected, s"doc $i: got ${got(i)}, reference $expected")
+      }
+    } finally graft.operators.Dedup.clearSharedCache()
+  }
+
+  test("rolling median: exact lower median of each trailing window, robust to a spike") {
+    val rm = Windows.rollingMedian(spark, sfDir).collect()
+    val byUser = rm.groupBy(_.getLong(1))
+    for ((_, rows) <- byUser.take(20)) {
+      val ordered = rows.sortBy(r => (r.getLong(2), r.getLong(0)))
+      val cents = ordered.map(r => math.round(r.getDouble(3) * 100.0))
+      for ((r, idx) <- ordered.zipWithIndex) {
+        val win = cents.slice(math.max(0, idx - 20), idx + 1).sorted
+        val expect = win((win.length + 1) / 2 - 1) / 100.0
+        assert(math.abs(r.getDouble(4) - expect) < 1e-9,
+          s"window median mismatch at row $idx of user ${r.getLong(1)}")
+      }
+    }
+  }
+
   test("conversion_time bands partition the converted-user set exactly") {
     val bands = Windows.conversionTime(spark, sfDir).collect()
     assert(bands.nonEmpty)
