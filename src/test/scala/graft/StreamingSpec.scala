@@ -71,6 +71,44 @@ class StreamingSpec extends GraftSpecBase {
     assert(kept == Set(1L, 2L, 4L))
   }
 
+  test("streaming dedup state survives a checkpoint restart (no re-admitted dups)") {
+    import spark.implicits._
+    // file source + explicit checkpoint: the restart path MemoryStream
+    // can't exercise — a production dedup stream must keep suppressing
+    // content it saw BEFORE the restart, from recovered state alone
+    val root = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val srcDir = s"$root/src"
+    val base = Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(mins: Int) = new Timestamp(base.getTime + mins * 60000L)
+    def writeChunk(rows: Seq[(Long, Timestamp, String)]): Unit =
+      rows.toDF("doc_id", "ts", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    writeChunk(Seq(
+      (1L, at(0), "alpha beta gamma"),
+      (2L, at(1), "delta epsilon"),
+      (3L, at(2), "alpha beta gamma"))) // dup of 1, same incarnation
+    val schema = spark.read.parquet(srcDir).schema
+    def start() = EventStreams
+      .dedupExact(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir))
+      .writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/chk")
+      .outputMode("append").start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    // second incarnation: a NEW query from the same checkpoint; doc 4
+    // repeats doc 1's content and must be suppressed by RECOVERED state
+    writeChunk(Seq(
+      (4L, at(3), "alpha beta gamma"),
+      (5L, at(4), "zeta eta")))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val kept = spark.read.parquet(s"$root/out").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 5L),
+      s"restart lost or re-admitted state: kept=$kept (want 1, 2, 5)")
+  }
+
   test("foreachBatch parquet sink persists the streamed aggregate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
