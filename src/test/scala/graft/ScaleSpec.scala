@@ -283,6 +283,7 @@ class ScaleSpec extends GraftSpecBase {
         "win_topk" -> Windows.topkPerType(spark, sfDir),
         "win_ntile" -> Windows.ntileQuartiles(spark, sfDir),
         "win_anomaly" -> Windows.anomaly(spark, sfDir),
+        "win_rolling_median" -> Windows.rollingMedian(spark, sfDir),
         "sample_stratified" -> graft.operators.Sampling.stratified(spark, sfDir))
     ) {
       val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
