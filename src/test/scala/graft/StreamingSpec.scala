@@ -224,6 +224,40 @@ class StreamingSpec extends GraftSpecBase {
     assert(streamed == batch)
   }
 
+  test("sessionize custom state survives a checkpoint restart (sessions don't reset)") {
+    import spark.implicits._
+    // flatMapGroupsWithState recovery is a distinct state-store codepath
+    // from dropDuplicates — a restarted sessionizer must continue the
+    // session numbering AND the last-seen timestamp from recovered state:
+    // a post-restart event within the gap must NOT open a new session,
+    // and one beyond the gap must increment, not restart at 0
+    val root = java.nio.file.Files.createTempDirectory("graft_sess_restart").toString
+    val srcDir = s"$root/src"
+    val base = Timestamp.valueOf("2026-02-01 00:00:00")
+    def at(mins: Int) = new Timestamp(base.getTime + mins * 60000L)
+    def writeChunk(rows: Seq[Ev]): Unit =
+      rows.toDS().coalesce(1).write.mode("append").parquet(srcDir)
+    writeChunk(Seq(Ev(1L, 7L, at(0), 1.0), Ev(2L, 7L, at(5), 1.0)))
+    val schema = implicitly[org.apache.spark.sql.Encoder[Ev]].schema
+    def start() = EventStreams
+      .sessionize(spark.readStream.schema(schema).parquet(srcDir).as[Ev])
+      .writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/chk")
+      .outputMode("append").start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    // within-gap (+10 min) and beyond-gap (+50 min) arrivals, second life
+    writeChunk(Seq(Ev(3L, 7L, at(15), 1.0), Ev(4L, 7L, at(65), 1.0)))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val sess = spark.read.parquet(s"$root/out")
+      .select("event_id", "session_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sess == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L),
+      s"recovered sessionizer mis-numbered: $sess")
+  }
+
   test("streaming anomaly flags equal batch win_anomaly on ordered replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
