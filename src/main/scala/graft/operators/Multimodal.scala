@@ -56,6 +56,10 @@ object Multimodal {
     import s.implicits._
     val media: Dataset[MediaIn] = Tables
       .documents(s, dir)
+      // a row with no payload has nothing to decode: DROP it rather than
+      // NPE the whole job on one bad crawl row (dq_profile is where
+      // missing-media rows get counted; the oracle filters identically)
+      .filter(col("text").isNotNull)
       .select(
         col("doc_id"),
         element_at(array(lit("png"), lit("jpeg"), lit("wav")), (col("doc_id") % 3 + 1).cast("int"))
@@ -78,6 +82,7 @@ object Multimodal {
               CAST(strlen(text) AS BIGINT) AS n_bytes,
               md5(text) AS feat_hash
        FROM documents
+       WHERE text IS NOT NULL
        ORDER BY doc_id"""
 
   /** A synthetic "video" row: opaque binary payload + frame geometry. */
@@ -185,6 +190,8 @@ object Multimodal {
     import s.implicits._
     val media: Dataset[MediaIn] = Tables
       .documents(s, dir)
+      // same NULL-payload drop (and rationale) as [[features]]
+      .filter(col("text").isNotNull)
       .select(
         col("doc_id"),
         element_at(array(lit("png"), lit("jpeg"), lit("wav")), (col("doc_id") % 3 + 1).cast("int"))
@@ -209,6 +216,7 @@ object Multimodal {
               CAST((strlen(text) + 1) // 2 AS BIGINT) AS n_bytes_out,
               md5(substr(text, 1, CAST((strlen(text) + 1) // 2 AS INT))) AS resized_hash
        FROM documents
+       WHERE text IS NOT NULL
        ORDER BY doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
