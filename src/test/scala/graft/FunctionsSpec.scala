@@ -164,6 +164,50 @@ class FunctionsSpec extends GraftSpecBase {
     assert(agree(sig(base), sig(far)) < 0.3, "unrelated signatures should rarely agree")
   }
 
+  test("native kernels survive arbitrary unicode and are deterministic (fuzz)") {
+    import org.scalacheck.{Gen, rng}
+    import graft.functions.{DeflateLen, SimHash64}
+    // generator biased toward the nasty cases: multi-byte UTF-8,
+    // surrogate-pair emoji, runs of spaces, empty and huge tokens
+    val token = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.const("日本語のテキスト"),
+      Gen.const("😀😀😀"),
+      Gen.const("Ωμέγα"),
+      Gen.const(""),
+      Gen.const("x" * 300),
+      Gen.const("  "))
+    val textGen = for {
+      n <- Gen.choose(0, 40)
+      ts <- Gen.listOfN(n, token)
+      sep <- Gen.oneOf(" ", "  ", " \t ")
+    } yield ts.mkString(sep)
+    val seed0 = rng.Seed(424242L)
+    val texts = Iterator
+      .iterate(seed0)(_.next)
+      .take(300)
+      .map(s => textGen.pureApply(Gen.Parameters.default, s))
+      .toSeq
+    for (t <- texts) {
+      val u = UTF8String.fromString(t)
+      // every kernel: no exception, and run-to-run determinism
+      assert(DeflateLen.compute(u) == DeflateLen.compute(u), s"deflate nondet on: $t")
+      assert(SimHash64.compute(u) == SimHash64.compute(u), s"simhash nondet on: $t")
+      val g1 = Option(GramHash64.compute(u)).map(_.toLongArray.toSeq)
+      val g2 = Option(GramHash64.compute(u)).map(_.toLongArray.toSeq)
+      assert(g1 == g2, s"grams nondet on: $t")
+      val r1 = Option(GramHash64.rolling(u)).map(_.toLongArray.toSeq)
+      assert(r1.map(_.sorted.distinct) == g1.map(_.sorted),
+        s"positional grams' distinct set must equal graft_grams on: $t")
+      val w1 = Option(GramHash64.winnow(u)).map(_.toLongArray.toSeq)
+      val w2 = Option(GramHash64.winnow(u)).map(_.toLongArray.toSeq)
+      assert(w1 == w2, s"winnow nondet on: $t")
+      val m1 = Option(MinHash64.compute(u)).map(_.toLongArray.toSeq)
+      assert(m1 == Option(MinHash64.compute(u)).map(_.toLongArray.toSeq), s"minhash nondet on: $t")
+      assert(m1.forall(_.size == 64))
+    }
+  }
+
   test("deflate kernel: deterministic, positive, repetition compresses far below entropy") {
     import graft.functions.DeflateLen
     def dl(t: String) = DeflateLen.compute(UTF8String.fromString(t))
