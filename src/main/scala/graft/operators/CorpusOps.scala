@@ -783,6 +783,12 @@ object CorpusOps {
     * cached pair frame; langid/quality/split are narrow scans) plus
     * three doc_id equi-joins that AQE sizes. */
   def curate(s: SparkSession, dir: String): DataFrame = {
+    // session-tunable curation policy; the DuckDB oracle pins the DEFAULT
+    // configuration (the knob convention — tunables change outputs, so
+    // non-default settings are exercised by specs, not the oracle gate)
+    val keepLang = s.conf.get("spark.graft.corpus.curateLang", "en")
+    val minQuality = s.conf.get("spark.graft.corpus.curateMinQuality", "0.5").toDouble
+    require(keepLang.nonEmpty, "curateLang must be non-empty")
     val survivors = Dedup.corpusDedupNg(s, dir).select(col("doc_id"), col("n_chars"))
     val lang = TextAnalysis.langid(s, dir).select(col("doc_id"), col("pred_lang"))
     val quality = TextAnalysis.quality(s, dir).select(col("doc_id"), col("quality_score"))
@@ -791,7 +797,7 @@ object CorpusOps {
       .join(lang, "doc_id")
       .join(quality, "doc_id")
       .join(split, "doc_id")
-      .filter(col("pred_lang") === "en" && col("quality_score") >= 0.5)
+      .filter(col("pred_lang") === keepLang && col("quality_score") >= minQuality)
       .select(
         col("doc_id"),
         col("pred_lang"),
@@ -806,20 +812,7 @@ object CorpusOps {
       s"(LENGTH($c) - LENGTH(REPLACE($c, '$pat', ''))) / ${pat.length}"
     def hits(words: Seq[String]): String =
       words.map(w => occ("(' ' || text || ' ')", s" $w ")).mkString("CAST(", " + ", " AS BIGINT)")
-    s"""WITH w AS (
-         SELECT doc_id, string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS arr
-         FROM documents
-         WHERE len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) >= 3),
-       grams AS (
-         SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
-         FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
-       counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
-       rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 20),
-       gr AS (SELECT g.doc_id, g.gram FROM grams g JOIN rare USING (gram)),
-       inter AS (
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-         FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         GROUP BY 1, 2),
+    s"""WITH ${Dedup.rarePairCtesSql},
        near AS (
          SELECT DISTINCT doc_b AS doc_id
          FROM inter
