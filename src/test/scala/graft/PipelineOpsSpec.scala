@@ -433,6 +433,58 @@ class PipelineOpsSpec extends GraftSpecBase {
     } finally graft.operators.Dedup.clearSharedCache()
   }
 
+  test("session knobs: non-default settings genuinely change the operators") {
+    import graft.operators.{CorpusOps, Similarity}
+    // curate policy knobs, proven on a planted bilingual fixture (the
+    // driver corpus is English-ish soup — langid never predicts de there)
+    val bilingual = java.nio.file.Files.createTempDirectory("graft_curate_knob").toString
+    locally {
+      import spark.implicits._
+      def en(i: Int) = s"the quick fox $i of a hill saw the shape of a cloud over the lake $i"
+      def de(i: Int) = s"der hund $i und das haus und der baum das licht und der weg $i"
+      val rows = (1 to 5).map(i => (i.toLong, en(i) * 3, "en", "srcX", (en(i) * 3).length.toLong)) ++
+        (6 to 10).map(i => (i.toLong, de(i) * 3, "de", "srcX", (de(i) * 3).length.toLong))
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$bilingual/documents.parquet")
+    }
+    spark.conf.set("spark.graft.corpus.curateLang", "de")
+    spark.conf.set("spark.graft.corpus.curateMinQuality", "0.0")
+    try {
+      val de = CorpusOps.curate(spark, bilingual)
+      assert(de.filter(col("pred_lang") =!= "de").count() == 0)
+      assert(de.count() > 0, "de-curation empty — knob not applied or fixture degenerate")
+      assert(de.select("doc_id").collect().map(_.getLong(0)).forall(_ >= 6L),
+        "an english doc slipped through the de policy")
+    } finally {
+      spark.conf.unset("spark.graft.corpus.curateLang")
+      spark.conf.unset("spark.graft.corpus.curateMinQuality")
+      graft.operators.Dedup.clearSharedCache()
+    }
+    // IVF cell-count knob: k=4 assignment must produce ≤ 4 distinct cells,
+    // and the k-tagged cache must NOT serve the k=16 assignment
+    spark.conf.set("spark.graft.dedup.ivfCells", "4")
+    try {
+      val cells4 = Similarity.ivfDedup(spark, sfDir).select("cell").distinct().collect()
+        .map(_.getInt(0)).toSet
+      assert(cells4.nonEmpty && cells4.forall(c => c >= 0 && c < 4),
+        s"k=4 pairing produced cells $cells4 — stale k=16 assignment served?")
+    } finally {
+      spark.conf.unset("spark.graft.dedup.ivfCells")
+      graft.operators.Dedup.clearSharedCache()
+    }
+    // boilerplate threshold knob: raising df above the planted shingle's
+    // frequency must empty the cut set
+    val dir = java.nio.file.Files.createTempDirectory("graft_boiler_knob").toString
+    import spark.implicits._
+    (1 to 6).map(i => (i.toLong, s"u$i v$i aaa bbb ccc w$i x$i y$i", "en", "srcX", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.conf.set("spark.graft.text.boilerplateDf", "7")
+    try assert(CorpusOps.boilerplate(spark, dir).count() == 0,
+      "df=7 threshold must spare the df=6 shingle")
+    finally spark.conf.unset("spark.graft.text.boilerplateDf")
+  }
+
   test("lm_bigram: conditional likelihoods are log-probabilities over every bigram position") {
     val lm = TextAnalysis.lmBigram(spark, sfDir)
     // ln p ≤ 0 always (a deterministic bigram scores exactly 0)
