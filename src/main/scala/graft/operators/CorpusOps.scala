@@ -787,8 +787,10 @@ object CorpusOps {
     // configuration (the knob convention — tunables change outputs, so
     // non-default settings are exercised by specs, not the oracle gate)
     val keepLang = s.conf.get("spark.graft.corpus.curateLang", "en")
-    val minQuality = s.conf.get("spark.graft.corpus.curateMinQuality", "0.5").toDouble
     require(keepLang.nonEmpty, "curateLang must be non-empty")
+    val minQuality = s.conf.get("spark.graft.corpus.curateMinQuality", "0.5").toDouble
+    // NaN would make the >= filter silently reject EVERY document
+    require(!minQuality.isNaN, s"curateMinQuality must be a number, got NaN")
     val survivors = Dedup.corpusDedupNg(s, dir).select(col("doc_id"), col("n_chars"))
     val lang = TextAnalysis.langid(s, dir).select(col("doc_id"), col("pred_lang"))
     val quality = TextAnalysis.quality(s, dir).select(col("doc_id"), col("quality_score"))

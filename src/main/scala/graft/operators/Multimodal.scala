@@ -57,8 +57,10 @@ object Multimodal {
     val media: Dataset[MediaIn] = Tables
       .documents(s, dir)
       // a row with no payload has nothing to decode: DROP it rather than
-      // NPE the whole job on one bad crawl row (dq_profile is where
-      // missing-media rows get counted; the oracle filters identically)
+      // NPE the whole job on one bad crawl row (the oracle filters
+      // identically; callers can count the dropped rows as
+      // input.count − output.count — no profile operator counts
+      // missing-media specifically)
       .filter(col("text").isNotNull)
       .select(
         col("doc_id"),

@@ -592,7 +592,11 @@ object Windows {
     * scan-linear. Lower-median (no interpolation) keeps both engines
     * integer-exact; DuckDB replays it with the same sorted-list
     * expression rather than its native `median()` (which interpolates
-    * on even counts). */
+    * on even counts). NULL values are "no observation" in BOTH engines:
+    * Spark's collect_list drops them natively, the oracle list_filters
+    * them explicitly (DuckDB's LIST keeps NULLs — the asymmetry would
+    * otherwise shift the median index), and a window of only-NULLs
+    * yields a NULL median (guarded — element_at(…, 0) would throw). */
   def rollingMedian(s: SparkSession, dir: String): DataFrame = {
     val w = Window
       .partitionBy("user_id")
@@ -607,7 +611,9 @@ object Windows {
         col("user_id"),
         col("ts_us"),
         (col("c") / 100.0).as("value"),
-        (element_at(col("win"), ((size(col("win")) + 1) / 2).cast("int")) / 100.0)
+        when(
+          size(col("win")) > 0,
+          element_at(col("win"), ((size(col("win")) + 1) / 2).cast("int")) / 100.0)
           .as("rolling_median"))
       .orderBy("user_id", "ts_us", "event_id")
   }
@@ -619,12 +625,15 @@ object Windows {
          FROM events),
        win AS (
          SELECT event_id, user_id, ts_us, c,
-                list_sort(LIST(c) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                        ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)) AS w
+                list_sort(list_filter(
+                  LIST(c) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS BETWEEN 20 PRECEDING AND CURRENT ROW),
+                  x -> x IS NOT NULL)) AS w
          FROM e)
        SELECT event_id, user_id, ts_us,
               c / 100.0 AS value,
-              w[CAST((len(w) + 1) // 2 AS INT)] / 100.0 AS rolling_median
+              CASE WHEN len(w) > 0
+                   THEN w[CAST((len(w) + 1) // 2 AS INT)] / 100.0 END AS rolling_median
        FROM win
        ORDER BY user_id, ts_us, event_id"""
 

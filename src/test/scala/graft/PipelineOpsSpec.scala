@@ -563,6 +563,21 @@ class PipelineOpsSpec extends GraftSpecBase {
           s"window median mismatch at row $idx of user ${r.getLong(1)}")
       }
     }
+    // NULL value = no observation, identically in both engines: the NULL
+    // row still appears, its median drawn from the non-null neighbors
+    val dir = java.nio.file.Files.createTempDirectory("graft_rm_null").toString
+    import spark.implicits._
+    val ns = 1000000000L
+    Seq(
+      (1L, 3600L * ns, 9L, "view", Option(1.0), ""),
+      (2L, 7200L * ns, 9L, "view", Option.empty[Double], ""),
+      (3L, 10800L * ns, 9L, "view", Option(3.0), ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Windows.rollingMedian(spark, dir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out(1L).contains(1.0) && out(2L).contains(1.0) && out(3L).contains(1.0),
+      s"NULL-value window handling diverged: $out") // lower median of {1.0, 3.0} = 1.0
   }
 
   test("conversion_time bands partition the converted-user set exactly") {
