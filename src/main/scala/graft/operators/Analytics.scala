@@ -75,6 +75,38 @@ object Analytics {
        GROUP BY CUBE (c_mktsegment, o_orderstatus)
        ORDER BY mktsegment, orderstatus"""
 
+  /** Explicit GROUPING SETS — the third grouping variant beside
+    * [[rollup]] and [[cube]]: exactly the (per-segment), (per-status),
+    * and grand-total aggregates in ONE shuffle, without cube's unwanted
+    * (segment × status) cross cells. The shape reports actually want
+    * ("totals by each dimension independently") — computing it as three
+    * separate groupBys would scan the fact join three times. Uses the
+    * SQL front door (GROUPING SETS has no DataFrame-API verb), same
+    * exact-cents discipline as the siblings; the cent sum divides by a
+    * DOUBLE (Spark parses a bare `100.0` literal as DECIMAL, which would
+    * dtype-drift from DuckDB's float64). */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_gs")
+    s.sql("""
+      SELECT COALESCE(c_mktsegment, '<all>') AS mktsegment,
+             COALESCE(o_orderstatus, '<all>') AS orderstatus,
+             COUNT(*) AS n_orders,
+             SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS total_price
+      FROM orders_gs JOIN customer_gs ON o_custkey = c_custkey
+      GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+      ORDER BY mktsegment, orderstatus""")
+  }
+
+  val groupingSetsSql: String =
+    """SELECT COALESCE(c_mktsegment, '<all>') AS mktsegment,
+              COALESCE(o_orderstatus, '<all>') AS orderstatus,
+              COUNT(*) AS n_orders,
+              SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+       ORDER BY mktsegment, orderstatus"""
+
   /** Pivot: event counts per user across the five event types. The value
     * list is explicit — the implicit form needs a distinct pre-scan, a
     * whole extra pass over the fact table at scale. The oracle is the
@@ -352,6 +384,7 @@ object Analytics {
     "catalog_counts" -> (catalogCounts _),
     "dq_profile" -> (dqProfile _),
     "agg_cube" -> (cube _),
+    "agg_grouping_sets" -> (groupingSets _),
     "agg_rollup" -> (rollup _),
     "agg_pivot" -> (pivot _),
     "set_ops" -> (setOps _),
@@ -365,6 +398,7 @@ object Analytics {
     "catalog_counts" -> catalogCountsSql,
     "dq_profile" -> dqProfileSql,
     "agg_cube" -> cubeSql,
+    "agg_grouping_sets" -> groupingSetsSql,
     "agg_rollup" -> rollupSql,
     "agg_pivot" -> pivotSql,
     "set_ops" -> setOpsSql,

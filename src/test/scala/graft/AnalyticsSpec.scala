@@ -19,6 +19,21 @@ class AnalyticsSpec extends GraftSpecBase {
     assert(total == spark.read.parquet(s"$sfDir/customer.parquet").count())
   }
 
+  test("grouping sets: exactly the two 1-dim slices + grand total, no cross cells") {
+    val gs = Analytics.groupingSets(spark, sfDir).collect()
+    // every row has at least one '<all>' — the (segment × status) cross
+    // cells cube would add are absent by construction
+    assert(gs.forall(r => r.getString(0) == "<all>" || r.getString(1) == "<all>"))
+    val grand = gs.filter(r => r.getString(0) == "<all>" && r.getString(1) == "<all>")
+    assert(grand.length == 1)
+    val total = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(grand(0).getAs[Long]("n_orders") == total)
+    // each 1-dim slice partitions the same order population
+    val bySeg = gs.filter(r => r.getString(0) != "<all>").map(_.getAs[Long]("n_orders")).sum
+    val byStat = gs.filter(r => r.getString(1) != "<all>").map(_.getAs[Long]("n_orders")).sum
+    assert(bySeg == total && byStat == total)
+  }
+
   test("pivot rows sum to total event count") {
     val p = Analytics.pivot(spark, sfDir)
     val summed = p
