@@ -107,6 +107,79 @@ object Analytics {
        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
        ORDER BY mktsegment, orderstatus"""
 
+  /** Higher-moment distribution profile per market segment: population
+    * skewness and excess kurtosis of order price, derived from EXACT
+    * integer power sums — the [[graft.operators.Windows!.anomaly]]
+    * discipline lifted to 3rd/4th order. Price is quantized to whole
+    * thousands (v ≤ ~500 at any SF, so the per-row v⁴ fits a BIGINT) and
+    * Σv..Σv⁴ accumulate in DECIMAL(38,0) (DuckDB sums BIGINT to HUGEINT)
+    * — both engines carry the sums exactly, convert the same integers to
+    * DOUBLE, and evaluate structurally identical float expressions, so
+    * skew/kurt agree bit-for-bit before the 4-dp display round.
+    *
+    * Scale shape: ONE groupBy on a 5-value key with map-side partial
+    * aggregation — the shuffle moves 5×(n,s1..s4) tuples no matter the
+    * corpus size; decimal accumulators can't overflow until ~1e27 rows. */
+  def moments(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val v = floor(col("o_totalprice") / 1000).cast("long")
+    val dec = (e: org.apache.spark.sql.Column) => e.cast("decimal(38,0)")
+    val agg = o.join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("mktsegment"), v.as("v"))
+      .groupBy("mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("v"))).as("s1"),
+        sum(dec(col("v") * col("v"))).as("s2"),
+        sum(dec(col("v") * col("v") * col("v"))).as("s3"),
+        sum(dec(col("v") * col("v") * col("v") * col("v"))).as("s4"))
+    val n = col("n_orders")
+    val m1 = col("s1").cast("double") / n
+    val r2 = col("s2").cast("double") / n
+    val r3 = col("s3").cast("double") / n
+    val r4 = col("s4").cast("double") / n
+    val m2 = r2 - m1 * m1
+    val m3 = r3 - lit(3) * m1 * r2 + lit(2) * m1 * m1 * m1
+    val m4 = r4 - lit(4) * m1 * r3 + lit(6) * m1 * m1 * r2 -
+      lit(3) * m1 * m1 * m1 * m1
+    agg.select(
+      col("mktsegment"),
+      n,
+      round(m1, 4).as("mean_k"),
+      round(m2, 4).as("var_k"),
+      round(m3 / pow(m2, 1.5), 4).as("skewness"),
+      round(m4 / (m2 * m2) - lit(3), 4).as("kurtosis"))
+      .orderBy("mktsegment")
+  }
+
+  val momentsSql: String =
+    """WITH v AS (
+         SELECT c_mktsegment AS mktsegment,
+                CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS v
+         FROM orders JOIN customer ON o_custkey = c_custkey),
+       m AS (
+         SELECT mktsegment, COUNT(*) AS n_orders,
+                SUM(v) AS s1, SUM(v*v) AS s2,
+                SUM(v*v*v) AS s3, SUM(v*v*v*v) AS s4
+         FROM v GROUP BY mktsegment),
+       d AS (
+         SELECT mktsegment, n_orders,
+                CAST(s1 AS DOUBLE) / n_orders AS m1,
+                CAST(s2 AS DOUBLE) / n_orders AS r2,
+                CAST(s3 AS DOUBLE) / n_orders AS r3,
+                CAST(s4 AS DOUBLE) / n_orders AS r4
+         FROM m)
+       SELECT mktsegment, n_orders,
+              ROUND(m1, 4) AS mean_k,
+              ROUND(r2 - m1*m1, 4) AS var_k,
+              ROUND((r3 - 3*m1*r2 + 2*m1*m1*m1)
+                    / POW(r2 - m1*m1, 1.5), 4) AS skewness,
+              ROUND((r4 - 4*m1*r3 + 6*m1*m1*r2 - 3*m1*m1*m1*m1)
+                    / ((r2 - m1*m1) * (r2 - m1*m1)) - 3, 4) AS kurtosis
+       FROM d
+       ORDER BY mktsegment"""
+
   /** Pivot: event counts per user across the five event types. The value
     * list is explicit — the implicit form needs a distinct pre-scan, a
     * whole extra pass over the fact table at scale. The oracle is the
@@ -385,6 +458,7 @@ object Analytics {
     "dq_profile" -> (dqProfile _),
     "agg_cube" -> (cube _),
     "agg_grouping_sets" -> (groupingSets _),
+    "agg_moments" -> (moments _),
     "agg_rollup" -> (rollup _),
     "agg_pivot" -> (pivot _),
     "set_ops" -> (setOps _),
@@ -399,6 +473,7 @@ object Analytics {
     "dq_profile" -> dqProfileSql,
     "agg_cube" -> cubeSql,
     "agg_grouping_sets" -> groupingSetsSql,
+    "agg_moments" -> momentsSql,
     "agg_rollup" -> rollupSql,
     "agg_pivot" -> pivotSql,
     "set_ops" -> setOpsSql,

@@ -358,6 +358,50 @@ object Relational {
        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
        ORDER BY c_custkey"""
 
+  /** Full-outer reconciliation — the one join type the inventory lacked a
+    * query for: per-nation "rich customer" vs "rich supplier" counts,
+    * keeping nations present on EITHER side (at sf0.01 the two filtered
+    * sides cover 13 and 12 of 25 nations with only partial overlap, so
+    * both NULL directions are genuinely exercised).
+    *
+    * Scale shape: both inputs are pre-aggregated to |nations| rows BEFORE
+    * the full-outer join — the join sees key-sized frames, never facts
+    * (a full outer cannot broadcast since both sides are preserved, so
+    * shrinking its inputs first is the whole game at 100 TB); the nation
+    * dim then broadcasts onto the coalesced key. */
+  def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 9900.0)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_rich_cust"))
+    val p = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") > 8000.0)
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n_rich_supp"))
+    val n = Tables.nation(s, dir)
+    c.join(p, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .withColumn("k", coalesce(col("c_nationkey"), col("s_nationkey")))
+      .join(broadcast(n), col("k") === col("n_nationkey"))
+      .select(
+        col("n_name").as("nation"),
+        coalesce(col("n_rich_cust"), lit(0L)).as("n_rich_cust"),
+        coalesce(col("n_rich_supp"), lit(0L)).as("n_rich_supp"),
+        (coalesce(col("n_rich_cust"), lit(0L)) -
+          coalesce(col("n_rich_supp"), lit(0L))).as("gap"))
+      .orderBy("nation")
+  }
+
+  val joinFullOuterSql: String =
+    """WITH c AS (SELECT c_nationkey AS k, COUNT(*) AS n_rich_cust
+                  FROM customer WHERE c_acctbal > 9900.0 GROUP BY 1),
+            s AS (SELECT s_nationkey AS k, COUNT(*) AS n_rich_supp
+                  FROM supplier WHERE s_acctbal > 8000.0 GROUP BY 1)
+       SELECT n_name AS nation,
+              COALESCE(n_rich_cust, 0) AS n_rich_cust,
+              COALESCE(n_rich_supp, 0) AS n_rich_supp,
+              COALESCE(n_rich_cust, 0) - COALESCE(n_rich_supp, 0) AS gap
+       FROM c FULL OUTER JOIN s ON c.k = s.k
+       JOIN nation ON COALESCE(c.k, s.k) = n_nationkey
+       ORDER BY nation"""
+
   /** TPC-H-Q18-style "large volume customers": orders whose total lineitem
     * quantity exceeds a threshold, with their customer. The HAVING-filtered
     * aggregate runs FIRST (one shuffle on orderkey, map-side partial sums),
@@ -465,7 +509,8 @@ object Relational {
     "q1_agg" -> (q1Agg _),
     "q5_join_revenue" -> (q5JoinRevenue _),
     "join_semi" -> (joinSemi _),
-    "join_anti" -> (joinAnti _))
+    "join_anti" -> (joinAnti _),
+    "join_full_outer" -> (joinFullOuter _))
 
   val oracles: Map[String, String] = Map(
     "q_ship_latency" -> qShipLatencySql,
@@ -480,5 +525,6 @@ object Relational {
     "q1_agg" -> q1AggSql,
     "q5_join_revenue" -> q5JoinRevenueSql,
     "join_semi" -> joinSemiSql,
-    "join_anti" -> joinAntiSql)
+    "join_anti" -> joinAntiSql,
+    "join_full_outer" -> joinFullOuterSql)
 }

@@ -107,6 +107,62 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Per-user session rollup — the composition payoff of [[sessionize]]:
+    * sessions → (events, span) per session → per-user counts and means.
+    * Means are exact-integer ratios (event counts and µs spans summed as
+    * longs, ONE double division at the end) so both engines agree to the
+    * bit before the 4-dp round.
+    *
+    * Scale shape: the session assignment is user-partitioned windows
+    * (sessionize's own shape), then two groupBys that only ever shrink —
+    * (user, session) then user — each with map-side partial aggregation
+    * on the same user-keyed distribution; nothing global, no
+    * unpartitioned sort. */
+  def sessionStats(s: SparkSession, dir: String): DataFrame = {
+    val sess = sessionize(s, dir) // final orderBy collapses under the agg
+    val perSession = sess
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_ev"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("span_us"))
+    perSession
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).as("n_events"),
+        round(sum(col("n_ev")).cast("double") / count(lit(1)), 4)
+          .as("avg_session_events"),
+        round(
+          sum(col("span_us")).cast("double") / count(lit(1)) /
+            lit(1000000).cast("double"),
+          4).as("avg_session_secs"))
+      .orderBy("user_id")
+  }
+
+  val sessionStatsSql: String =
+    """WITH g AS (
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                     > 1800000000 THEN 1 ELSE 0 END AS new_session
+         FROM events),
+       sess AS (
+         SELECT user_id, ts_us,
+                CAST(SUM(new_session) OVER
+                  (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_id
+         FROM g),
+       per_session AS (
+         SELECT user_id, session_id, COUNT(*) AS n_ev,
+                MAX(ts_us) - MIN(ts_us) AS span_us
+         FROM sess GROUP BY user_id, session_id)
+       SELECT user_id, COUNT(*) AS n_sessions,
+              CAST(SUM(n_ev) AS BIGINT) AS n_events,
+              ROUND(CAST(SUM(n_ev) AS DOUBLE) / COUNT(*), 4) AS avg_session_events,
+              ROUND(CAST(SUM(span_us) AS DOUBLE) / COUNT(*)
+                    / CAST(1000000 AS DOUBLE), 4) AS avg_session_secs
+       FROM per_session GROUP BY user_id
+       ORDER BY user_id"""
+
   val sessionizeSql: String =
     """WITH g AS (
          SELECT event_id, user_id, epoch_us(ts) AS ts_us,
@@ -758,6 +814,7 @@ object Windows {
     "win_hourly" -> (hourly _),
     "win_moving_avg" -> (movingAvg _),
     "win_sessionize" -> (sessionize _),
+    "win_session_stats" -> (sessionStats _),
     "win_topk" -> (topkPerType _),
     "win_cumsum" -> (cumsum _),
     "asof_join" -> (asofJoin _))
@@ -776,6 +833,7 @@ object Windows {
     "win_hourly" -> hourlySql,
     "win_moving_avg" -> movingAvgSql,
     "win_sessionize" -> sessionizeSql,
+    "win_session_stats" -> sessionStatsSql,
     "win_topk" -> topkPerTypeSql,
     "win_cumsum" -> cumsumSql,
     "asof_join" -> asofJoinSql)

@@ -34,6 +34,30 @@ class AnalyticsSpec extends GraftSpecBase {
     assert(bySeg == total && byStat == total)
   }
 
+  test("moments match a brute-force population skew/kurtosis per segment") {
+    val got = Analytics.moments(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .join(
+        spark.read.parquet(s"$sfDir/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), floor(col("o_totalprice") / 1000).cast("long").as("v"))
+      .collect()
+      .groupBy(_.getString(0))
+    for ((seg, rs) <- rows) {
+      val vs = rs.map(_.getAs[Long]("v").toDouble)
+      val n = vs.length.toDouble
+      val m1 = vs.sum / n
+      val m2 = vs.map(x => (x - m1) * (x - m1)).sum / n
+      val m3 = vs.map(x => math.pow(x - m1, 3)).sum / n
+      val m4 = vs.map(x => math.pow(x - m1, 4)).sum / n
+      val row = got(seg)
+      assert(row.getAs[Long]("n_orders") == rs.length.toLong)
+      assert(math.abs(row.getAs[Double]("skewness") - m3 / math.pow(m2, 1.5)) < 2e-4, seg)
+      assert(math.abs(row.getAs[Double]("kurtosis") - (m4 / (m2 * m2) - 3)) < 2e-4, seg)
+    }
+  }
+
   test("pivot rows sum to total event count") {
     val p = Analytics.pivot(spark, sfDir)
     val summed = p

@@ -47,6 +47,21 @@ class RelationalSpec extends GraftSpecBase {
     assert(semi <= c && semi > 0)
   }
 
+  test("full-outer reconcile keeps union of both sides, gap arithmetic exact") {
+    val r = Relational.joinFullOuter(spark, sfDir).collect()
+    // direct recompute of each side
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_acctbal") > 9900.0).count()
+    val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .filter(col("s_acctbal") > 8000.0).count()
+    assert(r.map(_.getAs[Long]("n_rich_cust")).sum == cust)
+    assert(r.map(_.getAs[Long]("n_rich_supp")).sum == supp)
+    // no row exists with BOTH sides absent, and gap is exactly the difference
+    assert(r.forall(row => row.getAs[Long]("n_rich_cust") > 0 || row.getAs[Long]("n_rich_supp") > 0))
+    assert(r.forall(row =>
+      row.getAs[Long]("gap") == row.getAs[Long]("n_rich_cust") - row.getAs[Long]("n_rich_supp")))
+  }
+
   test("broadcast hint survives into the physical plan of q5_join_revenue") {
     val plan = Relational
       .q5JoinRevenue(spark, sfDir)

@@ -21,6 +21,23 @@ class WindowsSpec extends GraftSpecBase {
     assert(bad == 0)
   }
 
+  test("session stats fold the sessionizer exactly: events conserved, means consistent") {
+    val stats = Windows.sessionStats(spark, sfDir).collect()
+    val totalEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(stats.map(_.getAs[Long]("n_events")).sum == totalEvents)
+    // per-user session count equals the sessionizer's max session id + 1
+    val maxSess = Windows.sessionize(spark, sfDir)
+      .groupBy("user_id").agg(max("session_id").as("m")).collect()
+      .map(r => r.getAs[Long]("user_id") -> (r.getAs[Long]("m") + 1)).toMap
+    assert(stats.forall(r => r.getAs[Long]("n_sessions") == maxSess(r.getAs[Long]("user_id"))))
+    // the rounded mean is the exact ratio re-rounded
+    assert(stats.forall { r =>
+      val expect = BigDecimal(r.getAs[Long]("n_events").toDouble / r.getAs[Long]("n_sessions"))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      r.getAs[Double]("avg_session_events") == expect
+    })
+  }
+
   test("topk returns at most 3 rows per event_type") {
     val over = Windows
       .topkPerType(spark, sfDir)
