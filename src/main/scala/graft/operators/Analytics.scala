@@ -180,6 +180,68 @@ object Analytics {
        FROM d
        ORDER BY mktsegment"""
 
+  /** Market-basket co-occurrence: the top-20 part pairs most often
+    * ordered together, with exact support counts and lift. The
+    * association-mining shape feature pipelines run over carts, play
+    * histories, co-citations.
+    *
+    * Scale shape: the self-join is key-equality on orderkey AFTER a
+    * distinct (orderkey, partkey) projection, so per-order fanout is
+    * bounded by basket size (≤ 13 items here → ≤ 78 pairs; C(b,2) of a
+    * bounded b at any corpus size) — pair volume stays linear in orders,
+    * never O(parts²). The top-20 cut happens BEFORE the lift joins
+    * (aggregate-then-join): only 20 rows ever meet the per-part counts,
+    * which then broadcast. Lift divides exact integers in a fixed order,
+    * so both engines produce the identical 4-dp value. */
+  def basketPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = base.select(col("ok"), col("pk").as("p1"))
+      .join(base.select(col("ok").as("ok2"), col("pk").as("p2")),
+        col("ok") === col("ok2") && col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_pair"))
+      .orderBy(col("n_pair").desc, col("p1"), col("p2"))
+      .limit(20)
+    val partN = base.groupBy("pk").agg(count(lit(1)).as("n_part"))
+    val totalOrders = base.agg(countDistinct(col("ok")).as("n_orders"))
+    // the 20-row cut is the broadcast side — part counts are
+    // catalog-sized at scale and stream past it
+    val withP1 = partN.select(col("pk").as("p1"), col("n_part").as("n_p1"))
+      .join(broadcast(pairs), "p1")
+    val withP2 = partN.select(col("pk").as("p2"), col("n_part").as("n_p2"))
+      .join(broadcast(withP1), "p2")
+    withP2
+      .crossJoin(broadcast(totalOrders))
+      .select(
+        col("p1"), col("p2"), col("n_pair"), col("n_p1"), col("n_p2"),
+        round(
+          col("n_pair").cast("double") * col("n_orders") / col("n_p1") / col("n_p2"),
+          4).as("lift"))
+      .orderBy(col("n_pair").desc, col("p1"), col("p2"))
+  }
+
+  val basketPairsSql: String =
+    """WITH base AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       pairs AS (
+         SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS n_pair
+         FROM base a JOIN base b ON a.ok = b.ok AND a.pk < b.pk
+         GROUP BY 1, 2
+         ORDER BY n_pair DESC, p1, p2
+         LIMIT 20),
+       part_n AS (SELECT pk, COUNT(*) AS n_part FROM base GROUP BY 1),
+       total AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM base)
+       SELECT p1, p2, n_pair,
+              c1.n_part AS n_p1, c2.n_part AS n_p2,
+              ROUND(CAST(n_pair AS DOUBLE) * n_orders / c1.n_part / c2.n_part, 4) AS lift
+       FROM pairs
+       JOIN part_n c1 ON p1 = c1.pk
+       JOIN part_n c2 ON p2 = c2.pk
+       CROSS JOIN total
+       ORDER BY n_pair DESC, p1, p2"""
+
   /** Pivot: event counts per user across the five event types. The value
     * list is explicit — the implicit form needs a distinct pre-scan, a
     * whole extra pass over the fact table at scale. The oracle is the
@@ -459,6 +521,7 @@ object Analytics {
     "agg_cube" -> (cube _),
     "agg_grouping_sets" -> (groupingSets _),
     "agg_moments" -> (moments _),
+    "basket_pairs" -> (basketPairs _),
     "agg_rollup" -> (rollup _),
     "agg_pivot" -> (pivot _),
     "set_ops" -> (setOps _),
@@ -474,6 +537,7 @@ object Analytics {
     "agg_cube" -> cubeSql,
     "agg_grouping_sets" -> groupingSetsSql,
     "agg_moments" -> momentsSql,
+    "basket_pairs" -> basketPairsSql,
     "agg_rollup" -> rollupSql,
     "agg_pivot" -> pivotSql,
     "set_ops" -> setOpsSql,

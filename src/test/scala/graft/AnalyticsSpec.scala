@@ -58,6 +58,24 @@ class AnalyticsSpec extends GraftSpecBase {
     }
   }
 
+  test("basket pairs: support recomputes directly, lift is the exact ratio") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = li.select(countDistinct("ok")).collect()(0).getLong(0)
+    val rows = Analytics.basketPairs(spark, sfDir).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    for (r <- rows.take(3)) {
+      val (p1, p2) = (r.getAs[Long]("p1"), r.getAs[Long]("p2"))
+      val direct = li.filter(col("pk") === p1).select("ok")
+        .intersect(li.filter(col("pk") === p2).select("ok")).count()
+      assert(r.getAs[Long]("n_pair") == direct, s"pair ($p1,$p2)")
+      val expect = BigDecimal(
+        r.getAs[Long]("n_pair").toDouble * nOrders / r.getAs[Long]("n_p1") / r.getAs[Long]("n_p2"))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("lift") == expect)
+    }
+  }
+
   test("pivot rows sum to total event count") {
     val p = Analytics.pivot(spark, sfDir)
     val summed = p

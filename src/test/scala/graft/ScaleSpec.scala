@@ -453,6 +453,27 @@ class ScaleSpec extends GraftSpecBase {
       s"global sort in search plan:\n$plan")
   }
 
+  test("basket_pairs: top-20 via TakeOrdered, lift joins broadcast the 20-row cut") {
+    val plan = graft.operators.Analytics.basketPairs(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected partial top-k cut:\n$plan")
+    // both lift joins must broadcast (the cut side) — a part-count
+    // shuffle join would move catalog-sized frames for a 20-row answer
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, s"lift joins not broadcast:\n$plan")
+  }
+
+  test("agg_moments: partial aggregation below the exchange (one 5-key shuffle)") {
+    val plan = graft.operators.Analytics.moments(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    // the power sums must combine map-side: a partial-mode aggregate
+    // appears below the single hash exchange on mktsegment
+    assert("partial_sum".r.findFirstIn(plan).isDefined ||
+      "partial".r.findFirstIn(plan).isDefined, s"no map-side partial agg:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"moments should shuffle the join + one agg only:\n$plan")
+  }
+
   test("emb_quantize is a narrow map: zero hash exchanges, one scan") {
     val plan =
       graft.operators.Similarity.embQuantize(spark, sfDir).queryExecution.executedPlan.toString
