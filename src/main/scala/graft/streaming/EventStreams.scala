@@ -47,6 +47,26 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming heavy hitters — the incremental twin of
+    * [[graft.operators.TextAnalysis.heavyHitters]]: a complete-mode word
+    * census over the streamed corpus, re-ranked every trigger. State is
+    * the per-word count map — bounded by VOCABULARY size (Zipfian:
+    * grows ~√corpus, not linearly with stream length) and each trigger's
+    * update touches only the words that arrived. Sort + limit is legal
+    * under complete output mode, and the cut uses the identical
+    * (n DESC, word) order as the batch query, so on a full replay the
+    * final table is row-identical to batch — spec-pinned. The live
+    * "what's trending in this crawl" counter beside [[driftMonitor]]'s
+    * language census. */
+  def heavyHitters(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+
   /** Stream-stream interval join — the incremental twin of
     * [[graft.operators.Windows.rangeJoin]]: pair each event with same-user
     * events up to 5 minutes later. Watermarks on BOTH sides plus the time

@@ -109,6 +109,29 @@ class StreamingSpec extends GraftSpecBase {
       s"restart lost or re-admitted state: kept=$kept (want 1, 2, 5)")
   }
 
+  test("streaming heavy hitters equals batch top-20 after full replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    // two batches: the complete-mode state must carry counts across triggers
+    val (a, b) = docs.splitAt(docs.length / 2)
+    input.addData(a)
+    val streamDf = input.toDF().toDF("doc_id", "text")
+    val q = EventStreams.heavyHitters(streamDf)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    input.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hh_out").collect().map(_.toSeq).toSeq
+    val batch = graft.operators.TextAnalysis.heavyHitters(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch, "final complete-mode table must be row-identical to batch")
+  }
+
   test("foreachBatch parquet sink persists the streamed aggregate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
