@@ -367,6 +367,55 @@ object Analytics {
        GROUP BY 1, 2
        ORDER BY o_year, o_quarter"""
 
+  /** Trend analysis over the calendar series: quarter-over-quarter and
+    * year-over-year revenue ratios via LAG — the dashboard "growth"
+    * panel. Ratios divide the exact cent sums (one double division,
+    * 4-dp round); the leading quarters carry NULL, matching SQL LAG.
+    *
+    * Scale shape: the aggregate-before-window discipline — the lag
+    * window is unpartitioned but runs over the ALREADY-AGGREGATED
+    * per-quarter frame, whose size is bounded by the calendar span
+    * (dozens of rows at any corpus size), never the fact table. LAG(4)
+    * as YoY assumes a dense quarter series (every quarter has orders —
+    * true of any revenue corpus; for sparse series compose
+    * [[graft.operators.Windows!.gapfill]] first). */
+  def dateGrowth(s: SparkSession, dir: String): DataFrame = {
+    val od = col("o_orderdate").cast("timestamp")
+    val q = Tables
+      .orders(s, dir)
+      .groupBy(year(od).as("o_year"), quarter(od).as("o_quarter"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("o_year", "o_quarter")
+    q.select(
+      col("o_year"),
+      col("o_quarter"),
+      col("n_orders"),
+      (col("total_cents") / 100.0).as("total_price"),
+      round(col("total_cents").cast("double") / lag(col("total_cents"), 1).over(w), 4)
+        .as("qoq_ratio"),
+      round(col("total_cents").cast("double") / lag(col("total_cents"), 4).over(w), 4)
+        .as("yoy_ratio"))
+      .orderBy("o_year", "o_quarter")
+  }
+
+  val dateGrowthSql: String =
+    """WITH q AS (
+         SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                CAST(QUARTER(o_orderdate) AS INT) AS o_quarter,
+                COUNT(*) AS n_orders,
+                SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS total_cents
+         FROM orders GROUP BY 1, 2)
+       SELECT o_year, o_quarter, n_orders,
+              total_cents / 100.0 AS total_price,
+              ROUND(CAST(total_cents AS DOUBLE) /
+                    LAG(total_cents, 1) OVER (ORDER BY o_year, o_quarter), 4) AS qoq_ratio,
+              ROUND(CAST(total_cents AS DOUBLE) /
+                    LAG(total_cents, 4) OVER (ORDER BY o_year, o_quarter), 4) AS yoy_ratio
+       FROM q
+       ORDER BY o_year, o_quarter"""
+
   /** String-function coverage over part names: case mapping, substring,
     * first-token regex extraction, padded composite keys. */
   def strings(s: SparkSession, dir: String): DataFrame =
@@ -528,6 +577,7 @@ object Analytics {
     "agg_histogram" -> (histogram _),
     "agg_percentiles" -> (percentiles _),
     "date_agg" -> (dates _),
+    "date_growth" -> (dateGrowth _),
     "string_funcs" -> (strings _),
     "dash_metrics" -> (dashMetrics _))
 
@@ -544,6 +594,7 @@ object Analytics {
     "agg_histogram" -> histogramSql,
     "agg_percentiles" -> percentilesSql,
     "date_agg" -> datesSql,
+    "date_growth" -> dateGrowthSql,
     "string_funcs" -> stringsSql,
     "dash_metrics" -> dashMetricsSql)
 }

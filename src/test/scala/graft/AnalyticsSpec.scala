@@ -58,6 +58,25 @@ class AnalyticsSpec extends GraftSpecBase {
     }
   }
 
+  test("date growth: ratios are the exact lagged-cents quotients, leading rows NULL") {
+    val rows = Analytics.dateGrowth(spark, sfDir).collect()
+    assert(rows.head.isNullAt(rows.head.fieldIndex("qoq_ratio")), "first quarter has no QoQ")
+    assert(rows.take(4).forall(_.isNullAt(rows.head.fieldIndex("yoy_ratio"))),
+      "first four quarters have no YoY")
+    // recompute from the visible exact-cents series
+    val cents = rows.map(r => math.round(r.getAs[Double]("total_price") * 100))
+    for (i <- 1 until rows.length) {
+      val expect = BigDecimal(cents(i).toDouble / cents(i - 1))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rows(i).getAs[Double]("qoq_ratio") == expect, s"row $i")
+    }
+    for (i <- 4 until rows.length) {
+      val expect = BigDecimal(cents(i).toDouble / cents(i - 4))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rows(i).getAs[Double]("yoy_ratio") == expect, s"row $i")
+    }
+  }
+
   test("basket pairs: support recomputes directly, lift is the exact ratio") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
