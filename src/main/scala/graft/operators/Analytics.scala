@@ -148,7 +148,9 @@ object Analytics {
       n,
       round(m1, 4).as("mean_k"),
       round(m2, 4).as("var_k"),
-      round(m3 / pow(m2, 1.5), 4).as("skewness"),
+      // m2^1.5 as m2·√m2: sqrt and multiply are correctly-rounded IEEE
+      // ops, pow is only ~1-ulp — the bit-equality claim needs the former
+      round(m3 / (m2 * sqrt(m2)), 4).as("skewness"),
       round(m4 / (m2 * m2) - lit(3), 4).as("kurtosis"))
       .orderBy("mktsegment")
   }
@@ -174,7 +176,7 @@ object Analytics {
               ROUND(m1, 4) AS mean_k,
               ROUND(r2 - m1*m1, 4) AS var_k,
               ROUND((r3 - 3*m1*r2 + 2*m1*m1*m1)
-                    / POW(r2 - m1*m1, 1.5), 4) AS skewness,
+                    / ((r2 - m1*m1) * SQRT(r2 - m1*m1)), 4) AS skewness,
               ROUND((r4 - 4*m1*r3 + 6*m1*m1*r2 - 3*m1*m1*m1*m1)
                     / ((r2 - m1*m1) * (r2 - m1*m1)) - 3, 4) AS kurtosis
        FROM d
@@ -194,9 +196,15 @@ object Analytics {
     * which then broadcast. Lift divides exact integers in a fixed order,
     * so both engines produce the identical 4-dp value. */
   def basketPairs(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+    // the distinct (order, part) projection feeds FOUR consumers (both
+    // self-join sides, the per-part counts, the order total) — persist it
+    // once via the stamp-keyed cache instead of four fact scans + four
+    // distinct shuffles
+    val base = PipelineCache.cached("basket:base", s, dir, "lineitem.parquet") {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+    }
     val pairs = base.select(col("ok"), col("pk").as("p1"))
       .join(base.select(col("ok").as("ok2"), col("pk").as("p2")),
         col("ok") === col("ok2") && col("p1") < col("p2"))

@@ -473,8 +473,14 @@ object TextAnalysis {
     * TakeOrderedAndProject (per-partition partial top-k, then a merge of
     * 20-row heaps — never a global sort). */
   def heavyHitters(s: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(s, dir)
+    wordCensus(Tables.documents(s, dir))
+
+  /** The word-census pipeline itself, shared verbatim with the streaming
+    * twin ([[graft.streaming.EventStreams.heavyHitters]]) so batch/stream
+    * parity is structural, not just test-pinned: tokenize, drop empties,
+    * count, cut top-20 on the deterministic (n DESC, word) order. */
+  def wordCensus(docs: DataFrame): DataFrame =
+    docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word")

@@ -84,6 +84,26 @@ object Windows {
     * session_id = running count of session starts. The canonical
     * lag-gap + cumulative-sum pattern — two windows over the same
     * (user_id, ts) partitioning, one shuffle total. */
+  /** The session-assignment CTEs shared by [[sessionizeSql]] and
+    * [[sessionStatsSql]] — one copy of the 30-min gap constant, the
+    * strict `>` comparison and the (ts_us, event_id) tie-break, so the
+    * two oracles can never desynchronize (the oracle-side twin of the
+    * Scala composition: [[sessionStats]] calls [[sessionize]]).
+    * Declared ABOVE both consuming vals — object-init order makes a
+    * later-declared constant interpolate as null. */
+  private val sessionCte: String =
+    """g AS (
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                     > 1800000000 THEN 1 ELSE 0 END AS new_session
+         FROM events),
+       sess AS (
+         SELECT event_id, user_id, ts_us,
+                CAST(SUM(new_session) OVER
+                  (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_id
+         FROM g)"""
+
   def sessionize(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     Tables
@@ -140,17 +160,7 @@ object Windows {
   }
 
   val sessionStatsSql: String =
-    """WITH g AS (
-         SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
-                       (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-                     > 1800000000 THEN 1 ELSE 0 END AS new_session
-         FROM events),
-       sess AS (
-         SELECT user_id, ts_us,
-                CAST(SUM(new_session) OVER
-                  (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_id
-         FROM g),
+    s"""WITH $sessionCte,
        per_session AS (
          SELECT user_id, session_id, COUNT(*) AS n_ev,
                 MAX(ts_us) - MIN(ts_us) AS span_us
@@ -164,16 +174,9 @@ object Windows {
        ORDER BY user_id"""
 
   val sessionizeSql: String =
-    """WITH g AS (
-         SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
-                       (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-                     > 1800000000 THEN 1 ELSE 0 END AS new_session
-         FROM events)
-       SELECT event_id, user_id, ts_us,
-              CAST(SUM(new_session) OVER
-                (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_id
-       FROM g
+    s"""WITH $sessionCte
+       SELECT event_id, user_id, ts_us, session_id
+       FROM sess
        ORDER BY event_id"""
 
   /** Top-3 events per type by value (row_number, deterministic tie-break).

@@ -53,19 +53,14 @@ object EventStreams {
     * the per-word count map — bounded by VOCABULARY size (Zipfian:
     * grows ~√corpus, not linearly with stream length) and each trigger's
     * update touches only the words that arrived. Sort + limit is legal
-    * under complete output mode, and the cut uses the identical
-    * (n DESC, word) order as the batch query, so on a full replay the
-    * final table is row-identical to batch — spec-pinned. The live
-    * "what's trending in this crawl" counter beside [[driftMonitor]]'s
-    * language census. */
+    * under complete output mode, and the pipeline IS the batch one —
+    * [[graft.operators.TextAnalysis.wordCensus]] applied to the stream,
+    * the shared-code parity discipline [[driftMonitor]] set — so on a
+    * full replay the final table is row-identical to batch (spec-pinned).
+    * The live "what's trending in this crawl" counter beside
+    * [[driftMonitor]]'s language census. */
   def heavyHitters(docs: DataFrame): DataFrame =
-    docs
-      .select(explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy("word")
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("word"))
-      .limit(20)
+    graft.operators.TextAnalysis.wordCensus(docs)
 
   /** Stream-stream interval join — the incremental twin of
     * [[graft.operators.Windows.rangeJoin]]: pair each event with same-user

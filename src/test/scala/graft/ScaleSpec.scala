@@ -468,8 +468,7 @@ class ScaleSpec extends GraftSpecBase {
     assert(plan.contains("HashAggregate"), plan)
     // the power sums must combine map-side: a partial-mode aggregate
     // appears below the single hash exchange on mktsegment
-    assert("partial_sum".r.findFirstIn(plan).isDefined ||
-      "partial".r.findFirstIn(plan).isDefined, s"no map-side partial agg:\n$plan")
+    assert("partial_sum".r.findFirstIn(plan).isDefined, s"no map-side partial agg:\n$plan")
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
       s"moments should shuffle the join + one agg only:\n$plan")
   }
