@@ -187,33 +187,40 @@ object Analytics {
     * association-mining shape feature pipelines run over carts, play
     * histories, co-citations.
     *
-    * Scale shape: the self-join is key-equality on orderkey AFTER a
-    * distinct (orderkey, partkey) projection, so per-order fanout is
-    * bounded by basket size (≤ 13 items here → ≤ 78 pairs; C(b,2) of a
-    * bounded b at any corpus size) — pair volume stays linear in orders,
-    * never O(parts²). The top-20 cut happens BEFORE the lift joins
+    * Scale shape: NO self-join — each order's distinct part set is
+    * collected into one bounded array (≤ 13 items here; per-group state
+    * is basket-sized at any corpus scale) and the ordered pairs are
+    * generated INSIDE the array by a codegen'd lambda, so pair volume is
+    * C(b,2) of a bounded b per order — linear in orders, never
+    * O(parts²), and one orderkey shuffle replaces the two exchanges a
+    * self-join would plan. The top-20 cut happens BEFORE the lift joins
     * (aggregate-then-join): only 20 rows ever meet the per-part counts,
     * which then broadcast. Lift divides exact integers in a fixed order,
     * so both engines produce the identical 4-dp value. */
   def basketPairs(s: SparkSession, dir: String): DataFrame = {
-    // the distinct (order, part) projection feeds FOUR consumers (both
-    // self-join sides, the per-part counts, the order total) — persist it
-    // once via the stamp-keyed cache instead of four fact scans + four
-    // distinct shuffles
-    val base = PipelineCache.cached("basket:base", s, dir, "lineitem.parquet") {
+    // the per-order item-set frame feeds THREE consumers (pairs, per-part
+    // counts, order total) — persist it once via the stamp-keyed cache
+    val baskets = PipelineCache.cached("basket:items", s, dir, "lineitem.parquet") {
       Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
     }
-    val pairs = base.select(col("ok"), col("pk").as("p1"))
-      .join(base.select(col("ok").as("ok2"), col("pk").as("p2")),
-        col("ok") === col("ok2") && col("p1") < col("p2"))
+    // items is sorted ascending, so pairing each element with its later
+    // siblings yields exactly the p1 < p2 combinations
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+             transform(slice(items, i + 2, size(items)),
+                       y -> struct(x AS p1, y AS p2))))""")).as("p"))
+      .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("n_pair"))
       .orderBy(col("n_pair").desc, col("p1"), col("p2"))
       .limit(20)
-    val partN = base.groupBy("pk").agg(count(lit(1)).as("n_part"))
-    val totalOrders = base.agg(countDistinct(col("ok")).as("n_orders"))
+    val partN = baskets
+      .select(explode(col("items")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n_part"))
+    val totalOrders = baskets.agg(count(lit(1)).as("n_orders"))
     // the 20-row cut is the broadcast side — part counts are
     // catalog-sized at scale and stream past it
     val withP1 = partN.select(col("pk").as("p1"), col("n_part").as("n_p1"))

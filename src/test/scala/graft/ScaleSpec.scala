@@ -473,6 +473,17 @@ class ScaleSpec extends GraftSpecBase {
       s"moments should shuffle the join + one agg only:\n$plan")
   }
 
+  test("date_growth: the lag window runs above the quarter aggregate, never the fact scan") {
+    val plan = graft.operators.Analytics.dateGrowth(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0, plan)
+    // tree prints parents first: the (unpartitioned) window must sit ABOVE
+    // the aggregate, i.e. its input is the |quarters| frame, not orders
+    assert(winIdx < aggIdx, s"window should consume the aggregated frame:\n$plan")
+  }
+
   test("emb_quantize is a narrow map: zero hash exchanges, one scan") {
     val plan =
       graft.operators.Similarity.embQuantize(spark, sfDir).queryExecution.executedPlan.toString
