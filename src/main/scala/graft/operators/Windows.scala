@@ -84,6 +84,58 @@ object Windows {
     * session_id = running count of session starts. The canonical
     * lag-gap + cumulative-sum pattern — two windows over the same
     * (user_id, ts) partitioning, one shuffle total. */
+  /** Longest consecutive-day activity streak per user — the canonical
+    * gaps-and-islands idiom [[sessionize]]'s time-gap variant doesn't
+    * cover: distinct active days, then `dayno − row_number()` is constant
+    * exactly within a consecutive run, so one groupBy on that constant
+    * measures every streak. All-integer (epoch day numbers), best streak
+    * picked by an ordered struct max (longest, then earliest start) so
+    * the tie-break is deterministic in both engines.
+    *
+    * Scale shape: every window is user-partitioned and the per-user day
+    * list is calendar-bounded; two shrinking groupBys — no global sort,
+    * no unpartitioned window, same distribution end to end. */
+  def streaks(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("dayno"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("dayno")
+    val runs = days
+      .withColumn("grp", col("dayno") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min(col("dayno")).as("start"))
+    runs
+      .groupBy("user_id")
+      .agg(max(struct(col("len"), (-col("start")).as("neg_start"))).as("m"))
+      .select(
+        col("user_id"),
+        col("m.len").as("best_streak"),
+        (-col("m.neg_start")).as("start_day"))
+      .orderBy("user_id")
+  }
+
+  val streaksSql: String =
+    """WITH days AS (
+         SELECT DISTINCT user_id,
+                CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS dayno
+         FROM events),
+       runs AS (
+         SELECT user_id, COUNT(*) AS len, MIN(dayno) AS start
+         FROM (SELECT user_id, dayno,
+                      dayno - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dayno) AS grp
+               FROM days)
+         GROUP BY user_id, grp),
+       best AS (
+         SELECT user_id, len, start,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY len DESC, start) AS rk
+         FROM runs)
+       SELECT user_id, len AS best_streak, start AS start_day
+       FROM best WHERE rk = 1
+       ORDER BY user_id"""
+
   /** The session-assignment CTEs shared by [[sessionizeSql]] and
     * [[sessionStatsSql]] — one copy of the 30-min gap constant, the
     * strict `>` comparison and the (ts_us, event_id) tie-break, so the
@@ -818,6 +870,7 @@ object Windows {
     "win_moving_avg" -> (movingAvg _),
     "win_sessionize" -> (sessionize _),
     "win_session_stats" -> (sessionStats _),
+    "win_streak" -> (streaks _),
     "win_topk" -> (topkPerType _),
     "win_cumsum" -> (cumsum _),
     "asof_join" -> (asofJoin _))
@@ -837,6 +890,7 @@ object Windows {
     "win_moving_avg" -> movingAvgSql,
     "win_sessionize" -> sessionizeSql,
     "win_session_stats" -> sessionStatsSql,
+    "win_streak" -> streaksSql,
     "win_topk" -> topkPerTypeSql,
     "win_cumsum" -> cumsumSql,
     "asof_join" -> asofJoinSql)

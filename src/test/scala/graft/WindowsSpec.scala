@@ -38,6 +38,26 @@ class WindowsSpec extends GraftSpecBase {
     })
   }
 
+  test("streaks match a brute-force scan of each user's sorted day set") {
+    val got = Windows.streaks(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") -> ((r.getAs[Long]("best_streak"), r.getAs[Long]("start_day")))).toMap
+    val byUser = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), expr("ts DIV 86400000000000").cast("long").as("dayno"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.keySet == byUser.keySet)
+    for ((u, ds) <- byUser) {
+      var best = 1L; var bestStart = ds.head
+      var cur = 1L; var curStart = ds.head
+      for (i <- 1 until ds.length) {
+        if (ds(i) == ds(i - 1) + 1) cur += 1
+        else { cur = 1; curStart = ds(i) }
+        if (cur > best) { best = cur; bestStart = curStart }
+      }
+      assert(got(u) == ((best, bestStart)), s"user $u")
+    }
+  }
+
   test("topk returns at most 3 rows per event_type") {
     val over = Windows
       .topkPerType(spark, sfDir)
