@@ -318,6 +318,48 @@ object EventStreams {
         })
   }
 
+  case class StreakState(lastDay: Long, cur: Long, curStart: Long, best: Long, bestStart: Long)
+  case class StreakOut(user_id: Long, best_streak: Long, start_day: Long)
+
+  /** Streaming activity streaks — the incremental twin of
+    * [[graft.operators.Windows.streaks]]: per-user longest
+    * consecutive-day run, updated as events arrive. State is FIVE longs
+    * per user (last day, current run + its start, best run + its start)
+    * — 40 bytes, fixed forever; the gaps-and-islands groupBy the batch
+    * operator runs is replaced by a single comparison against the
+    * previous day. Arithmetic mirrors batch exactly: a strictly-greater
+    * update keeps the earliest start on ties, UTC epoch-day numbering is
+    * the same `micros DIV 86_400_000_000`. Emits the group's current
+    * best once per trigger (update semantics — the test reads each
+    * user's LAST emission); same ordered-arrival contract as
+    * [[sessionize]]. */
+  def streaks(events: Dataset[Ev]): Dataset[StreakOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[Ev], state: GroupState[StreakState]) => {
+          def micros(t: Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          var st = state.getOption.getOrElse(StreakState(Long.MinValue, 0L, 0L, 0L, 0L))
+          for (e <- evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))) {
+            val day = Math.floorDiv(micros(e.ts), 86400000000L)
+            if (st.lastDay == Long.MinValue) st = StreakState(day, 1L, day, 1L, day)
+            else if (day == st.lastDay) () // same day: no change
+            else {
+              val (cur, curStart) =
+                if (day == st.lastDay + 1) (st.cur + 1, st.curStart) else (1L, day)
+              val (best, bestStart) =
+                if (cur > st.best) (cur, curStart) else (st.best, st.bestStart)
+              st = StreakState(day, cur, curStart, best, bestStart)
+            }
+          }
+          state.update(st)
+          if (st.lastDay == Long.MinValue) Iterator.empty
+          else Iterator(StreakOut(userId, st.best, st.bestStart))
+        })
+  }
+
   /** Streaming drift monitor — the incremental twin of
     * [[graft.operators.CorpusOps.batchDrift]]: as a crawl batch streams
     * in, maintain its per-language census (one streaming aggregate,

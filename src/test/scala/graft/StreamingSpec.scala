@@ -302,6 +302,35 @@ class StreamingSpec extends GraftSpecBase {
       s"streaming anomaly diverged: missing=${batch -- streamed} extra=${streamed -- batch}")
   }
 
+  test("streaming streaks equal batch win_streak after ordered two-chunk replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = loadEvents().toSeq
+    val input = MemoryStream[Ev]
+    // two triggers: the cross-trigger state carry is what's under test
+    val (a, b) = evs.splitAt(evs.length / 2)
+    input.addData(a)
+    val q = EventStreams.streaks(input.toDS())
+      .writeStream.format("memory").queryName("streak_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    // each user's LAST emission is its final streak state
+    val last = spark.table("streak_out").collect().zipWithIndex
+      .groupBy(_._1.getAs[Long]("user_id"))
+      .map { case (u, rows) =>
+        val r = rows.maxBy(_._2)._1
+        u -> ((r.getAs[Long]("best_streak"), r.getAs[Long]("start_day")))
+      }
+    val batch = Windows.streaks(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("best_streak"), r.getAs[Long]("start_day")))).toMap
+    assert(last == batch,
+      s"streaming streaks diverged for ${last.keySet.filter(u => last.get(u) != batch.get(u))}")
+  }
+
   test("streaming decontamination equals the batch contamination drop set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
