@@ -639,6 +639,15 @@ object Windows {
     * tolerance. The one float op before the moments is the module's usual
     * deterministic `floor(value·100)`.
     *
+    * Metric-envelope guard: a value with \|v\| > 5·10⁶ yields NULL cents
+    * — "no observation", the [[rollingMedian]] NULL convention — because
+    * beyond that the 20-row Σcents² overflows Long and one corrupt
+    * telemetry row would kill the whole monitoring job (ANSI overflow;
+    * found by the pathological-events sweep). NULL rows still occupy
+    * their ROWS-frame slot in both engines (count skips them, the frame
+    * does not), and a NaN value lands in the guard's false branch the
+    * same way. The oracle applies the identical CASE.
+    *
     * Scale shape: one user-partitioned window (bounded 20-row state per
     * key, keys spread across executors), then a filter — no global sort,
     * no second pass. */
@@ -654,7 +663,7 @@ object Windows {
         col("user_id"),
         unix_micros(col("ts")).as("ts_us"),
         col("value"),
-        cents("value").as("cents"))
+        when(abs(col("value")) <= lit(5.0e6), cents("value")).as("cents"))
     val stats = c
       .withColumn("n", count(col("cents")).over(w))
       .withColumn("s", sum(col("cents")).over(w))
@@ -675,7 +684,8 @@ object Windows {
   val anomalySql: String =
     """WITH c AS (
          SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
-                CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                CASE WHEN ABS(value) <= 5000000.0
+                     THEN CAST(FLOOR(value * 100) AS BIGINT) END AS cents
          FROM events),
        w AS (
          SELECT *,

@@ -250,23 +250,34 @@ object EventStreams {
     * so on an ordered replay the streamed flags are row-identical —
     * spec-pinned. Same ordering contract as [[sessionize]]: events arrive
     * in event-time order per user (tests feed sorted input; production
-    * fronts this with a watermark + sort within trigger). */
+    * fronts this with a watermark + sort within trigger).
+    *
+    * Mirrors the batch metric-envelope guard: \|value\| > 5·10⁶ (or NaN)
+    * is "no observation" — it occupies its ring slot (the batch ROWS
+    * frame counts the row, not the value) as a sentinel that the
+    * moments skip, exactly as the batch count/sum skip NULL cents. */
   def anomalies(events: Dataset[Ev]): Dataset[AnomOut] = {
     import events.sparkSession.implicits._
+    // sentinel for an out-of-envelope row: cannot collide with valid
+    // cents, which the envelope bounds to |c| ≤ 5e8
+    val Missing = Long.MinValue
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, evs: Iterator[Ev], state: GroupState[List[Long]]) => {
           def micros(t: Timestamp): Long =
             Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-          var ring = state.getOption.getOrElse(Nil) // oldest first, ≤ 20 cents
+          var ring = state.getOption.getOrElse(Nil) // oldest first, ≤ 20 row slots
           val out = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).flatMap { e =>
-            val c = math.floor(e.value * 100.0).toLong
-            val n = ring.size
-            val res =
+            val cOpt =
+              if (math.abs(e.value) <= 5.0e6) Some(math.floor(e.value * 100.0).toLong)
+              else None // NaN compares false → Missing, like the batch guard
+            val valid = ring.filter(_ != Missing)
+            val n = valid.size
+            val res = cOpt.flatMap { c =>
               if (n >= 10) {
-                val s = ring.sum
-                val s2 = ring.iterator.map(x => x * x).sum
+                val s = valid.sum
+                val s2 = valid.iterator.map(x => x * x).sum
                 val mean = s.toDouble / n
                 val vari = (s2 - s.toDouble * s / n) / n
                 if (vari > 0 && math.abs(c - mean) > 3 * math.sqrt(vari)) {
@@ -276,7 +287,8 @@ object EventStreams {
                   Some(AnomOut(e.event_id, userId, micros(e.ts), e.value, z))
                 } else None
               } else None
-            ring = (ring :+ c).takeRight(20)
+            }
+            ring = (ring :+ cOpt.getOrElse(Missing)).takeRight(20)
             res
           }
           state.update(ring)

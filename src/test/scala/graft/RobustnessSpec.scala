@@ -60,4 +60,64 @@ class RobustnessSpec extends GraftSpecBase {
       failures.map { case (n, t) => s"$n: ${t.getClass.getSimpleName} ${t.getMessage}" }
         .mkString("queries crashed on pathological input:\n", "\n", ""))
   }
+
+  /** The events-side sibling of [[patDir]]: the stream shapes a real
+    * event pipeline delivers and the driver-generated table cannot —
+    * NULL timestamp / user / type / value, NaN and ±huge values,
+    * IDENTICAL timestamps (the tie-break path), a single-event user and
+    * a single-day user. Raw parquet carries ts as INT64 nanos exactly
+    * like the driver's table (Tables.events does the DIV-1000
+    * conversion). */
+  private lazy val patEventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pathological_ev").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings"))
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    val t0 = 1767225600L * 1000000000L // 2026-01-01 UTC in ns
+    def ns(day: Int, sec: Int): java.lang.Long = java.lang.Long.valueOf(t0 + day * dayNs + sec * 1000000000L)
+    val normal = (1 to 30).map { i =>
+      (i.toLong, ns(i % 5, i * 60), java.lang.Long.valueOf(1L + i % 3),
+        Seq("view", "click", "purchase", "signup", "error")(i % 5),
+        java.lang.Double.valueOf(i * 1.25), s"""{"k":$i}""")
+    }
+    val pathological = Seq(
+      (200L, null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(1L), "view",
+        java.lang.Double.valueOf(1.0), "{}"),                      // NULL ts
+      (201L, ns(0, 0), null.asInstanceOf[java.lang.Long], "click",
+        java.lang.Double.valueOf(2.0), null.asInstanceOf[String]), // NULL user + props
+      (202L, ns(0, 1), java.lang.Long.valueOf(2L), null.asInstanceOf[String],
+        java.lang.Double.valueOf(3.0), "{}"),                      // NULL type
+      (203L, ns(0, 2), java.lang.Long.valueOf(2L), "view",
+        null.asInstanceOf[java.lang.Double], "{}"),                // NULL value
+      (204L, ns(0, 3), java.lang.Long.valueOf(2L), "view",
+        java.lang.Double.valueOf(Double.NaN), "{}"),               // NaN value
+      (205L, ns(0, 4), java.lang.Long.valueOf(2L), "view",
+        java.lang.Double.valueOf(-1.0e12), "{}"),                  // huge negative
+      (206L, ns(1, 0), java.lang.Long.valueOf(3L), "view",
+        java.lang.Double.valueOf(1.0), "{}"),                      // tie pair a
+      (207L, ns(1, 0), java.lang.Long.valueOf(3L), "click",
+        java.lang.Double.valueOf(2.0), "{}"),                      // tie pair b (same ts)
+      (208L, ns(9, 0), java.lang.Long.valueOf(99L), "purchase",
+        java.lang.Double.valueOf(5.0), "{}"))                      // single-event user
+    (normal ++ pathological)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("every registered query survives a pathological events stream") {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[(String, Throwable)]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try { fn(spark, patEventsDir).count(): Unit }
+      catch { case t: Throwable => failures += ((name, t)) }
+    }
+    graft.operators.Dedup.clearSharedCache()
+    assert(
+      failures.isEmpty,
+      failures.map { case (n, t) => s"$n: ${t.getClass.getSimpleName} ${t.getMessage}" }
+        .mkString("queries crashed on pathological events:\n", "\n", ""))
+  }
 }
