@@ -29,7 +29,11 @@ object VectorOps {
 
   /** Cosine similarity given the two quantized vectors and their
     * precomputed squared norms (precompute norms once per side — never
-    * inside a join condition). */
+    * inside a join condition). Precondition: both norms > 0 — a
+    * zero-direction vector has no cosine and the division raises
+    * DIVIDE_BY_ZERO under ANSI; graft's own operators guarantee this by
+    * the validity gate in `Similarity.quantizedEmbeddings`, and callers
+    * composing their own pipelines must filter the same way. */
   def cosine(a: Column, na: Column, b: Column, nb: Column): Column =
     dot(a, b) / (sqrt(na) * sqrt(nb))
 }

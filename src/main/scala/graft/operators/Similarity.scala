@@ -49,12 +49,36 @@ object Similarity {
       .isNull
 
   /** Embeddings with quantized vector + exact integer self-dot — the shared
-    * input frame of every vector operator here and in [[Dedup]]. */
+    * input frame of every vector operator here and in [[Dedup]].
+    *
+    * Validity gate (the feature-ingest hygiene a crawl pipeline needs —
+    * found by the pathological-embeddings sweep): rows with a NULL
+    * vector, non-finite or out-of-envelope components (\|x\| > 10⁴ —
+    * NaN/±Inf compare false, and 10⁴ also caps a single quantized
+    * element at 10⁷, inside the centroid exactness envelope, so corrupt
+    * data can never masquerade as the scale-hazard guard), or a
+    * zero-direction quantized vector (incl. empty — cosine is undefined,
+    * the denominator would raise DIVIDE_BY_ZERO under ANSI) are DROPPED,
+    * not crashed on. Every oracle mirrors the same predicate in its `q`
+    * CTE (a no-op on the driver's clean tables). */
   private[operators] def quantizedEmbeddings(s: SparkSession, dir: String): DataFrame =
     Tables
       .embeddings(s, dir)
+      .filter(
+        col("embedding").isNotNull &&
+          forall(col("embedding"), x => abs(x) <= lit(10000.0d)))
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
       .withColumn("nq", selfDot(col("qv")))
+      .filter(col("nq") > 0)
+
+  /** DuckDB rendering of [[quantizedEmbeddings]]' validity predicate —
+    * interpolated into every embedding oracle's `q` CTE so the gate has
+    * ONE definition per engine. (bool_and over an empty list is NULL →
+    * WHERE drops it; Spark's forall(empty) = true but the empty vector
+    * then fails nq > 0 — both engines drop the same rows.) */
+  private[operators] val validEmbWhere: String =
+    """embedding IS NOT NULL
+          AND list_aggregate(list_transform(embedding, x -> ABS(x) <= 10000.0), 'bool_and')"""
 
   private def quantized(s: SparkSession, dir: String): DataFrame =
     quantizedEmbeddings(s, dir)
@@ -97,11 +121,13 @@ object Similarity {
   }
 
   val annBruteSql: String =
-    """WITH q AS (
+    s"""WITH q AS (
          SELECT vec_id, label,
                 list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-         FROM embeddings),
-       n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nq FROM q),
+         FROM embeddings
+         WHERE $validEmbWhere),
+       n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nq FROM q
+            WHERE list_dot_product(qv, qv) > 0),
        queries AS (SELECT vec_id AS query_id, qv AS query_qv, nq AS query_nq
                    FROM n WHERE vec_id % 100 = 0),
        scored AS (
@@ -180,11 +206,13 @@ object Similarity {
     * table, same candidate union and exact rescoring. Integer dots are
     * exact in DuckDB's double arithmetic (|dot| < 2^53). */
   val annLshSql: String =
-    """WITH q AS (
+    s"""WITH q AS (
          SELECT vec_id,
                 list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-         FROM embeddings),
-       n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nq FROM q),
+         FROM embeddings
+         WHERE $validEmbWhere),
+       n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nq FROM q
+            WHERE list_dot_product(qv, qv) > 0),
        w AS (
          SELECT t, p, LIST(((((t*31+p)*97+d)*40503) % 65536) - 32768 ORDER BY d) AS wv
          FROM range(6) tt(t), range(4) pp(p), range(64) dd(d)
@@ -323,13 +351,15 @@ object Similarity {
     * integer centroid sums, same argmax assignment (ties to lower cell),
     * same 4-cell probe and exact rescore. */
   val annIvfSql: String =
-    """WITH q AS (
+    s"""WITH q AS (
          SELECT vec_id,
                 list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-         FROM embeddings),
-       n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nq FROM q),
+         FROM embeddings
+         WHERE $validEmbWhere),
+       n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nq FROM q
+            WHERE list_dot_product(qv, qv) > 0),
        e AS (SELECT vec_id % 16 AS cell, i, SUM(qv[i]) AS sv
-             FROM q, UNNEST(range(1, len(qv) + 1)) AS t(i)
+             FROM n, UNNEST(range(1, len(qv) + 1)) AS t(i)
              GROUP BY 1, 2),
        c AS (SELECT cell, LIST(sv ORDER BY i) AS cv FROM e GROUP BY 1),
        cn AS (SELECT cell, cv, list_dot_product(cv, cv) AS nc FROM c),
@@ -439,13 +469,15 @@ object Similarity {
   /** Exact SQL replay of [[ivfDedup]] at the default K=16: same cells,
     * same assignment, pairs restricted to one cell, top-20 by cosine. */
   val ivfDedupSql: String =
-    """WITH q AS (
+    s"""WITH q AS (
          SELECT vec_id,
                 list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-         FROM embeddings),
-       n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nq FROM q),
+         FROM embeddings
+         WHERE $validEmbWhere),
+       n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nq FROM q
+            WHERE list_dot_product(qv, qv) > 0),
        e AS (SELECT vec_id % 16 AS cell, i, SUM(qv[i]) AS sv
-             FROM q, UNNEST(range(1, len(qv) + 1)) AS t(i)
+             FROM n, UNNEST(range(1, len(qv) + 1)) AS t(i)
              GROUP BY 1, 2),
        c AS (SELECT cell, LIST(sv ORDER BY i) AS cv FROM e GROUP BY 1),
        cn AS (SELECT cell, cv, list_dot_product(cv, cv) AS nc FROM c),
@@ -511,13 +543,15 @@ object Similarity {
   }
 
   val knnJoinSql: String =
-    """WITH q AS (
+    s"""WITH q AS (
          SELECT vec_id, label,
                 list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-         FROM embeddings),
-       n AS (SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nq FROM q),
+         FROM embeddings
+         WHERE $validEmbWhere),
+       n AS (SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nq FROM q
+            WHERE list_dot_product(qv, qv) > 0),
        e AS (SELECT label, i, SUM(qv[i]) AS sv
-             FROM q, UNNEST(range(1, len(qv) + 1)) AS t(i)
+             FROM n, UNNEST(range(1, len(qv) + 1)) AS t(i)
              GROUP BY 1, 2),
        c AS (SELECT label AS c_label, LIST(sv ORDER BY i) AS cv FROM e GROUP BY 1),
        cn AS (SELECT c_label, cv, list_dot_product(cv, cv) AS nc FROM c),

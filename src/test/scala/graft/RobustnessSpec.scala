@@ -108,6 +108,51 @@ class RobustnessSpec extends GraftSpecBase {
     dir
   }
 
+  /** The vector-side sibling: embedding shapes a real feature pipeline
+    * delivers — NULL vector, empty vector, wrong dimensionality (shorter
+    * and longer than the corpus's 64), NaN / Infinity components, an
+    * all-zero vector (cosine denominator 0) and a NULL label. */
+  private lazy val patEmbDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pathological_emb").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents"))
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val normal = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2f - 1f), Integer.valueOf(i % 10))
+    }
+    val pathological = Seq(
+      (100L, null.asInstanceOf[Seq[Float]], Integer.valueOf(1)),      // NULL vector
+      (101L, Seq.empty[Float], Integer.valueOf(2)),                   // empty vector
+      (102L, Seq.fill(8)(0.5f), Integer.valueOf(3)),                  // too short
+      (103L, Seq.fill(128)(0.25f), Integer.valueOf(4)),               // too long
+      (104L, Seq.fill(64)(Float.NaN), Integer.valueOf(5)),            // NaN components
+      (105L, Seq.fill(64)(Float.PositiveInfinity), Integer.valueOf(6)), // Inf components
+      (106L, Seq.fill(64)(0f), Integer.valueOf(7)),                   // all-zero (|v| = 0)
+      (107L, Seq.fill(64)(0.75f), null.asInstanceOf[Integer]))        // NULL label
+    (normal ++ pathological)
+      .toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding",
+        "CAST(label AS INT) AS label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("every registered query survives a pathological embeddings table") {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[(String, Throwable)]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try { fn(spark, patEmbDir).count(): Unit }
+      catch { case t: Throwable => failures += ((name, t)) }
+    }
+    graft.operators.Dedup.clearSharedCache()
+    assert(
+      failures.isEmpty,
+      failures.map { case (n, t) => s"$n: ${t.getClass.getSimpleName} ${t.getMessage}" }
+        .mkString("queries crashed on pathological embeddings:\n", "\n", ""))
+  }
+
   test("every registered query survives a pathological events stream") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[(String, Throwable)]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
