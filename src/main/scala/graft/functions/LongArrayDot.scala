@@ -51,18 +51,26 @@ case class LongArrayDot(left: Expression, right: Expression)
     acc
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // ctx.freshName for every local: two graft_dot calls in one codegen
+    // scope (e.g. nq = dot(qv,qv) beside a filter on it) would otherwise
+    // emit duplicate `int i` declarations — a Janino "Redefinition of
+    // local variable" CompileException and silent interpreted fallback
+    val n = ctx.freshName("dotN")
+    val acc = ctx.freshName("dotAcc")
+    val i = ctx.freshName("dotI")
     nullSafeCodeGen(
       ctx,
       ev,
       (a, b) => s"""
-        |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |long acc = 0L;
-        |for (int i = 0; i < n; i++) {
-        |  acc += $a.getLong(i) * $b.getLong(i);
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |long $acc = 0L;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $acc += $a.getLong($i) * $b.getLong($i);
         |}
-        |${ev.value} = acc;
+        |${ev.value} = $acc;
       """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression,

@@ -202,6 +202,11 @@ object Analytics {
     // counts, order total) — persist it once via the stamp-keyed cache
     val baskets = PipelineCache.cached("basket:items", s, dir, "lineitem.parquet") {
       Tables.lineitem(s, dir)
+        // a row without both keys belongs to no basket: a NULL orderkey
+        // group would count as an "order" in n_orders (count(*) does not
+        // skip the NULL group the way the old countDistinct did) and
+        // silently inflate every lift — both engines exclude them
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
         .groupBy(col("l_orderkey").as("ok"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
     }
@@ -239,7 +244,8 @@ object Analytics {
 
   val basketPairsSql: String =
     """WITH base AS (
-         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
        pairs AS (
          SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS n_pair
          FROM base a JOIN base b ON a.ok = b.ok AND a.pk < b.pk

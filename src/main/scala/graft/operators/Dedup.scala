@@ -375,13 +375,7 @@ object Dedup {
   }
 
   val embeddingPairsSql: String =
-    s"""WITH q AS (
-         SELECT vec_id,
-                list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-         FROM embeddings
-         WHERE ${Similarity.validEmbWhere}),
-       n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nq FROM q
-            WHERE list_dot_product(qv, qv) > 0),
+    s"""WITH ${Similarity.embPrelude},
        p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                     list_dot_product(a.qv, b.qv) / (sqrt(a.nq) * sqrt(b.nq)) AS cos_sim
              FROM n a JOIN n b ON a.vec_id < b.vec_id

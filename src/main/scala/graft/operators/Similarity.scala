@@ -53,32 +53,57 @@ object Similarity {
     *
     * Validity gate (the feature-ingest hygiene a crawl pipeline needs —
     * found by the pathological-embeddings sweep): rows with a NULL
-    * vector, non-finite or out-of-envelope components (\|x\| > 10⁴ —
+    * vector, the wrong dimensionality (≠ [[EmbDim]] — graft_dot would
+    * silently prefix-dot a short vector against full norms, a finite
+    * but meaningless cosine; DuckDB's list_dot_product errors outright),
+    * a NULL / non-finite / out-of-envelope component (\|x\| > 10⁴ —
     * NaN/±Inf compare false, and 10⁴ also caps a single quantized
     * element at 10⁷, inside the centroid exactness envelope, so corrupt
     * data can never masquerade as the scale-hazard guard), or a
-    * zero-direction quantized vector (incl. empty — cosine is undefined,
-    * the denominator would raise DIVIDE_BY_ZERO under ANSI) are DROPPED,
-    * not crashed on. Every oracle mirrors the same predicate in its `q`
-    * CTE (a no-op on the driver's clean tables). */
+    * zero-direction quantized vector (cosine is undefined, the
+    * denominator would raise DIVIDE_BY_ZERO under ANSI) are DROPPED,
+    * not crashed on. Every oracle mirrors the same predicate via the
+    * interpolated [[embPrelude]] (a no-op on the driver's clean
+    * tables). */
   private[operators] def quantizedEmbeddings(s: SparkSession, dir: String): DataFrame =
     Tables
       .embeddings(s, dir)
       .filter(
         col("embedding").isNotNull &&
-          forall(col("embedding"), x => abs(x) <= lit(10000.0d)))
+          size(col("embedding")) === lit(EmbDim) &&
+          forall(col("embedding"), x => x.isNotNull && abs(x) <= lit(10000.0d)))
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
       .withColumn("nq", selfDot(col("qv")))
       .filter(col("nq") > 0)
 
-  /** DuckDB rendering of [[quantizedEmbeddings]]' validity predicate —
-    * interpolated into every embedding oracle's `q` CTE so the gate has
-    * ONE definition per engine. (bool_and over an empty list is NULL →
-    * WHERE drops it; Spark's forall(empty) = true but the empty vector
-    * then fails nq > 0 — both engines drop the same rows.) */
+  /** The corpus's embedding dimensionality — a CONTRACT, not a
+    * measurement: the LSH plane weights and the IVF codebook are built
+    * for this width, so a differently-sized vector is corrupt input by
+    * definition and the validity gate drops it. */
+  private[operators] val EmbDim = 64
+
+  /** DuckDB rendering of [[quantizedEmbeddings]]' validity predicate.
+    * NULL elements map to FALSE inside the lambda (not NULL) because
+    * DuckDB's bool_and — like any aggregate — would SKIP a NULL and
+    * admit the row, while Spark's forall returns NULL and drops it;
+    * the explicit `x IS NOT NULL AND …` makes both engines drop it. */
   private[operators] val validEmbWhere: String =
-    """embedding IS NOT NULL
-          AND list_aggregate(list_transform(embedding, x -> ABS(x) <= 10000.0), 'bool_and')"""
+    s"""embedding IS NOT NULL AND len(embedding) = $EmbDim
+          AND list_aggregate(list_transform(embedding,
+                x -> x IS NOT NULL AND ABS(x) <= 10000.0), 'bool_and')"""
+
+  /** The shared q + n oracle prelude (quantize → validity gate →
+    * positive-norm filter) — ONE copy interpolated into all six
+    * embedding oracles, so a gate change cannot desynchronize one of
+    * them from the Spark frame (the curate-CTE dedup pattern). */
+  private[operators] val embPrelude: String =
+    s"""q AS (
+         SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         FROM embeddings
+         WHERE $validEmbWhere),
+       n AS (SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nq FROM q
+            WHERE list_dot_product(qv, qv) > 0)"""
 
   private def quantized(s: SparkSession, dir: String): DataFrame =
     quantizedEmbeddings(s, dir)
@@ -121,13 +146,7 @@ object Similarity {
   }
 
   val annBruteSql: String =
-    s"""WITH q AS (
-         SELECT vec_id, label,
-                list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-         FROM embeddings
-         WHERE $validEmbWhere),
-       n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nq FROM q
-            WHERE list_dot_product(qv, qv) > 0),
+    s"""WITH $embPrelude,
        queries AS (SELECT vec_id AS query_id, qv AS query_qv, nq AS query_nq
                    FROM n WHERE vec_id % 100 = 0),
        scored AS (
@@ -206,13 +225,7 @@ object Similarity {
     * table, same candidate union and exact rescoring. Integer dots are
     * exact in DuckDB's double arithmetic (|dot| < 2^53). */
   val annLshSql: String =
-    s"""WITH q AS (
-         SELECT vec_id,
-                list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-         FROM embeddings
-         WHERE $validEmbWhere),
-       n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nq FROM q
-            WHERE list_dot_product(qv, qv) > 0),
+    s"""WITH $embPrelude,
        w AS (
          SELECT t, p, LIST(((((t*31+p)*97+d)*40503) % 65536) - 32768 ORDER BY d) AS wv
          FROM range(6) tt(t), range(4) pp(p), range(64) dd(d)
@@ -351,13 +364,7 @@ object Similarity {
     * integer centroid sums, same argmax assignment (ties to lower cell),
     * same 4-cell probe and exact rescore. */
   val annIvfSql: String =
-    s"""WITH q AS (
-         SELECT vec_id,
-                list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-         FROM embeddings
-         WHERE $validEmbWhere),
-       n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nq FROM q
-            WHERE list_dot_product(qv, qv) > 0),
+    s"""WITH $embPrelude,
        e AS (SELECT vec_id % 16 AS cell, i, SUM(qv[i]) AS sv
              FROM n, UNNEST(range(1, len(qv) + 1)) AS t(i)
              GROUP BY 1, 2),
@@ -469,13 +476,7 @@ object Similarity {
   /** Exact SQL replay of [[ivfDedup]] at the default K=16: same cells,
     * same assignment, pairs restricted to one cell, top-20 by cosine. */
   val ivfDedupSql: String =
-    s"""WITH q AS (
-         SELECT vec_id,
-                list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-         FROM embeddings
-         WHERE $validEmbWhere),
-       n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nq FROM q
-            WHERE list_dot_product(qv, qv) > 0),
+    s"""WITH $embPrelude,
        e AS (SELECT vec_id % 16 AS cell, i, SUM(qv[i]) AS sv
              FROM n, UNNEST(range(1, len(qv) + 1)) AS t(i)
              GROUP BY 1, 2),
@@ -543,13 +544,7 @@ object Similarity {
   }
 
   val knnJoinSql: String =
-    s"""WITH q AS (
-         SELECT vec_id, label,
-                list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-         FROM embeddings
-         WHERE $validEmbWhere),
-       n AS (SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nq FROM q
-            WHERE list_dot_product(qv, qv) > 0),
+    s"""WITH $embPrelude,
        e AS (SELECT label, i, SUM(qv[i]) AS sv
              FROM n, UNNEST(range(1, len(qv) + 1)) AS t(i)
              GROUP BY 1, 2),

@@ -632,12 +632,16 @@ object Windows {
     * "this user's metric just jumped".
     *
     * Exactness across engines: the window aggregates are INTEGER moments
-    * — count, Σcents, Σcents² — summed exactly in long space (cents ≤
-    * 10⁵ ⇒ Σc² ≤ 4·10¹² per 20-row window, far inside both long and
-    * double-exact range), so mean/variance/z are a fixed IEEE expression
-    * over identical integers in both engines: bit-identical, no
-    * tolerance. The one float op before the moments is the module's usual
-    * deterministic `floor(value·100)`.
+    * — count, Σcents, Σcents² — summed exactly in integer space in both
+    * engines (long here, BIGINT/HUGEINT in DuckDB; the envelope below
+    * caps Σc² at ~5·10¹⁸, inside Long but NOT always inside double-exact
+    * 2⁵³ — exactness therefore rests on both engines casting the SAME
+    * exact integer to double at the same expression position, same IEEE
+    * nearest rounding, not on the sums being double-representable). The
+    * mean/variance/z then evaluate a fixed IEEE expression over
+    * identical doubles: bit-identical, no tolerance. The one float op
+    * before the moments is the module's usual deterministic
+    * `floor(value·100)`.
     *
     * Metric-envelope guard: a value with \|v\| > 5·10⁶ yields NULL cents
     * — "no observation", the [[rollingMedian]] NULL convention — because

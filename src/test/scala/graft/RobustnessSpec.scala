@@ -120,18 +120,21 @@ class RobustnessSpec extends GraftSpecBase {
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     import spark.implicits._
     val rnd = new scala.util.Random(7)
+    def boxed(xs: Seq[Float]): Seq[java.lang.Float] = xs.map(java.lang.Float.valueOf)
     val normal = (0 until 40).map { i =>
-      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2f - 1f), Integer.valueOf(i % 10))
+      (i.toLong, boxed(Seq.fill(64)(rnd.nextFloat() * 2f - 1f)), Integer.valueOf(i % 10))
     }
     val pathological = Seq(
-      (100L, null.asInstanceOf[Seq[Float]], Integer.valueOf(1)),      // NULL vector
-      (101L, Seq.empty[Float], Integer.valueOf(2)),                   // empty vector
-      (102L, Seq.fill(8)(0.5f), Integer.valueOf(3)),                  // too short
-      (103L, Seq.fill(128)(0.25f), Integer.valueOf(4)),               // too long
-      (104L, Seq.fill(64)(Float.NaN), Integer.valueOf(5)),            // NaN components
-      (105L, Seq.fill(64)(Float.PositiveInfinity), Integer.valueOf(6)), // Inf components
-      (106L, Seq.fill(64)(0f), Integer.valueOf(7)),                   // all-zero (|v| = 0)
-      (107L, Seq.fill(64)(0.75f), null.asInstanceOf[Integer]))        // NULL label
+      (100L, null.asInstanceOf[Seq[java.lang.Float]], Integer.valueOf(1)), // NULL vector
+      (101L, boxed(Seq.empty), Integer.valueOf(2)),                   // empty vector
+      (102L, boxed(Seq.fill(8)(0.5f)), Integer.valueOf(3)),           // too short
+      (103L, boxed(Seq.fill(128)(0.25f)), Integer.valueOf(4)),        // too long
+      (104L, boxed(Seq.fill(64)(Float.NaN)), Integer.valueOf(5)),     // NaN components
+      (105L, boxed(Seq.fill(64)(Float.PositiveInfinity)), Integer.valueOf(6)), // Inf components
+      (106L, boxed(Seq.fill(64)(0f)), Integer.valueOf(7)),            // all-zero (|v| = 0)
+      (107L, boxed(Seq.fill(64)(0.75f)), null.asInstanceOf[Integer]), // NULL label
+      (108L, java.lang.Float.valueOf(1f) +: null.asInstanceOf[java.lang.Float] +:
+        boxed(Seq.fill(62)(0.5f)), Integer.valueOf(8)))               // NULL element
     (normal ++ pathological)
       .toDF("vec_id", "embedding", "label")
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding",
