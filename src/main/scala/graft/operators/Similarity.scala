@@ -70,7 +70,7 @@ object Similarity {
       .embeddings(s, dir)
       .filter(
         col("embedding").isNotNull &&
-          size(col("embedding")) === lit(EmbDim) &&
+          size(col("embedding")) === lit(embDim(s)) &&
           forall(col("embedding"), x => x.isNotNull && abs(x) <= lit(10000.0d)))
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
       .withColumn("nq", selfDot(col("qv")))
@@ -79,8 +79,25 @@ object Similarity {
   /** The corpus's embedding dimensionality — a CONTRACT, not a
     * measurement: the LSH plane weights and the IVF codebook are built
     * for this width, so a differently-sized vector is corrupt input by
-    * definition and the validity gate drops it. */
-  private[operators] val EmbDim = 64
+    * definition and the validity gate drops it. Session-tunable for
+    * other corpora (`spark.graft.emb.dim`, validated like every knob);
+    * the oracles pin the DEFAULT, the curate-policy convention. Cache
+    * tags that depend on the gated frame fold the dim in, so a knob
+    * change never serves a stale frame. */
+  private[operators] val EmbDimDefault = 64
+
+  private[operators] def embDim(s: SparkSession): Int = {
+    val raw = s.conf.get("spark.graft.emb.dim", EmbDimDefault.toString)
+    val n =
+      try raw.toInt
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"spark.graft.emb.dim must be a positive integer, got '$raw'")
+      }
+    require(n > 0, s"spark.graft.emb.dim must be positive, got $n")
+    n
+  }
 
   /** DuckDB rendering of [[quantizedEmbeddings]]' validity predicate.
     * NULL elements map to FALSE inside the lambda (not NULL) because
@@ -88,7 +105,7 @@ object Similarity {
     * admit the row, while Spark's forall returns NULL and drops it;
     * the explicit `x IS NOT NULL AND …` makes both engines drop it. */
   private[operators] val validEmbWhere: String =
-    s"""embedding IS NOT NULL AND len(embedding) = $EmbDim
+    s"""embedding IS NOT NULL AND len(embedding) = $EmbDimDefault
           AND list_aggregate(list_transform(embedding,
                 x -> x IS NOT NULL AND ABS(x) <= 10000.0), 'bool_and')"""
 
@@ -332,7 +349,7 @@ object Similarity {
     // and rebuilds — pinned by PipelineOpsSpec's rewrite test. Plan shape
     // (≤ 2 plan-visible embeddings scans; the cache-populate pass happens
     // at runtime inside the InMemoryRelation) is pinned in ScaleSpec.
-    val qf = PipelineCache.cached("ivf_qsample", s, dir, "embeddings.parquet")(
+    val qf = PipelineCache.cached(s"ivf_qsample_d${embDim(s)}", s, dir, "embeddings.parquet")(
       corpus
         .filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("qv"), col("nq")))
@@ -444,7 +461,7 @@ object Similarity {
     // operator's dominant cost. The tag carries k (an output-semantics
     // knob) so changing the cell count can never serve a stale
     // assignment — same discipline as the minhash cache's bandDfCap tag.
-    val slim = PipelineCache.cached(s"ivf_cells_k$k", s, dir, "embeddings.parquet")(
+    val slim = PipelineCache.cached(s"ivf_cells_k${k}_d${embDim(s)}", s, dir, "embeddings.parquet")(
       ivfCells(s, dir, k)._1.select(col("vec_id"), col("cell")))
     val counts = slim.groupBy("cell").agg(count(lit(1)).as("cell_df"))
     val vecs = quantized(s, dir)

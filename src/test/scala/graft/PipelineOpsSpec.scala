@@ -170,6 +170,10 @@ class PipelineOpsSpec extends GraftSpecBase {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     try {
+      // the fixture writes 8-dim vectors: point the dim contract at them
+      // (also exercises the knob; the validity gate would drop every row
+      // under the 64-dim default)
+      spark.conf.set("spark.graft.emb.dim", "8")
       write(0 until 400)
       val first = Similarity.annIvf(spark, dir)
         .select("query_id").distinct().collect().map(_.getLong(0)).toSet
@@ -181,7 +185,10 @@ class PipelineOpsSpec extends GraftSpecBase {
         .select("query_id").distinct().collect().map(_.getLong(0)).toSet
       assert(second.nonEmpty && second.forall(_ >= 1000),
         s"stale query sample served after the embeddings rewrite: ${second.mkString(",")}")
-    } finally graft.operators.Dedup.clearSharedCache()
+    } finally {
+      spark.conf.unset("spark.graft.emb.dim")
+      graft.operators.Dedup.clearSharedCache()
+    }
   }
 
   test("frame sample: 8 frames per doc at the right source offsets") {
