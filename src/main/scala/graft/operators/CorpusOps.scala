@@ -1076,7 +1076,112 @@ object CorpusOps {
        FROM with_totals
        ORDER BY lang"""
 
+  /** Per-source Jensen–Shannon divergence from the corpus unigram
+    * distribution — [[batchDrift]]'s vocabulary-level sibling: drift
+    * reports count/share shifts per language, this reports which SOURCE
+    * speaks a different language distributionally ("crawl src7's token
+    * mix diverges from the corpus"). JS (symmetric, bounded [0, ln 2])
+    * rather than KL so a source with vocabulary the corpus lacks stays
+    * finite.
+    *
+    * The out-of-vocabulary mass is handled in CLOSED FORM: for tokens
+    * outside source s's vocabulary, M = Q/2, so their KL(Q‖M)
+    * contribution is exactly (1 − Q(V_s))·ln 2 — computed from two exact
+    * longs (the corpus-count mass of the source's vocabulary, the corpus
+    * total), never by enumerating the complement. ln 2 is a shared
+    * LITERAL (0.6931471805599453) because Java's Math.log and libm need
+    * not round identically.
+    *
+    * Determinism: both engines derive each per-(source, token) term from
+    * the SAME exact integer counts (c_st, n_s, c_t, n) with an
+    * identically-structured float expression, then quantize to integer
+    * pico-nats (×10¹²; each |term| ≤ ln 2 so the quantized value and the
+    * per-source sum both stay far inside long range) so the per-source
+    * aggregation is exact long addition — the [[graft.operators
+    * .TextAnalysis!.lmScore]] discipline at 10⁻¹² resolution (terms are
+    * per-token-TYPE probabilities, far smaller than per-doc
+    * log-likelihoods).
+    *
+    * Scale shape: tokens collapse to the (source, token) census in ONE
+    * shuffle; the corpus census and per-source totals are aggregations
+    * OF that census (no second corpus scan); the census join on `tok` is
+    * Zipfian but every row is O(1) post-aggregation (AQE splits the
+    * skew — the lmScore argument verbatim); totals broadcast. NULL
+    * source = `(none)`, the [[batchDrift]] census convention. */
+  def sourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    val ln2 = 0.6931471805599453
+    val st = Tables
+      .documents(s, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(
+        coalesce(col("source"), lit("(none)")).as("src"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("src", "tok")
+      .agg(count(lit(1)).as("c_st"))
+    val v = st.groupBy("tok").agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy("src").agg(sum(col("c_st")).as("n_s"))
+    val tot = v.agg(sum(col("c_t")).as("n"))
+    val p = col("c_st").cast("double") / col("n_s")
+    val q = col("c_t").cast("double") / col("n")
+    val m = (p + q) / 2.0
+    val termP = round(p * log(p / m) * 1e12).cast("long")
+    val termQ = round(q * log(q / m) * 1e12).cast("long")
+    st.join(v, "tok")
+      .join(broadcast(ns), "src")
+      .crossJoin(broadcast(tot))
+      .groupBy("src")
+      .agg(
+        max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        sum(termP).as("sp"),
+        sum(termQ).as("sq"),
+        sum(col("c_t")).as("qmass"),
+        max(col("n")).as("nn"))
+      .select(
+        col("src").as("source"),
+        col("n_tokens"),
+        col("n_vocab"),
+        round(
+          lit(0.5) * (col("sp") / 1e12 + col("sq") / 1e12 +
+            (lit(1.0) - col("qmass").cast("double") / col("nn")) * lit(ln2)),
+          4).as("js_divergence"))
+      .orderBy("source")
+  }
+
+  val sourceDivergenceSql: String =
+    """WITH t AS (
+         SELECT COALESCE(source, '(none)') AS src,
+                UNNEST(string_split(text, ' ')) AS tok
+         FROM documents WHERE LENGTH(TRIM(text)) > 0),
+       st AS (SELECT src, tok, COUNT(*) AS c_st FROM t
+              WHERE LENGTH(tok) > 0 GROUP BY 1, 2),
+       v AS (SELECT tok, SUM(c_st) AS c_t FROM st GROUP BY 1),
+       ns AS (SELECT src, SUM(c_st) AS n_s FROM st GROUP BY 1),
+       tot AS (SELECT SUM(c_t) AS n FROM v),
+       terms AS (
+         SELECT src, n_s, c_t, n,
+                CAST(ROUND((CAST(c_st AS DOUBLE) / n_s)
+                     * LN((CAST(c_st AS DOUBLE) / n_s)
+                          / (((CAST(c_st AS DOUBLE) / n_s) + (CAST(c_t AS DOUBLE) / n)) / 2.0))
+                     * 1e12) AS BIGINT) AS term_p,
+                CAST(ROUND((CAST(c_t AS DOUBLE) / n)
+                     * LN((CAST(c_t AS DOUBLE) / n)
+                          / (((CAST(c_st AS DOUBLE) / n_s) + (CAST(c_t AS DOUBLE) / n)) / 2.0))
+                     * 1e12) AS BIGINT) AS term_q
+         FROM st JOIN v USING (tok) JOIN ns USING (src) CROSS JOIN tot)
+       SELECT src AS source,
+              CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+              COUNT(*) AS n_vocab,
+              ROUND(0.5 * (SUM(term_p) / 1e12 + SUM(term_q) / 1e12 +
+                    (1.0 - CAST(SUM(c_t) AS DOUBLE) / MAX(n)) * 0.6931471805599453),
+                    4) AS js_divergence
+       FROM terms
+       GROUP BY src
+       ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_divergence" -> (sourceDivergence _),
     "text_boilerplate" -> (boilerplate _),
     "batch_drift" -> ((s, d) => batchDrift(s, d)),
     "contamination_excise" -> ((s, d) => contaminationExcise(s, d)),
@@ -1089,6 +1194,7 @@ object CorpusOps {
     "corpus_curate" -> (curate _))
 
   val oracles: Map[String, String] = Map(
+    "source_divergence" -> sourceDivergenceSql,
     "text_boilerplate" -> boilerplateSql,
     "batch_drift" -> batchDriftSql,
     "contamination_excise" -> contaminationExciseSql,

@@ -10,6 +10,32 @@ class CorpusOpsSpec extends GraftSpecBase {
       assert(fn(spark, sfDir).count() > 0, s"$name empty")
   }
 
+  test("source divergence matches a brute-force JS computation per source") {
+    val got = CorpusOps.sourceDivergence(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("js_divergence")).toMap
+    // brute force from raw token counts
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(length(trim(col("text"))) > 0)
+      .select(coalesce(col("source"), lit("(none)")).as("src"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val corpus = toks.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val n = toks.length.toDouble
+    for ((src, st) <- toks.groupBy(_._1)) {
+      val cs = st.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+      val nS = st.length.toDouble
+      val js = 0.5 * corpus.keysIterator.map { t =>
+        val p = cs.getOrElse(t, 0.0) / nS
+        val q = corpus(t) / n
+        val m = (p + q) / 2
+        (if (p > 0) p * math.log(p / m) else 0.0) + q * math.log(q / m)
+      }.sum
+      assert(math.abs(got(src) - js) < 2e-4, s"$src: ${got(src)} vs brute $js")
+      assert(got(src) >= 0 && got(src) <= 0.6932, s"$src out of JS bounds")
+    }
+  }
+
   test("batch_drift census loses no document and its shares reconcile") {
     val d = CorpusOps.batchDrift(spark, sfDir).collect()
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
