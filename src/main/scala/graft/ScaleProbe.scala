@@ -88,7 +88,10 @@ object ScaleProbe {
       // join are the quadratic-risk shapes) and the near-dup provenance
       // rollup (rides the pair frame; measures the frame + two id joins)
       "text_boilerplate" -> (CorpusOps.boilerplate _),
-      "source_overlap" -> (Dedup.sourceOverlap _))
+      "source_overlap" -> (Dedup.sourceOverlap _),
+      // round-7 wave 6: the JS-divergence census (one token shuffle +
+      // Zipfian post-aggregation join — should scale like lm_score)
+      "source_divergence" -> (CorpusOps.sourceDivergence _))
 
     def time(dir: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {
