@@ -496,6 +496,78 @@ object TextAnalysis {
        ORDER BY n DESC, word
        LIMIT 20"""
 
+  /** Vocabulary growth over crawl order (Heaps'-law monitoring): per
+    * crawl-order decile, how many documents arrived, how many word types
+    * were SEEN, how many were NEW (first arrival), and the running
+    * cumulative vocabulary — the "is this crawl still adding vocabulary,
+    * or only re-crawling what we have?" census a corpus pipeline reads
+    * before paying for another ingest round.
+    *
+    * Semantics: deciles are crawl-order tenths (`doc_id * 10 DIV
+    * (max_id + 1)` — exact integer cuts, scale-stable row count); a
+    * type's arrival decile is min(decile) over its occurrences. Deciles
+    * that add nothing still report their zero (LEFT joins + COALESCE) —
+    * the saturation signal IS the point of the census.
+    *
+    * Scale shape: the token stream collapses to DISTINCT (decile, tok)
+    * first — one map-side-combined shuffle on a balanced high-cardinality
+    * key, ≤10× vocabulary rows out — and every later aggregate (types
+    * seen, first-arrival census, running sum) acts on that bounded frame
+    * or the ≤11-row decile frame (the seasonality argument: windows over
+    * BOUNDED frames only). The max-id bound rides a broadcast 1-row
+    * frame, not a driver collect; the doc-count branch prunes to the
+    * doc_id column. */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val bounds = d.agg(max(col("doc_id")).as("max_id"))
+    val docs = d
+      .crossJoin(broadcast(bounds))
+      .select(expr("doc_id * 10 DIV (max_id + 1)").as("decile"), col("text"))
+    val seen = docs
+      .select(col("decile"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+    val perDecile = seen.groupBy("decile").agg(count(lit(1)).as("types_seen"))
+    val firstSeen = seen
+      .groupBy("tok")
+      .agg(min(col("decile")).as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("new_types"))
+    val nDocs = docs.groupBy("decile").agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nDocs
+      .join(perDecile, Seq("decile"), "left")
+      .join(firstSeen, Seq("decile"), "left")
+      .select(
+        col("decile"),
+        col("n_docs"),
+        coalesce(col("types_seen"), lit(0L)).as("types_seen"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .orderBy("decile")
+  }
+
+  val vocabGrowthSql: String =
+    """WITH b AS (SELECT MAX(doc_id) AS max_id FROM documents),
+       docs AS (SELECT doc_id * 10 // (max_id + 1) AS decile, text FROM documents, b),
+       seen AS (SELECT DISTINCT decile, tok
+                FROM (SELECT decile, UNNEST(string_split(text, ' ')) AS tok FROM docs)
+                WHERE LENGTH(tok) > 0),
+       pd AS (SELECT decile, COUNT(*) AS types_seen FROM seen GROUP BY decile),
+       fs AS (SELECT tok, MIN(decile) AS decile FROM seen GROUP BY tok),
+       nw AS (SELECT decile, COUNT(*) AS new_types FROM fs GROUP BY decile),
+       nd AS (SELECT decile, COUNT(*) AS n_docs FROM docs GROUP BY decile),
+       cells AS (
+         SELECT nd.decile, nd.n_docs,
+                COALESCE(pd.types_seen, 0) AS types_seen,
+                COALESCE(nw.new_types, 0) AS new_types
+         FROM nd LEFT JOIN pd USING (decile) LEFT JOIN nw USING (decile))
+       SELECT decile, n_docs, types_seen, new_types,
+              CAST(SUM(new_types) OVER (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+       FROM cells
+       ORDER BY decile"""
+
   /** Approximate heavy hitters — the sketch twin of [[heavyHitters]]:
     * `stat.freqItems` (Karp–Shenker–Papadimitriou one-pass frequent
     * items) over the exploded word stream at 1% support. The result is a
@@ -886,6 +958,7 @@ object TextAnalysis {
     "text_lm_score" -> (lmScore _),
     "text_topk_approx" -> (topkApprox _),
     "text_heavy_hitters" -> (heavyHitters _),
+    "text_vocab_growth" -> (vocabGrowth _),
     "text_winnow" -> (winnow _),
     "text_tokens_bpe" -> (tokensBpe _),
     "text_scrub" -> (scrub _),
@@ -903,6 +976,7 @@ object TextAnalysis {
     "text_repetition" -> repetitionSql,
     "text_lm_score" -> lmScoreSql,
     "text_heavy_hitters" -> heavyHittersSql,
+    "text_vocab_growth" -> vocabGrowthSql,
     "text_tokens_bpe" -> tokensBpeSql,
     "text_scrub" -> scrubSql,
     "text_stats" -> statsSql,

@@ -800,6 +800,74 @@ object Windows {
        FROM cells
        ORDER BY dow, hod"""
 
+  /** Daily OHLC (open/high/low/close) per event type — the time-series
+    * resample every metrics pipeline runs over its event values, plus the
+    * exact-cents daily sum and valid-row count.
+    *
+    * Determinism discipline: open/close are the rows ranked FIRST/LAST by
+    * the total order (ts_us, event_id) inside each (day, type) cell — the
+    * module's standard tie-break, so equal-timestamp events pick the same
+    * row in both engines. Values ride the [[anomaly]] metric envelope
+    * (|v| ≤ $5M → integer cents, else NULL = "no observation", which also
+    * maps NaN/±huge corrupt rows out instead of crashing or silently
+    * zeroing them); rows with no observation are dropped before ranking so
+    * open/close always carry a real value.
+    *
+    * Scale shape: ONE hash exchange on the (day, type) cell key — both
+    * row_number windows and the final aggregate share that partitioning
+    * (two in-partition sorts, no second shuffle; plan-pinned in
+    * ScaleSpec). Day keys are epoch-day longs via date_trunc (module
+    * convention — no DATE dtype drift, no session-timezone surprises). */
+  def ohlc(s: SparkSession, dir: String): DataFrame = {
+    val cell = Seq(col("day_us"), col("event_type"))
+    val wAsc = Window.partitionBy(cell: _*).orderBy(col("ts_us").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy(cell: _*).orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables
+      .events(s, dir)
+      .select(
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"),
+        col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        when(abs(col("value")) <= lit(5.0e6), cents("value")).as("cents"))
+      .filter(col("cents").isNotNull)
+      .withColumn("rn_o", row_number().over(wAsc))
+      .withColumn("rn_c", row_number().over(wDesc))
+      .groupBy(col("day_us"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(when(col("rn_o") === 1, col("cents"))) / 100.0).as("open"),
+        (max(col("cents")) / 100.0).as("high"),
+        (min(col("cents")) / 100.0).as("low"),
+        (max(when(col("rn_c") === 1, col("cents"))) / 100.0).as("close"),
+        (sum(col("cents")) / 100.0).as("total_value"))
+      .orderBy("day_us", "event_type")
+  }
+
+  val ohlcSql: String =
+    """WITH e AS (
+         SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+                epoch_us(ts) AS ts_us, event_id,
+                CASE WHEN ABS(value) <= 5000000.0
+                     THEN CAST(FLOOR(value * 100.0) AS BIGINT) END AS cents
+         FROM events),
+       r AS (
+         SELECT *,
+                ROW_NUMBER() OVER (PARTITION BY day_us, event_type
+                                   ORDER BY ts_us ASC, event_id ASC) AS rn_o,
+                ROW_NUMBER() OVER (PARTITION BY day_us, event_type
+                                   ORDER BY ts_us DESC, event_id DESC) AS rn_c
+         FROM e WHERE cents IS NOT NULL)
+       SELECT day_us, event_type, COUNT(*) AS n_events,
+              MAX(CASE WHEN rn_o = 1 THEN cents END) / 100.0 AS open,
+              MAX(cents) / 100.0 AS high,
+              MIN(cents) / 100.0 AS low,
+              MAX(CASE WHEN rn_c = 1 THEN cents END) / 100.0 AS close,
+              SUM(cents) / 100.0 AS total_value
+       FROM r
+       GROUP BY day_us, event_type
+       ORDER BY day_us, event_type"""
+
   /** Funnel latency distribution: how long from a user's first `view` to
     * their first `purchase` at or after it, reported as banded counts
     * (< 1h, < 1d, < 7d, ≥ 7d) with exact min/max and mean latency — the
@@ -875,6 +943,7 @@ object Windows {
     "win_conversion_time" -> (conversionTime _),
     "win_anomaly" -> (anomaly _),
     "ts_gapfill" -> (gapfill _),
+    "ts_ohlc" -> (ohlc _),
     "win_retention" -> (retention _),
     "win_funnel" -> (funnel _),
     "win_ntile" -> (ntileQuartiles _),
@@ -895,6 +964,7 @@ object Windows {
     "win_conversion_time" -> conversionTimeSql,
     "win_anomaly" -> anomalySql,
     "ts_gapfill" -> gapfillSql,
+    "ts_ohlc" -> ohlcSql,
     "win_retention" -> retentionSql,
     "win_funnel" -> funnelSql,
     "win_ntile" -> ntileQuartilesSql,

@@ -260,6 +260,26 @@ class PipelineOpsSpec extends GraftSpecBase {
     g.unpersist()
   }
 
+  test("vocab growth: decile census reconciles with the corpus vocabulary") {
+    val g = TextAnalysis.vocabGrowth(spark, sfDir).collect()
+    assert(g.nonEmpty && g.length <= 10, s"${g.length} deciles")
+    // new types are a subset of the types seen in that decile
+    assert(g.forall(r => r.getLong(3) <= r.getLong(2)), "new_types exceeds types_seen")
+    // the running sum is consistent and ends at the corpus vocabulary size
+    val cums = g.map(_.getLong(4))
+    assert(cums.zip(g.map(_.getLong(3)).scanLeft(0L)(_ + _).drop(1)).forall(p => p._1 == p._2),
+      "cum_types is not the running sum of new_types")
+    val vocab = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+      .count()
+    assert(cums.last == vocab, s"cumulative vocabulary ${cums.last} != corpus vocabulary $vocab")
+    // every document is attributed to exactly one decile
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(g.map(_.getLong(1)).sum == docs, "documents lost between deciles")
+  }
+
   test("lm score: negative mean log-likelihood, token count agrees with text_stats") {
     val lm = TextAnalysis.lmScore(spark, sfDir).cache()
     // every unigram probability < 1 => every mean log-likelihood < 0

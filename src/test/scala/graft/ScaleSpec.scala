@@ -388,6 +388,13 @@ class ScaleSpec extends GraftSpecBase {
     assert(exchanges == 0, s"split assignment must not shuffle:\n$plan")
   }
 
+  test("ts_ohlc: one hash exchange — rank windows and the aggregate share the cell partitioning") {
+    val plan =
+      graft.operators.Windows.ohlc(spark, sfDir).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"ohlc should shuffle once on the (day, type) cell key:\n$plan")
+  }
+
   test("gapfill: every window is user-partitioned (no unpartitioned calendar sort)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = Windows.gapfill(spark, sfDir)

@@ -94,6 +94,32 @@ class WindowsSpec extends GraftSpecBase {
     assert(math.abs(cells.map(_.getDouble(4)).sum - 100.0) <= 0.05, "shares don't sum to 100%")
   }
 
+  test("ohlc matches a brute-force scan of each (day, type) cell") {
+    val rows = Windows.ohlc(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // brute-force reference: group the raw events in plain Scala
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val ref = raw
+      .select(col("event_id"), col("ts").as("ns"), col("event_type"), col("value"))
+      .filter(col("value").isNotNull && abs(col("value")) <= 5.0e6)
+      .collect()
+      .map { r =>
+        val us = r.getLong(1) / 1000L
+        (us - java.lang.Math.floorMod(us, 86400000000L), r.getString(2), us, r.getLong(0),
+          math.floor(r.getDouble(3) * 100.0).toLong)
+      }
+      .groupBy(e => (e._1, e._2))
+    for (r <- rows) {
+      val cell = ref((r.getLong(0), r.getString(1))).sortBy(e => (e._3, e._4))
+      assert(r.getLong(2) == cell.length, s"n_events mismatch in $r")
+      assert(r.getDouble(3) == cell.head._5 / 100.0, s"open mismatch in $r")
+      assert(r.getDouble(4) == cell.map(_._5).max / 100.0, s"high mismatch in $r")
+      assert(r.getDouble(5) == cell.map(_._5).min / 100.0, s"low mismatch in $r")
+      assert(r.getDouble(6) == cell.last._5 / 100.0, s"close mismatch in $r")
+    }
+    assert(rows.length == ref.size, "cells lost or invented")
+  }
+
   test("deterministic sample is stable and ~5%") {
     val a = Sampling.deterministic(spark, sfDir).collect().map(_.getLong(0)).toSeq
     val b = Sampling.deterministic(spark, sfDir).collect().map(_.getLong(0)).toSeq
