@@ -637,13 +637,171 @@ object Similarity {
        FROM p
        ORDER BY vec_id"""
 
+  /** Number of k-means clusters — session-tunable like every knob; the
+    * oracle pins the default. */
+  private[operators] val KmeansKDefault = 8
+
+  private[operators] def kmeansK(s: SparkSession): Int = {
+    val raw = s.conf.get("spark.graft.emb.kmeansK", KmeansKDefault.toString)
+    val n =
+      try raw.toInt
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"spark.graft.emb.kmeansK must be a positive integer, got '$raw'")
+      }
+    require(n > 0, s"spark.graft.emb.kmeansK must be positive, got $n")
+    n
+  }
+
+  /** Squared Euclidean distance from a row's quantized vector to a
+    * centroid carried as (sv = member sum-vector, c = member count, ns =
+    * sv·sv): ‖x − sv/c‖² = nx − 2·(x·sv)/c + ns/c². Every input is an
+    * EXACT integer (guarded under 2^53 by the validity gate and
+    * [[assertCentroidExact]]), both engines convert the same integers to
+    * DOUBLE and evaluate the structurally identical float expression —
+    * the [[graft.operators.Windows!.anomaly]] same-integers→same-doubles
+    * discipline — so distances, and therefore assignments, agree
+    * bit-for-bit with no tolerance. */
+  private def lloydD(cent: Column): Column =
+    col("nq").cast("double") -
+      lit(2.0) * dot(col("qv"), cent.getField("sv")).cast("double") /
+        cent.getField("c").cast("double") +
+      cent.getField("ns").cast("double") /
+        (cent.getField("c") * cent.getField("c")).cast("double")
+
+  /** Lloyd's k-means over the quantized embeddings, run EXACTLY the same
+    * way in both engines: deterministic init (the k lowest vec_ids), two
+    * Lloyd update rounds, ties to the lower cluster id, and a cluster
+    * that loses all members keeps its previous centroid. Exactness rests
+    * on three invariants: centroids are carried as INTEGER (sum-vector,
+    * count) pairs — never a divided float mean; the assignment distance
+    * is one fixed-shape float expression over exact integers
+    * ([[lloydD]]); and the mean-norm output follows the agg_moments
+    * DECIMAL(38,0)/HUGEINT discipline. The DuckDB oracle replays both
+    * rounds unrolled and matches cell-for-cell.
+    *
+    * Scale shape: centroids ride a collect_list → 1-row broadcast frame
+    * (the [[annIvf]] codebook pattern — no driver collect, no n×k
+    * shuffle: argmin is a narrow array_min over the broadcast list, and
+    * each update's groupBy ships k partial rows per task via
+    * graft_vec_sum's map-side combine). Three corpus scans total (init
+    * top-k + one per Lloyd round) over the PipelineCache-shared
+    * quantized frame; every extra round would add exactly one scan and
+    * one k-row shuffle. [[assertCentroidExact]] keeps every sum-vector
+    * inside the 2^53 envelope, so a degenerate corpus fails loudly, not
+    * wrongly. */
+  def embKmeans(s: SparkSession, dir: String): DataFrame = {
+    val k = kmeansK(s)
+    val corpus = PipelineCache.cached(s"kmeans_corpus_d${embDim(s)}", s, dir, "embeddings.parquet")(
+      quantized(s, dir))
+
+    def codebook(cents: DataFrame): DataFrame =
+      cents.agg(
+        collect_list(struct(col("cid"), col("sv"), col("c"), selfDot(col("sv")).as("ns")))
+          .as("cb"))
+
+    def assign(cb: DataFrame): DataFrame =
+      corpus
+        .crossJoin(broadcast(cb))
+        .withColumn(
+          "best",
+          array_min(transform(
+            col("cb"),
+            c => struct(lloydD(c).as("d"), c.getField("cid").as("cid")))))
+        .select(col("vec_id"), col("qv"), col("nq"), col("label"), col("best.cid").as("cid"))
+
+    val wInit = Window.orderBy("vec_id")
+    val c0 = corpus
+      .orderBy("vec_id")
+      .limit(k)
+      .select(col("vec_id"), col("qv"))
+      .withColumn("cid", (row_number().over(wInit) - 1).cast("int"))
+      .select(col("cid"), col("qv").as("sv"), lit(1L).as("c"))
+    val agg1 = assign(codebook(c0))
+      .groupBy("cid")
+      .agg(call_function("graft_vec_sum", col("qv")).as("sv1"), count(lit(1)).as("c1"))
+    val c1 = c0
+      .join(agg1, Seq("cid"), "left")
+      .select(
+        col("cid"),
+        coalesce(col("sv1"), col("sv")).as("sv"),
+        coalesce(col("c1"), col("c")).as("c"))
+      .filter(assertCentroidExact(col("sv"), "kmeans centroid"))
+    assign(codebook(c1))
+      .groupBy("cid")
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec"),
+        sum(col("label").cast("long")).as("sum_label"),
+        round(sum(col("nq").cast("decimal(38,0)")).cast("double") / count(lit(1)), 2)
+          .as("mean_nq"))
+      .orderBy("cid")
+  }
+
+  /** Exact SQL replay of [[embKmeans]]: same k-lowest-ids init, the same
+    * two unrolled Lloyd rounds with the identical distance expression,
+    * the same empty-cluster carry (LEFT JOIN + COALESCE), integer
+    * sum-vectors via the knnJoin UNNEST(range) idiom. */
+  val embKmeansSql: String = {
+    def dExpr(cents: String): String =
+      s"""CAST(n.nq AS DOUBLE)
+           - 2.0 * list_dot_product(n.qv, $cents.sv) / CAST($cents.c AS DOUBLE)
+           + CAST($cents.ns AS DOUBLE) / CAST($cents.c * $cents.c AS DOUBLE)"""
+    s"""WITH $embPrelude,
+       c0 AS (
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+                qv AS sv, CAST(1 AS BIGINT) AS c
+         FROM n ORDER BY vec_id LIMIT $KmeansKDefault),
+       c0n AS (SELECT cid, sv, c, list_dot_product(sv, sv) AS ns FROM c0),
+       d1 AS (
+         SELECT n.vec_id, c0n.cid, ${dExpr("c0n")} AS d
+         FROM n CROSS JOIN c0n),
+       a1 AS (
+         SELECT vec_id, cid FROM (
+           SELECT vec_id, cid,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           FROM d1)
+         WHERE rn = 1),
+       e1 AS (
+         SELECT a1.cid, t.i, SUM(n.qv[t.i]) AS sx
+         FROM n JOIN a1 USING (vec_id), UNNEST(range(1, len(n.qv) + 1)) AS t(i)
+         GROUP BY 1, 2),
+       s1 AS (SELECT cid, LIST(sx ORDER BY i) AS sv FROM e1 GROUP BY cid),
+       m1 AS (SELECT cid, COUNT(*) AS c FROM a1 GROUP BY cid),
+       c1 AS (
+         SELECT c0n.cid,
+                COALESCE(s1.sv, c0n.sv) AS sv,
+                COALESCE(m1.c, c0n.c) AS c
+         FROM c0n LEFT JOIN s1 USING (cid) LEFT JOIN m1 USING (cid)),
+       c1n AS (SELECT cid, sv, c, list_dot_product(sv, sv) AS ns FROM c1),
+       d2 AS (
+         SELECT n.vec_id, c1n.cid, ${dExpr("c1n")} AS d
+         FROM n CROSS JOIN c1n),
+       a2 AS (
+         SELECT vec_id, cid FROM (
+           SELECT vec_id, cid,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           FROM d2)
+         WHERE rn = 1)
+       SELECT a2.cid, COUNT(*) AS n_members,
+              MIN(n.vec_id) AS min_vec, MAX(n.vec_id) AS max_vec,
+              CAST(SUM(n.label) AS BIGINT) AS sum_label,
+              ROUND(CAST(SUM(CAST(n.nq AS HUGEINT)) AS DOUBLE) / COUNT(*), 2) AS mean_nq
+       FROM n JOIN a2 USING (vec_id)
+       GROUP BY a2.cid
+       ORDER BY cid"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> (annBrute _),
     "ann_lsh_topk" -> (annLsh _),
     "ann_ivf_topk" -> (annIvf _),
     "dedup_embedding_ivf" -> (ivfDedup _),
     "knn_join" -> (knnJoin _),
-    "emb_quantize" -> (embQuantize _))
+    "emb_quantize" -> (embQuantize _),
+    "emb_kmeans" -> (embKmeans _))
 
   val oracles: Map[String, String] = Map(
     "ann_brute_topk" -> annBruteSql,
@@ -651,5 +809,6 @@ object Similarity {
     "ann_ivf_topk" -> annIvfSql,
     "dedup_embedding_ivf" -> ivfDedupSql,
     "knn_join" -> knnJoinSql,
-    "emb_quantize" -> embQuantizeSql)
+    "emb_quantize" -> embQuantizeSql,
+    "emb_kmeans" -> embKmeansSql)
 }

