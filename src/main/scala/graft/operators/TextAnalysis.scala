@@ -568,6 +568,99 @@ object TextAnalysis {
        FROM cells
        ORDER BY decile"""
 
+  /** Number of BPE merge rounds [[bpeTrain]] learns — session-tunable;
+    * the reference spec pins the default. */
+  private[operators] val BpeMergesDefault = 10
+
+  private[operators] def bpeMerges(s: SparkSession): Int = {
+    val raw = s.conf.get("spark.graft.text.bpeMerges", BpeMergesDefault.toString)
+    val n =
+      try raw.toInt
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"spark.graft.text.bpeMerges must be a positive integer, got '$raw'")
+      }
+    require(n > 0, s"spark.graft.text.bpeMerges must be positive, got $n")
+    n
+  }
+
+  /** BPE tokenizer TRAINING — learn the top-M byte-pair merges from the
+    * corpus, the tokenizer-fitting step of a training-data pipeline (the
+    * [[tokensBpe]] tokenizer is the APPLY side; this is the FIT side).
+    * Classic Sennrich-style: words as character-symbol sequences, each
+    * round counts adjacent symbol pairs weighted by word frequency
+    * (overlapping occurrences count, as in the original get_stats),
+    * merges the most frequent pair — ties to the lexicographically
+    * smallest (left, right) — and rewrites every word greedily
+    * left-to-right. Output is the learned merge table (rank, left,
+    * right, merged, pair_freq): fully deterministic, pinned exactly by a
+    * plain-Scala reference implementation in the spec (rows-only for the
+    * driver — the greedy in-array fold has no portable-SQL rendering).
+    *
+    * Scale shape: the CORPUS is scanned exactly once (the word census);
+    * all M rounds act on the bounded vocabulary frame — per round one
+    * explode+groupBy pair census (map-side combined, key space ≈ symbol
+    * bigrams), a 1-row TakeOrdered argmax to the driver (the globalRank
+    * eager-literal precedent), and a narrow aggregate-fold rewrite. Each
+    * round's frame is persisted and the previous unpersisted, so plans
+    * stay shallow. Runs out of pairs → stops early with fewer rows. */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = bpeMerges(s)
+    val census = Tables
+      .documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"))
+      .select(
+        col("freq"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+    var cur = census.persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    try {
+      for (rank <- 1 to m if !exhausted) {
+        val top = cur
+          .filter(size(col("syms")) >= 2)
+          .select(
+            col("freq"),
+            explode(expr(
+              "transform(sequence(1, size(syms) - 1), " +
+                "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("pf"))
+          .orderBy(col("pf").desc, col("l"), col("r"))
+          .limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, pf) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((rank, l, r, l + r, pf))
+          // greedy left-to-right rewrite: merge (l, r) wherever the pair is
+          // adjacent; a freshly merged token never re-merges in the same
+          // round because its text l+r differs from l
+          val next = cur
+            .withColumn(
+              "syms",
+              aggregate(
+                col("syms"),
+                array().cast("array<string>"),
+                (acc, x) =>
+                  when(
+                    size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+                    concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+                    .otherwise(concat(acc, array(x)))))
+            .persist()
+          cur.unpersist(blocking = false)
+          cur = next
+        }
+      }
+    } finally cur.unpersist(blocking = false)
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_freq")
+  }
+
   /** Approximate heavy hitters — the sketch twin of [[heavyHitters]]:
     * `stat.freqItems` (Karp–Shenker–Papadimitriou one-pass frequent
     * items) over the exploded word stream at 1% support. The result is a
@@ -959,6 +1052,7 @@ object TextAnalysis {
     "text_topk_approx" -> (topkApprox _),
     "text_heavy_hitters" -> (heavyHitters _),
     "text_vocab_growth" -> (vocabGrowth _),
+    "text_bpe_train" -> (bpeTrain _),
     "text_winnow" -> (winnow _),
     "text_tokens_bpe" -> (tokensBpe _),
     "text_scrub" -> (scrub _),

@@ -280,6 +280,47 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(g.map(_.getLong(1)).sum == docs, "documents lost between deciles")
   }
 
+  test("bpe train: merge table equals a plain-Scala reference implementation") {
+    val rows = TextAnalysis
+      .bpeTrain(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+      .toSeq
+    // reference: the identical Sennrich-style algorithm in plain Scala
+    var vocab = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select(col("text"))
+      .collect()
+      .flatMap(r => Option(r.getString(0)))
+      .flatMap(_.split(" ", -1))
+      .filter(_.nonEmpty)
+      .groupBy(identity)
+      .map { case (w, ws) => (w.map(_.toString).toVector, ws.length.toLong) }
+      .toVector
+    val ref = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var stop = false
+    for (rank <- 1 to 10 if !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), pf) = counts.toSeq.minBy { case ((pl, pr), c) => (-c, pl, pr) }
+        ref += ((rank, l, r, l + r, pf))
+        vocab = vocab.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (x <- syms)
+            if (out.nonEmpty && out.last == l && x == r) {
+              out.remove(out.length - 1); out += (l + r)
+            } else out += x
+          (out.toVector, f)
+        }
+      }
+    }
+    assert(rows == ref.toSeq, s"operator\n  $rows\n!= reference\n  ${ref.toSeq}")
+  }
+
   test("kmeans: clusters partition the corpus, assignments are the true argmin") {
     val rows = Similarity.embKmeans(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 8, s"${rows.length} clusters")
