@@ -66,11 +66,15 @@ object Similarity {
     * interpolated [[embPrelude]] (a no-op on the driver's clean
     * tables). */
   private[operators] def quantizedEmbeddings(s: SparkSession, dir: String): DataFrame =
-    Tables
-      .embeddings(s, dir)
-      .filter(
+    gateQuantize(Tables.embeddings(s, dir), embDim(s))
+
+  /** The gate + quantize pipeline on an arbitrary (vec_id, embedding,
+    * label) frame — shared with the streaming assignment twin so a
+    * stream is admitted under EXACTLY the batch frame's hygiene rules. */
+  private[graft] def gateQuantize(df: DataFrame, dim: Int): DataFrame =
+    df.filter(
         col("embedding").isNotNull &&
-          size(col("embedding")) === lit(embDim(s)) &&
+          size(col("embedding")) === lit(dim) &&
           forall(col("embedding"), x => x.isNotNull && abs(x) <= lit(10000.0d)))
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
       .withColumn("nq", selfDot(col("qv")))
@@ -86,7 +90,7 @@ object Similarity {
     * change never serves a stale frame. */
   private[operators] val EmbDimDefault = 64
 
-  private[operators] def embDim(s: SparkSession): Int = {
+  private[graft] def embDim(s: SparkSession): Int = {
     val raw = s.conf.get("spark.graft.emb.dim", EmbDimDefault.toString)
     val n =
       try raw.toInt
@@ -691,26 +695,36 @@ object Similarity {
     * one k-row shuffle. [[assertCentroidExact]] keeps every sum-vector
     * inside the 2^53 envelope, so a degenerate corpus fails loudly, not
     * wrongly. */
-  def embKmeans(s: SparkSession, dir: String): DataFrame = {
-    val k = kmeansK(s)
-    val corpus = PipelineCache.cached(s"kmeans_corpus_d${embDim(s)}", s, dir, "embeddings.parquet")(
+  /** The k-centroid frame as a 1-row broadcastable codebook (the
+    * [[annIvf]] pattern), each entry carrying its exact integer self-dot. */
+  private def kmCodebook(cents: DataFrame): DataFrame =
+    cents.agg(
+      collect_list(struct(col("cid"), col("sv"), col("c"), selfDot(col("sv")).as("ns")))
+        .as("cb"))
+
+  /** The argmin-assignment expression over a codebook column — shared
+    * verbatim with the streaming twin
+    * ([[graft.streaming.EventStreams.assignClusters]]) so batch/stream
+    * assignment parity is structural. Ties go to the lower cid via the
+    * lexicographic struct min. */
+  private[graft] def argminBest(cb: Column): Column =
+    array_min(transform(cb, c => struct(lloydD(c).as("d"), c.getField("cid").as("cid"))))
+
+  private def kmAssign(corpus: DataFrame, cb: DataFrame): DataFrame =
+    corpus
+      .crossJoin(broadcast(cb))
+      .withColumn("best", argminBest(col("cb")))
+      .select(col("vec_id"), col("qv"), col("nq"), col("label"), col("best.cid").as("cid"))
+
+  private def kmCorpus(s: SparkSession, dir: String): DataFrame =
+    PipelineCache.cached(s"kmeans_corpus_d${embDim(s)}", s, dir, "embeddings.parquet")(
       quantized(s, dir))
 
-    def codebook(cents: DataFrame): DataFrame =
-      cents.agg(
-        collect_list(struct(col("cid"), col("sv"), col("c"), selfDot(col("sv")).as("ns")))
-          .as("cb"))
-
-    def assign(cb: DataFrame): DataFrame =
-      corpus
-        .crossJoin(broadcast(cb))
-        .withColumn(
-          "best",
-          array_min(transform(
-            col("cb"),
-            c => struct(lloydD(c).as("d"), c.getField("cid").as("cid")))))
-        .select(col("vec_id"), col("qv"), col("nq"), col("label"), col("best.cid").as("cid"))
-
+  /** The converged (two-round) centroid frame: cid, integer sum-vector,
+    * member count. Exposed for the streaming twin, which freezes it. */
+  private[graft] def kmeansCentroids(s: SparkSession, dir: String): DataFrame = {
+    val k = kmeansK(s)
+    val corpus = kmCorpus(s, dir)
     val wInit = Window.orderBy("vec_id")
     val c0 = corpus
       .orderBy("vec_id")
@@ -718,17 +732,23 @@ object Similarity {
       .select(col("vec_id"), col("qv"))
       .withColumn("cid", (row_number().over(wInit) - 1).cast("int"))
       .select(col("cid"), col("qv").as("sv"), lit(1L).as("c"))
-    val agg1 = assign(codebook(c0))
+    val agg1 = kmAssign(corpus, kmCodebook(c0))
       .groupBy("cid")
       .agg(call_function("graft_vec_sum", col("qv")).as("sv1"), count(lit(1)).as("c1"))
-    val c1 = c0
-      .join(agg1, Seq("cid"), "left")
+    c0.join(agg1, Seq("cid"), "left")
       .select(
         col("cid"),
         coalesce(col("sv1"), col("sv")).as("sv"),
         coalesce(col("c1"), col("c")).as("c"))
       .filter(assertCentroidExact(col("sv"), "kmeans centroid"))
-    assign(codebook(c1))
+  }
+
+  /** Final-round assignment of every corpus vector to its cluster. */
+  private[graft] def kmeansAssignments(s: SparkSession, dir: String): DataFrame =
+    kmAssign(kmCorpus(s, dir), kmCodebook(kmeansCentroids(s, dir)))
+
+  def embKmeans(s: SparkSession, dir: String): DataFrame =
+    kmeansAssignments(s, dir)
       .groupBy("cid")
       .agg(
         count(lit(1)).as("n_members"),
@@ -738,7 +758,6 @@ object Similarity {
         round(sum(col("nq").cast("decimal(38,0)")).cast("double") / count(lit(1)), 2)
           .as("mean_nq"))
       .orderBy("cid")
-  }
 
   /** Exact SQL replay of [[embKmeans]]: same k-lowest-ids init, the same
     * two unrolled Lloyd rounds with the identical distance expression,

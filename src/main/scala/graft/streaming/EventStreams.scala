@@ -429,4 +429,39 @@ object EventStreams {
       }
       .start()
   }
+
+  /** Streaming cluster assignment — the online-inference twin of
+    * [[graft.operators.Similarity.embKmeans]]: each arriving vector is
+    * admitted under EXACTLY the batch hygiene rules
+    * ([[graft.operators.Similarity.gateQuantize]], shared code) and
+    * assigned by the SAME argmin distance expression
+    * ([[graft.operators.Similarity.argminBest]], shared code) against a
+    * FROZEN codebook, so batch/stream parity is structural, not just
+    * test-pinned.
+    *
+    * The codebook (k centroids as integer (sum-vector, count) pairs,
+    * from [[graft.operators.Similarity.kmeansCentroids]]) is compiled
+    * into the plan as a LITERAL at wiring time — the driftMonitor
+    * materialize-the-static-side argument taken to its limit: zero
+    * joins, zero state, zero shuffles, zero static-side re-scans per
+    * trigger; assignment is a narrow per-row map. Re-wire the stream to
+    * pick up re-trained centroids (frozen-codebook inference is the
+    * contract, as for the IVF store). Each centroid's self-dot is exact
+    * driver-side Long arithmetic — the same integers the batch codebook
+    * computes in-plan. */
+  def assignClusters(vecs: DataFrame, centroids: Seq[(Int, Seq[Long], Long)]): DataFrame = {
+    require(centroids.nonEmpty, "assignClusters needs at least one centroid")
+    val cb = array(centroids.map { case (cid, sv, c) =>
+      val ns = sv.iterator.map(x => x * x).sum
+      struct(
+        lit(cid).as("cid"),
+        typedlit(sv).as("sv"),
+        lit(c).as("c"),
+        lit(ns).as("ns"))
+    }: _*)
+    graft.operators.Similarity
+      .gateQuantize(vecs, graft.operators.Similarity.embDim(vecs.sparkSession))
+      .withColumn("best", graft.operators.Similarity.argminBest(cb))
+      .select(col("vec_id"), col("best.cid").as("cid"))
+  }
 }

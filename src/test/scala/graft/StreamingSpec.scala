@@ -408,4 +408,45 @@ class StreamingSpec extends GraftSpecBase {
     assert(streamed == batch,
       s"drift diverged:\nstream=$streamed\nbatch =$batch")
   }
+
+  test("streaming cluster assignment equals the batch kmeans assignment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // freeze the batch-trained codebook
+    val cents = graft.operators.Similarity
+      .kmeansCentroids(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2)))
+      .toSeq
+    val batch = graft.operators.Similarity
+      .kmeansAssignments(spark, sfDir)
+      .select("vec_id", "cid")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .toSet
+    assert(batch.nonEmpty, "no batch assignments — parity test is vacuous")
+    // replay the embeddings in two chunks (stateless, but the split pins
+    // that assignment needs no cross-trigger context)
+    val rows = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+      .toSeq
+    val input = MemoryStream[(Long, Seq[Float], Int)]
+    val (a, b) = rows.splitAt(rows.length / 2)
+    input.addData(a)
+    val q = EventStreams.assignClusters(
+        input.toDF().toDF("vec_id", "embedding", "label"),
+        cents)
+      .writeStream.format("memory").queryName("assign_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("assign_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(streamed == batch,
+      s"assignment diverged: missing=${batch -- streamed} extra=${streamed -- batch}")
+  }
 }
