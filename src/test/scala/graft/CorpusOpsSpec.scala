@@ -420,4 +420,42 @@ class CorpusOpsSpec extends GraftSpecBase {
       CorpusProfile.absorb(spark, sfDir, pa, oldDelta = "src19", newDelta = "srcNONE")
     }
   }
+
+  test("text index: warm retrieval never scans the corpus and equals scan-time search") {
+    import graft.operators.{TextAnalysis, TextIndex}
+    val base = java.nio.file.Files.createTempDirectory("graft_tidx").toString
+    val idx = s"$base/idx"
+    TextIndex.build(spark, sfDir, idx)
+    assert(TextIndex.isFresh(spark, sfDir, idx))
+    val df = TextIndex.searchIndexed(spark, sfDir, idx)
+    val plan = df.queryExecution.executedPlan.toString
+    // ZERO corpus scans: the plan touches only the index artifacts
+    assert(!plan.contains("documents.parquet"), s"corpus scan in indexed plan:\n$plan")
+    // and the term predicate reaches the pruned postings scan
+    val postScans = plan.split("\n").filter(l => l.contains("FileScan") && l.contains("postings"))
+    assert(postScans.nonEmpty, s"no postings scan in:\n$plan")
+    assert(postScans.exists(l => l.contains("In(tok") || l.contains("EqualTo(tok")),
+      s"term filter not pushed to the postings scan:\n${postScans.mkString("\n")}")
+    assert(df.collect().toSeq == TextAnalysis.search(spark, sfDir).collect().toSeq,
+      "indexed retrieval diverged from scan-time search")
+  }
+
+  test("text index: a corpus rewrite flips the stamp and triggers a rebuild") {
+    import graft.operators.{TextAnalysis, TextIndex}
+    val base = java.nio.file.Files.createTempDirectory("graft_tidx2").toString
+    val dir = s"$base/data"
+    val idx = s"$base/idx"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val r1 = TextIndex.searchIndexed(spark, dir, idx).collect().toSeq // builds on first call
+    assert(TextIndex.isFresh(spark, dir, idx) && r1.nonEmpty)
+    // in-place rewrite: half the corpus — the stamp must flip
+    docs.limit(25).coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(!TextIndex.isFresh(spark, dir, idx), "stamp did not flip on rewrite")
+    val r2 = TextIndex.searchIndexed(spark, dir, idx).collect().toSeq // rebuilds
+    assert(TextIndex.isFresh(spark, dir, idx))
+    assert(r2 == TextAnalysis.search(spark, dir).collect().toSeq,
+      "post-rewrite retrieval diverged from scan-time search")
+    assert(r1 != r2, "fixture vacuous: rewrite did not change the result")
+  }
 }
