@@ -104,7 +104,7 @@ object Bench {
     // corpus profile) on their FIRST pass and serve from it after — the
     // min is the honest steady state, but the pass-1 spike will trip the
     // noise detector; name them so that reads as warmup, not box noise
-    val storeBacked = Seq("dedup_incremental_idx", "corpus_profile")
+    val storeBacked = Seq("dedup_incremental_idx", "corpus_profile", "text_search_idx")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"")
       .mkString("[", ",", "]")

@@ -91,7 +91,14 @@ object ScaleProbe {
       "source_overlap" -> (Dedup.sourceOverlap _),
       // round-7 wave 6: the JS-divergence census (one token shuffle +
       // Zipfian post-aggregation join — should scale like lm_score)
-      "source_divergence" -> (CorpusOps.sourceDivergence _))
+      "source_divergence" -> (CorpusOps.sourceDivergence _),
+      // round-7 wave 7: the vocabulary-growth census (distinct
+      // (decile, tok) shuffle — the N× distinct-gram growth is exactly
+      // what the Caesar rotation synthesizes) and BPE training (one
+      // corpus-scan census; the M merge rounds act on the vocabulary
+      // frame, so they should grow with |V|, not corpus size)
+      "text_vocab_growth" -> (TextAnalysis.vocabGrowth _),
+      "text_bpe_train" -> (TextAnalysis.bpeTrain _))
 
     def time(dir: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {

@@ -604,7 +604,13 @@ object TextAnalysis {
     * bigrams), a 1-row TakeOrdered argmax to the driver (the globalRank
     * eager-literal precedent), and a narrow aggregate-fold rewrite. Each
     * round's frame is persisted and the previous unpersisted, so plans
-    * stay shallow. Runs out of pairs → stops early with fewer rows. */
+    * stay shallow. Runs out of pairs → stops early with fewer rows.
+    *
+    * Symbols are CODEPOINT-level (Spark's substring), and merged tokens
+    * are keyed by their string text — two different merge paths yielding
+    * the same text would conflate, as in any string-keyed BPE. Both are
+    * exact for this corpus (lowercase ASCII words) and for any BMP text;
+    * an id-keyed symbol table is the variant a non-BMP corpus needs. */
   def bpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = bpeMerges(s)

@@ -33,6 +33,11 @@ import org.apache.spark.sql.functions._
   * state; [[searchIndexed]] rebuilds when stale (first driver call
   * builds, later calls — e.g. bench passes — find it fresh, so the build
   * reads as pass-1 warmup under the bench's `store_backed` flag).
+  * Concurrency follows [[GramIndex]]'s contract verbatim: meta is
+  * written LAST so a crash mid-build leaves a stale-by-stamp index, but
+  * a build racing a concurrent reader of the same path can fail that
+  * reader's scan — serialize builds against queries per index path, or
+  * stage-and-swap.
   */
 object TextIndex {
 

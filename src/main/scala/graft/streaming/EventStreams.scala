@@ -34,6 +34,45 @@ object EventStreams {
         col("num_events"),
         col("total_value"))
 
+  /** Streaming daily OHLC — the incremental twin of
+    * [[graft.operators.Windows.ohlc]]: the same 1-day cells via a
+    * tumbling window, the same metric envelope (out-of-envelope, NaN and
+    * NULL values drop before aggregation — exactly the rows whose cents
+    * the batch operator NULLs out and filters), and open/close as
+    * MIN/MAX over (ts_us, event_id, cents) structs — the lexicographic
+    * struct extremum IS the batch rank-1 row under the module's
+    * (ts_us, event_id) total order, and unlike row_number it has a
+    * partial-merge form, so the whole operator is one watermark-bounded
+    * streaming aggregate (state per live (day, type) cell: two structs +
+    * three longs — fixed, evicted as the watermark passes the day). */
+  def ohlc(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .filter(abs(col("value")) <= lit(5.0e6))
+      .select(
+        col("ts"),
+        col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        floor(col("value") * 100.0).cast("long").as("cents"))
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(struct(col("ts_us"), col("event_id"), col("cents"))).as("o"),
+        max(col("cents")).as("hi"),
+        min(col("cents")).as("lo"),
+        max(struct(col("ts_us"), col("event_id"), col("cents"))).as("c"),
+        sum(col("cents")).as("s"))
+      .select(
+        unix_micros(col("window.start")).as("day_us"),
+        col("event_type"),
+        col("n_events"),
+        (col("o.cents") / 100.0).as("open"),
+        (col("hi") / 100.0).as("high"),
+        (col("lo") / 100.0).as("low"),
+        (col("c.cents") / 100.0).as("close"),
+        (col("s") / 100.0).as("total_value"))
+
   /** Streaming exact dedup — the incremental twin of
     * [[graft.operators.Dedup.exact]]: drop any document whose content hash
     * was already seen within the watermark horizon

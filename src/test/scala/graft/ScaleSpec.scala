@@ -85,6 +85,10 @@ class ScaleSpec extends GraftSpecBase {
     // see).
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // cold-cache precondition: another operator's warm PipelineCache
+    // frame (e.g. emb_kmeans' quantized corpus) would be substituted by
+    // the CacheManager into annIvf's scan subtrees and shift both counts
+    graft.operators.PipelineCache.clear()
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

@@ -409,6 +409,23 @@ class StreamingSpec extends GraftSpecBase {
       s"drift diverged:\nstream=$streamed\nbatch =$batch")
   }
 
+  test("streaming ohlc equals batch ts_ohlc on bounded input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    input.addData(eventRows())
+    val q = EventStreams.ohlc(
+        input.toDF().toDF("event_id", "user_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ohlc_out").collect().map(_.toSeq).toSet
+    val batch = Windows.ohlc(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"ohlc diverged: missing=${batch -- streamed} extra=${streamed -- batch}")
+  }
+
   test("streaming cluster assignment equals the batch kmeans assignment") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
