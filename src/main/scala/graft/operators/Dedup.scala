@@ -110,7 +110,7 @@ object Dedup {
       build: => DataFrame): DataFrame =
     PipelineCache.cached(tag, s, dir, "documents.parquet")(build)
 
-  private def ngramPairs(s: SparkSession, dir: String): DataFrame =
+  private[operators] def ngramPairs(s: SparkSession, dir: String): DataFrame =
     cachedByStamp("ngram", s, dir)(ngramPairsPlan(s, dir))
 
   /** The shared ngram pair frame IF it is already cached and fresh —

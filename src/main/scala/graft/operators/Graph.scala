@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the near-duplicate relation — the step past
+  * [[Dedup.dedupClusters]]'s "which docs are connected" to "which docs are
+  * CENTRAL": a template cluster's hub page outranks its thousand spokes,
+  * which is exactly the doc a curator inspects (or keeps) first.
+  *
+  * The reference engine has no graph surface (main.py is flat SQL); this
+  * extends the dedup family the way [[CorpusOps]] extends it — same shared
+  * candidate-pair frame, a new question over it.
+  */
+object Graph {
+
+  /** Total fixed-point rank mass: ranks are BIGINT micro-units of this
+    * scale, so every operation is integer arithmetic — exact, associative,
+    * order-independent — and both engines produce bit-identical ranks. */
+  private val Scale = 1000000000000L // 10^12
+
+  private val Iters = 3
+
+  /** PageRank (damping 0.85, 3 unrolled iterations) over the near-dup
+    * graph: nodes = documents in ≥ 1 Jaccard-≥0.5 pair (the
+    * [[Dedup.corpusDedupNg]] relation, symmetrized), edges undirected.
+    * Isolated documents never receive or donate mass — their rank is the
+    * constant base term after iteration 1 — so the report covers graph
+    * nodes only (the near-dup neighborhoods a curator actually triages).
+    *
+    * EXACT cross-engine semantics is the design constraint — floating
+    * PageRank is summation-order-dependent and can never hash-match
+    * across engines, so ranks live in BIGINT micro-units (1e12 = total
+    * mass 1.0) and every step is integer arithmetic:
+    *   base = Scale DIV N;  contrib(u) = r(u) DIV deg(u)
+    *   r'(v) = (15·base) DIV 100 + (85·Σ_{u→v} contrib(u)) DIV 100
+    * Integer addition is associative, so partition order can't change the
+    * sums; DIV (truncation) matches DuckDB's `//` (floor) on the
+    * all-positive domain. The dangling/rounding residue simply leaks mass
+    * (ranks are relative scores, not a distribution) — the standard
+    * simplification, stated rather than hidden.
+    *
+    * Scale shape: the corpus appears ONLY as the shared cached pair frame
+    * ([[Dedup.ngramPairs]] — hot-key-bounded candidate pairs, orders of
+    * magnitude smaller than the corpus) and one count-only scan for N
+    * (broadcast 1-row frame, no driver collect). Each iteration is one
+    * edge-key join plus one map-side-combined groupBy over the EDGE frame
+    * — shuffle ∝ edges, never corpus. Degrees are bounded in practice by
+    * the upstream rare-band candidate cap; AQE splits any residual hub
+    * skew. At 3 unrolled iterations lineage stays shallow; a deeper run
+    * would checkpoint per round exactly like [[Dedup.dedupClusters]]. */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup
+      .ngramPairs(s, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    var cur = edges
+      .groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+      .crossJoin(broadcast(n))
+      .select(col("id"), col("deg"), expr(s"$Scale DIV n_docs").as("base"))
+      .withColumn("r", col("base"))
+    for (_ <- 1 to Iters) {
+      val contrib = cur.select(col("id").as("src"), expr("r DIV deg").as("c"))
+      val inc = edges
+        .join(contrib, "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("c")).as("inc"))
+      cur = cur
+        .join(inc, Seq("id"), "left")
+        .withColumn("r", expr("(15 * base) DIV 100 + (85 * coalesce(inc, 0)) DIV 100"))
+        .drop("inc")
+    }
+    cur
+      .select(col("id").as("doc_id"), col("deg"), col("r").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+  }
+
+  /** SQL twin: the shared rare-pair CTEs, the near relation, then the
+    * three iterations unrolled (r0 → r1 → r2 → r3), each the literal SQL
+    * rendering of the integer recurrence above. `//` is DuckDB integer
+    * division (floor == Spark's DIV truncation on the positive domain);
+    * the inc sum is CAST back to BIGINT because DuckDB SUM(BIGINT) is
+    * HUGEINT. */
+  val pagerankSql: String = {
+    def step(prev: String, next: String): String =
+      s"""$next AS (
+         SELECT $prev.id, $prev.deg, $prev.base,
+                (15 * $prev.base) // 100 + (85 * COALESCE(i.inc, 0)) // 100 AS r
+         FROM $prev LEFT JOIN (
+           SELECT e.dst AS id, CAST(SUM(c.r // c.deg) AS BIGINT) AS inc
+           FROM edges e JOIN $prev c ON c.id = e.src GROUP BY 1) i USING (id))"""
+    s"""WITH ${Dedup.rarePairCtesSql},
+       near AS (
+         SELECT doc_a, doc_b
+         FROM inter
+         JOIN counts ca ON ca.doc_id = doc_a
+         JOIN counts cb ON cb.doc_id = doc_b
+         WHERE n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE) >= 0.5),
+       edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM near
+         UNION ALL
+         SELECT doc_b AS src, doc_a AS dst FROM near),
+       nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+       r0 AS (
+         SELECT src AS id, COUNT(*) AS deg,
+                $Scale // n_docs AS base, $Scale // n_docs AS r
+         FROM edges CROSS JOIN nn GROUP BY 1, 3, 4),
+       ${step("r0", "r1")},
+       ${step("r1", "r2")},
+       ${step("r2", "r3")}
+       SELECT id AS doc_id, deg, r AS score_micro
+       FROM r3
+       ORDER BY score_micro DESC, doc_id"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (pagerank _))
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankSql)
+}

@@ -1046,7 +1046,75 @@ object TextAnalysis {
        LIMIT 20"""
   }
 
+  /** Per-document TF-IDF top terms — the "what is this document about"
+    * labeler a corpus browser or topic sampler runs over a curated drop.
+    * Log-free scoring keeps it cross-engine exact: score = tf · N / df
+    * (tf = occurrences of the word in the doc, df = documents containing
+    * it, N = corpus size) — rank-equivalent to classic tf·idf for fixed N
+    * and computable as ONE double division of exact integers (`log` is
+    * not correctly rounded across libms; a quotient of exact BIGINTs is
+    * bit-identical in both engines). Top 3 terms per document, ties
+    * broken on the word itself; ordering uses the UN-rounded score.
+    *
+    * Overflow envelope: tf·N must fit BIGINT — tf ≤ 2^20 (the single-doc
+    * gram envelope) leaves room for N ≤ 2^43 docs, far past the 100 TB
+    * design point. ANSI mode makes a violation loud, not silent.
+    *
+    * Scale shape: tf is one map-side-combined shuffle on the balanced
+    * (doc, word) key; df REUSES the tf frame (one more count-only shuffle
+    * on word — a stop-word crossing the wire as per-task partials, never
+    * an occurrence list); the df join back is linear in tf rows with AQE
+    * splitting the stop-word skew; N rides a broadcast 1-row frame (no
+    * driver collect); the top-3 cut is a window over the per-doc
+    * partition. No corpus-sized broadcast, no collect, no straggler. */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    tf.join(df, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(
+        col("doc_id"),
+        col("rank"),
+        col("word"),
+        col("tf"),
+        col("df"),
+        round(col("score"), 4).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfSql: String =
+    """WITH toks AS (
+         SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+       tf AS (
+         SELECT doc_id, word, COUNT(*) AS tf
+         FROM toks WHERE LENGTH(word) > 0 GROUP BY 1, 2),
+       df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+       n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       sc AS (
+         SELECT doc_id, word, tf, df,
+                CAST(tf * n_docs AS DOUBLE) / df AS score
+         FROM tf JOIN df USING (word) CROSS JOIN n),
+       rk AS (
+         SELECT doc_id, word, tf, df, score,
+                CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, word) AS BIGINT) AS rank
+         FROM sc)
+       SELECT doc_id, rank, word, tf, df, ROUND(score, 4) AS score
+       FROM rk WHERE rank <= 3
+       ORDER BY doc_id, rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> (tfidf _),
     "text_entropy" -> (entropy _),
     "text_compress_ratio" -> (compressRatio _),
     "text_lm_bigram" -> (lmBigram _),
@@ -1068,6 +1136,7 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf" -> tfidfSql,
     "text_entropy" -> entropySql,
     "text_lm_bigram" -> lmBigramSql,
     "text_len_outliers" -> lenOutliersSql,

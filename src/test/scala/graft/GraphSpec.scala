@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Independent reference for the exact integer PageRank: re-derive the
+  * near-dup edge relation from raw text in plain Scala (string grams, the
+  * rare df ∈ [2, 20] candidate band, full-gram-count Jaccard — the same
+  * contract as the shared pair frame) and run the fixed-point recurrence
+  * in a Map — no Spark, no shared code with the operator. */
+class GraphSpec extends GraftSpecBase {
+
+  test("pagerank matches a brute-force integer reference on sf0.001") {
+    val docs = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .collect()
+      .flatMap(r => Option(r.getAs[String]("text")).map(t => r.getAs[Long]("doc_id") -> t))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val gramSets: Map[Long, Set[String]] = docs.map { case (id, t) =>
+      val words = t.trim.replaceAll(" +", " ").split(" ").filter(_.nonEmpty)
+      val grams =
+        if (words.length < 3) Set.empty[String]
+        else words.sliding(3).map(_.mkString(" ")).toSet
+      id -> grams
+    }.toMap
+    val df = gramSets.values.flatten
+      .groupBy(identity)
+      .map { case (g, occ) => g -> occ.size }
+    val rare: Set[String] = df.collect { case (g, c) if c >= 2 && c <= 20 => g }.toSet
+    val withGrams = gramSets.filter(_._2.nonEmpty).toSeq.sortBy(_._1)
+    val edges = for {
+      (a, ga) <- withGrams
+      (b, gb) <- withGrams
+      if a < b
+      nInter = (ga & gb).count(rare)
+      if nInter > 0
+      if nInter.toDouble / (ga.size + gb.size - nInter) >= 0.5
+    } yield (a, b)
+    val adj: Map[Long, Seq[Long]] = (edges.map(e => e._1 -> e._2) ++
+      edges.map(e => e._2 -> e._1)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val base = 1000000000000L / nDocs
+    var r: Map[Long, Long] = adj.map { case (k, _) => k -> base }
+    for (_ <- 1 to 3) {
+      val contrib = adj.map { case (k, ns) => k -> r(k) / ns.size }
+      r = adj.map { case (v, _) =>
+        val inc = adj(v).map(contrib).sum
+        v -> ((15 * base) / 100 + (85 * inc) / 100)
+      }
+    }
+    val expected = adj.map { case (v, ns) => v -> (ns.size.toLong, r(v)) }
+
+    val got = Graph
+      .pagerank(spark, sfDir)
+      .collect()
+      .map(row =>
+        row.getAs[Long]("doc_id") ->
+          (row.getAs[Long]("deg"), row.getAs[Long]("score_micro")))
+      .toMap
+    assert(got.keySet == expected.keySet, "node sets differ")
+    for ((id, exp) <- expected)
+      assert(got(id) == exp, s"doc $id: got ${got(id)}, expected $exp")
+  }
+
+  test("pagerank output order is (score desc, doc_id) and mass is bounded") {
+    val rows = Graph.pagerank(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (-r.getAs[Long]("score_micro"), r.getAs[Long]("doc_id")))
+    assert(keys.sameElements(keys.sorted), "not ordered by (score desc, doc_id)")
+    // each rank is positive and no node exceeds the total mass envelope
+    assert(rows.forall(r => r.getAs[Long]("score_micro") > 0))
+    assert(rows.map(_.getAs[Long]("score_micro")).sum <= 1000000000000L)
+  }
+}

@@ -24,6 +24,36 @@ class PipelineOpsSpec extends GraftSpecBase {
     c.unpersist()
   }
 
+  test("text_tfidf: exact expectation on a constructed corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfidf").toString
+    Seq(
+      (1L, "apple banana apple", "en", "src1", 18L),
+      (2L, "banana cherry", "en", "src2", 13L),
+      (3L, "durian", "en", "src3", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    // hand-derived: N=3; df(apple)=1, df(banana)=2, df(cherry)=df(durian)=1;
+    // d1: apple tf2 → 6.0, banana tf1 → 1.5; d2: cherry 3.0 > banana 1.5
+    val expected = Seq(
+      (1L, 1L, "apple", 2L, 1L, 6.0),
+      (1L, 2L, "banana", 1L, 2L, 1.5),
+      (2L, 1L, "cherry", 1L, 1L, 3.0),
+      (2L, 2L, "banana", 1L, 2L, 1.5),
+      (3L, 1L, "durian", 1L, 1L, 3.0))
+    val got = TextAnalysis
+      .tfidf(spark, dir)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))
+      .toSeq
+    assert(got == expected)
+  }
+
   test("dq profile: counts are consistent and bounds ordered") {
     val r = Analytics.dqProfile(spark, sfDir).collect()(0)
     val nRows = r.getAs[Long]("n_rows")
