@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   * in a Map — no Spark, no shared code with the operator. */
 class GraphSpec extends GraftSpecBase {
 
-  test("pagerank matches a brute-force integer reference on sf0.001") {
+  /** The near-dup edge relation re-derived from raw text with string
+    * grams (no shared code with the operator): rare-band candidate
+    * discovery, full-gram-count Jaccard ≥ 0.5, adjacency as a Map. */
+  private lazy val referenceAdj: Map[Long, Seq[Long]] = {
     val docs = spark.read
       .parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
       .collect()
       .flatMap(r => Option(r.getAs[String]("text")).map(t => r.getAs[Long]("doc_id") -> t))
-    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val gramSets: Map[Long, Set[String]] = docs.map { case (id, t) =>
       val words = t.trim.replaceAll(" +", " ").split(" ").filter(_.nonEmpty)
       val grams =
@@ -37,8 +39,14 @@ class GraphSpec extends GraftSpecBase {
       if nInter > 0
       if nInter.toDouble / (ga.size + gb.size - nInter) >= 0.5
     } yield (a, b)
-    val adj: Map[Long, Seq[Long]] = (edges.map(e => e._1 -> e._2) ++
-      edges.map(e => e._2 -> e._1)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    (edges.map(e => e._1 -> e._2) ++ edges.map(e => e._2 -> e._1))
+      .groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+  }
+
+  test("pagerank matches a brute-force integer reference on sf0.001") {
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val adj = referenceAdj
     val base = 1000000000000L / nDocs
     var r: Map[Long, Long] = adj.map { case (k, _) => k -> base }
     for (_ <- 1 to 3) {
@@ -60,6 +68,39 @@ class GraphSpec extends GraftSpecBase {
     assert(got.keySet == expected.keySet, "node sets differ")
     for ((id, exp) <- expected)
       assert(got(id) == exp, s"doc $id: got ${got(id)}, expected $exp")
+  }
+
+  test("triangles matches a brute-force reference on sf0.001") {
+    val adj = referenceAdj
+    val nbr: Map[Long, Set[Long]] = adj.map { case (k, v) => k -> v.toSet }
+    val expected = adj.map { case (v, ns) =>
+      val deg = ns.size
+      val nTri = (for {
+        a <- ns; b <- ns
+        if a < b && nbr(a).contains(b)
+      } yield 1).size
+      val clustering =
+        if (deg >= 2)
+          Some(BigDecimal(2.0 * nTri / (deg.toLong * (deg - 1)))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None
+      v -> (deg.toLong, nTri.toLong, clustering)
+    }
+    val got = graft.operators.Graph
+      .triangles(spark, sfDir)
+      .collect()
+      .map { r =>
+        r.getAs[Long]("doc_id") -> (
+          (r.getAs[Long]("deg"),
+            r.getAs[Long]("n_tri"),
+            Option(r.getAs[java.lang.Double]("clustering")).map(_.doubleValue)))
+      }
+      .toMap
+    assert(got.keySet == expected.keySet, "node sets differ")
+    for ((id, exp) <- expected)
+      assert(got(id) == exp, s"doc $id: got ${got(id)}, expected $exp")
+    // sanity: the fixture graph genuinely exercises triangles
+    assert(expected.values.exists(_._2 > 0), "fixture has no triangles — test is vacuous")
   }
 
   test("pagerank output order is (score desc, doc_id) and mass is bounded") {
