@@ -813,7 +813,85 @@ object Similarity {
        ORDER BY cid"""
   }
 
+  /** Per-label embedding drift: cosine of each label's INTEGER centroid
+    * against the corpus centroid — the "did this slice's embedding
+    * distribution move away from the corpus" monitor ([[graft.operators.CorpusProfile]]'s
+    * question asked of the vector side; text-side sibling is
+    * `source_divergence`).
+    *
+    * Exactness without a group-size guard — the part that differs from
+    * the IVF/kmeans centroid path: centroids are element-wise
+    * floor(sum / n), computed as `(sv + B·n) DIV n − B` with B = 10⁷
+    * (components are ≥ −10⁷ by the validity gate, so the bias shifts the
+    * division onto the positive domain where Spark's truncating DIV and
+    * DuckDB's flooring `//` agree). A centroid element is then ≤ 10⁷
+    * regardless of group size, so centroid dots stay ≤ 64·10¹⁴ — inside
+    * both BIGINT and double-exact range with NO "group too big" assert
+    * (the raw-sum dot would overflow at ~10³ vectors per group).
+    * Envelope: B·n needs n ≤ 9·10¹¹ vectors — stated, loud under ANSI.
+    *
+    * Scale shape: one grouped `graft_vec_sum` (map-side combined,
+    * |labels| rows out), the global centroid as a broadcast 1-row frame,
+    * cosine per label row. Zero-direction centroids (a label whose mean
+    * floors to the zero vector) report NULL drift, not DIVIDE_BY_ZERO. */
+  def drift(s: SparkSession, dir: String): DataFrame = {
+    def centroided(df: DataFrame): DataFrame =
+      df.withColumn(
+          "cent",
+          expr("transform(sv, x -> (x + 10000000 * n_vecs) DIV n_vecs - 10000000)"))
+        .withColumn("ns", selfDot(col("cent")))
+    val q = quantizedEmbeddings(s, dir)
+    val perLabel = centroided(
+      q.groupBy("label")
+        .agg(call_function("graft_vec_sum", col("qv")).as("sv"), count(lit(1)).as("n_vecs")))
+    val global = centroided(
+      q.agg(call_function("graft_vec_sum", col("qv")).as("sv"), count(lit(1)).as("n_vecs")))
+      .select(col("cent").as("gcent"), col("ns").as("ng"))
+    perLabel
+      .crossJoin(broadcast(global))
+      .select(
+        col("label"),
+        col("n_vecs"),
+        round(
+          when(
+            col("ns") > 0 && col("ng") > 0,
+            graft.functions.VectorOps.dot(col("cent"), col("gcent")) /
+              (sqrt(col("ns")) * sqrt(col("ng")))),
+          4).as("drift_cos"))
+      .orderBy(col("label").asc_nulls_first)
+  }
+
+  val driftSql: String =
+    s"""WITH $embPrelude,
+       ls AS (
+         SELECT label, i, CAST(SUM(qv[i]) AS BIGINT) AS sv, COUNT(*) AS n_vecs
+         FROM n, UNNEST(range(1, len(qv) + 1)) AS t(i)
+         GROUP BY label, i),
+       lc AS (
+         SELECT label, n_vecs,
+                LIST((sv + 10000000 * n_vecs) // n_vecs - 10000000 ORDER BY i) AS cent
+         FROM ls GROUP BY label, n_vecs),
+       gs AS (
+         SELECT i, CAST(SUM(qv[i]) AS BIGINT) AS sv, COUNT(*) AS n_vecs
+         FROM n, UNNEST(range(1, len(qv) + 1)) AS t(i)
+         GROUP BY i),
+       gc AS (
+         SELECT LIST((sv + 10000000 * n_vecs) // n_vecs - 10000000 ORDER BY i) AS gcent
+         FROM gs),
+       f AS (
+         SELECT lc.label, lc.n_vecs,
+                list_dot_product(lc.cent, lc.cent) AS ns,
+                list_dot_product(gc.gcent, gc.gcent) AS ng,
+                list_dot_product(lc.cent, gc.gcent) AS dp
+         FROM lc CROSS JOIN gc)
+       SELECT label, n_vecs,
+              ROUND(CASE WHEN ns > 0 AND ng > 0
+                         THEN dp / (sqrt(ns) * sqrt(ng)) END, 4) AS drift_cos
+       FROM f
+       ORDER BY label NULLS FIRST"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_drift" -> (drift _),
     "ann_brute_topk" -> (annBrute _),
     "ann_lsh_topk" -> (annLsh _),
     "ann_ivf_topk" -> (annIvf _),
@@ -823,6 +901,7 @@ object Similarity {
     "emb_kmeans" -> (embKmeans _))
 
   val oracles: Map[String, String] = Map(
+    "emb_drift" -> driftSql,
     "ann_brute_topk" -> annBruteSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,

@@ -54,6 +54,51 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(got == expected)
   }
 
+  test("emb_drift matches a brute-force reference on sf0.001") {
+    // independent re-derivation: gate + quantize + biased floor-division
+    // centroid + cosine, all in plain Scala over collected rows
+    val rows = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .collect()
+      .flatMap { r =>
+        val emb = Option(r.getAs[collection.Seq[Float]]("embedding"))
+        emb
+          .filter(e => e.length == 64 && e.forall(x => math.abs(x.toDouble) <= 10000.0))
+          .map(e =>
+            (r.getAs[Int]("label"), e.toSeq.map(x => math.floor(x.toDouble * 1000).toLong)))
+      }
+      .filter { case (_, qv) => qv.map(x => x * x).sum > 0 }
+    assert(rows.nonEmpty)
+    def centroid(vs: Seq[Seq[Long]]): Seq[Long] = {
+      val n = vs.size.toLong
+      vs.transpose.map(c => (c.sum + 10000000L * n) / n - 10000000L)
+    }
+    val g = centroid(rows.map(_._2).toSeq)
+    val ng = g.map(x => x * x).sum
+    val expected = rows.groupBy(_._1).map { case (label, vs) =>
+      val c = centroid(vs.map(_._2).toSeq)
+      val ns = c.map(x => x * x).sum
+      val dp = c.zip(g).map { case (a, b) => a * b }.sum
+      val drift =
+        if (ns > 0 && ng > 0)
+          Some(BigDecimal(dp / (math.sqrt(ns.toDouble) * math.sqrt(ng.toDouble)))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None
+      label -> (vs.size.toLong, drift)
+    }
+    val got = Similarity
+      .drift(spark, sfDir)
+      .collect()
+      .map(r =>
+        r.getAs[Int]("label") -> (
+          (r.getAs[Long]("n_vecs"),
+            Option(r.getAs[java.lang.Double]("drift_cos")).map(_.doubleValue))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    for ((label, exp) <- expected)
+      assert(got(label) == exp, s"label $label: got ${got(label)}, expected $exp")
+  }
+
   test("dq profile: counts are consistent and bounds ordered") {
     val r = Analytics.dqProfile(spark, sfDir).collect()(0)
     val nRows = r.getAs[Long]("n_rows")
