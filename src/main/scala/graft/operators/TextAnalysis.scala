@@ -1074,7 +1074,17 @@ object TextAnalysis {
       .filter(length(col("word")) > 0)
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    // count(when(tf > 0, 1)) ≡ count(1): tf is a count, always ≥ 1, so
+    // every row passes. The indirection is deliberate — a bare count(1)
+    // (or count(tf), which NullPropagation rewrites to count(1)) lets
+    // column pruning specialize this branch's partial aggregate, and the
+    // two branches then plan DIFFERENT (doc, word) exchanges: the corpus
+    // is tokenized and shuffled twice. With tf genuinely referenced,
+    // both branches share one exchange via ReuseExchange — one corpus
+    // scan total, pinned in ScaleSpec ("text_tfidf scans documents
+    // once"). If a future optimizer sees through the guard, that pin
+    // fails loudly and this trade gets re-decided.
+    val df = tf.groupBy("word").agg(count(when(col("tf") > 0, 1)).as("df"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
     tf.join(df, "word")

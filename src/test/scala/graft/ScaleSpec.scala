@@ -385,6 +385,21 @@ class ScaleSpec extends GraftSpecBase {
     }
   }
 
+  test("text_tfidf scans documents once — the df branch reuses the tf exchange") {
+    val df = graft.operators.TextAnalysis.tfidf(spark, sfDir)
+    df.collect() // AQE finalizes stage reuse only at execution
+    val finalPlan = df.queryExecution.executedPlan
+      .collectFirst { case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan }
+      .getOrElse(df.queryExecution.executedPlan)
+    val s = finalPlan.toString
+    // corpus cost: ONE text scan (tf); the N-count branch prunes to a
+    // columnless scan and the df branch must re-read the tf EXCHANGE,
+    // never the corpus
+    val textScans = "ReadSchema: struct<doc_id:bigint,text:string>".r.findAllIn(s).size
+    assert(textScans == 1, s"tf scan duplicated — df branch not reusing the exchange:\n$s")
+    assert(s.contains("ReusedExchange"), s"no exchange reuse in:\n$s")
+  }
+
   test("data_split assignment plans zero hash exchanges (narrow map + output sort only)") {
     val plan =
       graft.operators.CorpusOps.dataSplit(spark, sfDir).queryExecution.executedPlan.toString
