@@ -58,12 +58,20 @@ object Graph {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    // N fetched EAGERLY (one O(1) count job, the globalRank/corpusShard
+    // eager-literal discipline) rather than carried as a 1-row frame: the
+    // iteration below references `cur` twice per round, so a lazy N
+    // subtree would be replicated 2^Iters times in the lineage — 32
+    // corpus count scans for 3 rounds (caught by the ScaleSpec pin). A
+    // literal replicates for free; Scala's Long division truncates
+    // exactly like DIV on the positive domain.
+    val nDocs = Tables.documents(s, dir).count()
+    // empty corpus ⇒ empty graph ⇒ empty output; base is never read
+    val base = if (nDocs == 0) 0L else Scale / nDocs
     var cur = edges
       .groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"))
-      .crossJoin(broadcast(n))
-      .select(col("id"), col("deg"), expr(s"$Scale DIV n_docs").as("base"))
+      .select(col("id"), col("deg"), lit(base).as("base"))
       .withColumn("r", col("base"))
     for (_ <- 1 to Iters) {
       val contrib = cur.select(col("id").as("src"), expr("r DIV deg").as("c"))

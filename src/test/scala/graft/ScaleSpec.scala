@@ -400,6 +400,33 @@ class ScaleSpec extends GraftSpecBase {
     assert(s.contains("ReusedExchange"), s"no exchange reuse in:\n$s")
   }
 
+  test("graph ops ride the shared pair cache — iterations never rescan the corpus") {
+    // deterministic regardless of suite order: clear, then warm the pair
+    // frame the way any earlier dedup query would have
+    graft.operators.Dedup.clearSharedCache()
+    graft.operators.Dedup.ngramJaccard(spark, sfDir).collect()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // AQE off so the static plan exposes scan nodes to collect() (the
+    // IVF pin's discipline — ASPE hides its subtree pre-execution)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try for ((name, df) <- Seq(
+        "pagerank" -> graft.operators.Graph.pagerank(spark, sfDir),
+        "triangles" -> graft.operators.Graph.triangles(spark, sfDir))) {
+      val plan = df.queryExecution.executedPlan
+      assert(plan.toString.contains("InMemoryTableScan"),
+        s"$name not reading the cached pair frame:\n$plan")
+      // pagerank's N count is an eager pre-job; the iterating plan
+      // itself must carry ZERO file scans (lineage doubles per round —
+      // any lazy corpus subtree would be replicated 2^Iters times; the
+      // InMemoryRelation's printed child mentions documents.parquet, so
+      // count actual scan NODES, not plan-string mentions)
+      val fileScans = plan.collect { case f: FileSourceScanExec => f }
+      assert(fileScans.isEmpty,
+        s"$name rescans files (${fileScans.size}) despite a warm pair cache:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("data_split assignment plans zero hash exchanges (narrow map + output sort only)") {
     val plan =
       graft.operators.CorpusOps.dataSplit(spark, sfDir).queryExecution.executedPlan.toString
