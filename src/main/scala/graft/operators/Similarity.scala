@@ -828,18 +828,14 @@ object Similarity {
     * regardless of group size, so centroid dots stay ≤ 64·10¹⁴ — inside
     * both BIGINT and double-exact range with NO "group too big" assert
     * (the raw-sum dot would overflow at ~10³ vectors per group).
-    * Envelope: B·n needs n ≤ 9·10¹¹ vectors — stated, loud under ANSI.
+    * Envelope: `sv + B·n` peaks at 2·10⁷·n (every component at max
+    * magnitude), so n ≤ 4.6·10¹¹ vectors — stated, loud under ANSI.
     *
     * Scale shape: one grouped `graft_vec_sum` (map-side combined,
     * |labels| rows out), the global centroid as a broadcast 1-row frame,
     * cosine per label row. Zero-direction centroids (a label whose mean
     * floors to the zero vector) report NULL drift, not DIVIDE_BY_ZERO. */
   def drift(s: SparkSession, dir: String): DataFrame = {
-    def centroided(df: DataFrame): DataFrame =
-      df.withColumn(
-          "cent",
-          expr("transform(sv, x -> (x + 10000000 * n_vecs) DIV n_vecs - 10000000)"))
-        .withColumn("ns", selfDot(col("cent")))
     val q = quantizedEmbeddings(s, dir)
     val perLabel = centroided(
       q.groupBy("label")
@@ -852,13 +848,42 @@ object Similarity {
       .select(
         col("label"),
         col("n_vecs"),
-        round(
-          when(
-            col("ns") > 0 && col("ng") > 0,
-            graft.functions.VectorOps.dot(col("cent"), col("gcent")) /
-              (sqrt(col("ns")) * sqrt(col("ng")))),
-          4).as("drift_cos"))
+        driftCos(col("cent"), col("ns"), col("gcent"), col("ng")).as("drift_cos"))
       .orderBy(col("label").asc_nulls_first)
+  }
+
+  /** Biased floor-division centroid over a `(sv, n_vecs)` aggregate frame
+    * — shared with the streaming twin
+    * ([[graft.streaming.EventStreams.embDrift]]) so both engines of the
+    * parity pair compute the SAME integers (see [[drift]]'s scaladoc for
+    * the bias argument). */
+  private[graft] def centroided(df: DataFrame): DataFrame =
+    df.withColumn(
+        "cent",
+        expr("transform(sv, x -> (x + 10000000 * n_vecs) DIV n_vecs - 10000000)"))
+      .withColumn("ns", selfDot(col("cent")))
+
+  /** The drift score: cosine of two integer centroids, NULL when either
+    * has no direction — shared batch/stream. */
+  private[graft] def driftCos(cent: Column, ns: Column, gcent: Column, ng: Column): Column =
+    round(
+      when(
+        ns > 0 && ng > 0,
+        graft.functions.VectorOps.dot(cent, gcent) / (sqrt(ns) * sqrt(ng))),
+      4)
+
+  /** The corpus centroid + its squared norm as driver values — the
+    * frozen-static-side wiring input for the streaming drift twin (the
+    * [[graft.streaming.EventStreams.assignClusters]] codebook
+    * discipline: collect the tiny static side once at wiring time). */
+  def globalCentroid(s: SparkSession, dir: String): (Seq[Long], Long) = {
+    val r = centroided(
+      quantizedEmbeddings(s, dir)
+        .agg(call_function("graft_vec_sum", col("qv")).as("sv"), count(lit(1)).as("n_vecs")))
+      .select(col("cent"), col("ns"))
+      .head()
+    require(!r.isNullAt(0), "globalCentroid: no valid embeddings in the corpus")
+    (r.getSeq[Long](0), r.getLong(1))
   }
 
   val driftSql: String =

@@ -469,6 +469,40 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming embedding drift — the incremental twin of
+    * [[graft.operators.Similarity.drift]]: as vectors stream in, maintain
+    * each label's `(vector sum, count)` aggregate (complete mode — state
+    * is |labels| × (dim longs + 1), bounded by label cardinality forever)
+    * and score every trigger against a FROZEN corpus centroid compiled in
+    * as a literal at wiring time ([[assignClusters]]' static-side
+    * discipline; obtain it from
+    * [[graft.operators.Similarity.globalCentroid]]). Admission hygiene,
+    * the biased floor-division centroid and the cosine are the batch
+    * operator's own code ([[graft.operators.Similarity.gateQuantize]] /
+    * `centroided` / `driftCos`) — parity is structural, and a full replay
+    * is row-identical to batch (spec-pinned). The live "is this crawl's
+    * embedding distribution drifting" monitor beside [[driftMonitor]]'s
+    * language census. */
+  def embDrift(vecs: DataFrame, globalCent: Seq[Long]): DataFrame = {
+    require(globalCent.nonEmpty, "embDrift needs a non-empty corpus centroid")
+    val ng = globalCent.iterator.map(x => x * x).sum
+    val s = vecs.sparkSession
+    graft.operators.Similarity
+      .centroided(
+        graft.operators.Similarity
+          .gateQuantize(vecs, graft.operators.Similarity.embDim(s))
+          .groupBy("label")
+          .agg(
+            call_function("graft_vec_sum", col("qv")).as("sv"),
+            count(lit(1)).as("n_vecs")))
+      .select(
+        col("label"),
+        col("n_vecs"),
+        graft.operators.Similarity
+          .driftCos(col("cent"), col("ns"), typedlit(globalCent), lit(ng))
+          .as("drift_cos"))
+  }
+
   /** Streaming cluster assignment — the online-inference twin of
     * [[graft.operators.Similarity.embKmeans]]: each arriving vector is
     * admitted under EXACTLY the batch hygiene rules

@@ -426,6 +426,42 @@ class StreamingSpec extends GraftSpecBase {
       s"ohlc diverged: missing=${batch -- streamed} extra=${streamed -- batch}")
   }
 
+  test("streaming embedding drift equals batch emb_drift after full replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // freeze the corpus centroid (the static side) at wiring time
+    val (gcent, _) = graft.operators.Similarity.globalCentroid(spark, sfDir)
+    val batch = graft.operators.Similarity
+      .drift(spark, sfDir)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(batch.nonEmpty, "no batch drift rows — parity test is vacuous")
+    val rows = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+      .toSeq
+    val input = MemoryStream[(Long, Seq[Float], Int)]
+    // two chunks: the per-label (sum, count) state must carry across triggers
+    val (a, b) = rows.splitAt(rows.length / 2)
+    input.addData(a)
+    val q = EventStreams
+      .embDrift(input.toDF().toDF("vec_id", "embedding", "label"), gcent)
+      .writeStream
+      .format("memory")
+      .queryName("embdrift_out")
+      .outputMode("complete")
+      .start()
+    q.processAllAvailable()
+    input.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("embdrift_out").collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"drift diverged: missing=${batch -- streamed} extra=${streamed -- batch}")
+  }
+
   test("streaming cluster assignment equals the batch kmeans assignment") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
