@@ -20,9 +20,31 @@ object Graph {
     * order-independent — and both engines produce bit-identical ranks. */
   private val Scale = 1000000000000L // 10^12
 
-  private val Iters = 3
+  private val ItersDefault = 3
 
-  /** PageRank (damping 0.85, 3 unrolled iterations) over the near-dup
+  /** Iteration count — a validated session knob
+    * (`spark.graft.graph.pagerankIters`, default 3; the oracle pins the
+    * default, the curate-policy convention). The loop is UNROLLED into
+    * the lineage, which doubles per round — fine to ~5; past that,
+    * checkpoint per round like [[Dedup.dedupClusters]] before raising
+    * the cap. The hard cap keeps an accidental `iters=50` from planning
+    * a 2^50-node lineage. */
+  private[operators] def pagerankIters(s: SparkSession): Int = {
+    val raw = s.conf.get("spark.graft.graph.pagerankIters", ItersDefault.toString)
+    val n =
+      try raw.toInt
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"spark.graft.graph.pagerankIters must be a positive integer, got '$raw'")
+      }
+    require(n > 0 && n <= 8,
+      s"spark.graft.graph.pagerankIters must be in [1, 8] (unrolled lineage doubles per round), got $n")
+    n
+  }
+
+  /** PageRank (damping 0.85, [[pagerankIters]] unrolled iterations,
+    * default 3) over the near-dup
     * graph: nodes = documents in ≥ 1 Jaccard-≥0.5 pair (the
     * [[Dedup.corpusDedupNg]] relation, symmetrized), edges undirected.
     * Isolated documents never receive or donate mass — their rank is the
@@ -43,13 +65,13 @@ object Graph {
     *
     * Scale shape: the corpus appears ONLY as the shared cached pair frame
     * ([[Dedup.ngramPairs]] — hot-key-bounded candidate pairs, orders of
-    * magnitude smaller than the corpus) and one count-only scan for N
-    * (broadcast 1-row frame, no driver collect). Each iteration is one
-    * edge-key join plus one map-side-combined groupBy over the EDGE frame
-    * — shuffle ∝ edges, never corpus. Degrees are bounded in practice by
-    * the upstream rare-band candidate cap; AQE splits any residual hub
-    * skew. At 3 unrolled iterations lineage stays shallow; a deeper run
-    * would checkpoint per round exactly like [[Dedup.dedupClusters]]. */
+    * magnitude smaller than the corpus) and one eager count-only job for
+    * N, folded in as a literal (a lazy 1-row N frame would be replicated
+    * 2^iters times by the doubling lineage — the ScaleSpec pin). Each
+    * iteration is one edge-key join plus one map-side-combined groupBy
+    * over the EDGE frame — shuffle ∝ edges, never corpus. Degrees are
+    * bounded in practice by the upstream rare-band candidate cap; AQE
+    * splits any residual hub skew. Iterations: [[pagerankIters]]. */
   def pagerank(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup
       .ngramPairs(s, dir)
@@ -73,7 +95,7 @@ object Graph {
       .agg(count(lit(1)).as("deg"))
       .select(col("id"), col("deg"), lit(base).as("base"))
       .withColumn("r", col("base"))
-    for (_ <- 1 to Iters) {
+    for (_ <- 1 to pagerankIters(s)) {
       val contrib = cur.select(col("id").as("src"), expr("r DIV deg").as("c"))
       val inc = edges
         .join(contrib, "src")

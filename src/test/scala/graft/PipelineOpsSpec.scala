@@ -644,6 +644,35 @@ class PipelineOpsSpec extends GraftSpecBase {
     try assert(CorpusOps.boilerplate(spark, dir).count() == 0,
       "df=7 threshold must spare the df=6 shingle")
     finally spark.conf.unset("spark.graft.text.boilerplateDf")
+    // pagerank iteration knob, on a planted PATH graph (1–2–3): the
+    // sf0.001 near-dup graph is symmetric cliques, whose ranks hit the
+    // fixed point at iteration 1 — a path's asymmetric degrees keep
+    // moving for several rounds, so iters=1 vs default must differ.
+    // Jaccard: J(1,2)=4/5, J(2,3)=4/7 (edges), J(1,3)=3/7 (no edge).
+    val pg = java.nio.file.Files.createTempDirectory("graft_pr_knob").toString
+    Seq(
+      (1L, "a b c d e f", "en", "srcX", 11L),
+      (2L, "a b c d e f g", "en", "srcX", 13L),
+      (3L, "b c d e f g h i", "en", "srcX", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$pg/documents.parquet")
+    try {
+      val three = graft.operators.Graph.pagerank(spark, pg).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(three.keySet == Set(1L, 2L, 3L), s"path graph mis-derived: $three")
+      spark.conf.set("spark.graft.graph.pagerankIters", "1")
+      val one = graft.operators.Graph.pagerank(spark, pg).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(one.keySet == three.keySet, "node set must not depend on iteration count")
+      assert(one != three, "iters=1 equals iters=3 — knob not applied")
+      spark.conf.set("spark.graft.graph.pagerankIters", "50")
+      val e = intercept[IllegalArgumentException](
+        graft.operators.Graph.pagerank(spark, pg))
+      assert(e.getMessage.contains("pagerankIters"), s"wrong error: ${e.getMessage}")
+    } finally {
+      spark.conf.unset("spark.graft.graph.pagerankIters")
+      graft.operators.Dedup.clearSharedCache()
+    }
   }
 
   test("lm_bigram: conditional likelihoods are log-probabilities over every bigram position") {
