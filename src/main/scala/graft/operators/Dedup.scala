@@ -593,12 +593,18 @@ object Dedup {
     * definition of the exact-duplicate relation (keeper = lowest doc_id
     * per md5(text) group), shared by both materializers and
     * [[dedupClusters]] so the keeper rule can never desynchronize. */
-  private def exactDupPairs(docs: DataFrame): DataFrame =
-    docs
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("keeper"), collect_list(col("doc_id")).as("ids"))
-      .select(explode(col("ids")).as("doc_id"), col("keeper"))
-      .filter(col("doc_id") =!= col("keeper"))
+  /** (dropped doc_id, keeper) for every exact-duplicate group —
+    * groupBy-min + join, NOT collect_list: a viral boilerplate page with
+    * 10⁶ exact copies costs one map-side-combined min() and a linear
+    * AQE-splittable join, where the old collect_list shape buffered the
+    * whole id list in a single aggregation state (the round-4 OOM
+    * hazard, same fix as [[CorpusOps.earlierDeltaDups]]). */
+  private[operators] def exactDupPairs(docs: DataFrame): DataFrame = {
+    val h = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    h.join(h.groupBy("h").agg(min(col("doc_id")).as("keeper")), "h")
+      .filter(col("doc_id") > col("keeper"))
+      .select(col("doc_id"), col("keeper"))
+  }
 
   def corpusDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -826,7 +832,55 @@ object Dedup {
        FROM fin
        ORDER BY doc_id"""
 
+  /** Survivorship audit — the "WHY did this document disappear" report
+    * behind [[corpusDedupNg]]'s drop set: one row per (dropped doc,
+    * reason), reason ∈ {exact, near}, with the keeper that condemned it
+    * (exact: the md5 group's lowest id; near: the lowest-id Jaccard-≥0.5
+    * partner — the materializer only ever drops a pair's doc_b, so the
+    * keeper is always lower). A doc caught by BOTH mechanisms reports
+    * both rows — the audit answers "all the reasons", not "the first".
+    * This is the lineage record a curation pipeline keeps next to the
+    * surviving corpus: without it, "where did doc X go" means re-running
+    * dedup by hand.
+    *
+    * Scale shape: exact rides [[exactDupPairs]] (groupBy-min + linear
+    * join); near is a groupBy-min over the shared cached pair frame.
+    * Output ∝ dropped docs. */
+  def survivorship(s: SparkSession, dir: String): DataFrame = {
+    val exact = exactDupPairs(Tables.documents(s, dir))
+      .select(col("doc_id"), lit("exact").as("reason"), col("keeper").as("keeper_id"))
+    val near = ngramPairs(s, dir)
+      .filter(col("jaccard") >= 0.5)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("keeper_id"))
+      .select(col("doc_id"), lit("near").as("reason"), col("keeper_id"))
+    exact.unionByName(near).orderBy("doc_id", "reason")
+  }
+
+  val survivorshipSql: String =
+    s"""WITH $rarePairCtesSql,
+       near AS (
+         SELECT doc_a, doc_b
+         FROM inter
+         JOIN counts ca ON ca.doc_id = doc_a
+         JOIN counts cb ON cb.doc_id = doc_b
+         WHERE n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE) >= 0.5),
+       nd AS (
+         SELECT doc_b AS doc_id, 'near' AS reason, MIN(doc_a) AS keeper_id
+         FROM near GROUP BY 1),
+       eh AS (
+         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         FROM documents),
+       ed AS (
+         SELECT doc_id, 'exact' AS reason, keeper AS keeper_id
+         FROM eh WHERE doc_id <> keeper)
+       SELECT doc_id, reason, keeper_id FROM ed
+       UNION ALL
+       SELECT doc_id, reason, keeper_id FROM nd
+       ORDER BY doc_id, reason"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_survivorship" -> (survivorship _),
     "source_overlap" -> (sourceOverlap _),
     "dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "text_edit_sim" -> (editSim _),
@@ -841,6 +895,7 @@ object Dedup {
 
   /** minhash/simhash intentionally absent: xxhash64-based, not portable SQL. */
   val oracles: Map[String, String] = Map(
+    "dedup_survivorship" -> survivorshipSql,
     "source_overlap" -> sourceOverlapSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_exact" -> exactSql,
