@@ -94,7 +94,8 @@ object Bench {
     val sharedCache = Seq(
       "ngram" -> Seq(
         "corpus_curate", "corpus_dedup_ng", "dedup_clusters", "dedup_incremental",
-        "dedup_ngram_jaccard", "text_edit_sim"),
+        "dedup_ngram_jaccard", "dedup_survivorship", "graph_pagerank",
+        "graph_triangles", "text_edit_sim"),
       "minhash" -> Seq("corpus_dedup", "dedup_minhash"))
       .map { case (tag, qs) =>
         s"\"$tag\":" + qs.filter(SparkEntry.queries.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
