@@ -608,6 +608,91 @@ object Windows {
       .orderBy("user_id", "day_us")
   }
 
+  /** Linear interpolation across daily gaps — [[gapfill]]'s second-order
+    * sibling (LOCF answers "what was the level", interpolation answers
+    * "what was the trend"): for each missing day, value = prev +
+    * (next − prev) · offset/len between the flanking OBSERVED days.
+    * The grid spans [first, last] observed day per user, so every gap
+    * has both ends by construction; a NULL-sum observed day (corrupt
+    * values) propagates NULL rather than fabricating a reading.
+    *
+    * Exactness: daily sums stay INTEGER cents; offset/len are exact
+    * integer DAY counts (micros DIV day); the interpolation is one fixed
+    * float expression over those exact integers — same integers → same
+    * doubles in DuckDB. The CASE guards the observed-day branch (len = 0
+    * there — lazy CASE evaluation is what keeps the division defined).
+    *
+    * Scale shape: identical to [[gapfill]] — per-user grid explode,
+    * one join, four IGNORE-NULLS windows over the same (user, day)
+    * partition ordering (ONE window sort serves all four), bounded
+    * state per key. */
+  def interpolate(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val daily = Tables
+      .events(s, dir)
+      .groupBy(col("user_id"), unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+      .agg(sum(cents("value")).as("day_cents"))
+    val grid = daily
+      .groupBy("user_id")
+      .agg(min(col("day_us")).as("d0"), max(col("day_us")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"), lit(dayUs))).as("day_us"))
+    val base = Window.partitionBy("user_id").orderBy("day_us")
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("day_cents").isNotNull, col("day_us"))
+    grid
+      .join(daily, Seq("user_id", "day_us"), "left")
+      .withColumn("pc", last(col("day_cents"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(wPrev))
+      .withColumn("nc", first(col("day_cents"), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(wNext))
+      .select(
+        col("user_id"),
+        col("day_us"),
+        col("day_cents").isNull.as("is_gap"),
+        expr(s"""ROUND(CASE WHEN day_cents IS NOT NULL
+                   THEN day_cents / CAST(100 AS DOUBLE)
+                   ELSE (CAST(pc AS DOUBLE)
+                         + CAST((nc - pc) * ((day_us - pd) DIV $dayUs) AS DOUBLE)
+                           / ((nd - pd) DIV $dayUs))
+                        / CAST(100 AS DOUBLE) END, 4)""").as("value"))
+      .orderBy("user_id", "day_us")
+  }
+
+  val interpolateSql: String =
+    """WITH daily AS (
+         SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+                CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+         FROM events GROUP BY 1, 2),
+       spans AS (SELECT user_id, MIN(day_us) AS d0, MAX(day_us) AS d1 FROM daily GROUP BY 1),
+       grid AS (SELECT user_id, UNNEST(generate_series(d0, d1, 86400000000)) AS day_us
+                FROM spans),
+       j AS (
+         SELECT user_id, day_us, day_cents,
+                last_value(day_cents IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY day_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+                last_value(CASE WHEN day_cents IS NOT NULL THEN day_us END IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY day_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+                first_value(day_cents IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY day_us
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+                first_value(CASE WHEN day_cents IS NOT NULL THEN day_us END IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY day_us
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+         FROM grid LEFT JOIN daily USING (user_id, day_us))
+       SELECT user_id, day_us,
+              day_cents IS NULL AS is_gap,
+              ROUND(CASE WHEN day_cents IS NOT NULL
+                    THEN day_cents / CAST(100 AS DOUBLE)
+                    ELSE (CAST(pc AS DOUBLE)
+                          + CAST((nc - pc) * ((day_us - pd) // 86400000000) AS DOUBLE)
+                            / ((nd - pd) // 86400000000))
+                         / CAST(100 AS DOUBLE) END, 4) AS value
+       FROM j
+       ORDER BY user_id, day_us"""
+
   val gapfillSql: String =
     """WITH daily AS (
          SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
@@ -943,6 +1028,7 @@ object Windows {
     "win_conversion_time" -> (conversionTime _),
     "win_anomaly" -> (anomaly _),
     "ts_gapfill" -> (gapfill _),
+    "ts_interpolate" -> (interpolate _),
     "ts_ohlc" -> (ohlc _),
     "win_retention" -> (retention _),
     "win_funnel" -> (funnel _),
@@ -964,6 +1050,7 @@ object Windows {
     "win_conversion_time" -> conversionTimeSql,
     "win_anomaly" -> anomalySql,
     "ts_gapfill" -> gapfillSql,
+    "ts_interpolate" -> interpolateSql,
     "ts_ohlc" -> ohlcSql,
     "win_retention" -> retentionSql,
     "win_funnel" -> funnelSql,
