@@ -427,6 +427,15 @@ class ScaleSpec extends GraftSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("ts_interpolate: all four flanking windows share one sort") {
+    val plan =
+      graft.operators.Windows.interpolate(spark, sfDir).queryExecution.executedPlan.toString
+    // window stack over one (user, day) sort + the output orderBy sort —
+    // a third sort would mean the prev/next windows re-sorted the frame
+    val sorts = "\\bSort \\[".r.findAllIn(plan).size
+    assert(sorts == 2, s"expected window-stack sort + output sort only, got $sorts:\n$plan")
+  }
+
   test("data_split assignment plans zero hash exchanges (narrow map + output sort only)") {
     val plan =
       graft.operators.CorpusOps.dataSplit(spark, sfDir).queryExecution.executedPlan.toString
