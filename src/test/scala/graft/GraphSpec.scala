@@ -103,6 +103,41 @@ class GraphSpec extends GraftSpecBase {
     assert(expected.values.exists(_._2 > 0), "fixture has no triangles — test is vacuous")
   }
 
+  test("hand-derived exact values on a planted path graph (1–2–3)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_graph_path").toString
+    // J(1,2)=4/5, J(2,3)=4/7 ≥ 0.5; J(1,3)=3/7 < 0.5 → path, degs 1-2-1
+    Seq(
+      (1L, "a b c d e f", "en", "srcX", 11L),
+      (2L, "a b c d e f g", "en", "srcX", 13L),
+      (3L, "b c d e f g h i", "en", "srcX", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.conf.set("spark.graft.graph.pagerankIters", "1")
+    try {
+      // N=3 → base = 10^12 DIV 3 = 333333333333; (15·base) DIV 100 =
+      // 49999999999; contribs: c1=c3=base, c2=base DIV 2 = 166666666666;
+      // r(1)=r(3)= 49999999999 + (85·166666666666) DIV 100 = 191666666665
+      // r(2)   = 49999999999 + (85·(2·base)) DIV 100     = 616666666665
+      val pr = graft.operators.Graph.pagerank(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(pr == Map(1L -> 191666666665L, 2L -> 616666666665L, 3L -> 191666666665L),
+        s"recurrence drifted from hand-derived constants: $pr")
+    } finally {
+      spark.conf.unset("spark.graft.graph.pagerankIters")
+    }
+    // triangles: a path has none; node 2 (deg 2) reports 0.0, leaves NULL
+    val tri = graft.operators.Graph.triangles(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getAs[java.lang.Double]("clustering")))))
+      .toMap
+    assert(tri == Map(
+      1L -> ((1L, 0L, None)),
+      2L -> ((2L, 0L, Some(0.0: java.lang.Double))),
+      3L -> ((1L, 0L, None))), s"triangle audit drifted: $tri")
+    graft.operators.Dedup.clearSharedCache()
+  }
+
   test("pagerank output order is (score desc, doc_id) and mass is bounded") {
     val rows = Graph.pagerank(spark, sfDir).collect()
     assert(rows.nonEmpty)
