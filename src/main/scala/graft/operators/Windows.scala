@@ -179,6 +179,59 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** First/last-touch attribution per purchase — the marketing-analytics
+    * composition of [[sessionize]]: for every purchase event, which
+    * event type OPENED its session (first touch) and which immediately
+    * preceded the purchase (last touch; NULL when the purchase opened
+    * the session itself). Shares the session assignment with
+    * [[sessionize]]/[[sessionStats]] by CALLING it (the Scala
+    * composition discipline; the oracle interpolates the shared session
+    * CTE), then two windows over the (user, session) partition — the
+    * same user-keyed distribution, one more narrow join to recover
+    * event_type (sessionize's output contract is type-free).
+    *
+    * Scale shape: user-partitioned windows with calendar-bounded session
+    * partitions, one AQE-sized equi-join on event_id, output ∝ purchase
+    * events. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val types = Tables.events(s, dir).select(col("event_id"), col("event_type"))
+    val w = Window
+      .partitionBy("user_id", "session_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    sessionize(s, dir)
+      .join(types, "event_id")
+      .withColumn(
+        "first_touch",
+        first(col("event_type")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("last_touch", lag(col("event_type"), 1).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("session_id"),
+        col("first_touch"),
+        col("last_touch"))
+      .orderBy("event_id")
+  }
+
+  val attributionSql: String =
+    s"""WITH $sessionCte,
+       t AS (
+         SELECT sess.event_id, sess.user_id, sess.ts_us, sess.session_id, e.event_type
+         FROM sess JOIN events e USING (event_id)),
+       att AS (
+         SELECT event_id, user_id, session_id, event_type,
+                first_value(event_type) OVER (
+                  PARTITION BY user_id, session_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch,
+                lag(event_type, 1) OVER (
+                  PARTITION BY user_id, session_id ORDER BY ts_us, event_id) AS last_touch
+         FROM t)
+       SELECT event_id, user_id, session_id, first_touch, last_touch
+       FROM att
+       WHERE event_type = 'purchase'
+       ORDER BY event_id"""
+
   /** Per-user session rollup — the composition payoff of [[sessionize]]:
     * sessions → (events, span) per session → per-user counts and means.
     * Means are exact-integer ratios (event counts and µs spans summed as
@@ -1039,6 +1092,7 @@ object Windows {
     "win_moving_avg" -> (movingAvg _),
     "win_sessionize" -> (sessionize _),
     "win_session_stats" -> (sessionStats _),
+    "win_attribution" -> (attribution _),
     "win_streak" -> (streaks _),
     "win_topk" -> (topkPerType _),
     "win_cumsum" -> (cumsum _),
@@ -1061,6 +1115,7 @@ object Windows {
     "win_moving_avg" -> movingAvgSql,
     "win_sessionize" -> sessionizeSql,
     "win_session_stats" -> sessionStatsSql,
+    "win_attribution" -> attributionSql,
     "win_streak" -> streaksSql,
     "win_topk" -> topkPerTypeSql,
     "win_cumsum" -> cumsumSql,

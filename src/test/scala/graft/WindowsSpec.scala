@@ -148,4 +148,17 @@ class WindowsSpec extends GraftSpecBase {
       .count()
     assert(over == 0)
   }
+
+  test("attribution: one row per purchase; NULL last_touch iff purchase opened its session") {
+    val att = Windows.attribution(spark, sfDir).cache()
+    val purchases = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "purchase").count()
+    assert(att.count() == purchases, "attribution must cover every purchase exactly once")
+    assert(att.filter(col("first_touch").isNull).count() == 0, "first_touch can never be NULL")
+    // a purchase with no predecessor IS its session's opener, so its
+    // first touch must be the purchase itself
+    val bad = att.filter(col("last_touch").isNull && col("first_touch") =!= "purchase").count()
+    assert(bad == 0, "NULL last_touch implies the purchase opened the session")
+    att.unpersist()
+  }
 }
