@@ -75,7 +75,7 @@ object ScaleProbe {
       marker.createNewFile()
     }
 
-    import graft.operators.{CorpusOps, Dedup, TextAnalysis}
+    import graft.operators.{CorpusOps, Dedup, Graph, TextAnalysis}
     val probes: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
       "dedup_exact" -> (Dedup.exact _),
       "text_quality" -> (TextAnalysis.quality _),
@@ -98,7 +98,14 @@ object ScaleProbe {
       // corpus-scan census; the M merge rounds act on the vocabulary
       // frame, so they should grow with |V|, not corpus size)
       "text_vocab_growth" -> (TextAnalysis.vocabGrowth _),
-      "text_bpe_train" -> (TextAnalysis.bpeTrain _))
+      "text_bpe_train" -> (TextAnalysis.bpeTrain _),
+      // continuation wave: the graph family (cache cleared per timing, so
+      // each point pays pair-frame build + |edges|-proportional iteration
+      // — the honest end-to-end cost) and the tf-idf census (two
+      // aggregations sharing one exchange; stop-word join skew to AQE)
+      "graph_pagerank" -> (Graph.pagerank _),
+      "graph_triangles" -> (Graph.triangles _),
+      "text_tfidf" -> (TextAnalysis.tfidf _))
 
     def time(dir: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {

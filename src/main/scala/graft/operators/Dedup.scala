@@ -879,7 +879,39 @@ object Dedup {
        SELECT doc_id, reason, keeper_id FROM nd
        ORDER BY doc_id, reason"""
 
+  /** Candidate-pair similarity histogram — the threshold-tuning read
+    * behind every `jaccard >= 0.5` in this module: how much pair mass
+    * sits in each 0.05-wide Jaccard band? Moving the dedup threshold is
+    * a corpus-curation decision (recall/precision trade), and this is
+    * the curve it is read off. Buckets are floor(j·20): both engines
+    * compute the SAME double ratio from exact integers, so the floor
+    * cuts identically — no epsilon band-straddling.
+    *
+    * Scale shape: one groupBy over the shared cached pair frame —
+    * ≤ 21 output rows, no corpus touch beyond the frame build. */
+  def thresholdHist(s: SparkSession, dir: String): DataFrame =
+    ngramPairs(s, dir)
+      .select(floor(col("jaccard") * 20).cast("long").as("b"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select((col("b") / lit(20.0)).as("jaccard_lo"), col("n_pairs"))
+      .orderBy("jaccard_lo")
+
+  val thresholdHistSql: String =
+    s"""WITH $rarePairCtesSql,
+       j AS (
+         SELECT CAST(FLOOR(n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE) * 20)
+                 AS BIGINT) AS b
+         FROM inter
+         JOIN counts ca ON ca.doc_id = doc_a
+         JOIN counts cb ON cb.doc_id = doc_b)
+       SELECT b / CAST(20 AS DOUBLE) AS jaccard_lo, COUNT(*) AS n_pairs
+       FROM j
+       GROUP BY b
+       ORDER BY jaccard_lo"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_threshold_hist" -> (thresholdHist _),
     "dedup_survivorship" -> (survivorship _),
     "source_overlap" -> (sourceOverlap _),
     "dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
@@ -895,6 +927,7 @@ object Dedup {
 
   /** minhash/simhash intentionally absent: xxhash64-based, not portable SQL. */
   val oracles: Map[String, String] = Map(
+    "dedup_threshold_hist" -> thresholdHistSql,
     "dedup_survivorship" -> survivorshipSql,
     "source_overlap" -> sourceOverlapSql,
     "dedup_clusters" -> dedupClustersSql,
