@@ -490,9 +490,10 @@ object Relational {
        LIMIT 25"""
 
   def sqlSupplierRev(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
-    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
-    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    // the public SQL front door (all ten names, one call) — this query
+    // needs only three of them but exercising the real registration path
+    // keeps the user-facing API oracled
+    Tables.registerViews(s, dir)
     s.sql(sqlSupplierRevSql)
   }
 

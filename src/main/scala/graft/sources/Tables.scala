@@ -48,6 +48,16 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
+  /** Register every table as a temp view — the SQL front door: after one
+    * call, `spark.sql("SELECT ... FROM lineitem JOIN orders ...")` works
+    * against the dataset, which is how a user of the SQL-first reference
+    * (main.py runs raw DuckDB SQL) naturally drives this engine. Views
+    * are lazy plan aliases over the bare parquet scans — pruning and
+    * pushdown still reach the reader; re-registering for a different dir
+    * simply repoints the names. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    for (n <- names) apply(spark, dir, n).createOrReplaceTempView(n)
+
   /** Permissive CSV reader: header inference + malformed-row drop, the Spark
     * rendering of the reference's `read_csv_auto(..., ignore_errors=true)`.
     */
