@@ -367,4 +367,16 @@ class DedupSpec extends GraftSpecBase {
         "cache served results from the replaced corpus")
     } finally Dedup.clearSharedCache() // the shared session outlives this suite
   }
+
+  test("survivorship's drop set is exactly the materializer's complement") {
+    val docs = graft.sources.Tables.documents(spark, sfDir).select("doc_id")
+    val dropped = Dedup.survivorship(spark, sfDir).select("doc_id").distinct()
+    val survivors = Dedup.corpusDedupNg(spark, sfDir).select("doc_id")
+    // partition: every doc is dropped xor survives, none both, none lost
+    assert(dropped.intersect(survivors).count() == 0,
+      "a doc reported dropped also survived the materializer")
+    assert(dropped.count() + survivors.count() == docs.count(),
+      "survivorship + survivors must partition the corpus")
+    assert(dropped.count() > 0, "fixture has no dups — test is vacuous")
+  }
 }
