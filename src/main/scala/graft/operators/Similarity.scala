@@ -836,15 +836,23 @@ object Similarity {
     * cosine per label row. Zero-direction centroids (a label whose mean
     * floors to the zero vector) report NULL drift, not DIVIDE_BY_ZERO. */
   def drift(s: SparkSession, dir: String): DataFrame = {
-    val q = quantizedEmbeddings(s, dir)
-    val perLabel = centroided(
-      q.groupBy("label")
+    // ONE corpus scan by construction: the corpus centroid's sums are
+    // WINDOW totals over the |labels|-row per-label aggregate (global
+    // Σqv = Σ of the label sums — the same exact integers), never a
+    // second aggregate branch (a branch's scan gets pruned differently
+    // and defeats exchange reuse — the tfidf trap; this is batchDrift's
+    // `driftFrom` shape). The unpartitioned window is legal here for
+    // the standing reason: it runs over the BOUNDED label census, not
+    // the corpus.
+    val all = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    centroided(
+      quantizedEmbeddings(s, dir)
+        .groupBy("label")
         .agg(call_function("graft_vec_sum", col("qv")).as("sv"), count(lit(1)).as("n_vecs")))
-    val global = centroided(
-      q.agg(call_function("graft_vec_sum", col("qv")).as("sv"), count(lit(1)).as("n_vecs")))
-      .select(col("cent").as("gcent"), col("ns").as("ng"))
-    perLabel
-      .crossJoin(broadcast(global))
+      .withColumn("gsv", call_function("graft_vec_sum", col("sv")).over(all))
+      .withColumn("gn", sum(col("n_vecs")).over(all))
+      .withColumn("gcent", expr("transform(gsv, x -> (x + 10000000 * gn) DIV gn - 10000000)"))
+      .withColumn("ng", selfDot(col("gcent")))
       .select(
         col("label"),
         col("n_vecs"),

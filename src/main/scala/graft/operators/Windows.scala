@@ -190,9 +190,12 @@ object Windows {
     * same user-keyed distribution, one more narrow join to recover
     * event_type (sessionize's output contract is type-free).
     *
-    * Scale shape: user-partitioned windows with calendar-bounded session
-    * partitions, one AQE-sized equi-join on event_id, output ∝ purchase
-    * events. */
+    * Scale shape: windows partitioned by (user, session) — strictly
+    * finer than sessionize's own user partitioning, so state per task is
+    * bounded by a single session's length (a pathological never-idle
+    * user degrades to one user-sized partition, the same documented
+    * bound as sessionize itself); one AQE-sized equi-join on event_id,
+    * output ∝ purchase events. */
   def attribution(s: SparkSession, dir: String): DataFrame = {
     val types = Tables.events(s, dir).select(col("event_id"), col("event_type"))
     val w = Window

@@ -427,6 +427,13 @@ class ScaleSpec extends GraftSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("emb_drift: one embeddings scan — global centroid is window totals, not a branch") {
+    val plan =
+      graft.operators.Similarity.drift(spark, sfDir).queryExecution.executedPlan.toString
+    val scans = "embeddings.parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"drift scanned embeddings $scans times — global branch crept back:\n$plan")
+  }
+
   test("ts_interpolate: all four flanking windows share one sort") {
     val plan =
       graft.operators.Windows.interpolate(spark, sfDir).queryExecution.executedPlan.toString
