@@ -16,9 +16,12 @@ import org.apache.spark.sql.types.DecimalType
   * doubles — double summation is partition-order-dependent.
   *
   * Scale notes (100 TB):
-  *   - percent-of-total is a 1-row aggregate broadcast back over the grouped
-  *     set (reference does the same with a CTE cross join, main.py:41-50) —
-  *     never a window over an unpartitioned sort.
+  *   - percent-of-total is a full-frame window total over the BOUNDED
+  *     grouped census (no orderBy — no sort; the census is |groups| rows,
+  *     never the fact table). The reference's CTE cross join
+  *     (main.py:41-50) is the same arithmetic; the window form keeps the
+  *     expensive scan+join subtree planned ONCE instead of once per
+  *     branch.
   *   - dimension joins (nation/region/customer-at-dim-scale) broadcast;
   *     fact-fact joins shuffle on the join key and lean on AQE for skew.
   */
@@ -52,9 +55,17 @@ object Relational {
       .agg(
         countDistinct(col("o_orderkey")).as("num_orders"),
         round(avg(col("pri")), 2).as("avg_priority"))
-    val tot = seg.agg(sum(col("num_orders")).as("world_total"))
+    // percent-of-total as a WINDOW total over the |segments|-row
+    // aggregate, not a 1-row aggregate branch: the branch form plans the
+    // scan+join subtree TWICE (branch pruning defeats exchange reuse —
+    // the round-7 tfidf/emb_drift finding); the unpartitioned window is
+    // legal because it runs over the bounded segment census, never the
+    // fact table. Same rows, half the corpus cost.
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(Long.MinValue, Long.MaxValue)
     seg
-      .crossJoin(broadcast(tot))
+      .withColumn("world_total", sum(col("num_orders")).over(all))
       .select(
         col("mktsegment"),
         col("num_orders"),
@@ -93,9 +104,12 @@ object Relational {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
       .agg(countDistinct(col("o_orderkey")).as("num_high_value"))
-    val tot = per.agg(sum(col("num_high_value")).as("world_total"))
+    // window total over the |nations|-row census — see q1SegPct's note
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(Long.MinValue, Long.MaxValue)
     per
-      .crossJoin(broadcast(tot))
+      .withColumn("world_total", sum(col("num_high_value")).over(all))
       .select(
         col("nation"),
         col("num_high_value"),

@@ -784,13 +784,22 @@ object TextAnalysis {
             (a, b) => concat(a, lit(" "), b))).as("bigram"))
       .groupBy("doc_id", "bigram")
       .agg(count(lit(1)).as("occ"))
+    // head counts as a WINDOW total per first word over the bigram
+    // census, not a re-aggregation branch (the branch form re-planned
+    // the corpus tokenize once per consumer — 3 scans measured; the
+    // window keeps the chain linear). Partitions are per-head bigram
+    // sets — vocabulary-sized, never corpus-sized. The remaining TWO
+    // corpus scans (docBigram feeds both the census chain and the final
+    // join) are the honest floor here: the zip_with lambda below the
+    // exchange defeats plan canonicalization (lambda-variable ids are
+    // not normalized), so ReuseExchange can never collapse the shared
+    // subtree — pinned at 2 in ScaleSpec so a regression to 3 is loud.
     val c2 = docBigram.groupBy("bigram").agg(sum(col("occ")).as("c2"))
-    val c1 = c2
-      .groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
-      .agg(sum(col("c2")).as("c1"))
     val census = c2
-      .withColumn("w1", split(col("bigram"), " ").getItem(0))
-      .join(c1, "w1")
+      .withColumn(
+        "c1",
+        sum(col("c2")).over(
+          Window.partitionBy(split(col("bigram"), " ").getItem(0))))
       .select(
         col("bigram"),
         round(log(col("c2") / col("c1").cast("double")) * 1e6).cast("long").as("mn"))

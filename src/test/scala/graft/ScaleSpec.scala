@@ -427,6 +427,26 @@ class ScaleSpec extends GraftSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("percent-of-total queries scan their fact table once (window total, not a branch)") {
+    for ((name, df, table) <- Seq(
+        ("q1_seg_pct", Relational.q1SegPct(spark, sfDir), "orders.parquet"),
+        ("q2_topnation_share", Relational.q2TopNationShare(spark, sfDir), "orders.parquet"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val scans = table.r.findAllIn(plan).size
+      assert(scans == 1, s"$name scanned $table $scans times — total branch crept back:\n$plan")
+    }
+  }
+
+  test("lm_bigram: two corpus scans — head counts are window totals, not a third branch") {
+    // 2, not 1: the zip_with lambda below the shared exchange defeats
+    // canonicalization, so the census chain and the final join can't
+    // share a scan; the window rewrite removed the third (c1) branch
+    val plan =
+      graft.operators.TextAnalysis.lmBigram(spark, sfDir).queryExecution.executedPlan.toString
+    val scans = "documents.parquet".r.findAllIn(plan).size
+    assert(scans == 2, s"lm_bigram scanned documents $scans times (want 2):\n$plan")
+  }
+
   test("emb_drift: one embeddings scan — global centroid is window totals, not a branch") {
     val plan =
       graft.operators.Similarity.drift(spark, sfDir).queryExecution.executedPlan.toString
