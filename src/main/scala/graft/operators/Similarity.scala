@@ -202,14 +202,24 @@ object Similarity {
     // oracle replays); posexplode yields (table, bucket) pairs without the
     // round-1 plan bloat of 24 inline 64-element literal weight arrays
     val corpus = quantized(s, dir)
+    // the query sample rides the SAME stamp-keyed cache discipline as
+    // annIvf's (one persisted 1% frame feeds bucket probing AND the
+    // rescore broadcast): without it, both query-side branches re-scan
+    // the corpus — 4 plan-visible embeddings scans measured; with it, 2
+    val qf = PipelineCache.cached(s"lsh_qsample_d${embDim(s)}", s, dir, "embeddings.parquet")(
+      corpus
+        .filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("qv"), col("nq")))
     val bucketed = corpus
       .select(
         col("vec_id"),
         posexplode(call_function("graft_lsh_buckets", col("qv"))).as(Seq("t", "b")))
       .select(col("vec_id"), struct(col("t"), col("b")).as("tb"))
-    val queryBuckets = bucketed
-      .filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("tb"))
+    val queryBuckets = qf
+      .select(
+        col("query_id"),
+        posexplode(call_function("graft_lsh_buckets", col("qv"))).as(Seq("t", "b")))
+      .select(col("query_id"), struct(col("t"), col("b")).as("tb"))
     // candidate pairs carry only ids (same slim-shuffle pattern as minhash);
     // a candidate colliding in several tables is deduped before scoring
     val pairs = bucketed
@@ -218,19 +228,17 @@ object Similarity {
       .select("query_id", "vec_id")
       .distinct()
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
-    // the broadcast re-attach side is the FILTERED query set (same filter
-    // as queryBuckets) — broadcasting the unfiltered corpus here would ship
-    // every vector to every executor and OOM the driver at scale
+    // the broadcast re-attach side is the cached query sample —
+    // broadcasting the unfiltered corpus here would ship every vector to
+    // every executor and OOM the driver at scale
     pairs
       .join(corpus, "vec_id")
       .join(
         broadcast(
-          corpus
-            .filter(col("vec_id") % 100 === 0)
-            .select(
-              col("vec_id").as("query_id"),
-              col("qv").as("query_qv"),
-              col("nq").as("query_nq"))),
+          qf.select(
+            col("query_id"),
+            col("qv").as("query_qv"),
+            col("nq").as("query_nq"))),
         "query_id")
       .withColumn(
         "cos_sim",

@@ -559,28 +559,34 @@ object Windows {
     * everything is user-partitioned (no global sort, no window over an
     * unpartitioned set). */
   def funnel(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables
+    // ONE events scan (was 5): the stage chain is three stacked
+    // whole-partition windows over a single user-keyed exchange — each
+    // stage's conditional min can reference the previous stage's column,
+    // which the join-per-stage formulation re-scanned the corpus to get.
+    // distinct() collapses to one row per user (stage times are
+    // per-user constants; NULL users keep their row, matching the old
+    // groupBy semantics), then one tiny final aggregate.
+    val w = Window
+      .partitionBy("user_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables
       .events(s, dir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
-    val v = e
-      .filter(col("event_type") === "view")
-      .groupBy("user_id")
-      .agg(min(col("ts_us")).as("v_ts"))
-    val c = e
-      .filter(col("event_type") === "click")
-      .join(v, "user_id")
-      .filter(col("ts_us") >= col("v_ts"))
-      .groupBy("user_id")
-      .agg(min(col("ts_us")).as("c_ts"))
-    val p = e
-      .filter(col("event_type") === "purchase")
-      .join(c, "user_id")
-      .filter(col("ts_us") >= col("c_ts"))
-      .groupBy("user_id")
-      .agg(min(col("ts_us")).as("p_ts"))
-    v.agg(count(lit(1)).as("n_view"))
-      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
-      .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+      .withColumn("v_ts", min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn(
+        "c_ts",
+        min(when(col("event_type") === "click" && col("ts_us") >= col("v_ts"), col("ts_us")))
+          .over(w))
+      .withColumn(
+        "p_ts",
+        min(when(col("event_type") === "purchase" && col("ts_us") >= col("c_ts"), col("ts_us")))
+          .over(w))
+      .select(col("user_id"), col("v_ts"), col("c_ts"), col("p_ts"))
+      .distinct()
+      .agg(
+        count(when(col("v_ts").isNotNull, 1)).as("n_view"),
+        count(when(col("c_ts").isNotNull, 1)).as("n_view_click"),
+        count(when(col("p_ts").isNotNull, 1)).as("n_view_click_purchase"))
   }
 
   val funnelSql: String =

@@ -437,6 +437,26 @@ class ScaleSpec extends GraftSpecBase {
     }
   }
 
+  test("LSH executes at most two embeddings file scans (cached query sample)") {
+    // the IVF pin's discipline: cold cache + AQE off so the static plan
+    // exposes scan nodes; both query-side consumers must ride the
+    // persisted sample (InMemoryTableScan), not re-scan the corpus
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    graft.operators.PipelineCache.clear()
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Similarity.annLsh(spark, sfDir).queryExecution.executedPlan
+      val fileScans = plan.collect { case f: FileSourceScanExec => f }
+      assert(fileScans.size <= 2,
+        s"embeddings scanned ${fileScans.size} times (want ≤ 2) in:\n$plan")
+      val cacheScans = plan.collect { case c: InMemoryTableScanExec => c }
+      assert(cacheScans.size == 2,
+        s"bucket probe + rescore must both read the persisted query sample, got ${cacheScans.size} in:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("lm_bigram: two corpus scans — head counts are window totals, not a third branch") {
     // 2, not 1: the zip_with lambda below the shared exchange defeats
     // canonicalization, so the census chain and the final join can't
