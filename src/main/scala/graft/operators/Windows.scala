@@ -505,7 +505,12 @@ object Windows {
   def ntileQuartiles(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
+    // a NULL price cannot be ranked (globalRank guards loudly); a
+    // corrupt priceless order is dropped, crawl-hygiene style — the
+    // pathological-relational sweep is what caught the crash, and the
+    // oracle mirrors the predicate
     val base = o
+      .filter(col("o_totalprice").isNotNull)
       .join(c, col("o_custkey") === col("c_custkey"))
       .select(
         col("c_mktsegment").as("mktsegment"),
@@ -519,7 +524,9 @@ object Windows {
         Seq(col("cents"), col("o_orderkey")),
         // bounds only need a covering range, not the join: a one-column
         // orders scan instead of a second pass over orders⋈customer
-        boundsOf = Some(o.select(floor(col("o_totalprice") * 100).cast("long").as("cents"))))
+        boundsOf = Some(
+          o.filter(col("o_totalprice").isNotNull)
+            .select(floor(col("o_totalprice") * 100).cast("long").as("cents"))))
       .withColumn(
         "quartile",
         expr("""CASE WHEN __rn <= (__n % 4) * (__n DIV 4 + 1)
@@ -538,7 +545,8 @@ object Windows {
     """WITH j AS (
          SELECT c_mktsegment AS mktsegment, o_orderkey,
                 CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
-         FROM orders JOIN customer ON o_custkey = c_custkey),
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_totalprice IS NOT NULL),
        t AS (
          SELECT mktsegment, cents,
                 CAST(NTILE(4) OVER (PARTITION BY mktsegment

@@ -61,6 +61,82 @@ class RobustnessSpec extends GraftSpecBase {
         .mkString("queries crashed on pathological input:\n", "\n", ""))
   }
 
+  /** The relational-side sibling of [[patDir]] — the fourth fixture,
+    * covering the TPC-H-ish tables the first three sweeps ride along
+    * unchanged: orders with NULL custkey / status / priority / date,
+    * NULL and NEGATIVE totalprice; lineitem with NULL orderkey /
+    * partkey, NULL and negative quantity/price, a discount > 1 and a
+    * NULL shipdate; customer with NULL nationkey / name / mktsegment
+    * and a negative balance. Clean driver tables can never exercise the
+    * NULL-key join paths, CASE fall-throughs and cents-cast NULLs these
+    * shapes hit. */
+  private lazy val patRelDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pathological_rel").toString
+    for (t <- Seq("region", "nation", "supplier", "part", "events", "documents", "embeddings"))
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s0: String) = Timestamp.valueOf(s0)
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val badOrders = Seq(
+      (900001L, null.asInstanceOf[java.lang.Long], "O", java.lang.Double.valueOf(1000.0),
+        ts("2024-01-01 00:00:00"), "1-URGENT"),                      // NULL custkey
+      (900002L, java.lang.Long.valueOf(1L), null.asInstanceOf[String],
+        java.lang.Double.valueOf(2000.0), ts("2024-01-02 00:00:00"), "2-HIGH"), // NULL status
+      (900003L, java.lang.Long.valueOf(2L), "F", null.asInstanceOf[java.lang.Double],
+        ts("2024-01-03 00:00:00"), null.asInstanceOf[String]),       // NULL price + priority
+      (900004L, java.lang.Long.valueOf(3L), "O", java.lang.Double.valueOf(-500.0),
+        null.asInstanceOf[Timestamp], "9-BOGUS"))                    // negative price, NULL date, unknown priority
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    o.unionByName(badOrders.select(o.columns.map(col): _*))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val badLines = Seq(
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(1L), 1L, 1,
+        java.lang.Double.valueOf(1.0), java.lang.Double.valueOf(10.0),
+        java.lang.Double.valueOf(0.05), java.lang.Double.valueOf(0.02), "N", "O",
+        ts("2024-01-01 00:00:00")),                                  // NULL orderkey
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long], 2L, 2,
+        null.asInstanceOf[java.lang.Double], null.asInstanceOf[java.lang.Double],
+        java.lang.Double.valueOf(1.5), java.lang.Double.valueOf(0.0),
+        null.asInstanceOf[String], "F", null.asInstanceOf[Timestamp]), // NULL part/qty/price/flag/date, discount>1
+      (java.lang.Long.valueOf(2L), java.lang.Long.valueOf(3L), 3L, 3,
+        java.lang.Double.valueOf(-4.0), java.lang.Double.valueOf(-100.0),
+        java.lang.Double.valueOf(0.0), java.lang.Double.valueOf(0.0), "R", "F",
+        ts("2024-01-05 00:00:00")))                                  // negative qty/price
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+    l.unionByName(
+        badLines
+          .withColumn("l_suppkey", col("l_suppkey").cast("long"))
+          .select(l.columns.map(col): _*))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+    val badCust = Seq(
+      (900001L, null.asInstanceOf[String], null.asInstanceOf[java.lang.Integer],
+        java.lang.Double.valueOf(-10.0), null.asInstanceOf[String]))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    c.unionByName(badCust.select(c.columns.map(col): _*))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    dir
+  }
+
+  test("every registered query survives pathological relational tables") {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[(String, Throwable)]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try { fn(spark, patRelDir).count(): Unit }
+      catch { case t: Throwable => failures += ((name, t)) }
+    }
+    graft.operators.Dedup.clearSharedCache()
+    assert(
+      failures.isEmpty,
+      failures.map { case (n, t) => s"$n: ${t.getClass.getSimpleName} ${t.getMessage}" }
+        .mkString("queries crashed on pathological relational tables:\n", "\n", ""))
+  }
+
   /** The events-side sibling of [[patDir]]: the stream shapes a real
     * event pipeline delivers and the driver-generated table cannot —
     * NULL timestamp / user / type / value, NaN and ±huge values,
