@@ -25,17 +25,32 @@ object Tables {
       case n        => spark.read.parquet(s"$dir/$n.parquet")
     }
 
-  /** events.parquet carries INT64 TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright. With `spark.sql.legacy.parquet.nanosAsLong`
-    * the column arrives as raw nanos; integer-divide (not double-divide —
-    * epoch nanos exceed 2^53) down to micros, the same truncation DuckDB
-    * applies internally, so oracle comparisons agree.
+  /** events.parquet's `ts` physical type has varied across driver data
+    * generations — INT64 TIMESTAMP(NANOS) in some drops, TIMESTAMP(MICROS)
+    * in others — so the loader adapts to the schema it actually reads
+    * rather than assuming either:
+    *
+    *  - nanos: Spark's parquet reader rejects INT64 nanos outright; with
+    *    `spark.sql.legacy.parquet.nanosAsLong` the column arrives as raw
+    *    BIGINT nanos; integer-divide (not double-divide — epoch nanos
+    *    exceed 2^53) down to micros, the same truncation DuckDB applies
+    *    internally, so oracle comparisons agree.
+    *  - micros: arrives as TIMESTAMP_NTZ (no parquet tz annotation); cast
+    *    to session-local TIMESTAMP — the session is pinned UTC
+    *    ([[graft.GraftSession]]), so wall values are unchanged and window/
+    *    date_trunc arithmetic matches DuckDB's UTC reading exactly.
+    *
+    * Either way downstream operators see one canonical `ts: TIMESTAMP`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")

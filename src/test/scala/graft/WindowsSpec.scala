@@ -97,14 +97,16 @@ class WindowsSpec extends GraftSpecBase {
   test("ohlc matches a brute-force scan of each (day, type) cell") {
     val rows = Windows.ohlc(spark, sfDir).collect()
     assert(rows.nonEmpty)
-    // brute-force reference: group the raw events in plain Scala
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // brute-force reference: group the raw events in plain Scala; micros
+    // via the canonical loader so the reference is physical-type-agnostic
+    // (the driver's data drops have carried both nano-long and micro ts)
+    val raw = graft.sources.Tables.events(spark, sfDir)
     val ref = raw
-      .select(col("event_id"), col("ts").as("ns"), col("event_type"), col("value"))
+      .select(col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
       .filter(col("value").isNotNull && abs(col("value")) <= 5.0e6)
       .collect()
       .map { r =>
-        val us = r.getLong(1) / 1000L
+        val us = r.getLong(1)
         (us - java.lang.Math.floorMod(us, 86400000000L), r.getString(2), us, r.getLong(0),
           math.floor(r.getDouble(3) * 100.0).toLong)
       }
