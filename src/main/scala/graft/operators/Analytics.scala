@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Wider analytics surface: multi-level aggregation (ROLLUP), pivoting,
@@ -584,7 +585,91 @@ object Analytics {
         round(col("exact_median"), 2).as("exact_median"))
   }
 
+  /** Winsorized per-segment price statistics — the robust-mean discipline
+    * outlier-heavy pipelines apply before trusting an average: clamp each
+    * order's price to the segment's exact nearest-rank [p5, p95] band,
+    * then average the clamped cents. Reported beside the raw mean so the
+    * winsorization's effect is visible in-row.
+    *
+    * Exactness: thresholds are NEAREST-RANK order statistics — the value
+    * at sorted position ⌈p·n⌉, an integer ceil computed as (p·100·n+99)
+    * DIV 100 — picked positionally, so duplicate values and tie order
+    * can't change them; both engines clamp the same exact cents and the
+    * single end division is one fixed double expression.
+    *
+    * Scale shape: ONE shuffle on mktsegment carries everything — the
+    * row_number sort, the two full-frame threshold windows (same
+    * exchange, no extra sort for the unordered frames) and the final
+    * groupBy ride the same partitioning; the dimension join broadcasts.
+    * A per-segment sort at 100 TB is the honest cost of EXACT order
+    * statistics (cf. [[sketches]] for the approximate path); segments
+    * are few and AQE splits a skewed one. */
+  def winsorized(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.orders(s, dir)
+      .filter(
+        col("o_totalprice").isNotNull && !isnan(col("o_totalprice")) &&
+          abs(col("o_totalprice")) <= 1.0e14)
+      .join(
+        broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_mktsegment").as("mktsegment"),
+        floor(col("o_totalprice") * 100.0).cast("long").as("c"))
+    val wSeg = Window.partitionBy("mktsegment")
+    val wSort = wSeg.orderBy("c")
+    val ranked = v
+      .withColumn("rn", row_number().over(wSort))
+      .withColumn("n", count(lit(1)).over(wSeg))
+      .withColumn("lo", max(when(col("rn") === expr("(5 * n + 99) DIV 100"), col("c"))).over(wSeg))
+      .withColumn("hi", max(when(col("rn") === expr("(95 * n + 99) DIV 100"), col("c"))).over(wSeg))
+    ranked
+      .groupBy("mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(max(col("lo")) / 100.0, 2).as("p5"),
+        round(max(col("hi")) / 100.0, 2).as("p95"),
+        round(
+          sum(least(greatest(col("c"), col("lo")), col("hi"))).cast("double") /
+            (lit(100.0) * count(lit(1)).cast("double")),
+          4).as("win_mean"),
+        round(
+          sum(col("c")).cast("double") / (lit(100.0) * count(lit(1)).cast("double")),
+          4).as("raw_mean"))
+      .orderBy("mktsegment")
+  }
+
+  val winsorizedSql: String =
+    """WITH v AS (
+         SELECT c_mktsegment AS mktsegment,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+           AND abs(o_totalprice) <= 100000000000000),
+       r AS (
+         SELECT mktsegment, c,
+                row_number() OVER (PARTITION BY mktsegment ORDER BY c) AS rn,
+                COUNT(*) OVER (PARTITION BY mktsegment) AS n
+         FROM v),
+       t AS (
+         SELECT mktsegment, c,
+                MAX(CASE WHEN rn = (5 * n + 99) // 100 THEN c END)
+                  OVER (PARTITION BY mktsegment) AS lo,
+                MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN c END)
+                  OVER (PARTITION BY mktsegment) AS hi
+         FROM r)
+       SELECT mktsegment, COUNT(*) AS n_orders,
+              ROUND(MAX(lo) / 100.0, 2) AS p5,
+              ROUND(MAX(hi) / 100.0, 2) AS p95,
+              ROUND(CAST(SUM(LEAST(GREATEST(c, lo), hi)) AS DOUBLE)
+                    / (100.0 * CAST(COUNT(*) AS DOUBLE)), 4) AS win_mean,
+              ROUND(CAST(SUM(c) AS DOUBLE)
+                    / (100.0 * CAST(COUNT(*) AS DOUBLE)), 4) AS raw_mean
+       FROM t
+       GROUP BY 1
+       ORDER BY mktsegment"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_winsorized" -> (winsorized _),
     "agg_sketches" -> (sketches _),
     "catalog_counts" -> (catalogCounts _),
     "dq_profile" -> (dqProfile _),
@@ -603,6 +688,7 @@ object Analytics {
     "dash_metrics" -> (dashMetrics _))
 
   val oracles: Map[String, String] = Map(
+    "agg_winsorized" -> winsorizedSql,
     "catalog_counts" -> catalogCountsSql,
     "dq_profile" -> dqProfileSql,
     "agg_cube" -> cubeSql,

@@ -328,6 +328,21 @@ object CorpusOps {
   def corpusShard(s: SparkSession, dir: String): DataFrame = {
     val budget = s.conf.get("spark.graft.corpus.shardTokenBudget", "50000").toLong
     require(budget > 0, s"shardTokenBudget must be positive, got $budget")
+    tokenPrefix(s, dir)
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        expr(s"__ex DIV $budget").as("shard"))
+      .orderBy("doc_id")
+  }
+
+  /** The shared exact-global-prefix frame behind [[corpusShard]] and
+    * [[corpusPack]]: every non-empty document with its whitespace token
+    * count and `__ex` = the EXCLUSIVE doc_id-order prefix sum of tokens,
+    * computed by the scalable two-phase scheme documented on
+    * [[corpusShard]] (eager quantile bucket literals → per-bucket totals
+    * to the driver → broadcast offset join + per-bucket windows). */
+  private def tokenPrefix(s: SparkSession, dir: String): DataFrame = {
     val nTok = length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1
     val t = Tables
       .documents(s, dir)
@@ -364,12 +379,61 @@ object CorpusOps {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     tb.join(broadcast(offDf), Seq("__bkt"))
       .withColumn("__ex", col("__off") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .drop("__bkt", "__off")
+  }
+
+  /** Fixed-length SEQUENCE PACKING — [[corpusShard]]'s context-window
+    * sibling and the last step before tokens hit a trainer: concatenate
+    * the corpus in doc_id order and cut it into training sequences of
+    * exactly `spark.graft.corpus.packSeqLen` tokens (default 2048).
+    * Unlike shards, sequences DO split documents: a doc starting at
+    * global token offset `ex` occupies sequences `ex DIV L` through
+    * `(ex + n_tokens − 1) DIV L`, entering the first at offset
+    * `ex MOD L`. Each document reports that placement plus `tail_tokens`
+    * — how many of its tokens land in its last sequence — so a reader
+    * can materialize any sequence's contents from the docs that claim it
+    * without re-deriving the global order.
+    *
+    * Everything is integer arithmetic on the exact prefix sum, so the
+    * packing is bit-stable across engines, partitionings and re-runs —
+    * the property that makes a training run reproducible. Scale shape =
+    * [[tokenPrefix]]'s (no un-partitioned window anywhere) plus one
+    * narrow map; output is one row per doc, never per (doc × sequence).
+    */
+  def corpusPack(s: SparkSession, dir: String): DataFrame = {
+    val len = s.conf.get("spark.graft.corpus.packSeqLen", "2048").toLong
+    require(len > 0, s"packSeqLen must be positive, got $len")
+    tokenPrefix(s, dir)
       .select(
         col("doc_id"),
         col("n_tokens"),
-        expr(s"__ex DIV $budget").as("shard"))
+        expr(s"__ex DIV $len").as("seq_first"),
+        expr(s"__ex % $len").as("start_off"),
+        expr(s"(__ex + n_tokens - 1) DIV $len").as("seq_last"),
+        expr(s"(__ex + n_tokens - 1) DIV $len - __ex DIV $len + 1").as("n_seqs"),
+        expr(s"(__ex + n_tokens - 1) % $len + 1").as("tail_tokens"))
       .orderBy("doc_id")
   }
+
+  val corpusPackSql: String =
+    """WITH t AS (
+         SELECT doc_id,
+                CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+         FROM documents
+         WHERE LENGTH(TRIM(text)) > 0),
+       c AS (
+         SELECT doc_id, n_tokens,
+                COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ex
+         FROM t)
+       SELECT doc_id, n_tokens,
+              CAST(ex // 2048 AS BIGINT) AS seq_first,
+              CAST(ex % 2048 AS BIGINT) AS start_off,
+              CAST((ex + n_tokens - 1) // 2048 AS BIGINT) AS seq_last,
+              CAST((ex + n_tokens - 1) // 2048 - ex // 2048 + 1 AS BIGINT) AS n_seqs,
+              CAST((ex + n_tokens - 1) % 2048 + 1 AS BIGINT) AS tail_tokens
+       FROM c
+       ORDER BY doc_id"""
 
   val corpusShardSql: String =
     """WITH t AS (
@@ -1191,6 +1255,7 @@ object CorpusOps {
     "dedup_incremental" -> ((s, d) => dedupIncremental(s, d)),
     "dedup_incremental_idx" -> ((s, d) => dedupIncrementalIndexed(s, d, defaultIndexPath(s, d))),
     "corpus_shard" -> (corpusShard _),
+    "corpus_pack" -> (corpusPack _),
     "corpus_curate" -> (curate _))
 
   val oracles: Map[String, String] = Map(
@@ -1205,5 +1270,6 @@ object CorpusOps {
     // the indexed operator has the SAME output contract — same oracle
     "dedup_incremental_idx" -> dedupIncrementalSql,
     "corpus_shard" -> corpusShardSql,
+    "corpus_pack" -> corpusPackSql,
     "corpus_curate" -> curateSql)
 }

@@ -184,6 +184,76 @@ object Similarity {
        FROM ranked WHERE rk <= 5
        ORDER BY query_id, rk"""
 
+  /** Metadata-FILTERED vector search ([[annBrute]] under a label
+    * predicate): top-5 cosine neighbors drawn only from corpus vectors
+    * with an even label — the "search within a slice" contract every
+    * production vector store exposes (tenant, language, license,
+    * freshness filters). The neighbor's label is carried in-row so the
+    * predicate is auditable in the result.
+    *
+    * The scale point is WHERE the predicate runs: pre-filter, not
+    * post-filter. The label condition is applied at the scan, BEFORE any
+    * distance arithmetic, so scoring cost is ∝ the slice, never the
+    * corpus (a plain equality/range slice predicate additionally reaches
+    * parquet PushedFilters and prunes row groups; this modulo predicate
+    * evaluates scan-side post-read — still ahead of every dot product —
+    * and under IVF cell partitioning either form composes with cell
+    * pruning). A post-filter top-k would score everything and then
+    * discard, and could return < k survivors.
+    * Queries are NOT label-filtered: any query may search an arbitrary
+    * slice. A NULL label fails the predicate in both engines (three-
+    * valued =, not a special case). */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+    val queries = corpus
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("query_qv"), col("nq").as("query_nq"))
+    val wLocal = Window.partitionBy("__pid", "query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    corpus
+      .filter(col("label") % 2 === 0)
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        col("label"),
+        graft.functions.VectorOps
+          .cosine(col("qv"), col("nq"), col("query_qv"), col("query_nq"))
+          .as("cos_sim"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("rk", row_number().over(wLocal))
+      .filter(col("rk") <= 5)
+      .drop("__pid", "rk")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label"),
+        round(col("cos_sim"), 4).as("cos_sim"),
+        col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  val annFilteredSql: String =
+    s"""WITH $embPrelude,
+       queries AS (SELECT vec_id AS query_id, qv AS query_qv, nq AS query_nq
+                   FROM n WHERE vec_id % 100 = 0),
+       scored AS (
+         SELECT query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+                list_dot_product(c.qv, query_qv) / (sqrt(c.nq) * sqrt(query_nq)) AS cos_sim
+         FROM n c CROSS JOIN queries
+         WHERE c.label % 2 = 0 AND c.vec_id <> query_id),
+       ranked AS (
+         SELECT query_id, neighbor_id, neighbor_label, cos_sim,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rk
+         FROM scored)
+       SELECT query_id, neighbor_id, neighbor_label, ROUND(cos_sim, 4) AS cos_sim, rk
+       FROM ranked WHERE rk <= 5
+       ORDER BY query_id, rk"""
+
   /** LSH-bucketed ANN — the scale path. 6 independent hash tables, each of
     * 4 deterministic pseudo-random hyperplanes (integer weights from a
     * multiplicative scramble): a vector lands in one 4-bit sign bucket per
@@ -934,6 +1004,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_drift" -> (drift _),
     "ann_brute_topk" -> (annBrute _),
+    "ann_filtered_topk" -> (annFiltered _),
     "ann_lsh_topk" -> (annLsh _),
     "ann_ivf_topk" -> (annIvf _),
     "dedup_embedding_ivf" -> (ivfDedup _),
@@ -944,6 +1015,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "emb_drift" -> driftSql,
     "ann_brute_topk" -> annBruteSql,
+    "ann_filtered_topk" -> annFilteredSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,
     "dedup_embedding_ivf" -> ivfDedupSql,

@@ -1092,7 +1092,115 @@ object Windows {
        GROUP BY 1, 2
        ORDER BY band_ord"""
 
+  /** Top-10 most-travelled 3-step event-type paths (sequential pattern
+    * census): for every user, each consecutive (e1 → e2 → e3) triple in
+    * (ts, event_id) order is one path observation; paths ranked by count
+    * with a full lexicographic tie-break so both engines cut the same 10.
+    * The navigation-mining staple ("view → click → purchase vs view →
+    * error → view") the funnel operators answer only for one fixed path.
+    *
+    * Scale shape: two LEADs share ONE user-partitioned sort (no
+    * self-joins — the classic sequence join formulation is two fact-fact
+    * joins; the window form is a single user-keyed exchange), the census
+    * groupBy is bounded by |event types|³ (125 here — partial-agg absorbs
+    * it map-side), and the final cut is a TakeOrdered, never a global
+    * sort. NULL user/ts/type rows are dropped up front (a NULL hop is
+    * not a path; adjacency then skips them deterministically in both
+    * engines). */
+  def paths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables
+      .events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"), col("event_type"))
+      .select(
+        col("event_type").as("e1"),
+        lead("event_type", 1).over(w).as("e2"),
+        lead("event_type", 2).over(w).as("e3"))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(10)
+  }
+
+  val pathsSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+                  FROM events
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+       t AS (SELECT event_type AS e1,
+                    lead(event_type, 1) OVER w AS e2,
+                    lead(event_type, 2) OVER w AS e3
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+       SELECT e1, e2, e3, COUNT(*) AS n
+       FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+       GROUP BY 1, 2, 3
+       ORDER BY n DESC, e1, e2, e3
+       LIMIT 10"""
+
+  /** Per-user time-weighted average value (TWAP): each observation is
+    * weighted by the exact integer seconds until the user's NEXT valid
+    * observation (the value "held" for that interval); the last
+    * observation has no interval and carries no weight. Out-of-envelope
+    * rows (NULL/NaN/|v| > 5·10⁶ — [[anomaly]]'s metric envelope) are
+    * excluded as ROWS, so the preceding valid observation's interval
+    * spans across them: a corrupt reading neither crashes the job nor
+    * truncates the weighting.
+    *
+    * Numeric discipline: weights are exact integer seconds (µs DIV 10⁶),
+    * values exact integer cents; per-row products stay ≤ ~10¹⁶ (long-
+    * safe) but the per-user SUM can pass 2⁶³, so both engines accumulate
+    * in wide exact integers (DECIMAL(38,0) / HUGEINT — [[Analytics
+    * .moments]]' discipline) and divide ONCE at the end (identical
+    * expression → identical doubles before the 4-dp round).
+    *
+    * Scale shape: one user-partitioned sort carries the LEAD, the rollup
+    * groupBy rides the same key distribution; output ∝ users. Same-µs
+    * ties get weight 0 from the deterministic (ts, event_id) order. */
+  def twap(s: SparkSession, dir: String): DataFrame = {
+    Tables
+      .events(s, dir)
+      .filter(
+        col("user_id").isNotNull && col("ts").isNotNull && col("value").isNotNull &&
+          !isnan(col("value")) && abs(col("value")) <= 5.0e6)
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        cents("value").as("c"))
+      .withColumn("dt_s", expr("(lead(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us) DIV 1000000"))
+      .groupBy("user_id")
+      .agg(
+        count(col("dt_s")).as("n_obs"),
+        sum(col("dt_s")).as("total_s"),
+        round(
+          sum((col("c") * col("dt_s")).cast("decimal(38,0)")).cast("double") /
+            (lit(100.0) * sum(col("dt_s")).cast("double")),
+          4).as("twap"))
+      .filter(col("total_s") > 0)
+      .orderBy("user_id")
+  }
+
+  val twapSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                         CAST(FLOOR(value * 100) AS BIGINT) AS c
+                  FROM events
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+                    AND NOT isnan(value) AND abs(value) <= 5000000),
+       d AS (SELECT user_id, c,
+                    (lead(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us) // 1000000 AS dt_s
+             FROM e)
+       SELECT user_id, COUNT(dt_s) AS n_obs, CAST(SUM(dt_s) AS BIGINT) AS total_s,
+              ROUND(CAST(SUM(CAST(c * dt_s AS HUGEINT)) AS DOUBLE) /
+                    (100.0 * CAST(SUM(dt_s) AS DOUBLE)), 4) AS twap
+       FROM d
+       GROUP BY 1
+       HAVING SUM(dt_s) > 0
+       ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_paths" -> (paths _),
+    "ts_twap" -> (twap _),
     "win_rolling_median" -> (rollingMedian _),
     "win_seasonality" -> (seasonality _),
     "win_conversion_time" -> (conversionTime _),
@@ -1116,6 +1224,8 @@ object Windows {
     "asof_join" -> (asofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "win_paths" -> pathsSql,
+    "ts_twap" -> twapSql,
     "win_rolling_median" -> rollingMedianSql,
     "win_seasonality" -> seasonalitySql,
     "win_conversion_time" -> conversionTimeSql,

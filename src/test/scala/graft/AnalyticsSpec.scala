@@ -122,4 +122,44 @@ class AnalyticsSpec extends GraftSpecBase {
     val r = Analytics.dashMetrics(spark, sfDir).collect()
     assert(r.length == 1 && r(0).toSeq.forall(_.asInstanceOf[Long] > 0))
   }
+
+  test("winsorized: nearest-rank thresholds and clamped mean match a sorted replay") {
+    val rows = Analytics.winsorized(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cents = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_totalprice").isNotNull && !isnan(col("o_totalprice")) &&
+        abs(col("o_totalprice")) <= 1.0e14)
+      .select(col("o_custkey"), floor(col("o_totalprice") * 100.0).cast("long").as("c"))
+      .collect()
+      .flatMap(r => cust.get(r.getLong(0)).map(_ -> r.getLong(1)))
+    def r4(v: Double): Double =
+      BigDecimal.valueOf(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r2(v: Double): Double =
+      BigDecimal.valueOf(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ref = cents.groupBy(_._1).map { case (seg, vs) =>
+      val s = vs.map(_._2).sorted
+      val n = s.length.toLong
+      val lo = s(((5 * n + 99) / 100).toInt - 1)
+      val hi = s(((95 * n + 99) / 100).toInt - 1)
+      val winSum = s.map(c => math.min(math.max(c, lo), hi)).map(BigInt(_)).sum
+      seg -> (n, r2(lo / 100.0), r2(hi / 100.0),
+        r4(winSum.toDouble / (100.0 * n.toDouble)),
+        r4(s.map(BigInt(_)).sum.toDouble / (100.0 * n.toDouble)))
+    }
+    assert(rows.length == ref.size)
+    for (r <- rows) {
+      val (n, lo, hi, wm, rm) = ref(r.getString(0))
+      assert(r.getLong(1) == n && r.getDouble(2) == lo && r.getDouble(3) == hi,
+        s"threshold mismatch in $r vs ($n,$lo,$hi)")
+      assert(r.getDouble(4) == wm && r.getDouble(5) == rm,
+        s"mean mismatch in $r vs ($wm,$rm)")
+      // band check at 2dp-rounding tolerance (p5/p95 round to cents, the
+      // means to 4dp — a boundary segment could round across by < 0.01)
+      assert(lo <= hi && lo - 0.01 <= wm && wm <= hi + 0.01,
+        s"winsorized mean must sit inside its own clamp band: $r")
+    }
+  }
 }

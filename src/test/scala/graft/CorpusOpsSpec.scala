@@ -458,4 +458,31 @@ class CorpusOpsSpec extends GraftSpecBase {
       "post-rewrite retrieval diverged from scan-time search")
     assert(r1 != r2, "fixture vacuous: rewrite did not change the result")
   }
+
+  test("pack: gapless token stream — every doc starts exactly where the previous ended") {
+    val L = 2048L
+    val rows = CorpusOps.corpusPack(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var expectedEx = 0L
+    for (r <- rows) { // already doc_id-ordered
+      val (n, sf, off, sl, ns, tail) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      val ex = sf * L + off
+      assert(ex == expectedEx, s"doc ${r.getLong(0)} starts at $ex, stream is at $expectedEx")
+      assert(sl == (ex + n - 1) / L && ns == sl - sf + 1, s"sequence span wrong in $r")
+      assert(tail == (ex + n - 1) % L + 1 && tail >= 1 && tail <= L, s"tail wrong in $r")
+      // a doc that fits its first sequence must not claim a second
+      assert((off + n <= L) == (ns == 1), s"split decision wrong in $r")
+      expectedEx = ex + n
+    }
+    // the pack and the shard see the identical global prefix: a doc's
+    // shard (50k budget) is derivable from its pack placement
+    val shard = CorpusOps.corpusShard(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (r <- rows) {
+      val ex = r.getLong(2) * L + r.getLong(3)
+      assert(shard(r.getLong(0)) == ex / 50000L,
+        s"shard and pack disagree on doc ${r.getLong(0)}'s prefix")
+    }
+  }
 }

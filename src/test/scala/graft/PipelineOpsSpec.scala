@@ -232,6 +232,38 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(i1.join(b1, "query_id").filter(col("i_cos") > col("b_cos")).count() == 0)
   }
 
+  test("filtered ANN: slice honored, ranking consistent, never beats unfiltered brute") {
+    val f = Similarity.annFiltered(spark, sfDir).collect()
+    assert(f.nonEmpty)
+    // the predicate is absolute: every returned neighbor is in the slice
+    assert(f.forall(_.getAs[Int]("neighbor_label") % 2 == 0), "odd-label neighbor returned")
+    // per query: ranks 1..k, scores non-increasing in rank order
+    for ((_, rs) <- f.groupBy(_.getLong(0))) {
+      val sorted = rs.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq == (1 to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall(p =>
+        p.length < 2 || p(0).getAs[Double]("cos_sim") >= p(1).getAs[Double]("cos_sim")))
+    }
+    // searching a subset can never find a closer neighbor than the full corpus
+    val b1 = Similarity.annBrute(spark, sfDir)
+      .filter(col("rk") === 1).select(col("query_id"), col("cos_sim").as("b_cos"))
+    val f1 = Similarity.annFiltered(spark, sfDir)
+      .filter(col("rk") === 1).select(col("query_id"), col("cos_sim").as("f_cos"))
+    assert(f1.join(b1, "query_id").filter(col("f_cos") > col("b_cos")).count() == 0)
+    // and where brute's OWN top-1 happens to satisfy the predicate, the
+    // filtered search must agree with it exactly (same pool, same order)
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("b_n"), col("label").as("b_label"))
+    val bTop = Similarity.annBrute(spark, sfDir).filter(col("rk") === 1)
+      .select(col("query_id"), col("neighbor_id").as("b_n"))
+      .join(labels, "b_n")
+    val agree = Similarity.annFiltered(spark, sfDir).filter(col("rk") === 1)
+      .select(col("query_id"), col("neighbor_id").as("f_n"))
+      .join(bTop, "query_id")
+    assert(agree.filter(col("b_label") % 2 === 0 && col("b_n") =!= col("f_n")).count() == 0,
+      "even-label brute top-1 must be the filtered top-1")
+  }
+
   test("IVF query-sample cache refreshes when the embeddings table changes on disk") {
     // annIvf's query sample rides the stamp-keyed PipelineCache; a bare
     // .persist would let Spark's CacheManager (which matches cached plans

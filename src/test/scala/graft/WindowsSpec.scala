@@ -41,8 +41,10 @@ class WindowsSpec extends GraftSpecBase {
   test("streaks match a brute-force scan of each user's sorted day set") {
     val got = Windows.streaks(spark, sfDir).collect()
       .map(r => r.getAs[Long]("user_id") -> ((r.getAs[Long]("best_streak"), r.getAs[Long]("start_day")))).toMap
-    val byUser = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("user_id"), expr("ts DIV 86400000000000").cast("long").as("dayno"))
+    // canonical loader, not a raw read: the reference must survive the
+    // driver's nano-vs-micro physical-type drift the same way the operator does
+    val byUser = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").cast("long").as("dayno"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     assert(got.keySet == byUser.keySet)
@@ -162,5 +164,59 @@ class WindowsSpec extends GraftSpecBase {
     val bad = att.filter(col("last_touch").isNull && col("first_touch") =!= "purchase").count()
     assert(bad == 0, "NULL last_touch implies the purchase opened the session")
     att.unpersist()
+  }
+
+  test("paths: trigram census matches a brute-force replay of every user's stream") {
+    val rows = Windows.paths(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val census = ev
+      .groupBy(_._1)
+      .values
+      .flatMap(_.sortBy(e => (e._2, e._3)).map(_._4).sliding(3).filter(_.length == 3))
+      .toSeq
+      .groupBy(t => (t(0), t(1), t(2)))
+      .map { case (k, v) => (k, v.size.toLong) }
+    val expected = census.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }
+      .take(10)
+    val got = rows.map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3))).toSeq
+    assert(got == expected, s"top paths diverge:\n got=$got\n exp=$expected")
+  }
+
+  test("twap: per-user time-weighted mean matches an exact integer replay") {
+    val rows = Windows.twap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(
+        col("user_id").isNotNull && col("ts").isNotNull && col("value").isNotNull &&
+          !isnan(col("value")) && abs(col("value")) <= 5.0e6)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        floor(col("value") * 100.0).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ref = ev.groupBy(_._1).flatMap { case (u, obs) =>
+      val s = obs.sortBy(e => (e._2, e._3))
+      val wts = s.zip(s.tail).map { case (a, b) => (a._4, (b._2 - a._2) / 1000000L) }
+      val sw = wts.map(_._2).sum
+      if (sw > 0) {
+        val swc = wts.map { case (c, w) => BigInt(c) * BigInt(w) }.sum
+        val twap = BigDecimal
+          .valueOf(swc.toDouble / (100.0 * sw.toDouble))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+        Some(u -> (wts.length.toLong, sw, twap))
+      } else None
+    }
+    assert(rows.length == ref.size, "user coverage diverges")
+    for (r <- rows) {
+      val (n, sw, tw) = ref(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == sw && r.getDouble(3) == tw,
+        s"twap mismatch for user ${r.getLong(0)}: $r vs ($n,$sw,$tw)")
+    }
   }
 }
