@@ -700,4 +700,30 @@ class ScaleSpec extends GraftSpecBase {
       graft.operators.Dedup.clearSharedCache()
     }
   }
+
+  test("winsorized: ONE segment exchange feeds rank sort, threshold windows and rollup") {
+    val plan =
+      graft.operators.Analytics.winsorized(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dimension join must broadcast:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected one mktsegment shuffle shared by windows + rollup, got $exchanges:\n$plan")
+  }
+
+  test("win_paths: user-sorted leads + bounded census, cut by TakeOrdered not a global sort") {
+    val plan =
+      graft.operators.Windows.paths(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-10 must be a partial top-k:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"expected the user window exchange + the |types|^3 census only, got $exchanges:\n$plan")
+  }
+
+  test("ts_twap: the user rollup rides the lead window's exchange (one shuffle total)") {
+    val plan =
+      graft.operators.Windows.twap(spark, sfDir).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"groupBy(user_id) must reuse the window's user partitioning, got $exchanges:\n$plan")
+  }
 }
