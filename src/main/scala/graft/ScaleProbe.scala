@@ -74,6 +74,29 @@ object ScaleProbe {
       marker.getParentFile.mkdirs()
       marker.createNewFile()
     }
+    // events-side synthesis (separate marker: dirs built by earlier
+    // rounds carry only documents and must gain events without a
+    // rebuild): N× USERS over the same time span — the realistic growth
+    // axis for an event pipeline (more traffic, same retention window).
+    // Per-user event counts and orderings are preserved verbatim, so a
+    // user-partitioned operator's per-key work is constant and the
+    // measurement isolates the key-count scaling.
+    val evMarker = new java.io.File(s"$bigDir/_built_events")
+    if (!evMarker.exists()) {
+      val e = graft.sources.Tables.events(spark, srcDir)
+      val evCopies = (0 until factor).map { k =>
+        e.select(
+          (col("event_id") + lit(k.toLong * 1000000000000L)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(k.toLong * 100000000L)).as("user_id"),
+          col("event_type"),
+          col("value"),
+          col("props"))
+      }
+      evCopies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
+      evMarker.createNewFile()
+    }
 
     import graft.operators.{CorpusOps, Dedup, Graph, TextAnalysis}
     val probes: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
@@ -105,7 +128,15 @@ object ScaleProbe {
       // aggregations sharing one exchange; stop-word join skew to AQE)
       "graph_pagerank" -> (Graph.pagerank _),
       "graph_triangles" -> (Graph.triangles _),
-      "text_tfidf" -> (TextAnalysis.tfidf _))
+      "text_tfidf" -> (TextAnalysis.tfidf _),
+      // round-8 wave: sequence packing (the two-phase prefix sum — its
+      // driver-side bucket-offset step is the scale-risk to watch) and
+      // the first EVENT-side probes, exercised against the N×-user
+      // synthesis: both are one user-partitioned exchange, so wall-clock
+      // should track the row count, never the user count superlinearly
+      "corpus_pack" -> (CorpusOps.corpusPack _),
+      "win_paths" -> (graft.operators.Windows.paths _),
+      "ts_twap" -> (graft.operators.Windows.twap _))
 
     def time(dir: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {

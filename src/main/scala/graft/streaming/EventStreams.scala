@@ -372,6 +372,10 @@ object EventStreams {
   case class StreakState(lastDay: Long, cur: Long, curStart: Long, best: Long, bestStart: Long)
   case class StreakOut(user_id: Long, best_streak: Long, start_day: Long)
 
+  case class PathEv(event_id: Long, user_id: Long, ts: Timestamp, event_type: String)
+  case class PathState(t1: String, t2: String)
+  case class PathOut(e1: String, e2: String, e3: String)
+
   /** Streaming activity streaks — the incremental twin of
     * [[graft.operators.Windows.streaks]]: per-user longest
     * consecutive-day run, updated as events arrive. State is FIVE longs
@@ -408,6 +412,46 @@ object EventStreams {
           state.update(st)
           if (st.lastDay == Long.MinValue) Iterator.empty
           else Iterator(StreakOut(userId, st.best, st.bestStart))
+        })
+  }
+
+  /** Streaming path census feed — the incremental twin of
+    * [[graft.operators.Windows.paths]]' trigram extraction: per user,
+    * keep only the last TWO event types (two short strings — state is
+    * fixed-size per user forever, the smallest state in this module) and
+    * emit one completed (e1, e2, e3) observation per arriving event once
+    * the window is full. The batch operator's census + top-10 cut is a
+    * plain aggregation any consumer (or [[heavyHitters]]-style
+    * complete-mode sink) applies downstream — the HARD part under
+    * streaming is the cross-trigger adjacency, which is exactly what the
+    * carried two-type state solves: a trigram spanning a trigger
+    * boundary is assembled from state, not from reprocessing.
+    *
+    * Same ordered-arrival contract as [[sessionize]]/[[streaks]]
+    * (in-trigger sort by (ts, event_id), cross-trigger order from the
+    * source); rows the batch operator pre-filters (NULL type/ts) are
+    * skipped WITHOUT disturbing the window — batch adjacency skips them
+    * identically, so full-replay parity is row-exact (spec-pinned). */
+  def paths(events: Dataset[PathEv]): Dataset[PathOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, evs: Iterator[PathEv], state: GroupState[PathState]) => {
+          def micros(t: Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          var st = state.getOption.getOrElse(PathState(null, null))
+          val out = Seq.newBuilder[PathOut]
+          for (
+            e <- evs.toSeq
+              .filter(e => e.event_type != null && e.ts != null)
+              .sortBy(e => (micros(e.ts), e.event_id))
+          ) {
+            if (st.t1 != null && st.t2 != null) out += PathOut(st.t1, st.t2, e.event_type)
+            st = PathState(st.t2, e.event_type)
+          }
+          state.update(st)
+          out.result().iterator
         })
   }
 

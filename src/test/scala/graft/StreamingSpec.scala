@@ -331,6 +331,39 @@ class StreamingSpec extends GraftSpecBase {
       s"streaming streaks diverged for ${last.keySet.filter(u => last.get(u) != batch.get(u))}")
   }
 
+  test("streaming path census equals batch win_paths after ordered two-chunk replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // full 5-column rows → typed PathEv, globally ordered so each chunk
+    // preserves per-user order; the split lands mid-stream on purpose —
+    // trigrams SPANNING the trigger boundary are the thing under test
+    def micros(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val evs = eventRows()
+      .map(r => EventStreams.PathEv(r._1, r._2, r._3, r._4))
+      .sortBy(e => (micros(e.ts), e.event_id))
+    val input = MemoryStream[EventStreams.PathEv]
+    val (a, b) = evs.splitAt(evs.length / 2)
+    input.addData(a)
+    val q = EventStreams.paths(input.toDS())
+      .writeStream.format("memory").queryName("paths_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    // downstream census + identical (n DESC, lexicographic) top-10 cut
+    val streamed = spark.table("paths_out").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }.toSeq
+      .sortBy { case ((x, y, z), n) => (-n, x, y, z) }
+      .take(10)
+    val batch = Windows.paths(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3))).toSeq
+    assert(streamed == batch,
+      s"streamed path census diverged:\n stream=$streamed\n batch=$batch")
+  }
+
   test("streaming decontamination equals the batch contamination drop set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
