@@ -585,6 +585,87 @@ object Analytics {
         round(col("exact_median"), 2).as("exact_median"))
   }
 
+  /** Exact bivariate Pearson correlation per group — does quantity move
+    * with price inside each return class? The feature-correlation audit
+    * a training pipeline runs before trusting two signals as
+    * independent ([[moments]]' two-variable sibling). Both engines build
+    * the five power sums n, Σx, Σy, Σxy, Σx², Σy² from EXACT integers
+    * (quantity as units, price as cents) in DECIMAL(38,0)/HUGEINT — at
+    * corpus scale Σy² passes 2⁶³, so wide accumulators are correctness,
+    * not caution — then evaluate ONE fixed double expression
+    * (r = (n·Σxy − ΣxΣy)/(√(n·Σx²−Σx²̄)·√(n·Σy²−Σy²̄)); identical
+    * integers → identical doubles → identical 4-dp round). Zero-variance
+    * groups yield NULL (CASE-guarded in both engines, no DIVIDE_BY_ZERO
+    * under ANSI). One map-side-combined shuffle of |groups| rows. */
+  def corrQtyPrice(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(
+        col("l_quantity").isNotNull && !isnan(col("l_quantity")) &&
+          abs(col("l_quantity")) <= 1.0e9 &&
+          col("l_extendedprice").isNotNull && !isnan(col("l_extendedprice")) &&
+          abs(col("l_extendedprice")) <= 1.0e12)
+      .select(
+        col("l_returnflag").as("returnflag"),
+        floor(col("l_quantity")).cast("long").as("x"),
+        floor(col("l_extendedprice") * 100.0).cast("long").as("y"))
+    val d38 = "decimal(38,0)"
+    val agg = li
+      .groupBy("returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"))
+    val (n, sx, sy, sxy, sxx, syy) = (
+      col("n").cast("double"), col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"), col("sxx").cast("double"), col("syy").cast("double"))
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    agg.select(
+      col("returnflag"),
+      col("n"),
+      round(sx / n, 4).as("mean_qty"),
+      round(sy / (lit(100.0) * n), 4).as("mean_price"),
+      when(vx > 0 && vy > 0, round((n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy)), 4))
+        .as("corr_qty_price"))
+      .orderBy("returnflag")
+  }
+
+  val corrQtyPriceSql: String =
+    """WITH v AS (
+         SELECT l_returnflag AS returnflag,
+                CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+                CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS y
+         FROM lineitem
+         WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+           AND abs(l_quantity) <= 1000000000
+           AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+           AND abs(l_extendedprice) <= 1000000000000),
+       m AS (
+         SELECT returnflag, COUNT(*) AS n,
+                SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+                SUM(CAST(x * y AS HUGEINT)) AS sxy,
+                SUM(CAST(x * x AS HUGEINT)) AS sxx,
+                SUM(CAST(y * y AS HUGEINT)) AS syy
+         FROM v GROUP BY 1),
+       d AS (
+         SELECT returnflag, n,
+                CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+                CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+         FROM m)
+       SELECT returnflag, n,
+              ROUND(sxd / nd, 4) AS mean_qty,
+              ROUND(syd / (100.0 * nd), 4) AS mean_price,
+              CASE WHEN nd * sxxd - sxd * sxd > 0 AND nd * syyd - syd * syd > 0
+                   THEN ROUND((nd * sxyd - sxd * syd) /
+                              (SQRT(nd * sxxd - sxd * sxd) * SQRT(nd * syyd - syd * syd)), 4)
+              END AS corr_qty_price
+       FROM d
+       ORDER BY returnflag"""
+
   /** Winsorized per-segment price statistics — the robust-mean discipline
     * outlier-heavy pipelines apply before trusting an average: clamp each
     * order's price to the segment's exact nearest-rank [p5, p95] band,
@@ -670,6 +751,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_winsorized" -> (winsorized _),
+    "agg_corr" -> (corrQtyPrice _),
     "agg_sketches" -> (sketches _),
     "catalog_counts" -> (catalogCounts _),
     "dq_profile" -> (dqProfile _),
@@ -689,6 +771,7 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "agg_winsorized" -> winsorizedSql,
+    "agg_corr" -> corrQtyPriceSql,
     "catalog_counts" -> catalogCountsSql,
     "dq_profile" -> dqProfileSql,
     "agg_cube" -> cubeSql,

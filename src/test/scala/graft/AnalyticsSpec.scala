@@ -123,6 +123,39 @@ class AnalyticsSpec extends GraftSpecBase {
     assert(r.length == 1 && r(0).toSeq.forall(_.asInstanceOf[Long] > 0))
   }
 
+  test("corr: coefficients bounded, exact replay agrees") {
+    val rows = Analytics.corrQtyPrice(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val data = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag"), floor(col("l_quantity")).cast("long"),
+        floor(col("l_extendedprice") * 100.0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ref = data.groupBy(_._1).map { case (f, xs) =>
+      val n = BigInt(xs.length)
+      val sx = xs.map(e => BigInt(e._2)).sum; val sy = xs.map(e => BigInt(e._3)).sum
+      val sxy = xs.map(e => BigInt(e._2) * BigInt(e._3)).sum
+      val sxx = xs.map(e => BigInt(e._2) * BigInt(e._2)).sum
+      val syy = xs.map(e => BigInt(e._3) * BigInt(e._3)).sum
+      val (nd, sxd, syd, sxyd, sxxd, syyd) =
+        (n.toDouble, sx.toDouble, sy.toDouble, sxy.toDouble, sxx.toDouble, syy.toDouble)
+      val vx = nd * sxxd - sxd * sxd; val vy = nd * syyd - syd * syd
+      val c =
+        if (vx > 0 && vy > 0)
+          Some(BigDecimal.valueOf((nd * sxyd - sxd * syd) / (math.sqrt(vx) * math.sqrt(vy)))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None
+      f -> (xs.length.toLong, c)
+    }
+    assert(rows.length == ref.size)
+    for (r <- rows) {
+      val (n, c) = ref(r.getString(0))
+      assert(r.getLong(1) == n)
+      val got = if (r.isNullAt(4)) None else Some(r.getDouble(4))
+      assert(got == c, s"corr mismatch for ${r.getString(0)}: $got vs $c")
+      got.foreach(v => assert(v >= -1.0 && v <= 1.0, s"corr out of range: $v"))
+    }
+  }
+
   test("winsorized: nearest-rank thresholds and clamped mean match a sorted replay") {
     val rows = Analytics.winsorized(spark, sfDir).collect()
     assert(rows.nonEmpty)
