@@ -1198,8 +1198,113 @@ object Windows {
        HAVING SUM(dt_s) > 0
        ORDER BY user_id"""
 
+  /** Per-(user, day) lag-feature materialization — the feature-store
+    * shape that turns an event log into an ML training matrix: daily
+    * revenue beside its previous-calendar-day value and its trailing
+    * 7-calendar-day sum. Both look-backs are RANGE frames over the
+    * integer epoch-day key, so absent days contribute zero by
+    * construction — no dense calendar grid is ever materialized (the
+    * [[gapfill]] trade: a feature row per OBSERVED day, not per
+    * calendar day). Exact integer cents end to end; one user exchange
+    * carries the daily rollup and both range windows (same sort).
+    * Out-of-envelope values are excluded as rows ([[twap]]'s rule). */
+  def features(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(s, dir)
+      .filter(
+        col("user_id").isNotNull && col("ts").isNotNull && col("value").isNotNull &&
+          !isnan(col("value")) && abs(col("value")) <= 5.0e6)
+      .select(
+        col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayno"),
+        cents("value").as("c"))
+      // one explicit user exchange: hashpartitioning(user_id) CLUSTERS
+      // (user_id, dayno) too, so the daily rollup elides its own
+      // (user, day) exchange and both range windows reuse the same
+      // partitioning — 1 shuffle total instead of 2 (plan-pinned)
+      .repartition(col("user_id"))
+      .groupBy("user_id", "dayno")
+      .agg(sum(col("c")).as("dc"))
+    val prev = Window.partitionBy("user_id").orderBy("dayno").rangeBetween(-1, -1)
+    val week = Window.partitionBy("user_id").orderBy("dayno").rangeBetween(-6, 0)
+    daily
+      .select(
+        col("user_id"),
+        col("dayno"),
+        (col("dc") / 100.0).as("revenue"),
+        (coalesce(sum(col("dc")).over(prev), lit(0L)) / 100.0).as("revenue_prev_day"),
+        (sum(col("dc")).over(week) / 100.0).as("revenue_7d"))
+      .orderBy("user_id", "dayno")
+  }
+
+  val featuresSql: String =
+    """WITH e AS (
+         SELECT user_id, epoch_us(ts) // 86400000000 AS dayno,
+                CAST(FLOOR(value * 100) AS BIGINT) AS c
+         FROM events
+         WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+           AND NOT isnan(value) AND abs(value) <= 5000000),
+       d AS (SELECT user_id, dayno, SUM(c) AS dc FROM e GROUP BY 1, 2)
+       SELECT user_id, dayno,
+              dc / 100.0 AS revenue,
+              COALESCE(SUM(dc) OVER (PARTITION BY user_id ORDER BY dayno
+                RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING), 0) / 100.0 AS revenue_prev_day,
+              SUM(dc) OVER (PARTITION BY user_id ORDER BY dayno
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0 AS revenue_7d
+       FROM d
+       ORDER BY user_id, dayno"""
+
+  /** DAU / WAU / stickiness — the engagement census every event
+    * dashboard opens with: per active day, distinct daily actives,
+    * distinct trailing-7-day actives, and their ratio. The trailing
+    * DISTINCT count can't ride a window frame (distinct doesn't merge),
+    * so WAU(d) is computed by CONTRIBUTION: a user active on day `a` is
+    * a week-active on every day in [a, a+6] — explode each (user, day)
+    * activity into its 7 covered days, dedup, count. Linear with a fixed
+    * ×7 expansion of the already-day-deduped frame, never a self-join
+    * over the raw log; reported for OBSERVED days (a zero-DAU day has no
+    * row — the dashboard's own convention). Ratio = one fixed double
+    * division of two exact longs, 4-dp. */
+  def activeUsers(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables
+      .events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("dayno"))
+      .distinct()
+    val dau = ud.groupBy("dayno").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(col("dayno"), col("dayno") + 6)).as("dayno"))
+      .distinct()
+      .groupBy("dayno")
+      .agg(count(lit(1)).as("wau"))
+    dau
+      .join(wau, "dayno")
+      .select(
+        col("dayno"),
+        col("dau"),
+        col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 4).as("stickiness"))
+      .orderBy("dayno")
+  }
+
+  val activeUsersSql: String =
+    """WITH ud AS (
+         SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dayno
+         FROM events
+         WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       dau AS (SELECT dayno, COUNT(*) AS dau FROM ud GROUP BY 1),
+       cov AS (SELECT DISTINCT user_id, dayno + i AS dayno
+               FROM ud, UNNEST(range(0, 7)) AS t(i)),
+       wau AS (SELECT dayno, COUNT(*) AS wau FROM cov GROUP BY 1)
+       SELECT dau.dayno AS dayno, dau.dau AS dau, wau.wau AS wau,
+              ROUND(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 4) AS stickiness
+       FROM dau JOIN wau ON dau.dayno = wau.dayno
+       ORDER BY dayno"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_paths" -> (paths _),
+    "ts_features" -> (features _),
+    "ts_active_users" -> (activeUsers _),
     "ts_twap" -> (twap _),
     "win_rolling_median" -> (rollingMedian _),
     "win_seasonality" -> (seasonality _),
@@ -1225,6 +1330,8 @@ object Windows {
 
   val oracles: Map[String, String] = Map(
     "win_paths" -> pathsSql,
+    "ts_features" -> featuresSql,
+    "ts_active_users" -> activeUsersSql,
     "ts_twap" -> twapSql,
     "win_rolling_median" -> rollingMedianSql,
     "win_seasonality" -> seasonalitySql,

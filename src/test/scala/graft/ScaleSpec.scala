@@ -726,4 +726,12 @@ class ScaleSpec extends GraftSpecBase {
     assert(exchanges == 1,
       s"groupBy(user_id) must reuse the window's user partitioning, got $exchanges:\n$plan")
   }
+
+  test("ts_features: daily rollup and both range windows share ONE user exchange") {
+    val plan =
+      graft.operators.Windows.features(spark, sfDir).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected the explicit user repartition to be the only shuffle, got $exchanges:\n$plan")
+  }
 }

@@ -188,6 +188,45 @@ class WindowsSpec extends GraftSpecBase {
     assert(got == expected, s"top paths diverge:\n got=$got\n exp=$expected")
   }
 
+  test("features: lag and trailing-week sums match a calendar-aware replay") {
+    val rows = Windows.features(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull && col("value").isNotNull &&
+        !isnan(col("value")) && abs(col("value")) <= 5.0e6)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("d"),
+        floor(col("value") * 100.0).cast("long").as("c"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    assert(rows.length == daily.size, "one feature row per observed (user, day)")
+    for (r <- rows) {
+      val (u, d) = (r.getLong(0), r.getLong(1))
+      assert(r.getDouble(2) == daily((u, d)) / 100.0)
+      assert(r.getDouble(3) == daily.getOrElse((u, d - 1), 0L) / 100.0,
+        s"lag-1d wrong for ($u,$d)")
+      val wk = (d - 6 to d).flatMap(x => daily.get((u, x))).sum
+      assert(r.getDouble(4) == wk / 100.0, s"trailing-7d wrong for ($u,$d)")
+    }
+  }
+
+  test("active users: DAU/WAU census matches a contribution replay") {
+    val rows = Windows.activeUsers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ud = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dau = ud.groupBy(_._2).map { case (d, v) => d -> v.size.toLong }
+    for (r <- rows) {
+      val d = r.getLong(0)
+      assert(r.getLong(1) == dau(d), s"dau wrong on day $d")
+      val wau = ud.filter { case (_, a) => a >= d - 6 && a <= d }.map(_._1).size.toLong
+      assert(r.getLong(2) == wau, s"wau wrong on day $d")
+      assert(r.getLong(1) <= r.getLong(2), "DAU can never exceed WAU")
+    }
+    assert(rows.length == dau.size, "one row per observed day")
+  }
+
   test("twap: per-user time-weighted mean matches an exact integer replay") {
     val rows = Windows.twap(spark, sfDir).collect()
     assert(rows.nonEmpty)
