@@ -1301,8 +1301,70 @@ object Windows {
        FROM dau JOIN wau ON dau.dayno = wau.dayno
        ORDER BY dayno"""
 
+  /** Exponential moving average, EXACTLY — the pandas-`ewm` staple that
+    * is normally hopeless to reproduce across engines (a recursive float
+    * fold: every engine/partitioning rounds differently). Two choices
+    * make it bit-stable here:
+    *   - α = 1/2 with the 21-term truncated expansion: weights are the
+    *     DYADIC series 2⁻ᵏ, so each term cents·2^(20−k) is an exact
+    *     INTEGER (≤ 5·10⁸·2²⁰ ≈ 5·10¹⁴ — long-safe summed over 21
+    *     terms), truncation error < 2⁻²⁰ of the oldest weight — below
+    *     the 4-dp display round by construction;
+    *   - partial-window renormalization: at stream starts the missing
+    *     lags drop out of BOTH numerator and denominator (the
+    *     `adjust=True` convention), all in integers.
+    * ema = Σ lagₖ·2^(20−k) / (100 · Σ_avail 2^(20−k)) — ONE double
+    * division at the end. 21 lag() expressions ride a single
+    * user-partitioned sort (one WindowExec, one exchange); the oracle
+    * replays the identical 21-term sum. Out-of-envelope rows are
+    * excluded as rows ([[twap]]'s rule). */
+  def ema(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val base = Tables
+      .events(s, dir)
+      .filter(
+        col("user_id").isNotNull && col("ts").isNotNull && col("value").isNotNull &&
+          !isnan(col("value")) && abs(col("value")) <= 5.0e6)
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        cents("value").as("c"))
+    val terms = (0 to 20).map(k => (lag(col("c"), k).over(w), 1L << (20 - k)))
+    val num = terms.map { case (l, wt) => when(l.isNotNull, l * wt).otherwise(lit(0L)) }.reduce(_ + _)
+    val den = terms.map { case (l, wt) => when(l.isNotNull, lit(wt)).otherwise(lit(0L)) }.reduce(_ + _)
+    base
+      .select(
+        col("user_id"),
+        col("ts_us"),
+        col("event_id"),
+        (col("c") / 100.0).as("value"),
+        round(num.cast("double") / (lit(100.0) * den.cast("double")), 4).as("ema"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  val emaSql: String = {
+    val num = (0 to 20)
+      .map(k => s"CASE WHEN lag(c, $k) OVER w IS NOT NULL THEN lag(c, $k) OVER w * ${1L << (20 - k)} ELSE 0 END")
+      .mkString(" + ")
+    val den = (0 to 20)
+      .map(k => s"CASE WHEN lag(c, $k) OVER w IS NOT NULL THEN ${1L << (20 - k)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH e AS (
+         SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                CAST(FLOOR(value * 100) AS BIGINT) AS c
+         FROM events
+         WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+           AND NOT isnan(value) AND abs(value) <= 5000000)
+       SELECT user_id, ts_us, event_id, c / 100.0 AS value,
+              ROUND(CAST($num AS DOUBLE) / (100.0 * CAST($den AS DOUBLE)), 4) AS ema
+       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+       ORDER BY user_id, ts_us, event_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_paths" -> (paths _),
+    "win_ema" -> (ema _),
     "ts_features" -> (features _),
     "ts_active_users" -> (activeUsers _),
     "ts_twap" -> (twap _),
@@ -1330,6 +1392,7 @@ object Windows {
 
   val oracles: Map[String, String] = Map(
     "win_paths" -> pathsSql,
+    "win_ema" -> emaSql,
     "ts_features" -> featuresSql,
     "ts_active_users" -> activeUsersSql,
     "ts_twap" -> twapSql,

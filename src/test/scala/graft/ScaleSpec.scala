@@ -727,6 +727,17 @@ class ScaleSpec extends GraftSpecBase {
       s"groupBy(user_id) must reuse the window's user partitioning, got $exchanges:\n$plan")
   }
 
+  test("win_ema: 21 lags ride one window sort and one user exchange") {
+    val plan =
+      graft.operators.Windows.ema(spark, sfDir).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one user exchange, got $exchanges:\n$plan")
+    // window-frame sort + output orderBy only — a third sort would mean
+    // the lag terms fragmented into several window operators
+    val sorts = "\\bSort \\[".r.findAllIn(plan).size
+    assert(sorts == 2, s"expected window sort + output sort, got $sorts:\n$plan")
+  }
+
   test("ts_features: daily rollup and both range windows share ONE user exchange") {
     val plan =
       graft.operators.Windows.features(spark, sfDir).queryExecution.executedPlan.toString

@@ -227,6 +227,25 @@ class WindowsSpec extends GraftSpecBase {
     assert(rows.length == dau.size, "one row per observed day")
   }
 
+  test("ema: first observation is its own EMA; truncation tracks the untruncated fold") {
+    val rows = Windows.ema(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._1).values
+    for (stream <- byUser) {
+      val s = stream.sortBy(e => (e._2, e._3))
+      assert(s.head._5 == s.head._4, s"first EMA must equal the first value: ${s.head}")
+      // untruncated adjust=True EMA over the full history; the 21-term
+      // dyadic truncation must agree to well under a display cent
+      var num = 0.0; var den = 0.0
+      for (e <- s) {
+        num = num / 2.0 + e._4; den = den / 2.0 + 1.0
+        assert(math.abs(e._5 - num / den) < 0.01,
+          s"truncated EMA drifted from the full fold at $e: ${num / den}")
+      }
+    }
+  }
+
   test("twap: per-user time-weighted mean matches an exact integer replay") {
     val rows = Windows.twap(spark, sfDir).collect()
     assert(rows.nonEmpty)
