@@ -727,6 +727,20 @@ class ScaleSpec extends GraftSpecBase {
       s"groupBy(user_id) must reuse the window's user partitioning, got $exchanges:\n$plan")
   }
 
+  test("q21_sole_late: one fact scan, one orderkey exchange + the supplier census only") {
+    val plan =
+      graft.operators.Relational.q21SoleLate(spark, sfDir).queryExecution.executedPlan.toString
+    // the aggregate-and-join-back form re-derived the join+aggregate
+    // lineage on both sides (2 lineitem scans, 5 exchanges); the
+    // window-verdict form is pinned at one lineage
+    val scans = "FileScan parquet \\[l_orderkey".r.findAllIn(plan).size
+    assert(scans == 1, s"lineitem scanned $scans times:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2,
+      s"expected the explicit ok exchange + the supplier census, got $exchanges:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-10 must be a partial top-k:\n$plan")
+  }
+
   test("win_ema: 21 lags ride one window sort and one user exchange") {
     val plan =
       graft.operators.Windows.ema(spark, sfDir).queryExecution.executedPlan.toString
