@@ -458,6 +458,57 @@ object Windows {
     * pair matches in exactly one bucket (the right bucket is unique), so no
     * dedup pass. 2× row duplication buys a linear shuffle join at any
     * scale — the standard epsilon-join banding trick. */
+  /** Interval-DIMENSION lookup — the other non-equi join shape beside
+    * [[rangeJoin]]'s self-join: classify every event against a tiny
+    * table of [lo, hi) value tiers (the IP-range → geo, amount → fee
+    * bracket, score → grade family). The dimension BROADCASTS and the
+    * plan is a BroadcastNestedLoopJoin — for a bounded tier table that
+    * is the RIGHT plan (each row tests a handful of ranges in place;
+    * nothing shuffles); a dimension past broadcast size switches to
+    * [[rangeJoin]]'s band-bucketing, same as any wide interval join.
+    * INNER join semantics: an out-of-tier row (NULL/NaN/out-of-envelope
+    * value never enters — [[twap]]'s row rule; tiers cover the whole
+    * envelope) classifies nowhere and drops. Exact cents against exact
+    * integer bounds; per-tier rollup is a ≤\|tiers\|-row shuffle. */
+  def intervalDim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // [lo, hi) in cents; covers the full ±5e6-dollar metric envelope
+    val tiers = Seq(
+      (1, "negative", -500000001L * 100L, 0L),
+      (2, "micro", 0L, 10L * 100L),
+      (3, "small", 10L * 100L, 100L * 100L),
+      (4, "medium", 100L * 100L, 1000L * 100L),
+      (5, "large", 1000L * 100L, 500000001L * 100L))
+      .toDF("tier_ord", "tier", "lo", "hi")
+    Tables
+      .events(s, dir)
+      .filter(
+        col("value").isNotNull && !isnan(col("value")) && abs(col("value")) <= 5.0e6)
+      .select(cents("value").as("c"))
+      .join(broadcast(tiers), col("c") >= col("lo") && col("c") < col("hi"))
+      .groupBy("tier_ord", "tier")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(col("c")) / 100.0).as("total_value"))
+      .orderBy("tier_ord")
+  }
+
+  val intervalDimSql: String =
+    """WITH tiers(tier_ord, tier, lo, hi) AS (VALUES
+         (1, 'negative', -50000000100, 0),
+         (2, 'micro', 0, 1000),
+         (3, 'small', 1000, 10000),
+         (4, 'medium', 10000, 100000),
+         (5, 'large', 100000, 50000000100)),
+       e AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS c
+             FROM events
+             WHERE value IS NOT NULL AND NOT isnan(value) AND abs(value) <= 5000000)
+       SELECT tier_ord, tier, COUNT(*) AS n_events,
+              SUM(c) / 100.0 AS total_value
+       FROM e JOIN tiers ON c >= lo AND c < hi
+       GROUP BY 1, 2
+       ORDER BY tier_ord"""
+
   def rangeJoin(s: SparkSession, dir: String): DataFrame = {
     val W = 300000000L // 5 minutes in micros
     val e = Tables
@@ -1364,6 +1415,7 @@ object Windows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_paths" -> (paths _),
+    "join_interval_dim" -> (intervalDim _),
     "win_ema" -> (ema _),
     "ts_features" -> (features _),
     "ts_active_users" -> (activeUsers _),
@@ -1392,6 +1444,7 @@ object Windows {
 
   val oracles: Map[String, String] = Map(
     "win_paths" -> pathsSql,
+    "join_interval_dim" -> intervalDimSql,
     "win_ema" -> emaSql,
     "ts_features" -> featuresSql,
     "ts_active_users" -> activeUsersSql,

@@ -227,6 +227,17 @@ class WindowsSpec extends GraftSpecBase {
     assert(rows.length == dau.size, "one row per observed day")
   }
 
+  test("interval dim: tiers partition the envelope — every valid event lands in exactly one") {
+    val rows = Windows.intervalDim(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val valid = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull && !isnan(col("value")) && abs(col("value")) <= 5.0e6)
+      .count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == valid,
+      "tier rollup must cover each valid event exactly once (disjoint, gap-free tiers)")
+    assert(rows.map(_.getAs[Int]("tier_ord")).distinct.length == rows.length)
+  }
+
   test("ema: first observation is its own EMA; truncation tracks the untruncated fold") {
     val rows = Windows.ema(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
