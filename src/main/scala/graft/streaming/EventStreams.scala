@@ -335,6 +335,48 @@ object EventStreams {
         })
   }
 
+  /** Streaming EMA — the incremental twin of
+    * [[graft.operators.Windows.ema]]: per user, a ring of the last ≤ 21
+    * integer cents (168 bytes, fixed forever — [[anomalies]]' state
+    * shape) replays the batch operator's 21-term dyadic expansion
+    * EXACTLY: num = Σ ringₖ·2^(20−k), den = Σ_avail 2^(20−k), one double
+    * division, the same HALF_UP 4-dp round — so an ordered replay is
+    * row-identical to batch (spec-pinned). Out-of-envelope rows are
+    * excluded as ROWS (they never touch the ring — the batch filter's
+    * semantics, unlike [[anomalies]]' sentinel slots which mirror a ROWS
+    * frame). Same ordered-arrival contract as the other typed twins. */
+  def ema(events: Dataset[Ev]): Dataset[EmaOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[Ev], state: GroupState[List[Long]]) => {
+          def micros(t: Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          var ring = state.getOption.getOrElse(Nil) // newest FIRST, ≤ 21 cents
+          val out = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).flatMap { e =>
+            if (!(math.abs(e.value) <= 5.0e6)) None // NaN compares false → excluded
+            else {
+              val c = math.floor(e.value * 100.0).toLong
+              ring = (c :: ring).take(21)
+              var num = 0L; var den = 0L
+              for ((v, k) <- ring.iterator.zipWithIndex) {
+                num += v * (1L << (20 - k)); den += 1L << (20 - k)
+              }
+              val ema = BigDecimal
+                .valueOf(num.toDouble / (100.0 * den.toDouble))
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble
+              Some(EmaOut(e.event_id, userId, micros(e.ts), c / 100.0, ema))
+            }
+          }
+          state.update(ring)
+          out.iterator
+        })
+  }
+
+  case class EmaOut(event_id: Long, user_id: Long, ts_us: Long, value: Double, ema: Double)
+
   case class SessionState(sessionId: Long, lastTsUs: Long)
   case class SessionOut(event_id: Long, user_id: Long, ts_us: Long, session_id: Long)
 

@@ -331,6 +331,32 @@ class StreamingSpec extends GraftSpecBase {
       s"streaming streaks diverged for ${last.keySet.filter(u => last.get(u) != batch.get(u))}")
   }
 
+  test("streaming EMA is row-identical to batch win_ema after ordered two-chunk replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = loadEvents().toSeq
+    val input = MemoryStream[Ev]
+    val (a, b) = evs.splitAt(evs.length / 2)
+    input.addData(a)
+    val q = EventStreams.ema(input.toDS())
+      .writeStream.format("memory").queryName("ema_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ema_out").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(0), r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val batch = Windows.ema(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(streamed.length == batch.length,
+      s"row count diverged: stream=${streamed.length} batch=${batch.length}")
+    for ((s0, b0) <- streamed.zip(batch))
+      assert(s0 == b0, s"streamed EMA diverged: $s0 vs $b0")
+  }
+
   test("streaming path census equals batch win_paths after ordered two-chunk replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
