@@ -509,6 +509,51 @@ object Windows {
        GROUP BY 1, 2
        ORDER BY tier_ord"""
 
+  /** Semi-structured extraction — the JSON-properties column every event
+    * log carries and every engine must be able to open: pull `$.k` out
+    * of the `props` JSON string scan-side (codegen'd `get_json_object`
+    * — a narrow map, no UDF, no shuffle) and roll it up per event type.
+    * Missing key / empty object / NULL props all yield NULL k and are
+    * counted (`n_with_k` vs `n_events`) rather than dropped — schema
+    * drift in a property bag is data, not an error. NULL event types
+    * fold to `(none)` ([[graft.operators.CorpusOps.batchDrift]]'s census
+    * convention). Exact integer sum → one 4-dp division for the mean.
+    *
+    * Scale: extraction rides the scan (projection only reads `props`,
+    * `event_type`); the rollup is a ≤\|types\|-row map-combined shuffle;
+    * countDistinct is exact per bounded group — at unbounded k
+    * cardinality the HLL sketch ([[Analytics.sketches]]) is the swap. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(
+        coalesce(col("event_type"), lit("(none)")).as("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        countDistinct(col("k")).as("n_distinct_k"),
+        round(sum(col("k")).cast("double") / count(col("k")).cast("double"), 4).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val jsonExtractSql: String =
+    """WITH e AS (
+         SELECT COALESCE(event_type, '(none)') AS event_type,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events)
+       SELECT event_type, COUNT(*) AS n_events,
+              COUNT(k) AS n_with_k,
+              COUNT(DISTINCT k) AS n_distinct_k,
+              ROUND(CAST(SUM(k) AS DOUBLE) / CAST(COUNT(k) AS DOUBLE), 4) AS avg_k,
+              MIN(k) AS min_k,
+              MAX(k) AS max_k
+       FROM e
+       GROUP BY 1
+       ORDER BY event_type"""
+
   def rangeJoin(s: SparkSession, dir: String): DataFrame = {
     val W = 300000000L // 5 minutes in micros
     val e = Tables
@@ -1416,6 +1461,7 @@ object Windows {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_paths" -> (paths _),
     "join_interval_dim" -> (intervalDim _),
+    "json_extract_agg" -> (jsonExtract _),
     "win_ema" -> (ema _),
     "ts_features" -> (features _),
     "ts_active_users" -> (activeUsers _),
@@ -1445,6 +1491,7 @@ object Windows {
   val oracles: Map[String, String] = Map(
     "win_paths" -> pathsSql,
     "join_interval_dim" -> intervalDimSql,
+    "json_extract_agg" -> jsonExtractSql,
     "win_ema" -> emaSql,
     "ts_features" -> featuresSql,
     "ts_active_users" -> activeUsersSql,

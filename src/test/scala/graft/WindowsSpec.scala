@@ -227,6 +227,22 @@ class WindowsSpec extends GraftSpecBase {
     assert(rows.length == dau.size, "one row per observed day")
   }
 
+  test("json extraction: property-bag drift is counted, never dropped") {
+    val rows = Windows.jsonExtract(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total,
+      "every event must land in exactly one type group")
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_with_k") <= r.getAs[Long]("n_events"))
+      if (r.getAs[Long]("n_with_k") > 0) {
+        val (avg, mn, mx) =
+          (r.getAs[Double]("avg_k"), r.getAs[Long]("min_k"), r.getAs[Long]("max_k"))
+        assert(mn <= avg + 0.0001 && avg <= mx + 0.0001, s"avg outside [min,max]: $r")
+      }
+    }
+  }
+
   test("interval dim: tiers partition the envelope — every valid event lands in exactly one") {
     val rows = Windows.intervalDim(spark, sfDir).collect()
     assert(rows.nonEmpty)
