@@ -741,6 +741,19 @@ class ScaleSpec extends GraftSpecBase {
     assert(plan.contains("TakeOrderedAndProject"), s"top-10 must be a partial top-k:\n$plan")
   }
 
+  test("json_extract_agg and ts_active_users scans read only their needed columns") {
+    def readSchema(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+        .split("\n").filter(_.contains("ReadSchema")).mkString
+    val js = readSchema(Windows.jsonExtract(spark, sfDir))
+    for (c <- Seq("event_type", "props")) assert(js.contains(c), s"missing $c in $js")
+    for (c <- Seq("value", "user_id", "event_id")) assert(!js.contains(c), s"unpruned $c in $js")
+    val au = readSchema(Windows.activeUsers(spark, sfDir))
+    for (c <- Seq("user_id", "ts")) assert(au.contains(c), s"missing $c in $au")
+    for (c <- Seq("value", "props", "event_type")) assert(!au.contains(c), s"unpruned $c in $au")
+  }
+
   test("win_ema: 21 lags ride one window sort and one user exchange") {
     val plan =
       graft.operators.Windows.ema(spark, sfDir).queryExecution.executedPlan.toString
