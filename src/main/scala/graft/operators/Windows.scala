@@ -470,16 +470,23 @@ object Windows {
     * value never enters — [[twap]]'s row rule; tiers cover the whole
     * envelope) classifies nowhere and drops. Exact cents against exact
     * integer bounds; per-tier rollup is a ≤\|tiers\|-row shuffle. */
-  def intervalDim(s: SparkSession, dir: String): DataFrame = {
+  /** The [lo, hi) value-tier dimension in cents, covering the full
+    * ±5·10⁶-dollar metric envelope — shared by [[intervalDim]] and its
+    * streaming twin ([[graft.streaming.EventStreams.classifyTiers]]) so
+    * both classify identically by construction. */
+  private[graft] def tierFrame(s: SparkSession): DataFrame = {
     import s.implicits._
-    // [lo, hi) in cents; covers the full ±5e6-dollar metric envelope
-    val tiers = Seq(
+    Seq(
       (1, "negative", -500000001L * 100L, 0L),
       (2, "micro", 0L, 10L * 100L),
       (3, "small", 10L * 100L, 100L * 100L),
       (4, "medium", 100L * 100L, 1000L * 100L),
       (5, "large", 1000L * 100L, 500000001L * 100L))
       .toDF("tier_ord", "tier", "lo", "hi")
+  }
+
+  def intervalDim(s: SparkSession, dir: String): DataFrame = {
+    val tiers = tierFrame(s)
     Tables
       .events(s, dir)
       .filter(

@@ -377,6 +377,30 @@ object EventStreams {
 
   case class EmaOut(event_id: Long, user_id: Long, ts_us: Long, value: Double, ema: Double)
 
+  /** Streaming tier classification — the incremental twin of
+    * [[graft.operators.Windows.intervalDim]]'s classification step: each
+    * arriving event joins the SAME broadcast [lo, hi) tier frame (shared
+    * code — [[graft.operators.Windows.tierFrame]] builds both sides, so
+    * parity is structural) and carries its tier label downstream.
+    * Stateless — a stream-static broadcast non-equi join plans a
+    * per-trigger BroadcastNestedLoopJoin against the bounded dimension,
+    * no state, no shuffle ([[decontaminate]]'s broadcast-by-hint rule:
+    * micro-batch planning has no AQE, so the hint is load-bearing).
+    * Out-of-envelope rows drop as in batch; the batch operator's rollup
+    * is any downstream aggregation. */
+  def classifyTiers(events: DataFrame): DataFrame = {
+    val tiers = graft.operators.Windows.tierFrame(events.sparkSession)
+    events
+      .filter(abs(col("value")) <= lit(5.0e6))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100.0).cast("long").as("c"))
+      .join(broadcast(tiers), col("c") >= col("lo") && col("c") < col("hi"))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("c"), col("tier_ord"), col("tier"))
+  }
+
   case class SessionState(sessionId: Long, lastTsUs: Long)
   case class SessionOut(event_id: Long, user_id: Long, ts_us: Long, session_id: Long)
 

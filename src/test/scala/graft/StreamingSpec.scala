@@ -331,6 +331,37 @@ class StreamingSpec extends GraftSpecBase {
       s"streaming streaks diverged for ${last.keySet.filter(u => last.get(u) != batch.get(u))}")
   }
 
+  test("streaming tier classification folds to exactly the batch interval-dim rollup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val rows = eventRows()
+    val (a, b) = rows.splitAt(rows.length / 2)
+    input.addData(a)
+    val q = EventStreams
+      .classifyTiers(
+        input.toDF().toDF("event_id", "user_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("tiers_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    // the batch operator IS the stream's downstream rollup — aggregating
+    // the streamed labels must reproduce it cell-exactly
+    val streamed = spark.table("tiers_out")
+      .groupBy("tier_ord", "tier")
+      .agg(count(lit(1)).as("n_events"), (sum(col("c")) / 100.0).as("total_value"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val batch = Windows.intervalDim(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed tier rollup diverged:\n stream=${streamed.toSeq}\n batch=${batch.toSeq}")
+  }
+
   test("streaming EMA is row-identical to batch win_ema after ordered two-chunk replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
