@@ -145,6 +145,20 @@ object Sinks {
   def ivfPartitioned(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(path)
 
+  /** Training export — the corpus lifecycle's LAST step: a curated,
+    * split-labeled corpus ([[graft.operators.CorpusOps.curate]]'s output
+    * shape) lands as parquet partitioned by `split`, so a trainer
+    * reading only `split=train` prunes val/test AT THE READER
+    * (PartitionFilters — the [[ivfPartitioned]] move applied to the
+    * train/val/test axis) and test data cannot leak into a training
+    * scan by construction. The `split` column must exist
+    * ([[graft.operators.CorpusOps.dataSplit]]'s content-hash labels);
+    * everything else is passthrough. No orderBy — partition dirs, not a
+    * global sort, carry the layout ([[graft.operators.CorpusOps
+    * .dataSplit]]'s 100 TB note made concrete). */
+  def trainingExport(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy("split").parquet(path)
+
   /** Line-delimited JSON sink — the interchange format for feeding
     * downstream non-JVM consumers (labeling UIs, eval harnesses). One part
     * file per task, so reads parallelize ACROSS parts; note gzip is not a

@@ -46,6 +46,24 @@ class SinksSpec extends GraftSpecBase {
     assert(probe.count() == vecs.filter(col("cell").isin(3, 7)).count())
   }
 
+  test("trainingExport: a train-only read prunes val/test partitions and leaks nothing") {
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val curated = graft.operators.CorpusOps.dataSplit(spark, sfDir)
+    Sinks.trainingExport(curated, s"$dir/export")
+    val train = spark.read.parquet(s"$dir/export").filter(col("split") === "train")
+    val plan = train.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*split".r.findFirstIn(plan).isDefined,
+      s"split filter not pushed to partition pruning:\n$plan")
+    // exact coverage: the exported train slice IS the labeled train set,
+    // and the three slices partition the corpus
+    val want = curated.filter(col("split") === "train").count()
+    assert(train.count() == want && want > 0)
+    assert(spark.read.parquet(s"$dir/export").count() == curated.count())
+    val dirs = new java.io.File(s"$dir/export").listFiles().map(_.getName).filter(_.startsWith("split="))
+    assert(dirs.toSet == Set("split=train", "split=val", "split=test"),
+      s"unexpected partition layout: ${dirs.toSeq}")
+  }
+
   test("upsertParquet replaces keyed rows and keeps the rest") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sink").toString + "/store"
