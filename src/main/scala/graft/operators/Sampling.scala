@@ -111,12 +111,51 @@ object Sampling {
              CAST(FLOOR(LEAST(1.0, n_chars / 500.0) * 65536.0) AS BIGINT)
        ORDER BY doc_id"""
 
+  /** EXACT-k deterministic global sample — the reference's
+    * `df.sample(n=500, random_state=42)` contract (exactly n rows, same
+    * rows every run — main.py:256) made cross-engine-reproducible: rank
+    * every row by `md5(event_id)` (a portable pseudo-random total order;
+    * the (hash, id) tie-break makes it total even under collisions) and
+    * keep the first 500. The fraction samplers can't promise an exact
+    * count; this can't push down as a filter — the two are complements,
+    * and this one costs a TakeOrdered: a 500-row heap per partition,
+    * then one 500·\|partitions\| merge at the driver — never a global
+    * sort, never a shuffle of the data (plan-pinned). */
+  def exactK(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .filter(col("event_id").isNotNull)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type"),
+        col("value"),
+        md5(col("event_id").cast("string")).as("__key"))
+      .orderBy(col("__key"), col("event_id"))
+      .limit(500)
+      .drop("__key")
+      .orderBy("event_id")
+
+  val exactKSql: String =
+    """WITH s AS (
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+         FROM events
+         WHERE event_id IS NOT NULL
+         ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+         LIMIT 500)
+       SELECT event_id, user_id, ts_us, event_type, value
+       FROM s
+       ORDER BY event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_exact_k" -> (exactK _),
     "sample_det" -> (deterministic _),
     "sample_weighted" -> (weighted _),
     "sample_stratified" -> (stratified _))
 
   val oracles: Map[String, String] = Map(
+    "sample_exact_k" -> exactKSql,
     "sample_det" -> deterministicSql,
     "sample_weighted" -> weightedSql,
     "sample_stratified" -> stratifiedSql)

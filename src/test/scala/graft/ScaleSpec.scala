@@ -741,6 +741,14 @@ class ScaleSpec extends GraftSpecBase {
     assert(plan.contains("TakeOrderedAndProject"), s"top-10 must be a partial top-k:\n$plan")
   }
 
+  test("sample_exact_k is a TakeOrdered partial top-k, never a global sort or shuffle") {
+    val plan =
+      graft.operators.Sampling.exactK(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected partial top-k:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"exact-k sample must not shuffle the data:\n$plan")
+  }
+
   test("json_extract_agg and ts_active_users scans read only their needed columns") {
     def readSchema(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution
