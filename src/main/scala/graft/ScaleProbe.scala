@@ -57,8 +57,19 @@ object ScaleProbe {
       System.getProperty("java.io.tmpdir"),
       s"graft_scale_probe_${srcTag}_${factor}x").getPath
     val marker = new java.io.File(s"$bigDir/_built")
+    // Copy-offset envelope guards: the N copies are keyed apart by
+    // constant offsets, so a driver testdata drop whose ids outgrow an
+    // offset would silently collide keys across copies (merging users /
+    // docs and corrupting the per-key-work-preserved measurement). Fail
+    // loudly instead, like the other driver-drift guards.
+    def assertIdEnvelope(df: org.apache.spark.sql.DataFrame, idCol: String, offset: Long): Unit = {
+      val mx = df.agg(max(col(idCol))).head.getLong(0)
+      require(mx < offset,
+        s"ScaleProbe: $idCol max $mx >= copy offset $offset — testdata drift; raise the offset")
+    }
     if (!marker.exists()) {
       val d = spark.read.parquet(s"$srcDir/documents.parquet")
+      assertIdEnvelope(d, "doc_id", 100000000L)
       val alpha = "abcdefghijklmnopqrstuvwxyz"
       val copies = (0 until factor).map { k =>
         val shifted = alpha.drop(k % 26) + alpha.take(k % 26)
@@ -84,6 +95,8 @@ object ScaleProbe {
     val evMarker = new java.io.File(s"$bigDir/_built_events")
     if (!evMarker.exists()) {
       val e = graft.sources.Tables.events(spark, srcDir)
+      assertIdEnvelope(e, "event_id", 1000000000000L)
+      assertIdEnvelope(e, "user_id", 100000000L)
       val evCopies = (0 until factor).map { k =>
         e.select(
           (col("event_id") + lit(k.toLong * 1000000000000L)).as("event_id"),

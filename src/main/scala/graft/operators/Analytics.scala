@@ -681,7 +681,10 @@ object Analytics {
     * Scale shape: ONE shuffle on mktsegment carries everything — the
     * row_number sort, the two full-frame threshold windows (same
     * exchange, no extra sort for the unordered frames) and the final
-    * groupBy ride the same partitioning; the dimension join broadcasts.
+    * groupBy ride the same partitioning. The customer join carries NO
+    * broadcast hint: customer is fact-scaled (~150k rows/SF), so a
+    * forced broadcast would blow the 8 GB limit at large SF — AQE
+    * picks broadcast at small SF and shuffle join at scale.
     * A per-segment sort at 100 TB is the honest cost of EXACT order
     * statistics (cf. [[sketches]] for the approximate path); segments
     * are few and AQE splits a skewed one. */
@@ -691,7 +694,7 @@ object Analytics {
         col("o_totalprice").isNotNull && !isnan(col("o_totalprice")) &&
           abs(col("o_totalprice")) <= 1.0e14)
       .join(
-        broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))),
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .select(
         col("c_mktsegment").as("mktsegment"),

@@ -520,9 +520,13 @@ object Windows {
     * log carries and every engine must be able to open: pull `$.k` out
     * of the `props` JSON string scan-side (codegen'd `get_json_object`
     * — a narrow map, no UDF, no shuffle) and roll it up per event type.
-    * Missing key / empty object / NULL props all yield NULL k and are
-    * counted (`n_with_k` vs `n_events`) rather than dropped — schema
-    * drift in a property bag is data, not an error. NULL event types
+    * Missing key / empty object / NULL props / malformed JSON / a
+    * non-integer `$.k` all yield NULL k and are counted (`n_with_k` vs
+    * `n_events`) rather than dropped — schema drift in a property bag
+    * is data, not an error. Both engines fold identically: Spark via
+    * `get_json_object` (NULL on bad JSON) + `try_cast` (NULL on bad
+    * numbers, ANSI-safe), DuckDB via a `json_valid` guard + `TRY_CAST`
+    * (its `json_extract_string`/`CAST` RAISE where Spark folds). NULL event types
     * fold to `(none)` ([[graft.operators.CorpusOps.batchDrift]]'s census
     * convention). Exact integer sum → one 4-dp division for the mean.
     *
@@ -535,7 +539,7 @@ object Windows {
       .events(s, dir)
       .select(
         coalesce(col("event_type"), lit("(none)")).as("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        expr("try_cast(get_json_object(props, '$.k') AS long)").as("k"))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_events"),
@@ -549,7 +553,9 @@ object Windows {
   val jsonExtractSql: String =
     """WITH e AS (
          SELECT COALESCE(event_type, '(none)') AS event_type,
-                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                CASE WHEN json_valid(props)
+                     THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                END AS k
          FROM events)
        SELECT event_type, COUNT(*) AS n_events,
               COUNT(k) AS n_with_k,
