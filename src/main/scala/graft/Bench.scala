@@ -120,7 +120,8 @@ object Bench {
         "corpus_curate", "corpus_dedup_ng", "dedup_clusters", "dedup_incremental",
         "dedup_ngram_jaccard", "dedup_survivorship", "graph_pagerank",
         "graph_triangles", "text_edit_sim"),
-      "minhash" -> Seq("corpus_dedup", "dedup_minhash"))
+      "minhash" -> Seq("corpus_dedup", "dedup_minhash"),
+      "bpe_merge_table" -> Seq("text_tokenize_ids", "train_pack_ids"))
       .map { case (tag, qs) =>
         s"\"$tag\":" + qs.filter(SparkEntry.queries.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
       }

@@ -17,7 +17,8 @@ object SparkEntry {
     Relational.queries ++ Windows.queries ++ Sampling.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ Analytics.queries ++ CorpusOps.queries ++
-      CorpusProfile.queries ++ TextIndex.queries ++ Graph.queries
+      CorpusProfile.queries ++ TextIndex.queries ++ Graph.queries ++
+      Training.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
     Relational.oracles ++ Windows.oracles ++ Sampling.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ Analytics.oracles ++ CorpusOps.oracles ++
-      CorpusProfile.oracles ++ TextIndex.oracles ++ Graph.oracles
+      CorpusProfile.oracles ++ TextIndex.oracles ++ Graph.oracles ++
+      Training.oracles
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Corpus-lifecycle operators for an LLM training-data pipeline: the jobs
   * that run BETWEEN crawls — deterministic dataset splitting, benchmark
@@ -33,15 +34,23 @@ object CorpusOps {
     * besides the output sort (drop the orderBy and write
     * partitionBy("split") at 100 TB — the assignment itself never
     * shuffles). */
+  /** The content-hash split label itself, exposed so composing operators
+    * ([[Training.packIds]]) can stamp the SAME train/val/test assignment
+    * inline in their own scan instead of re-joining [[dataSplit]]'s
+    * output — one label contract, structurally shared. */
+  private[operators] def splitLabel(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val b = substring(md5(text), 1, 3)
+    when(b < "ccd", "train").when(b < "e66", "val").otherwise("test")
+  }
+
   def dataSplit(s: SparkSession, dir: String): DataFrame = {
-    val b = substring(md5(col("text")), 1, 3)
     Tables
       .documents(s, dir)
       .select(
         col("doc_id"),
         col("lang"),
         col("n_chars"),
-        when(b < "ccd", "train").when(b < "e66", "val").otherwise("test").as("split"))
+        splitLabel(col("text")).as("split"))
       .orderBy("doc_id")
   }
 
@@ -348,37 +357,67 @@ object CorpusOps {
       .documents(s, dir)
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), nTok.cast("long").as("n_tokens"))
+    exclusivePrefix(s, t, "doc_id", "n_tokens")
+  }
+
+  /** Exact EXCLUSIVE prefix sum of `valueCol` in `orderCol` order,
+    * optionally restarted per `partCols` group (a per-split prefix for
+    * [[Training.packIds]]; `Nil` = one corpus-wide sequence) — the
+    * scalable two-phase scheme documented on [[corpusShard]]: eager
+    * quantile bucket bounds on `orderCol` → per-(group, bucket) totals
+    * to the driver (≤ groups × buckets rows) → broadcast offset join +
+    * per-(group, bucket) windows. Adds `__ex`; every other input column
+    * is carried through untouched (so a payload array rides along to a
+    * downstream packer). No un-partitioned window anywhere. */
+  private[operators] def exclusivePrefix(
+      s: SparkSession,
+      t: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      partCols: Seq[String] = Nil): DataFrame = {
     val nb = math.max(s.conf.get("spark.sql.shuffle.partitions").toInt, 1)
     val bounds = t.stat
-      .approxQuantile("doc_id", (1 until nb).map(_.toDouble / nb).toArray, 0.001)
+      .approxQuantile(orderCol, (1 until nb).map(_.toDouble / nb).toArray, 0.001)
       .distinct
     val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("doc_id") > b, 1).otherwise(0)
+      acc + when(col(orderCol) > b, 1).otherwise(0)
     }
     val tb = t.withColumn("__bkt", bucket)
-    // per-bucket totals → exclusive offsets, computed on the driver over
-    // ≤ nb rows and folded back in as a literal CASE
+    val keyCols = partCols :+ "__bkt"
+    // per-(group, bucket) totals → exclusive offsets, computed on the
+    // driver over ≤ groups × nb rows and folded back in via a broadcast
+    // join, not a when-chain: at cluster scale the bucket count tracks
+    // shuffle.partitions (thousands) and a thousand-deep CASE is its own
+    // codegen blowup
     val partials = tb
-      .groupBy("__bkt")
-      .agg(sum(col("n_tokens")).as("tot"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col(valueCol)).as("__tot"))
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
-      .sortBy(_._1)
-    val offsets = partials
-      .scanLeft((0, 0L, 0L)) { case ((_, acc, _), (bkt, tot)) => (bkt, acc + tot, acc) }
-      .drop(1)
-      .map { case (bkt, _, off) => (bkt, off) }
-    // broadcast join, not a when-chain: at cluster scale the bucket
-    // count tracks shuffle.partitions (thousands) and a thousand-deep
-    // CASE is its own codegen blowup
-    import s.implicits._
-    val offDf = offsets.toSeq.toDF("__bkt", "__off")
+    val offRows = partials
+      .groupBy(r => partCols.map(r.getAs[Any]))
+      .valuesIterator
+      .flatMap { rs =>
+        val sorted = rs.sortBy(_.getAs[Int]("__bkt"))
+        val offs = sorted.scanLeft(0L)((acc, r) => acc + r.getAs[Long]("__tot")).init
+        sorted.zip(offs).map { case (r, off) =>
+          // Seq[Any] explicitly: Seq(int, long) would numerically WIDEN
+          // the bucket id to Long and poison the IntegerType slot
+          org.apache.spark.sql.Row.fromSeq(
+            partCols.map(r.getAs[Any]) ++ Seq[Any](r.getAs[Int]("__bkt"), off))
+        }
+      }
+      .toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(
+      partCols.map(c => tb.schema(c)) ++ Seq(
+        org.apache.spark.sql.types.StructField("__bkt", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("__off", org.apache.spark.sql.types.LongType)))
+    val offDf = s.createDataFrame(new java.util.ArrayList(offRows.asJava), offSchema)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__bkt")
-      .orderBy("doc_id")
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCol)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    tb.join(broadcast(offDf), Seq("__bkt"))
-      .withColumn("__ex", col("__off") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    tb.join(broadcast(offDf), keyCols)
+      .withColumn("__ex", col("__off") + coalesce(sum(col(valueCol)).over(w), lit(0L)))
       .drop("__bkt", "__off")
   }
 
@@ -400,9 +439,17 @@ object CorpusOps {
     * [[tokenPrefix]]'s (no un-partitioned window anywhere) plus one
     * narrow map; output is one row per doc, never per (doc × sequence).
     */
-  def corpusPack(s: SparkSession, dir: String): DataFrame = {
+  /** Training-sequence length knob, shared by [[corpusPack]] (placement
+    * metadata) and [[Training.packRows]]/[[Training.packIds]] (the
+    * materialized rows) — one L, one packing. */
+  private[operators] def packSeqLen(s: SparkSession): Long = {
     val len = s.conf.get("spark.graft.corpus.packSeqLen", "2048").toLong
     require(len > 0, s"packSeqLen must be positive, got $len")
+    len
+  }
+
+  def corpusPack(s: SparkSession, dir: String): DataFrame = {
+    val len = packSeqLen(s)
     tokenPrefix(s, dir)
       .select(
         col("doc_id"),

@@ -611,6 +611,22 @@ object TextAnalysis {
     * the same text would conflate, as in any string-keyed BPE. Both are
     * exact for this corpus (lowercase ASCII words) and for any BMP text;
     * an id-keyed symbol table is the variant a non-BMP corpus needs. */
+  /** One greedy left-to-right BPE merge pass over a symbol array: merge
+    * (l, r) wherever the pair is adjacent; a freshly merged token never
+    * re-merges in the same pass because its text l+r differs from l.
+    * Shared by [[bpeTrain]]'s per-round rewrite (FIT) and
+    * [[Training.tokenizeIds]]'s merge application (APPLY) — train/apply
+    * consistency is structural, the same fold expression on both sides. */
+  private[operators] def bpeMergePass(syms: Column, l: String, r: String): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(
+          size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
   def bpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = bpeMerges(s)
@@ -644,20 +660,8 @@ object TextAnalysis {
         else {
           val (l, r, pf) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           merges += ((rank, l, r, l + r, pf))
-          // greedy left-to-right rewrite: merge (l, r) wherever the pair is
-          // adjacent; a freshly merged token never re-merges in the same
-          // round because its text l+r differs from l
           val next = cur
-            .withColumn(
-              "syms",
-              aggregate(
-                col("syms"),
-                array().cast("array<string>"),
-                (acc, x) =>
-                  when(
-                    size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
-                    concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-                    .otherwise(concat(acc, array(x)))))
+            .withColumn("syms", bpeMergePass(col("syms"), l, r))
             .persist()
           cur.unpersist(blocking = false)
           cur = next

@@ -1,0 +1,268 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The TRAINABLE ARTIFACT — the step the rest of the pipeline exists for:
+  * apply the learned BPE merges ([[TextAnalysis.bpeTrain]]) to every
+  * document, concatenate the token stream in deterministic order, cut
+  * it into fixed-length training sequences, and land them split-
+  * partitioned ([[graft.Sinks.trainingExport]]) — what a trainer's data
+  * loader actually reads. The reference engine (main.py) stops at samples
+  * and charts; this closes the gap between "analytics over a corpus" and
+  * "tensors into a trainer".
+  *
+  * Three operators:
+  *   - [[tokenizeIds]] — per-document token-id arrays (APPLY side of BPE;
+  *     the FIT side is [[TextAnalysis.bpeTrain]]).
+  *   - [[packRows]] — the whitespace-token materialization of
+  *     [[CorpusOps.corpusPack]]'s placement metadata: actual sequence
+  *     rows with an md5 content fingerprint, DuckDB-oracle-exact (the
+  *     gapless-tiling proof that the placement arithmetic and the
+  *     materialized content agree).
+  *   - [[packIds]] — the end artifact: per-SPLIT packed token-id rows
+  *     (train/val/test assigned by [[CorpusOps.splitLabel]]'s content
+  *     hash BEFORE packing, so a sequence can never mix train and test
+  *     tokens), exported via [[packedTrainingExport]].
+  *
+  * Id scheme (byte-level-BPE convention, public knowledge): a
+  * single-character symbol's id is its code point ([[ascii]]'s numeric
+  * value); a merged token's id is 0x110000 + merge rank — past the top of
+  * the Unicode range, so the two namespaces can never collide and ids are
+  * stable across corpora without a vocabulary scan. String-keyed merges
+  * conflate two merge paths yielding the same text (min rank wins), the
+  * same declared limitation as [[TextAnalysis.bpeTrain]].
+  */
+object Training {
+
+  /** Merged-token ids start past the Unicode code-point range. */
+  private[operators] val MergedIdBase = 0x110000
+
+  /** Learned merge table (rank, left, right), collected once per source
+    * stamp via [[PipelineCache]] — [[TextAnalysis.bpeTrain]]'s M driver
+    * rounds run once and every consumer ([[tokenizeIds]], [[packIds]])
+    * reuses the ≤ M-row result until documents.parquet changes. */
+  private def mergeTable(s: SparkSession, dir: String): Seq[(Int, String, String)] =
+    PipelineCache
+      .cached("bpe_merge_table", s, dir, "documents.parquet")(TextAnalysis.bpeTrain(s, dir))
+      .collect()
+      .toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+
+  /** Token-id array for one text column: split on spaces, drop empty
+    * words, expand each word to code-point symbols, fold every learned
+    * merge in rank order (the SAME [[TextAnalysis.bpeMergePass]]
+    * expression training used — apply == fit structurally), then map
+    * symbols to ids. NULL text tokenizes to zero tokens. Pure narrow
+    * map: the merge table is ≤ M literals folded into the expression,
+    * zero joins, zero shuffles — tokenization rides the scan. */
+  private def tokenIdsCol(merges: Seq[(Int, String, String)], text: Column): Column = {
+    val words = filter(split(coalesce(text, lit("")), " "), w => length(w) > 0)
+    val chars =
+      transform(words, w => transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))))
+    val folded = merges.foldLeft(chars) { case (c, (_, l, r)) =>
+      transform(c, a => TextAnalysis.bpeMergePass(a, l, r))
+    }
+    // text → id: min rank wins when two merge paths yield the same text
+    val idsByText = merges
+      .groupBy { case (_, l, r) => l + r }
+      .map { case (t, ms) => (t, MergedIdBase + ms.map(_._1).min) }
+    val mergedId: Column => Column =
+      if (idsByText.isEmpty) _ => lit(null).cast("int")
+      else {
+        val m = map(idsByText.toSeq.sortBy(_._2).flatMap { case (t, id) =>
+          Seq(lit(t), lit(id))
+        }: _*)
+        t => element_at(m, t)
+      }
+    transform(flatten(folded), t => when(length(t) === 1, ascii(t)).otherwise(mergedId(t)))
+  }
+
+  /** Per-document BPE tokenization with the corpus's own learned merges —
+    * doc_id, id count, how many ids are merged (multi-char) tokens, and
+    * the id array itself. Rows-only for the driver (the greedy in-array
+    * merge fold has no portable-SQL rendering); pinned exactly by a
+    * plain-Scala reference tokenizer in the spec — [[TextAnalysis
+    * .bpeTrain]]'s discipline applied to the APPLY side.
+    *
+    * Scale shape: [[TextAnalysis.bpeTrain]]'s corpus scan + M bounded
+    * vocab rounds run ONCE per source stamp (shared via
+    * [[PipelineCache]]); tokenization itself is a narrow codegen'd map —
+    * no shuffle, no join, output one row per doc, NO output sort (the
+    * driver's rows-only check needs none and a per-doc global sort is
+    * exactly the presentation cost the event family shed). */
+  def tokenizeIds(s: SparkSession, dir: String): DataFrame = {
+    val merges = mergeTable(s, dir)
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), tokenIdsCol(merges, col("text")).as("input_ids"))
+      .select(
+        col("doc_id"),
+        size(col("input_ids")).cast("long").as("n_ids"),
+        size(filter(col("input_ids"), i => i >= MergedIdBase)).cast("long").as("n_merged"),
+        col("input_ids"))
+  }
+
+  /** Fragment-and-reassemble: cut each document's payload array into the
+    * length-`L` sequences it spans (placement arithmetic =
+    * [[CorpusOps.corpusPack]]'s, on the exclusive prefix `__ex`), then
+    * group fragments by sequence and flatten them back in offset order.
+    * One explode (≈ payload/L + one fragment per doc), ONE shuffle on
+    * (partCols, seq_id); per-sequence state is bounded by L tokens +
+    * its fragment structs — never corpus-proportional.
+    *
+    * Input: partCols ++ (doc_id, `payload` array with ≥ 1 element,
+    * __ex). Output: partCols ++ (seq_id, n_docs, first_doc_id,
+    * last_doc_id, payload). Fragment offsets within one sequence are
+    * strictly increasing across docs (every packed doc has ≥ 1 token),
+    * so the array_sort-by-struct reassembly is total and deterministic. */
+  private def packSequences(
+      t: DataFrame,
+      L: Long,
+      partCols: Seq[String],
+      payload: String): DataFrame =
+    t.select(
+        (partCols.map(col) ++ Seq(
+          col("doc_id"),
+          col("__ex"),
+          col(payload).as("__pl"),
+          explode(expr(s"sequence(__ex DIV $L, (__ex + size($payload) - 1) DIV $L)"))
+            .as("seq_id"))): _*)
+      .select(
+        (partCols.map(col) ++ Seq(
+          col("seq_id"),
+          col("doc_id"),
+          expr(s"greatest(seq_id * $L, __ex)").as("g_off"),
+          expr(
+            s"slice(__pl, CAST(greatest(seq_id * $L, __ex) - __ex + 1 AS INT), " +
+              s"CAST(least((seq_id + 1) * $L, __ex + size(__pl)) - greatest(seq_id * $L, __ex) AS INT))")
+            .as("frag"))): _*)
+      .groupBy((partCols :+ "seq_id").map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc_id"),
+        max(col("doc_id")).as("last_doc_id"),
+        flatten(
+          transform(
+            array_sort(collect_list(struct(col("g_off"), col("doc_id"), col("frag")))),
+            f => f("frag"))).as("payload"))
+
+  /** Materialized fixed-length sequence rows over WHITESPACE tokens — the
+    * content that [[CorpusOps.corpusPack]]'s per-doc placement metadata
+    * describes, actually assembled: sequence id, token/doc counts, the
+    * contributing doc range, and the md5 of the space-joined sequence
+    * text. Oracle-exact against DuckDB building the same sequences from
+    * a global token numbering — the fingerprint match proves the
+    * distributed fragment reassembly is bit-identical to the sequential
+    * definition, gaplessly tiling the corpus (every sequence exactly L
+    * tokens except the last).
+    *
+    * Token contract mirrors [[CorpusOps.corpusPack]] exactly: split on
+    * single spaces (empty tokens from runs of spaces count), docs empty
+    * after trim excluded — the two operators describe/materialize the
+    * SAME packing, spec-pinned.
+    *
+    * Scale shape: [[CorpusOps.exclusivePrefix]]'s two-phase prefix (no
+    * un-partitioned window), then [[packSequences]]'s one explode + one
+    * seq_id shuffle; output is tokens/L rows, payload bounded by L. The
+    * trailing orderBy is presentation for the tokens/L-row result. */
+  def packRows(s: SparkSession, dir: String): DataFrame = {
+    val L = CorpusOps.packSeqLen(s)
+    val t = Tables
+      .documents(s, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    packSequences(CorpusOps.exclusivePrefix(s, t, "doc_id", "n_tokens"), L, Nil, "toks")
+      .select(
+        col("seq_id"),
+        size(col("payload")).cast("long").as("n_tokens"),
+        col("n_docs"),
+        col("first_doc_id"),
+        col("last_doc_id"),
+        md5(concat_ws(" ", col("payload")).cast("binary")).as("seq_md5"))
+      .orderBy("seq_id")
+  }
+
+  val packRowsSql: String =
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS toks
+         FROM documents WHERE LENGTH(TRIM(text)) > 0),
+       c AS (
+         SELECT doc_id, toks,
+                COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ex
+         FROM t),
+       x AS (SELECT doc_id, ex, toks,
+                    UNNEST(generate_series(1, CAST(len(toks) AS BIGINT))) AS i
+             FROM c),
+       tok AS (SELECT doc_id, ex + i - 1 AS g, toks[CAST(i AS INT)] AS tok FROM x)
+       SELECT CAST(g // 2048 AS BIGINT) AS seq_id,
+              CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              MIN(doc_id) AS first_doc_id,
+              MAX(doc_id) AS last_doc_id,
+              md5(string_agg(tok, ' ' ORDER BY g)) AS seq_md5
+       FROM tok GROUP BY 1 ORDER BY seq_id"""
+
+  /** The end-to-end trainable artifact: BPE token-id sequences of exactly
+    * `spark.graft.corpus.packSeqLen` ids (default 2048), packed PER
+    * SPLIT — [[CorpusOps.splitLabel]]'s content-hash train/val/test
+    * assignment is stamped in the same scan BEFORE packing, so by
+    * construction no sequence ever mixes tokens across splits (pack
+    * train and test together and every boundary sequence leaks). Within
+    * each split, sequences tile the split's documents gaplessly in
+    * doc_id order; all-but-the-last are exactly L ids. Rows-only for the
+    * driver (BPE ids are not portable SQL); the spec pins per-split
+    * gapless coverage against [[tokenizeIds]] and the exact-L invariant.
+    *
+    * Scale shape: one tokenizing scan feeds the per-split two-phase
+    * prefix ([[CorpusOps.exclusivePrefix]] with partCols=split — the
+    * same bounded driver step, ≤ 3 × buckets rows), then
+    * [[packSequences]]'s one explode + one (split, seq_id) shuffle. The
+    * id payload crosses that one shuffle — it IS the artifact; no
+    * corpus-sized sort anywhere (sequences land unordered; the sink
+    * partitions by split, [[graft.Sinks.trainingExport]]'s layout). */
+  def packIds(s: SparkSession, dir: String): DataFrame = {
+    val L = CorpusOps.packSeqLen(s)
+    val merges = mergeTable(s, dir)
+    val t = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        CorpusOps.splitLabel(col("text")).as("split"),
+        tokenIdsCol(merges, col("text")).as("input_ids"))
+      .withColumn("n_ids", size(col("input_ids")).cast("long"))
+      .filter(col("n_ids") > 0)
+    packSequences(
+      CorpusOps.exclusivePrefix(s, t, "doc_id", "n_ids", Seq("split")),
+      L,
+      Seq("split"),
+      "input_ids")
+      .select(
+        col("split"),
+        col("seq_id"),
+        size(col("payload")).cast("long").as("n_ids"),
+        col("n_docs"),
+        col("first_doc_id"),
+        col("last_doc_id"),
+        col("payload").as("input_ids"))
+  }
+
+  /** Land [[packIds]] split-partitioned: `path/split=train/...` parquet a
+    * trainer reads with reader-level val/test pruning — the
+    * [[graft.Sinks.trainingExport]] layout carrying actual token-id
+    * sequences. Test-only component (sink side effect, not a query). */
+  def packedTrainingExport(s: SparkSession, dir: String, path: String): Unit =
+    graft.Sinks.trainingExport(packIds(s, dir), path)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokenize_ids" -> (tokenizeIds _),
+    "corpus_pack_rows" -> (packRows _),
+    "train_pack_ids" -> (packIds _))
+
+  val oracles: Map[String, String] = Map(
+    "corpus_pack_rows" -> packRowsSql)
+}

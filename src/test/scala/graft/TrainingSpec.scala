@@ -1,0 +1,165 @@
+package graft
+
+import graft.operators.{CorpusOps, TextAnalysis, Training}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The trainable-artifact pipeline: BPE apply (token ids), materialized
+  * sequence packing, and the split-partitioned export — the spec-side
+  * twin of [[Training]]'s scaladoc contracts. */
+class TrainingSpec extends GraftSpecBase {
+
+  /** Plain-Scala reference tokenizer: greedy left-to-right application of
+    * each learned merge in rank order (the reference twin of
+    * [[TextAnalysis.bpeMergePass]]), then the id scheme — code point for
+    * single-char symbols, 0x110000 + min rank for merged texts. */
+  private def refTokenize(text: String, merges: Seq[(Int, String, String)]): Vector[Int] = {
+    val idsByText = merges
+      .groupBy { case (_, l, r) => l + r }
+      .map { case (t, ms) => (t, 0x110000 + ms.map(_._1).min) }
+    Option(text)
+      .getOrElse("")
+      .split(" ", -1)
+      .toVector
+      .filter(_.nonEmpty)
+      .flatMap { w =>
+        var syms = w.map(_.toString).toVector
+        for ((_, l, r) <- merges.sortBy(_._1)) {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (x <- syms)
+            if (out.nonEmpty && out.last == l && x == r) {
+              out.remove(out.length - 1); out += (l + r)
+            } else out += x
+          syms = out.toVector
+        }
+        syms.map(t => if (t.length == 1) t.codePointAt(0) else idsByText(t))
+      }
+  }
+
+  private def collectMerges(): Seq[(Int, String, String)] =
+    TextAnalysis
+      .bpeTrain(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .toSeq
+      .sortBy(_._1)
+
+  test("tokenizeIds equals the plain-Scala reference tokenizer on every doc") {
+    val merges = collectMerges()
+    val got = Training
+      .tokenizeIds(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](3).toVector, r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val texts = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    assert(got.length == texts.length, "one output row per document")
+    got.zip(texts).foreach { case ((id, ids, nIds, nMerged), (tid, text)) =>
+      assert(id == tid)
+      val want = refTokenize(text, merges)
+      assert(ids == want, s"doc $id: operator ids != reference ids")
+      assert(nIds == ids.length.toLong)
+      assert(nMerged == ids.count(_ >= 0x110000).toLong)
+    }
+    // the learned merges genuinely fire: some ids are merged tokens
+    assert(got.map(_._4).sum > 0, "no merged token ever produced — apply side inert")
+  }
+
+  test("packRows tiles the corpus gaplessly and matches a sequential reference") {
+    val L = 2048L
+    val rows = Training
+      .packRows(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      .sortBy(_._1)
+    // sequential reference: every non-empty doc's whitespace tokens in
+    // doc_id order, as one global stream
+    val docs = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (_, t) => t != null && t.trim.nonEmpty }
+      .sortBy(_._1)
+    val stream = docs.flatMap { case (id, t) => t.split(" ", -1).map(tok => (id, tok)) }
+    val total = stream.length.toLong
+    assert(rows.map(_._2).sum == total, "token conservation")
+    assert(rows.map(_._1).toSeq == (0L until rows.length.toLong).toSeq, "seq_id contiguous from 0")
+    rows.init.foreach { case (sid, n, _, _, _, _) => assert(n == L, s"seq $sid not full") }
+    assert(rows.last._2 == (if (total % L == 0) L else total % L), "ragged tail length")
+    // content: every sequence's md5 equals the reference slice's md5
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { case (sid, _, nDocs, firstDoc, lastDoc, gotMd5) =>
+      val slice = stream.slice((sid * L).toInt, math.min((sid + 1) * L, total).toInt)
+      val wantMd5 = md
+        .digest(slice.map(_._2).mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+      assert(gotMd5 == wantMd5, s"seq $sid content diverges from the sequential reference")
+      val docsIn = slice.map(_._1).distinct
+      assert(nDocs == docsIn.length.toLong && firstDoc == docsIn.min && lastDoc == docsIn.max)
+    }
+    // cross-operator pin: corpus_pack's per-doc n_seqs and packRows'
+    // per-seq n_docs count the same (doc × seq) incidences
+    val packMeta = CorpusOps.corpusPack(spark, sfDir).agg(sum(col("n_seqs"))).head.getLong(0)
+    assert(rows.map(_._3).sum == packMeta, "placement metadata and materialized rows disagree")
+  }
+
+  test("packIds: per-split gapless coverage, exact-L sequences, no cross-split mixing") {
+    spark.conf.set("spark.graft.corpus.packSeqLen", "7")
+    try {
+      val seqs = Training
+        .packIds(spark, sfDir)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getSeq[Int](6).toVector))
+      val docIds = Training
+        .tokenizeIds(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](3).toVector))
+        .filter(_._2.nonEmpty)
+        .sortBy(_._1)
+        .toVector
+      val splitOf = CorpusOps
+        .dataSplit(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(3)))
+        .toMap
+      for (split <- Seq("train", "val", "test")) {
+        val want = docIds.filter { case (id, _) => splitOf(id) == split }.flatMap(_._2)
+        val got = seqs.filter(_._1 == split).sortBy(_._2).toVector
+        assert(got.nonEmpty, s"$split produced no sequences at L=7")
+        assert(got.map(_._2) == (0L until got.length.toLong).toVector,
+          s"$split seq_id not contiguous")
+        got.init.foreach { case (_, sid, n, ids) =>
+          assert(n == 7L && ids.length == 7, s"$split seq $sid not exactly L")
+        }
+        assert(got.flatMap(_._4) == want,
+          s"$split: packed id stream != doc-order tokenized stream")
+      }
+      assert(seqs.map(_._3).sum == docIds.map(_._2.length.toLong).sum, "id conservation")
+    } finally spark.conf.unset("spark.graft.corpus.packSeqLen")
+  }
+
+  test("packedTrainingExport lands split-partitioned and a train read prunes") {
+    val dir = Files.createTempDirectory("graft_train").toString
+    Training.packedTrainingExport(spark, sfDir, s"$dir/export")
+    val dirs = new java.io.File(s"$dir/export")
+      .listFiles()
+      .map(_.getName)
+      .filter(_.startsWith("split="))
+    assert(dirs.toSet == Set("split=train", "split=val", "split=test"),
+      s"unexpected partition layout: ${dirs.toSeq}")
+    val train = spark.read.parquet(s"$dir/export").filter(col("split") === "train")
+    val plan = train.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*split".r.findFirstIn(plan).isDefined,
+      s"split filter not pushed to partition pruning:\n$plan")
+    val direct = Training.packIds(spark, sfDir).filter(col("split") === "train")
+    assert(train.count() == direct.count() && train.count() > 0)
+    assert(spark.read.parquet(s"$dir/export").count() ==
+      Training.packIds(spark, sfDir).count())
+  }
+}
