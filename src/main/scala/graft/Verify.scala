@@ -27,7 +27,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // corpus-proportional outputs carry no sort in the operator
+      // (scale discipline); the dump reapplies the former presentation
+      // order so the driver artifact is unchanged round-over-round
+      def presented(df: org.apache.spark.sql.DataFrame) =
+        SparkEntry.presentationOrder.get(name).map(cs => df.orderBy(cs: _*)).getOrElse(df)
+      try presented(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -275,7 +275,6 @@ object Analytics {
       .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
       .agg(count(lit(1)))
       .na.fill(0L)
-      .orderBy("user_id")
 
   val pivotSql: String =
     """SELECT user_id,
@@ -297,7 +296,7 @@ object Analytics {
     val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("custkey"))
     val high = o.filter(col("o_totalprice") > 200000.0).select(col("o_custkey").as("custkey"))
     val low = o.filter(col("o_totalprice") < 50000.0).select(col("o_custkey").as("custkey"))
-    building.intersect(high).except(low).orderBy("custkey")
+    building.intersect(high).except(low)
   }
 
   val setOpsSql: String =
@@ -451,7 +450,6 @@ object Analytics {
         concat_ws("|", col("p_brand"), lpad(col("p_partkey").cast("string"), 6, "0"))
           .as("brand_key"),
         length(col("p_name")).cast("long").as("name_len"))
-      .orderBy("p_partkey")
 
   val stringsSql: String =
     """SELECT p_partkey,

@@ -51,7 +51,6 @@ object CorpusOps {
         col("lang"),
         col("n_chars"),
         splitLabel(col("text")).as("split"))
-      .orderBy("doc_id")
   }
 
   val dataSplitSql: String =
@@ -281,7 +280,6 @@ object CorpusOps {
               array_except(sequence(lit(1), size(col("arr"))), col("cov")),
               p => element_at(col("arr"), p)),
             " ")).as("clean_md5"))
-      .orderBy("doc_id")
   }
 
   val boilerplateSql: String =
@@ -342,7 +340,6 @@ object CorpusOps {
         col("doc_id"),
         col("n_tokens"),
         expr(s"__ex DIV $budget").as("shard"))
-      .orderBy("doc_id")
   }
 
   /** The shared exact-global-prefix frame behind [[corpusShard]] and
@@ -459,7 +456,6 @@ object CorpusOps {
         expr(s"(__ex + n_tokens - 1) DIV $len").as("seq_last"),
         expr(s"(__ex + n_tokens - 1) DIV $len - __ex DIV $len + 1").as("n_seqs"),
         expr(s"(__ex + n_tokens - 1) % $len + 1").as("tail_tokens"))
-      .orderBy("doc_id")
   }
 
   val corpusPackSql: String =
@@ -917,7 +913,6 @@ object CorpusOps {
         col("quality_score"),
         col("split"),
         col("n_chars"))
-      .orderBy("doc_id")
   }
 
   val curateSql: String = {
@@ -1057,7 +1052,6 @@ object CorpusOps {
       .join(broadcast(rates), "lang")
       .filter(bucket < col("rate") * 4096.0)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      .orderBy("doc_id")
   }
 
   val corpusMixSql: String =

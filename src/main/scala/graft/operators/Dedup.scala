@@ -30,7 +30,6 @@ object Dedup {
       .documents(s, dir)
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
-      .orderBy("keeper_doc_id")
 
   val exactSql: String =
     """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id,
@@ -47,7 +46,6 @@ object Dedup {
       .documents(s, dir)
       .groupBy(md5(norm).as("content_hash"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
-      .orderBy("keeper_doc_id")
   }
 
   val exactNormSql: String =
@@ -270,7 +268,6 @@ object Dedup {
         col("jaccard"),
         levenshtein(col("pre_a"), col("pre_b")).as("lev40"),
         round(lit(1.0) - levenshtein(col("pre_a"), col("pre_b")) / 40.0, 4).as("prefix_sim"))
-      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
   }
 
   val editSimSql: String =
@@ -416,7 +413,6 @@ object Dedup {
     * at test scale. */
   def minhash(s: SparkSession, dir: String): DataFrame =
     minhashPairs(s, dir)
-      .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
 
   /** Surviving minhash pairs (unordered) — shared via the stamp cache by
     * [[minhash]] and [[corpusDedup]] (two consumers, one banding
@@ -581,7 +577,6 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= 8)
       .select("doc_a", "doc_b", "hamming")
-      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
 
   /** Corpus materializer: the operator a pipeline user actually runs —
@@ -613,7 +608,6 @@ object Dedup {
     docs
       .join(exactDrops.unionByName(nearDrops).distinct(), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      .orderBy("doc_id")
   }
 
   /** Oracle-checked corpus materializer: same user-facing contract as
@@ -634,7 +628,6 @@ object Dedup {
     docs
       .join(exactDrops.unionByName(nearDrops).distinct(), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      .orderBy("doc_id")
   }
 
   val corpusDedupNgSql: String =
@@ -854,7 +847,7 @@ object Dedup {
       .groupBy(col("doc_b").as("doc_id"))
       .agg(min(col("doc_a")).as("keeper_id"))
       .select(col("doc_id"), lit("near").as("reason"), col("keeper_id"))
-    exact.unionByName(near).orderBy("doc_id", "reason")
+    exact.unionByName(near)
   }
 
   val survivorshipSql: String =

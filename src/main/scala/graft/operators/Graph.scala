@@ -108,7 +108,6 @@ object Graph {
     }
     cur
       .select(col("id").as("doc_id"), col("deg"), col("r").as("score_micro"))
-      .orderBy(col("score_micro").desc, col("doc_id"))
   }
 
   /** SQL twin: the shared rare-pair CTEs, the near relation, then the
@@ -213,7 +212,6 @@ object Graph {
             (coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
               (col("deg") * (col("deg") - 1))),
           4).as("clustering"))
-      .orderBy("doc_id")
   }
 
   /** SQL twin: id-order triangle enumeration (`a < b < c` over the

@@ -71,7 +71,6 @@ object Multimodal {
     media
       .mapPartitions(it => it.grouped(32).flatMap(MediaDecoder.decodeBatch))
       .toDF()
-      .orderBy("doc_id")
   }
 
   // strlen = BYTE length (the payload is utf-8 bytes); md5 of a string
@@ -139,7 +138,6 @@ object Multimodal {
     videos
       .mapPartitions(it => it.grouped(32).flatMap(FrameSampler.sampleBatch))
       .toDF()
-      .orderBy("doc_id", "frame_idx")
   }
 
   // the fake payload is 64 repeats of a 32-char md5 hex string (ascii: one
@@ -203,7 +201,6 @@ object Multimodal {
     media
       .mapPartitions(it => it.grouped(32).flatMap(Resizer.resizeBatch))
       .toDF()
-      .orderBy("doc_id")
   }
 
   // document text is ASCII (verified against the generated data), so

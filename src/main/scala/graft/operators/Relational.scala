@@ -348,7 +348,6 @@ object Relational {
     val o = Tables.orders(s, dir)
     c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
   }
 
   val joinSemiSql: String =
@@ -364,7 +363,6 @@ object Relational {
     val o = Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0)
     c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
   }
 
   val joinAntiSql: String =

@@ -698,7 +698,6 @@ object Similarity {
         array_min(col("q")).as("q_min"),
         array_max(col("q")).as("q_max"),
         aggregate(col("q"), lit(0L), (a, v) => a + abs(v)).as("q_l1"))
-      .orderBy("vec_id")
   }
 
   val embQuantizeSql: String =

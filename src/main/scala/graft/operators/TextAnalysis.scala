@@ -46,7 +46,6 @@ object TextAnalysis {
           (length(regexp_replace(col("text"), " ", ""))) /
             nTokens(col("text")).cast("double"),
           4).as("avg_token_len"))
-      .orderBy("doc_id")
 
   val statsSql: String =
     """SELECT doc_id, lang,
@@ -80,7 +79,6 @@ object TextAnalysis {
           .when(col("de_hits") >= greatest(col("es_hits"), col("fr_hits")), "de")
           .when(col("es_hits") >= col("fr_hits"), "es")
           .otherwise("fr"))
-      .orderBy("doc_id")
   }
 
   val langidSql: String = {
@@ -134,7 +132,6 @@ object TextAnalysis {
           col("n_distinct") / col("n_tokens").cast("double") * 0.5 +
             when(col("n_chars").between(100, 2000), 0.5).otherwise(0.0),
           4).as("quality_score"))
-      .orderBy("doc_id")
   }
 
   val qualitySql: String = {
@@ -165,7 +162,6 @@ object TextAnalysis {
         md5(col("text")).as("content_md5"),
         substring(md5(col("text")), 1, 8).as("fp_bucket"),
         length(col("text")).cast("long").as("n_chars"))
-      .orderBy("doc_id")
 
   val fingerprintSql: String =
     """SELECT doc_id, md5(text) AS content_md5,
@@ -196,7 +192,6 @@ object TextAnalysis {
       .withColumn(
         "chars_per_token",
         when(col("n_tokens") > 0, round(col("n_chars") / col("n_tokens").cast("double"), 4)))
-      .orderBy("doc_id")
   }
 
   val tokensBpeSql: String =
@@ -231,7 +226,6 @@ object TextAnalysis {
         size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).cast("long").as("n_emails"),
         length(clean).cast("long").as("clean_len"),
         md5(clean).as("clean_md5"))
-      .orderBy("doc_id")
   }
 
   val scrubSql: String =
@@ -392,7 +386,6 @@ object TextAnalysis {
         col("n_idrun"),
         (col("n_ip") + col("n_phone") + col("n_idrun")).as("n_pii"),
         md5(col("clean")).as("clean_md5"))
-      .orderBy("doc_id")
   }
 
   val piiSql: String = {
@@ -439,7 +432,6 @@ object TextAnalysis {
         size(col("fp")).cast("long").as("n_fp"),
         array_min(col("fp")).as("fp_min"),
         array_max(col("fp")).as("fp_max"))
-      .orderBy("doc_id")
 
   /** Compressibility quality signal (CCNet/Gopher family): per document,
     * the raw-DEFLATE compressed length over the byte length. Degenerate
@@ -465,7 +457,6 @@ object TextAnalysis {
       .withColumn(
         "compress_ratio",
         round(col("deflate_len") / col("n_bytes").cast("double"), 4))
-      .orderBy("doc_id")
 
   /** Corpus heavy hitters: the 20 most frequent words — stopword discovery
     * for quality scoring and the hot-key census every text pipeline runs
@@ -734,7 +725,6 @@ object TextAnalysis {
       .agg(
         round(sum(col("occ") * microNats) / (sum(col("occ")) * 1e6), 4).as("lm_score"),
         sum(col("occ")).cast("long").as("n_tokens"))
-      .orderBy("doc_id")
   }
 
   val lmScoreSql: String =
@@ -813,7 +803,6 @@ object TextAnalysis {
       .agg(
         round(sum(col("occ") * col("mn")) / (sum(col("occ")) * 1e6), 4).as("lm_bigram_score"),
         sum(col("occ")).cast("long").as("n_bigrams"))
-      .orderBy("doc_id")
   }
 
   val lmBigramSql: String =
@@ -885,7 +874,6 @@ object TextAnalysis {
             (col("n") * round(log(col("n")) * 1e6).cast("long") - col("sum_c_lnc")) /
               (col("n") * 1e6) / log(col("n_types").cast("double")),
             4)).as("norm_entropy"))
-      .orderBy("doc_id")
   }
 
   val entropySql: String =
@@ -951,7 +939,6 @@ object TextAnalysis {
         col("ndg").cast("long").as("n_grams_distinct"),
         round(lit(1) - col("ndg") / (col("nw") - 2).cast("double"), 4).as("rep_gram_frac"),
         round(col("max_tok") / col("nw").cast("double"), 4).as("top_tok_share"))
-      .orderBy("doc_id")
   }
 
   val repetitionSql: String =
@@ -1112,7 +1099,6 @@ object TextAnalysis {
         col("tf"),
         col("df"),
         round(col("score"), 4).as("score"))
-      .orderBy("doc_id", "rank")
   }
 
   val tfidfSql: String =

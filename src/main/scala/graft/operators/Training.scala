@@ -183,7 +183,6 @@ object Training {
         col("first_doc_id"),
         col("last_doc_id"),
         md5(concat_ws(" ", col("payload")).cast("binary")).as("seq_md5"))
-      .orderBy("seq_id")
   }
 
   val packRowsSql: String =

@@ -41,7 +41,6 @@ object Windows {
       .agg(
         count(lit(1)).as("num_events"),
         (sum(cents("value")) / 100.0).as("total_value"))
-      .orderBy("hour_us", "event_type")
 
   val hourlySql: String =
     """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
@@ -66,7 +65,6 @@ object Windows {
         unix_micros(col("ts")).as("ts_us"),
         round(sum(cents("value")).over(w) / (count(lit(1)).over(w) * 100.0), 4)
           .as("moving_avg"))
-      .orderBy("event_id")
   }
 
   val movingAvgSql: String =
@@ -114,7 +112,6 @@ object Windows {
         col("user_id"),
         col("m.len").as("best_streak"),
         (-col("m.neg_start")).as("start_day"))
-      .orderBy("user_id")
   }
 
   val streaksSql: String =
@@ -176,7 +173,6 @@ object Windows {
         sum(col("new_session")).over(
           Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))))
       .select("event_id", "user_id", "ts_us", "session_id")
-      .orderBy("event_id")
   }
 
   /** First/last-touch attribution per purchase — the marketing-analytics
@@ -214,7 +210,6 @@ object Windows {
         col("session_id"),
         col("first_touch"),
         col("last_touch"))
-      .orderBy("event_id")
   }
 
   val attributionSql: String =
@@ -264,7 +259,6 @@ object Windows {
           sum(col("span_us")).cast("double") / count(lit(1)) /
             lit(1000000).cast("double"),
           4).as("avg_session_secs"))
-      .orderBy("user_id")
   }
 
   val sessionStatsSql: String =
@@ -340,7 +334,6 @@ object Windows {
         col("user_id"),
         unix_micros(col("ts")).as("ts_us"),
         (sum(cents("value")).over(w) / 100.0).as("running_value"))
-      .orderBy("event_id")
   }
 
   val cumsumSql: String =
@@ -399,7 +392,6 @@ object Windows {
         col("user_id"),
         col("t_us").as("ts_us"),
         col("matched_orderkey"))
-      .orderBy("event_id")
   }
 
   val asofJoinSql: String =
@@ -433,7 +425,6 @@ object Windows {
         cents("value").as("v"))
       .withColumn("sum_10min", sum(col("v")).over(w) / 100.0)
       .select("event_id", "user_id", "ts_us", "sum_10min")
-      .orderBy("event_id")
   }
 
   val rangeFrameSql: String =
@@ -587,7 +578,6 @@ object Windows {
           col("ts_b") >= col("ts_a") && col("ts_b") <= col("ts_a") + W)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_pairs"), min(col("ts_b") - col("ts_a")).as("min_gap_us"))
-      .orderBy("user_id")
   }
 
   val rangeJoinSql: String =
@@ -784,7 +774,6 @@ object Windows {
         col("day_value"),
         col("day_value").isNull.as("is_gap"),
         last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
-      .orderBy("user_id", "day_us")
   }
 
   /** Linear interpolation across daily gaps — [[gapfill]]'s second-order
@@ -835,7 +824,6 @@ object Windows {
                          + CAST((nc - pc) * ((day_us - pd) DIV $dayUs) AS DOUBLE)
                            / ((nd - pd) DIV $dayUs))
                         / CAST(100 AS DOUBLE) END, 4)""").as("value"))
-      .orderBy("user_id", "day_us")
   }
 
   val interpolateSql: String =
@@ -946,7 +934,6 @@ object Windows {
         col("ts_us"),
         col("value"),
         round((col("cents") - mean) / sqrt(vari), 4).as("z"))
-      .orderBy("event_id")
   }
 
   val anomalySql: String =
@@ -1004,7 +991,6 @@ object Windows {
           size(col("win")) > 0,
           element_at(col("win"), ((size(col("win")) + 1) / 2).cast("int")) / 100.0)
           .as("rolling_median"))
-      .orderBy("user_id", "ts_us", "event_id")
   }
 
   val rollingMedianSql: String =
@@ -1105,7 +1091,6 @@ object Windows {
         (min(col("cents")) / 100.0).as("low"),
         (max(when(col("rn_c") === 1, col("cents"))) / 100.0).as("close"),
         (sum(col("cents")) / 100.0).as("total_value"))
-      .orderBy("day_us", "event_type")
   }
 
   val ohlcSql: String =
@@ -1287,7 +1272,6 @@ object Windows {
             (lit(100.0) * sum(col("dt_s")).cast("double")),
           4).as("twap"))
       .filter(col("total_s") > 0)
-      .orderBy("user_id")
   }
 
   val twapSql: String =
@@ -1343,7 +1327,6 @@ object Windows {
         (col("dc") / 100.0).as("revenue"),
         (coalesce(sum(col("dc")).over(prev), lit(0L)) / 100.0).as("revenue_prev_day"),
         (sum(col("dc")).over(week) / 100.0).as("revenue_7d"))
-      .orderBy("user_id", "dayno")
   }
 
   val featuresSql: String =
@@ -1393,7 +1376,6 @@ object Windows {
         col("dau"),
         col("wau"),
         round(col("dau").cast("double") / col("wau").cast("double"), 4).as("stickiness"))
-      .orderBy("dayno")
   }
 
   val activeUsersSql: String =
@@ -1449,7 +1431,6 @@ object Windows {
         col("event_id"),
         (col("c") / 100.0).as("value"),
         round(num.cast("double") / (lit(100.0) * den.cast("double")), 4).as("ema"))
-      .orderBy("user_id", "ts_us", "event_id")
   }
 
   val emaSql: String = {

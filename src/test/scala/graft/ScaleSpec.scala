@@ -474,13 +474,14 @@ class ScaleSpec extends GraftSpecBase {
     assert(scans == 1, s"drift scanned embeddings $scans times — global branch crept back:\n$plan")
   }
 
-  test("ts_interpolate: all four flanking windows share one sort") {
+  test("ts_interpolate: all four flanking windows share one sort, no output sort") {
     val plan =
       graft.operators.Windows.interpolate(spark, sfDir).queryExecution.executedPlan.toString
-    // window stack over one (user, day) sort + the output orderBy sort —
-    // a third sort would mean the prev/next windows re-sorted the frame
+    // ONE (user, day) sort under the whole window stack — a second sort
+    // would mean either the prev/next windows re-sorted the frame or a
+    // corpus-sized presentation orderBy crept back into the operator
     val sorts = "\\bSort \\[".r.findAllIn(plan).size
-    assert(sorts == 2, s"expected window-stack sort + output sort only, got $sorts:\n$plan")
+    assert(sorts == 1, s"expected the shared window-stack sort only, got $sorts:\n$plan")
   }
 
   test("data_split assignment plans zero hash exchanges (narrow map + output sort only)") {
@@ -762,15 +763,34 @@ class ScaleSpec extends GraftSpecBase {
     for (c <- Seq("value", "props", "event_type")) assert(!au.contains(c), s"unpruned $c in $au")
   }
 
-  test("win_ema: 21 lags ride one window sort and one user exchange") {
+  test("win_ema: 21 lags ride one window sort and one user exchange, no output sort") {
     val plan =
       graft.operators.Windows.ema(spark, sfDir).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected one user exchange, got $exchanges:\n$plan")
-    // window-frame sort + output orderBy only — a third sort would mean
-    // the lag terms fragmented into several window operators
+    // ONE window-frame sort — more would mean the lag terms fragmented
+    // into several window operators or a corpus-sized presentation
+    // orderBy crept back into the operator
     val sorts = "\\bSort \\[".r.findAllIn(plan).size
-    assert(sorts == 2, s"expected window sort + output sort, got $sorts:\n$plan")
+    assert(sorts == 1, s"expected the window sort only, got $sorts:\n$plan")
+  }
+
+  test("no corpus-proportional output ever plans a global sort (presentation family)") {
+    // every query whose presentation order moved into the Verify dump
+    // must plan WITHOUT a range-partition exchange — the physical
+    // signature of a global orderBy. This pins the round-9 discipline:
+    // output ∝ input ⇒ the operator ships unsorted, the dump sorts.
+    val offenders = SparkEntry.presentationOrder.keys.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry
+        .queries(name)(spark, sfDir)
+        .queryExecution
+        .executedPlan
+        .toString
+      if ("rangepartitioning".r.findFirstIn(plan).isDefined) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"global presentation sorts crept back into: $offenders")
+    graft.operators.Dedup.clearSharedCache()
   }
 
   test("ts_features: daily rollup and both range windows share ONE user exchange") {
