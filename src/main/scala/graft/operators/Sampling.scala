@@ -119,9 +119,21 @@ object Sampling {
     * keep the first 500. The fraction samplers can't promise an exact
     * count; this can't push down as a filter — the two are complements,
     * and this one costs a TakeOrdered: a 500-row heap per partition,
-    * then one 500·\|partitions\| merge at the driver — never a global
-    * sort, never a shuffle of the data (plan-pinned). */
-  def exactK(s: SparkSession, dir: String): DataFrame =
+    * then one bounded merge — never a global sort, never a shuffle of
+    * the data (plan-pinned).
+    *
+    * Merge fan-in bound: a bare TakeOrdered merges k rows PER SCAN
+    * PARTITION at the single merge point — 500·10⁶ rows at a 100 TB
+    * partition count. The `coalesce(fanIn)` (shuffle-free, a no-op when
+    * the scan already has ≤ fanIn partitions) re-heaps each group of
+    * scan partitions inside one task first, so the merge point sees at
+    * most 500 × `spark.graft.sample.exactKFanIn` (default 1024) rows at
+    * ANY corpus size — the two-level top-k tree, built by partition
+    * coalescing. Scan parallelism caps at fanIn for this one
+    * scan-dominated sampler; raise the knob if that ever binds. */
+  def exactK(s: SparkSession, dir: String): DataFrame = {
+    val fanIn = s.conf.get("spark.graft.sample.exactKFanIn", "1024").toInt
+    require(fanIn > 0, s"exactKFanIn must be positive, got $fanIn")
     Tables
       .events(s, dir)
       .filter(col("event_id").isNotNull)
@@ -132,10 +144,12 @@ object Sampling {
         col("event_type"),
         col("value"),
         md5(col("event_id").cast("string")).as("__key"))
+      .coalesce(fanIn)
       .orderBy(col("__key"), col("event_id"))
       .limit(500)
       .drop("__key")
       .orderBy("event_id")
+  }
 
   val exactKSql: String =
     """WITH s AS (

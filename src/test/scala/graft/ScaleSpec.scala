@@ -742,12 +742,28 @@ class ScaleSpec extends GraftSpecBase {
     assert(plan.contains("TakeOrderedAndProject"), s"top-10 must be a partial top-k:\n$plan")
   }
 
-  test("sample_exact_k is a TakeOrdered partial top-k, never a global sort or shuffle") {
+  test("sample_exact_k is a fan-in-bounded TakeOrdered, never a global sort or shuffle") {
     val plan =
       graft.operators.Sampling.exactK(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected partial top-k:\n$plan")
     assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
       s"exact-k sample must not shuffle the data:\n$plan")
+    // the merge-point fan-in bound: a shuffle-free Coalesce below the
+    // TakeOrdered re-heaps scan partitions in groups, so the single
+    // merge sees ≤ k·fanIn rows at any corpus partition count
+    assert(plan.contains("Coalesce"), s"expected the fan-in Coalesce stage:\n$plan")
+    // the knob genuinely narrows the tree (and rows are unchanged)
+    spark.conf.set("spark.graft.sample.exactKFanIn", "2")
+    try {
+      val narrow = graft.operators.Sampling.exactK(spark, sfDir)
+      assert(narrow.queryExecution.executedPlan.toString.contains("Coalesce 2"),
+        "fan-in knob ignored")
+      spark.conf.unset("spark.graft.sample.exactKFanIn")
+      val wide = graft.operators.Sampling.exactK(spark, sfDir)
+      assert(narrow.collect().map(_.getLong(0)).toSeq ==
+        wide.collect().map(_.getLong(0)).toSeq,
+        "fan-in must not change the sampled rows")
+    } finally spark.conf.unset("spark.graft.sample.exactKFanIn")
   }
 
   test("json_extract_agg and ts_active_users scans read only their needed columns") {
