@@ -1392,24 +1392,61 @@ object Windows {
        FROM dau JOIN wau ON dau.dayno = wau.dayno
        ORDER BY dayno"""
 
-  /** Exponential moving average, EXACTLY — the pandas-`ewm` staple that
-    * is normally hopeless to reproduce across engines (a recursive float
-    * fold: every engine/partitioning rounds differently). Two choices
-    * make it bit-stable here:
-    *   - α = 1/2 with the 21-term truncated expansion: weights are the
-    *     DYADIC series 2⁻ᵏ, so each term cents·2^(20−k) is an exact
-    *     INTEGER (≤ 5·10⁸·2²⁰ ≈ 5·10¹⁴ — long-safe summed over 21
-    *     terms), truncation error < 2⁻²⁰ of the oldest weight — below
-    *     the 4-dp display round by construction;
+  /** Exponential moving average, EXACTLY, at ANY rational α — the
+    * pandas-`ewm` staple that is normally hopeless to reproduce across
+    * engines (a recursive float fold: every engine/partitioning rounds
+    * differently). Two choices make it bit-stable here:
+    *   - α = p/q with the 21-term truncated expansion: weights are
+    *     proportional to the INTEGERS p·(q−p)^k·q^(20−k) (the dyadic
+    *     2^(20−k) series at the default α = 1/2), so each term
+    *     cents·weight is an exact integer — long-safe for dyadic α,
+    *     DECIMAL(38,0) for wider q (see [[emaAlpha]]). The contract is
+    *     the 21-SAMPLE truncated adjusted EMA: renormalization makes
+    *     the relative weights exact at every α; at α = 1/2 the dropped
+    *     tail carries < 2⁻²⁰ of the mass (indistinguishable from
+    *     full-history ewm below the 4-dp round), while at small α
+    *     (e.g. 1/16, tail ≈ 26%) the 21-sample horizon is a declared
+    *     modeling choice, not an approximation error — the weights
+    *     WITHIN the horizon are exact;
     *   - partial-window renormalization: at stream starts the missing
     *     lags drop out of BOTH numerator and denominator (the
     *     `adjust=True` convention), all in integers.
-    * ema = Σ lagₖ·2^(20−k) / (100 · Σ_avail 2^(20−k)) — ONE double
-    * division at the end. 21 lag() expressions ride a single
-    * user-partitioned sort (one WindowExec, one exchange); the oracle
-    * replays the identical 21-term sum. Out-of-envelope rows are
-    * excluded as rows ([[twap]]'s rule). */
+    * ema = Σ lagₖ·wtₖ / (100 · Σ_avail wtₖ) — ONE double division at
+    * the end. 21 lag() expressions ride a single user-partitioned sort
+    * (one WindowExec, one exchange); the oracle replays the identical
+    * 21-term sum at the default α. Out-of-envelope rows are excluded as
+    * rows ([[twap]]'s rule). */
+  /** EMA smoothing factor α = p/q, session-tunable as the string "p/q"
+    * (`spark.graft.win.emaAlpha`, default "1/2" — the driver-oracled
+    * contract). The dyadic exactness argument generalizes q-adically:
+    * truncated-EMA weights α(1−α)^k are proportional to the INTEGERS
+    * p·(q−p)^k·q^(K−k), so the weighted mean is a ratio of two exact
+    * integer sums at any rational α — no float accumulation ever. q is
+    * bounded (≤ 16) so q^(K+1) stays far inside DECIMAL(38,0) even
+    * after the ×cents×21-term sum. */
+  private[operators] def emaAlpha(s: SparkSession): (Int, Int) = {
+    val raw = s.conf.get("spark.graft.win.emaAlpha", "1/2")
+    val m = "^(\\d+)/(\\d+)$".r
+      .findFirstMatchIn(raw.trim)
+      .getOrElse(throw new IllegalArgumentException(
+        s"spark.graft.win.emaAlpha must be 'p/q' (e.g. '1/3'), got '$raw'"))
+    val (p, q) = (m.group(1).toInt, m.group(2).toInt)
+    require(p > 0 && q > p && q <= 16,
+      s"spark.graft.win.emaAlpha needs 0 < p < q <= 16, got $p/$q")
+    (p, q)
+  }
+
   def ema(s: SparkSession, dir: String): DataFrame = {
+    val (p, q) = emaAlpha(s)
+    val K = 20
+    val wts: Seq[BigInt] = (0 to K).map(k => BigInt(p) * BigInt(q - p).pow(k) * BigInt(q).pow(K - k))
+    // α=1/2 (the default) keeps the round-8 LONG plan bit-identically:
+    // weights 2^(20-k), Σ|c|·wt ≤ 21·5e8·2^20 < 2^63. Wider q's weights
+    // pass 2^63, so those accumulate in DECIMAL(38,0): c ≤ 5e8 is
+    // decimal(10,0), wt ≤ 16^21 < 2e25 is decimal(26,0), each product
+    // decimal(37,0) — exact integers end to end either way, and the
+    // final cast-to-double of the same integer is the same double.
+    val longSafe = wts.max * 21 * BigInt(500000000L) < BigInt(Long.MaxValue)
     val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
     val base = Tables
       .events(s, dir)
@@ -1421,9 +1458,21 @@ object Windows {
         unix_micros(col("ts")).as("ts_us"),
         col("event_id"),
         cents("value").as("c"))
-    val terms = (0 to 20).map(k => (lag(col("c"), k).over(w), 1L << (20 - k)))
-    val num = terms.map { case (l, wt) => when(l.isNotNull, l * wt).otherwise(lit(0L)) }.reduce(_ + _)
-    val den = terms.map { case (l, wt) => when(l.isNotNull, lit(wt)).otherwise(lit(0L)) }.reduce(_ + _)
+    val (num, den) =
+      if (longSafe) {
+        val terms = (0 to K).map(k => (lag(col("c"), k).over(w), wts(k).toLong))
+        (terms.map { case (l, wt) => when(l.isNotNull, l * wt).otherwise(lit(0L)) }.reduce(_ + _),
+          terms.map { case (l, wt) => when(l.isNotNull, lit(wt)).otherwise(lit(0L)) }.reduce(_ + _))
+      } else {
+        val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
+        val terms = (0 to K).map { k =>
+          (lag(col("c"), k).over(w), lit(new java.math.BigDecimal(wts(k).bigInteger)))
+        }
+        (terms.map { case (l, wt) =>
+          when(l.isNotNull, l.cast("decimal(10,0)") * wt).otherwise(zero)
+        }.reduce(_ + _),
+          terms.map { case (l, wt) => when(l.isNotNull, wt).otherwise(zero) }.reduce(_ + _))
+      }
     base
       .select(
         col("user_id"),

@@ -273,6 +273,37 @@ class WindowsSpec extends GraftSpecBase {
     }
   }
 
+  test("ema: alpha knob — 1/3 matches an exact BigInt reference, bad values fail loudly") {
+    spark.conf.set("spark.graft.win.emaAlpha", "1/3")
+    try {
+      val rows = Windows.ema(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      assert(rows.nonEmpty)
+      // q-adic weights for p/q=1/3: 1·2^k·3^(20−k) for lag k — the exact
+      // integer reference of the operator's decimal accumulation
+      val wts = (0 to 20).map(k => BigInt(2).pow(k) * BigInt(3).pow(20 - k))
+      for (stream <- rows.groupBy(_._1).values) {
+        val s = stream.sortBy(e => (e._2, e._3)).toVector
+        val cents = s.map(e => BigInt(math.floor(e._4 * 100.0 + 0.5).toLong))
+        for (i <- s.indices) {
+          val lags = (0 to math.min(i, 20)).map(k => cents(i - k))
+          val num = lags.zip(wts).map { case (c, w) => c * w }.sum
+          val den = wts.take(lags.length).sum
+          val want = BigDecimal(num.toDouble / (100.0 * den.toDouble))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(math.abs(s(i)._5 - want) < 1e-9,
+            s"alpha=1/3 EMA diverges from the BigInt reference at ${s(i)}: want $want")
+        }
+      }
+    } finally spark.conf.unset("spark.graft.win.emaAlpha")
+    // malformed / out-of-range alphas must fail loudly, not fall back
+    for (bad <- Seq("0.5", "2/1", "1/32", "0/3")) {
+      spark.conf.set("spark.graft.win.emaAlpha", bad)
+      try intercept[Exception](Windows.ema(spark, sfDir))
+      finally spark.conf.unset("spark.graft.win.emaAlpha")
+    }
+  }
+
   test("twap: per-user time-weighted mean matches an exact integer replay") {
     val rows = Windows.twap(spark, sfDir).collect()
     assert(rows.nonEmpty)
