@@ -863,6 +863,45 @@ object CorpusOps {
   private[graft] def defaultIndexPath(s: SparkSession, dir: String): String =
     storePath(s, dir, "graft_gram_index")
 
+  /** Index-lifecycle census — one row per persisted-store body
+    * ([[GramIndex]] grams/hashes, [[TextIndex]] postings/vocab,
+    * [[CorpusProfile]] rows): is the store present, is it FRESH for the
+    * corpus as it sits on disk right now (stamp + format version, the
+    * stores' own `isFresh` logic), which format version and auxiliary
+    * meta line it recorded, and how many rows each body holds. The
+    * operator's view of store staleness WITHOUT reading store internals:
+    * meta files are a few bytes, and the row counts come from parquet
+    * footers (metadata-cheap, the [[Analytics.catalogCounts]] precedent —
+    * no column data is ever decoded).
+    *
+    * Rows-only for the driver: the output describes engine-local store
+    * state (paths, build history), which no portable SQL over the source
+    * tables can reproduce. The spec pins the contract: fresh stores
+    * report fresh=true with positive counts, absent stores report
+    * present=false, and a post-build corpus change flips fresh to false.
+    *
+    * Scale: driver-side meta reads + footer counts — O(stores), no
+    * corpus scan, no shuffle. */
+  def storeStatus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stamp = GramIndex.stamp(dir)
+    val stores = Seq(
+      ("gram_index", defaultIndexPath(s, dir), GramIndex.FormatVersion, Seq("grams", "hashes")),
+      ("text_index", TextIndex.defaultPath(s, dir), TextIndex.FormatVersion, Seq("postings", "vocab")),
+      ("corpus_profile", CorpusProfile.defaultPath(s, dir), CorpusProfile.FormatVersion, Seq("rows")))
+    val rows = stores.flatMap { case (name, path, wantVersion, bodies) =>
+      val meta = GramIndex.readMeta(s, path).filter(_.length >= 3)
+      val fresh = meta.exists(l => l(0) == stamp && l(2) == wantVersion)
+      bodies.map { body =>
+        val n =
+          try Some(s.read.parquet(s"$path/$body").count())
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        (name, body, meta.isDefined, fresh, meta.map(_(2)), meta.map(_(1)), n)
+      }
+    }
+    rows.toDF("store", "body", "present", "fresh", "format_version", "recorded_info", "n_rows")
+  }
+
   private[operators] def storePath(s: SparkSession, dir: String, prefix: String): String = {
     val root =
       s.conf.get("spark.graft.corpus.storeRoot", System.getProperty("java.io.tmpdir"))
@@ -1297,7 +1336,8 @@ object CorpusOps {
     "dedup_incremental_idx" -> ((s, d) => dedupIncrementalIndexed(s, d, defaultIndexPath(s, d))),
     "corpus_shard" -> (corpusShard _),
     "corpus_pack" -> (corpusPack _),
-    "corpus_curate" -> (curate _))
+    "corpus_curate" -> (curate _),
+    "store_status" -> (storeStatus _))
 
   val oracles: Map[String, String] = Map(
     "source_divergence" -> sourceDivergenceSql,

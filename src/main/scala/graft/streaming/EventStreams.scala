@@ -377,6 +377,68 @@ object EventStreams {
 
   case class EmaOut(event_id: Long, user_id: Long, ts_us: Long, value: Double, ema: Double)
 
+  case class FeatOut(
+      user_id: Long,
+      dayno: Long,
+      revenue: Double,
+      revenue_prev_day: Double,
+      revenue_7d: Double)
+
+  /** Streaming per-(user, day) lag features — the incremental twin of
+    * [[graft.operators.Windows.features]], the feature-freshness path an
+    * online trainer polls: daily revenue beside its previous-calendar-day
+    * value and trailing 7-calendar-day sum, updated as events arrive.
+    * State per user is the ring of the last ≤ 7 OBSERVED (dayno, cents)
+    * pairs — 112 bytes, fixed forever; the batch operator's two range
+    * windows become map lookups over the ring.
+    *
+    * Emission contract (the [[streaks]] convention): a day's row is
+    * emitted FINAL when a later day's first event arrives (the ring
+    * still holds the day plus its ≤ 6 predecessors at that moment — the
+    * exact look-back the features need); the still-open newest day is
+    * re-emitted each trigger, so each (user, day)'s LAST emission equals
+    * the batch row once the input is exhausted (spec-pinned parity).
+    * Out-of-envelope values are excluded as ROWS (the batch filter);
+    * same ordered-arrival contract as the other typed twins — an
+    * out-of-contract late event folds into its day only while that day
+    * is still retained, else it is dropped. */
+  def features(events: Dataset[Ev]): Dataset[FeatOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[Ev], state: GroupState[List[(Long, Long)]]) => {
+          def micros(t: Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          var ring = state.getOption.getOrElse(Nil) // (dayno, cents) newest first, ≤ 7
+          def row(d: Long): FeatOut = {
+            val m = ring.toMap
+            val week = ring.collect { case (dd, cc) if dd >= d - 6 && dd <= d => cc }.sum
+            FeatOut(userId, d, m.getOrElse(d, 0L) / 100.0, m.getOrElse(d - 1, 0L) / 100.0,
+              week / 100.0)
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[FeatOut]
+          for (e <- evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))) {
+            if (math.abs(e.value) <= 5.0e6) { // NaN compares false → excluded
+              val d = Math.floorDiv(micros(e.ts), 86400000000L)
+              val c = math.floor(e.value * 100.0).toLong
+              ring.headOption match {
+                case None => ring = List((d, c))
+                case Some((cur, cc)) if d == cur => ring = (cur, cc + c) :: ring.tail
+                case Some((cur, _)) if d > cur =>
+                  out += row(cur) // the rolled-over day is final
+                  ring = ((d, c) :: ring).take(7)
+                case _ => // out-of-contract late event: fold only if retained
+                  ring = ring.map { case (dd, cc) => if (dd == d) (dd, cc + c) else (dd, cc) }
+              }
+            }
+          }
+          state.update(ring)
+          ring.headOption.foreach(h => out += row(h._1)) // open day, superseded next trigger
+          out.iterator
+        })
+  }
+
   /** Streaming tier classification — the incremental twin of
     * [[graft.operators.Windows.intervalDim]]'s classification step: each
     * arriving event joins the SAME broadcast [lo, hi) tier frame (shared

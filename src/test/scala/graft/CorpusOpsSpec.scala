@@ -10,6 +10,35 @@ class CorpusOpsSpec extends GraftSpecBase {
       assert(fn(spark, sfDir).count() > 0, s"$name empty")
   }
 
+  test("store_status: absent → present+fresh → stale, with footer-cheap body counts") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_store_status").toString
+    val dir = s"$tmp/data"
+    spark.read.parquet(s"$sfDir/documents.parquet").write.parquet(s"$dir/documents.parquet")
+    spark.conf.set("spark.graft.corpus.storeRoot", s"$tmp/stores")
+    try {
+      val s0 = CorpusOps.storeStatus(spark, dir).collect()
+      assert(s0.length == 5, s"expected 5 store bodies, got ${s0.length}")
+      assert(s0.forall(r => !r.getAs[Boolean]("present") && !r.getAs[Boolean]("fresh")),
+        "nothing is built yet — all stores must report absent")
+      graft.operators.TextIndex.build(
+        spark, dir, graft.operators.TextIndex.defaultPath(spark, dir))
+      graft.operators.CorpusProfile.build(
+        spark, dir, graft.operators.CorpusProfile.defaultPath(spark, dir))
+      graft.operators.GramIndex.build(spark, dir, CorpusOps.defaultIndexPath(spark, dir))
+      val s1 = CorpusOps.storeStatus(spark, dir).collect()
+      assert(s1.forall(r => r.getAs[Boolean]("present") && r.getAs[Boolean]("fresh")),
+        s"freshly built stores must report fresh: ${s1.mkString(";")}")
+      assert(s1.forall(r => r.getAs[Long]("n_rows") > 0), "body counts must be positive")
+      assert(s1.forall(r => r.getAs[String]("format_version") != null))
+      // corpus drift (file listing changes) flips fresh off, present stays
+      Files.writeString(Paths.get(s"$dir/documents.parquet/drift.txt"), "x")
+      val s2 = CorpusOps.storeStatus(spark, dir).collect()
+      assert(s2.forall(r => r.getAs[Boolean]("present") && !r.getAs[Boolean]("fresh")),
+        s"stamp drift must flip fresh off while the store stays present: ${s2.mkString(";")}")
+    } finally spark.conf.unset("spark.graft.corpus.storeRoot")
+  }
+
   test("source divergence matches a brute-force JS computation per source") {
     val got = CorpusOps.sourceDivergence(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getAs[Double]("js_divergence")).toMap

@@ -331,6 +331,42 @@ class StreamingSpec extends GraftSpecBase {
       s"streaming streaks diverged for ${last.keySet.filter(u => last.get(u) != batch.get(u))}")
   }
 
+  test("streaming features equal batch ts_features after ordered two-chunk replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def micros(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    // micro-exact global order so the cross-trigger split respects the
+    // twins' ordered-arrival contract even for same-millisecond events
+    val evs = loadEvents().sortBy(e => (micros(e.ts), e.event_id)).toSeq
+    val input = MemoryStream[Ev]
+    val (a, b) = evs.splitAt(evs.length / 2)
+    input.addData(a)
+    val q = EventStreams.features(input.toDS())
+      .writeStream.format("memory").queryName("feat_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    // each (user, day)'s LAST emission is its final feature row
+    val last = spark.table("feat_out").collect().zipWithIndex
+      .groupBy(r => (r._1.getAs[Long]("user_id"), r._1.getAs[Long]("dayno")))
+      .map { case (k, rows) =>
+        val r = rows.maxBy(_._2)._1
+        k -> ((r.getAs[Double]("revenue"), r.getAs[Double]("revenue_prev_day"),
+          r.getAs[Double]("revenue_7d")))
+      }
+    val batch = Windows.features(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("dayno")) ->
+        ((r.getAs[Double]("revenue"), r.getAs[Double]("revenue_prev_day"),
+          r.getAs[Double]("revenue_7d"))))
+      .toMap
+    assert(last == batch,
+      s"streaming features diverged for ${last.keySet.filter(k => last.get(k) != batch.get(k)).take(5)}" +
+        s" missing=${(batch.keySet -- last.keySet).take(5)} extra=${(last.keySet -- batch.keySet).take(5)}")
+  }
+
   test("streaming tier classification folds to exactly the batch interval-dim rollup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
