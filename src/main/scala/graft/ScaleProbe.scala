@@ -63,9 +63,13 @@ object ScaleProbe {
     // docs and corrupting the per-key-work-preserved measurement). Fail
     // loudly instead, like the other driver-drift guards.
     def assertIdEnvelope(df: org.apache.spark.sql.DataFrame, idCol: String, offset: Long): Unit = {
-      val mx = df.agg(max(col(idCol))).head.getLong(0)
-      require(mx < offset,
-        s"ScaleProbe: $idCol max $mx >= copy offset $offset — testdata drift; raise the offset")
+      // cast + getAs[Number]: a physical-type drift (INT32 ids) or an
+      // empty table must surface THIS guard's message, not a
+      // ClassCast/NullPointer that buries the diagnosis
+      Option(df.agg(max(col(idCol).cast("long"))).head.getAs[Number](0)).foreach { mx =>
+        require(mx.longValue < offset,
+          s"ScaleProbe: $idCol max $mx >= copy offset $offset — testdata drift; raise the offset")
+      }
     }
     if (!marker.exists()) {
       val d = spark.read.parquet(s"$srcDir/documents.parquet")

@@ -217,24 +217,31 @@ object Training {
     * driver (BPE ids are not portable SQL); the spec pins per-split
     * gapless coverage against [[tokenizeIds]] and the exact-L invariant.
     *
-    * Scale shape: one tokenizing scan feeds the per-split two-phase
-    * prefix ([[CorpusOps.exclusivePrefix]] with partCols=split — the
-    * same bounded driver step, ≤ 3 × buckets rows), then
-    * [[packSequences]]'s one explode + one (split, seq_id) shuffle. The
-    * id payload crosses that one shuffle — it IS the artifact; no
-    * corpus-sized sort anywhere (sequences land unordered; the sink
-    * partitions by split, [[graft.Sinks.trainingExport]]'s layout). */
+    * Scale shape: the corpus is TOKENIZED ONCE — the tokenized frame is
+    * stamp-cached ([[PipelineCache]], MEMORY_AND_DISK) because
+    * [[CorpusOps.exclusivePrefix]] necessarily drives three jobs over
+    * it (quantile bounds, per-(split, bucket) totals, the consumed
+    * plan) and the M-deep merge fold is the dominant per-row cost;
+    * without the cache each job would re-tokenize. That materialized
+    * tokenize-then-pack staging is the standard petabyte pipeline
+    * shape. Then [[packSequences]]'s one explode + one (split, seq_id)
+    * shuffle; the id payload crosses that one shuffle — it IS the
+    * artifact; no corpus-sized sort anywhere (sequences land unordered;
+    * the sink partitions by split, [[graft.Sinks.trainingExport]]'s
+    * layout). */
   def packIds(s: SparkSession, dir: String): DataFrame = {
     val L = CorpusOps.packSeqLen(s)
-    val merges = mergeTable(s, dir)
-    val t = Tables
-      .documents(s, dir)
-      .select(
-        col("doc_id"),
-        CorpusOps.splitLabel(col("text")).as("split"),
-        tokenIdsCol(merges, col("text")).as("input_ids"))
-      .withColumn("n_ids", size(col("input_ids")).cast("long"))
-      .filter(col("n_ids") > 0)
+    val t = PipelineCache.cached("pack_ids_tok", s, dir, "documents.parquet") {
+      val merges = mergeTable(s, dir)
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          CorpusOps.splitLabel(col("text")).as("split"),
+          tokenIdsCol(merges, col("text")).as("input_ids"))
+        .withColumn("n_ids", size(col("input_ids")).cast("long"))
+        .filter(col("n_ids") > 0)
+    }
     packSequences(
       CorpusOps.exclusivePrefix(s, t, "doc_id", "n_ids", Seq("split")),
       L,

@@ -512,14 +512,19 @@ object Windows {
     * of the `props` JSON string scan-side (codegen'd `get_json_object`
     * — a narrow map, no UDF, no shuffle) and roll it up per event type.
     * Missing key / empty object / NULL props / malformed JSON / a
-    * non-integer `$.k` all yield NULL k and are counted (`n_with_k` vs
-    * `n_events`) rather than dropped — schema drift in a property bag
-    * is data, not an error. Both engines fold identically: Spark via
-    * `get_json_object` (NULL on bad JSON) + `try_cast` (NULL on bad
-    * numbers, ANSI-safe), DuckDB via a `json_valid` guard + `TRY_CAST`
-    * (its `json_extract_string`/`CAST` RAISE where Spark folds). NULL event types
-    * fold to `(none)` ([[graft.operators.CorpusOps.batchDrift]]'s census
-    * convention). Exact integer sum → one 4-dp division for the mean.
+    * non-integral `$.k` all yield NULL k and are counted (`n_with_k`
+    * vs `n_events`) rather than dropped — schema drift in a property
+    * bag is data, not an error. "Integral" is pinned by the SAME
+    * explicit regex (`^-?[0-9]{1,18}$`) on both engines, because the
+    * engines' native loose casts genuinely disagree on the edges:
+    * DuckDB `TRY_CAST('3.7' AS BIGINT)` ROUNDS to 4 where Spark
+    * `try_cast` folds to NULL, and DuckDB's plain CAST raises on
+    * malformed input where Spark folds — with the shared regex gate
+    * (≤ 18 digits also keeps both inside BIGINT, no overflow
+    * asymmetry), every accepted string casts exactly and identically.
+    * NULL event types fold to `(none)`
+    * ([[graft.operators.CorpusOps.batchDrift]]'s census convention).
+    * Exact integer sum → one 4-dp division for the mean.
     *
     * Scale: extraction rides the scan (projection only reads `props`,
     * `event_type`); the rollup is a ≤\|types\|-row map-combined shuffle;
@@ -530,7 +535,9 @@ object Windows {
       .events(s, dir)
       .select(
         coalesce(col("event_type"), lit("(none)")).as("event_type"),
-        expr("try_cast(get_json_object(props, '$.k') AS long)").as("k"))
+        expr(
+          "CAST(CASE WHEN get_json_object(props, '$.k') RLIKE '^-?[0-9]{1,18}$' " +
+            "THEN get_json_object(props, '$.k') END AS long)").as("k"))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_events"),
@@ -545,7 +552,8 @@ object Windows {
     """WITH e AS (
          SELECT COALESCE(event_type, '(none)') AS event_type,
                 CASE WHEN json_valid(props)
-                     THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                      AND regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]{1,18}$')
+                     THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
                 END AS k
          FROM events)
        SELECT event_type, COUNT(*) AS n_events,

@@ -51,8 +51,8 @@ class TrainingSpec extends GraftSpecBase {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Int](3).toVector, r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
-    val texts = spark.read
-      .parquet(s"$sfDir/documents.parquet")
+    val texts = graft.sources.Tables
+      .documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1)))
@@ -78,8 +78,8 @@ class TrainingSpec extends GraftSpecBase {
       .sortBy(_._1)
     // sequential reference: every non-empty doc's whitespace tokens in
     // doc_id order, as one global stream
-    val docs = spark.read
-      .parquet(s"$sfDir/documents.parquet")
+    val docs = graft.sources.Tables
+      .documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1)))
