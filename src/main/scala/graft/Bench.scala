@@ -126,7 +126,8 @@ object Bench {
         s"\"$tag\":" + qs.filter(SparkEntry.queries.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
       }
       .mkString("{", ",", "}")
-    val storeBacked = Seq("dedup_incremental_idx", "corpus_profile", "text_search_idx")
+    val storeBacked = Seq("dedup_incremental_idx", "corpus_profile", "text_search_idx",
+        "ann_ivf_idx")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"")
       .mkString("[", ",", "]")

@@ -107,6 +107,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => LongVecMin(children.head).toAggregateExpression()))
     ext.injectFunction(
       (
+        FunctionIdentifier("graft_bpe_ids"),
+        new ExpressionInfo(
+          classOf[graft.functions.BpeIds].getName,
+          null,
+          "graft_bpe_ids",
+          "graft_bpe_ids(text, lefts, rights, ranks) - BPE token ids with the literal merge table",
+          ""),
+        (children: Seq[Expression]) =>
+          graft.functions.BpeIds(children.head, children(1), children(2), children(3))))
+    ext.injectFunction(
+      (
         FunctionIdentifier("graft_deflate_len"),
         new ExpressionInfo(
           classOf[DeflateLen].getName,

@@ -19,7 +19,7 @@ object SparkEntry {
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ Analytics.queries ++ CorpusOps.queries ++
       CorpusProfile.queries ++ TextIndex.queries ++ Graph.queries ++
-      Training.queries ++ RelationalDeep.queries
+      Training.queries ++ RelationalDeep.queries ++ VectorIndex.queries
 
   /** PRESENTATION row order for corpus-proportional query outputs,
     * applied by [[Verify]] at dump time only. These operators used to end
@@ -108,5 +108,5 @@ object SparkEntry {
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ Analytics.oracles ++ CorpusOps.oracles ++
       CorpusProfile.oracles ++ TextIndex.oracles ++ Graph.oracles ++
-      Training.oracles ++ RelationalDeep.oracles
+      Training.oracles ++ RelationalDeep.oracles ++ VectorIndex.oracles
 }

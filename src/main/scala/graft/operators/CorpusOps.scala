@@ -865,7 +865,9 @@ object CorpusOps {
 
   /** Index-lifecycle census — one row per persisted-store body
     * ([[GramIndex]] grams/hashes, [[TextIndex]] postings/vocab,
-    * [[CorpusProfile]] rows): is the store present, is it FRESH for the
+    * [[CorpusProfile]] rows, [[VectorIndex]] vectors/codebook/qsample —
+    * the latter stamped against the EMBEDDINGS table, its actual
+    * source): is the store present, is it FRESH for the
     * corpus as it sits on disk right now (stamp + format version, the
     * stores' own `isFresh` logic), which format version and auxiliary
     * meta line it recorded, and how many rows each body holds. The
@@ -884,12 +886,17 @@ object CorpusOps {
     * corpus scan, no shuffle. */
   def storeStatus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val stamp = GramIndex.stamp(dir)
+    val docStamp = GramIndex.stamp(dir)
     val stores = Seq(
-      ("gram_index", defaultIndexPath(s, dir), GramIndex.FormatVersion, Seq("grams", "hashes")),
-      ("text_index", TextIndex.defaultPath(s, dir), TextIndex.FormatVersion, Seq("postings", "vocab")),
-      ("corpus_profile", CorpusProfile.defaultPath(s, dir), CorpusProfile.FormatVersion, Seq("rows")))
-    val rows = stores.flatMap { case (name, path, wantVersion, bodies) =>
+      ("gram_index", defaultIndexPath(s, dir), GramIndex.FormatVersion, docStamp,
+        Seq("grams", "hashes")),
+      ("text_index", TextIndex.defaultPath(s, dir), TextIndex.FormatVersion, docStamp,
+        Seq("postings", "vocab")),
+      ("corpus_profile", CorpusProfile.defaultPath(s, dir), CorpusProfile.FormatVersion,
+        docStamp, Seq("rows")),
+      ("vector_index", VectorIndex.defaultPath(s, dir), VectorIndex.formatVersion(s),
+        VectorIndex.stamp(dir), Seq("vectors", "codebook", "qsample")))
+    val rows = stores.flatMap { case (name, path, wantVersion, stamp, bodies) =>
       val meta = GramIndex.readMeta(s, path).filter(_.length >= 3)
       val fresh = meta.exists(l => l(0) == stamp && l(2) == wantVersion)
       bodies.map { body =>

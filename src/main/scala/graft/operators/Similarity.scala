@@ -392,7 +392,7 @@ object Similarity {
     * assigned frame `(vec_id, qv, nq, cell)` and the 1-row broadcastable
     * codebook. Assignment is a narrow map against the broadcast codebook
     * — no shuffle, no row expansion. */
-  private def ivfCells(s: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
+  private[operators] def ivfCells(s: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
     val corpus = quantized(s, dir)
     val cents = corpus
       .groupBy((col("vec_id") % k).cast("int").as("cell"))
@@ -435,14 +435,30 @@ object Similarity {
       corpus
         .filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("qv"), col("nq")))
+    ivfRescore(assigned, ivfProbes(qf, codebook), qf)
+  }
+
+  /** Probe-list stage of IVF serving, shared by [[annIvf]] and the
+    * persisted-store path ([[VectorIndex.annIndexed]] — parity is
+    * structural, the streaming-twin rule): per query, the 4 best-cosine
+    * cells against the broadcast codebook. */
+  private[operators] def ivfProbes(qf: DataFrame, codebook: DataFrame): DataFrame = {
     val wp = Window.partitionBy("query_id").orderBy(col("cs").desc, col("cell"))
-    val probes = qf
-      .crossJoin(broadcast(codebook))
+    qf.crossJoin(broadcast(codebook))
       .select(col("query_id"), col("qv"), col("nq"), explode(col("cb")).as("c"))
       .select(col("query_id"), col("c.cell").as("cell"), cellScore(col("c")).as("cs"))
       .withColumn("pr", row_number().over(wp))
       .filter(col("pr") <= 4)
       .select("query_id", "cell")
+  }
+
+  /** Rescore-and-rank stage of IVF serving (shared like [[ivfProbes]]):
+    * probed-cell candidates exact-rescored against their query vector,
+    * per-query top-5. `assigned` must carry (vec_id, qv, nq, cell). */
+  private[operators] def ivfRescore(
+      assigned: DataFrame,
+      probes: DataFrame,
+      qf: DataFrame): DataFrame = {
     val qvecs = qf
       .select(col("query_id"), col("qv").as("query_qv"), col("nq").as("query_nq"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))

@@ -52,32 +52,25 @@ object Training {
       .sortBy(_._1)
 
   /** Token-id array for one text column: split on spaces, drop empty
-    * words, expand each word to code-point symbols, fold every learned
-    * merge in rank order (the SAME [[TextAnalysis.bpeMergePass]]
-    * expression training used — apply == fit structurally), then map
-    * symbols to ids. NULL text tokenizes to zero tokens. Pure narrow
-    * map: the merge table is ≤ M literals folded into the expression,
-    * zero joins, zero shuffles — tokenization rides the scan. */
+    * words, expand each word to symbols, fold every learned merge in
+    * rank order (greedy left-to-right — [[TextAnalysis.bpeMergePass]]'s
+    * semantics), then map symbols to ids. NULL text tokenizes to zero
+    * tokens. Pure narrow map via the native `graft_bpe_ids` kernel
+    * ([[graft.functions.BpeIds]]) with the ≤ M-row merge table folded in
+    * as literal arrays — zero joins, zero shuffles, one static call per
+    * row. (The declarative M-deep `transform`/`aggregate` nest this
+    * replaces ran on the interpreted higher-order-function path:
+    * measured ~15 s to materialize a 1.5 MB corpus vs sub-second
+    * native — the MinHash64 story on the trainable-artifact kernel.
+    * Semantics pinned by TrainingSpec's reference tokenizer + fuzz.) */
   private def tokenIdsCol(merges: Seq[(Int, String, String)], text: Column): Column = {
-    val words = filter(split(coalesce(text, lit("")), " "), w => length(w) > 0)
-    val chars =
-      transform(words, w => transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))))
-    val folded = merges.foldLeft(chars) { case (c, (_, l, r)) =>
-      transform(c, a => TextAnalysis.bpeMergePass(a, l, r))
-    }
-    // text → id: min rank wins when two merge paths yield the same text
-    val idsByText = merges
-      .groupBy { case (_, l, r) => l + r }
-      .map { case (t, ms) => (t, MergedIdBase + ms.map(_._1).min) }
-    val mergedId: Column => Column =
-      if (idsByText.isEmpty) _ => lit(null).cast("int")
-      else {
-        val m = map(idsByText.toSeq.sortBy(_._2).flatMap { case (t, id) =>
-          Seq(lit(t), lit(id))
-        }: _*)
-        t => element_at(m, t)
-      }
-    transform(flatten(folded), t => when(length(t) === 1, ascii(t)).otherwise(mergedId(t)))
+    val sorted = merges.sortBy(_._1)
+    call_function(
+      "graft_bpe_ids",
+      text,
+      typedLit(sorted.map(_._2)),
+      typedLit(sorted.map(_._3)),
+      typedLit(sorted.map(_._1)))
   }
 
   /** Per-document BPE tokenization with the corpus's own learned merges —
@@ -231,7 +224,14 @@ object Training {
     * layout). */
   def packIds(s: SparkSession, dir: String): DataFrame = {
     val L = CorpusOps.packSeqLen(s)
-    val t = PipelineCache.cached("pack_ids_tok", s, dir, "documents.parquet") {
+    // the cached frame is the BARE tokenized projection — n_ids and the
+    // empty-doc filter live ABOVE the cache, not inside it: a filter on
+    // size(input_ids) inside the build gets pushed below the projection,
+    // where it re-evaluates the whole merge fold per predicate check
+    // (measured 3× the tokenize cost cold, ~8× through the columnar
+    // cache build); above the InMemoryRelation, size() reads the cached
+    // array for pennies
+    val tok = PipelineCache.cached("pack_ids_tok", s, dir, "documents.parquet") {
       val merges = mergeTable(s, dir)
       Tables
         .documents(s, dir)
@@ -239,9 +239,10 @@ object Training {
           col("doc_id"),
           CorpusOps.splitLabel(col("text")).as("split"),
           tokenIdsCol(merges, col("text")).as("input_ids"))
-        .withColumn("n_ids", size(col("input_ids")).cast("long"))
-        .filter(col("n_ids") > 0)
     }
+    val t = tok
+      .withColumn("n_ids", size(col("input_ids")).cast("long"))
+      .filter(col("n_ids") > 0)
     packSequences(
       CorpusOps.exclusivePrefix(s, t, "doc_id", "n_ids", Seq("split")),
       L,

@@ -15,10 +15,11 @@ class CorpusOpsSpec extends GraftSpecBase {
     val tmp = Files.createTempDirectory("graft_store_status").toString
     val dir = s"$tmp/data"
     spark.read.parquet(s"$sfDir/documents.parquet").write.parquet(s"$dir/documents.parquet")
+    spark.read.parquet(s"$sfDir/embeddings.parquet").write.parquet(s"$dir/embeddings.parquet")
     spark.conf.set("spark.graft.corpus.storeRoot", s"$tmp/stores")
     try {
       val s0 = CorpusOps.storeStatus(spark, dir).collect()
-      assert(s0.length == 5, s"expected 5 store bodies, got ${s0.length}")
+      assert(s0.length == 8, s"expected 8 store bodies, got ${s0.length}")
       assert(s0.forall(r => !r.getAs[Boolean]("present") && !r.getAs[Boolean]("fresh")),
         "nothing is built yet — all stores must report absent")
       graft.operators.TextIndex.build(
@@ -26,16 +27,26 @@ class CorpusOpsSpec extends GraftSpecBase {
       graft.operators.CorpusProfile.build(
         spark, dir, graft.operators.CorpusProfile.defaultPath(spark, dir))
       graft.operators.GramIndex.build(spark, dir, CorpusOps.defaultIndexPath(spark, dir))
+      graft.operators.VectorIndex.build(
+        spark, dir, graft.operators.VectorIndex.defaultPath(spark, dir))
       val s1 = CorpusOps.storeStatus(spark, dir).collect()
       assert(s1.forall(r => r.getAs[Boolean]("present") && r.getAs[Boolean]("fresh")),
         s"freshly built stores must report fresh: ${s1.mkString(";")}")
       assert(s1.forall(r => r.getAs[Long]("n_rows") > 0), "body counts must be positive")
       assert(s1.forall(r => r.getAs[String]("format_version") != null))
-      // corpus drift (file listing changes) flips fresh off, present stays
+      // source drift (file listing changes) flips fresh off, present
+      // stays — each store against ITS source table: documents drift
+      // must NOT stale the embeddings-stamped vector store
       Files.writeString(Paths.get(s"$dir/documents.parquet/drift.txt"), "x")
       val s2 = CorpusOps.storeStatus(spark, dir).collect()
-      assert(s2.forall(r => r.getAs[Boolean]("present") && !r.getAs[Boolean]("fresh")),
-        s"stamp drift must flip fresh off while the store stays present: ${s2.mkString(";")}")
+      assert(s2.forall(r => r.getAs[Boolean]("present")))
+      assert(s2.forall(r =>
+        r.getAs[Boolean]("fresh") == (r.getAs[String]("store") == "vector_index")),
+        s"documents drift must stale exactly the documents-stamped stores: ${s2.mkString(";")}")
+      Files.writeString(Paths.get(s"$dir/embeddings.parquet/drift.txt"), "x")
+      val s3 = CorpusOps.storeStatus(spark, dir).collect()
+      assert(s3.forall(r => r.getAs[Boolean]("present") && !r.getAs[Boolean]("fresh")),
+        s"stamp drift must flip fresh off while the store stays present: ${s3.mkString(";")}")
     } finally spark.conf.unset("spark.graft.corpus.storeRoot")
   }
 

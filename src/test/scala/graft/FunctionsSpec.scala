@@ -205,6 +205,40 @@ class FunctionsSpec extends GraftSpecBase {
       val m1 = Option(MinHash64.compute(u)).map(_.toLongArray.toSeq)
       assert(m1 == Option(MinHash64.compute(u)).map(_.toLongArray.toSeq), s"minhash nondet on: $t")
       assert(m1.forall(_.size == 64))
+      // bpe kernel vs an independent per-text reference (greedy
+      // left-to-right merges over UTF-16 char symbols) — exercises
+      // surrogate pairs, space runs, empty words
+      val b1 = bpeIds(u)
+      assert(b1 == bpeIds(u), s"bpe nondet on: $t")
+      assert(b1 == bpeRef(t), s"bpe != reference on: $t")
+    }
+  }
+
+  private val bpeFuzzTable = new graft.functions.BpeIds.Table(
+    Array("a", "ab", "😀", "x"), Array("b", "c", "😀", "x"), Array(1, 2, 3, 4))
+
+  private def bpeIds(u: UTF8String): Seq[Any] =
+    graft.functions.BpeIds.tokenize(u, bpeFuzzTable).array.toSeq
+
+  /** Independent reference of the bpe kernel's contract (TrainingSpec's
+    * refTokenize specialized to the fuzz table). */
+  private def bpeRef(t: String): Seq[Any] = {
+    val merges = Seq((1, "a", "b"), (2, "ab", "c"), (3, "😀", "😀"), (4, "x", "x"))
+    val ids = merges.groupBy { case (_, l, r) => l + r }
+      .map { case (tx, ms) => (tx, 0x110000 + ms.map(_._1).min) }
+    Option(t).getOrElse("").split(" ", -1).toSeq.filter(_.nonEmpty).flatMap { w =>
+      var syms = w.map(_.toString).toVector
+      for ((_, l, r) <- merges) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (x <- syms)
+          if (out.nonEmpty && out.last == l && x == r) {
+            out.remove(out.length - 1); out += (l + r)
+          } else out += x
+        syms = out.toVector
+      }
+      syms.map(tok =>
+        if (tok.length == 1) Int.box(tok.codePointAt(0))
+        else ids.get(tok).map(Int.box).orNull)
     }
   }
 

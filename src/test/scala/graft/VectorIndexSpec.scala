@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Similarity, VectorIndex}
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** The persisted IVF store: serving parity with the scan-time operator,
+  * the zero-embeddings-scan warm-path contract, and reader-level cell
+  * pruning. */
+class VectorIndexSpec extends GraftSpecBase {
+
+  private def withStore(f: String => Unit): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vec_idx").toString
+    try f(s"$tmp/store")
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
+  test("ann_ivf_idx answers row-identically to the scan-time ann_ivf_topk") {
+    withStore { path =>
+      val idx = VectorIndex.annIndexed(spark, sfDir, path).collect().toSeq
+      val scan = Similarity.annIvf(spark, sfDir).collect().toSeq
+      assert(idx == scan, s"indexed ANN diverged from scan-time ANN (${idx.size} vs ${scan.size} rows)")
+    }
+  }
+
+  test("warm path plans ZERO embeddings scans and prunes non-probed cells at the reader") {
+    withStore { path =>
+      VectorIndex.build(spark, sfDir, path)
+      assert(VectorIndex.isFresh(spark, sfDir, path))
+      graft.operators.PipelineCache.clear()
+      // static plan inspection — AQE off so scans are plan-visible (the
+      // ScaleSpec annIvf idiom)
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = VectorIndex.annIndexed(spark, sfDir, path)
+        val plan = df.queryExecution.executedPlan
+        val s = plan.toString
+        assert(!s.contains("embeddings.parquet"), s"warm path must not touch the corpus:\n$s")
+        val vecScans = plan.collect {
+          case f: FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.contains("/vectors")) =>
+            f
+        }
+        assert(vecScans.nonEmpty, s"expected a store vectors scan in:\n$s")
+        // the eager cell literal must reach the scan as a partition filter
+        assert(vecScans.forall(_.toString.contains("PartitionFilters: [cell")),
+          s"cell literal did not become a partition filter:\n${vecScans.mkString("\n")}")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+  }
+
+  test("a stale store (embeddings rewrite) rebuilds instead of serving old cells") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_vec_stale").toString
+    val dir = s"$tmp/data"
+    spark.read.parquet(s"$sfDir/embeddings.parquet").write.parquet(s"$dir/embeddings.parquet")
+    spark.read.parquet(s"$sfDir/documents.parquet").write.parquet(s"$dir/documents.parquet")
+    val path = s"$tmp/store"
+    try {
+      VectorIndex.build(spark, dir, path)
+      assert(VectorIndex.isFresh(spark, dir, path))
+      // in-place rewrite signature: a part file's mtime moves (the dir
+      // must STAY valid parquet — the rebuild re-reads it)
+      val part = Files.list(Paths.get(s"$dir/embeddings.parquet")).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet"))
+        .get
+      Files.setLastModifiedTime(
+        part, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
+      assert(!VectorIndex.isFresh(spark, dir, path), "stamp drift must stale the store")
+      // serving on the stale store transparently rebuilds → fresh again
+      assert(VectorIndex.annIndexed(spark, dir, path).count() > 0)
+      assert(VectorIndex.isFresh(spark, dir, path))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+}
