@@ -504,6 +504,61 @@ object EventStreams {
   case class PathState(t1: String, t2: String)
   case class PathOut(e1: String, e2: String, e3: String)
 
+  case class ConvState(vTs: Long, lastPreViewPurchase: Long, emitted: Boolean)
+  case class ConvOut(user_id: Long, lat_s: Long)
+
+  /** Streaming conversion latency — the incremental twin of
+    * [[graft.operators.Windows.conversionTime]]'s per-user latency
+    * derivation: first `view` to first `purchase` at-or-after it, in
+    * integer seconds, emitted ONCE per converting user at the moment the
+    * qualifying purchase arrives. The batch operator's band rollup
+    * (< 1h/1d/7d bands + exact mean) is a plain downstream aggregation;
+    * the hard part under streaming is the at-or-after join, which the
+    * 24-byte state solves: first-view micros, the last purchase micros
+    * seen BEFORE any view, and the emitted flag.
+    *
+    * The pre-view purchase slot exists for exact batch parity on ties:
+    * batch qualifies any purchase with ts ≥ v_ts, and under the ordered
+    * arrival contract a purchase can precede the first view only with
+    * ts ≤ v_ts — so a qualifying pre-view purchase means ts == v_ts
+    * exactly, and carrying the LAST such ts (ascending arrival makes it
+    * the max, and equality to v is all that's checked) reproduces
+    * batch's min-qualifying choice without buffering purchases. Rows
+    * batch pre-filters (NULL type/ts) are skipped identically; same
+    * ordered-arrival contract as [[sessionize]]/[[streaks]]. */
+  def conversions(events: Dataset[PathEv]): Dataset[ConvOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[PathEv], state: GroupState[ConvState]) => {
+          def micros(t: Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          var st = state.getOption.getOrElse(ConvState(Long.MinValue, Long.MinValue, false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ConvOut]
+          val live = evs.filter(e => e.event_type != null && e.ts != null).toSeq
+          for (e <- live.sortBy(e => (micros(e.ts), e.event_id))) {
+            val t = micros(e.ts)
+            e.event_type match {
+              case "view" if st.vTs == Long.MinValue =>
+                st = st.copy(vTs = t)
+                if (!st.emitted && st.lastPreViewPurchase == t) {
+                  out += ConvOut(userId, 0L)
+                  st = st.copy(emitted = true)
+                }
+              case "purchase" if st.vTs == Long.MinValue =>
+                st = st.copy(lastPreViewPurchase = t)
+              case "purchase" if !st.emitted && t >= st.vTs =>
+                out += ConvOut(userId, Math.floorDiv(t - st.vTs, 1000000L))
+                st = st.copy(emitted = true)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** Streaming activity streaks — the incremental twin of
     * [[graft.operators.Windows.streaks]]: per-user longest
     * consecutive-day run, updated as events arrive. State is FIVE longs

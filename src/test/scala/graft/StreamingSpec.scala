@@ -424,6 +424,44 @@ class StreamingSpec extends GraftSpecBase {
       assert(s0 == b0, s"streamed EMA diverged: $s0 vs $b0")
   }
 
+  test("streaming conversion latency equals batch win_conversion_time after two-chunk replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def micros(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val evs = eventRows()
+      .map(r => EventStreams.PathEv(r._1, r._2, r._3, r._4))
+      .sortBy(e => (micros(e.ts), e.event_id))
+    val input = MemoryStream[EventStreams.PathEv]
+    val (a, b) = evs.splitAt(evs.length / 2)
+    input.addData(a)
+    val q = EventStreams.conversions(input.toDS())
+      .writeStream.format("memory").queryName("conv_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    val obs = spark.table("conv_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(obs.map(_._1).distinct.length == obs.length, "one latency per converting user")
+    // downstream band rollup = the batch operator's CASE cuts + exact mean
+    def bandOf(l: Long): (Int, String) =
+      if (l < 3600L) (1, "lt_1h") else if (l < 86400L) (2, "lt_1d")
+      else if (l < 604800L) (3, "lt_7d") else (4, "ge_7d")
+    val streamed = obs.groupBy(o => bandOf(o._2)).map { case ((ord, band), xs) =>
+      val lats = xs.map(_._2)
+      val avg = BigDecimal(lats.sum.toDouble / lats.length)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (ord, band, lats.length.toLong, avg, lats.min, lats.max)
+    }.toSeq.sortBy(_._1)
+    val batch = graft.operators.Windows.conversionTime(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(streamed == batch,
+      s"streamed conversion bands diverged:\n stream=$streamed\n batch=$batch")
+  }
+
   test("streaming path census equals batch win_paths after ordered two-chunk replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
