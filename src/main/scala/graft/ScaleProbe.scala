@@ -115,7 +115,7 @@ object ScaleProbe {
       evMarker.createNewFile()
     }
 
-    import graft.operators.{CorpusOps, Dedup, Graph, TextAnalysis}
+    import graft.operators.{CorpusOps, Dedup, Graph, TextAnalysis, Training}
     val probes: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
       "dedup_exact" -> (Dedup.exact _),
       "text_quality" -> (TextAnalysis.quality _),
@@ -153,7 +153,13 @@ object ScaleProbe {
       // should track the row count, never the user count superlinearly
       "corpus_pack" -> (CorpusOps.corpusPack _),
       "win_paths" -> (graft.operators.Windows.paths _),
-      "ts_twap" -> (graft.operators.Windows.twap _))
+      "ts_twap" -> (graft.operators.Windows.twap _),
+      // the trainable-artifact trio: tokenize is a narrow native map,
+      // pack is explode + one seq shuffle over the two-phase prefix —
+      // both should read linear with a visible fixed floor
+      "text_tokenize_ids" -> (Training.tokenizeIds _),
+      "corpus_pack_rows" -> (Training.packRows _),
+      "train_pack_ids" -> (Training.packIds _))
 
     def time(dir: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {

@@ -24,12 +24,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics (pinned by TrainingSpec's plain-Scala reference tokenizer
   * and the unicode kernel fuzz): split on single spaces, empties
-  * dropped; symbols are UTF-16 chars (astral code points enter as two
-  * surrogate-half symbols, matching the reference); each merge applies
-  * greedily left-to-right in rank order; a 1-char symbol's id is
-  * `codePointAt(0)`, a merged symbol's id is 0x110000 + the LOWEST rank
-  * producing that text, an unknown multi-char symbol (impossible from a
-  * well-formed table) is NULL. NULL text → empty array, never NULL.
+  * dropped; symbols are CODE POINTS — the same expansion
+  * [[graft.operators.TextAnalysis.bpeTrain]]'s `substring(w, i, 1)`
+  * builds on the FIT side, so a merge learned from astral text (one
+  * 😀 symbol, two UTF-16 chars) finds the identical symbol here and
+  * fires (a UTF-16-char split would leave every such merge permanently
+  * inert — fit/apply consistency is the whole contract); each merge
+  * applies greedily left-to-right in rank order; a single-code-point
+  * symbol's id is its code point, a merged symbol's id is 0x110000 +
+  * the LOWEST rank producing that text, an unknown multi-code-point
+  * symbol (impossible from a well-formed table) is NULL. NULL text →
+  * empty array, never NULL.
   */
 case class BpeIds(text: Expression, lefts: Expression, rights: Expression, ranks: Expression)
     extends Expression {
@@ -104,14 +109,13 @@ object BpeIds {
     require(lefts.length == rights.length && lefts.length == ranks.length,
       s"merge table arrays disagree: ${lefts.length}/${rights.length}/${ranks.length}")
     val merged: Array[String] = Array.tabulate(lefts.length)(i => lefts(i) + rights(i))
+    /** merge application order = rank order */
+    val order: Array[Int] = ranks.indices.sortBy(ranks(_)).toArray
     val ids: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer]()
-      val order = ranks.indices.sortBy(ranks(_))
       for (i <- order) if (!m.containsKey(merged(i))) m.put(merged(i), 0x110000 + ranks(i))
       m
     }
-    /** merge application order = rank order */
-    val order: Array[Int] = ranks.indices.sortBy(ranks(_)).toArray
   }
 
   /** One-pass tokenize; see the expression scaladoc for the contract. */
@@ -137,10 +141,18 @@ object BpeIds {
       until: Int,
       t: Table,
       out: java.util.ArrayList[Any]): Unit = {
-    var syms = new Array[String](until - from)
+    // code-point symbols (an astral char is ONE symbol of two UTF-16
+    // chars) — the fit side's substring() expansion, see class doc
+    var len = 0
     var i = from
-    while (i < until) { syms(i - from) = String.valueOf(s.charAt(i)); i += 1 }
-    var len = syms.length
+    val syms = new Array[String](until - from)
+    while (i < until) {
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      syms(len) = s.substring(i, i + w)
+      len += 1
+      i += w
+    }
     var mi = 0
     while (mi < t.order.length) {
       val m = t.order(mi)
@@ -160,7 +172,7 @@ object BpeIds {
     var j = 0
     while (j < len) {
       val tok = syms(j)
-      if (tok.length == 1) out.add(Int.box(tok.codePointAt(0)))
+      if (tok.codePointCount(0, tok.length) == 1) out.add(Int.box(tok.codePointAt(0)))
       else out.add(t.ids.get(tok)) // null for an unknown merged text
       j += 1
     }

@@ -50,6 +50,13 @@ object VectorIndex {
     * one [[Similarity.ivfCells]] pipeline (centroid + assignment passes),
     * landed partitioned. */
   def build(s: SparkSession, dir: String, path: String): Unit = {
+    // invalidate meta FIRST (the CorpusProfile crash contract): a build
+    // clobbering a CURRENTLY-FRESH store (operational re-index, same
+    // stamp) that dies mid-write must not leave the old meta serving the
+    // half-written bodies false-fresh — meta-written-last alone only
+    // protects rebuilds that were themselves triggered by stamp drift
+    val mp = GramIndex.metaPath(path)
+    mp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(mp, false)
     val (assigned, codebook) = Similarity.ivfCells(s, dir, 16)
     graft.Sinks.ivfPartitioned(assigned, s"$path/vectors")
     // store reads must never depend on the build session's frames: the
@@ -59,9 +66,12 @@ object VectorIndex {
       .select(col("c.cell").as("cell"), col("c.cv").as("cv"), col("c.nc").as("nc"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebook")
-    // qsample stays a parallel write: at corpus scale the 1% sample is
-    // itself large (1 TB per 100 TB) — only the 16-row codebook coalesces
-    s.read.parquet(s"$path/vectors")
+    // qsample derives from the build's own assigned frame (re-reading
+    // $path/vectors here would crash on an all-gate-rejected corpus —
+    // an empty partitionBy write has no readable schema) and stays a
+    // parallel write: at corpus scale the 1% sample is itself large
+    // (1 TB per 100 TB) — only the 16-row codebook coalesces
+    assigned
       .filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("qv"), col("nq"))
       .write.mode("overwrite").parquet(s"$path/qsample")
@@ -88,23 +98,40 @@ object VectorIndex {
     // partition filter, so the vectors read prunes at the reader instead
     // of waiting on runtime pruning through the broadcast join
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted
-    val cand = s.read.parquet(s"$path/vectors").filter(col("cell").isin(cells.map(Int.box): _*))
-    Similarity.ivfRescore(cand, probes, qf)
+    if (cells.isEmpty) {
+      // all-gate-rejected corpus: the vectors body was an EMPTY
+      // partitioned write (no readable schema) — return the scan-time
+      // operator's empty frame instead of crashing on schema inference
+      import s.implicits._
+      s.emptyDataset[(Long, Long, Double, Int)]
+        .toDF("query_id", "neighbor_id", "cos_sim", "rk")
+    } else {
+      val cand =
+        s.read.parquet(s"$path/vectors").filter(col("cell").isin(cells.map(Int.box): _*))
+      Similarity.ivfRescore(cand, probes, qf)
+    }
   }
 
   /** The probe frame is consumed twice (cell literal + rescore join) —
     * stamp-cached so the second consumer reads ≤ 4·|queries| cached rows
     * instead of re-scoring the sample ([[PipelineCache]]'s contract:
-    * rebuilds when the embeddings table changes on disk). */
+    * rebuilds when the embeddings table changes on disk). The STORE PATH
+    * is folded into the tag: two stores of the same dir (a temp-path
+    * build beside the default path) must not serve each other's probe
+    * frames — the cached lineage reads path-specific qsample/codebook
+    * files, and a recompute-from-lineage after the other path is deleted
+    * would throw (the dim-in-tag rule, applied to the path axis). */
   private def ivfProbesCached(
       s: SparkSession,
       dir: String,
       path: String,
       codebook: DataFrame,
-      qf: DataFrame): DataFrame =
+      qf: DataFrame): DataFrame = {
+    val pathTag = java.lang.Integer.toHexString(path.hashCode)
     PipelineCache.cached(
-      s"ivf_store_probes_d${Similarity.embDim(s)}", s, dir, "embeddings.parquet")(
+      s"ivf_store_probes_d${Similarity.embDim(s)}_p$pathTag", s, dir, "embeddings.parquet")(
       Similarity.ivfProbes(qf, codebook))
+  }
 
   private[graft] def defaultPath(s: SparkSession, dir: String): String =
     CorpusOps.storePath(s, dir, "graft_vector_index")

@@ -206,8 +206,9 @@ class FunctionsSpec extends GraftSpecBase {
       assert(m1 == Option(MinHash64.compute(u)).map(_.toLongArray.toSeq), s"minhash nondet on: $t")
       assert(m1.forall(_.size == 64))
       // bpe kernel vs an independent per-text reference (greedy
-      // left-to-right merges over UTF-16 char symbols) — exercises
-      // surrogate pairs, space runs, empty words
+      // left-to-right merges over CODE-POINT symbols — the fit side's
+      // expansion) — exercises surrogate pairs (the 😀😀 merge genuinely
+      // fires on the emoji token), space runs, empty words
       val b1 = bpeIds(u)
       assert(b1 == bpeIds(u), s"bpe nondet on: $t")
       assert(b1 == bpeRef(t), s"bpe != reference on: $t")
@@ -221,13 +222,24 @@ class FunctionsSpec extends GraftSpecBase {
     graft.functions.BpeIds.tokenize(u, bpeFuzzTable).array.toSeq
 
   /** Independent reference of the bpe kernel's contract (TrainingSpec's
-    * refTokenize specialized to the fuzz table). */
+    * refTokenize specialized to the fuzz table): code-point symbols,
+    * greedy left-to-right merges in rank order. */
   private def bpeRef(t: String): Seq[Any] = {
     val merges = Seq((1, "a", "b"), (2, "ab", "c"), (3, "😀", "😀"), (4, "x", "x"))
     val ids = merges.groupBy { case (_, l, r) => l + r }
       .map { case (tx, ms) => (tx, 0x110000 + ms.map(_._1).min) }
+    def codePoints(w: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        out += w.substring(i, i + n)
+        i += n
+      }
+      out.result()
+    }
     Option(t).getOrElse("").split(" ", -1).toSeq.filter(_.nonEmpty).flatMap { w =>
-      var syms = w.map(_.toString).toVector
+      var syms = codePoints(w)
       for ((_, l, r) <- merges) {
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
         for (x <- syms)
@@ -237,7 +249,7 @@ class FunctionsSpec extends GraftSpecBase {
         syms = out.toVector
       }
       syms.map(tok =>
-        if (tok.length == 1) Int.box(tok.codePointAt(0))
+        if (tok.codePointCount(0, tok.length) == 1) Int.box(tok.codePointAt(0))
         else ids.get(tok).map(Int.box).orNull)
     }
   }

@@ -12,18 +12,31 @@ class TrainingSpec extends GraftSpecBase {
   /** Plain-Scala reference tokenizer: greedy left-to-right application of
     * each learned merge in rank order (the reference twin of
     * [[TextAnalysis.bpeMergePass]]), then the id scheme — code point for
-    * single-char symbols, 0x110000 + min rank for merged texts. */
+    * single-code-point symbols, 0x110000 + min rank for merged texts.
+    * Symbols are CODE POINTS (an astral char is one symbol), matching
+    * bpeTrain's substring() fit-side expansion — the fit/apply
+    * consistency contract. */
   private def refTokenize(text: String, merges: Seq[(Int, String, String)]): Vector[Int] = {
     val idsByText = merges
       .groupBy { case (_, l, r) => l + r }
       .map { case (t, ms) => (t, 0x110000 + ms.map(_._1).min) }
+    def codePoints(w: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        out += w.substring(i, i + n)
+        i += n
+      }
+      out.result()
+    }
     Option(text)
       .getOrElse("")
       .split(" ", -1)
       .toVector
       .filter(_.nonEmpty)
       .flatMap { w =>
-        var syms = w.map(_.toString).toVector
+        var syms = codePoints(w)
         for ((_, l, r) <- merges.sortBy(_._1)) {
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
           for (x <- syms)
@@ -32,7 +45,8 @@ class TrainingSpec extends GraftSpecBase {
             } else out += x
           syms = out.toVector
         }
-        syms.map(t => if (t.length == 1) t.codePointAt(0) else idsByText(t))
+        syms.map(t =>
+          if (t.codePointCount(0, t.length) == 1) t.codePointAt(0) else idsByText(t))
       }
   }
 
