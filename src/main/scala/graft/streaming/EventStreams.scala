@@ -507,6 +507,62 @@ object EventStreams {
   case class ConvState(vTs: Long, lastPreViewPurchase: Long, emitted: Boolean)
   case class ConvOut(user_id: Long, lat_s: Long)
 
+  case class TwapState(prevTs: Long, prevC: Long, nObs: Long, totalS: Long, acc: String)
+  case class TwapOut(user_id: Long, n_obs: Long, total_s: Long, twap: Double)
+
+  /** Streaming TWAP — the incremental twin of
+    * [[graft.operators.Windows.twap]]: per-user time-weighted average,
+    * each observation weighted by the exact integer seconds until the
+    * user's NEXT valid observation. The batch LEAD window becomes one
+    * subtraction against the carried previous observation: state is
+    * (prev ts µs, prev cents, n_obs, total_s, Σ c·dt as a decimal
+    * string — the accumulator the batch side holds in DECIMAL(38,0),
+    * kept exact here as a BigInt since a long could overflow on
+    * extreme-value multi-year streams). ~80 bytes/user forever.
+    *
+    * Arithmetic mirrors batch op-for-op: µs DIV 10⁶ integer weights,
+    * integer cents, ONE division at the end on identically-derived
+    * doubles, the same HALF_UP 4-dp round — so the final per-user
+    * emission is row-identical to the batch operator (spec-pinned).
+    * Emission follows the [[streaks]] convention: the group's current
+    * aggregate emits once per trigger (total_s > 0 gate = batch's
+    * HAVING), the test reads each user's LAST emission. Out-of-envelope
+    * rows (NULL/NaN/|v| > 5·10⁶) are excluded as ROWS, so the previous
+    * valid observation's interval spans across them — batch's rule. */
+  def twap(events: Dataset[Ev]): Dataset[TwapOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[Ev], state: GroupState[TwapState]) => {
+          def micros(t: Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          var st = state.getOption.getOrElse(TwapState(Long.MinValue, 0L, 0L, 0L, "0"))
+          var acc = BigInt(st.acc)
+          val live = evs
+            .filter(e => e.ts != null && !e.value.isNaN && math.abs(e.value) <= 5.0e6)
+            .toSeq
+          for (e <- live.sortBy(e => (micros(e.ts), e.event_id))) {
+            val t = micros(e.ts)
+            val c = math.floor(e.value * 100.0).toLong
+            if (st.prevTs != Long.MinValue) {
+              val dt = Math.floorDiv(t - st.prevTs, 1000000L)
+              acc += BigInt(st.prevC) * BigInt(dt)
+              st = st.copy(nObs = st.nObs + 1, totalS = st.totalS + dt)
+            }
+            st = st.copy(prevTs = t, prevC = c)
+          }
+          state.update(st.copy(acc = acc.toString))
+          if (st.totalS > 0) {
+            val tw = BigDecimal
+              .valueOf(acc.toDouble / (100.0 * st.totalS.toDouble))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble
+            Iterator(TwapOut(userId, st.nObs, st.totalS, tw))
+          } else Iterator.empty
+        })
+  }
+
   /** Streaming conversion latency — the incremental twin of
     * [[graft.operators.Windows.conversionTime]]'s per-user latency
     * derivation: first `view` to first `purchase` at-or-after it, in

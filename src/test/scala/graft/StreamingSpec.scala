@@ -424,6 +424,39 @@ class StreamingSpec extends GraftSpecBase {
       assert(s0 == b0, s"streamed EMA diverged: $s0 vs $b0")
   }
 
+  test("streaming TWAP equals batch ts_twap after ordered two-chunk replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def micros(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val evs = eventRows()
+      .map(r => EventStreams.Ev(r._1, r._2, r._3, r._5))
+      .sortBy(e => (micros(e.ts), e.event_id))
+    val input = MemoryStream[EventStreams.Ev]
+    val (a, b) = evs.splitAt(evs.length / 2)
+    input.addData(a)
+    val q = EventStreams.twap(input.toDS())
+      .writeStream.format("memory").queryName("twap_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    // last emission per user == the batch row (update-style convention)
+    val streamed = spark.table("twap_out").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .zipWithIndex
+      .groupBy(_._1._1).map { case (u, xs) => (u, xs.maxBy(_._2)._1._2) }
+      .toSeq.sortBy(_._1)
+    val batch = graft.operators.Windows.twap(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toSeq.sortBy(_._1)
+    assert(streamed.length == batch.length,
+      s"user count diverged: stream=${streamed.length} batch=${batch.length}")
+    for ((s0, b0) <- streamed.zip(batch))
+      assert(s0 == b0, s"streamed TWAP diverged: $s0 vs $b0")
+  }
+
   test("streaming conversion latency equals batch win_conversion_time after two-chunk replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
