@@ -77,6 +77,8 @@ object SparkEntry {
     "data_split" -> Seq(col("doc_id")),
     "text_boilerplate" -> Seq(col("doc_id")),
     "corpus_pack_rows" -> Seq(col("seq_id")),
+    "train_seq_bounds" -> Seq(col("seq_id"), col("start_off")),
+    "train_epoch_plan" -> Seq(col("epoch"), col("shard"), col("position")),
     // dedup (full pair/verdict frames; top-k dedup queries keep their
     // inline sort-then-limit)
     "corpus_dedup" -> Seq(col("doc_id")),

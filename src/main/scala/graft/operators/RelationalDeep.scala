@@ -459,7 +459,40 @@ object RelationalDeep {
        GROUP BY 1
        ORDER BY segment"""
 
+  /** TPC-H Q16's shape: supplier-variety census per (brand, size) with
+    * BOTH exclusion (NOT IN brand blacklist) and inclusion (IN size
+    * list) predicates pushed to the part scan, then a COUNT(DISTINCT)
+    * over the fact join — the distinct-aggregate-after-join pattern
+    * (Spark plans it as a two-phase partial/merge distinct aggregate:
+    * the shuffle carries (brand, size, suppkey) distinct triples, never
+    * raw lineitems). 140 census rows at any SF (bounded by
+    * brands × sizes); top-40 TakeOrdered cut. */
+  def q16SupplierVariety(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(!col("p_brand").isin("Brand#5", "Brand#15", "Brand#25") &&
+        col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("p_size").as("size"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supps"), count(lit(1)).as("n_lines"))
+      .orderBy(col("n_supps").desc, col("brand"), col("size"))
+      .limit(40)
+  }
+
+  val q16SupplierVarietySql: String =
+    """SELECT p_brand AS brand, p_size AS size,
+              COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_lines
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE p_brand NOT IN ('Brand#5', 'Brand#15', 'Brand#25')
+         AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+       GROUP BY 1, 2
+       ORDER BY n_supps DESC, brand, size
+       LIMIT 40"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_supplier_variety" -> (q16SupplierVariety _),
     "q7_nation_flow" -> (q7NationFlow _),
     "q8_mkt_share" -> (q8MktShare _),
     "q10_returned" -> (q10Returned _),
@@ -472,6 +505,7 @@ object RelationalDeep {
     "q22_idle_rich" -> (q22IdleRich _))
 
   val oracles: Map[String, String] = Map(
+    "q16_supplier_variety" -> q16SupplierVarietySql,
     "q7_nation_flow" -> q7NationFlowSql,
     "q8_mkt_share" -> q8MktShareSql,
     "q10_returned" -> q10ReturnedSql,

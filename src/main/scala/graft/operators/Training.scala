@@ -111,7 +111,10 @@ object Training {
     * last_doc_id, payload). Fragment offsets within one sequence are
     * strictly increasing across docs (every packed doc has ≥ 1 token),
     * so the array_sort-by-struct reassembly is total and deterministic. */
-  private def packSequences(
+  /** The fragment stage of [[packSequences]], exposed for
+    * [[seqBounds]]: one row per (doc, sequence it spans) with the
+    * fragment's global offset and payload slice. */
+  private def fragments(
       t: DataFrame,
       L: Long,
       partCols: Seq[String],
@@ -132,6 +135,13 @@ object Training {
             s"slice(__pl, CAST(greatest(seq_id * $L, __ex) - __ex + 1 AS INT), " +
               s"CAST(least((seq_id + 1) * $L, __ex + size(__pl)) - greatest(seq_id * $L, __ex) AS INT))")
             .as("frag"))): _*)
+
+  private def packSequences(
+      t: DataFrame,
+      L: Long,
+      partCols: Seq[String],
+      payload: String): DataFrame =
+    fragments(t, L, partCols, payload)
       .groupBy((partCols :+ "seq_id").map(col): _*)
       .agg(
         count(lit(1)).as("n_docs"),
@@ -265,11 +275,121 @@ object Training {
   def packedTrainingExport(s: SparkSession, dir: String, path: String): Unit =
     graft.Sinks.trainingExport(packIds(s, dir), path)
 
+  /** Document-boundary sidecar of [[packRows]] — the attention-mask /
+    * loss-mask metadata a trainer needs beside the packed payload: one
+    * row per (sequence, contributing doc fragment) with the fragment's
+    * sequence-relative start offset and token count. Derived from the
+    * SAME [[fragments]] stage [[packRows]] aggregates (one code path —
+    * the two views cannot drift), same whitespace-token contract.
+    * Oracle-exact against DuckDB's sequential global-numbering
+    * definition; within a sequence, offsets tile [0, seq length)
+    * gaplessly (spec).
+    *
+    * Scale shape: the two-phase prefix sum + one explode, NO shuffle at
+    * all after the prefix (fragment rows are emitted where the doc
+    * lives); output ∝ tokens/L + docs. */
+  def seqBounds(s: SparkSession, dir: String): DataFrame = {
+    val L = CorpusOps.packSeqLen(s)
+    val t = Tables
+      .documents(s, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    fragments(CorpusOps.exclusivePrefix(s, t, "doc_id", "n_tokens"), L, Nil, "toks")
+      .select(
+        col("seq_id"),
+        col("doc_id"),
+        (col("g_off") - col("seq_id") * L).as("start_off"),
+        size(col("frag")).cast("long").as("n_toks"))
+  }
+
+  val seqBoundsSql: String =
+    """WITH t AS (
+         SELECT doc_id, len(string_split(text, ' ')) AS n
+         FROM documents WHERE LENGTH(TRIM(text)) > 0),
+       c AS (
+         SELECT doc_id, n,
+                COALESCE(SUM(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ex
+         FROM t),
+       f AS (SELECT doc_id, ex, n,
+                    UNNEST(generate_series(CAST(ex // 2048 AS BIGINT),
+                                           CAST((ex + n - 1) // 2048 AS BIGINT))) AS seq_id
+             FROM c)
+       SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+              CAST(GREATEST(seq_id * 2048, ex) - seq_id * 2048 AS BIGINT) AS start_off,
+              CAST(LEAST((seq_id + 1) * 2048, ex + n) - GREATEST(seq_id * 2048, ex) AS BIGINT)
+                AS n_toks
+       FROM f
+       ORDER BY seq_id, start_off"""
+
+  /** Deterministic EPOCH SHUFFLE PLAN over the packed sequences — the
+    * data-loader side of training: each (epoch, sequence) pair is
+    * assigned a shard and a position by a content-free md5 permutation
+    * (key = md5('ep<epoch>:<seq_id>')), so every worker can compute its
+    * own read order with zero coordination and any run is exactly
+    * reproducible. Two epochs × 8 shards here (the shape is the
+    * contract; a deployment parameterizes both).
+    *
+    * Determinism discipline: shard = leading-hex-band CASE (the
+    * [[CorpusOps.splitLabel]] move — hex is lexicographic in both
+    * engines), position = EXACT rank of the md5 key within
+    * (epoch, shard) via [[Scale.globalRank]]'s two-phase ranker — a
+    * plain per-shard `row_number` window would put corpus/8 rows
+    * through ONE task's sort at 100 TB; the bucketed ranker keeps the
+    * sort range-partitioned (bucketOn = the key's leading 15 hex chars
+    * as a long, monotone in the full-key order). */
+  def epochPlan(s: SparkSession, dir: String): DataFrame = {
+    val seqs = packRows(s, dir).select(col("seq_id"))
+    val h = md5(concat(lit("ep"), col("epoch").cast("string"), lit(":"),
+      col("seq_id").cast("string")))
+    val shard = (0 until 7).foldLeft(when(lit(false), lit(-1))) { (acc, i) =>
+      acc.when(col("h") < lit(java.lang.Integer.toHexString(2 * i + 2)), lit(i))
+    }.otherwise(lit(7))
+    val keyed = seqs
+      .select(col("seq_id"), explode(sequence(lit(0), lit(1))).as("epoch"))
+      .withColumn("h", h)
+      .withColumn("shard", shard)
+      .withColumn("hnum", expr("CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT)"))
+    Scale
+      .globalRank(keyed, Seq("epoch", "shard"), col("hnum"), Seq(col("h"), col("seq_id")))
+      .select(
+        col("epoch").cast("long").as("epoch"),
+        col("shard").cast("long").as("shard"),
+        col("__rn").as("position"),
+        col("seq_id"))
+  }
+
+  val epochPlanSql: String =
+    """WITH t AS (
+         SELECT len(string_split(text, ' ')) AS n
+         FROM documents WHERE LENGTH(TRIM(text)) > 0),
+       tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM t),
+       seqs AS (SELECT UNNEST(range(0, (total + 2047) // 2048)) AS seq_id FROM tot),
+       e AS (SELECT seq_id, UNNEST(range(0, 2)) AS epoch FROM seqs),
+       k AS (SELECT epoch, seq_id,
+                    md5('ep' || epoch || ':' || seq_id) AS h
+             FROM e),
+       sh AS (SELECT epoch, seq_id, h,
+                     CASE WHEN h < '2' THEN 0 WHEN h < '4' THEN 1 WHEN h < '6' THEN 2
+                          WHEN h < '8' THEN 3 WHEN h < 'a' THEN 4 WHEN h < 'c' THEN 5
+                          WHEN h < 'e' THEN 6 ELSE 7 END AS shard
+              FROM k)
+       SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+              ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY h, seq_id) AS position,
+              seq_id
+       FROM sh
+       ORDER BY epoch, shard, position"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "train_seq_bounds" -> (seqBounds _),
+    "train_epoch_plan" -> (epochPlan _),
     "text_tokenize_ids" -> (tokenizeIds _),
     "corpus_pack_rows" -> (packRows _),
     "train_pack_ids" -> (packIds _))
 
   val oracles: Map[String, String] = Map(
+    "train_seq_bounds" -> seqBoundsSql,
+    "train_epoch_plan" -> epochPlanSql,
     "corpus_pack_rows" -> packRowsSql)
 }

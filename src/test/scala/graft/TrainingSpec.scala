@@ -158,6 +158,45 @@ class TrainingSpec extends GraftSpecBase {
     } finally spark.conf.unset("spark.graft.corpus.packSeqLen")
   }
 
+  test("seqBounds: fragments tile every sequence gaplessly and agree with packRows") {
+    val bounds = Training.seqBounds(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rows = Training.packRows(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // seq_id, n_tokens, n_docs
+      .sortBy(_._1)
+    val bySeq = bounds.groupBy(_._1)
+    assert(bySeq.keySet == rows.map(_._1).toSet, "same sequence set as packRows")
+    for ((sid, nTok, nDocs) <- rows) {
+      val fr = bySeq(sid).sortBy(_._3)
+      assert(fr.length.toLong == nDocs, s"seq $sid: fragment count != packRows n_docs")
+      assert(fr.map(_._4).sum == nTok, s"seq $sid: fragment tokens != packRows n_tokens")
+      // gapless within-sequence tiling from offset 0
+      var off = 0L
+      for ((_, _, startOff, n) <- fr) {
+        assert(startOff == off, s"seq $sid: gap at $off (fragment starts $startOff)")
+        off += n
+      }
+    }
+  }
+
+  test("epochPlan: each epoch is a dense-per-shard permutation of the sequence set") {
+    val plan = Training.epochPlan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val seqIds = Training.packRows(spark, sfDir).collect().map(_.getLong(0)).toSet
+    for (ep <- Seq(0L, 1L)) {
+      val rows = plan.filter(_._1 == ep)
+      assert(rows.map(_._4).toSet == seqIds, s"epoch $ep must cover every sequence once")
+      assert(rows.length == seqIds.size)
+      for ((sh, xs) <- rows.groupBy(_._2))
+        assert(xs.map(_._3).sorted.toSeq == (1L to xs.length).toSeq,
+          s"epoch $ep shard $sh positions not dense from 1")
+    }
+    // the two epochs genuinely differ (the permutation is epoch-keyed)
+    val order0 = plan.filter(_._1 == 0L).sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    val order1 = plan.filter(_._1 == 1L).sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    assert(order0 != order1, "epoch permutations must differ")
+  }
+
   test("packedTrainingExport lands split-partitioned and a train read prunes") {
     val dir = Files.createTempDirectory("graft_train").toString
     Training.packedTrainingExport(spark, sfDir, s"$dir/export")
