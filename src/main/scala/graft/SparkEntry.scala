@@ -77,6 +77,7 @@ object SparkEntry {
     "data_split" -> Seq(col("doc_id")),
     "text_boilerplate" -> Seq(col("doc_id")),
     "corpus_pack_rows" -> Seq(col("seq_id")),
+    "emb_pq" -> Seq(col("vec_id")),
     "train_seq_bounds" -> Seq(col("seq_id"), col("start_off")),
     "train_epoch_plan" -> Seq(col("epoch"), col("shard"), col("position")),
     // dedup (full pair/verdict frames; top-k dedup queries keep their

@@ -65,7 +65,7 @@ object Similarity {
     * not crashed on. Every oracle mirrors the same predicate via the
     * interpolated [[embPrelude]] (a no-op on the driver's clean
     * tables). */
-  private[operators] def quantizedEmbeddings(s: SparkSession, dir: String): DataFrame =
+  private[graft] def quantizedEmbeddings(s: SparkSession, dir: String): DataFrame =
     gateQuantize(Tables.embeddings(s, dir), embDim(s))
 
   /** The gate + quantize pipeline on an arbitrary (vec_id, embedding,
@@ -1016,7 +1016,102 @@ object Similarity {
        FROM f
        ORDER BY label NULLS FIRST"""
 
+  /** Product quantization — the memory-bound vector-compression scale
+    * path beyond [[embQuantize]]'s int8: the 64-dim vector splits into 8
+    * subspaces of 8 dims, each subspace gets its own 16-cell codebook
+    * (so a vector stores 8 four-bit codes — 4 bytes vs 256 of floats, a
+    * 64× compression with per-subspace fidelity), and the output is each
+    * vector's code word plus its exact-shape quantization error.
+    *
+    * Construction mirrors [[annIvf]]'s cell discipline per subspace:
+    * deterministic `vec_id % 16` seed partition, centroids as INTEGER
+    * (sum-vector, count) pairs via `graft_vec_sum`, assignment by the
+    * SAME [[lloydD]] L2 expression and [[argminBest]] tie rule
+    * (lower cid) that [[embKmeans]] proved cross-engine — so the DuckDB
+    * oracle replays codes AND the error bit-for-bit. The per-vector
+    * error is the FIXED-ORDER sum d0+…+d7 of per-subspace distances
+    * (never a float aggregation — the [[TextAnalysis.search]] rule).
+    *
+    * Scale shape: one 8× slim-row explode (vec_id, sub_id, 8 ints), one
+    * map-side-combined (sub_id, cid) aggregate to 128 centroid rows,
+    * the 128-row codebook broadcast into a narrow argmin, one final
+    * groupBy(vec_id) pivot — no corpus-sized join, no window. */
+  def embPq(s: SparkSession, dir: String): DataFrame = {
+    val dim = embDim(s)
+    require(dim % 8 == 0, s"emb_pq needs dim % 8 == 0, got $dim")
+    val sd = dim / 8
+    val sub = quantized(s, dir)
+      .select(
+        col("vec_id"),
+        explode(expr(
+          s"transform(sequence(0, 7), j -> struct(j AS sub_id, slice(qv, j * $sd + 1, $sd) AS sq))"))
+          .as("e"))
+      .select(col("vec_id"), col("e.sub_id").as("sub_id"), col("e.sq").as("qv"))
+      .withColumn("nq", selfDot(col("qv")))
+    val cents = sub
+      .groupBy(col("sub_id"), (col("vec_id") % 16).cast("int").as("cid"))
+      .agg(call_function("graft_vec_sum", col("qv")).as("sv"), count(lit(1)).as("c"))
+      .filter(assertCentroidExact(col("sv"), "PQ centroid"))
+    val cb = cents
+      .groupBy("sub_id")
+      .agg(collect_list(struct(col("cid"), col("sv"), col("c"), selfDot(col("sv")).as("ns")))
+        .as("cb"))
+    val assigned = sub
+      .join(broadcast(cb), "sub_id")
+      .withColumn("best", argminBest(col("cb")))
+      .select(col("vec_id"), col("sub_id"), col("best.cid").as("cid"), col("best.d").as("d"))
+    val codes = (0 until 8).map(j => max(when(col("sub_id") === j, col("cid"))).as(s"c$j"))
+    val dists = (0 until 8).map(j => max(when(col("sub_id") === j, col("d"))).as(s"__d$j"))
+    val aggs = codes ++ dists
+    assigned
+      .groupBy("vec_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("q_err", round((0 until 8).map(j => col(s"__d$j")).reduce(_ + _), 4))
+      .select((col("vec_id") +: (0 until 8).map(j => col(s"c$j"))) :+ col("q_err"): _*)
+  }
+
+  /** Exact SQL replay of [[embPq]]: same subspace slices, same seed
+    * cells, same integer centroid sums, same distance/tie rule, same
+    * fixed-order error sum. */
+  val embPqSql: String = {
+    val sd = EmbDimDefault / 8
+    val codeCols = (0 until 8)
+      .map(j => s"MAX(CASE WHEN sub_id = $j THEN cid END) AS c$j")
+      .mkString(",\n              ")
+    val errSum = (0 until 8)
+      .map(j => s"MAX(CASE WHEN sub_id = $j THEN d END)")
+      .mkString(" + ")
+    s"""WITH $embPrelude,
+       sub AS (
+         SELECT vec_id, CAST(t.j AS INT) AS sub_id,
+                list_slice(qv, t.j * $sd + 1, t.j * $sd + $sd) AS sq
+         FROM n, UNNEST(range(0, 8)) AS t(j)),
+       subn AS (SELECT vec_id, sub_id, sq, list_dot_product(sq, sq) AS nsq FROM sub),
+       ce AS (SELECT sub_id, CAST(vec_id % 16 AS INT) AS cid, u.i, SUM(sq[u.i]) AS sx
+              FROM subn, UNNEST(range(1, $sd + 1)) AS u(i)
+              GROUP BY 1, 2, 3),
+       cs AS (SELECT sub_id, cid, LIST(sx ORDER BY i) AS sv FROM ce GROUP BY 1, 2),
+       cm AS (SELECT sub_id, CAST(vec_id % 16 AS INT) AS cid, COUNT(*) AS c
+              FROM subn GROUP BY 1, 2),
+       cb AS (SELECT sub_id, cid, sv, c, list_dot_product(sv, sv) AS ns
+              FROM cs JOIN cm USING (sub_id, cid)),
+       d AS (SELECT subn.vec_id, subn.sub_id, cb.cid,
+                    CAST(subn.nsq AS DOUBLE)
+                      - 2.0 * list_dot_product(subn.sq, cb.sv) / CAST(cb.c AS DOUBLE)
+                      + CAST(cb.ns AS DOUBLE) / CAST(cb.c * cb.c AS DOUBLE) AS d
+             FROM subn JOIN cb USING (sub_id)),
+       a AS (SELECT vec_id, sub_id, cid, d FROM (
+               SELECT vec_id, sub_id, cid, d,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id ORDER BY d, cid) AS rn
+               FROM d) WHERE rn = 1)
+       SELECT vec_id,
+              $codeCols,
+              ROUND($errSum, 4) AS q_err
+       FROM a GROUP BY vec_id ORDER BY vec_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pq" -> (embPq _),
     "emb_drift" -> (drift _),
     "ann_brute_topk" -> (annBrute _),
     "ann_filtered_topk" -> (annFiltered _),
@@ -1028,6 +1123,7 @@ object Similarity {
     "emb_kmeans" -> (embKmeans _))
 
   val oracles: Map[String, String] = Map(
+    "emb_pq" -> embPqSql,
     "emb_drift" -> driftSql,
     "ann_brute_topk" -> annBruteSql,
     "ann_filtered_topk" -> annFilteredSql,

@@ -446,6 +446,42 @@ class PipelineOpsSpec extends GraftSpecBase {
     } finally spark.conf.unset("spark.graft.emb.kmeansK")
   }
 
+  test("pq: every gated vector gets 8 in-range codes; errors nonneg; codes beat random") {
+    val rows = Similarity.embPq(spark, sfDir).collect()
+    val gated = Similarity.quantizedEmbeddings(spark, sfDir).count()
+    assert(rows.length.toLong == gated, "one code word per gated vector")
+    for (r <- rows; j <- 1 to 8) {
+      val c = r.getInt(j)
+      assert(c >= 0 && c < 16, s"vec ${r.getLong(0)}: code ${j - 1} out of range: $c")
+    }
+    // float distance sums can dip a hair under zero; anything beyond
+    // epsilon means the argmin picked a non-minimal cell
+    assert(rows.forall(_.getDouble(9) >= -1e-6), "negative quantization error")
+    // the codebook genuinely fits the data: mean error under the argmin
+    // assignment must beat assigning every vector to cell 0
+    val subDim = 8
+    val vecs = Similarity.quantizedEmbeddings(spark, sfDir)
+      .select(col("vec_id"), col("qv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    // brute per-subspace cell-0 reference error from raw integer sums
+    val cells = vecs.toSeq.groupBy(_._1 % 16)
+    val zeroMembers = cells(0L).map(_._2)
+    def subSlice(v: Array[Long], j: Int) = v.slice(j * subDim, (j + 1) * subDim)
+    val zeroErrById = vecs.map { case (id, v) =>
+      id -> (0 until 8).map { j =>
+        val s = subSlice(v, j)
+        val sum = zeroMembers.map(subSlice(_, j)).transpose.map(_.sum)
+        val c = zeroMembers.length.toDouble
+        s.map(x => x.toDouble * x).sum - 2.0 * s.zip(sum).map { case (x, sv) => x * sv }.sum / c +
+          sum.map(x => x.toDouble * x).sum / (c * c)
+      }.sum
+    }
+    val meanArgmin = rows.map(_.getDouble(9)).sum / rows.length
+    val meanZero = rows.map(r => zeroErrById(r.getLong(0))).sum / rows.length
+    assert(meanArgmin <= meanZero + 1e-9,
+      s"argmin codes ($meanArgmin) must not lose to constant cell 0 ($meanZero)")
+  }
+
   test("lm score: negative mean log-likelihood, token count agrees with text_stats") {
     val lm = TextAnalysis.lmScore(spark, sfDir).cache()
     // every unigram probability < 1 => every mean log-likelihood < 0
