@@ -121,7 +121,8 @@ object Bench {
         "dedup_ngram_jaccard", "dedup_survivorship", "graph_pagerank",
         "graph_triangles", "text_edit_sim"),
       "minhash" -> Seq("corpus_dedup", "dedup_minhash"),
-      "bpe_merge_table" -> Seq("text_tokenize_ids", "train_pack_ids"))
+      "bpe_merge_table" -> Seq("text_tokenize_ids", "train_pack_ids"),
+      "ivf_qsample" -> Seq("ann_ivf_topk", "ann_pq_topk"))
       .map { case (tag, qs) =>
         s"\"$tag\":" + qs.filter(SparkEntry.queries.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
       }
