@@ -414,7 +414,6 @@ object Similarity {
 
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val k = 16
-    val corpus = quantized(s, dir)
     val (assigned, codebook) = ivfCells(s, dir, k)
     // ONE query frame feeds both the probe list and the rescoring vectors
     // (they were two independent corpus scans before — four total with the
@@ -1042,20 +1041,23 @@ object Similarity {
     * map-side-combined (sub_id, cid) aggregate to 128 centroid rows,
     * the 128-row codebook broadcast into a narrow argmin, one final
     * groupBy(vec_id) pivot — no corpus-sized join, no window. */
-  /** Subspace decomposition of the gated corpus: one slim row per
-    * (vector, subspace) with the 8-int slice as (qv, nq). */
-  private def pqSub(s: SparkSession, dir: String): DataFrame = {
-    val dim = embDim(s)
-    require(dim % 8 == 0, s"emb_pq needs dim % 8 == 0, got $dim")
-    val sd = dim / 8
-    quantized(s, dir)
-      .select(
-        col("vec_id"),
+  /** One slim row per (id, subspace) with the 8-int slice as (qv, nq) —
+    * ONE slicing definition for the corpus ([[pqSub]]) and the query
+    * sample ([[annPq]]'s table build), so the two sides cannot drift. */
+  private def subspaceRows(df: DataFrame, idCol: String, sd: Int): DataFrame =
+    df.select(
+        col(idCol),
         explode(expr(
           s"transform(sequence(0, 7), j -> struct(j AS sub_id, slice(qv, j * $sd + 1, $sd) AS sq))"))
           .as("e"))
-      .select(col("vec_id"), col("e.sub_id").as("sub_id"), col("e.sq").as("qv"))
+      .select(col(idCol), col("e.sub_id").as("sub_id"), col("e.sq").as("qv"))
       .withColumn("nq", selfDot(col("qv")))
+
+  /** Subspace decomposition of the gated corpus. */
+  private def pqSub(s: SparkSession, dir: String): DataFrame = {
+    val dim = embDim(s)
+    require(dim % 8 == 0, s"emb_pq needs dim % 8 == 0, got $dim")
+    subspaceRows(quantized(s, dir), "vec_id", dim / 8)
   }
 
   /** Per-subspace 16-cell centroid frame (sub_id, cid, sv, c, ns). */
@@ -1078,9 +1080,23 @@ object Similarity {
       .select(col("vec_id"), col("sub_id"), col("best.cid").as("cid"), col("best.d").as("d"))
   }
 
+  /** Stamp-cached (centroids, assignment) pair: the 128-row codebook and
+    * the slim corpus code frame are derived ONCE per source stamp and
+    * shared by [[embPq]] and [[annPq]] (the kmCorpus precedent — without
+    * it each consumer re-ran the embeddings scan + 8× explode, and
+    * [[annPq]] alone scanned it twice through the centroid and
+    * assignment branches). Bench discloses the pair under `shared_cache`. */
+  private def pqFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val cents = PipelineCache.cached(s"pq_cents_d${embDim(s)}", s, dir, "embeddings.parquet")(
+      pqCentroids(pqSub(s, dir)))
+    val assigned =
+      PipelineCache.cached(s"pq_assigned_d${embDim(s)}", s, dir, "embeddings.parquet")(
+        pqAssigned(pqSub(s, dir), cents))
+    (cents, assigned)
+  }
+
   def embPq(s: SparkSession, dir: String): DataFrame = {
-    val sub = pqSub(s, dir)
-    val assigned = pqAssigned(sub, pqCentroids(sub))
+    val (_, assigned) = pqFrames(s, dir)
     val codes = (0 until 8).map(j => max(when(col("sub_id") === j, col("cid"))).as(s"c$j"))
     val dists = (0 until 8).map(j => max(when(col("sub_id") === j, col("d"))).as(s"__d$j"))
     val aggs = codes ++ dists
@@ -1162,31 +1178,21 @@ object Similarity {
   def annPq(s: SparkSession, dir: String): DataFrame = {
     val dim = embDim(s)
     val sd = dim / 8
-    val sub = pqSub(s, dir)
-    val cents = pqCentroids(sub)
-    val assigned = pqAssigned(sub, cents)
+    val (cents, assigned) = pqFrames(s, dir)
     val codes = {
       val cs = (0 until 8).map(j => max(when(col("sub_id") === j, col("cid"))).as(s"c$j"))
       assigned.groupBy("vec_id").agg(cs.head, cs.tail: _*)
     }
-    val qsub = querySample(s, dir)
-      .select(
-        col("query_id"),
-        explode(expr(
-          s"transform(sequence(0, 7), j -> struct(j AS sub_id, slice(qv, j * $sd + 1, $sd) AS sq))"))
-          .as("e"))
-      .select(col("query_id"), col("e.sub_id").as("sub_id"), col("e.sq").as("sq"))
-      .withColumn("nsq", selfDot(col("sq")))
-    // per-(query, subspace, cell) distance — the SAME lloydD shape the
-    // assignment used, so query- and candidate-side doubles line up
+    val qsub = subspaceRows(querySample(s, dir), "query_id", sd)
+    // per-(query, subspace, cell) distance — literally the assignment's
+    // own [[lloydD]] over a centroid struct (parity structural: a lloydD
+    // edit changes query- and candidate-side doubles TOGETHER)
     val dtab = qsub
       .join(broadcast(cents), "sub_id")
       .select(
         col("query_id"),
         (col("sub_id") * 16 + col("cid")).as("k"),
-        (col("nsq").cast("double") -
-          lit(2.0) * dot(col("sq"), col("sv")).cast("double") / col("c").cast("double") +
-          col("ns").cast("double") / (col("c") * col("c")).cast("double")).as("d"))
+        lloydD(struct(col("sv"), col("c"), col("ns"))).as("d"))
       .groupBy("query_id")
       .agg(map_from_entries(collect_list(struct(col("k"), col("d")))).as("dt"))
     val adist = (0 until 8)

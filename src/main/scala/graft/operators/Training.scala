@@ -351,8 +351,15 @@ object Training {
       .withColumn("h", h)
       .withColumn("shard", shard)
       .withColumn("hnum", expr("CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT)"))
+    // bounds are a LITERAL frame: hnum is a 15-hex-char md5 prefix whose
+    // range is statically [0, 16^15) — deriving bounds from `keyed` would
+    // re-execute the whole packRows lineage a second time just to learn
+    // a range we already know (the ntileQuartiles boundsOf lesson)
+    import s.implicits._
+    val hnumBounds = Seq(0L, (1L << 60) - 1).toDF("hnum")
     Scale
-      .globalRank(keyed, Seq("epoch", "shard"), col("hnum"), Seq(col("h"), col("seq_id")))
+      .globalRank(keyed, Seq("epoch", "shard"), col("hnum"), Seq(col("h"), col("seq_id")),
+        boundsOf = Some(hnumBounds))
       .select(
         col("epoch").cast("long").as("epoch"),
         col("shard").cast("long").as("shard"),

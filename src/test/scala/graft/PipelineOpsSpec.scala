@@ -463,17 +463,22 @@ class PipelineOpsSpec extends GraftSpecBase {
     val vecs = Similarity.quantizedEmbeddings(spark, sfDir)
       .select(col("vec_id"), col("qv")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-    // brute per-subspace cell-0 reference error from raw integer sums
+    // brute per-subspace cell-0 reference error from raw integer sums;
+    // the per-subspace cell-0 sums depend only on j — hoisted out of the
+    // per-vector loop (inline they made the reference quadratic)
     val cells = vecs.toSeq.groupBy(_._1 % 16)
+    assert(cells.contains(0L), "fixture has no vec_id % 16 == 0 seed member for cell 0")
     val zeroMembers = cells(0L).map(_._2)
     def subSlice(v: Array[Long], j: Int) = v.slice(j * subDim, (j + 1) * subDim)
+    val zeroSums = (0 until 8).map(j => zeroMembers.map(subSlice(_, j)).transpose.map(_.sum))
+    val zeroNs = zeroSums.map(_.map(x => x.toDouble * x).sum)
     val zeroErrById = vecs.map { case (id, v) =>
       id -> (0 until 8).map { j =>
         val s = subSlice(v, j)
-        val sum = zeroMembers.map(subSlice(_, j)).transpose.map(_.sum)
         val c = zeroMembers.length.toDouble
-        s.map(x => x.toDouble * x).sum - 2.0 * s.zip(sum).map { case (x, sv) => x * sv }.sum / c +
-          sum.map(x => x.toDouble * x).sum / (c * c)
+        s.map(x => x.toDouble * x).sum -
+          2.0 * s.zip(zeroSums(j)).map { case (x, sv) => x * sv }.sum / c +
+          zeroNs(j) / (c * c)
       }.sum
     }
     val meanArgmin = rows.map(_.getDouble(9)).sum / rows.length
