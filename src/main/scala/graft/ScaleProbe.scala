@@ -114,6 +114,30 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
       evMarker.createNewFile()
     }
+    // embeddings-side synthesis (third marker, same reasoning): N×
+    // vectors, each copy's components ROTATED by k positions — the
+    // Caesar move for vectors: norms and per-component distributions
+    // are preserved (the validity gate admits exactly the same rows)
+    // while copies decorrelate, so the near-dup rate stays the source's
+    // instead of every vector gaining N-1 exact twins (which would
+    // inflate the pair ops quadratically IN THE DATA and flatter
+    // nothing). factor ≤ dim keeps rotations distinct.
+    val embMarker = new java.io.File(s"$bigDir/_built_embeddings")
+    if (!embMarker.exists()) {
+      val em = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      assertIdEnvelope(em, "vec_id", 100000000L)
+      val emCopies = (0 until factor).map { k =>
+        em.select(
+          (col("vec_id") + lit(k.toLong * 100000000L)).as("vec_id"),
+          concat(
+            expr(s"slice(embedding, ${k + 1}, size(embedding) - $k)"),
+            expr(s"slice(embedding, 1, $k)")).as("embedding"),
+          col("label"))
+      }
+      emCopies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+      embMarker.createNewFile()
+    }
 
     import graft.operators.{CorpusOps, Dedup, Graph, TextAnalysis, Training}
     val probes: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
@@ -159,7 +183,16 @@ object ScaleProbe {
       // both should read linear with a visible fixed floor
       "text_tokenize_ids" -> (Training.tokenizeIds _),
       "corpus_pack_rows" -> (Training.packRows _),
-      "train_pack_ids" -> (Training.packIds _))
+      "train_pack_ids" -> (Training.packIds _),
+      // similarity family (embeddings synthesis): PQ coding is a narrow
+      // map + 128-row broadcast (expect linear); IVF near-dup pairing is
+      // the cell-bounded quadratic-risk shape; LSH is bucket-bounded.
+      // ann_brute/ann_pq are deliberately NOT probed: their driver
+      // queries score |queries|×|corpus| with queries ∝ corpus — the
+      // declared oracle-anchor / compose-with-cell-pruning exceptions.
+      "emb_pq" -> (graft.operators.Similarity.embPq _),
+      "dedup_embedding_ivf" -> (graft.operators.Similarity.ivfDedup _),
+      "ann_lsh_topk" -> (graft.operators.Similarity.annLsh _))
 
     def time(dir: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {
