@@ -1175,19 +1175,18 @@ object Similarity {
     * from the same exact integers via the same float expression in both
     * engines; the fixed-order 8-term sum makes `adist` bit-equal, so
     * ranking (ties to lower vec_id) replays exactly. */
-  def annPq(s: SparkSession, dir: String): DataFrame = {
-    val dim = embDim(s)
-    val sd = dim / 8
-    val (cents, assigned) = pqFrames(s, dir)
-    val codes = {
-      val cs = (0 until 8).map(j => max(when(col("sub_id") === j, col("cid"))).as(s"c$j"))
-      assigned.groupBy("vec_id").agg(cs.head, cs.tail: _*)
-    }
-    val qsub = subspaceRows(querySample(s, dir), "query_id", sd)
-    // per-(query, subspace, cell) distance — literally the assignment's
-    // own [[lloydD]] over a centroid struct (parity structural: a lloydD
-    // edit changes query- and candidate-side doubles TOGETHER)
-    val dtab = qsub
+  /** Code-word pivot of the assignment frame: (vec_id, c0..c7). */
+  private def pqCodes(assigned: DataFrame): DataFrame = {
+    val cs = (0 until 8).map(j => max(when(col("sub_id") === j, col("cid"))).as(s"c$j"))
+    assigned.groupBy("vec_id").agg(cs.head, cs.tail: _*)
+  }
+
+  /** Per-query ADC distance tables: (query_id, dt: map[(sub·16+cid) → d])
+    * — literally the assignment's own [[lloydD]] over a centroid struct
+    * (parity structural: a lloydD edit changes query- and candidate-side
+    * doubles TOGETHER). */
+  private def pqQueryTables(s: SparkSession, dir: String, cents: DataFrame): DataFrame =
+    subspaceRows(querySample(s, dir), "query_id", embDim(s) / 8)
       .join(broadcast(cents), "sub_id")
       .select(
         col("query_id"),
@@ -1195,12 +1194,17 @@ object Similarity {
         lloydD(struct(col("sv"), col("c"), col("ns"))).as("d"))
       .groupBy("query_id")
       .agg(map_from_entries(collect_list(struct(col("k"), col("d")))).as("dt"))
+
+  /** ADC score-and-rank over a candidate code frame carrying
+    * (query_id, vec_id, c0..c7, dt): the fixed-order 8-lookup sum and
+    * the (adist, vec_id) top-5 cut, shared by [[annPq]] and
+    * [[annIvfPq]]. */
+  private def pqRank(cand: DataFrame): DataFrame = {
     val adist = (0 until 8)
       .map(j => element_at(col("dt"), lit(j * 16) + col(s"c$j")))
       .reduce(_ + _)
     val w = Window.partitionBy("query_id").orderBy(col("adist"), col("vec_id"))
-    codes
-      .crossJoin(broadcast(dtab))
+    cand
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adist", adist)
       .withColumn("rk", row_number().over(w))
@@ -1208,6 +1212,11 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(col("adist"), 4).as("adist"), col("rk"))
       .orderBy("query_id", "rk")
+  }
+
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val (cents, assigned) = pqFrames(s, dir)
+    pqRank(pqCodes(assigned).crossJoin(broadcast(pqQueryTables(s, dir, cents))))
   }
 
   /** Exact SQL replay of [[annPq]]: same PQ prelude, same query distance
@@ -1243,9 +1252,94 @@ object Similarity {
        ORDER BY query_id, rk"""
   }
 
+  /** IVF-ADC — the production vector-search composition the two halves
+    * exist for ([[annIvf]]'s cell recall filter × [[annPq]]'s compressed
+    * ranking, the FAISS IVFPQ shape): probe each query's 4 best cosine
+    * cells, then ADC-score ONLY the probed cells' candidates from their
+    * 4-byte PQ codes. Cuts the scored pair count to ~4/16 of the corpus
+    * per query AND scores each survivor with 8 adds instead of 64
+    * multiplies — at 100 TB the scan reads the [[VectorIndex]] layout so
+    * non-probed cells prune at the reader.
+    *
+    * Every stage is an already-oracled piece ([[ivfCells]]/[[ivfProbes]]
+    * cells, [[pqFrames]] codes, [[pqQueryTables]] tables, [[pqRank]]
+    * cut), so the composed DuckDB oracle replays the whole pipeline
+    * cell-exactly — composability of individually-exact stages, the
+    * corpus_curate story on the vector side. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val (assignedIvf, codebookIvf) = ivfCells(s, dir, 16)
+    val probes = ivfProbes(querySample(s, dir), codebookIvf)
+    val (cents, assignedPq) = pqFrames(s, dir)
+    val cand = assignedIvf
+      .select(col("vec_id"), col("cell"))
+      .join(pqCodes(assignedPq), "vec_id")
+      .join(broadcast(probes), Seq("cell"))
+    pqRank(cand.join(broadcast(pqQueryTables(s, dir, cents)), "query_id"))
+  }
+
+  /** Exact SQL replay of [[annIvfPq]]: the annIvf cell/probe CTEs + the
+    * PQ prelude + the ADC tables, composed. */
+  val annIvfPqSql: String = {
+    val sd = EmbDimDefault / 8
+    val adistSum = (0 until 8)
+      .map(j => s"MAX(CASE WHEN sub_id = $j THEN d END)")
+      .mkString(" + ")
+    s"""WITH $embPrelude,
+       $pqOraclePrelude,
+       e AS (SELECT vec_id % 16 AS cell, i, SUM(qv[i]) AS sv
+             FROM n, UNNEST(range(1, len(qv) + 1)) AS t(i)
+             GROUP BY 1, 2),
+       c AS (SELECT cell, LIST(sv ORDER BY i) AS cv FROM e GROUP BY 1),
+       cn AS (SELECT cell, cv, list_dot_product(cv, cv) AS nc FROM c),
+       score AS (
+         SELECT n.vec_id, cn.cell,
+                list_dot_product(n.qv, cn.cv) / (sqrt(n.nq) * sqrt(cn.nc)) AS cs2
+         FROM n CROSS JOIN cn),
+       assign AS (
+         SELECT vec_id, cell FROM (
+           SELECT vec_id, cell,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs2 DESC, cell) AS r
+           FROM score) WHERE r = 1),
+       probes AS (
+         SELECT vec_id AS query_id, cell FROM (
+           SELECT vec_id, cell,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs2 DESC, cell) AS r
+           FROM score WHERE vec_id % 100 = 0) WHERE r <= 4),
+       qs AS (SELECT vec_id AS query_id, qv FROM n WHERE vec_id % 100 = 0),
+       qsub AS (
+         SELECT query_id, CAST(t.j AS INT) AS sub_id,
+                list_slice(qv, t.j * $sd + 1, t.j * $sd + $sd) AS sq
+         FROM qs, UNNEST(range(0, 8)) AS t(j)),
+       dt AS (SELECT q.query_id, cb.sub_id, cb.cid,
+                     CAST(list_dot_product(q.sq, q.sq) AS DOUBLE)
+                       - 2.0 * list_dot_product(q.sq, cb.sv) / CAST(cb.c AS DOUBLE)
+                       + CAST(cb.ns AS DOUBLE) / CAST(cb.c * cb.c AS DOUBLE) AS d
+              FROM qsub q JOIN cb USING (sub_id)),
+       cand AS (
+         SELECT p.query_id, v.vec_id
+         FROM assign v JOIN probes p ON v.cell = p.cell
+         WHERE v.vec_id <> p.query_id),
+       pairs AS (
+         SELECT cand.query_id, cand.vec_id, pa.sub_id, dt.d
+         FROM cand
+         JOIN a pa ON pa.vec_id = cand.vec_id
+         JOIN dt ON dt.query_id = cand.query_id
+                AND dt.sub_id = pa.sub_id AND dt.cid = pa.cid),
+       scored AS (SELECT query_id, vec_id, $adistSum AS adist
+                  FROM pairs GROUP BY 1, 2),
+       r AS (SELECT query_id, vec_id AS neighbor_id, adist,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY adist, vec_id) AS INT) AS rk
+             FROM scored)
+       SELECT query_id, neighbor_id, ROUND(adist, 4) AS adist, rk
+       FROM r WHERE rk <= 5
+       ORDER BY query_id, rk"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_pq" -> (embPq _),
     "ann_pq_topk" -> (annPq _),
+    "ann_ivfpq_topk" -> (annIvfPq _),
     "emb_drift" -> (drift _),
     "ann_brute_topk" -> (annBrute _),
     "ann_filtered_topk" -> (annFiltered _),
@@ -1259,6 +1353,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "emb_pq" -> embPqSql,
     "ann_pq_topk" -> annPqSql,
+    "ann_ivfpq_topk" -> annIvfPqSql,
     "emb_drift" -> driftSql,
     "ann_brute_topk" -> annBruteSql,
     "ann_filtered_topk" -> annFilteredSql,

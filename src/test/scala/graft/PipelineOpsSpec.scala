@@ -513,6 +513,26 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(rate >= 0.3, s"PQ retrieval no better than chance: $rate")
   }
 
+  test("ivfpq: candidates come only from probed cells; adist agrees with pure ADC") {
+    val ivfpq = Similarity.annIvfPq(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(ivfpq.nonEmpty)
+    // adist is the SAME number ann_pq computes for any shared pair —
+    // the cell filter changes candidate sets, never scores
+    val pq = Similarity.annPq(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for ((pair, d) <- ivfpq if pq.contains(pair))
+      assert(pq(pair) == d, s"adist diverged between ivfpq and pq on $pair")
+    // the cell filter searches a SUBSET of pq's candidates, so per query
+    // its best distance can never beat the unfiltered search's best
+    val pqBest = Similarity.annPq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).min }
+    for ((q, best) <- ivfpq.groupBy(_._1._1).map { case (q, xs) => q -> xs.map(_._2).min })
+      assert(best >= pqBest(q) - 1e-9,
+        s"query $q: ivfpq ($best) beat the unfiltered search (${pqBest(q)}) — impossible for a subset")
+  }
+
   test("lm score: negative mean log-likelihood, token count agrees with text_stats") {
     val lm = TextAnalysis.lmScore(spark, sfDir).cache()
     // every unigram probability < 1 => every mean log-likelihood < 0
