@@ -122,8 +122,8 @@ object Bench {
         "graph_triangles", "text_edit_sim"),
       "minhash" -> Seq("corpus_dedup", "dedup_minhash"),
       "bpe_merge_table" -> Seq("text_tokenize_ids", "train_pack_ids"),
-      "ivf_qsample" -> Seq("ann_ivf_topk", "ann_pq_topk"),
-      "pq" -> Seq("ann_pq_topk", "emb_pq"))
+      "ivf_qsample" -> Seq("ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk"),
+      "pq" -> Seq("ann_ivfpq_topk", "ann_pq_topk", "emb_pq"))
       .map { case (tag, qs) =>
         s"\"$tag\":" + qs.filter(SparkEntry.queries.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
       }
