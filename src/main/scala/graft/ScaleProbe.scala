@@ -127,11 +127,18 @@ object ScaleProbe {
       val em = spark.read.parquet(s"$srcDir/embeddings.parquet")
       assertIdEnvelope(em, "vec_id", 100000000L)
       val emCopies = (0 until factor).map { k =>
+        // rotation guarded for short/empty vectors (slice with a negative
+        // length is a runtime error): anything shorter than the offset is
+        // gate-rejected downstream anyway, so it passes through unrotated
         em.select(
           (col("vec_id") + lit(k.toLong * 100000000L)).as("vec_id"),
-          concat(
-            expr(s"slice(embedding, ${k + 1}, size(embedding) - $k)"),
-            expr(s"slice(embedding, 1, $k)")).as("embedding"),
+          when(
+            size(col("embedding")) >= k,
+            concat(
+              expr(s"slice(embedding, ${k + 1}, size(embedding) - $k)"),
+              expr(s"slice(embedding, 1, $k)")))
+            .otherwise(col("embedding"))
+            .as("embedding"),
           col("label"))
       }
       emCopies.reduce(_ unionByName _)

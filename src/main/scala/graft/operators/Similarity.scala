@@ -1267,11 +1267,20 @@ object Similarity {
     * cell-exactly — composability of individually-exact stages, the
     * corpus_curate story on the vector side. */
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
-    val (assignedIvf, codebookIvf) = ivfCells(s, dir, 16)
+    // the slim (vec_id, cell) assignment and the 1-row codebook are
+    // stamp-cached: each would otherwise re-run ivfCells' corpus scan
+    // per call (the pqFrames lesson applied to the cell side; annIvf
+    // keeps its own uncached frame because it needs qv/nq for exact
+    // rescoring — the wide frame is the part not worth pinning)
+    val cellsSlim =
+      PipelineCache.cached(s"ivf_cells_slim_d${embDim(s)}", s, dir, "embeddings.parquet")(
+        ivfCells(s, dir, 16)._1.select(col("vec_id"), col("cell")))
+    val codebookIvf =
+      PipelineCache.cached(s"ivf_codebook_d${embDim(s)}", s, dir, "embeddings.parquet")(
+        ivfCells(s, dir, 16)._2)
     val probes = ivfProbes(querySample(s, dir), codebookIvf)
     val (cents, assignedPq) = pqFrames(s, dir)
-    val cand = assignedIvf
-      .select(col("vec_id"), col("cell"))
+    val cand = cellsSlim
       .join(pqCodes(assignedPq), "vec_id")
       .join(broadcast(probes), Seq("cell"))
     pqRank(cand.join(broadcast(pqQueryTables(s, dir, cents)), "query_id"))

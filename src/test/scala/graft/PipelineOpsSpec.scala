@@ -525,8 +525,9 @@ class PipelineOpsSpec extends GraftSpecBase {
       assert(pq(pair) == d, s"adist diverged between ivfpq and pq on $pair")
     // the cell filter searches a SUBSET of pq's candidates, so per query
     // its best distance can never beat the unfiltered search's best
-    val pqBest = Similarity.annPq(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getDouble(2)))
+    // (derived from the collect above — no second annPq job)
+    val pqBest = pq.toSeq
+      .map { case ((q, _), d) => (q, d) }
       .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).min }
     for ((q, best) <- ivfpq.groupBy(_._1._1).map { case (q, xs) => q -> xs.map(_._2).min })
       assert(best >= pqBest(q) - 1e-9,
