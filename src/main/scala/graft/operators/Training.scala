@@ -75,10 +75,10 @@ object Training {
 
   /** Per-document BPE tokenization with the corpus's own learned merges —
     * doc_id, id count, how many ids are merged (multi-char) tokens, and
-    * the id array itself. Rows-only for the driver (the greedy in-array
-    * merge fold has no portable-SQL rendering); pinned exactly by a
-    * plain-Scala reference tokenizer in the spec — [[TextAnalysis
-    * .bpeTrain]]'s discipline applied to the APPLY side.
+    * the id array itself: the LIBRARY API a pipeline composes (the raw
+    * arrays feed [[packIds]] and any downstream tokenizer consumer).
+    * Pinned exactly by a plain-Scala reference tokenizer in the spec —
+    * [[TextAnalysis.bpeTrain]]'s discipline applied to the APPLY side.
     *
     * Scale shape: [[TextAnalysis.bpeTrain]]'s corpus scan + M bounded
     * vocab rounds run ONCE per source stamp (shared via
@@ -86,7 +86,7 @@ object Training {
     * no shuffle, no join, output one row per doc, NO output sort (the
     * driver's rows-only check needs none and a per-doc global sort is
     * exactly the presentation cost the event family shed). */
-  def tokenizeIds(s: SparkSession, dir: String): DataFrame = {
+  def tokenizeIdsRaw(s: SparkSession, dir: String): DataFrame = {
     val merges = mergeTable(s, dir)
     Tables
       .documents(s, dir)
@@ -97,6 +97,22 @@ object Training {
         size(filter(col("input_ids"), i => i >= MergedIdBase)).cast("long").as("n_merged"),
         col("input_ids"))
   }
+
+  /** md5 of the comma-joined decimal id array — the driver-hashable
+    * FINGERPRINT of a token-id payload ([[packRows]]'s seq_md5 move):
+    * raw ARRAY<INT> cells crash the driver checker's row sort, and the
+    * fingerprint carries the identical information for an equality
+    * check. Spec-pinned against a JVM-side reference digest. */
+  private[operators] def idsMd5(ids: Column): Column =
+    md5(concat_ws(",", ids.cast("array<string>")).cast("binary"))
+
+  /** Driver-facing projection of [[tokenizeIdsRaw]]: the scalar stats
+    * plus `ids_md5` in place of the raw array (rows-only check — the
+    * greedy in-array merge fold has no portable-SQL rendering; the raw
+    * arrays stay in the library API). */
+  def tokenizeIds(s: SparkSession, dir: String): DataFrame =
+    tokenizeIdsRaw(s, dir)
+      .select(col("doc_id"), col("n_ids"), col("n_merged"), idsMd5(col("input_ids")).as("ids_md5"))
 
   /** Fragment-and-reassemble: cut each document's payload array into the
     * length-`L` sequences it spans (placement arithmetic =
@@ -216,9 +232,12 @@ object Training {
     * construction no sequence ever mixes tokens across splits (pack
     * train and test together and every boundary sequence leaks). Within
     * each split, sequences tile the split's documents gaplessly in
-    * doc_id order; all-but-the-last are exactly L ids. Rows-only for the
-    * driver (BPE ids are not portable SQL); the spec pins per-split
-    * gapless coverage against [[tokenizeIds]] and the exact-L invariant.
+    * doc_id order; all-but-the-last are exactly L ids. This is the
+    * LIBRARY API carrying the raw arrays (what [[packedTrainingExport]]
+    * lands); the driver-facing [[packIds]] fingerprints the payload.
+    * Rows-only for the driver (BPE ids are not portable SQL); the spec
+    * pins per-split gapless coverage against [[tokenizeIdsRaw]] and the
+    * exact-L invariant.
     *
     * Scale shape: the corpus is TOKENIZED ONCE — the tokenized frame is
     * stamp-cached ([[PipelineCache]], MEMORY_AND_DISK) because
@@ -232,7 +251,7 @@ object Training {
     * artifact; no corpus-sized sort anywhere (sequences land unordered;
     * the sink partitions by split, [[graft.Sinks.trainingExport]]'s
     * layout). */
-  def packIds(s: SparkSession, dir: String): DataFrame = {
+  def packIdsRaw(s: SparkSession, dir: String): DataFrame = {
     val L = CorpusOps.packSeqLen(s)
     // the cached frame is the BARE tokenized projection — n_ids and the
     // empty-doc filter live ABOVE the cache, not inside it: a filter on
@@ -268,12 +287,27 @@ object Training {
         col("payload").as("input_ids"))
   }
 
-  /** Land [[packIds]] split-partitioned: `path/split=train/...` parquet a
-    * trainer reads with reader-level val/test pruning — the
+  /** Driver-facing projection of [[packIdsRaw]]: the per-split placement
+    * columns plus `ids_md5` in place of the raw id array (the
+    * [[tokenizeIds]] fingerprint move — rows-only for the driver, raw
+    * arrays stay in the library API / export path). */
+  def packIds(s: SparkSession, dir: String): DataFrame =
+    packIdsRaw(s, dir)
+      .select(
+        col("split"),
+        col("seq_id"),
+        col("n_ids"),
+        col("n_docs"),
+        col("first_doc_id"),
+        col("last_doc_id"),
+        idsMd5(col("input_ids")).as("ids_md5"))
+
+  /** Land [[packIdsRaw]] split-partitioned: `path/split=train/...` parquet
+    * a trainer reads with reader-level val/test pruning — the
     * [[graft.Sinks.trainingExport]] layout carrying actual token-id
     * sequences. Test-only component (sink side effect, not a query). */
   def packedTrainingExport(s: SparkSession, dir: String, path: String): Unit =
-    graft.Sinks.trainingExport(packIds(s, dir), path)
+    graft.Sinks.trainingExport(packIdsRaw(s, dir), path)
 
   /** Document-boundary sidecar of [[packRows]] — the attention-mask /
     * loss-mask metadata a trainer needs beside the packed payload: one

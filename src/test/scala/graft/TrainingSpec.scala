@@ -61,7 +61,7 @@ class TrainingSpec extends GraftSpecBase {
   test("tokenizeIds equals the plain-Scala reference tokenizer on every doc") {
     val merges = collectMerges()
     val got = Training
-      .tokenizeIds(spark, sfDir)
+      .tokenizeIdsRaw(spark, sfDir)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Int](3).toVector, r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
@@ -81,6 +81,35 @@ class TrainingSpec extends GraftSpecBase {
     }
     // the learned merges genuinely fire: some ids are merged tokens
     assert(got.map(_._4).sum > 0, "no merged token ever produced — apply side inert")
+  }
+
+  test("driver-facing fingerprints equal a JVM reference digest of the raw arrays") {
+    def refMd5(ids: Seq[Int]): String =
+      java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(ids.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+    val raw = Training
+      .tokenizeIdsRaw(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](3)))
+      .toMap
+    val fp = Training.tokenizeIds(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    assert(fp.length == raw.size, "fingerprint projection must keep one row per doc")
+    fp.foreach { case (id, m) => assert(m == refMd5(raw(id)), s"doc $id fingerprint drifts") }
+    // and the packed side: same move, same digest contract, keyed per
+    // (split, seq_id)
+    val rawSeq = Training
+      .packIdsRaw(spark, sfDir)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getSeq[Int](6)))
+      .toMap
+    val fpSeq = Training.packIds(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getString(6)))
+    assert(fpSeq.length == rawSeq.size)
+    fpSeq.foreach { case (k, m) => assert(m == refMd5(rawSeq(k)), s"seq $k fingerprint drifts") }
   }
 
   test("packRows tiles the corpus gaplessly and matches a sequential reference") {
@@ -127,11 +156,11 @@ class TrainingSpec extends GraftSpecBase {
     spark.conf.set("spark.graft.corpus.packSeqLen", "7")
     try {
       val seqs = Training
-        .packIds(spark, sfDir)
+        .packIdsRaw(spark, sfDir)
         .collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getSeq[Int](6).toVector))
       val docIds = Training
-        .tokenizeIds(spark, sfDir)
+        .tokenizeIdsRaw(spark, sfDir)
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Int](3).toVector))
         .filter(_._2.nonEmpty)
