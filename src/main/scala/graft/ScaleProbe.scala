@@ -126,6 +126,14 @@ object ScaleProbe {
     if (!embMarker.exists()) {
       val em = spark.read.parquet(s"$srcDir/embeddings.parquet")
       assertIdEnvelope(em, "vec_id", 100000000L)
+      // rotations are distinct only while the offset stays under the
+      // vector width: factor > dim would wrap copies onto earlier ones
+      // (exact duplicate vectors, inflating the near-dup pair probes this
+      // data feeds) — fail loudly like the id-envelope guards
+      val dim = graft.operators.Similarity.embDim(spark)
+      require(factor <= dim,
+        s"ScaleProbe: factor $factor > embedding dim $dim — component rotations would " +
+          "wrap and duplicate copies exactly; lower the factor")
       val emCopies = (0 until factor).map { k =>
         // rotation guarded for short/empty vectors (slice with a negative
         // length is a runtime error): anything shorter than the offset is

@@ -59,7 +59,25 @@ case class BpeIds(text: Expression, lefts: Expression, rights: Expression, ranks
           "ranks ARRAY<INT>)")
     else if (!lefts.foldable || !rights.foldable || !ranks.foldable)
       TypeCheckResult.TypeCheckFailure("graft_bpe_ids merge-table arguments must be literals")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // the type check admits ARRAY literals containing NULLs (or a NULL
+      // array), which the once-per-plan table parse would hit as a raw
+      // NPE — reject them here with a diagnosable message instead. The
+      // arguments are foldable by the check above, so eval() is safe and
+      // cheap (≤ M elements, once at analysis).
+      val nullWhere = Seq("lefts" -> lefts, "rights" -> rights, "ranks" -> ranks).collectFirst {
+        case (name, e) if e.eval() == null => s"$name is NULL"
+        case (name, e)
+            if {
+              val a = e.eval().asInstanceOf[ArrayData]
+              (0 until a.numElements()).exists(a.isNullAt)
+            } =>
+          s"$name contains a NULL element"
+      }
+      nullWhere
+        .map(w => TypeCheckResult.TypeCheckFailure(s"graft_bpe_ids merge table: $w"))
+        .getOrElse(TypeCheckResult.TypeCheckSuccess)
+    }
   }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = true)

@@ -579,7 +579,7 @@ object CorpusOps {
   def dedupIncremental(
       s: SparkSession,
       dir: String,
-      deltaSource: String = "src19"): DataFrame = {
+      deltaSource: String = GramIndex.DefaultDeltaSource): DataFrame = {
     val docs = Tables.documents(s, dir)
     // null-safe: a NULL source is never the incoming batch — it is
     // established data, i.e. corpus. Without the coalesce a NULL flag
@@ -772,7 +772,7 @@ object CorpusOps {
       s: SparkSession,
       dir: String,
       indexPath: String,
-      deltaSource: String = "src19",
+      deltaSource: String = GramIndex.DefaultDeltaSource,
       buildIfStale: Boolean = true): DataFrame = {
     if (!GramIndex.isFresh(s, dir, indexPath, deltaSource)) {
       if (!buildIfStale)
@@ -890,11 +890,15 @@ object CorpusOps {
     // per-store extra meta constraint: the gram index's OWN isFresh also
     // binds the recorded delta source (the batch the index excludes) —
     // the census must agree with the store's isFresh verdict, not report
-    // fresh for an index dedup_incremental_idx would rebuild
+    // fresh for an index dedup_incremental_idx would rebuild. The census
+    // checks the DEFAULT binding (GramIndex.DefaultDeltaSource — the one
+    // constant the driver path builds with): an index built against a
+    // NON-default delta source is deliberately reported stale here,
+    // because the default-source consumer would rebuild it.
     val anyInfo = (_: String) => true
     val stores = Seq(
       ("gram_index", defaultIndexPath(s, dir), GramIndex.FormatVersion, docStamp,
-        (info: String) => info == "src19", Seq("grams", "hashes")),
+        (info: String) => info == GramIndex.DefaultDeltaSource, Seq("grams", "hashes")),
       ("text_index", TextIndex.defaultPath(s, dir), TextIndex.FormatVersion, docStamp,
         anyInfo, Seq("postings", "vocab")),
       ("corpus_profile", CorpusProfile.defaultPath(s, dir), CorpusProfile.FormatVersion,
@@ -1157,7 +1161,7 @@ object CorpusOps {
   def batchDrift(
       s: SparkSession,
       dir: String,
-      batchSource: String = "src19"): DataFrame = {
+      batchSource: String = GramIndex.DefaultDeltaSource): DataFrame = {
     val isBatch = coalesce(col("source") === batchSource, lit(false))
     val perLang = Tables
       .documents(s, dir)

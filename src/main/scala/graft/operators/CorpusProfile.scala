@@ -56,7 +56,7 @@ object CorpusProfile {
       s: SparkSession,
       dir: String,
       path: String,
-      deltaSource: String = "src19"): Unit = {
+      deltaSource: String = GramIndex.DefaultDeltaSource): Unit = {
     val corpus = Tables
       .documents(s, dir)
       .filter(coalesce(col("source") =!= deltaSource, lit(true)))
@@ -81,7 +81,7 @@ object CorpusProfile {
       s: SparkSession,
       dir: String,
       path: String,
-      oldDelta: String = "src19",
+      oldDelta: String = GramIndex.DefaultDeltaSource,
       newDelta: String = "src20"): Unit = {
     if (!isFresh(s, dir, path, oldDelta))
       throw new IllegalStateException(
@@ -116,7 +116,7 @@ object CorpusProfile {
       s: SparkSession,
       dir: String,
       path: String,
-      deltaSource: String = "src19"): Boolean =
+      deltaSource: String = GramIndex.DefaultDeltaSource): Boolean =
     GramIndex.readMeta(s, path).exists { lines =>
       lines.length >= 3 && lines(0) == GramIndex.stamp(dir) && lines(1) == deltaSource &&
       lines(2) == FormatVersion
@@ -159,7 +159,7 @@ object CorpusProfile {
       .readMeta(s, path)
       .filter(l => l.length >= 3 && l(0) == GramIndex.stamp(dir) && l(2) == FormatVersion)
       .map(_(1))
-    val deltaSource = recorded.getOrElse { build(s, dir, path); "src19" }
+    val deltaSource = recorded.getOrElse { build(s, dir, path); GramIndex.DefaultDeltaSource }
     val exact = Tables
       .documents(s, dir)
       .filter(coalesce(col("source") =!= deltaSource, lit(true)))

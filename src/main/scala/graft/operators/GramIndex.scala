@@ -57,6 +57,13 @@ object GramIndex {
 
   private[graft] val Pack = 1048576L // 2^20
 
+  /** The driver dataset's incoming-batch source label — the default
+    * `deltaSource` everywhere a build/freshness call takes one, and the
+    * binding [[graft.operators.CorpusOps.storeStatus]]'s census checks
+    * (ONE constant, so the census can never disagree with [[isFresh]]
+    * about which batch a default-built index excludes). */
+  private[graft] val DefaultDeltaSource = "src19"
+
   /** df cap above which a gram cannot participate in rare-gram candidate
     * generation — must match the live pipeline's rarity band. */
   private[graft] val DfCap = 20
@@ -75,7 +82,7 @@ object GramIndex {
       s: SparkSession,
       dir: String,
       indexPath: String,
-      deltaSource: String = "src19"): Unit = {
+      deltaSource: String = DefaultDeltaSource): Unit = {
     val corpus = Tables
       .documents(s, dir)
       .filter(coalesce(col("source") =!= deltaSource, lit(true)))
@@ -134,7 +141,7 @@ object GramIndex {
       s: SparkSession,
       dir: String,
       indexPath: String,
-      oldDelta: String = "src19",
+      oldDelta: String = DefaultDeltaSource,
       newDelta: String = "src20"): Unit = {
     if (!isFresh(s, dir, indexPath, oldDelta))
       throw new IllegalStateException(
@@ -203,7 +210,7 @@ object GramIndex {
       s: SparkSession,
       dir: String,
       indexPath: String,
-      deltaSource: String = "src19"): Boolean =
+      deltaSource: String = DefaultDeltaSource): Boolean =
     readMeta(s, indexPath).exists { lines =>
       lines.length >= 3 && lines(0) == stamp(dir) && lines(1) == deltaSource &&
       lines(2) == FormatVersion

@@ -127,7 +127,14 @@ object VectorIndex {
       path: String,
       codebook: DataFrame,
       qf: DataFrame): DataFrame = {
-    val pathTag = java.lang.Integer.toHexString(path.hashCode)
+    // collision-resistant tag: a 32-bit String.hashCode collision between
+    // two store paths would serve one store's probe lineage for the other
+    // — use the full MD5 of the path (the storePath digest convention)
+    val pathTag = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_))
+      .mkString
     PipelineCache.cached(
       s"ivf_store_probes_d${Similarity.embDim(s)}_p$pathTag", s, dir, "embeddings.parquet")(
       Similarity.ivfProbes(qf, codebook))

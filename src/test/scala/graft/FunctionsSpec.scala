@@ -254,6 +254,27 @@ class FunctionsSpec extends GraftSpecBase {
     }
   }
 
+  test("graft_bpe_ids rejects NULL merge-table elements with a clean analysis error") {
+    import spark.implicits._
+    val df = Seq("a b").toDF("t")
+    // analysis-time rejection (TypeCheckFailure → an AnalysisException
+    // subtype, raised eagerly at select()), never a raw NPE from the
+    // table parse
+    val e = intercept[Exception] {
+      df.select(call_function("graft_bpe_ids", col("t"),
+        array(lit("a"), lit(null).cast("string")), array(lit("b"), lit("c")),
+        array(lit(1), lit(2)))).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("NULL element"),
+      s"want a diagnosable analysis message, got: $e")
+    assert(!e.isInstanceOf[NullPointerException])
+    val e2 = intercept[Exception] {
+      df.select(call_function("graft_bpe_ids", col("t"),
+        array(lit("a")), array(lit("b")), array(lit(null).cast("int")))).collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("NULL element"))
+  }
+
   test("deflate kernel: deterministic, positive, repetition compresses far below entropy") {
     import graft.functions.DeflateLen
     def dl(t: String) = DeflateLen.compute(UTF8String.fromString(t))
