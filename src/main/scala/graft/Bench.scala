@@ -123,13 +123,14 @@ object Bench {
       "minhash" -> Seq("corpus_dedup", "dedup_minhash"),
       "bpe_merge_table" -> Seq("text_tokenize_ids", "train_pack_ids"),
       "ivf_qsample" -> Seq("ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk"),
-      "pq" -> Seq("ann_ivfpq_topk", "ann_pq_topk", "emb_pq"))
+      "pq" -> Seq("ann_ivfpq_idx", "ann_ivfpq_topk", "ann_pq_topk", "emb_pq"),
+      "ivf_store_probes" -> Seq("ann_ivf_idx", "ann_ivfpq_idx"))
       .map { case (tag, qs) =>
         s"\"$tag\":" + qs.filter(SparkEntry.queries.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
       }
       .mkString("{", ",", "}")
     val storeBacked = Seq("dedup_incremental_idx", "corpus_profile", "text_search_idx",
-        "ann_ivf_idx")
+        "ann_ivf_idx", "ann_ivfpq_idx")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"")
       .mkString("[", ",", "]")

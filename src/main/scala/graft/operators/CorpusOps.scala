@@ -904,7 +904,8 @@ object CorpusOps {
       ("corpus_profile", CorpusProfile.defaultPath(s, dir), CorpusProfile.FormatVersion,
         docStamp, anyInfo, Seq("rows")),
       ("vector_index", VectorIndex.defaultPath(s, dir), VectorIndex.formatVersion(s),
-        VectorIndex.stamp(dir), anyInfo, Seq("vectors", "codebook", "qsample")))
+        VectorIndex.stamp(dir), anyInfo,
+        Seq("vectors", "codebook", "qsample", "pqcodes", "pqcodebook")))
     val rows = stores.flatMap { case (name, path, wantVersion, stamp, infoOk, bodies) =>
       val meta = GramIndex.readMeta(s, path).filter(_.length >= 3)
       val fresh = meta.exists(l => l(0) == stamp && l(2) == wantVersion && infoOk(l(1)))

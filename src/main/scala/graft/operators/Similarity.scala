@@ -1086,7 +1086,7 @@ object Similarity {
     * it each consumer re-ran the embeddings scan + 8× explode, and
     * [[annPq]] alone scanned it twice through the centroid and
     * assignment branches). Bench discloses the pair under `shared_cache`. */
-  private def pqFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[operators] def pqFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val cents = PipelineCache.cached(s"pq_cents_d${embDim(s)}", s, dir, "embeddings.parquet")(
       pqCentroids(pqSub(s, dir)))
     val assigned =
@@ -1176,7 +1176,7 @@ object Similarity {
     * engines; the fixed-order 8-term sum makes `adist` bit-equal, so
     * ranking (ties to lower vec_id) replays exactly. */
   /** Code-word pivot of the assignment frame: (vec_id, c0..c7). */
-  private def pqCodes(assigned: DataFrame): DataFrame = {
+  private[operators] def pqCodes(assigned: DataFrame): DataFrame = {
     val cs = (0 until 8).map(j => max(when(col("sub_id") === j, col("cid"))).as(s"c$j"))
     assigned.groupBy("vec_id").agg(cs.head, cs.tail: _*)
   }
@@ -1186,7 +1186,14 @@ object Similarity {
     * (parity structural: a lloydD edit changes query- and candidate-side
     * doubles TOGETHER). */
   private def pqQueryTables(s: SparkSession, dir: String, cents: DataFrame): DataFrame =
-    subspaceRows(querySample(s, dir), "query_id", embDim(s) / 8)
+    pqQueryTablesFrom(querySample(s, dir), cents, embDim(s) / 8)
+
+  /** Frame-parameterized body of [[pqQueryTables]], shared with the
+    * persisted-store serving path ([[VectorIndex.annIvfPqIndexed]] feeds
+    * its stored qsample/pqcodebook frames) — parity is structural, the
+    * [[ivfProbes]] rule applied to the ADC table stage. */
+  private[operators] def pqQueryTablesFrom(qf: DataFrame, cents: DataFrame, sd: Int): DataFrame =
+    subspaceRows(qf, "query_id", sd)
       .join(broadcast(cents), "sub_id")
       .select(
         col("query_id"),
@@ -1199,7 +1206,7 @@ object Similarity {
     * (query_id, vec_id, c0..c7, dt): the fixed-order 8-lookup sum and
     * the (adist, vec_id) top-5 cut, shared by [[annPq]] and
     * [[annIvfPq]]. */
-  private def pqRank(cand: DataFrame): DataFrame = {
+  private[operators] def pqRank(cand: DataFrame): DataFrame = {
     val adist = (0 until 8)
       .map(j => element_at(col("dt"), lit(j * 16) + col(s"c$j")))
       .reduce(_ + _)
@@ -1266,18 +1273,24 @@ object Similarity {
     * cut), so the composed DuckDB oracle replays the whole pipeline
     * cell-exactly — composability of individually-exact stages, the
     * corpus_curate story on the vector side. */
+  /** The slim (vec_id, cell) assignment and the 1-row codebook,
+    * stamp-cached: each would otherwise re-run [[ivfCells]]' corpus scan
+    * per call (the pqFrames lesson applied to the cell side; [[annIvf]]
+    * keeps its own uncached frame because it needs qv/nq for exact
+    * rescoring — the wide frame is the part not worth pinning). Shared
+    * by [[annIvfPq]] and [[VectorIndex.build]]'s pqcodes join, ONE tag
+    * each so the store build and the live query reuse one computation. */
+  private[operators] def ivfCellsSlimCached(s: SparkSession, dir: String): DataFrame =
+    PipelineCache.cached(s"ivf_cells_slim_d${embDim(s)}", s, dir, "embeddings.parquet")(
+      ivfCells(s, dir, 16)._1.select(col("vec_id"), col("cell")))
+
+  private[operators] def ivfCodebookCached(s: SparkSession, dir: String): DataFrame =
+    PipelineCache.cached(s"ivf_codebook_d${embDim(s)}", s, dir, "embeddings.parquet")(
+      ivfCells(s, dir, 16)._2)
+
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
-    // the slim (vec_id, cell) assignment and the 1-row codebook are
-    // stamp-cached: each would otherwise re-run ivfCells' corpus scan
-    // per call (the pqFrames lesson applied to the cell side; annIvf
-    // keeps its own uncached frame because it needs qv/nq for exact
-    // rescoring — the wide frame is the part not worth pinning)
-    val cellsSlim =
-      PipelineCache.cached(s"ivf_cells_slim_d${embDim(s)}", s, dir, "embeddings.parquet")(
-        ivfCells(s, dir, 16)._1.select(col("vec_id"), col("cell")))
-    val codebookIvf =
-      PipelineCache.cached(s"ivf_codebook_d${embDim(s)}", s, dir, "embeddings.parquet")(
-        ivfCells(s, dir, 16)._2)
+    val cellsSlim = ivfCellsSlimCached(s, dir)
+    val codebookIvf = ivfCodebookCached(s, dir)
     val probes = ivfProbes(querySample(s, dir), codebookIvf)
     val (cents, assignedPq) = pqFrames(s, dir)
     val cand = cellsSlim

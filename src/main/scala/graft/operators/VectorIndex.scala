@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   *   - `<path>/qsample`: the 1% query-vector sample the driver query
   *     scores (a real serving deployment swaps in its own query batch —
   *     the frame shape `(query_id, qv, nq)` is the API).
+  *   - `<path>/pqcodes` (v2): `(vec_id, c0..c7)` PARTITIONED BY `cell`
+  *     — [[Similarity.embPq]]'s 8×16 code rows laid out for IVF-ADC
+  *     serving, so probed-cell candidate reads touch 36-byte code rows
+  *     of c/K of the corpus and never the float vectors.
+  *   - `<path>/pqcodebook` (v2): the 128-row `(sub_id, cid, sv, c, ns)`
+  *     exact-integer subspace codebook the ADC distance tables are
+  *     computed from.
   *   - `<path>/meta`: freshness stamp + FORMAT VERSION carrying K and
   *     the embedding dim, so a knob change can never serve a
   *     mismatched index false-fresh ([[GramIndex]]'s convention).
@@ -40,8 +47,11 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
+  /** v2 adds the PQ artifacts (pqcodes/pqcodebook) to the store — a v1
+    * store is stale-by-version and rebuilds, never serves the IVF-ADC
+    * path with missing bodies. */
   private[operators] def formatVersion(s: SparkSession): String =
-    s"v1:ivf16:d${Similarity.embDim(s)}"
+    s"v2:ivf16:pq8x16:d${Similarity.embDim(s)}"
 
   private[operators] def stamp(dir: String): String =
     PipelineCache.sourceStamp(dir, "embeddings.parquet")
@@ -75,6 +85,22 @@ object VectorIndex {
       .filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("qv"), col("nq"))
       .write.mode("overwrite").parquet(s"$path/qsample")
+    // PQ artifacts (v2): the 4-byte-per-vector code rows land PARTITIONED
+    // BY CELL like the vectors, so IVF-ADC serving prunes non-probed
+    // cells at the reader; the 128-row integer subspace codebook lands
+    // beside them. The cell join rides the stamp-cached slim assignment
+    // (the same frame ann_ivfpq_topk / dedup_embedding_ivf share), and
+    // pqFrames is the stamp-cached pair the live PQ queries use — a
+    // build right after a live query re-reads both caches instead of
+    // re-scanning the corpus.
+    val (pqCents, pqAssigned) = Similarity.pqFrames(s, dir)
+    Similarity
+      .pqCodes(pqAssigned)
+      .join(Similarity.ivfCellsSlimCached(s, dir), "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/pqcodes")
+    pqCents
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/pqcodebook")
     // meta follows the house 3-line convention (stamp, info, version) so
     // store_status reads all four stores with one shape
     GramIndex.writeMeta(
@@ -112,6 +138,44 @@ object VectorIndex {
     }
   }
 
+  /** [[Similarity.annIvfPq]]'s exact contract (the IVF-ADC composition)
+    * served from the store — same probes, same ADC tables, same
+    * fixed-order 8-lookup rank, same oracle — with ZERO embeddings scans
+    * when fresh: probes ride the SAME cached probe frame as
+    * [[annIndexed]] (one tag — warm IVF and IVF-ADC serving share it),
+    * the probed cell set collapses to the same eager literal partition
+    * filter, candidate reads touch only the probed cells' `pqcodes`
+    * partitions (36-byte code rows — the ADC trade persisted: the store
+    * serves compressed candidates, never the 256-byte vectors), and the
+    * per-query distance tables are computed from the stored qsample ×
+    * the stored 128-row integer pqcodebook. Exactness survives the store
+    * round-trip because every persisted number is an exact integer
+    * (codes, sum-vectors, counts, quantized query components) — the
+    * float work happens at serve time through the same expressions the
+    * scan-time operator uses. */
+  def annIvfPqIndexed(s: SparkSession, dir: String, path: String): DataFrame = {
+    if (!isFresh(s, dir, path)) build(s, dir, path)
+    val codebook = s.read.parquet(s"$path/codebook")
+      .agg(array_sort(collect_list(struct(col("cell"), col("cv"), col("nc")))).as("cb"))
+    val qf = s.read.parquet(s"$path/qsample")
+    val probes = ivfProbesCached(s, dir, path, codebook, qf)
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    if (cells.isEmpty) {
+      // all-gate-rejected corpus: empty partitioned bodies have no
+      // readable schema — return the scan-time operator's empty frame
+      import s.implicits._
+      s.emptyDataset[(Long, Long, Double, Int)]
+        .toDF("query_id", "neighbor_id", "adist", "rk")
+    } else {
+      val dt = Similarity.pqQueryTablesFrom(
+        qf, s.read.parquet(s"$path/pqcodebook"), Similarity.embDim(s) / 8)
+      val cand = s.read.parquet(s"$path/pqcodes")
+        .filter(col("cell").isin(cells.map(Int.box): _*))
+        .join(broadcast(probes), Seq("cell"))
+      Similarity.pqRank(cand.join(broadcast(dt), "query_id"))
+    }
+  }
+
   /** The probe frame is consumed twice (cell literal + rescore join) —
     * stamp-cached so the second consumer reads ≤ 4·|queries| cached rows
     * instead of re-scoring the sample ([[PipelineCache]]'s contract:
@@ -144,8 +208,13 @@ object VectorIndex {
     CorpusOps.storePath(s, dir, "graft_vector_index")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_ivf_idx" -> ((s, d) => annIndexed(s, d, defaultPath(s, d))))
+    "ann_ivf_idx" -> ((s, d) => annIndexed(s, d, defaultPath(s, d))),
+    "ann_ivfpq_idx" -> ((s, d) => annIvfPqIndexed(s, d, defaultPath(s, d))))
 
+  /** Identical contracts → identical oracles (the [[TextIndex]]
+    * convention): the store paths answer the scan-time operators'
+    * DuckDB replays hash-equal, not approximately. */
   val oracles: Map[String, String] = Map(
-    "ann_ivf_idx" -> Similarity.annIvfSql)
+    "ann_ivf_idx" -> Similarity.annIvfSql,
+    "ann_ivfpq_idx" -> Similarity.annIvfPqSql)
 }

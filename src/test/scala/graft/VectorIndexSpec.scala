@@ -49,6 +49,64 @@ class VectorIndexSpec extends GraftSpecBase {
     }
   }
 
+  test("ann_ivfpq_idx answers row-identically to the scan-time ann_ivfpq_topk") {
+    withStore { path =>
+      val idx = VectorIndex.annIvfPqIndexed(spark, sfDir, path).collect().toSeq
+      val scan = Similarity.annIvfPq(spark, sfDir).collect().toSeq
+      assert(idx == scan,
+        s"indexed IVF-ADC diverged from scan-time IVF-ADC (${idx.size} vs ${scan.size} rows)")
+    }
+  }
+
+  test("warm IVF-ADC path plans zero embeddings scans and prunes pqcodes cells at the reader") {
+    withStore { path =>
+      VectorIndex.build(spark, sfDir, path)
+      assert(VectorIndex.isFresh(spark, sfDir, path))
+      graft.operators.PipelineCache.clear()
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = VectorIndex.annIvfPqIndexed(spark, sfDir, path)
+        val plan = df.queryExecution.executedPlan
+        val s = plan.toString
+        assert(!s.contains("embeddings.parquet"), s"warm IVF-ADC must not touch the corpus:\n$s")
+        // candidates come from the compressed code rows, never the store's
+        // float vectors — the persisted ADC trade
+        assert(!s.contains("/vectors"), s"IVF-ADC serving must not read the vectors body:\n$s")
+        val codeScans = plan.collect {
+          case f: FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.contains("/pqcodes")) =>
+            f
+        }
+        assert(codeScans.nonEmpty, s"expected a pqcodes scan in:\n$s")
+        assert(codeScans.forall(_.toString.contains("PartitionFilters: [cell")),
+          s"cell literal did not become a pqcodes partition filter:\n${codeScans.mkString("\n")}")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+  }
+
+  test("a v1-format store is stale-by-version: serving rebuilds it as v2 with the PQ bodies") {
+    withStore { path =>
+      VectorIndex.build(spark, sfDir, path)
+      // simulate a store persisted by the pre-PQ build: v1 meta line
+      val v1 = Seq(
+        graft.operators.PipelineCache.sourceStamp(sfDir, "embeddings.parquet"),
+        "k=16",
+        s"v1:ivf16:d${Similarity.embDim(spark)}").mkString("\n")
+      // drop the Hadoop checksum sidecar before the direct overwrite —
+      // a stale .meta.crc would fail the store's next read
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$path/.meta.crc"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$path/meta"),
+        v1.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert(!VectorIndex.isFresh(spark, sfDir, path), "v1 meta must read stale under v2 code")
+      assert(VectorIndex.annIvfPqIndexed(spark, sfDir, path).count() > 0)
+      assert(VectorIndex.isFresh(spark, sfDir, path))
+      assert(new java.io.File(s"$path/pqcodes").exists() &&
+        new java.io.File(s"$path/pqcodebook").exists())
+    }
+  }
+
   test("a stale store (embeddings rewrite) rebuilds instead of serving old cells") {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft_vec_stale").toString
