@@ -41,7 +41,7 @@ object Similarity {
     * With quantized elements ≤ ~1000 the envelope admits ≥ 11k worst-case
     * aligned vectors per cell and far more in practice (random signs
     * cancel: element magnitude grows ~√count). */
-  private def assertCentroidExact(cv: Column, what: String): Column =
+  private[operators] def assertCentroidExact(cv: Column, what: String): Column =
     assert_true(
       array_max(transform(cv, x => abs(x))) <= 11000000L,
       lit(s"$what sum-vector element exceeds the exactness envelope (|e| > 1.1e7): " +
@@ -392,8 +392,13 @@ object Similarity {
     * assigned frame `(vec_id, qv, nq, cell)` and the 1-row broadcastable
     * codebook. Assignment is a narrow map against the broadcast codebook
     * — no shuffle, no row expansion. */
-  private[operators] def ivfCells(s: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
-    val corpus = quantized(s, dir)
+  private[operators] def ivfCells(s: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) =
+    ivfCellsOf(quantized(s, dir), k)
+
+  /** Frame-parameterized body of [[ivfCells]], shared with
+    * [[VectorIndex.build]]'s exclusion path and [[VectorIndex.absorb]]
+    * (one seed/centroid/assignment definition — parity is structural). */
+  private[operators] def ivfCellsOf(corpus: DataFrame, k: Int): (DataFrame, DataFrame) = {
     val cents = corpus
       .groupBy((col("vec_id") % k).cast("int").as("cell"))
       .agg(call_function("graft_vec_sum", col("qv")).as("cv"))
@@ -401,7 +406,16 @@ object Similarity {
       .withColumn("nc", selfDot(col("cv")))
     val codebook = cents.agg(
       array_sort(collect_list(struct(col("cell"), col("cv"), col("nc")))).as("cb"))
-    val assigned = corpus
+    (ivfAssign(corpus, codebook), codebook)
+  }
+
+  /** The argmax-cosine assignment of `corpus` (vec_id, qv, nq, ...)
+    * against a collapsed 1-row `codebook` — a narrow map against the
+    * broadcast codebook, the assignment half of [[ivfCellsOf]] exposed
+    * so [[VectorIndex.absorb]] can re-score stored vectors against a
+    * merged codebook with the identical tie rule. */
+  private[operators] def ivfAssign(corpus: DataFrame, codebook: DataFrame): DataFrame =
+    corpus
       .crossJoin(broadcast(codebook))
       .withColumn(
         "best",
@@ -409,8 +423,6 @@ object Similarity {
           col("cb"),
           c => struct(cellScore(c).as("cs"), (c.getField("cell") * -1).as("negcell")))))
       .select(col("vec_id"), col("qv"), col("nq"), (col("best.negcell") * -1).as("cell"))
-    (assigned, codebook)
-  }
 
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val k = 16
@@ -1044,7 +1056,7 @@ object Similarity {
   /** One slim row per (id, subspace) with the 8-int slice as (qv, nq) —
     * ONE slicing definition for the corpus ([[pqSub]]) and the query
     * sample ([[annPq]]'s table build), so the two sides cannot drift. */
-  private def subspaceRows(df: DataFrame, idCol: String, sd: Int): DataFrame =
+  private[operators] def subspaceRows(df: DataFrame, idCol: String, sd: Int): DataFrame =
     df.select(
         col(idCol),
         explode(expr(
@@ -1061,7 +1073,7 @@ object Similarity {
   }
 
   /** Per-subspace 16-cell centroid frame (sub_id, cid, sv, c, ns). */
-  private def pqCentroids(sub: DataFrame): DataFrame =
+  private[operators] def pqCentroids(sub: DataFrame): DataFrame =
     sub
       .groupBy(col("sub_id"), (col("vec_id") % 16).cast("int").as("cid"))
       .agg(call_function("graft_vec_sum", col("qv")).as("sv"), count(lit(1)).as("c"))
@@ -1070,7 +1082,7 @@ object Similarity {
 
   /** The code assignment frame (vec_id, sub_id, cid, d), shared by
     * [[embPq]] and [[annPq]] — parity is structural. */
-  private def pqAssigned(sub: DataFrame, cents: DataFrame): DataFrame = {
+  private[operators] def pqAssigned(sub: DataFrame, cents: DataFrame): DataFrame = {
     val cb = cents
       .groupBy("sub_id")
       .agg(collect_list(struct(col("cid"), col("sv"), col("c"), col("ns"))).as("cb"))

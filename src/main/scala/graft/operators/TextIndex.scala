@@ -41,19 +41,29 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
-  /** Bump when tokenization, the postings schema, or the scoring contract
-    * changes — a stale-by-code index must never be served false-fresh. */
-  private[graft] val FormatVersion = "v1:ws-tok:tfidf"
+  /** Bump when tokenization, the postings schema, the scoring contract,
+    * or the meta layout changes — a stale-by-code index must never be
+    * served false-fresh. v2 adds the recorded batch-exclusion meta line
+    * ([[absorb]]'s binding; "" = none, the driver path). */
+  private[graft] val FormatVersion = "v2:ws-tok:tfidf"
 
-  /** Build (overwrite) the index at `indexPath` from `dir`'s documents. */
-  def build(s: SparkSession, dir: String, indexPath: String): Unit = {
-    val docs = Tables.documents(s, dir)
+  /** Build (overwrite) the index at `indexPath` from `dir`'s documents.
+    * `excludeSource`: the incoming-batch exclusion ([[GramIndex.build]]'s
+    * deltaSource convention — NULL source = established corpus, so only
+    * rows labeled exactly `excludeSource` are left out), recorded in
+    * meta so [[absorb]] can later fold exactly that batch in. The driver
+    * path ([[searchIndexed]]) builds with None: the whole table is the
+    * search corpus. */
+  def build(
+      s: SparkSession,
+      dir: String,
+      indexPath: String,
+      excludeSource: Option[String] = None): Unit = {
+    val docs = excludeSource.foldLeft(Tables.documents(s, dir)) { (df, src) =>
+      df.filter(coalesce(col("source") =!= src, lit(true)))
+    }
     val n = docs.count()
-    val posts = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .groupBy("tok", "doc_id")
-      .agg(count(lit(1)).as("tf"))
+    val posts = postingsOf(docs)
     posts
       .repartitionByRange(col("tok"))
       .sortWithinPartitions("tok", "doc_id")
@@ -68,19 +78,103 @@ object TextIndex {
       .mode("overwrite")
       .parquet(s"$indexPath/vocab")
     GramIndex.writeMeta(
-      s, indexPath, Seq(GramIndex.stamp(dir), n.toString, FormatVersion).mkString("\n"))
+      s, indexPath,
+      Seq(GramIndex.stamp(dir), n.toString, FormatVersion,
+        excludeSource.getOrElse("")).mkString("\n"))
   }
 
-  private def freshMeta(s: SparkSession, dir: String, indexPath: String): Option[Long] =
+  /** One tokenize/count definition for build and absorb — the fit/apply
+    * rule: the delta batch must enter the index through the exact
+    * pipeline the corpus did. */
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Fold the admitted batch (`source = oldDelta`) into the index — one
+    * delta scan (source-equality pushed to the parquet scan) + one
+    * LINEAR merge over the postings (sum-merge on (tok, doc_id): tf
+    * counts are additive over row sets, so the absorbed index is
+    * row-identical to `build(..., excludeSource = Some(newDelta))` —
+    * spec-pinned) — and re-bind the exclusion to `newDelta`. The corpus
+    * text is never re-scanned; that is the point of keeping the index.
+    *
+    * Preconditions ([[GramIndex.absorb]]'s, loudly enforced): the index
+    * is fresh for `oldDelta` (a stale base would merge into the wrong
+    * corpus), and no `newDelta` rows exist yet (they would predate the
+    * base index's build and be missing from both sides of the merge
+    * while a rebuild would exclude them explicitly — absorb must run
+    * BEFORE the next crawl lands).
+    *
+    * Crash safety: meta deleted FIRST, bodies staged to `*_new` and
+    * swapped, meta rewritten LAST — a crash anywhere leaves a
+    * stale-by-stamp index the next consumer rebuilds. */
+  def absorb(
+      s: SparkSession,
+      dir: String,
+      indexPath: String,
+      oldDelta: String = GramIndex.DefaultDeltaSource,
+      newDelta: String = "src20"): Unit = {
+    if (!isFresh(s, dir, indexPath, oldDelta))
+      throw new IllegalStateException(
+        s"absorb: text index at $indexPath is missing or stale for $dir " +
+          s"(excludeSource=$oldDelta)")
+    val docs = Tables.documents(s, dir)
+    if (docs.filter(col("source") === newDelta).limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"absorb: table already holds '$newDelta' rows — absorb must run before the " +
+          "next batch lands (rebuild instead)")
+    val batch = docs.filter(col("source") === oldDelta)
+    val n = freshMeta(s, dir, indexPath, oldDelta).get + batch.count()
+    val merged = s.read.parquet(s"$indexPath/postings")
+      .unionByName(postingsOf(batch))
+      .groupBy("tok", "doc_id")
+      .agg(sum(col("tf")).as("tf"))
+    val fs = GramIndex.metaPath(indexPath).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(GramIndex.metaPath(indexPath), false)
+    merged
+      .repartitionByRange(col("tok"))
+      .sortWithinPartitions("tok", "doc_id")
+      .write.mode("overwrite").parquet(s"$indexPath/postings_new")
+    merged
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"))
+      .repartitionByRange(col("tok"))
+      .write.mode("overwrite").parquet(s"$indexPath/vocab_new")
+    def swap(name: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$indexPath/$name")
+      val next = new org.apache.hadoop.fs.Path(s"$indexPath/${name}_new")
+      fs.delete(live, true)
+      if (!fs.rename(next, live))
+        throw new java.io.IOException(s"absorb: rename $next -> $live failed")
+    }
+    swap("postings")
+    swap("vocab")
+    GramIndex.writeMeta(
+      s, indexPath,
+      Seq(GramIndex.stamp(dir), n.toString, FormatVersion, newDelta).mkString("\n"))
+  }
+
+  private def freshMeta(
+      s: SparkSession,
+      dir: String,
+      indexPath: String,
+      excludeSource: String = ""): Option[Long] =
     GramIndex.readMeta(s, indexPath).collect {
       case lines
-          if lines.length >= 3 && lines(0) == GramIndex.stamp(dir) &&
-            lines(2) == FormatVersion =>
+          if lines.length >= 4 && lines(0) == GramIndex.stamp(dir) &&
+            lines(2) == FormatVersion && lines(3) == excludeSource =>
         lines(1).toLong
     }
 
-  def isFresh(s: SparkSession, dir: String, indexPath: String): Boolean =
-    freshMeta(s, dir, indexPath).isDefined
+  def isFresh(
+      s: SparkSession,
+      dir: String,
+      indexPath: String,
+      excludeSource: String = ""): Boolean =
+    freshMeta(s, dir, indexPath, excludeSource).isDefined
 
   /** [[TextAnalysis.search]] served from the persisted index — the
     * identical ranking contract (same terms, same fixed-order integer-tf

@@ -374,7 +374,22 @@ object Training {
     * sort range-partitioned (bucketOn = the key's leading 15 hex chars
     * as a long, monotone in the full-key order). */
   def epochPlan(s: SparkSession, dir: String): DataFrame = {
-    val seqs = packRows(s, dir).select(col("seq_id"))
+    val L = CorpusOps.packSeqLen(s)
+    // The sequence-id set is [0, ceil(total_tokens/L)) by [[packRows]]'
+    // contiguous-tiling contract (spec-pinned), so the plan derives it
+    // from ONE token-count aggregate + a range() — replacing the full
+    // packRows lineage this used to drag in (two eager prefix-sum jobs,
+    // a fragment explode and a sequence shuffle, all to read off ids the
+    // arithmetic already determines). Floor discipline: an epoch plan is
+    // consulted every training run; its cost should be |seqs|, not a
+    // corpus repack. The spec still pins plan∘packRows agreement.
+    val total = Tables
+      .documents(s, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .agg(coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L)))
+      .head()
+      .getLong(0)
+    val seqs = s.range((total + L - 1) / L).select(col("id").as("seq_id"))
     val h = md5(concat(lit("ep"), col("epoch").cast("string"), lit(":"),
       col("seq_id").cast("string")))
     val shard = (0 until 7).foldLeft(when(lit(false), lit(-1))) { (acc, i) =>

@@ -58,8 +58,20 @@ object VectorIndex {
 
   /** Build (overwrite) the store at `path` from `dir`'s embeddings —
     * one [[Similarity.ivfCells]] pipeline (centroid + assignment passes),
-    * landed partitioned. */
-  def build(s: SparkSession, dir: String, path: String): Unit = {
+    * landed partitioned.
+    *
+    * `excludeFrom`: the incoming-batch exclusion, by vec_id range
+    * ([[GramIndex.build]]'s deltaSource convention adapted to the
+    * embeddings table, which has no source column — new vectors arrive
+    * with ids past the established corpus): when set, only `vec_id <
+    * excludeFrom` is indexed and the bound is recorded in meta, so
+    * [[absorb]] can later fold exactly that batch in. The driver path
+    * builds with None (index everything). */
+  def build(
+      s: SparkSession,
+      dir: String,
+      path: String,
+      excludeFrom: Option[Long] = None): Unit = {
     // invalidate meta FIRST (the CorpusProfile crash contract): a build
     // clobbering a CURRENTLY-FRESH store (operational re-index, same
     // stamp) that dies mid-write must not leave the old meta serving the
@@ -67,7 +79,10 @@ object VectorIndex {
     // protects rebuilds that were themselves triggered by stamp drift
     val mp = GramIndex.metaPath(path)
     mp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(mp, false)
-    val (assigned, codebook) = Similarity.ivfCells(s, dir, 16)
+    val corpus = excludeFrom.foldLeft(Similarity.quantizedEmbeddings(s, dir)) {
+      (df, from) => df.filter(col("vec_id") < from)
+    }
+    val (assigned, codebook) = Similarity.ivfCellsOf(corpus, 16)
     graft.Sinks.ivfPartitioned(assigned, s"$path/vectors")
     // store reads must never depend on the build session's frames: the
     // codebook lands as its K struct rows, re-collapsed at read time
@@ -88,28 +103,161 @@ object VectorIndex {
     // PQ artifacts (v2): the 4-byte-per-vector code rows land PARTITIONED
     // BY CELL like the vectors, so IVF-ADC serving prunes non-probed
     // cells at the reader; the 128-row integer subspace codebook lands
-    // beside them. The cell join rides the stamp-cached slim assignment
-    // (the same frame ann_ivfpq_topk / dedup_embedding_ivf share), and
-    // pqFrames is the stamp-cached pair the live PQ queries use — a
-    // build right after a live query re-reads both caches instead of
-    // re-scanning the corpus.
-    val (pqCents, pqAssigned) = Similarity.pqFrames(s, dir)
+    // beside them. On the default (no-exclusion) path the cell join
+    // rides the stamp-cached slim assignment (the same frame
+    // ann_ivfpq_topk / dedup_embedding_ivf share) and pqFrames is the
+    // stamp-cached pair the live PQ queries use — a build right after a
+    // live query re-reads both caches instead of re-scanning the corpus;
+    // an exclusion build derives both from its own filtered corpus (the
+    // caches hold full-corpus frames and must not leak into it).
+    val sd = Similarity.embDim(s) / 8
+    require(Similarity.embDim(s) % 8 == 0,
+      s"VectorIndex PQ bodies need dim % 8 == 0, got ${Similarity.embDim(s)}")
+    val (pqCents, pqAssigned, cellsSlim) = excludeFrom match {
+      case None =>
+        val (c, a) = Similarity.pqFrames(s, dir)
+        (c, a, Similarity.ivfCellsSlimCached(s, dir))
+      case Some(_) =>
+        val sub = Similarity.subspaceRows(corpus, "vec_id", sd)
+        val c = Similarity.pqCentroids(sub)
+        (c, Similarity.pqAssigned(sub, c), assigned.select(col("vec_id"), col("cell")))
+    }
     Similarity
       .pqCodes(pqAssigned)
-      .join(Similarity.ivfCellsSlimCached(s, dir), "vec_id")
+      .join(cellsSlim, "vec_id")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/pqcodes")
     pqCents
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/pqcodebook")
-    // meta follows the house 3-line convention (stamp, info, version) so
-    // store_status reads all four stores with one shape
+    // meta follows the house convention (stamp, info, version) plus the
+    // recorded batch exclusion ("" = none) so store_status reads all
+    // four stores with one shape
     GramIndex.writeMeta(
-      s, path, Seq(stamp(dir), "k=16", formatVersion(s)).mkString("\n"))
+      s, path,
+      Seq(stamp(dir), "k=16", formatVersion(s),
+        excludeFrom.map(_.toString).getOrElse("")).mkString("\n"))
   }
 
-  def isFresh(s: SparkSession, dir: String, path: String): Boolean =
+  /** Fold the admitted vector batch `[oldFrom, newFrom)` into the store
+    * and re-bind the exclusion to `newFrom` — [[GramIndex.absorb]]'s
+    * between-crawls maintenance contract on the vector side: ONE
+    * delta-range scan of the embeddings table (the vec_id bound is a
+    * pushed parquet filter — row groups past the corpus prune on
+    * min/max stats) plus a LINEAR pass over the store's own bodies; the
+    * established corpus's float vectors are never re-read from the
+    * source table.
+    *
+    * What makes this exact (spec-pinned row-identical to
+    * `build(..., excludeFrom = Some(newFrom))`): every stored artifact
+    * is an exact integer. Seed-cell centroid sums are additive — old
+    * `cv` + the delta's seed sums equal a rebuild's sums bit-for-bit,
+    * same for the 128 PQ subspace sum-vectors — and re-assignment /
+    * re-coding against the merged codebooks reads (qv, nq) back from
+    * the store losslessly. The one unavoidable linear cost is
+    * re-assigning EVERY vector (new centroids can flip any vector's
+    * argmax cell — the honest price of exact parity; an approximate
+    * deployment that pins old assignments trades that for drift), but
+    * that pass is over the store's slim rows, not the source table.
+    *
+    * Unlike the source-label convention, the RANGE convention needs no
+    * "next batch already landed" guard: `build(excludeFrom=oldFrom)`
+    * excluded EVERYTHING at or past `oldFrom`, so rows ≥ `newFrom`
+    * (whenever they land) are outside both the base store and the
+    * absorbed result, and parity with a `newFrom` rebuild holds
+    * regardless.
+    *
+    * Crash safety: meta deleted FIRST, bodies staged to `*_new` and
+    * swapped, meta rewritten LAST — a crash anywhere leaves a
+    * stale-by-stamp (or stale-by-binding) store the next consumer
+    * rebuilds ([[GramIndex.absorb]] verbatim). */
+  def absorb(s: SparkSession, dir: String, path: String, oldFrom: Long, newFrom: Long): Unit = {
+    require(oldFrom < newFrom, s"absorb: oldFrom $oldFrom must be < newFrom $newFrom")
+    if (!isFresh(s, dir, path, Some(oldFrom)))
+      throw new IllegalStateException(
+        s"absorb: store at $path is missing or stale for $dir (excludeFrom=$oldFrom)")
+    import s.implicits._
+    val delta = Similarity
+      .quantizedEmbeddings(s, dir)
+      .filter(col("vec_id") >= oldFrom && col("vec_id") < newFrom)
+    def zipAdd(a: String, b: String) =
+      when(col(a).isNull, col(b))
+        .when(col(b).isNull, col(a))
+        .otherwise(zip_with(col(a), col(b), _ + _))
+    // merged IVF codebook: old seed sums + delta seed sums, exact
+    val mergedCb = s.read.parquet(s"$path/codebook")
+      .join(
+        delta
+          .groupBy((col("vec_id") % 16).cast("int").as("cell"))
+          .agg(call_function("graft_vec_sum", col("qv")).as("cvd")),
+        Seq("cell"), "full_outer")
+      .select(col("cell"), zipAdd("cv", "cvd").as("cv"))
+      .filter(Similarity.assertCentroidExact(col("cv"), "IVF centroid"))
+      .withColumn("nc", Similarity.selfDot(col("cv")))
+    val codebook1 = mergedCb.agg(
+      array_sort(collect_list(struct(col("cell"), col("cv"), col("nc")))).as("cb"))
+    // every vector re-scored against the merged codebook: stored rows
+    // (an empty base store's partitioned body has no readable schema —
+    // stand in the typed empty frame) + the delta
+    val stored =
+      try s.read.parquet(s"$path/vectors").select(col("vec_id"), col("qv"), col("nq"))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          s.emptyDataset[(Long, Array[Long], Long)].toDF("vec_id", "qv", "nq")
+      }
+    val allVecs = stored.unionByName(delta.select(col("vec_id"), col("qv"), col("nq")))
+    val reassigned = Similarity.ivfAssign(allVecs, codebook1)
+    // merged PQ subspace codebook (same additive-sums argument, 128 rows)
+    val sd = Similarity.embDim(s) / 8
+    val mergedPq = s.read.parquet(s"$path/pqcodebook")
+      .join(
+        Similarity
+          .subspaceRows(delta, "vec_id", sd)
+          .groupBy(col("sub_id"), (col("vec_id") % 16).cast("int").as("cid"))
+          .agg(call_function("graft_vec_sum", col("qv")).as("svd"), count(lit(1)).as("cd")),
+        Seq("sub_id", "cid"), "full_outer")
+      .select(
+        col("sub_id"), col("cid"), zipAdd("sv", "svd").as("sv"),
+        (coalesce(col("c"), lit(0L)) + coalesce(col("cd"), lit(0L))).as("c"))
+      .filter(Similarity.assertCentroidExact(col("sv"), "PQ centroid"))
+      .withColumn("ns", Similarity.selfDot(col("sv")))
+    val newCodes = Similarity
+      .pqCodes(Similarity.pqAssigned(Similarity.subspaceRows(allVecs, "vec_id", sd), mergedPq))
+      .join(reassigned.select(col("vec_id"), col("cell")), "vec_id")
+    // stage every body (their plans READ the live bodies — overwrite in
+    // place would fail or corrupt), then swap; meta is already deleted
+    val fs = GramIndex.metaPath(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(GramIndex.metaPath(path), false)
+    reassigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors_new")
+    mergedCb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook_new")
+    s.read.parquet(s"$path/qsample")
+      .unionByName(
+        delta
+          .filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("qv"), col("nq")))
+      .write.mode("overwrite").parquet(s"$path/qsample_new")
+    newCodes.write.mode("overwrite").partitionBy("cell").parquet(s"$path/pqcodes_new")
+    mergedPq.coalesce(1).write.mode("overwrite").parquet(s"$path/pqcodebook_new")
+    def swap(name: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$name")
+      val next = new org.apache.hadoop.fs.Path(s"$path/${name}_new")
+      fs.delete(live, true)
+      if (!fs.rename(next, live))
+        throw new java.io.IOException(s"absorb: rename $next -> $live failed")
+    }
+    Seq("vectors", "codebook", "qsample", "pqcodes", "pqcodebook").foreach(swap)
+    GramIndex.writeMeta(
+      s, path,
+      Seq(stamp(dir), "k=16", formatVersion(s), newFrom.toString).mkString("\n"))
+  }
+
+  def isFresh(
+      s: SparkSession,
+      dir: String,
+      path: String,
+      excludeFrom: Option[Long] = None): Boolean =
     GramIndex.readMeta(s, path).exists(l =>
-      l.length >= 3 && l(0) == stamp(dir) && l(2) == formatVersion(s))
+      l.length >= 4 && l(0) == stamp(dir) && l(2) == formatVersion(s) &&
+        l(3) == excludeFrom.map(_.toString).getOrElse(""))
 
   /** [[Similarity.annIvf]]'s exact contract served from the store (same
     * probes, same rescore, same oracle); zero embeddings scans when

@@ -22,8 +22,35 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     name match {
       case "events" => events(spark, dir)
-      case n        => spark.read.parquet(s"$dir/$n.parquet")
+      case n        => readStable(spark, dir, n)
     }
+
+  /** Read a table with its schema served from a driver-side cache keyed
+    * by (path, on-disk stamp) — floor discipline: a bare
+    * `spark.read.parquet` runs a one-task SCHEMA-INFERENCE JOB per call,
+    * and this engine's query functions re-resolve their tables on every
+    * invocation (10 jobs for one [[registerViews]] — measured as the
+    * single largest job-count term across the suite). Supplying the
+    * once-inferred schema skips that job while changing nothing else:
+    * same relation, same pruning/pushdown, and the stamp key re-infers
+    * whenever the files change on disk (the [[graft.operators
+    * .PipelineCache]] staleness contract applied to metadata). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, org.apache.spark.sql.types.StructType)]
+
+  private def readStable(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val stamp = graft.operators.PipelineCache.sourceStamp(dir, s"$name.parquet")
+    val schema = schemaCache.get(path) match {
+      case (st, sch) if st == stamp => sch
+      case _ =>
+        val sch = spark.read.parquet(path).schema
+        schemaCache.put(path, (stamp, sch))
+        sch
+    }
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** events.parquet's `ts` physical type has varied across driver data
     * generations — INT64 TIMESTAMP(NANOS) in some drops, TIMESTAMP(MICROS)
@@ -44,7 +71,7 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = readStable(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

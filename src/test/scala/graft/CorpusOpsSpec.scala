@@ -364,6 +364,54 @@ class CorpusOpsSpec extends GraftSpecBase {
     assert(e.getMessage.contains("before the next batch lands"), e.getMessage)
   }
 
+  test("TextIndex.absorb equals a from-scratch rebuild after batch rotation") {
+    import graft.operators.TextIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_tidx_absorb").toString
+    val dir = s"$base/data"
+    import spark.implicits._
+    def write(extra: Seq[(Long, String, Option[String])]): Unit =
+      (Seq(
+        (10L, "spark join the river", Some("srcA")),
+        (40L, "stream of the spark", None),
+        (3L, "join join stream", Some("src19")), // shares tokens with corpus
+        (20L, "spark join the river", Some("src19")), // exact copy of corpus 10
+        (30L, "unique words only", Some("src19"))
+      ) ++ extra)
+        .toDF("doc_id", "text", "source")
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write(Nil)
+    // absorb of a missing index must fail loudly, never silently rebuild
+    intercept[IllegalStateException] {
+      TextIndex.absorb(spark, dir, s"$base/nowhere", "src19", "src20")
+    }
+    TextIndex.build(spark, dir, s"$base/idxA", Some("src19"))
+    TextIndex.absorb(spark, dir, s"$base/idxA", "src19", "src20")
+    assert(TextIndex.isFresh(spark, dir, s"$base/idxA", "src20"), "absorb did not re-bind")
+    TextIndex.build(spark, dir, s"$base/idxB", Some("src20"))
+    def posts(p: String) = spark.read.parquet(s"$p/postings").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def vocab(p: String) = spark.read.parquet(s"$p/vocab").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    def metaN(p: String) =
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$p/meta")).split("\n")(1)
+    assert(posts(s"$base/idxA") == posts(s"$base/idxB"),
+      "absorbed postings diverge from a rebuild")
+    assert(vocab(s"$base/idxA") == vocab(s"$base/idxB"),
+      "absorbed vocab diverges from a rebuild")
+    assert(metaN(s"$base/idxA") == metaN(s"$base/idxB"),
+      "absorbed doc count (the IDF numerator) diverges from a rebuild")
+    // once the next batch has landed, absorb's equivalence is gone — loud
+    write(Seq((60L, "late arrival", Some("src20"))))
+    TextIndex.build(spark, dir, s"$base/idxC", Some("src19"))
+    val e = intercept[IllegalStateException] {
+      TextIndex.absorb(spark, dir, s"$base/idxC", "src19", "src20")
+    }
+    assert(e.getMessage.contains("before the next batch lands"), e.getMessage)
+  }
+
   test("dedup_incremental: index-reuse (warm) path matches the standalone (cold) path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_incr2").toString
     import spark.implicits._

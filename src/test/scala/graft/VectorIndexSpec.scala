@@ -107,6 +107,44 @@ class VectorIndexSpec extends GraftSpecBase {
     }
   }
 
+  test("VectorIndex.absorb equals a from-scratch rebuild after the batch range rotates") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vidx_absorb").toString
+    def rows(p: String, body: String): Set[List[Any]] = {
+      val df = spark.read.parquet(s"$p/$body")
+      val cols = df.columns.sorted.toList
+      df.select(cols.map(org.apache.spark.sql.functions.col): _*).collect()
+        .map(r =>
+          cols.indices.map(i =>
+            r.get(i) match {
+              case s: scala.collection.Seq[_] => s.toList
+              case x => x
+            }).toList)
+        .toSet
+    }
+    try {
+      // absorb of a missing store must fail loudly, never silently rebuild
+      intercept[IllegalStateException] {
+        VectorIndex.absorb(spark, sfDir, s"$tmp/nowhere", 400L, 1000L)
+      }
+      // base store: corpus = vec_id < 400; the "crawl" is [400, 1000)
+      VectorIndex.build(spark, sfDir, s"$tmp/idxA", Some(400L))
+      assert(VectorIndex.isFresh(spark, sfDir, s"$tmp/idxA", Some(400L)))
+      assert(!VectorIndex.isFresh(spark, sfDir, s"$tmp/idxA"),
+        "an exclusion build must not read fresh under the default binding")
+      VectorIndex.absorb(spark, sfDir, s"$tmp/idxA", 400L, 1000L)
+      assert(VectorIndex.isFresh(spark, sfDir, s"$tmp/idxA", Some(1000L)),
+        "absorb did not re-bind")
+      VectorIndex.build(spark, sfDir, s"$tmp/idxB", Some(1000L))
+      for (body <- Seq("vectors", "codebook", "qsample", "pqcodes", "pqcodebook"))
+        assert(rows(s"$tmp/idxA", body) == rows(s"$tmp/idxB", body),
+          s"absorbed $body diverges from a rebuild")
+      // wrong oldFrom = stale base — loud, never a silent wrong merge
+      intercept[IllegalStateException] {
+        VectorIndex.absorb(spark, sfDir, s"$tmp/idxA", 400L, 2000L)
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   test("a stale store (embeddings rewrite) rebuilds instead of serving old cells") {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft_vec_stale").toString
