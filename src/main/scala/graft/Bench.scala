@@ -121,7 +121,7 @@ object Bench {
         "dedup_ngram_jaccard", "dedup_survivorship", "graph_pagerank",
         "graph_triangles", "text_edit_sim"),
       "minhash" -> Seq("corpus_dedup", "dedup_minhash"),
-      "bpe_merge_table" -> Seq("text_tokenize_ids", "train_pack_ids"),
+      "bpe_merge_table" -> Seq("text_bpe_train", "text_tokenize_ids", "train_pack_ids"),
       "ivf_qsample" -> Seq("ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk"),
       "pq" -> Seq("ann_ivfpq_idx", "ann_ivfpq_topk", "ann_pq_topk", "emb_pq"),
       "ivf_store_probes" -> Seq("ann_ivf_idx", "ann_ivfpq_idx"))

@@ -618,6 +618,86 @@ object TextAnalysis {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
           .otherwise(concat(acc, array(x))))
 
+  /** Exact DuckDB replay of the BPE FIT+APPLY pipeline — the [[bpeTrain]]
+    * rounds UNROLLED (M = [[BpeMergesDefault]] chained CTE blocks; the
+    * oracle pins the default, the knob convention), which closed this
+    * family's last rows-only records: the greedy left-to-right merge
+    * pass has an exact STRING rendering. Each vocab word's symbol list
+    * becomes a string with every symbol wrapped in `chr(1)` boundaries
+    * (`[ab][c]` → `\1ab\1\1c\1`); one merge pass for (l, r) is then a
+    * plain `replace(s, '\1l\1\1r\1', '\1lr\1')` — non-overlapping
+    * left-to-right replacement is EXACTLY [[bpeMergePass]]'s fold
+    * (candidate matches can only overlap when l = r, where both
+    * semantics take alternating pairs from the left; a freshly merged
+    * token never re-merges within a pass because `lr` differs from `l`),
+    * and the boundary wrappers stop a pair from matching inside a
+    * larger symbol. Pair census, argmax tie-break (pf DESC, l, r) and
+    * the early-out when pairs run dry (LEFT JOIN on the 0-or-1-row
+    * argmax) all mirror the Scala side; heavy shared CTEs are
+    * MATERIALIZED so DuckDB computes the chain once instead of
+    * re-inlining it per consumer. */
+  private[operators] val bpeOracleCtes: String = {
+    val m = BpeMergesDefault
+    val head =
+      raw"""census AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE LENGTH(w) > 0 GROUP BY w),
+v0 AS MATERIALIZED (SELECT w, freq, regexp_replace(w, '(.)', chr(1) || '\1' || chr(1), 'g') AS s FROM census)"""
+    val rounds = (1 to m).map { i =>
+      s"""p$i AS (
+  SELECT l, r, SUM(freq) AS pf FROM (
+    SELECT freq, syms[CAST(j AS INT)] AS l, syms[CAST(j AS INT) + 1] AS r
+    FROM (SELECT freq, list_filter(string_split(s, chr(1)), x -> x <> '') AS syms FROM v${i - 1}),
+         UNNEST(range(1, len(syms))) AS t(j))
+  GROUP BY l, r),
+m$i AS (SELECT CAST($i AS INT) AS rank, l, r, CAST(pf AS BIGINT) AS pf FROM p$i
+         ORDER BY pf DESC, l, r LIMIT 1),
+v$i AS MATERIALIZED (SELECT v.w, v.freq,
+  CASE WHEN m.l IS NULL THEN v.s
+       ELSE replace(v.s, chr(1) || m.l || chr(1) || chr(1) || m.r || chr(1),
+                    chr(1) || m.l || m.r || chr(1)) END AS s
+  FROM v${i - 1} v LEFT JOIN m$i m ON TRUE)"""
+    }
+    val union = (1 to m).map(i => s"SELECT * FROM m$i").mkString("\n  UNION ALL ")
+    (head +: rounds).mkString(",\n") + s",\nmergetab AS ($union)"
+  }
+
+  /** The APPLY-side CTE chain over [[bpeOracleCtes]]' final vocab state:
+    * per-word id arrays (single code point → its code point, merged text
+    * → 0x110000 + min rank) and the per-document ordered id stream —
+    * shared by [[Training]]'s tokenize/pack oracles. */
+  private[operators] val bpeApplyCtes: String = {
+    val m = BpeMergesDefault
+    s"""mergeid AS (SELECT l || r AS merged, 1114112 + MIN(rank) AS id FROM mergetab GROUP BY 1),
+wsyms AS MATERIALIZED (SELECT w, list_filter(string_split(s, chr(1)), x -> x <> '') AS syms FROM v$m),
+wordids AS MATERIALIZED (
+  SELECT w, LIST(id ORDER BY j) AS ids FROM (
+    SELECT w, j,
+      CASE WHEN LENGTH(sym) = 1 THEN unicode(sym) ELSE mi.id END AS id
+    FROM (SELECT w, syms[CAST(j AS INT)] AS sym, j
+          FROM wsyms, UNNEST(range(1, len(syms) + 1)) AS t(j))
+    LEFT JOIN mergeid mi ON sym = mi.merged)
+  GROUP BY w),
+dw AS MATERIALIZED (SELECT doc_id, j AS wpos, words[CAST(j AS INT)] AS w
+       FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+            UNNEST(range(1, len(words) + 1)) AS t(j)
+       WHERE LENGTH(words[CAST(j AS INT)]) > 0),
+idstream AS MATERIALIZED (SELECT doc_id, wpos, i AS ipos, wi.ids[CAST(i AS INT)] AS id
+             FROM dw JOIN wordids wi USING (w),
+                  UNNEST(range(1, len(wi.ids) + 1)) AS t(i)),
+tok AS MATERIALIZED (SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_ids,
+               CAST(SUM(CASE WHEN id >= 1114112 THEN 1 ELSE 0 END) AS BIGINT) AS n_merged,
+               md5(string_agg(id::VARCHAR, ',' ORDER BY wpos, ipos)) AS ids_md5
+        FROM idstream GROUP BY doc_id)"""
+  }
+
+  val bpeTrainSql: String =
+    "WITH " + bpeOracleCtes + "\n" +
+      """SELECT rank, l AS "left", r AS "right", l || r AS merged, pf AS pair_freq
+FROM mergetab ORDER BY rank"""
+
   def bpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = bpeMerges(s)
@@ -1135,7 +1215,11 @@ object TextAnalysis {
     "text_topk_approx" -> (topkApprox _),
     "text_heavy_hitters" -> (heavyHitters _),
     "text_vocab_growth" -> (vocabGrowth _),
-    "text_bpe_train" -> (bpeTrain _),
+    // the FIT rounds ride the SAME stamp-cached merge table its APPLY
+    // consumers read (tokenize/pack) — one M-round computation per
+    // source stamp across the family, disclosed under shared_cache
+    "text_bpe_train" -> ((s, d) =>
+      PipelineCache.cached("bpe_merge_table", s, d, "documents.parquet")(bpeTrain(s, d))),
     "text_winnow" -> (winnow _),
     "text_tokens_bpe" -> (tokensBpe _),
     "text_scrub" -> (scrub _),
@@ -1145,6 +1229,7 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_train" -> bpeTrainSql,
     "text_tfidf" -> tfidfSql,
     "text_entropy" -> entropySql,
     "text_lm_bigram" -> lmBigramSql,

@@ -437,6 +437,47 @@ object Training {
        FROM sh
        ORDER BY epoch, shard, position"""
 
+  /** Exact DuckDB replay of [[tokenizeIds]] over [[TextAnalysis
+    * .bpeOracleCtes]]' unrolled FIT + [[TextAnalysis.bpeApplyCtes]]'
+    * APPLY chain — the fingerprint compares the full id stream, so the
+    * driver hash checks the BPE apply end to end (no more rows-only by
+    * necessity: the greedy fold has an exact string rendering, see the
+    * FIT oracle's scaladoc). NULL/empty docs surface as zero-id rows
+    * with md5('') — the operator's contract. */
+  val tokenizeIdsSql: String =
+    "WITH " + TextAnalysis.bpeOracleCtes + ",\n" + TextAnalysis.bpeApplyCtes + "\n" +
+      """SELECT d.doc_id, COALESCE(t.n_ids, 0) AS n_ids, COALESCE(t.n_merged, 0) AS n_merged,
+       COALESCE(t.ids_md5, md5('')) AS ids_md5
+FROM documents d LEFT JOIN tok t USING (doc_id)
+ORDER BY doc_id"""
+
+  /** Exact DuckDB replay of [[packIds]]: the tokenized id stream, the
+    * content-hash split stamp ([[CorpusOps.splitLabel]]'s hex bands),
+    * the per-split exclusive prefix and the L=2048 tiling — the packed
+    * trainable artifact hash-checked per sequence. */
+  val packIdsSql: String =
+    "WITH " + TextAnalysis.bpeOracleCtes + ",\n" + TextAnalysis.bpeApplyCtes + ",\n" +
+      """sp AS (SELECT doc_id,
+              CASE WHEN substr(md5(text), 1, 3) < 'ccd' THEN 'train'
+                   WHEN substr(md5(text), 1, 3) < 'e66' THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents),
+c AS (SELECT t.doc_id, sp.split, t.n_ids,
+             COALESCE(SUM(t.n_ids) OVER (PARTITION BY sp.split ORDER BY t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ex
+      FROM tok t JOIN sp USING (doc_id) WHERE t.n_ids > 0),
+g AS (SELECT c.split, c.doc_id,
+             c.ex + ROW_NUMBER() OVER (PARTITION BY c.doc_id ORDER BY i.wpos, i.ipos) - 1 AS gpos,
+             i.id
+      FROM idstream i JOIN c ON i.doc_id = c.doc_id)
+SELECT split, CAST(gpos // 2048 AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ids,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc_id, MAX(doc_id) AS last_doc_id,
+       md5(string_agg(id::VARCHAR, ',' ORDER BY gpos)) AS ids_md5
+FROM g GROUP BY 1, 2
+ORDER BY split, seq_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "train_seq_bounds" -> (seqBounds _),
     "train_epoch_plan" -> (epochPlan _),
@@ -447,5 +488,7 @@ object Training {
   val oracles: Map[String, String] = Map(
     "train_seq_bounds" -> seqBoundsSql,
     "train_epoch_plan" -> epochPlanSql,
-    "corpus_pack_rows" -> packRowsSql)
+    "corpus_pack_rows" -> packRowsSql,
+    "text_tokenize_ids" -> tokenizeIdsSql,
+    "train_pack_ids" -> packIdsSql)
 }
