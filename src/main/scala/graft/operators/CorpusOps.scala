@@ -887,28 +887,32 @@ object CorpusOps {
   def storeStatus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docStamp = GramIndex.stamp(dir)
-    // per-store extra meta constraint: the gram index's OWN isFresh also
-    // binds the recorded delta source (the batch the index excludes) —
-    // the census must agree with the store's isFresh verdict, not report
-    // fresh for an index dedup_incremental_idx would rebuild. The census
-    // checks the DEFAULT binding (GramIndex.DefaultDeltaSource — the one
-    // constant the driver path builds with): an index built against a
-    // NON-default delta source is deliberately reported stale here,
-    // because the default-source consumer would rebuild it.
-    val anyInfo = (_: String) => true
+    // per-store extra meta constraint: each store's OWN isFresh binds
+    // more than (stamp, version) — the census must agree with that
+    // store's verdict, not report fresh for an index its default
+    // consumer would rebuild. gram_index binds the recorded delta
+    // source to the DEFAULT (the one constant the driver path builds
+    // with — a non-default-built index is deliberately reported stale
+    // because dedup_incremental_idx would rebuild it); text_index and
+    // vector_index bind their v2 batch-exclusion line to "" (the
+    // default no-exclusion binding text_search_idx / ann_ivf_idx
+    // require — an absorbed/exclusion-built store is stale to them);
+    // corpus_profile genuinely adopts ANY recorded rotation (its
+    // consumer reads the recorded source), so it checks none.
+    val anyMeta = (_: Array[String]) => true
     val stores = Seq(
       ("gram_index", defaultIndexPath(s, dir), GramIndex.FormatVersion, docStamp,
-        (info: String) => info == GramIndex.DefaultDeltaSource, Seq("grams", "hashes")),
+        (l: Array[String]) => l(1) == GramIndex.DefaultDeltaSource, Seq("grams", "hashes")),
       ("text_index", TextIndex.defaultPath(s, dir), TextIndex.FormatVersion, docStamp,
-        anyInfo, Seq("postings", "vocab")),
+        (l: Array[String]) => l.length >= 4 && l(3) == "", Seq("postings", "vocab")),
       ("corpus_profile", CorpusProfile.defaultPath(s, dir), CorpusProfile.FormatVersion,
-        docStamp, anyInfo, Seq("rows")),
+        docStamp, anyMeta, Seq("rows")),
       ("vector_index", VectorIndex.defaultPath(s, dir), VectorIndex.formatVersion(s),
-        VectorIndex.stamp(dir), anyInfo,
+        VectorIndex.stamp(dir), (l: Array[String]) => l.length >= 4 && l(3) == "",
         Seq("vectors", "codebook", "qsample", "pqcodes", "pqcodebook")))
-    val rows = stores.flatMap { case (name, path, wantVersion, stamp, infoOk, bodies) =>
+    val rows = stores.flatMap { case (name, path, wantVersion, stamp, metaOk, bodies) =>
       val meta = GramIndex.readMeta(s, path).filter(_.length >= 3)
-      val fresh = meta.exists(l => l(0) == stamp && l(2) == wantVersion && infoOk(l(1)))
+      val fresh = meta.exists(l => l(0) == stamp && l(2) == wantVersion && metaOk(l))
       bodies.map { body =>
         val n =
           try Some(s.read.parquet(s"$path/$body").count())

@@ -643,7 +643,7 @@ object TextAnalysis {
   SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
     SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
   WHERE LENGTH(w) > 0 GROUP BY w),
-v0 AS MATERIALIZED (SELECT w, freq, regexp_replace(w, '(.)', chr(1) || '\1' || chr(1), 'g') AS s FROM census)"""
+v0 AS MATERIALIZED (SELECT w, freq, regexp_replace(w, '([\s\S])', chr(1) || '\1' || chr(1), 'g') AS s FROM census)"""
     val rounds = (1 to m).map { i =>
       s"""p$i AS (
   SELECT l, r, SUM(freq) AS pf FROM (

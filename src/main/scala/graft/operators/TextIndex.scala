@@ -128,21 +128,28 @@ object TextIndex {
           "next batch lands (rebuild instead)")
     val batch = docs.filter(col("source") === oldDelta)
     val n = freshMeta(s, dir, indexPath, oldDelta).get + batch.count()
+    // persisted: the merge (delta tokenize + full postings read + sum
+    // aggregate) has TWO write consumers below — without the pin each
+    // write re-runs the whole lineage, doubling the cost the "one
+    // linear merge" contract advertises
     val merged = s.read.parquet(s"$indexPath/postings")
       .unionByName(postingsOf(batch))
       .groupBy("tok", "doc_id")
       .agg(sum(col("tf")).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fs = GramIndex.metaPath(indexPath).getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(GramIndex.metaPath(indexPath), false)
-    merged
-      .repartitionByRange(col("tok"))
-      .sortWithinPartitions("tok", "doc_id")
-      .write.mode("overwrite").parquet(s"$indexPath/postings_new")
-    merged
-      .groupBy("tok")
-      .agg(count(lit(1)).as("df"))
-      .repartitionByRange(col("tok"))
-      .write.mode("overwrite").parquet(s"$indexPath/vocab_new")
+    try {
+      merged
+        .repartitionByRange(col("tok"))
+        .sortWithinPartitions("tok", "doc_id")
+        .write.mode("overwrite").parquet(s"$indexPath/postings_new")
+      merged
+        .groupBy("tok")
+        .agg(count(lit(1)).as("df"))
+        .repartitionByRange(col("tok"))
+        .write.mode("overwrite").parquet(s"$indexPath/vocab_new")
+    } finally merged.unpersist(blocking = false)
     def swap(name: String): Unit = {
       val live = new org.apache.hadoop.fs.Path(s"$indexPath/$name")
       val next = new org.apache.hadoop.fs.Path(s"$indexPath/${name}_new")

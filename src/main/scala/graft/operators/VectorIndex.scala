@@ -176,6 +176,7 @@ object VectorIndex {
       throw new IllegalStateException(
         s"absorb: store at $path is missing or stale for $dir (excludeFrom=$oldFrom)")
     import s.implicits._
+    val pin = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val delta = Similarity
       .quantizedEmbeddings(s, dir)
       .filter(col("vec_id") >= oldFrom && col("vec_id") < newFrom)
@@ -193,6 +194,12 @@ object VectorIndex {
       .select(col("cell"), zipAdd("cv", "cvd").as("cv"))
       .filter(Similarity.assertCentroidExact(col("cv"), "IVF centroid"))
       .withColumn("nc", Similarity.selfDot(col("cv")))
+      // every multi-consumer frame below is PINNED: each staged write is
+      // its own action, and without the persists the reassignment (a
+      // full pass over the store) and both merged codebooks re-run once
+      // per consumer — the recomputation class the pqFrames cache fixed,
+      // applied to the one-shot absorb
+      .persist(pin)
     val codebook1 = mergedCb.agg(
       array_sort(collect_list(struct(col("cell"), col("cv"), col("nc")))).as("cb"))
     // every vector re-scored against the merged codebook: stored rows
@@ -204,8 +211,10 @@ object VectorIndex {
         case _: org.apache.spark.sql.AnalysisException =>
           s.emptyDataset[(Long, Array[Long], Long)].toDF("vec_id", "qv", "nq")
       }
-    val allVecs = stored.unionByName(delta.select(col("vec_id"), col("qv"), col("nq")))
-    val reassigned = Similarity.ivfAssign(allVecs, codebook1)
+    val allVecs = stored
+      .unionByName(delta.select(col("vec_id"), col("qv"), col("nq")))
+      .persist(pin)
+    val reassigned = Similarity.ivfAssign(allVecs, codebook1).persist(pin)
     // merged PQ subspace codebook (same additive-sums argument, 128 rows)
     val sd = Similarity.embDim(s) / 8
     val mergedPq = s.read.parquet(s"$path/pqcodebook")
@@ -220,6 +229,7 @@ object VectorIndex {
         (coalesce(col("c"), lit(0L)) + coalesce(col("cd"), lit(0L))).as("c"))
       .filter(Similarity.assertCentroidExact(col("sv"), "PQ centroid"))
       .withColumn("ns", Similarity.selfDot(col("sv")))
+      .persist(pin)
     val newCodes = Similarity
       .pqCodes(Similarity.pqAssigned(Similarity.subspaceRows(allVecs, "vec_id", sd), mergedPq))
       .join(reassigned.select(col("vec_id"), col("cell")), "vec_id")
@@ -227,16 +237,19 @@ object VectorIndex {
     // place would fail or corrupt), then swap; meta is already deleted
     val fs = GramIndex.metaPath(path).getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(GramIndex.metaPath(path), false)
-    reassigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors_new")
-    mergedCb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook_new")
-    s.read.parquet(s"$path/qsample")
-      .unionByName(
-        delta
-          .filter(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("query_id"), col("qv"), col("nq")))
-      .write.mode("overwrite").parquet(s"$path/qsample_new")
-    newCodes.write.mode("overwrite").partitionBy("cell").parquet(s"$path/pqcodes_new")
-    mergedPq.coalesce(1).write.mode("overwrite").parquet(s"$path/pqcodebook_new")
+    try {
+      reassigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors_new")
+      mergedCb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook_new")
+      s.read.parquet(s"$path/qsample")
+        .unionByName(
+          delta
+            .filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("query_id"), col("qv"), col("nq")))
+        .write.mode("overwrite").parquet(s"$path/qsample_new")
+      newCodes.write.mode("overwrite").partitionBy("cell").parquet(s"$path/pqcodes_new")
+      mergedPq.coalesce(1).write.mode("overwrite").parquet(s"$path/pqcodebook_new")
+    } finally
+      Seq(reassigned, allVecs, mergedCb, mergedPq).foreach(_.unpersist(blocking = false))
     def swap(name: String): Unit = {
       val live = new org.apache.hadoop.fs.Path(s"$path/$name")
       val next = new org.apache.hadoop.fs.Path(s"$path/${name}_new")

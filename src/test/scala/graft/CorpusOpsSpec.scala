@@ -50,6 +50,29 @@ class CorpusOpsSpec extends GraftSpecBase {
     } finally spark.conf.unset("spark.graft.corpus.storeRoot")
   }
 
+  test("store_status: exclusion-built stores read stale to the census, like to their default consumer") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_store_excl").toString
+    val dir = s"$tmp/data"
+    spark.read.parquet(s"$sfDir/documents.parquet").write.parquet(s"$dir/documents.parquet")
+    spark.read.parquet(s"$sfDir/embeddings.parquet").write.parquet(s"$dir/embeddings.parquet")
+    spark.conf.set("spark.graft.corpus.storeRoot", s"$tmp/stores")
+    try {
+      // non-default batch-exclusion bindings: the default consumers
+      // (text_search_idx / ann_ivf_idx) would rebuild these — the census
+      // must agree and report them stale, not fresh (round-10 review)
+      graft.operators.TextIndex.build(
+        spark, dir, graft.operators.TextIndex.defaultPath(spark, dir), Some("src19"))
+      graft.operators.VectorIndex.build(
+        spark, dir, graft.operators.VectorIndex.defaultPath(spark, dir), Some(400L))
+      val st = CorpusOps.storeStatus(spark, dir).collect()
+        .filter(r => Set("text_index", "vector_index")(r.getString(0)))
+      assert(st.nonEmpty)
+      assert(st.forall(r => r.getAs[Boolean]("present") && !r.getAs[Boolean]("fresh")),
+        s"census must report exclusion-built stores stale: ${st.mkString(";")}")
+    } finally spark.conf.unset("spark.graft.corpus.storeRoot")
+  }
+
   test("source divergence matches a brute-force JS computation per source") {
     val got = CorpusOps.sourceDivergence(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getAs[Double]("js_divergence")).toMap
