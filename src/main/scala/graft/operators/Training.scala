@@ -51,6 +51,21 @@ object Training {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
       .sortBy(_._1)
 
+  /** The documents frame rebalanced for a CPU-BOUND kernel when the
+    * storage layout under-splits: the BPE merge fold costs far more per
+    * byte than a scan, so when the reader yields fewer splits than cores
+    * (the driver's single-row-group files → ONE task carrying the whole
+    * fold) a round-robin repartition buys full parallelism for the price
+    * of shuffling the raw text once. At 100 TB the scan already has
+    * thousands of splits, the condition is false, and this is a no-op —
+    * the repartition never costs anything at the scale where shuffling
+    * the corpus would hurt. */
+  private def balancedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val cores = s.sparkContext.defaultParallelism
+    if (d.rdd.getNumPartitions < cores) d.repartition(cores) else d
+  }
+
   /** Token-id array for one text column: split on spaces, drop empty
     * words, expand each word to symbols, fold every learned merge in
     * rank order (greedy left-to-right — [[TextAnalysis.bpeMergePass]]'s
@@ -83,13 +98,14 @@ object Training {
     * Scale shape: [[TextAnalysis.bpeTrain]]'s corpus scan + M bounded
     * vocab rounds run ONCE per source stamp (shared via
     * [[PipelineCache]]); tokenization itself is a narrow codegen'd map —
-    * no shuffle, no join, output one row per doc, NO output sort (the
-    * driver's rows-only check needs none and a per-doc global sort is
-    * exactly the presentation cost the event family shed). */
+    * no join, output one row per doc, NO output sort (the driver's
+    * rows-only check needs none and a per-doc global sort is exactly the
+    * presentation cost the event family shed). The only shuffle is
+    * [[balancedDocs]]' conditional rebalance, a no-op whenever the
+    * reader already splits the corpus. */
   def tokenizeIdsRaw(s: SparkSession, dir: String): DataFrame = {
     val merges = mergeTable(s, dir)
-    Tables
-      .documents(s, dir)
+    balancedDocs(s, dir)
       .select(col("doc_id"), tokenIdsCol(merges, col("text")).as("input_ids"))
       .select(
         col("doc_id"),
@@ -262,8 +278,7 @@ object Training {
     // array for pennies
     val tok = PipelineCache.cached("pack_ids_tok", s, dir, "documents.parquet") {
       val merges = mergeTable(s, dir)
-      Tables
-        .documents(s, dir)
+      balancedDocs(s, dir)
         .select(
           col("doc_id"),
           CorpusOps.splitLabel(col("text")).as("split"),
