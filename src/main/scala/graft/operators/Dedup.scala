@@ -133,8 +133,11 @@ object Dedup {
     // doc_id < 2^43 — both asserted LOUDLY below (assert_true throws on
     // violation) rather than silently corrupting ids on pathological input.
     val pack = 1048576L // 2^20
+    // documentsBalanced: the gram-hash + explode map side otherwise runs
+    // on however few splits the reader yields (one, on the driver's
+    // single-row-group files) — the kernel is the cost, not the scan
     val g = Tables
-      .documents(s, dir)
+      .documentsBalanced(s, dir)
       .select(col("doc_id"), call_function("graft_grams", col("text")).as("garr"))
       .filter(col("garr").isNotNull)
       .filter(
@@ -431,7 +434,7 @@ object Dedup {
     * and the signature re-attach of [[minhashPairsPlan]]. */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame =
     Tables
-      .documents(s, dir)
+      .documentsBalanced(s, dir)
       .select(col("doc_id"), call_function("graft_minhash", col("text")).as("sig"))
       .filter(col("sig").isNotNull)
 
@@ -551,7 +554,7 @@ object Dedup {
     * rows-only check. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val sig = Tables
-      .documents(s, dir)
+      .documentsBalanced(s, dir)
       .select(col("doc_id"), call_function("graft_simhash", col("text")).as("simhash"))
     val allBlocks = sig
       .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("blk"))

@@ -60,11 +60,8 @@ object Training {
     * thousands of splits, the condition is false, and this is a no-op —
     * the repartition never costs anything at the scale where shuffling
     * the corpus would hurt. */
-  private def balancedDocs(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    val cores = s.sparkContext.defaultParallelism
-    if (d.rdd.getNumPartitions < cores) d.repartition(cores) else d
-  }
+  private def balancedDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documentsBalanced(s, dir)
 
   /** Token-id array for one text column: split on spaces, drop empty
     * words, expand each word to symbols, fold every learned merge in

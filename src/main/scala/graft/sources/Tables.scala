@@ -80,6 +80,23 @@ object Tables {
     }
   }
 
+  /** `documents` rebalanced for a CPU-BOUND kernel when the storage
+    * layout under-splits: hash/tokenize kernels (minhash, simhash,
+    * gram hashing, BPE) cost far more per byte than the scan, so when
+    * the reader yields fewer splits than cores (single-row-group files
+    * → ONE task carrying the whole kernel pass) a round-robin
+    * repartition buys full parallelism for one cheap shuffle of the raw
+    * text. At deployment scale the scan has thousands of splits, the
+    * condition is false, and this is a plain [[documents]] — the
+    * rebalance never costs anything at the scale where shuffling the
+    * corpus would hurt. Callers must be order-insensitive (all are:
+    * aggregations, sorted capped collects, per-row maps). */
+  def documentsBalanced(spark: SparkSession, d: String): DataFrame = {
+    val df = documents(spark, d)
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
