@@ -123,7 +123,7 @@ object CorpusProfile {
     }
 
   private[graft] def rows(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(s"$path/rows")
+    graft.sources.Tables.stableParquet(s, s"$path/rows")
 
   /** The profile read back with estimates decoded — what a monitor
     * queries between crawls (≤|sources| rows, no corpus scan). */

@@ -217,10 +217,10 @@ object GramIndex {
     }
 
   private[graft] def grams(s: SparkSession, indexPath: String): DataFrame =
-    s.read.parquet(s"$indexPath/grams")
+    graft.sources.Tables.stableParquet(s, s"$indexPath/grams")
 
   private[graft] def hashes(s: SparkSession, indexPath: String): DataFrame =
-    s.read.parquet(s"$indexPath/hashes")
+    graft.sources.Tables.stableParquet(s, s"$indexPath/hashes")
 
   private[operators] def stamp(dir: String): String =
     PipelineCache.sourceStamp(dir, "documents.parquet")

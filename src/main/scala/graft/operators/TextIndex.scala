@@ -132,7 +132,7 @@ object TextIndex {
     // aggregate) has TWO write consumers below — without the pin each
     // write re-runs the whole lineage, doubling the cost the "one
     // linear merge" contract advertises
-    val merged = s.read.parquet(s"$indexPath/postings")
+    val merged = graft.sources.Tables.stableParquet(s, s"$indexPath/postings")
       .unionByName(postingsOf(batch))
       .groupBy("tok", "doc_id")
       .agg(sum(col("tf")).as("tf"))
@@ -199,14 +199,12 @@ object TextIndex {
     val n = freshMeta(s, dir, indexPath).getOrElse(
       throw new IllegalStateException(s"TextIndex at $indexPath vanished mid-query"))
     val terms = Seq("spark", "join", "stream")
-    val dfMap = s.read
-      .parquet(s"$indexPath/vocab")
+    val dfMap = graft.sources.Tables.stableParquet(s, s"$indexPath/vocab")
       .filter(col("tok").isin(terms: _*))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
-    val posts = s.read
-      .parquet(s"$indexPath/postings")
+    val posts = graft.sources.Tables.stableParquet(s, s"$indexPath/postings")
       .filter(col("tok").isin(terms: _*))
     val pivots = terms.map(t =>
       coalesce(max(when(col("tok") === t, col("tf"))), lit(0L)).as(s"tf_$t"))

@@ -185,7 +185,7 @@ object VectorIndex {
         .when(col(b).isNull, col(a))
         .otherwise(zip_with(col(a), col(b), _ + _))
     // merged IVF codebook: old seed sums + delta seed sums, exact
-    val mergedCb = s.read.parquet(s"$path/codebook")
+    val mergedCb = graft.sources.Tables.stableParquet(s, s"$path/codebook")
       .join(
         delta
           .groupBy((col("vec_id") % 16).cast("int").as("cell"))
@@ -206,7 +206,7 @@ object VectorIndex {
     // (an empty base store's partitioned body has no readable schema —
     // stand in the typed empty frame) + the delta
     val stored =
-      try s.read.parquet(s"$path/vectors").select(col("vec_id"), col("qv"), col("nq"))
+      try graft.sources.Tables.stableParquet(s, s"$path/vectors").select(col("vec_id"), col("qv"), col("nq"))
       catch {
         case _: org.apache.spark.sql.AnalysisException =>
           s.emptyDataset[(Long, Array[Long], Long)].toDF("vec_id", "qv", "nq")
@@ -217,7 +217,7 @@ object VectorIndex {
     val reassigned = Similarity.ivfAssign(allVecs, codebook1).persist(pin)
     // merged PQ subspace codebook (same additive-sums argument, 128 rows)
     val sd = Similarity.embDim(s) / 8
-    val mergedPq = s.read.parquet(s"$path/pqcodebook")
+    val mergedPq = graft.sources.Tables.stableParquet(s, s"$path/pqcodebook")
       .join(
         Similarity
           .subspaceRows(delta, "vec_id", sd)
@@ -240,7 +240,7 @@ object VectorIndex {
     try {
       reassigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors_new")
       mergedCb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook_new")
-      s.read.parquet(s"$path/qsample")
+      graft.sources.Tables.stableParquet(s, s"$path/qsample")
         .unionByName(
           delta
             .filter(col("vec_id") % 100 === 0)
@@ -277,9 +277,9 @@ object VectorIndex {
     * fresh — candidate reads touch only the probed cell partitions. */
   def annIndexed(s: SparkSession, dir: String, path: String): DataFrame = {
     if (!isFresh(s, dir, path)) build(s, dir, path)
-    val codebook = s.read.parquet(s"$path/codebook")
+    val codebook = graft.sources.Tables.stableParquet(s, s"$path/codebook")
       .agg(array_sort(collect_list(struct(col("cell"), col("cv"), col("nc")))).as("cb"))
-    val qf = s.read.parquet(s"$path/qsample")
+    val qf = graft.sources.Tables.stableParquet(s, s"$path/qsample")
     val probes = ivfProbesCached(s, dir, path, codebook, qf)
     // eager literal: the probed cell set (≤ 16 values) becomes a static
     // partition filter, so the vectors read prunes at the reader instead
@@ -294,7 +294,7 @@ object VectorIndex {
         .toDF("query_id", "neighbor_id", "cos_sim", "rk")
     } else {
       val cand =
-        s.read.parquet(s"$path/vectors").filter(col("cell").isin(cells.map(Int.box): _*))
+        graft.sources.Tables.stableParquet(s, s"$path/vectors").filter(col("cell").isin(cells.map(Int.box): _*))
       Similarity.ivfRescore(cand, probes, qf)
     }
   }
@@ -316,9 +316,9 @@ object VectorIndex {
     * scan-time operator uses. */
   def annIvfPqIndexed(s: SparkSession, dir: String, path: String): DataFrame = {
     if (!isFresh(s, dir, path)) build(s, dir, path)
-    val codebook = s.read.parquet(s"$path/codebook")
+    val codebook = graft.sources.Tables.stableParquet(s, s"$path/codebook")
       .agg(array_sort(collect_list(struct(col("cell"), col("cv"), col("nc")))).as("cb"))
-    val qf = s.read.parquet(s"$path/qsample")
+    val qf = graft.sources.Tables.stableParquet(s, s"$path/qsample")
     val probes = ivfProbesCached(s, dir, path, codebook, qf)
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted
     if (cells.isEmpty) {
@@ -329,8 +329,8 @@ object VectorIndex {
         .toDF("query_id", "neighbor_id", "adist", "rk")
     } else {
       val dt = Similarity.pqQueryTablesFrom(
-        qf, s.read.parquet(s"$path/pqcodebook"), Similarity.embDim(s) / 8)
-      val cand = s.read.parquet(s"$path/pqcodes")
+        qf, graft.sources.Tables.stableParquet(s, s"$path/pqcodebook"), Similarity.embDim(s) / 8)
+      val cand = graft.sources.Tables.stableParquet(s, s"$path/pqcodes")
         .filter(col("cell").isin(cells.map(Int.box): _*))
         .join(broadcast(probes), Seq("cell"))
       Similarity.pqRank(cand.join(broadcast(dt), "query_id"))

@@ -39,9 +39,25 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[
       String, (String, org.apache.spark.sql.types.StructType)]
 
-  private def readStable(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val path = s"$dir/$name.parquet"
-    val stamp = graft.operators.PipelineCache.sourceStamp(dir, s"$name.parquet")
+  private def readStable(spark: SparkSession, dir: String, name: String): DataFrame =
+    stableParquet(spark, s"$dir/$name.parquet")
+
+  /** [[readStable]] generalized to ANY engine-managed parquet path —
+    * persisted-store bodies included (a warm store query re-reads its
+    * bodies every call, each read otherwise re-paying the inference
+    * job; the census pays one per body). The stamp walks the LOCAL
+    * filesystem: for a non-local path (object-store URI) the walk sees
+    * nothing and the read falls through uncached — correct, just
+    * unaccelerated. A store rebuild/absorb changes the file listing,
+    * flips the stamp, and re-infers. Partition-discovered columns
+    * (e.g. the IVF stores' `cell`) are part of the inferred schema and
+    * round-trip through the user-specified-schema read unchanged —
+    * PartitionFilters pruning still applies (spec-pinned by the store
+    * suites). */
+  def stableParquet(spark: SparkSession, path: String): DataFrame = {
+    val f = new java.io.File(path)
+    if (!f.exists()) return spark.read.parquet(path)
+    val stamp = graft.operators.PipelineCache.sourceStamp(f.getParent, f.getName)
     val schema = schemaCache.get(path) match {
       case (st, sch) if st == stamp => sch
       case _ =>
