@@ -491,7 +491,218 @@ object RelationalDeep {
        ORDER BY n_supps DESC, brand, size
        LIMIT 40"""
 
+  /** TPC-H Q3's shape: top-10 highest-revenue UNSHIPPED orders for one
+    * market segment — the two-sided date window (ordered before D,
+    * shipped after D) with both halves pushed to their own scans, a
+    * three-table join, and a partial top-k over the per-order aggregate.
+    * Completes the shipping-priority family (q4 is its EXISTS sibling).
+    *
+    * Scale shape: segment filter prunes customer before the join; both
+    * date filters reach their parquet scans (PushedFilters); per-order
+    * aggregate is map-side partial; top-10 is TakeOrdered. */
+  def q3Unshipped(s: SparkSession, dir: String): DataFrame = {
+    val d = "1997-01-01"
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > d)
+      .select(col("l_orderkey"), rev.as("r"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("r")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+  }
+
+  val q3UnshippedSql: String =
+    s"""SELECT l_orderkey, CAST(SUM($revSql) AS DOUBLE) AS revenue,
+              o_orderdate, o_orderpriority
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+         AND l_shipdate  > TIMESTAMP '1997-01-01'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, l_orderkey
+       LIMIT 10"""
+
+  /** TPC-H Q4's shape: per-priority census of one quarter's orders that
+    * have AT LEAST ONE slow lineitem (shipped > 30 days after the order
+    * date) — the correlated EXISTS decorrelated to a LEFT SEMI join
+    * whose condition spans both sides (l_shipdate vs o_orderdate + 30).
+    * Q4 proper tests commit vs receipt dates this schema doesn't carry;
+    * the ship-lag rendering keeps the plan shape (semi join + bounded
+    * census) and the q21 lateness convention.
+    *
+    * Scale shape: the quarter filter prunes orders at the scan; the semi
+    * join shuffles on orderkey and emits each order at most once (never
+    * a row per matching lineitem); census bounded at 5 priorities. */
+  def q4PriorityExists(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(
+        l,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > date_add(col("o_orderdate"), 30),
+        "left_semi")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("priority")
+  }
+
+  val q4PriorityExistsSql: String =
+    """SELECT o_orderpriority AS priority, COUNT(*) AS n_orders
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate <  TIMESTAMP '1996-04-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+       GROUP BY 1
+       ORDER BY priority"""
+
+  /** TPC-H Q6's shape: the one-row forecasting-revenue-change aggregate —
+    * THE predicate-pushdown benchmark: a single lineitem scan with a
+    * year + discount-band + quantity filter and one conditional-free
+    * sum, nothing else. Every filter must reach PushedFilters; the
+    * aggregate is a map-side partial collapsing to one row.
+    *
+    * Exactness: the discount literals parse to the identical float64 in
+    * both engines, so the band admits identical rows; the summed product
+    * is exact decimal×decimal, one double cast at the end. */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+          col("l_quantity") < 25)
+      .agg(
+        sum(dec(col("l_extendedprice"), 14, 2) * dec(col("l_discount"), 4, 2))
+          .cast("double")
+          .as("revenue_effect"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q6ForecastSql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                       CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_effect,
+              COUNT(*) AS n_lines
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount >= 0.02 AND l_discount <= 0.04
+         AND l_quantity < 25"""
+
+  /** TPC-H Q9's shape: product-line PROFIT per (supplier nation, order
+    * year) — the name-substring part filter, the widest star join of the
+    * suite (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders), and a DERIVED
+    * measure combining columns of two tables. Q9 proper subtracts
+    * ps_supplycost·quantity; this schema has no partsupp, so the cost
+    * model is the declared `quantity · p_retailprice / 2` — the shape
+    * (revenue minus a part-priced cost) is what's exercised.
+    *
+    * Exactness: profit is summed as the exact decimal `2·rev − qty·retail`
+    * and halved in ONE double division at the end — decimal halving
+    * rounds differently across engines, integer-doubling doesn't.
+    *
+    * Scale shape: the name filter prunes part before the fact join; the
+    * 25-row nation broadcast rides supplier; census bounded at
+    * 25·|years|; everything else is AQE's fact-fact shuffles. */
+  def q9Profit(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), rev.as("r"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name").as("nation"))
+    val profit2 =
+      dec(lit(2), 4, 2) * col("r") -
+        dec(col("l_quantity"), 12, 2) * dec(col("p_retailprice"), 12, 2)
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("nation", "o_year")
+      .agg(
+        (sum(profit2).cast("double") / 2.0d).as("profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9ProfitSql: String =
+    s"""SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+              CAST(SUM(CAST(2 AS DECIMAL(4,2)) * $revSql
+                       - CAST(l_quantity AS DECIMAL(12,2))
+                         * CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / 2.0
+                AS profit,
+              COUNT(*) AS n_lines
+       FROM lineitem
+       JOIN part     ON l_partkey = p_partkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation   ON s_nationkey = n_nationkey
+       JOIN orders   ON l_orderkey = o_orderkey
+       WHERE p_name LIKE '%red%'
+       GROUP BY 1, 2
+       ORDER BY nation, o_year DESC"""
+
+  /** TPC-H Q12's shape: per-class two-way PRIORITY census of one year's
+    * late shipments — the join-then-pivot-by-condition pattern: each
+    * (status, order) line contributes to exactly one of two conditional
+    * counts (critical = 1-URGENT/2-HIGH vs everything else). Q12 proper
+    * classes by l_shipmode this schema doesn't carry; l_linestatus keys
+    * the census, the ship-lag predicate (shipped > 14 days after order)
+    * supplies Q12's lateness semantics.
+    *
+    * Scale shape: year filter at the lineitem scan, one orderkey shuffle
+    * join, conditional counts collapse map-side to ≤ |statuses| rows. */
+  def q12LateClass(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > date_add(col("o_orderdate"), 14))
+      .groupBy(col("l_linestatus").as("linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("critical_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("regular_count"))
+      .orderBy("linestatus")
+  }
+
+  val q12LateClassSql: String =
+    """SELECT l_linestatus AS linestatus,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS critical_count,
+              CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS regular_count
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_shipdate > o_orderdate + INTERVAL 14 DAY
+       GROUP BY 1
+       ORDER BY linestatus"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_unshipped" -> (q3Unshipped _),
+    "q4_priority_exists" -> (q4PriorityExists _),
+    "q6_forecast" -> (q6Forecast _),
+    "q9_profit" -> (q9Profit _),
+    "q12_late_class" -> (q12LateClass _),
     "q16_supplier_variety" -> (q16SupplierVariety _),
     "q7_nation_flow" -> (q7NationFlow _),
     "q8_mkt_share" -> (q8MktShare _),
@@ -505,6 +716,11 @@ object RelationalDeep {
     "q22_idle_rich" -> (q22IdleRich _))
 
   val oracles: Map[String, String] = Map(
+    "q3_unshipped" -> q3UnshippedSql,
+    "q4_priority_exists" -> q4PriorityExistsSql,
+    "q6_forecast" -> q6ForecastSql,
+    "q9_profit" -> q9ProfitSql,
+    "q12_late_class" -> q12LateClassSql,
     "q16_supplier_variety" -> q16SupplierVarietySql,
     "q7_nation_flow" -> q7NationFlowSql,
     "q8_mkt_share" -> q8MktShareSql,

@@ -36,6 +36,78 @@ class RelationalDeepSpec extends GraftSpecBase {
     }
   }
 
+  test("q6: every filter reaches the lineitem scan and only four columns are read") {
+    val plan = RelationalDeep.q6Forecast(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    for (f <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(("PushedFilters:[^\\n]*" + f).r.findFirstIn(plan).isDefined,
+        s"$f not pushed to the scan:\n$plan")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"),
+      s"q6 reads columns it never touches: $readSchema")
+  }
+
+  test("q4: EXISTS decorrelates to a LEFT SEMI join and counts match a direct census") {
+    val plan = RelationalDeep.q4PriorityExists(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"q4 must plan a left-semi join:\n$plan")
+    // direct census: distinct qualifying orders, grouped by priority
+    val o = graft.sources.Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+    val l = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val want = o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > date_add(col("o_orderdate"), 30))
+      .select("o_orderkey", "o_orderpriority").distinct()
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = RelationalDeep.q4PriorityExists(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want, s"semi-join census diverges from the distinct census: $got vs $want")
+  }
+
+  test("q9: summed profit equals revenue minus the declared cost model, computed separately") {
+    val got = RelationalDeep.q9Profit(spark, sfDir)
+      .agg(sum(col("profit"))).head.getDouble(0)
+    val p = graft.sources.Tables.part(spark, sfDir)
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val base = graft.sources.Tables.lineitem(spark, sfDir)
+      .join(p, col("l_partkey") === col("p_partkey"))
+    val rev = base.agg(sum(expr(
+      "CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"))).head.getDecimal(0)
+    val cost = base.agg(sum(expr(
+      "CAST(l_quantity AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2))"))).head.getDecimal(0)
+    val want = rev.doubleValue - cost.doubleValue / 2.0
+    assert(math.abs(got - want) < 1e-6 * math.max(1.0, math.abs(want)),
+      s"profit total $got != rev - cost/2 = $want")
+  }
+
+  test("q12: the two conditional counts partition the late-line census exactly") {
+    val rows = RelationalDeep.q12LateClass(spark, sfDir).collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val want = graft.sources.Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+      .join(graft.sources.Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > date_add(col("o_orderdate"), 14))
+      .count()
+    assert(total == want, s"critical+regular = $total must equal the late-line count $want")
+  }
+
+  test("q3: top-10 unshipped orders all belong to the segment and are revenue-ordered") {
+    val rows = RelationalDeep.q3Unshipped(spark, sfDir).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.zip(revs.drop(1)).forall { case (a, b) => a >= b }, "not revenue-descending")
+    val seg = graft.sources.Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val orderCust = graft.sources.Tables.orders(spark, sfDir)
+      .join(seg, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => orderCust(r.getLong(0))),
+      "a surfaced order does not belong to a BUILDING customer")
+  }
+
   test("q19's disjunctive predicate keeps the part join a hash equi-join") {
     val plan = RelationalDeep.q19Brackets(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop"), s"disjunction degraded to a nested loop:\n$plan")
