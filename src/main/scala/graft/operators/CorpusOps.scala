@@ -933,23 +933,43 @@ object CorpusOps {
     val p = new org.apache.hadoop.fs.Path(dirPath)
     val conf = s.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) None
-    else {
-      val it = fs.listFiles(p, true)
-      var n = 0L
-      var any = false
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) {
-          any = true
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
-          try n += r.getRecordCount
-          finally r.close()
-        }
+    // COMMITTED files only, Spark's own visibility rule: any path with a
+    // '_'/'.'-prefixed component (_temporary task attempts, _SUCCESS,
+    // .crc sidecars) is invisible to the reader and must be invisible to
+    // the census — a crashed build's leftover task files would otherwise
+    // double-count or crash the footer read
+    def committed(f: org.apache.hadoop.fs.Path): Boolean = {
+      var q = f
+      while (q != null && q.depth > p.depth) {
+        val n = q.getName
+        if (n.startsWith("_") || n.startsWith(".")) return false
+        q = q.getParent
       }
-      if (any) Some(n) else None
+      true
     }
+    if (!fs.exists(p)) None
+    else
+      try {
+        val it = fs.listFiles(p, true)
+        var n = 0L
+        var any = false
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet") && committed(f.getPath)) {
+            any = true
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+            try n += r.getRecordCount
+            finally r.close()
+          }
+        }
+        if (any) Some(n) else None
+      } catch {
+        // an unreadable footer (truncated part from a crash) means the
+        // count is unknowable, not zero — the old scan-and-count path
+        // surfaced the same state as None via its AnalysisException
+        case _: Exception => None
+      }
   }
 
   private[operators] def storePath(s: SparkSession, dir: String, prefix: String): String = {

@@ -549,10 +549,13 @@ object RelationalDeep {
       .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
     val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    // interval, not date_add: date_add truncates the timestamp to DATE,
+    // silently moving the boundary to midnight when a timestamp carries a
+    // time of day — the q21 lateness convention, kept oracle-identical
     o.join(
         l,
         col("o_orderkey") === col("l_orderkey") &&
-          col("l_shipdate") > date_add(col("o_orderdate"), 30),
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
         "left_semi")
       .groupBy(col("o_orderpriority").as("priority"))
       .agg(count(lit(1)).as("n_orders"))
@@ -675,7 +678,7 @@ object RelationalDeep {
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") > date_add(col("o_orderdate"), 14))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 14 DAYS"))
       .groupBy(col("l_linestatus").as("linestatus"))
       .agg(
         sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))

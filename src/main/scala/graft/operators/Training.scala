@@ -51,18 +51,6 @@ object Training {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
       .sortBy(_._1)
 
-  /** The documents frame rebalanced for a CPU-BOUND kernel when the
-    * storage layout under-splits: the BPE merge fold costs far more per
-    * byte than a scan, so when the reader yields fewer splits than cores
-    * (the driver's single-row-group files → ONE task carrying the whole
-    * fold) a round-robin repartition buys full parallelism for the price
-    * of shuffling the raw text once. At 100 TB the scan already has
-    * thousands of splits, the condition is false, and this is a no-op —
-    * the repartition never costs anything at the scale where shuffling
-    * the corpus would hurt. */
-  private def balancedDocs(s: SparkSession, dir: String): DataFrame =
-    Tables.documentsBalanced(s, dir)
-
   /** Token-id array for one text column: split on spaces, drop empty
     * words, expand each word to symbols, fold every learned merge in
     * rank order (greedy left-to-right — [[TextAnalysis.bpeMergePass]]'s
@@ -102,7 +90,8 @@ object Training {
     * reader already splits the corpus. */
   def tokenizeIdsRaw(s: SparkSession, dir: String): DataFrame = {
     val merges = mergeTable(s, dir)
-    balancedDocs(s, dir)
+    Tables
+      .documentsBalanced(s, dir)
       .select(col("doc_id"), tokenIdsCol(merges, col("text")).as("input_ids"))
       .select(
         col("doc_id"),
@@ -275,7 +264,8 @@ object Training {
     // array for pennies
     val tok = PipelineCache.cached("pack_ids_tok", s, dir, "documents.parquet") {
       val merges = mergeTable(s, dir)
-      balancedDocs(s, dir)
+      Tables
+        .documentsBalanced(s, dir)
         .select(
           col("doc_id"),
           CorpusOps.splitLabel(col("text")).as("split"),

@@ -107,10 +107,25 @@ object Tables {
     * rebalance never costs anything at the scale where shuffling the
     * corpus would hurt. Callers must be order-insensitive (all are:
     * aggregations, sorted capped collects, per-row maps). */
+  private val balanceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Boolean)]
+
   def documentsBalanced(spark: SparkSession, d: String): DataFrame = {
     val df = documents(spark, d)
     val cores = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    // the split probe (.rdd compiles the physical plan and computes file
+    // splits) is itself repeated driver work on hot per-query paths —
+    // cache the verdict per (path, stamp), the schemaCache discipline
+    val path = s"$d/documents.parquet"
+    val stamp = graft.operators.PipelineCache.sourceStamp(d, "documents.parquet")
+    val underSplit = balanceCache.get(path) match {
+      case (st, v) if st == stamp => v
+      case _ =>
+        val v = df.rdd.getNumPartitions < cores
+        balanceCache.put(path, (stamp, v))
+        v
+    }
+    if (underSplit) df.repartition(cores) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")

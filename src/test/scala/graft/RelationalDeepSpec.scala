@@ -56,7 +56,7 @@ class RelationalDeepSpec extends GraftSpecBase {
     val l = graft.sources.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_shipdate"))
     val want = o.join(l, col("o_orderkey") === col("l_orderkey") &&
-        col("l_shipdate") > date_add(col("o_orderdate"), 30))
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
       .select("o_orderkey", "o_orderpriority").distinct()
       .groupBy("o_orderpriority").count()
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
@@ -89,7 +89,7 @@ class RelationalDeepSpec extends GraftSpecBase {
       .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
       .join(graft.sources.Tables.orders(spark, sfDir),
         col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") > date_add(col("o_orderdate"), 14))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 14 DAYS"))
       .count()
     assert(total == want, s"critical+regular = $total must equal the late-line count $want")
   }
