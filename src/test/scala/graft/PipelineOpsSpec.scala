@@ -7,6 +7,26 @@ import org.apache.spark.sql.functions._
   * range join, BPE-ish tokenizer, scrub, IVF ANN, frame sampling. */
 class PipelineOpsSpec extends GraftSpecBase {
 
+  test("schema-stable reads re-infer when the table is rewritten with a NEW schema") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_schema_cache").toString
+    val dir = s"$tmp/data"
+    Seq((1L, "a")).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val first = graft.sources.Tables.documents(spark, dir)
+    assert(first.columns.toSet == Set("doc_id", "text"))
+    assert(first.count() == 1)
+    // rewrite the table with an ADDED column: the (path, stamp) key must
+    // flip and the next read must see the new schema, not the cached one
+    Seq((2L, "b", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val second = graft.sources.Tables.documents(spark, dir)
+    assert(second.columns.toSet == Set("doc_id", "text", "lang"),
+      s"stale cached schema served after a rewrite: ${second.columns.toSeq}")
+    assert(second.select("lang").head.getString(0) == "en")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   test("cube grand total equals order count and slice sums agree") {
     val c = Analytics.cube(spark, sfDir).cache()
     val nOrders = spark.read.parquet(s"$sfDir/orders.parquet").count()
