@@ -65,6 +65,7 @@ object SparkEntry {
     "text_quality" -> Seq(col("doc_id")),
     "text_repetition" -> Seq(col("doc_id")),
     "text_scrub" -> Seq(col("doc_id")),
+    "text_span_dup" -> Seq(col("doc_id")),
     "text_stats" -> Seq(col("doc_id")),
     "text_tfidf" -> Seq(col("doc_id"), col("rank")),
     "text_tokens_bpe" -> Seq(col("doc_id")),

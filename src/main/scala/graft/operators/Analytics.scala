@@ -750,7 +750,90 @@ object Analytics {
        GROUP BY 1
        ORDER BY mktsegment"""
 
+  /** Join-key skew census over the fact-table keys — the diagnostic a
+    * 100 TB deployment runs BEFORE choosing a shuffle strategy, turned
+    * into an operator. For each candidate join/aggregation key it
+    * reports the key-space shape (rows, keys, max rows under one key,
+    * the count of heavy keys holding > 10× their fair share) and a
+    * recommended salting factor: `ceil(max_key_rows / floor-average)`,
+    * i.e. how many sub-keys the hottest key needs to look like an
+    * average one. heavy is decided by EXACT integer arithmetic —
+    * `c > (10 · n_rows) DIV n_keys` is the rational `c·n_keys >
+    * 10·n_rows` without the overflow of the cross-multiplied form
+    * (10·n_rows stays < 2⁶³ up to ~10¹⁷ rows) and without a float
+    * threshold the oracle could round differently.
+    *
+    * Shape per key: one map-side-combined count groupBy (the only
+    * corpus-sized shuffle), then a 1-row stats aggregate that is
+    * broadcast back over the counts frame for the heavy census — the
+    * counts subtree feeds both consumers through one planned exchange
+    * (ReuseExchange). Output is ≤ |probed keys| rows. */
+  def skewProbe(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    Seq(
+      keyProbe(Tables.events(s, dir), "user_id", "events.user_id"),
+      keyProbe(li, "l_orderkey", "lineitem.l_orderkey"),
+      keyProbe(li, "l_partkey", "lineitem.l_partkey"),
+      keyProbe(li, "l_suppkey", "lineitem.l_suppkey"),
+      keyProbe(Tables.orders(s, dir), "o_custkey", "orders.o_custkey"))
+      .reduce(_ unionByName _)
+      .orderBy("key_name")
+  }
+
+  /** One key's census — spec entry point for synthetic skew shapes. */
+  private[graft] def keyProbe(df: DataFrame, key: String, tag: String): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+    val stats = counts.agg(
+      sum(col("c")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("c")).as("max_key_rows"))
+    val heavy = counts
+      .join(broadcast(stats))
+      .filter(expr("c > (10 * n_rows) DIV n_keys"))
+      .agg(count(lit(1)).as("heavy_keys"))
+    stats
+      .join(broadcast(heavy))
+      .select(
+        lit(tag).as("key_name"),
+        col("n_rows"),
+        col("n_keys"),
+        col("max_key_rows"),
+        col("heavy_keys"),
+        expr(
+          "(max_key_rows + (n_rows DIV n_keys) - 1) DIV (n_rows DIV n_keys)")
+          .as("salt_factor"),
+        round(col("max_key_rows") / col("n_rows").cast("double"), 6).as("top_share"))
+  }
+
+  private def keyProbeSqlBlock(table: String, key: String, idx: Int): String =
+    s"""k$idx AS (SELECT COUNT(*) AS c FROM $table GROUP BY $key),
+       s$idx AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+                        MAX(c) AS max_key_rows FROM k$idx),
+       p$idx AS (
+         SELECT '$table.$key' AS key_name, n_rows, n_keys, max_key_rows,
+                (SELECT COUNT(*) FROM k$idx, s$idx
+                 WHERE c > (10 * n_rows) // n_keys) AS heavy_keys,
+                (max_key_rows + (n_rows // n_keys) - 1) // (n_rows // n_keys)
+                  AS salt_factor,
+                ROUND(max_key_rows / CAST(n_rows AS DOUBLE), 6) AS top_share
+         FROM s$idx)"""
+
+  val skewProbeSql: String = {
+    val blocks = Seq(
+      ("events", "user_id"),
+      ("lineitem", "l_orderkey"),
+      ("lineitem", "l_partkey"),
+      ("lineitem", "l_suppkey"),
+      ("orders", "o_custkey"))
+    s"""WITH ${blocks.zipWithIndex
+        .map { case ((t, k), i) => keyProbeSqlBlock(t, k, i + 1) }
+        .mkString(",\n")}
+       ${(1 to blocks.size).map(i => s"SELECT * FROM p$i").mkString(" UNION ALL ")}
+       ORDER BY key_name"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_probe" -> (skewProbe _),
     "agg_winsorized" -> (winsorized _),
     "agg_corr" -> (corrQtyPrice _),
     "agg_sketches" -> (sketches _),
@@ -771,6 +854,7 @@ object Analytics {
     "dash_metrics" -> (dashMetrics _))
 
   val oracles: Map[String, String] = Map(
+    "skew_probe" -> skewProbeSql,
     "agg_winsorized" -> winsorizedSql,
     "agg_corr" -> corrQtyPriceSql,
     "catalog_counts" -> catalogCountsSql,

@@ -433,6 +433,88 @@ object TextAnalysis {
         array_min(col("fp")).as("fp_min"),
         array_max(col("fp")).as("fp_max"))
 
+  /** Span length (characters) for the substring-duplication census. */
+  private[graft] val SpanLen = 32
+
+  /** EXACT substring-span duplication census — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * exact-substring signal, and the oracle-checkable twin of
+    * [[winnow]]'s hash fingerprints (the corpus_dedup_ng ↔ corpus_dedup
+    * relationship, one level down): per document, how many of its
+    * distinct 32-character spans also occur verbatim in ANOTHER
+    * document. Near-dup pair pipelines answer "which documents
+    * resemble each other"; this answers the span-level question an
+    * excision pass needs — "how much of THIS document is copied
+    * text" — and docs with dup_share ≈ 1.0 are verbatim (sub)copies.
+    *
+    * Shape: one scan → per-doc distinct char-32-grams (explode +
+    * distinct) → gram df census → semi join of the gram stream against
+    * the df ≥ 2 set → per-doc counts. Every stage is LINEAR in the
+    * corpus: unlike the pair pipelines there is no df² candidate
+    * expansion, so no hot-gram guard is needed — a viral boilerplate
+    * span costs df join rows, and AQE splits any skewed gram bucket.
+    * The gram frame feeds three consumers, so it is stamp-persisted
+    * ([[PipelineCache]], the [[Dedup.ngramPairs]] convention) — plan
+    * probing showed neither ReuseExchange nor AQE stage reuse collapses
+    * the three subtrees (the optimizer reorders one distinct past the
+    * semi join, so they never canonicalize equal), and without the
+    * cache the corpus is scanned and exploded three times. At 100 TB
+    * the 32-char gram strings become 8-byte rolling hashes
+    * ([[graft.functions.RollGrams64]]'s char-level sibling) with a
+    * sampling stride — identical census shape, 4× narrower cache; the
+    * string form here is what makes the census hash-checkable against
+    * DuckDB. */
+  def spanDup(s: SparkSession, dir: String): DataFrame =
+    spanDupCensus(
+      PipelineCache.cached("spandup_grams", s, dir, "documents.parquet")(
+        spanGrams(Tables.documentsBalanced(s, dir))))
+
+  /** Per-doc distinct char-[[SpanLen]]-grams of a (doc_id, text) frame. */
+  private[graft] def spanGrams(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) >= SpanLen)
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(sequence(lit(1), length(col("text")) - (SpanLen - 1))).as("i"))
+      .select(col("doc_id"), expr(s"substring(text, i, $SpanLen)").as("gram"))
+      .distinct()
+
+  /** The census over a [[spanGrams]] frame — spec entry point. */
+  private[graft] def spanDupCensus(grams: DataFrame): DataFrame = {
+    val dup = grams
+      .groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select("gram")
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val dupPerDoc = grams
+      .join(dup, Seq("gram"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"))
+    perDoc
+      .join(dupPerDoc, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_spans"),
+        col("n_dup_spans"),
+        round(col("n_dup_spans") / col("n_spans").cast("double"), 4).as("dup_share"))
+  }
+
+  val spanDupSql: String =
+    """WITH cg AS (
+         SELECT DISTINCT doc_id, substr(text, i, 32) AS gram
+         FROM documents, UNNEST(range(1, len(text) - 30)) AS t(i)
+         WHERE len(text) >= 32),
+       dup AS (SELECT gram FROM cg GROUP BY gram HAVING COUNT(*) >= 2),
+       per AS (SELECT doc_id, COUNT(*) AS n_spans FROM cg GROUP BY doc_id),
+       dper AS (SELECT doc_id, COUNT(*) AS n_dup_spans
+                FROM cg JOIN dup USING (gram) GROUP BY doc_id)
+       SELECT doc_id, n_spans, n_dup_spans,
+              ROUND(n_dup_spans / CAST(n_spans AS DOUBLE), 4) AS dup_share
+       FROM per JOIN dper USING (doc_id)
+       ORDER BY doc_id"""
+
   /** Compressibility quality signal (CCNet/Gopher family): per document,
     * the raw-DEFLATE compressed length over the byte length. Degenerate
     * machine loops compress toward 0; natural prose sits much higher —
@@ -1221,6 +1303,7 @@ FROM mergetab ORDER BY rank"""
     "text_bpe_train" -> ((s, d) =>
       PipelineCache.cached("bpe_merge_table", s, d, "documents.parquet")(bpeTrain(s, d))),
     "text_winnow" -> (winnow _),
+    "text_span_dup" -> (spanDup _),
     "text_tokens_bpe" -> (tokensBpe _),
     "text_scrub" -> (scrub _),
     "text_stats" -> (stats _),
@@ -1242,6 +1325,7 @@ FROM mergetab ORDER BY rank"""
     "text_vocab_growth" -> vocabGrowthSql,
     "text_tokens_bpe" -> tokensBpeSql,
     "text_scrub" -> scrubSql,
+    "text_span_dup" -> spanDupSql,
     "text_stats" -> statsSql,
     "text_langid" -> langidSql,
     "text_quality" -> qualitySql,

@@ -10,6 +10,37 @@ class AnalyticsSpec extends GraftSpecBase {
       assert(fn(spark, sfDir).count() > 0, s"$name empty")
   }
 
+  test("keyProbe: skew census and salt factor on a known-skew key space") {
+    import spark.implicits._
+    // one hot key with 100 rows + 100 singleton keys
+    val df = (Seq.fill(100)(1L) ++ (2L to 101L)).toDF("k")
+    val r = Analytics.keyProbe(df, "k", "t.k").collect()(0)
+    assert(r.getAs[String]("key_name") == "t.k")
+    assert(r.getAs[Long]("n_rows") == 200L)
+    assert(r.getAs[Long]("n_keys") == 101L)
+    assert(r.getAs[Long]("max_key_rows") == 100L)
+    // heavy iff c > (10*200) DIV 101 = 19 -> only the hot key
+    assert(r.getAs[Long]("heavy_keys") == 1L)
+    // floor-average is 1 row/key -> the hot key needs 100 salts
+    assert(r.getAs[Long]("salt_factor") == 100L)
+    assert(r.getAs[Double]("top_share") == 0.5)
+  }
+
+  test("skew_probe covers the five fact keys and each probe's n_rows is the table count") {
+    val rows = Analytics.skewProbe(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("key_name")).toSeq == Seq(
+      "events.user_id", "lineitem.l_orderkey", "lineitem.l_partkey",
+      "lineitem.l_suppkey", "orders.o_custkey"))
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    for (r <- rows if r.getAs[String]("key_name").startsWith("lineitem"))
+      assert(r.getAs[Long]("n_rows") == li)
+    for (r <- rows) {
+      assert(r.getAs[Long]("max_key_rows") >= 1L)
+      assert(r.getAs[Long]("n_keys") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("salt_factor") >= 1L)
+    }
+  }
+
   test("rollup contains grand total equal to full customer count") {
     val total = Analytics
       .rollup(spark, sfDir)

@@ -27,6 +27,38 @@ class PipelineOpsSpec extends GraftSpecBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
+  test("span-dup census: cross-doc spans count, within-doc repeats and singletons don't") {
+    import spark.implicits._
+    val S = ((48 until 58) ++ (97 until 119)).map(_.toChar).mkString // 32 distinct chars
+    val pre = (65 until 97).map(_.toChar).mkString // 32 distinct, disjoint from S
+    val suf = (33 until 65).map(_.toChar).mkString // 32 distinct, disjoint from both
+    val c = (256 until 296).map(_.toChar).mkString // 40 chars, its own pool
+    val s2 = (512 until 544).map(_.toChar).mkString // 32 chars, its own pool
+    val docs = Seq(
+      (1L, pre + S), // shares exactly the one span S with doc 2
+      (2L, S + suf),
+      (3L, c), // verbatim copy pair: every span duplicated
+      (4L, c),
+      (5L, s2 + s2), // repeats its span only WITHIN itself -> not cross-doc dup
+      (6L, "short") // below span length -> no grams at all
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .spanDupCensus(TextAnalysis.spanGrams(docs))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // docs 5 and 6 produce no output row; 1-4 do
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    // 64-char docs have 33 spans; only the S-aligned one is shared (every
+    // other span mixes pool chars unique to its document)
+    val share = BigDecimal(1.0 / 33).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((33L, 1L, share)))
+    assert(got(2L) == ((33L, 1L, share)))
+    // the verbatim pair: all 9 spans of a 40-char doc duplicated
+    assert(got(3L) == ((9L, 9L, 1.0)))
+    assert(got(4L) == ((9L, 9L, 1.0)))
+  }
+
   test("cube grand total equals order count and slice sums agree") {
     val c = Analytics.cube(spark, sfDir).cache()
     val nOrders = spark.read.parquet(s"$sfDir/orders.parquet").count()
