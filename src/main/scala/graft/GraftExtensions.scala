@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CappedLongCollect, DeflateLen, GramHash64, LongArrayDot, LongVecMin, LongVecSum, LshBuckets, MinHash64, RollGrams64, SimHash64, Winnow64}
+import graft.functions.{CappedLongCollect, CharGrams, DeflateLen, GramHash64, LongArrayDot, LongVecMin, LongVecSum, LshBuckets, MinHash64, RollGrams64, SimHash64, Winnow64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -126,6 +126,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_deflate_len(text) - raw-DEFLATE compressed length (compressibility signal)",
           ""),
         (children: Seq[Expression]) => DeflateLen(children.head)))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_char_grams"),
+        new ExpressionInfo(
+          classOf[CharGrams].getName,
+          null,
+          "graft_char_grams",
+          "graft_char_grams(text, L) - distinct character-L-grams (span-dedup candidates)",
+          ""),
+        (children: Seq[Expression]) => CharGrams(children.head, children(1))))
     ext.injectFunction(
       (
         FunctionIdentifier("graft_collect_capped"),

@@ -207,7 +207,19 @@ object ScaleProbe {
       // declared oracle-anchor / compose-with-cell-pruning exceptions.
       "emb_pq" -> (graft.operators.Similarity.embPq _),
       "dedup_embedding_ivf" -> (graft.operators.Similarity.ivfDedup _),
-      "ann_lsh_topk" -> (graft.operators.Similarity.annLsh _))
+      "ann_lsh_topk" -> (graft.operators.Similarity.annLsh _),
+      // round-10 wave: the exact span-dup census (per-copy span stats
+      // preserved, global distinct-gram count ~N× — the Caesar premise
+      // again; cache cleared per timing so each point pays the gram-frame
+      // build, the honest cost) and the skew census on the N×-user events
+      // synthesis (per-key work constant, key count N× — the probe reads
+      // whether the count shuffle + 1-row broadcast-back stays linear).
+      // Only the events key is probed: the synthetic dir carries no
+      // lineitem/orders.
+      "text_span_dup" -> (TextAnalysis.spanDup _),
+      "skew_probe_events" -> ((s: SparkSession, d: String) =>
+        graft.operators.Analytics
+          .keyProbe(graft.sources.Tables.events(s, d), "user_id", "events.user_id")))
 
     def time(dir: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {

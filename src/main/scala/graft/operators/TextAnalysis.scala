@@ -447,47 +447,49 @@ object TextAnalysis {
     * excision pass needs — "how much of THIS document is copied
     * text" — and docs with dup_share ≈ 1.0 are verbatim (sub)copies.
     *
-    * Shape: one scan → per-doc distinct char-32-grams (explode +
-    * distinct) → gram df census → semi join of the gram stream against
-    * the df ≥ 2 set → per-doc counts. Every stage is LINEAR in the
+    * Shape: one scan → per-doc distinct char-32-gram ARRAYS via the
+    * native [[graft.functions.CharGrams]] kernel (`graft_char_grams` —
+    * the within-doc dedup that a corpus-wide DISTINCT shuffle of 1.4M
+    * 32-char strings used to pay for, done codegen'd at scan speed; the
+    * kernel scaladoc records the measured losses of both declarative
+    * forms) → n_spans as a narrow `size(garr)` map → gram df census
+    * over the exploded arrays → semi join of the gram stream against
+    * the df ≥ 2 set → per-doc dup counts. Every stage is LINEAR in the
     * corpus: unlike the pair pipelines there is no df² candidate
     * expansion, so no hot-gram guard is needed — a viral boilerplate
     * span costs df join rows, and AQE splits any skewed gram bucket.
-    * The gram frame feeds three consumers, so it is stamp-persisted
-    * ([[PipelineCache]], the [[Dedup.ngramPairs]] convention) — plan
-    * probing showed neither ReuseExchange nor AQE stage reuse collapses
-    * the three subtrees (the optimizer reorders one distinct past the
-    * semi join, so they never canonicalize equal), and without the
-    * cache the corpus is scanned and exploded three times. At 100 TB
-    * the 32-char gram strings become 8-byte rolling hashes
-    * ([[graft.functions.RollGrams64]]'s char-level sibling) with a
-    * sampling stride — identical census shape, 4× narrower cache; the
-    * string form here is what makes the census hash-checkable against
-    * DuckDB. */
+    * The gram-array frame feeds three consumers, so it is
+    * stamp-persisted ([[PipelineCache]], the [[Dedup.ngramPairs]]
+    * convention) — plan probing showed neither ReuseExchange nor AQE
+    * stage reuse collapses the subtrees, and without the cache the
+    * corpus is scanned three times. At 100 TB the 32-char gram strings
+    * become 8-byte rolling hashes ([[graft.functions.RollGrams64]]'s
+    * char-level sibling) with a sampling stride — identical census
+    * shape, 4× narrower cache; the string form here is what makes the
+    * census hash-checkable against DuckDB. */
   def spanDup(s: SparkSession, dir: String): DataFrame =
     spanDupCensus(
       PipelineCache.cached("spandup_grams", s, dir, "documents.parquet")(
         spanGrams(Tables.documentsBalanced(s, dir))))
 
-  /** Per-doc distinct char-[[SpanLen]]-grams of a (doc_id, text) frame. */
+  /** Per-doc distinct char-[[SpanLen]]-gram arrays of a (doc_id, text)
+    * frame — one narrow codegen'd map, no shuffle. */
   private[graft] def spanGrams(docs: DataFrame): DataFrame =
     docs
-      .filter(length(col("text")) >= SpanLen)
       .select(
         col("doc_id"),
-        col("text"),
-        explode(sequence(lit(1), length(col("text")) - (SpanLen - 1))).as("i"))
-      .select(col("doc_id"), expr(s"substring(text, i, $SpanLen)").as("gram"))
-      .distinct()
+        call_function("graft_char_grams", col("text"), lit(SpanLen)).as("garr"))
+      .filter(col("garr").isNotNull)
 
   /** The census over a [[spanGrams]] frame — spec entry point. */
-  private[graft] def spanDupCensus(grams: DataFrame): DataFrame = {
+  private[graft] def spanDupCensus(garrF: DataFrame): DataFrame = {
+    val grams = garrF.select(col("doc_id"), explode(col("garr")).as("gram"))
     val dup = grams
       .groupBy("gram")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
       .select("gram")
-    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val perDoc = garrF.select(col("doc_id"), size(col("garr")).cast("long").as("n_spans"))
     val dupPerDoc = grams
       .join(dup, Seq("gram"), "left_semi")
       .groupBy("doc_id")

@@ -1,0 +1,132 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-store compaction — the between-crawls maintenance job every
+  * 100 TB parquet store eventually needs. Ingest (streaming sinks,
+  * per-batch admission, task-parallel writers) fragments a table into
+  * files far below the row-group size the readers want; every downstream
+  * scan then pays per-file open cost and loses row-group parallelism
+  * (the driver's own single-row-group sf tables are a live example —
+  * SURVEY §7's "local job floor"). This object provides the two
+  * Spark-first remedies:
+  *
+  *   - [[compact]]: merge small files to a target size with ZERO
+  *     shuffle. The insight is that Spark's parquet reader already
+  *     contains a bin-packing planner — `spark.sql.files
+  *     .maxPartitionBytes` + `openCostInBytes` pack input files into
+  *     read partitions of bounded byte size — so writing one output
+  *     file per read partition IS the compaction, with no exchange in
+  *     the plan. A hand-rolled first-fit planner would duplicate what
+  *     the FilePartition packer does, worse.
+  *   - [[compactClustered]]: compaction that also RANGE-CLUSTERS the
+  *     table on a key (the sort-based half of what table formats call
+  *     OPTIMIZE ... ZORDER for the single-key case): one
+  *     repartitionByRange exchange + in-partition sort, so each output
+  *     file covers a disjoint key range and parquet min/max row-group
+  *     stats turn key predicates into file/row-group pruning. This one
+  *     genuinely needs its shuffle — clustering is a data movement —
+  *     and is the variant to run when the store's dominant read
+  *     pattern filters on the key.
+  *
+  * Both write to a FRESH directory and leave the source untouched — at
+  * scale the swap is a catalog/symlink flip (the stores' staged-swap
+  * convention, [[graft.operators.GramIndex]]); rewriting in place would
+  * race concurrent readers. Sizing note: `targetBytes` governs INPUT
+  * bytes per output file; columnar re-encoding usually shrinks output
+  * below it (ratios vary with the data), so pick the target from the
+  * desired input coverage per file, not the on-disk output size.
+  *
+  * CompactionSpec pins: row-identical rewrite (both variants), output
+  * file count collapsing to the packing bound, zero-exchange plan for
+  * [[compact]], and pairwise-disjoint per-file key ranges for
+  * [[compactClustered]].
+  */
+object Compaction {
+
+  /** Zero-shuffle small-file compaction: rewrite `srcPath`'s parquet
+    * under `dstPath` with ~`targetBytes` of input per output file.
+    * Returns (input file count, output file count). */
+  def compact(
+      s: SparkSession,
+      srcPath: String,
+      dstPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes >= 1024 * 1024, s"targetBytes $targetBytes < 1 MiB is degenerate")
+    val nIn = parquetFiles(srcPath).size
+    // session-scoped read confs, restored in finally: the packer reads
+    // them at PLAN time, so they must hold only across this read's
+    // planning, but a throw must not leak them into later queries
+    val conf = s.conf
+    val prevMax = conf.getOption("spark.sql.files.maxPartitionBytes")
+    val prevOpen = conf.getOption("spark.sql.files.openCostInBytes")
+    val prevMin = conf.getOption("spark.sql.files.minPartitionNum")
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+      // open cost inflates each file's packed size; against MANY tiny
+      // files the default 4 MiB would cap packing at ~32 files/partition
+      // regardless of bytes — 64 KiB keeps the byte target in charge
+      // while still discouraging pathological thousand-file partitions
+      conf.set("spark.sql.files.openCostInBytes", (64 * 1024).toString)
+      // the packer shrinks split size to totalBytes/defaultParallelism to
+      // manufacture parallelism — right for queries, wrong here: it would
+      // re-fragment a small store to one file per core. Pin the floor to
+      // 1 so the byte target alone decides the output file count.
+      conf.set("spark.sql.files.minPartitionNum", "1")
+      s.read.parquet(srcPath).write.mode(SaveMode.Overwrite).parquet(dstPath)
+    } finally {
+      restore(conf, "spark.sql.files.maxPartitionBytes", prevMax)
+      restore(conf, "spark.sql.files.openCostInBytes", prevOpen)
+      restore(conf, "spark.sql.files.minPartitionNum", prevMin)
+    }
+    (nIn, parquetFiles(dstPath).size)
+  }
+
+  /** Compaction + single-key range clustering: `nFiles` output files,
+    * each covering a disjoint `key` range, rows sorted by `key` within
+    * each file so row-group min/max stats prune key predicates. */
+  def compactClustered(
+      s: SparkSession,
+      srcPath: String,
+      dstPath: String,
+      key: String,
+      nFiles: Int): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    s.read
+      .parquet(srcPath)
+      .repartitionByRange(nFiles, col(key))
+      .sortWithinPartitions(key)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(dstPath)
+  }
+
+  /** Per-file (min, max) of `key` under `path` — the clustering audit:
+    * disjoint intervals across files = key predicates prune to one
+    * file. One distributed scan (never a driver loop over files). */
+  def fileKeyRanges(s: SparkSession, path: String, key: String): DataFrame =
+    s.read
+      .parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(key)).as("key_min"), max(col(key)).as("key_max"))
+
+  private def restore(
+      conf: org.apache.spark.sql.RuntimeConfig,
+      k: String,
+      prev: Option[String]): Unit =
+    prev match {
+      case Some(v) => conf.set(k, v)
+      case None => conf.unset(k)
+    }
+
+  private def parquetFiles(path: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      // Spark's file-visibility rule: skip _temporary/_SUCCESS/.crc
+      else if (f.getName.startsWith("_") || f.getName.startsWith(".")) Nil
+      else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Nil
+    walk(new java.io.File(path))
+  }
+}

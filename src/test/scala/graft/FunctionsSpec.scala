@@ -107,6 +107,40 @@ class FunctionsSpec extends GraftSpecBase {
     assert(grams("a  b   c d e").get.sameElements(g))
   }
 
+  test("char-gram kernel: distinct grams, codepoint lengths, null under L, SQL parity") {
+    import graft.functions.CharGrams
+    def cg(t: String, l: Int) =
+      Option(CharGrams.compute(UTF8String.fromString(t), l))
+        .map(_.toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString))
+    assert(cg("abc", 4).isEmpty) // shorter than L -> null
+    assert(cg("abcd", 4).get.toSeq == Seq("abcd"))
+    assert(cg("abcde", 3).get.toSeq == Seq("abc", "bcd", "cde"))
+    // within-doc duplicates collapse, first occurrence kept
+    assert(cg("ababab", 2).get.toSeq == Seq("ab", "ba"))
+    // codepoints, not bytes: 3 two-byte chars hold exactly one 3-gram
+    assert(cg("éèê", 3).get.toSeq == Seq("éèê"))
+    assert(cg("éèê", 4).isEmpty)
+    // astral (4-byte) chars count as ONE codepoint each, matching
+    // Spark's substring and DuckDB's substr
+    val astral = "😀a😁" // 😀 a 😁 = 3 codepoints
+    assert(cg(astral, 2).get.length == 2)
+    // SQL-registered form agrees with the codegen'd path and with the
+    // substring reference on real data
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps over it"), (2L, "abcabcabc")).toDF("doc_id", "text")
+    val viaKernel = docs
+      .select(col("doc_id"), explode(call_function("graft_char_grams", col("text"), lit(5))).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaSubstr = docs
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), col("text"), explode(sequence(lit(1), length(col("text")) - 4)).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 5)").as("g"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaKernel == viaSubstr)
+  }
+
   test("winnow kernel: shared 10-word run guarantees a shared fingerprint") {
     def fp(t: String) =
       Option(GramHash64.winnow(UTF8String.fromString(t))).map(_.toLongArray().toSet)

@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Oracled-subset ratio: time every oracle SQL in DuckDB (32 threads,
+min-of-2) on an sf dir and compare with the Spark bench detail.
+
+Usage: python3 tools/ratio.py <sfDir> <oracle_sql.json> <bench_detail.json>
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir: str, oracle_path: str, bench_path: str) -> int:
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(oracle_path))
+    bench = json.load(open(bench_path))
+    spark_q = bench.get("queries", bench)
+    duck = {}
+    for name, sql in sorted(oracles.items()):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        duck[name] = best
+    common = sorted(set(duck) & set(spark_q))
+    missing = sorted(set(duck) - set(spark_q))
+    ds = sum(duck[q] for q in common)
+    ss = sum(spark_q[q] for q in common)
+    print(json.dumps({
+        "n_oracles": len(duck), "n_common": len(common),
+        "duck_sec": round(ds, 2), "spark_sec": round(ss, 2),
+        "ratio": round(ss / ds, 3), "missing_in_bench": missing,
+        "spark_wins": {q: [round(spark_q[q], 2), round(duck[q], 2)]
+                       for q in common if duck[q] > 2 * spark_q[q] and duck[q] > 0.5},
+        "duck_wins_big": {q: [round(spark_q[q], 2), round(duck[q], 2)]
+                          for q in common if spark_q[q] > 4 * duck[q] and spark_q[q] > 0.5},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3]))
