@@ -781,8 +781,15 @@ object Analytics {
   }
 
   /** One key's census — spec entry point for synthetic skew shapes. */
-  private[graft] def keyProbe(df: DataFrame, key: String, tag: String): DataFrame = {
-    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+  private[graft] def keyProbe(df: DataFrame, key: String, tag: String): DataFrame =
+    keyCensus(df.groupBy(col(key)).agg(count(lit(1)).as("c")), tag)
+
+  /** The census over a per-key counts frame `(key, c)` — shared VERBATIM
+    * with the streaming twin ([[graft.streaming.EventStreams.keyCounts]]'s
+    * sink applies this to each trigger's complete counts table), so
+    * batch/stream parity is structural, not just test-pinned (the
+    * heavyHitters/wordCensus discipline). */
+  private[graft] def keyCensus(counts: DataFrame, tag: String): DataFrame = {
     val stats = counts.agg(
       sum(col("c")).as("n_rows"),
       count(lit(1)).as("n_keys"),

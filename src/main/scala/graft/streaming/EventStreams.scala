@@ -101,6 +101,23 @@ object EventStreams {
   def heavyHitters(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.wordCensus(docs)
 
+  /** Streaming skew monitor (21st twin) — the incremental half of
+    * [[graft.operators.Analytics.skewProbe]]'s per-key census on the
+    * live event stream: per-user event counts in complete mode, state =
+    * ONE long per key (bounded by the active key space, not stream
+    * length; each trigger touches only the keys that arrived). Spark
+    * cannot run the census's second aggregation level in the same
+    * streaming query (multiple stateful aggregations are unsupported),
+    * so the derived stats — heavy keys, salt factor — are bounded-frame
+    * arithmetic the sink applies per trigger via
+    * [[graft.operators.Analytics.keyCensus]], the SAME code path batch
+    * uses (the [[heavyHitters]]/wordCensus shared-code discipline;
+    * replay parity spec-pinned). The operational loop this closes: the
+    * batch probe chooses a salting strategy, the monitor watches the
+    * live key distribution drift away from it. */
+  def keyCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+
   /** Stream-stream interval join — the incremental twin of
     * [[graft.operators.Windows.rangeJoin]]: pair each event with same-user
     * events up to 5 minutes later. Watermarks on BOTH sides plus the time

@@ -49,6 +49,33 @@ class StreamingSpec extends GraftSpecBase {
     assert(streamed == batch)
   }
 
+  test("streaming skew monitor census equals the batch keyProbe after two-chunk replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows()
+    val input = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    // two chunks: the complete-mode count state must carry across triggers
+    val (a, b) = rows.splitAt(rows.length / 2)
+    input.addData(a)
+    val streamDf = input.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
+    val q = EventStreams.keyCounts(streamDf)
+      .writeStream.format("memory").queryName("skew_counts")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    input.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    // the sink-side census over the final counts table — the SAME code
+    // path batch uses (Analytics.keyCensus), applied per trigger in prod
+    val streamed = graft.operators.Analytics
+      .keyCensus(spark.table("skew_counts"), "events.user_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Analytics
+      .keyProbe(rawEvents(), "user_id", "events.user_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch, "streamed census must be row-identical to the batch probe")
+  }
+
   test("streaming exact dedup keeps one row per distinct content") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
