@@ -111,7 +111,10 @@ object CharGrams {
     }
     offs(nChars) = nBytes
     val nGrams = nChars - l + 1
-    val seen = new java.util.HashSet[UTF8String](nGrams * 2)
+    // capacity hint capped: nGrams * 2 would wrap negative for a >1 GiB
+    // single document (within UTF8String's 2 GB bound) and HashSet
+    // throws on negative capacity
+    val seen = new java.util.HashSet[UTF8String](math.min(nGrams.toLong * 2, 1 << 26).toInt)
     val out = new java.util.ArrayList[UTF8String](nGrams)
     var g = 0
     while (g < nGrams) {

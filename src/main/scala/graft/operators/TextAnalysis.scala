@@ -481,7 +481,12 @@ object TextAnalysis {
         call_function("graft_char_grams", col("text"), lit(SpanLen)).as("garr"))
       .filter(col("garr").isNotNull)
 
-  /** The census over a [[spanGrams]] frame — spec entry point. */
+  /** The census over a [[spanGrams]] frame — spec entry point. COMPLETE
+    * over eligible (≥ 32-char) documents: a clean doc reports
+    * n_dup_spans = 0 / dup_share = 0.0 rather than vanishing — a
+    * consumer's "mean dup_share" or "fraction of clean docs" arithmetic
+    * needs the zero rows, and a dropped row would be indistinguishable
+    * from a too-short document (round-10 review finding). */
   private[graft] def spanDupCensus(garrF: DataFrame): DataFrame = {
     val grams = garrF.select(col("doc_id"), explode(col("garr")).as("gram"))
     val dup = grams
@@ -495,12 +500,14 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_spans"))
     perDoc
-      .join(dupPerDoc, Seq("doc_id"))
+      .join(dupPerDoc, Seq("doc_id"), "left_outer")
       .select(
         col("doc_id"),
         col("n_spans"),
-        col("n_dup_spans"),
-        round(col("n_dup_spans") / col("n_spans").cast("double"), 4).as("dup_share"))
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        round(
+          coalesce(col("n_dup_spans"), lit(0L)) / col("n_spans").cast("double"),
+          4).as("dup_share"))
   }
 
   val spanDupSql: String =
@@ -512,10 +519,11 @@ object TextAnalysis {
        per AS (SELECT doc_id, COUNT(*) AS n_spans FROM cg GROUP BY doc_id),
        dper AS (SELECT doc_id, COUNT(*) AS n_dup_spans
                 FROM cg JOIN dup USING (gram) GROUP BY doc_id)
-       SELECT doc_id, n_spans, n_dup_spans,
-              ROUND(n_dup_spans / CAST(n_spans AS DOUBLE), 4) AS dup_share
-       FROM per JOIN dper USING (doc_id)
-       ORDER BY doc_id"""
+       SELECT p.doc_id, n_spans,
+              COALESCE(n_dup_spans, 0) AS n_dup_spans,
+              ROUND(COALESCE(n_dup_spans, 0) / CAST(n_spans AS DOUBLE), 4) AS dup_share
+       FROM per p LEFT JOIN dper ON p.doc_id = dper.doc_id
+       ORDER BY p.doc_id"""
 
   /** Compressibility quality signal (CCNet/Gopher family): per document,
     * the raw-DEFLATE compressed length over the byte length. Degenerate

@@ -57,28 +57,36 @@ object Compaction {
     val nIn = parquetFiles(srcPath).size
     // session-scoped read confs, restored in finally: the packer reads
     // them at PLAN time, so they must hold only across this read's
-    // planning, but a throw must not leak them into later queries
-    val conf = s.conf
-    val prevMax = conf.getOption("spark.sql.files.maxPartitionBytes")
-    val prevOpen = conf.getOption("spark.sql.files.openCostInBytes")
-    val prevMin = conf.getOption("spark.sql.files.minPartitionNum")
-    try {
-      conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
-      // open cost inflates each file's packed size; against MANY tiny
-      // files the default 4 MiB would cap packing at ~32 files/partition
-      // regardless of bytes — 64 KiB keeps the byte target in charge
-      // while still discouraging pathological thousand-file partitions
-      conf.set("spark.sql.files.openCostInBytes", (64 * 1024).toString)
-      // the packer shrinks split size to totalBytes/defaultParallelism to
-      // manufacture parallelism — right for queries, wrong here: it would
-      // re-fragment a small store to one file per core. Pin the floor to
-      // 1 so the byte target alone decides the output file count.
-      conf.set("spark.sql.files.minPartitionNum", "1")
-      s.read.parquet(srcPath).write.mode(SaveMode.Overwrite).parquet(dstPath)
-    } finally {
-      restore(conf, "spark.sql.files.maxPartitionBytes", prevMax)
-      restore(conf, "spark.sql.files.openCostInBytes", prevOpen)
-      restore(conf, "spark.sql.files.minPartitionNum", prevMin)
+    // planning, but a throw must not leak them into later queries.
+    // The object-wide lock keeps two concurrent compact() calls from
+    // interleaving save/restore (B saving A's temporary value and
+    // "restoring" it permanently). Residual hazard, documented not
+    // hidden: an UNRELATED query planned on another thread during the
+    // window sees compaction split sizing — compaction is a maintenance
+    // job; run it as one, not beside a live query workload.
+    Compaction.synchronized {
+      val conf = s.conf
+      val prevMax = conf.getOption("spark.sql.files.maxPartitionBytes")
+      val prevOpen = conf.getOption("spark.sql.files.openCostInBytes")
+      val prevMin = conf.getOption("spark.sql.files.minPartitionNum")
+      try {
+        conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+        // open cost inflates each file's packed size; against MANY tiny
+        // files the default 4 MiB would cap packing at ~32 files/partition
+        // regardless of bytes — 64 KiB keeps the byte target in charge
+        // while still discouraging pathological thousand-file partitions
+        conf.set("spark.sql.files.openCostInBytes", (64 * 1024).toString)
+        // the packer shrinks split size to totalBytes/defaultParallelism to
+        // manufacture parallelism — right for queries, wrong here: it would
+        // re-fragment a small store to one file per core. Pin the floor to
+        // 1 so the byte target alone decides the output file count.
+        conf.set("spark.sql.files.minPartitionNum", "1")
+        s.read.parquet(srcPath).write.mode(SaveMode.Overwrite).parquet(dstPath)
+      } finally {
+        restore(conf, "spark.sql.files.maxPartitionBytes", prevMax)
+        restore(conf, "spark.sql.files.openCostInBytes", prevOpen)
+        restore(conf, "spark.sql.files.minPartitionNum", prevMin)
+      }
     }
     (nIn, parquetFiles(dstPath).size)
   }
@@ -121,10 +129,15 @@ object Compaction {
     }
 
   private def parquetFiles(path: String): Seq[java.io.File] = {
+    // Spark's file-visibility rule on EVERY path component (the
+    // CorpusOps.committed() logic): a '_'/'.'-prefixed DIRECTORY is as
+    // invisible as a file — recursing into _temporary would count a
+    // crashed write's uncommitted task-attempt files
+    def hidden(f: java.io.File): Boolean =
+      f.getName.startsWith("_") || f.getName.startsWith(".")
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
-      // Spark's file-visibility rule: skip _temporary/_SUCCESS/.crc
-      else if (f.getName.startsWith("_") || f.getName.startsWith(".")) Nil
+      if (hidden(f)) Nil
+      else if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
       else if (f.getName.endsWith(".parquet")) Seq(f)
       else Nil
     walk(new java.io.File(path))

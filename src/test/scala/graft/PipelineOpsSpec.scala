@@ -29,9 +29,11 @@ class PipelineOpsSpec extends GraftSpecBase {
 
   test("span-dup census: cross-doc spans count, within-doc repeats and singletons don't") {
     import spark.implicits._
-    val S = ((48 until 58) ++ (97 until 119)).map(_.toChar).mkString // 32 distinct chars
+    // three genuinely disjoint 32-char pools (review finding: the first
+    // fixture's suffix pool overlapped S on the digit range)
+    val S = (97 until 129).map(_.toChar).mkString // 32 distinct chars
     val pre = (65 until 97).map(_.toChar).mkString // 32 distinct, disjoint from S
-    val suf = (33 until 65).map(_.toChar).mkString // 32 distinct, disjoint from both
+    val suf = (161 until 193).map(_.toChar).mkString // 32 distinct, disjoint from both
     val c = (256 until 296).map(_.toChar).mkString // 40 chars, its own pool
     val s2 = (512 until 544).map(_.toChar).mkString // 32 chars, its own pool
     val docs = Seq(
@@ -47,8 +49,12 @@ class PipelineOpsSpec extends GraftSpecBase {
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
       .toMap
-    // docs 5 and 6 produce no output row; 1-4 do
-    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    // the census is COMPLETE over eligible docs: clean doc 5 reports a
+    // zero row (distinguishable from too-short doc 6, which has no spans)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // doc 5 = s2+s2: 33 raw spans but the two s2-aligned ones coincide ->
+    // 32 distinct; repeated only WITHIN itself -> zero cross-doc dups
+    assert(got(5L) == ((32L, 0L, 0.0)))
     // 64-char docs have 33 spans; only the S-aligned one is shared (every
     // other span mixes pool chars unique to its document)
     val share = BigDecimal(1.0 / 33).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
