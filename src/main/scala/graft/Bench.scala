@@ -122,6 +122,7 @@ object Bench {
         "graph_triangles", "text_edit_sim"),
       "minhash" -> Seq("corpus_dedup", "dedup_minhash"),
       "bpe_merge_table" -> Seq("text_bpe_train", "text_tokenize_ids", "train_pack_ids"),
+      "spandup_grams" -> Seq("text_span_dup", "text_span_excise"),
       "ivf_qsample" -> Seq("ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk"),
       "pq" -> Seq("ann_ivfpq_idx", "ann_ivfpq_topk", "ann_pq_topk", "emb_pq"),
       "ivf_store_probes" -> Seq("ann_ivf_idx", "ann_ivfpq_idx"))

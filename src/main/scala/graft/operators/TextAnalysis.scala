@@ -525,6 +525,155 @@ object TextAnalysis {
        FROM per p LEFT JOIN dper ON p.doc_id = dper.doc_id
        ORDER BY p.doc_id"""
 
+  /** Substring-span EXCISION — the remediation half of [[spanDup]]'s
+    * census (Lee et al. 2022 cut the duplicated substrings; the census
+    * only reports them): per document, every character position covered
+    * by a cross-doc duplicated 32-gram is merged into maximal regions
+    * (fixed-width intervals, so overlap-or-adjacency reduces to
+    * `gap ≤ 32` on the SORTED positions — a one-lag islands pass, no
+    * general interval sweep) and the regions are cut out; the output
+    * reports the region census plus `clean_md5`, the md5 of the excised
+    * text — the [[scrub]]/[[pii]] fingerprint convention, which makes
+    * the whole rewrite hash-checkable without shipping corpus text
+    * through the driver artifact.
+    *
+    * COMPLETE over ALL documents (the materializer contract, unlike the
+    * census's eligible-docs scope): a clean or too-short doc reports
+    * n_regions = 0 and the unchanged text's md5; a fully-covered doc
+    * reports the empty string's md5, never a resurrection of its text.
+    *
+    * Shape: the dup-gram set derives from the SAME stamp-cached gram
+    * frame the census uses (one build per stamp across both queries,
+    * disclosed under shared_cache); positional grams are a second
+    * codegen'd explode+substring scan (positions aren't in the deduped
+    * cache — and only the df ≥ 2 survivors reach the windowed islands
+    * pass, output ∝ duplication, not corpus). The kept-text rebuild
+    * concatenates ≤ regions+1 pieces per doc via a sorted-struct
+    * array_join — a per-doc HOF over a HANDFUL of pieces, which is
+    * exactly where HOFs are fine (the per-gram HOF was the trap). */
+  def spanExcise(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val garrF = PipelineCache.cached("spandup_grams", s, dir, "documents.parquet")(
+      spanGrams(Tables.documentsBalanced(s, dir)))
+    val dup = garrF
+      .select(explode(col("garr")).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select("gram")
+    val pos = Tables
+      .documentsBalanced(s, dir)
+      .filter(length(col("text")) >= SpanLen)
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(sequence(lit(1), length(col("text")) - (SpanLen - 1))).as("i"))
+      .select(col("doc_id"), col("i"), expr(s"substring(text, i, $SpanLen)").as("gram"))
+    val dupPos = pos.join(dup, Seq("gram"), "left_semi").select("doc_id", "i")
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val regions = dupPos
+      .withColumn(
+        "newi",
+        when(lag("i", 1).over(w).isNull || col("i") - lag("i", 1).over(w) > SpanLen, 1)
+          .otherwise(0))
+      .withColumn("island", sum("newi").over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("i").as("rs"), (max(col("i")) + lit(SpanLen - 1)).as("re"))
+    val stats = regions
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_regions"), sum(col("re") - col("rs") + 1).as("n_cut"))
+    val wr = Window.partitionBy("doc_id").orderBy("rs")
+    val pieces = regions
+      .join(docs.withColumn("len", length(col("text"))), Seq("doc_id"))
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("nxt", lead("rs", 1).over(wr))
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(
+          array(
+            struct(
+              when(col("rn") === 1, lit(1)).otherwise(lit(null)).as("ps"),
+              (col("rs") - 1).as("pe")),
+            struct(
+              (col("re") + 1).as("ps"),
+              coalesce(col("nxt") - 1, col("len")).as("pe")))).as("p"))
+      .filter(col("p.ps").isNotNull && col("p.pe") >= col("p.ps"))
+      .select(
+        col("doc_id"),
+        col("p.ps").as("ps"),
+        expr("substring(text, p.ps, p.pe - p.ps + 1)").as("piece"))
+    val kept = pieces
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ps"), col("piece")))),
+            x => x.getField("piece")),
+          "").as("kept"))
+    docs
+      .join(stats, Seq("doc_id"), "left_outer")
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_regions"), lit(0L)).as("n_regions"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+        (length(col("text")) - coalesce(col("n_cut"), lit(0L))).as("n_kept"),
+        // a doc with regions but NO pieces is fully covered: kept = "",
+        // never a fallback to its original text
+        md5(when(col("n_regions").isNull, col("text")).otherwise(coalesce(col("kept"), lit(""))))
+          .as("clean_md5"))
+  }
+
+  val spanExciseSql: String =
+    """WITH cg AS (
+         SELECT DISTINCT doc_id, substr(text, i, 32) AS gram
+         FROM documents, UNNEST(range(1, len(text) - 30)) AS t(i)
+         WHERE len(text) >= 32),
+       dup AS (SELECT gram FROM cg GROUP BY gram HAVING COUNT(*) >= 2),
+       pos AS (
+         SELECT doc_id, i, substr(text, i, 32) AS gram
+         FROM documents, UNNEST(range(1, len(text) - 30)) AS t(i)
+         WHERE len(text) >= 32),
+       dp AS (SELECT doc_id, i FROM pos JOIN dup USING (gram)),
+       isl AS (
+         SELECT doc_id, i,
+                SUM(CASE WHEN prev IS NULL OR i - prev > 32 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY i) AS island
+         FROM (SELECT doc_id, i,
+                      lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+               FROM dp)),
+       reg AS (SELECT doc_id, island, MIN(i) AS rs, MAX(i) + 31 AS re
+               FROM isl GROUP BY 1, 2),
+       stats AS (SELECT doc_id, COUNT(*) AS n_regions,
+                        CAST(SUM(re - rs + 1) AS BIGINT) AS n_cut
+                 FROM reg GROUP BY doc_id),
+       regx AS (
+         SELECT r.doc_id, rs, re, d.text, len(d.text) AS dlen,
+                row_number() OVER (PARTITION BY r.doc_id ORDER BY rs) AS rn,
+                lead(rs) OVER (PARTITION BY r.doc_id ORDER BY rs) AS nxt
+         FROM reg r JOIN documents d ON r.doc_id = d.doc_id),
+       pieces AS (
+         SELECT doc_id, 1 AS ps, rs - 1 AS pe, text
+         FROM regx WHERE rn = 1 AND rs > 1
+         UNION ALL
+         SELECT doc_id, re + 1 AS ps, COALESCE(nxt - 1, dlen) AS pe, text
+         FROM regx WHERE COALESCE(nxt - 1, dlen) >= re + 1),
+       kept AS (
+         SELECT doc_id,
+                STRING_AGG(substr(text, ps, pe - ps + 1), '' ORDER BY ps) AS kept
+         FROM pieces GROUP BY doc_id)
+       SELECT d.doc_id,
+              COALESCE(n_regions, 0) AS n_regions,
+              COALESCE(n_cut, 0) AS n_cut,
+              len(d.text) - COALESCE(n_cut, 0) AS n_kept,
+              md5(CASE WHEN n_regions IS NULL THEN d.text
+                       ELSE COALESCE(kept, '') END) AS clean_md5
+       FROM documents d
+       LEFT JOIN stats s ON d.doc_id = s.doc_id
+       LEFT JOIN kept k ON d.doc_id = k.doc_id
+       ORDER BY d.doc_id"""
+
   /** Compressibility quality signal (CCNet/Gopher family): per document,
     * the raw-DEFLATE compressed length over the byte length. Degenerate
     * machine loops compress toward 0; natural prose sits much higher —
@@ -1314,6 +1463,7 @@ FROM mergetab ORDER BY rank"""
       PipelineCache.cached("bpe_merge_table", s, d, "documents.parquet")(bpeTrain(s, d))),
     "text_winnow" -> (winnow _),
     "text_span_dup" -> (spanDup _),
+    "text_span_excise" -> (spanExcise _),
     "text_tokens_bpe" -> (tokensBpe _),
     "text_scrub" -> (scrub _),
     "text_stats" -> (stats _),
@@ -1336,6 +1486,7 @@ FROM mergetab ORDER BY rank"""
     "text_tokens_bpe" -> tokensBpeSql,
     "text_scrub" -> scrubSql,
     "text_span_dup" -> spanDupSql,
+    "text_span_excise" -> spanExciseSql,
     "text_stats" -> statsSql,
     "text_langid" -> langidSql,
     "text_quality" -> qualitySql,

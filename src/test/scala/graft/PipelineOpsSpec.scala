@@ -65,6 +65,46 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(got(4L) == ((9L, 9L, 1.0)))
   }
 
+  test("span excision: merged regions, kept-text md5, full-cover and clean docs exact") {
+    import spark.implicits._
+    val S = (97 until 129).map(_.toChar).mkString // 32 chars, shared span
+    val pre = (65 until 97).map(_.toChar).mkString // unique pool doc 1
+    val suf = (161 until 193).map(_.toChar).mkString // unique pool doc 2
+    val c = (256 until 296).map(_.toChar).mkString // 40 chars, verbatim pair
+    val docs = Seq(
+      (1L, pre + S), // one dup region at the tail
+      (2L, S + suf), // one dup region at the head
+      (3L, c), // verbatim copy pair: fully covered
+      (4L, c),
+      (5L, "clean and short") // < 32 chars: untouched
+    ).toDF("doc_id", "text")
+    // drive the census core directly on the synthetic frame: dup set +
+    // positional pass mirror spanExcise's internals via a temp dir table
+    val tmp = java.nio.file.Files.createTempDirectory("graft_excise").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.TextAnalysis
+      .spanExcise(spark, tmp)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      d.map("%02x".format(_)).mkString
+    }
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // docs 1/2 share exactly the span S: doc 1 cuts [33, 64], keeps pre;
+    // doc 2 cuts [1, 32], keeps suf
+    assert(got(1L) == ((1L, 32L, 32L, md5hex(pre))))
+    assert(got(2L) == ((1L, 32L, 32L, md5hex(suf))))
+    // the verbatim pair: every position covered -> one region, empty kept
+    assert(got(3L) == ((1L, 40L, 0L, md5hex(""))))
+    assert(got(4L) == ((1L, 40L, 0L, md5hex(""))))
+    // too-short doc: untouched, fingerprint of the original text
+    assert(got(5L) == ((0L, 0L, 15L, md5hex("clean and short"))))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   test("cube grand total equals order count and slice sums agree") {
     val c = Analytics.cube(spark, sfDir).cache()
     val nOrders = spark.read.parquet(s"$sfDir/orders.parquet").count()
