@@ -481,6 +481,18 @@ object TextAnalysis {
         call_function("graft_char_grams", col("text"), lit(SpanLen)).as("garr"))
       .filter(col("garr").isNotNull)
 
+  /** The df ≥ 2 cross-doc duplicated-gram set of a [[spanGrams]] frame —
+    * ONE definition shared by the census and the excision ([[spanDup]] /
+    * [[spanExcise]]), so the reported span set and the cut span set can
+    * never silently diverge (review finding: the copy was verbatim). */
+  private[graft] def dupGrams(garrF: DataFrame): DataFrame =
+    garrF
+      .select(explode(col("garr")).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select("gram")
+
   /** The census over a [[spanGrams]] frame — spec entry point. COMPLETE
     * over eligible (≥ 32-char) documents: a clean doc reports
     * n_dup_spans = 0 / dup_share = 0.0 rather than vanishing — a
@@ -489,11 +501,7 @@ object TextAnalysis {
     * from a too-short document (round-10 review finding). */
   private[graft] def spanDupCensus(garrF: DataFrame): DataFrame = {
     val grams = garrF.select(col("doc_id"), explode(col("garr")).as("gram"))
-    val dup = grams
-      .groupBy("gram")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2)
-      .select("gram")
+    val dup = dupGrams(garrF)
     val perDoc = garrF.select(col("doc_id"), size(col("garr")).cast("long").as("n_spans"))
     val dupPerDoc = grams
       .join(dup, Seq("gram"), "left_semi")
@@ -555,30 +563,32 @@ object TextAnalysis {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val garrF = PipelineCache.cached("spandup_grams", s, dir, "documents.parquet")(
       spanGrams(Tables.documentsBalanced(s, dir)))
-    val dup = garrF
-      .select(explode(col("garr")).as("gram"))
-      .groupBy("gram")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2)
-      .select("gram")
-    val pos = Tables
-      .documentsBalanced(s, dir)
-      .filter(length(col("text")) >= SpanLen)
-      .select(
-        col("doc_id"),
-        col("text"),
-        explode(sequence(lit(1), length(col("text")) - (SpanLen - 1))).as("i"))
-      .select(col("doc_id"), col("i"), expr(s"substring(text, i, $SpanLen)").as("gram"))
-    val dupPos = pos.join(dup, Seq("gram"), "left_semi").select("doc_id", "i")
-    val w = Window.partitionBy("doc_id").orderBy("i")
-    val regions = dupPos
-      .withColumn(
-        "newi",
-        when(lag("i", 1).over(w).isNull || col("i") - lag("i", 1).over(w) > SpanLen, 1)
-          .otherwise(0))
-      .withColumn("island", sum("newi").over(w))
-      .groupBy("doc_id", "island")
-      .agg(min("i").as("rs"), (max(col("i")) + lit(SpanLen - 1)).as("re"))
+    // regions stamp-persisted: the frame feeds BOTH stats and pieces, and
+    // plan probing showed the whole positional scan + gram semi-join +
+    // islands windows re-executing per consumer (9 scans, 0 ReusedExchange
+    // — the same exchange-reuse failure the gram cache exists for); the
+    // frame itself is tiny, ∝ duplication
+    val regions = PipelineCache.cached("spandup_regions", s, dir, "documents.parquet") {
+      val dup = dupGrams(garrF)
+      val pos = Tables
+        .documentsBalanced(s, dir)
+        .filter(length(col("text")) >= SpanLen)
+        .select(
+          col("doc_id"),
+          col("text"),
+          explode(sequence(lit(1), length(col("text")) - (SpanLen - 1))).as("i"))
+        .select(col("doc_id"), col("i"), expr(s"substring(text, i, $SpanLen)").as("gram"))
+      val dupPos = pos.join(dup, Seq("gram"), "left_semi").select("doc_id", "i")
+      val w = Window.partitionBy("doc_id").orderBy("i")
+      dupPos
+        .withColumn(
+          "newi",
+          when(lag("i", 1).over(w).isNull || col("i") - lag("i", 1).over(w) > SpanLen, 1)
+            .otherwise(0))
+        .withColumn("island", sum("newi").over(w))
+        .groupBy("doc_id", "island")
+        .agg(min("i").as("rs"), (max(col("i")) + lit(SpanLen - 1)).as("re"))
+    }
     val stats = regions
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_regions"), sum(col("re") - col("rs") + 1).as("n_cut"))

@@ -71,12 +71,21 @@ class PipelineOpsSpec extends GraftSpecBase {
     val pre = (65 until 97).map(_.toChar).mkString // unique pool doc 1
     val suf = (161 until 193).map(_.toChar).mkString // unique pool doc 2
     val c = (256 until 296).map(_.toChar).mkString // 40 chars, verbatim pair
+    val s1 = (300 until 332).map(_.toChar).mkString // 32 chars, shared span A
+    val s2 = (332 until 364).map(_.toChar).mkString // 32 chars, shared span B
+    val x = (364 until 369).map(_.toChar).mkString // 5 chars, unique middle
     val docs = Seq(
       (1L, pre + S), // one dup region at the tail
       (2L, S + suf), // one dup region at the head
       (3L, c), // verbatim copy pair: fully covered
       (4L, c),
-      (5L, "clean and short") // < 32 chars: untouched
+      (5L, "clean and short"), // < 32 chars: untouched
+      // the islands boundary: doc 6's dup positions are 1 and 33 (gap
+      // 32 -> ONE merged region covering everything); doc 7's are 1 and
+      // 38 (gap 37 > 32 -> TWO regions), exercising the middle-piece
+      // (lead/nxt) rebuild path
+      (6L, s1 + s2),
+      (7L, s1 + x + s2)
     ).toDF("doc_id", "text")
     // drive the census core directly on the synthetic frame: dup set +
     // positional pass mirror spanExcise's internals via a temp dir table
@@ -92,7 +101,7 @@ class PipelineOpsSpec extends GraftSpecBase {
         .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       d.map("%02x".format(_)).mkString
     }
-    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
     // docs 1/2 share exactly the span S: doc 1 cuts [33, 64], keeps pre;
     // doc 2 cuts [1, 32], keeps suf
     assert(got(1L) == ((1L, 32L, 32L, md5hex(pre))))
@@ -102,6 +111,11 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(got(4L) == ((1L, 40L, 0L, md5hex(""))))
     // too-short doc: untouched, fingerprint of the original text
     assert(got(5L) == ((0L, 0L, 15L, md5hex("clean and short"))))
+    // gap exactly 32: positions 1 and 33 MERGE to one region [1, 64]
+    assert(got(6L) == ((1L, 64L, 0L, md5hex(""))))
+    // gap 37 > 32: two regions [1, 32] and [38, 69]; the kept text is the
+    // MIDDLE piece [33, 37] via the lead/nxt path
+    assert(got(7L) == ((2L, 64L, 5L, md5hex(x))))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
