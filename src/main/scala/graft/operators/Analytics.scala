@@ -812,6 +812,53 @@ object Analytics {
         round(col("max_key_rows") / col("n_rows").cast("double"), 6).as("top_share"))
   }
 
+  /** The skew-REMEDIATION contract query — the third act of the skew
+    * story ([[skewProbe]] diagnoses, the streaming monitor watches, this
+    * remediates): supplier revenue per nation computed THROUGH
+    * [[Scale.saltedJoin]] on the lineitem ⋈ supplier key, with the PLAIN
+    * join as its oracle. Hash-exact passage proves the salting utility
+    * changes the partitioning — the build side replicated `salt` ways,
+    * the hot probe key spread over `salt` tasks — and never the result,
+    * under the driver's own gate (the text_search_idx move: a test-only
+    * utility promoted to a driver-checked contract). Honest scale note:
+    * supplier is a DIM a production plan would broadcast; the query
+    * exists to gate-check the fact-fact salting shape on a join whose
+    * plain twin is SQL-expressible, not to claim salting beats
+    * broadcast here. Revenue sums exact decimals before ONE double
+    * cast (the q5 discipline), so the result is partitioning- and
+    * order-independent by construction — which is precisely what makes
+    * the salted/plain identity checkable by hash. */
+  def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(s, dir)
+    Scale
+      .saltedJoin(li, sup, col("l_suppkey"), col("s_suppkey"), 8)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(
+          expr("CAST(l_extendedprice AS DECIMAL(14,2)) * " +
+            "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"))
+          .cast("double")
+          .as("revenue"))
+      .orderBy("n_name")
+  }
+
+  val joinSkewSaltedSql: String =
+    """SELECT n_name, COUNT(*) AS n_items,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                       (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                AS revenue
+       FROM lineitem
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       GROUP BY n_name
+       ORDER BY n_name"""
+
   private def keyProbeSqlBlock(table: String, key: String, idx: Int): String =
     s"""k$idx AS (SELECT COUNT(*) AS c FROM $table GROUP BY $key),
        s$idx AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
@@ -841,6 +888,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_probe" -> (skewProbe _),
+    "join_skew_salted" -> (joinSkewSalted _),
     "agg_winsorized" -> (winsorized _),
     "agg_corr" -> (corrQtyPrice _),
     "agg_sketches" -> (sketches _),
@@ -862,6 +910,7 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "skew_probe" -> skewProbeSql,
+    "join_skew_salted" -> joinSkewSaltedSql,
     "agg_winsorized" -> winsorizedSql,
     "agg_corr" -> corrQtyPriceSql,
     "catalog_counts" -> catalogCountsSql,

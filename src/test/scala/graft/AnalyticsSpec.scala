@@ -41,6 +41,25 @@ class AnalyticsSpec extends GraftSpecBase {
     }
   }
 
+  test("join_skew_salted is row-identical to the plain join aggregate") {
+    val salted = Analytics.joinSkewSalted(spark, sfDir).collect().map(_.toSeq).toSeq
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val sup = spark.read.parquet(s"$sfDir/supplier.parquet")
+    val n = spark.read.parquet(s"$sfDir/nation.parquet")
+    val plain = li
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(14,2)) * " +
+          "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"))
+          .cast("double").as("revenue"))
+      .orderBy("n_name")
+      .collect().map(_.toSeq).toSeq
+    assert(salted == plain, "salting must change partitioning, never the result")
+  }
+
   test("rollup contains grand total equal to full customer count") {
     val total = Analytics
       .rollup(spark, sfDir)
