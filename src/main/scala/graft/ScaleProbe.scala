@@ -217,6 +217,10 @@ object ScaleProbe {
       // Only the events key is probed: the synthetic dir carries no
       // lineitem/orders.
       "text_span_dup" -> (TextAnalysis.spanDup _),
+      // the excision rides the same gram cache + its own regions cache
+      // (both cleared per timing): the probe reads the positional scan +
+      // islands pass + kept-text rebuild end to end
+      "text_span_excise" -> (TextAnalysis.spanExcise _),
       "skew_probe_events" -> ((s: SparkSession, d: String) =>
         graft.operators.Analytics
           .keyProbe(graft.sources.Tables.events(s, d), "user_id", "events.user_id")))

@@ -62,25 +62,40 @@ private[graft] object PipelineCache {
       })
 
   /** Build-or-reuse the frame for `tag`, persisted MEMORY_AND_DISK,
-    * stamped against `table` (e.g. "documents.parquet") under `dir`. */
+    * stamped against `table` (e.g. "documents.parquet") under `dir`.
+    *
+    * The critical section is a REENTRANT object monitor, deliberately
+    * NOT `ConcurrentHashMap.compute`: a build lambda may itself call
+    * [[cached]] for a frame it composes over (packIdsRaw's build reads
+    * the cached BPE merge table; spanExcise's regions build reads the
+    * cached gram frame), and a nested `compute` on the same map throws
+    * `IllegalStateException: Recursive update` whenever the two keys
+    * happen to land in one hash bin — a PROBABILISTIC driver crash
+    * keyed on the session's identity hash, observed live in a
+    * ScaleProbe run (round 10). The monitor serializes builds globally;
+    * that is acceptable because `build` constructs a plan and marks it
+    * persisted — materialization happens lazily at action time, outside
+    * the lock — and the one exception (a build that runs its own
+    * bounded driver actions, e.g. bpeTrain's per-round argmax) is
+    * single-driver work that would serialize anyway. Stamp still read
+    * inside the critical section: reading it outside would let a
+    * concurrent rewrite install a fresh frame under an outdated stamp
+    * and thrash the next caller into a rebuild. */
   def cached(tag: String, s: SparkSession, dir: String, table: String)(
       build: => DataFrame): DataFrame = {
     hookCleanup(s)
-    cache
-      .compute(
-        (s, dir, tag),
-        (_, cur) => {
-          // stamp read inside the critical section: reading it outside
-          // would let a concurrent rewrite install a fresh frame under an
-          // outdated stamp and thrash the next caller into a rebuild
-          val stamp = sourceStamp(dir, table)
-          if (cur != null && cur._1 == stamp) cur
-          else {
-            if (cur != null) cur._2.unpersist(blocking = false)
-            (stamp, build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-          }
-        })
-      ._2
+    this.synchronized {
+      val key = (s, dir, tag)
+      val stamp = sourceStamp(dir, table)
+      val cur = cache.get(key)
+      if (cur != null && cur._1 == stamp) cur._2
+      else {
+        if (cur != null) cur._2.unpersist(blocking = false)
+        val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cache.put(key, (stamp, df))
+        df
+      }
+    }
   }
 
   /** A FRESH cached frame for `tag` if one exists — no build, no

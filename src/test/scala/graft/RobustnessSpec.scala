@@ -48,6 +48,33 @@ class RobustnessSpec extends GraftSpecBase {
     dir
   }
 
+  test("PipelineCache: a cached build may itself read another cached frame (reentrancy)") {
+    // regression for the probabilistic "Recursive update" driver crash:
+    // packIdsRaw's build reads the cached merge table, spanExcise's
+    // regions build reads the cached gram frame — a nested
+    // ConcurrentHashMap.compute threw whenever the two keys shared a
+    // hash bin (keyed on the session's identity hash, so it surfaced
+    // randomly across JVMs). The monitor-based critical section must
+    // re-enter cleanly no matter how the keys hash.
+    import spark.implicits._
+    import graft.operators.PipelineCache
+    val dir = java.nio.file.Files.createTempDirectory("graft_nested_cache").toString
+    Seq((1L, "stamp carrier")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    // many outer tags so a regression to bin-sensitive behavior has many
+    // chances to collide with the inner key
+    for (k <- 1 to 32) {
+      val outer = PipelineCache.cached(s"nest_outer_$k", spark, dir, "documents.parquet") {
+        val inner = PipelineCache.cached("nest_inner", spark, dir, "documents.parquet")(
+          Seq(41L).toDF("x"))
+        inner.withColumn("y", org.apache.spark.sql.functions.col("x") + 1)
+      }
+      assert(outer.collect().map(_.getLong(1)).toSeq == Seq(42L))
+    }
+    graft.operators.Dedup.clearSharedCache()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("every registered query survives a pathological corpus") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[(String, Throwable)]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
