@@ -138,6 +138,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => CharGrams(children.head, children(1))))
     ext.injectFunction(
       (
+        FunctionIdentifier("graft_char_grams_hash"),
+        new ExpressionInfo(
+          classOf[graft.functions.CharGramsHash].getName,
+          null,
+          "graft_char_grams_hash",
+          "graft_char_grams_hash(text, L, stride) - distinct char-L-gram hashes at a stride",
+          ""),
+        (children: Seq[Expression]) =>
+          graft.functions.CharGramsHash(children.head, children(1), children(2))))
+    ext.injectFunction(
+      (
         FunctionIdentifier("graft_collect_capped"),
         new ExpressionInfo(
           classOf[CappedLongCollect].getName,

@@ -66,6 +66,7 @@ object SparkEntry {
     "text_repetition" -> Seq(col("doc_id")),
     "text_scrub" -> Seq(col("doc_id")),
     "text_span_dup" -> Seq(col("doc_id")),
+    "text_span_dup_s4" -> Seq(col("doc_id")),
     "text_span_excise" -> Seq(col("doc_id")),
     "text_stats" -> Seq(col("doc_id")),
     "text_tfidf" -> Seq(col("doc_id"), col("rank")),

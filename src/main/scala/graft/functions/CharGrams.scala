@@ -86,6 +86,74 @@ case class CharGrams(child: Expression, gramLen: Expression) extends BinaryExpre
   override def prettyName: String = "graft_char_grams"
 }
 
+/** Distinct 64-bit HASHES of character-L-grams at a sampling stride —
+  * the 100 TB representation of [[CharGrams]]: 8-byte join keys instead
+  * of L-char strings (4-8× narrower shuffles/caches) and a stride that
+  * divides the gram count, at the price of hash-collision risk
+  * (P ≈ n²/2⁶⁵ — ~10⁻⁸ at a million grams, the ngram-pipeline
+  * precedent) and stride-quantized span boundaries. Same one-pass
+  * codepoint walk as [[CharGrams]]; hashes are FNV-1a over the gram's
+  * bytes through the murmur finalizer ([[MinHash64]]'s family).
+  * Returns NULL below L characters. Registered as
+  * `graft_char_grams_hash(text, L, stride)`. */
+case class CharGramsHash(child: Expression, gramLen: Expression, stride: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = child
+  override def second: Expression = gramLen
+  override def third: Expression = stride
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_char_grams_hash requires STRING text, got ${child.dataType.sql}")
+    else if (gramLen.dataType != IntegerType || stride.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure("graft_char_grams_hash requires INT length and stride")
+    else if (!gramLen.foldable || !stride.foldable)
+      TypeCheckResult.TypeCheckFailure("graft_char_grams_hash length and stride must be literals")
+    else {
+      val l = gramLen.eval()
+      val st = stride.eval()
+      if (l == null || l.asInstanceOf[Int] < 1 || st == null || st.asInstanceOf[Int] < 1)
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_char_grams_hash length/stride must be positive literals, got $l/$st")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(text: Any, l: Any, st: Any): Any =
+    CharGrams.computeHashed(
+      text.asInstanceOf[UTF8String],
+      l.asInstanceOf[Int],
+      st.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val resultVar = ctx.freshName("charGramsHashResult")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (t, l, st) => s"""
+        |ArrayData $resultVar = graft.functions.CharGrams.computeHashed($t, $l, $st);
+        |if ($resultVar == null) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  ${ev.value} = $resultVar;
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression,
+      newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(child = newFirst, gramLen = newSecond, stride = newThird)
+
+  override def prettyName: String = "graft_char_grams_hash"
+}
+
 object CharGrams {
 
   /** Distinct char-L-grams in first-occurrence order; null if the text
@@ -123,5 +191,44 @@ object CharGrams {
       g += 1
     }
     new GenericArrayData(out.toArray(new Array[UTF8String](out.size)))
+  }
+
+  /** Distinct char-L-gram HASHES at `stride` (positions 0, stride, 2·stride,
+    * … in char index), sorted ascending; null below L characters. */
+  def computeHashed(text: UTF8String, l: Int, stride: Int): ArrayData = {
+    val bytes = text.getBytes
+    val nBytes = bytes.length
+    var nChars = 0
+    var i = 0
+    while (i < nBytes) {
+      if ((bytes(i) & 0xC0) != 0x80) nChars += 1
+      i += 1
+    }
+    if (nChars < l) return null
+    val offs = new Array[Int](nChars + 1)
+    var c = 0
+    i = 0
+    while (i < nBytes) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(c) = i; c += 1 }
+      i += 1
+    }
+    offs(nChars) = nBytes
+    val nPos = (nChars - l) / stride + 1
+    val hs = new Array[Long](nPos)
+    var p = 0
+    while (p < nPos) {
+      val g = p * stride
+      hs(p) = MinHash64.mix2(0L, MinHash64.fnv1a(bytes, offs(g), offs(g + l)))
+      p += 1
+    }
+    java.util.Arrays.sort(hs)
+    var out = 1
+    i = 1
+    while (i < nPos) {
+      if (hs(i) != hs(out - 1)) { hs(out) = hs(i); out += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(hs, out))
   }
 }

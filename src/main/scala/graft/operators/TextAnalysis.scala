@@ -533,6 +533,52 @@ object TextAnalysis {
        FROM per p LEFT JOIN dper ON p.doc_id = dper.doc_id
        ORDER BY p.doc_id"""
 
+  /** Sampling stride of the at-scale span census variant. */
+  private[graft] val SpanStride = 4
+
+  /** The 100 TB FORM of [[spanDup]], shipped rather than merely declared:
+    * the same census over 8-byte char-gram HASHES sampled at stride 4
+    * (native [[graft.functions.CharGramsHash]]) — 4× fewer gram rows and
+    * a 4-8× narrower shuffle/cache than the 32-char strings, which is
+    * what survives a petabyte corpus. The census CODE is [[spanDupCensus]]
+    * verbatim (only the gram representation swaps — the claim the exact
+    * variant's scaladoc makes, now structural). Oracle: strided substr
+    * grams in SQL — the hash is invisible to the census VALUES as long
+    * as no 64-bit collision occurs among distinct grams (P ≈ n²/2⁶⁵,
+    * ~10⁻⁸ at sf0.1 — the ngram-pipeline precedent, declared not
+    * hidden). Stride semantics: spans are detected only at sampled
+    * positions, so a duplicated span is counted when it covers a
+    * sampled offset in BOTH documents — the standard recall trade the
+    * stride knob buys throughput with. */
+  def spanDupStride(s: SparkSession, dir: String): DataFrame =
+    spanDupCensus(
+      PipelineCache.cached("spandup_grams_s4", s, dir, "documents.parquet")(
+        Tables
+          .documentsBalanced(s, dir)
+          .select(
+            col("doc_id"),
+            call_function(
+              "graft_char_grams_hash",
+              col("text"),
+              lit(SpanLen),
+              lit(SpanStride)).as("garr"))
+          .filter(col("garr").isNotNull)))
+
+  val spanDupStrideSql: String =
+    """WITH cg AS (
+         SELECT DISTINCT doc_id, substr(text, i, 32) AS gram
+         FROM documents, UNNEST(range(1, len(text) - 30, 4)) AS t(i)
+         WHERE len(text) >= 32),
+       dup AS (SELECT gram FROM cg GROUP BY gram HAVING COUNT(*) >= 2),
+       per AS (SELECT doc_id, COUNT(*) AS n_spans FROM cg GROUP BY doc_id),
+       dper AS (SELECT doc_id, COUNT(*) AS n_dup_spans
+                FROM cg JOIN dup USING (gram) GROUP BY doc_id)
+       SELECT p.doc_id, n_spans,
+              COALESCE(n_dup_spans, 0) AS n_dup_spans,
+              ROUND(COALESCE(n_dup_spans, 0) / CAST(n_spans AS DOUBLE), 4) AS dup_share
+       FROM per p LEFT JOIN dper ON p.doc_id = dper.doc_id
+       ORDER BY p.doc_id"""
+
   /** Substring-span EXCISION — the remediation half of [[spanDup]]'s
     * census (Lee et al. 2022 cut the duplicated substrings; the census
     * only reports them): per document, every character position covered
@@ -1473,6 +1519,7 @@ FROM mergetab ORDER BY rank"""
       PipelineCache.cached("bpe_merge_table", s, d, "documents.parquet")(bpeTrain(s, d))),
     "text_winnow" -> (winnow _),
     "text_span_dup" -> (spanDup _),
+    "text_span_dup_s4" -> (spanDupStride _),
     "text_span_excise" -> (spanExcise _),
     "text_tokens_bpe" -> (tokensBpe _),
     "text_scrub" -> (scrub _),
@@ -1496,6 +1543,7 @@ FROM mergetab ORDER BY rank"""
     "text_tokens_bpe" -> tokensBpeSql,
     "text_scrub" -> scrubSql,
     "text_span_dup" -> spanDupSql,
+    "text_span_dup_s4" -> spanDupStrideSql,
     "text_span_excise" -> spanExciseSql,
     "text_stats" -> statsSql,
     "text_langid" -> langidSql,

@@ -141,6 +141,30 @@ class FunctionsSpec extends GraftSpecBase {
     assert(viaKernel == viaSubstr)
   }
 
+  test("char-gram hash kernel: stride sampling, stride-1 count parity, determinism") {
+    import graft.functions.CharGrams
+    def ch(t: String, l: Int, s: Int) =
+      Option(CharGrams.computeHashed(UTF8String.fromString(t), l, s)).map(_.toLongArray())
+    assert(ch("abc", 4, 1).isEmpty) // below L -> null, like the string kernel
+    // 10 chars, L=4: positions 0..6; stride 1 -> 7 grams, stride 3 -> {0,3,6}
+    assert(ch("abcdefghij", 4, 1).get.length == 7)
+    assert(ch("abcdefghij", 4, 3).get.length == 3)
+    // stride-1 distinct-hash count equals the exact string kernel's
+    // distinct-gram count (collision-free at these sizes), incl. repeats
+    val rep = "ababababab"
+    val strCount = Option(CharGrams.compute(UTF8String.fromString(rep), 2))
+      .map(_.numElements()).get
+    assert(ch(rep, 2, 1).get.length == strCount)
+    // deterministic and sorted
+    val a = ch("the quick brown fox jumps", 5, 2).get
+    assert(a.sameElements(ch("the quick brown fox jumps", 5, 2).get))
+    assert(a.sameElements(a.sorted))
+    // equal grams hash equal regardless of position/document
+    val h1 = ch("XXXXabcdefghijklmnopqrstuvwxyzABCDEF", 32, 1).get
+    val h2 = ch("abcdefghijklmnopqrstuvwxyzABCDEFYYYY", 32, 1).get
+    assert(h1.intersect(h2).nonEmpty, "the shared 32-gram must share a hash")
+  }
+
   test("winnow kernel: shared 10-word run guarantees a shared fingerprint") {
     def fp(t: String) =
       Option(GramHash64.winnow(UTF8String.fromString(t))).map(_.toLongArray().toSet)
