@@ -14,6 +14,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Loud arity gate for the SQL front door: a call with the wrong
+    * argument count surfaces as an analysis-time error naming the
+    * expected signature, not an IndexOutOfBoundsException escaping the
+    * builder lambda. */
+  private def arity(children: Seq[Expression], n: Int, sig: String): Seq[Expression] = {
+    if (children.length != n)
+      throw new IllegalArgumentException(
+        s"$sig expects $n argument(s), got ${children.length}")
+    children
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (
@@ -24,7 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_dot",
           "graft_dot(a, b) - exact dot product of two BIGINT arrays",
           ""),
-        (children: Seq[Expression]) => LongArrayDot(children.head, children(1))))
+        (children: Seq[Expression]) => { val c = arity(children, 2, "graft_dot(a, b)"); LongArrayDot(c.head, c(1)) }))
     ext.injectFunction(
       (
         FunctionIdentifier("graft_simhash"),
@@ -34,7 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_simhash",
           "graft_simhash(text) - 64-bit simhash of whitespace-tokenized text",
           ""),
-        (children: Seq[Expression]) => SimHash64(children.head)))
+        (children: Seq[Expression]) => SimHash64(arity(children, 1, "graft_simhash(text)").head)))
     ext.injectFunction(
       (
         FunctionIdentifier("graft_minhash"),
@@ -44,7 +55,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_minhash",
           "graft_minhash(text) - 64-perm MinHash signature over word-3-gram shingles",
           ""),
-        (children: Seq[Expression]) => MinHash64(children.head)))
+        (children: Seq[Expression]) => MinHash64(arity(children, 1, "graft_minhash(text)").head)))
     ext.injectFunction(
       (
         FunctionIdentifier("graft_grams"),
@@ -54,7 +65,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_grams",
           "graft_grams(text) - distinct word-3-gram shingle hashes",
           ""),
-        (children: Seq[Expression]) => GramHash64(children.head)))
+        (children: Seq[Expression]) => GramHash64(arity(children, 1, "graft_grams(text)").head)))
     ext.injectFunction(
       (
         FunctionIdentifier("graft_grams_roll"),
@@ -64,7 +75,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_grams_roll",
           "graft_grams_roll(text) - word-3-gram shingle hashes in document order",
           ""),
-        (children: Seq[Expression]) => RollGrams64(children.head)))
+        (children: Seq[Expression]) => RollGrams64(arity(children, 1, "graft_grams_roll(text)").head)))
     ext.injectFunction(
       (
         FunctionIdentifier("graft_winnow"),
@@ -74,7 +85,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_winnow",
           "graft_winnow(text) - winnowing fingerprint (distinct 8-gram-window minima)",
           ""),
-        (children: Seq[Expression]) => Winnow64(children.head)))
+        (children: Seq[Expression]) => Winnow64(arity(children, 1, "graft_winnow(text)").head)))
     ext.injectFunction(
       (
         FunctionIdentifier("graft_lsh_buckets"),
@@ -84,7 +95,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_lsh_buckets",
           "graft_lsh_buckets(qv) - 6 random-hyperplane LSH table buckets",
           ""),
-        (children: Seq[Expression]) => LshBuckets(children.head)))
+        (children: Seq[Expression]) => LshBuckets(arity(children, 1, "graft_lsh_buckets(sig)").head)))
     ext.injectFunction(
       (
         FunctionIdentifier("graft_vec_sum"),
@@ -94,7 +105,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_vec_sum",
           "graft_vec_sum(arr) - elementwise sum aggregate of BIGINT arrays",
           ""),
-        (children: Seq[Expression]) => LongVecSum(children.head).toAggregateExpression()))
+        (children: Seq[Expression]) => LongVecSum(arity(children, 1, "graft_vec_sum(v)").head).toAggregateExpression()))
     ext.injectFunction(
       (
         FunctionIdentifier("graft_vec_min"),
@@ -104,7 +115,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_vec_min",
           "graft_vec_min(arr) - elementwise min aggregate of BIGINT arrays",
           ""),
-        (children: Seq[Expression]) => LongVecMin(children.head).toAggregateExpression()))
+        (children: Seq[Expression]) => LongVecMin(arity(children, 1, "graft_vec_min(v)").head).toAggregateExpression()))
     ext.injectFunction(
       (
         FunctionIdentifier("graft_bpe_ids"),
@@ -114,8 +125,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_bpe_ids",
           "graft_bpe_ids(text, lefts, rights, ranks) - BPE token ids with the literal merge table",
           ""),
-        (children: Seq[Expression]) =>
-          graft.functions.BpeIds(children.head, children(1), children(2), children(3))))
+        (children: Seq[Expression]) => {
+          val c = arity(children, 4, "graft_bpe_ids(text, lefts, rights, ranks)")
+          graft.functions.BpeIds(c.head, c(1), c(2), c(3))
+        }))
     ext.injectFunction(
       (
         FunctionIdentifier("graft_deflate_len"),
@@ -125,7 +138,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_deflate_len",
           "graft_deflate_len(text) - raw-DEFLATE compressed length (compressibility signal)",
           ""),
-        (children: Seq[Expression]) => DeflateLen(children.head)))
+        (children: Seq[Expression]) => DeflateLen(arity(children, 1, "graft_deflate_len(text)").head)))
     ext.injectFunction(
       (
         FunctionIdentifier("graft_char_grams"),
@@ -135,7 +148,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_char_grams",
           "graft_char_grams(text, L) - distinct character-L-grams (span-dedup candidates)",
           ""),
-        (children: Seq[Expression]) => CharGrams(children.head, children(1))))
+        (children: Seq[Expression]) => { val c = arity(children, 2, "graft_char_grams(text, L)"); CharGrams(c.head, c(1)) }))
     ext.injectFunction(
       (
         FunctionIdentifier("graft_char_grams_hash"),
@@ -145,8 +158,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_char_grams_hash",
           "graft_char_grams_hash(text, L, stride) - distinct char-L-gram hashes at a stride",
           ""),
-        (children: Seq[Expression]) =>
-          graft.functions.CharGramsHash(children.head, children(1), children(2))))
+        (children: Seq[Expression]) => {
+          val c = arity(children, 3, "graft_char_grams_hash(text, L, stride)")
+          graft.functions.CharGramsHash(c.head, c(1), c(2))
+        }))
     ext.injectFunction(
       (
         FunctionIdentifier("graft_collect_capped"),
@@ -156,7 +171,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_collect_capped",
           "graft_collect_capped(x, cap) - sorted BIGINT collect, NULL past cap elements",
           ""),
-        (children: Seq[Expression]) =>
-          CappedLongCollect(children.head, children(1)).toAggregateExpression()))
+        (children: Seq[Expression]) => {
+          val c = arity(children, 2, "graft_collect_capped(x, cap)")
+          CappedLongCollect(c.head, c(1)).toAggregateExpression()
+        }))
   }
 }

@@ -183,7 +183,9 @@ object CharGrams {
     // single document (within UTF8String's 2 GB bound) and HashSet
     // throws on negative capacity
     val seen = new java.util.HashSet[UTF8String](math.min(nGrams.toLong * 2, 1 << 26).toInt)
-    val out = new java.util.ArrayList[UTF8String](nGrams)
+    // same cap for the list: an eager nGrams-sized reference array is
+    // ~8 GB for a 1 GiB doc even when distinct grams are few
+    val out = new java.util.ArrayList[UTF8String](math.min(nGrams.toLong, 1 << 20).toInt)
     var g = 0
     while (g < nGrams) {
       val gram = UTF8String.fromBytes(bytes, offs(g), offs(g + l) - offs(g))

@@ -57,35 +57,46 @@ private[graft] object PipelineCache {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           cache.keySet.removeIf(_._1 eq s)
+          locks.keySet.removeIf(_._1 eq s)
           cleanupHooked.remove(s)
         }
       })
 
+  /** One lock object per cache key, so builds for DISTINCT tags run
+    * concurrently while same-key callers serialize. Entries are tiny
+    * (an Object per (session, dir, tag)) and are dropped with the
+    * session by the cleanup listener. */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Object]()
+
   /** Build-or-reuse the frame for `tag`, persisted MEMORY_AND_DISK,
     * stamped against `table` (e.g. "documents.parquet") under `dir`.
     *
-    * The critical section is a REENTRANT object monitor, deliberately
-    * NOT `ConcurrentHashMap.compute`: a build lambda may itself call
-    * [[cached]] for a frame it composes over (packIdsRaw's build reads
-    * the cached BPE merge table; spanExcise's regions build reads the
-    * cached gram frame), and a nested `compute` on the same map throws
-    * `IllegalStateException: Recursive update` whenever the two keys
-    * happen to land in one hash bin — a PROBABILISTIC driver crash
-    * keyed on the session's identity hash, observed live in a
-    * ScaleProbe run (round 10). The monitor serializes builds globally;
-    * that is acceptable because `build` constructs a plan and marks it
-    * persisted — materialization happens lazily at action time, outside
-    * the lock — and the one exception (a build that runs its own
-    * bounded driver actions, e.g. bpeTrain's per-round argmax) is
-    * single-driver work that would serialize anyway. Stamp still read
-    * inside the critical section: reading it outside would let a
-    * concurrent rewrite install a fresh frame under an outdated stamp
-    * and thrash the next caller into a rebuild. */
+    * The critical section is a PER-KEY reentrant object monitor,
+    * deliberately NOT `ConcurrentHashMap.compute`: a build lambda may
+    * itself call [[cached]] for a frame it composes over (packIdsRaw's
+    * build reads the cached BPE merge table; spanExcise's regions build
+    * reads the cached gram frame), and a nested `compute` on the same
+    * map throws `IllegalStateException: Recursive update` whenever the
+    * two keys happen to land in one hash bin — a PROBABILISTIC driver
+    * crash keyed on the session's identity hash, observed live in a
+    * ScaleProbe run (round 10). Round 10 fixed that with ONE global
+    * monitor; this round narrows it to per-key locks so a build that
+    * runs its own bounded driver actions (bpeTrain's per-round argmax)
+    * no longer stalls every other thread needing an UNRELATED cached
+    * frame. Nested builds take the inner key's lock while holding the
+    * outer's — deadlock-free because build nesting follows the frame
+    * DAG (composite frames read base frames, never the reverse), so
+    * lock order has no cycle; a same-key nested call re-enters its own
+    * monitor. Stamp still read inside the critical section: reading it
+    * outside would let a concurrent rewrite install a fresh frame under
+    * an outdated stamp and thrash the next caller into a rebuild. */
   def cached(tag: String, s: SparkSession, dir: String, table: String)(
       build: => DataFrame): DataFrame = {
     hookCleanup(s)
-    this.synchronized {
-      val key = (s, dir, tag)
+    val key = (s, dir, tag)
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
       val stamp = sourceStamp(dir, table)
       val cur = cache.get(key)
       if (cur != null && cur._1 == stamp) cur._2

@@ -55,39 +55,25 @@ object Compaction {
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(targetBytes >= 1024 * 1024, s"targetBytes $targetBytes < 1 MiB is degenerate")
     val nIn = parquetFiles(srcPath).size
-    // session-scoped read confs, restored in finally: the packer reads
-    // them at PLAN time, so they must hold only across this read's
-    // planning, but a throw must not leak them into later queries.
-    // The object-wide lock keeps two concurrent compact() calls from
-    // interleaving save/restore (B saving A's temporary value and
-    // "restoring" it permanently). Residual hazard, documented not
-    // hidden: an UNRELATED query planned on another thread during the
-    // window sees compaction split sizing — compaction is a maintenance
-    // job; run it as one, not beside a live query workload.
-    Compaction.synchronized {
-      val conf = s.conf
-      val prevMax = conf.getOption("spark.sql.files.maxPartitionBytes")
-      val prevOpen = conf.getOption("spark.sql.files.openCostInBytes")
-      val prevMin = conf.getOption("spark.sql.files.minPartitionNum")
-      try {
-        conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
-        // open cost inflates each file's packed size; against MANY tiny
-        // files the default 4 MiB would cap packing at ~32 files/partition
-        // regardless of bytes — 64 KiB keeps the byte target in charge
-        // while still discouraging pathological thousand-file partitions
-        conf.set("spark.sql.files.openCostInBytes", (64 * 1024).toString)
-        // the packer shrinks split size to totalBytes/defaultParallelism to
-        // manufacture parallelism — right for queries, wrong here: it would
-        // re-fragment a small store to one file per core. Pin the floor to
-        // 1 so the byte target alone decides the output file count.
-        conf.set("spark.sql.files.minPartitionNum", "1")
-        s.read.parquet(srcPath).write.mode(SaveMode.Overwrite).parquet(dstPath)
-      } finally {
-        restore(conf, "spark.sql.files.maxPartitionBytes", prevMax)
-        restore(conf, "spark.sql.files.openCostInBytes", prevOpen)
-        restore(conf, "spark.sql.files.minPartitionNum", prevMin)
-      }
-    }
+    // the packer confs are set on a CLONED session: newSession() shares
+    // the SparkContext (executors, cached data) but owns a fresh SQLConf,
+    // so the split sizing is scoped to this read's planning — an
+    // unrelated query planned concurrently on `s` never inherits it
+    // (the previously documented save/restore residual hazard, now
+    // structurally gone; nothing to restore, the clone is discarded).
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+    // open cost inflates each file's packed size; against MANY tiny
+    // files the default 4 MiB would cap packing at ~32 files/partition
+    // regardless of bytes — 64 KiB keeps the byte target in charge
+    // while still discouraging pathological thousand-file partitions
+    scoped.conf.set("spark.sql.files.openCostInBytes", (64 * 1024).toString)
+    // the packer shrinks split size to totalBytes/defaultParallelism to
+    // manufacture parallelism — right for queries, wrong here: it would
+    // re-fragment a small store to one file per core. Pin the floor to
+    // 1 so the byte target alone decides the output file count.
+    scoped.conf.set("spark.sql.files.minPartitionNum", "1")
+    scoped.read.parquet(srcPath).write.mode(SaveMode.Overwrite).parquet(dstPath)
     (nIn, parquetFiles(dstPath).size)
   }
 
@@ -118,15 +104,6 @@ object Compaction {
       .parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(min(col(key)).as("key_min"), max(col(key)).as("key_max"))
-
-  private def restore(
-      conf: org.apache.spark.sql.RuntimeConfig,
-      k: String,
-      prev: Option[String]): Unit =
-    prev match {
-      case Some(v) => conf.set(k, v)
-      case None => conf.unset(k)
-    }
 
   private def parquetFiles(path: String): Seq[java.io.File] = {
     // Spark's file-visibility rule on EVERY path component (the

@@ -108,21 +108,23 @@ object Tables {
     * corpus would hurt. Callers must be order-insensitive (all are:
     * aggregations, sorted capped collects, per-row maps). */
   private val balanceCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Boolean)]
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int, Boolean)]
 
   def documentsBalanced(spark: SparkSession, d: String): DataFrame = {
     val df = documents(spark, d)
     val cores = spark.sparkContext.defaultParallelism
     // the split probe (.rdd compiles the physical plan and computes file
     // splits) is itself repeated driver work on hot per-query paths —
-    // cache the verdict per (path, stamp), the schemaCache discipline
+    // cache the verdict per (path, stamp, cores): the verdict depends on
+    // the session's parallelism, so a later session with more cores
+    // against the same table must re-probe, not inherit a stale verdict
     val path = s"$d/documents.parquet"
     val stamp = graft.operators.PipelineCache.sourceStamp(d, "documents.parquet")
     val underSplit = balanceCache.get(path) match {
-      case (st, v) if st == stamp => v
+      case (st, c, v) if st == stamp && c == cores => v
       case _ =>
         val v = df.rdd.getNumPartitions < cores
-        balanceCache.put(path, (stamp, v))
+        balanceCache.put(path, (stamp, cores, v))
         v
     }
     if (underSplit) df.repartition(cores) else df

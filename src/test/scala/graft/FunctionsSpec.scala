@@ -354,4 +354,29 @@ class FunctionsSpec extends GraftSpecBase {
     assert(cr.filter(col("compress_ratio") <= 0.05 || col("compress_ratio") > 1.1).count() == 0,
       "compress_ratio outside the plausible text band (0.05, 1.1]")
   }
+
+  test("SQL front door: wrong argument count is a clean analysis-time error") {
+    // the builder arity gate: a miscounted call must surface as an
+    // error naming the expected signature, never an
+    // IndexOutOfBoundsException escaping the builder lambda
+    import spark.implicits._
+    val df = Seq("abc").toDF("text")
+    df.createOrReplaceTempView("arity_probe")
+    for ((sqlCall, sig) <- Seq(
+        ("graft_char_grams(text)", "graft_char_grams(text, L)"),
+        ("graft_char_grams_hash(text, 8)", "graft_char_grams_hash(text, L, stride)"),
+        ("graft_dot(array(1L))", "graft_dot(a, b)"),
+        ("graft_simhash(text, 1)", "graft_simhash(text)"))) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT $sqlCall FROM arity_probe").collect()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      val all = chain(e)
+      assert(!all.exists(_.isInstanceOf[IndexOutOfBoundsException]),
+        s"$sqlCall leaked IndexOutOfBoundsException")
+      assert(all.exists(t => Option(t.getMessage).exists(_.contains(sig))),
+        s"$sqlCall error does not name the signature $sig: ${e.getMessage}")
+    }
+  }
 }

@@ -75,6 +75,51 @@ class RobustnessSpec extends GraftSpecBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("PipelineCache: builds for DISTINCT tags run concurrently (per-key locks)") {
+    // deterministic non-timing proof: thread A's build BLOCKS on a latch
+    // that only thread B's build releases. Under round 10's single
+    // global monitor this deadlocks (B cannot enter cached() while A
+    // holds the monitor); per-key locks let B's distinct-tag build run
+    // and release A. Timeout-guarded so a regression fails loudly
+    // instead of hanging the suite.
+    import graft.operators.PipelineCache
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_conc_cache").toString
+    Seq((1L, "stamp carrier")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val a = pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = {
+          val df = PipelineCache.cached("conc_a", spark, dir, "documents.parquet") {
+            assert(latch.await(30, java.util.concurrent.TimeUnit.SECONDS),
+              "distinct-tag build blocked: cached() regressed to a global lock")
+            Seq(1L).toDF("x")
+          }
+          df.count()
+        }
+      })
+      // give A time to take its per-key lock before B starts
+      Thread.sleep(300)
+      val b = pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = {
+          val df = PipelineCache.cached("conc_b", spark, dir, "documents.parquet") {
+            latch.countDown()
+            Seq(2L).toDF("x")
+          }
+          df.count()
+        }
+      })
+      assert(b.get(60, java.util.concurrent.TimeUnit.SECONDS) == 1L)
+      assert(a.get(60, java.util.concurrent.TimeUnit.SECONDS) == 1L)
+    } finally {
+      pool.shutdownNow()
+      graft.operators.Dedup.clearSharedCache()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("every registered query survives a pathological corpus") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[(String, Throwable)]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
