@@ -164,6 +164,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }))
     ext.injectFunction(
       (
+        FunctionIdentifier("graft_bloom_contains"),
+        new ExpressionInfo(
+          classOf[graft.functions.BloomContains].getName,
+          null,
+          "graft_bloom_contains",
+          "graft_bloom_contains(filter, key) - Bloom-filter membership probe (no false negatives)",
+          ""),
+        (children: Seq[Expression]) => {
+          val c = arity(children, 2, "graft_bloom_contains(filter, key)")
+          graft.functions.BloomContains(c.head, c(1))
+        }))
+    ext.injectFunction(
+      (
         FunctionIdentifier("graft_collect_capped"),
         new ExpressionInfo(
           classOf[CappedLongCollect].getName,

@@ -853,6 +853,111 @@ object CorpusOps {
     survivors(delta, exactVsCorpus, earlierDeltaDups(dh), decodeFlaggedPairs(pairCounts))
   }
 
+  /** Incremental EXACT-dedup admission through a Bloom-filter membership
+    * gate — the zero-shuffle shape of [[dedupIncremental]]'s exact stage
+    * (near-dup admission is [[dedupIncremental]]/[[dedupIncrementalIndexed]]'s
+    * job; a membership sketch cannot express Jaccard).
+    *
+    * Contract: admit every delta doc whose md5(text) appears nowhere in
+    * the established corpus and is the FIRST occurrence within the delta
+    * (earlier delta id wins) — exactly [[dedupIncremental]]'s exact-stage
+    * drops, and the oracle is that stage's SQL.
+    *
+    * Why a sketch when the exact stage already works: SHAPE at 100 TB.
+    * The plain exact stage distinct-shuffles corpus hashes and shuffle-
+    * joins the delta against them — two corpus-sized exchanges per crawl.
+    * Here the corpus is aggregated ONCE into `optimalNumOfBits` of Bloom
+    * bits ([[graft.functions.BloomContains]]: ~0.9 GB for 10⁹ docs at 3%
+    * fpp; the partial-aggregation is a bit-OR merge tree, map-side
+    * combined), the bits ride the per-stage task-binary broadcast, and
+    * every delta row answers "maybe seen?" at scan speed with ZERO
+    * exchange. No false negatives (sketch contract) ⇒ filter-negatives
+    * are admitted without ANY join; the maybe-set (true dups + ~3% fpp
+    * stragglers) is the only thing verified exactly, via one semi join
+    * whose probe side is the corpus scan and whose build side is the
+    * TINY candidate-hash set (AQE measures it; no fiat hint) — the
+    * corpus is never shuffled anywhere in the plan. The build scan
+    * amortizes across crawls once the bits are persisted beside the
+    * other stores ([[BloomStore]] — `mergeInPlace` is a bit-OR union, so
+    * absorb(batch) = put the batch's keys + union, O(delta)).
+    *
+    * Expected-items sizing uses the parquet row COUNT of the whole table
+    * (metadata-only job, no column IO) — an upper bound of the corpus
+    * subset, over-sizing bits and UNDER-shooting fpp, the safe direction.
+    * NULL texts never enter the filter and never match the probe
+    * (NULL key → false), mirroring md5(NULL) = NULL three-valued joins
+    * in the oracle: a NULL-text doc is never dropped in either engine
+    * (equality on a NULL hash never fires). */
+  def dedupIncrementalBloom(
+      s: SparkSession,
+      dir: String,
+      deltaSource: String = GramIndex.DefaultDeltaSource): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val delta = docs.filter(col("source") === deltaSource)
+    // a NULL source is established data, i.e. corpus (dedupIncremental's
+    // convention): IS DISTINCT FROM, not !=
+    val corpus = docs.filter(!(col("source") <=> lit(deltaSource)))
+    val expected = math.max(docs.count(), 1L) // metadata-only upper bound
+    val bf = corpus
+      .filter(col("text").isNotNull)
+      .select(xxhash64(col("text")).as("k"))
+      .stat
+      .bloomFilter("k", expected, 0.03)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val dh = delta
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("h"),
+        call_function("graft_bloom_contains", lit(bytes), xxhash64(col("text"))).as("maybe"))
+    // confirmed = candidate hashes ACTUALLY in the corpus: the corpus
+    // scan is the probe side, the bounded candidate set the build side —
+    // scan-local semi join under AQE, zero corpus exchange
+    val candH = dh.filter(col("maybe")).select(col("h")).distinct()
+    val confirmed = corpus
+      .filter(col("text").isNotNull)
+      .select(md5(col("text")).as("h"))
+      .join(candH, Seq("h"), "left_semi")
+      .distinct()
+    val exactVsCorpus =
+      dh.select(col("doc_id"), col("h")).join(confirmed, Seq("h"), "left_semi").select("doc_id")
+    survivors(
+      delta,
+      exactVsCorpus,
+      earlierDeltaDups(dh.select(col("doc_id"), col("h"))),
+      // no near stage: empty flag frame with the survivors() schema
+      s.emptyDataFrame
+        .select(lit(0L).as("doc_a"), lit(0L).as("doc_b"), lit(0L).as("da"), lit(0L).as("db"))
+        .limit(0))
+  }
+
+  /** [[dedupIncrementalBloom]]'s oracle: [[dedupIncrementalSql]]'s exact
+    * stage alone (the bloom gate is an optimization, invisible in the
+    * result — no false negatives + exact verify ≡ the full join). */
+  val dedupIncrementalBloomSql: String =
+    """WITH dd AS (
+         SELECT doc_id, lang, source, n_chars, md5(text) AS h
+         FROM documents WHERE source = 'src19'),
+       ch AS (
+         SELECT DISTINCT md5(text) AS h FROM documents
+         WHERE source IS DISTINCT FROM 'src19' AND text IS NOT NULL),
+       exact_corpus AS (SELECT d.doc_id FROM dd d JOIN ch USING (h)),
+       exact_delta AS (
+         SELECT d.doc_id
+         FROM dd d
+         JOIN (SELECT h, MIN(doc_id) AS first_id FROM dd GROUP BY h) f USING (h)
+         WHERE d.doc_id > f.first_id),
+       dropped AS (
+         SELECT doc_id FROM exact_corpus UNION SELECT doc_id FROM exact_delta)
+       SELECT doc_id, lang, source, n_chars
+       FROM documents
+       WHERE source = 'src19' AND doc_id NOT IN (SELECT doc_id FROM dropped)
+       ORDER BY doc_id"""
+
+
   /** Stable per-dataset store location for [[dedupIncrementalIndexed]]'s
     * driver-run twin (`dedup_incremental_idx`): the first call builds the
     * index, later calls (e.g. bench passes) find it fresh and skip the
@@ -1404,6 +1509,7 @@ object CorpusOps {
     "text_contamination" -> ((s, d) => contamination(s, d)),
     "dedup_incremental" -> ((s, d) => dedupIncremental(s, d)),
     "dedup_incremental_idx" -> ((s, d) => dedupIncrementalIndexed(s, d, defaultIndexPath(s, d))),
+    "dedup_incremental_bloom" -> ((s, d) => dedupIncrementalBloom(s, d)),
     "corpus_shard" -> (corpusShard _),
     "corpus_pack" -> (corpusPack _),
     "corpus_curate" -> (curate _),
@@ -1420,6 +1526,7 @@ object CorpusOps {
     "dedup_incremental" -> dedupIncrementalSql,
     // the indexed operator has the SAME output contract — same oracle
     "dedup_incremental_idx" -> dedupIncrementalSql,
+    "dedup_incremental_bloom" -> dedupIncrementalBloomSql,
     "corpus_shard" -> corpusShardSql,
     "corpus_pack" -> corpusPackSql,
     "corpus_curate" -> curateSql)

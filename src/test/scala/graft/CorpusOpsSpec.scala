@@ -196,6 +196,39 @@ class CorpusOpsSpec extends GraftSpecBase {
     assert(kept == Seq(21L, 30L), s"kept $kept — expected Seq(21, 30)")
   }
 
+  test("dedup_incremental_bloom: exact-stage admission through the membership gate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_incr").toString
+    import spark.implicits._
+    Seq(
+      // established corpus (incl. NULL source = established)
+      (10L, Some("shared boilerplate page one"), Some("srcA")),
+      (11L, Some("corpus only page"), Some("srcA")),
+      (40L, Some("null source established page"), None),
+      (41L, None: Option[String], Some("srcA")), // NULL corpus text: never in the filter
+      // crawl batch
+      (3L, Some("shared boilerplate page one"), Some("src19")), // exact dup of corpus 10 -> dropped
+      (20L, Some("null source established page"), Some("src19")), // dup of NULL-source 40 -> dropped
+      (21L, Some("fresh delta page alpha"), Some("src19")), // kept (earliest of pair)
+      (22L, Some("fresh delta page alpha"), Some("src19")), // delta dup of 21 -> dropped
+      (30L, Some("unique delta page"), Some("src19")), // kept
+      (31L, None: Option[String], Some("src19")), // NULL text: never dropped (both engines)
+      (32L, None: Option[String], Some("src19"))  // second NULL text: still kept
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", coalesce(length(col("text")), lit(0)))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = CorpusOps.dedupIncrementalBloom(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(21L, 30L, 31L, 32L), s"kept $kept — expected Seq(21, 30, 31, 32)")
+    // near-dups are NOT this operator's job: a shifted near-dup survives
+    // the exact gate (the contract difference vs dedup_incremental)
+    val plan = CorpusOps.dedupIncrementalBloom(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_contains") || plan.contains("BloomContains"),
+      s"membership gate missing from the physical plan:\n$plan")
+  }
+
   test("dedup_incremental matches its oracle SQL on the null-source fixture") {
     // the fixture above exercises branches the driver's testdata never
     // hits (NULL source, corpus-wins-with-higher-id) — replay the oracle

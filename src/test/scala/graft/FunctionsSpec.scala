@@ -355,6 +355,34 @@ class FunctionsSpec extends GraftSpecBase {
       "compress_ratio outside the plausible text band (0.05, 1.1]")
   }
 
+  test("bloom kernel: no false negatives, bounded false positives, NULL key false") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val bf = BloomFilter.create(10000, 0.03)
+    val rnd = new scala.util.Random(11)
+    val present = Array.fill(10000)(rnd.nextLong())
+    present.foreach(bf.putLong)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    // the sketch contract the admission operator's exactness rests on:
+    // EVERY inserted key answers true
+    val inDf = present.toSeq.toDF("k")
+      .select(call_function("graft_bloom_contains", lit(bytes), col("k")).as("m"))
+    assert(inDf.filter(!col("m")).count() == 0, "false negative — sketch contract broken")
+    // disjoint probe keys: observed fpp within 3x nominal (seeded, stable)
+    val presentSet = present.toSet
+    val absent = Iterator.continually(rnd.nextLong()).filterNot(presentSet).take(20000).toSeq
+    val fp = absent.toDF("k")
+      .select(call_function("graft_bloom_contains", lit(bytes), col("k")).as("m"))
+      .filter(col("m")).count()
+    assert(fp < 20000 * 0.03 * 3, s"observed fpp ${fp / 20000.0} vs nominal 0.03")
+    // NULL key is false, never NULL (a NULL never entered the filter)
+    val nullRow = Seq(Tuple1(Option.empty[Long])).toDF("k")
+      .select(call_function("graft_bloom_contains", lit(bytes), col("k")).as("m"))
+      .collect()
+    assert(!nullRow.head.isNullAt(0) && !nullRow.head.getBoolean(0))
+  }
+
   test("SQL front door: wrong argument count is a clean analysis-time error") {
     // the builder arity gate: a miscounted call must surface as an
     // error naming the expected signature, never an
