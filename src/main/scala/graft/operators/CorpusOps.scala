@@ -876,14 +876,14 @@ object CorpusOps {
     * stragglers) is the only thing verified exactly, via one semi join
     * whose probe side is the corpus scan and whose build side is the
     * TINY candidate-hash set (AQE measures it; no fiat hint) — the
-    * corpus is never shuffled anywhere in the plan. The build scan
-    * amortizes across crawls once the bits are persisted beside the
-    * other stores ([[BloomStore]] — `mergeInPlace` is a bit-OR union, so
-    * absorb(batch) = put the batch's keys + union, O(delta)).
+    * corpus is never shuffled anywhere in the plan.
     *
-    * Expected-items sizing uses the parquet row COUNT of the whole table
-    * (metadata-only job, no column IO) — an upper bound of the corpus
-    * subset, over-sizing bits and UNDER-shooting fpp, the safe direction.
+    * The bits are served from the persisted [[BloomStore]] when fresh
+    * (the [[dedupIncrementalIndexed]] amortization: per crawl the GATE
+    * costs one batch-side scan and zero corpus work; between crawls
+    * [[BloomStore.absorb]] folds the admitted batch in with one bit-OR),
+    * rebuilt here when missing/stale — pass `buildIfStale = false` to
+    * fail loudly instead, the scheduled-job contract.
     * NULL texts never enter the filter and never match the probe
     * (NULL key → false), mirroring md5(NULL) = NULL three-valued joins
     * in the oracle: a NULL-text doc is never dropped in either engine
@@ -891,23 +891,22 @@ object CorpusOps {
   def dedupIncrementalBloom(
       s: SparkSession,
       dir: String,
-      deltaSource: String = GramIndex.DefaultDeltaSource): DataFrame = {
+      deltaSource: String = GramIndex.DefaultDeltaSource,
+      bloomPath: String = null,
+      buildIfStale: Boolean = true): DataFrame = {
+    val path = Option(bloomPath).getOrElse(defaultBloomPath(s, dir))
+    if (!BloomStore.isFresh(s, dir, path, deltaSource)) {
+      if (!buildIfStale)
+        throw new IllegalStateException(
+          s"bloom store at $path is missing or stale for $dir (deltaSource=$deltaSource)")
+      BloomStore.build(s, dir, path, deltaSource)
+    }
+    val bytes = BloomStore.readFilterBytes(s, path)
     val docs = Tables.documents(s, dir)
     val delta = docs.filter(col("source") === deltaSource)
     // a NULL source is established data, i.e. corpus (dedupIncremental's
     // convention): IS DISTINCT FROM, not !=
     val corpus = docs.filter(!(col("source") <=> lit(deltaSource)))
-    val expected = math.max(docs.count(), 1L) // metadata-only upper bound
-    val bf = corpus
-      .filter(col("text").isNotNull)
-      .select(xxhash64(col("text")).as("k"))
-      .stat
-      .bloomFilter("k", expected, 0.03)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
     val dh = delta
       .select(
         col("doc_id"),
@@ -968,6 +967,11 @@ object CorpusOps {
   private[graft] def defaultIndexPath(s: SparkSession, dir: String): String =
     storePath(s, dir, "graft_gram_index")
 
+  /** [[BloomStore]]'s per-dataset location — same lifecycle as
+    * [[defaultIndexPath]], serving `dedup_incremental_bloom`. */
+  private[graft] def defaultBloomPath(s: SparkSession, dir: String): String =
+    storePath(s, dir, "graft_bloom_store")
+
   /** Index-lifecycle census — one row per persisted-store body
     * ([[GramIndex]] grams/hashes, [[TextIndex]] postings/vocab,
     * [[CorpusProfile]] rows, [[VectorIndex]] vectors/codebook/qsample —
@@ -1014,7 +1018,12 @@ object CorpusOps {
         docStamp, anyMeta, Seq("rows")),
       ("vector_index", VectorIndex.defaultPath(s, dir), VectorIndex.formatVersion(s),
         VectorIndex.stamp(dir), (l: Array[String]) => l.length >= 4 && l(3) == "",
-        Seq("vectors", "codebook", "qsample", "pqcodes", "pqcodebook")))
+        Seq("vectors", "codebook", "qsample", "pqcodes", "pqcodebook")),
+      // the bloom store's body is raw filter bytes, not parquet — its
+      // row count is None by construction (footerCount finds no footers);
+      // presence/freshness are the census facts that matter for it
+      ("bloom_store", defaultBloomPath(s, dir), BloomStore.FormatVersion, docStamp,
+        (l: Array[String]) => l(1) == GramIndex.DefaultDeltaSource, Seq("filter.bloom")))
     val rows = stores.flatMap { case (name, path, wantVersion, stamp, metaOk, bodies) =>
       val meta = GramIndex.readMeta(s, path).filter(_.length >= 3)
       val fresh = meta.exists(l => l(0) == stamp && l(2) == wantVersion && metaOk(l))

@@ -19,7 +19,7 @@ class CorpusOpsSpec extends GraftSpecBase {
     spark.conf.set("spark.graft.corpus.storeRoot", s"$tmp/stores")
     try {
       val s0 = CorpusOps.storeStatus(spark, dir).collect()
-      assert(s0.length == 10, s"expected 10 store bodies, got ${s0.length}")
+      assert(s0.length == 11, s"expected 11 store bodies, got ${s0.length}")
       assert(s0.forall(r => !r.getAs[Boolean]("present") && !r.getAs[Boolean]("fresh")),
         "nothing is built yet — all stores must report absent")
       graft.operators.TextIndex.build(
@@ -29,10 +29,16 @@ class CorpusOpsSpec extends GraftSpecBase {
       graft.operators.GramIndex.build(spark, dir, CorpusOps.defaultIndexPath(spark, dir))
       graft.operators.VectorIndex.build(
         spark, dir, graft.operators.VectorIndex.defaultPath(spark, dir))
+      graft.operators.BloomStore.build(spark, dir, CorpusOps.defaultBloomPath(spark, dir))
       val s1 = CorpusOps.storeStatus(spark, dir).collect()
       assert(s1.forall(r => r.getAs[Boolean]("present") && r.getAs[Boolean]("fresh")),
         s"freshly built stores must report fresh: ${s1.mkString(";")}")
-      assert(s1.forall(r => r.getAs[Long]("n_rows") > 0), "body counts must be positive")
+      // the bloom body is raw filter bytes, not parquet: n_rows is None
+      // by construction; every parquet body must count positive
+      assert(s1.filter(_.getString(0) != "bloom_store").forall(r => r.getAs[Long]("n_rows") > 0),
+        "body counts must be positive")
+      assert(s1.filter(_.getString(0) == "bloom_store").forall(_.isNullAt(6)),
+        "bloom body n_rows must be None (no parquet footers)")
       assert(s1.forall(r => r.getAs[String]("format_version") != null))
       // source drift (file listing changes) flips fresh off, present
       // stays — each store against ITS source table: documents drift
@@ -418,6 +424,58 @@ class CorpusOpsSpec extends GraftSpecBase {
       GramIndex.absorb(spark, dir, s"$base/idxC", "src19", "src20")
     }
     assert(e.getMessage.contains("before the next batch lands"), e.getMessage)
+  }
+
+  test("BloomStore.absorb is BYTE-identical to a from-scratch rebuild after rotation") {
+    import graft.operators.BloomStore
+    val base = java.nio.file.Files.createTempDirectory("graft_bloom_absorb").toString
+    val dir = s"$base/data"
+    import spark.implicits._
+    def write(extra: Seq[(Long, String, Option[String])]): Unit =
+      (Seq(
+        (10L, "established page one", Some("srcA")),
+        (40L, "null source page", None),
+        (3L, "batch page alpha", Some("src19")),
+        (20L, "established page one", Some("src19")), // exact copy of corpus 10
+        (30L, "batch page beta", Some("src19"))
+      ) ++ extra)
+        .toDF("doc_id", "text", "source")
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write(Nil)
+    // absorb of a missing store must fail loudly, never silently rebuild
+    intercept[IllegalStateException] {
+      BloomStore.absorb(spark, dir, s"$base/nowhere", "src19", "src20")
+    }
+    BloomStore.build(spark, dir, s"$base/bsA", "src19")
+    BloomStore.absorb(spark, dir, s"$base/bsA", "src19", "src20")
+    assert(BloomStore.isFresh(spark, dir, s"$base/bsA", "src20"), "absorb did not re-bind")
+    BloomStore.build(spark, dir, s"$base/bsB", "src20")
+    // bit-OR union under the same sizing pair ⇒ the absorbed filter is
+    // byte-equal to the rebuild, the strongest parity any store offers
+    val a = BloomStore.readFilterBytes(spark, s"$base/bsA")
+    val b = BloomStore.readFilterBytes(spark, s"$base/bsB")
+    assert(java.util.Arrays.equals(a, b), "absorbed filter bytes diverge from a rebuild")
+    // capacity gauge: 5 docs into an expected-5 filter reads ~1
+    assert(BloomStore.saturation(spark, s"$base/bsA") > 0.0)
+    // once the next batch has landed, absorb's equivalence is gone — loud
+    write(Seq((60L, "the next crawl", Some("src20"))))
+    BloomStore.build(spark, dir, s"$base/bsC", "src19")
+    val e = intercept[IllegalStateException] {
+      BloomStore.absorb(spark, dir, s"$base/bsC", "src19", "src20")
+    }
+    assert(e.getMessage.contains("before the next batch lands"), e.getMessage)
+    // the warm query path: fresh store serves; stale + buildIfStale=false is loud
+    BloomStore.build(spark, dir, s"$base/bsD", "src19")
+    CorpusOps.dedupIncrementalBloom(spark, dir, "src19", s"$base/bsD", buildIfStale = false)
+      .collect(): Unit
+    write(Seq((61L, "stamp drift page", Some("srcA"))))
+    intercept[IllegalStateException] {
+      CorpusOps.dedupIncrementalBloom(spark, dir, "src19", s"$base/bsD", buildIfStale = false)
+        .collect(): Unit
+    }
   }
 
   test("TextIndex.absorb equals a from-scratch rebuild after batch rotation") {
