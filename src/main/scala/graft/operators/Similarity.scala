@@ -873,13 +873,18 @@ object Similarity {
     * two unrolled Lloyd rounds with the identical distance expression,
     * the same empty-cluster carry (LEFT JOIN + COALESCE), integer
     * sum-vectors via the knnJoin UNNEST(range) idiom. */
-  val embKmeansSql: String = {
+  /** The c0 → a2 CTE chain — the exact SQL replay of
+    * [[kmeansAssignments]] (k-lowest-ids init, two unrolled Lloyd
+    * rounds with the identical distance expression, empty-cluster
+    * carry), shared by [[embKmeansSql]] and [[dedupSemanticSql]] so the
+    * two oracles can never disagree about what "the clustering" is.
+    * Expects the [[embPrelude]] CTEs in scope. */
+  private val kmAssignChainSql: String = {
     def dExpr(cents: String): String =
       s"""CAST(n.nq AS DOUBLE)
            - 2.0 * list_dot_product(n.qv, $cents.sv) / CAST($cents.c AS DOUBLE)
            + CAST($cents.ns AS DOUBLE) / CAST($cents.c * $cents.c AS DOUBLE)"""
-    s"""WITH $embPrelude,
-       c0 AS (
+    s"""c0 AS (
          SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
                 qv AS sv, CAST(1 AS BIGINT) AS c
          FROM n ORDER BY vec_id LIMIT $KmeansKDefault),
@@ -913,7 +918,12 @@ object Similarity {
            SELECT vec_id, cid,
                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
            FROM d2)
-         WHERE rn = 1)
+         WHERE rn = 1)"""
+  }
+
+  val embKmeansSql: String =
+    s"""WITH $embPrelude,
+       $kmAssignChainSql
        SELECT a2.cid, COUNT(*) AS n_members,
               MIN(n.vec_id) AS min_vec, MAX(n.vec_id) AS max_vec,
               CAST(SUM(n.label) AS BIGINT) AS sum_label,
@@ -921,7 +931,72 @@ object Similarity {
        FROM n JOIN a2 USING (vec_id)
        GROUP BY a2.cid
        ORDER BY cid"""
+
+  /** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023,
+    * arXiv:2303.03540): cluster the embeddings, then mark any vector
+    * whose cosine similarity to a LOWER-id member of its OWN cluster
+    * reaches the threshold as a semantic duplicate — near-duplicate
+    * MEANING, not near-duplicate text, the dedup family's embedding-space
+    * member ([[graft.operators.Dedup]] covers the lexical side). Output:
+    * one row per valid vector — (vec_id, cid, is_dup, dup_of) with
+    * dup_of the LOWEST qualifying earlier id (the kept representative;
+    * NULL for keepers), so the drop set AND its survivorship evidence
+    * are both in the result.
+    *
+    * Scale shape — the reason SemDeDup clusters first: pairwise cosine
+    * is confined WITHIN clusters, so with k ∝ corpus (bounded expected
+    * cluster size) total pair work stays near-linear while the
+    * cross-cluster quadratic blowup never materializes; the cluster join
+    * is one key-equality shuffle on cid. This reuses
+    * [[kmeansAssignments]] (broadcast codebook, one corpus pass) — the
+    * same clustering emb_kmeans ships, so the oracle replays it exactly
+    * via the shared [[kmAssignChainSql]].
+    *
+    * Exactness: the threshold test runs in INTEGER arithmetic on the
+    * quantized vectors — cos(a,b) ≥ 3/10 ⟺ dot > 0 ∧ 100·dot² ≥
+    * 9·na·nb (cross-multiplied rational, no sqrt, no float compare;
+    * Long in Spark, HUGEINT in DuckDB — list_dot_product returns an
+    * integer-valued DOUBLE that is exact below 2⁵³ but its SQUARE is
+    * not, hence the casts before squaring). The 3/10 default is
+    * data-relative for the driver's random synthetic embeddings (their
+    * max pairwise cosine is ~0.46; production SemDeDup on real model
+    * embeddings uses ~0.95 — the constant is the policy, the machinery
+    * is unchanged). */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val m = kmeansAssignments(s, dir)
+    val a = m.select(col("cid"), col("vec_id").as("va"), col("qv").as("qa"), col("nq").as("na"))
+    val b = m.select(col("cid"), col("vec_id").as("vb"), col("qv").as("qb"), col("nq").as("nb"))
+    val dup = a
+      .join(b, Seq("cid"))
+      .filter(col("va") < col("vb"))
+      .withColumn("dp", call_function("graft_dot", col("qa"), col("qb")))
+      .filter(col("dp") > 0 && lit(100L) * col("dp") * col("dp") >= lit(9L) * col("na") * col("nb"))
+      .groupBy(col("vb").as("vec_id"))
+      .agg(min(col("va")).as("dup_of"))
+    m.select(col("vec_id"), col("cid"))
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+      .orderBy("vec_id")
   }
+
+  val dedupSemanticSql: String =
+    s"""WITH $embPrelude,
+       $kmAssignChainSql,
+       m AS (SELECT n.vec_id, n.qv, n.nq, a2.cid FROM n JOIN a2 USING (vec_id)),
+       pr AS (
+         SELECT a.vec_id AS va, b.vec_id AS vb,
+                CAST(list_dot_product(a.qv, b.qv) AS HUGEINT) AS dp,
+                CAST(a.nq AS HUGEINT) AS na, CAST(b.nq AS HUGEINT) AS nb
+         FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       dup AS (
+         SELECT vb AS vec_id, MIN(va) AS dup_of
+         FROM pr
+         WHERE dp > 0 AND 100 * dp * dp >= 9 * na * nb
+         GROUP BY vb)
+       SELECT m.vec_id, m.cid, (d.dup_of IS NOT NULL) AS is_dup, d.dup_of
+       FROM m LEFT JOIN dup d USING (vec_id)
+       ORDER BY vec_id"""
+
 
   /** Per-label embedding drift: cosine of each label's INTEGER centroid
     * against the corpus centroid — the "did this slice's embedding
@@ -1382,7 +1457,8 @@ object Similarity {
     "dedup_embedding_ivf" -> (ivfDedup _),
     "knn_join" -> (knnJoin _),
     "emb_quantize" -> (embQuantize _),
-    "emb_kmeans" -> (embKmeans _))
+    "emb_kmeans" -> (embKmeans _),
+    "dedup_semantic" -> (dedupSemantic _))
 
   val oracles: Map[String, String] = Map(
     "emb_pq" -> embPqSql,
@@ -1396,5 +1472,6 @@ object Similarity {
     "dedup_embedding_ivf" -> ivfDedupSql,
     "knn_join" -> knnJoinSql,
     "emb_quantize" -> embQuantizeSql,
-    "emb_kmeans" -> embKmeansSql)
+    "emb_kmeans" -> embKmeansSql,
+    "dedup_semantic" -> dedupSemanticSql)
 }

@@ -558,6 +558,36 @@ class PipelineOpsSpec extends GraftSpecBase {
     } finally spark.conf.unset("spark.graft.emb.kmeansK")
   }
 
+  test("dedup_semantic: flags exactly the within-cluster cosine hits, lowest keeper wins") {
+    val out = Similarity.dedupSemantic(spark, sfDir).collect()
+    val total = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(out.length == total, "every valid vector must get a verdict row")
+    // brute-force reference: recompute the qualifying pairs from the SAME
+    // assignments and check flag + keeper agreement row by row
+    val m = Similarity.kmeansAssignments(spark, sfDir)
+      .select("vec_id", "cid", "qv", "nq").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray, r.getLong(3)))
+    val byCluster = m.groupBy(_._2)
+    val expect = scala.collection.mutable.Map.empty[Long, Long] // vb -> min va
+    for ((_, ms) <- byCluster; Array(a, b) <- ms.sortBy(_._1).combinations(2)) {
+      val dp = a._3.zip(b._3).map { case (x, y) => x * y }.sum
+      if (dp > 0 && BigInt(100) * BigInt(dp) * BigInt(dp) >= BigInt(9) * BigInt(a._4) * BigInt(b._4)) {
+        val (va, vb) = (math.min(a._1, b._1), math.max(a._1, b._1))
+        expect(vb) = math.min(expect.getOrElse(vb, Long.MaxValue), va)
+      }
+    }
+    for (r <- out) {
+      val vid = r.getLong(0)
+      val isDup = r.getBoolean(2)
+      assert(isDup == expect.contains(vid), s"flag mismatch for $vid")
+      if (isDup) assert(r.getLong(3) == expect(vid), s"keeper mismatch for $vid")
+      else assert(r.isNullAt(3), s"keeper must be NULL for keeper $vid")
+    }
+    // a keeper is never itself flagged as a dup of something later: dup_of
+    // always points at a LOWER id (survivorship is a DAG rooted at keepers)
+    assert(out.filter(_.getBoolean(2)).forall(r => r.getLong(3) < r.getLong(0)))
+  }
+
   test("pq: every gated vector gets 8 in-range codes; errors nonneg; codes beat random") {
     val rows = Similarity.embPq(spark, sfDir).collect()
     val gated = Similarity.quantizedEmbeddings(spark, sfDir).count()
