@@ -1297,6 +1297,94 @@ object CorpusOps {
        WHERE CAST(('0x' || substr(md5(d.text), 1, 3)) AS INT) < rate * 4096.0
        ORDER BY d.doc_id"""
 
+  /** Temperature-flattened source sampling plan — the multilingual-
+    * pretraining mixing move (the p_i^τ renormalization of XLM-R /
+    * mT5-style pipelines, τ = 1/2): big sources are DOWN-weighted and
+    * small sources UP-weighted relative to their natural shares, so the
+    * head never drowns the tail, and the output is the per-source PLAN
+    * a sampler executes — natural share, tempered weight, exact target
+    * document count under a 50%-of-corpus budget, and the resulting
+    * sampling rate (rate_ppm > 10⁶ = the source is repeated, the
+    * standard low-resource upsampling outcome; [[corpusMix]] is the
+    * fixed-target sibling, this one derives its targets from the data).
+    *
+    * Exactness discipline (cross-engine bit-equal): weights are
+    * FLOOR(sqrt(n_i)·1000) — IEEE sqrt is correctly rounded, the ×1000
+    * product exact below 2⁵³, so both engines derive identical integer
+    * weights (n_i^τ for τ = 1/2; other τ would need a pow() both
+    * engines round identically, which IEEE does not promise — the
+    * constant is part of the contract). Targets are the LARGEST-
+    * REMAINDER apportionment of the budget over those integer weights
+    * (floor division + ranked remainders, ties broken by source name):
+    * pure integer arithmetic, Σ target_i = budget EXACTLY by
+    * construction — no float renormalization anywhere. Products are
+    * bounded by budget·s_max < 2⁶³ for any source below ~3·10¹⁴ docs.
+    *
+    * Scale shape: ONE map-side-combined count per source (the corpus's
+    * only scan and only shuffle); everything after runs on the ≤|sources|
+    * row frame (the bounded-frame exception to the no-unpartitioned-
+    * window rule — |sources| rows, not corpus rows). */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables
+      .documents(s, dir)
+      .groupBy(coalesce(col("source"), lit("(none)")).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val scored =
+      counts.withColumn("si", floor(sqrt(col("n_docs").cast("double")) * 1000).cast("long"))
+    val totals = scored.agg(
+      sum(col("n_docs")).as("nt"),
+      sum(col("si")).as("st"))
+    val j = scored
+      .crossJoin(broadcast(totals))
+      .withColumn("budget", expr("nt DIV 2"))
+      .withColumn("base", expr("(budget * si) DIV st"))
+      .withColumn("rem", expr("(budget * si) % st"))
+    val extra = j.agg((max(col("budget")) - sum(col("base"))).as("extra"))
+    j.crossJoin(broadcast(extra))
+      .withColumn("rk", row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+      .withColumn(
+        "target_docs",
+        col("base") + when(col("rk") <= col("extra"), lit(1L)).otherwise(lit(0L)))
+      .select(
+        col("source"),
+        col("n_docs"),
+        expr("n_docs * 1000000 DIV nt").as("share_ppm"),
+        expr("si * 1000000 DIV st").as("weight_ppm"),
+        col("target_docs"),
+        expr("target_docs * 1000000 DIV n_docs").as("rate_ppm"))
+      .orderBy("source")
+  }
+
+  val temperatureMixSql: String =
+    """WITH c AS (
+         SELECT COALESCE(source, '(none)') AS source, COUNT(*) AS n_docs
+         FROM documents GROUP BY 1),
+       sc AS (
+         SELECT source, n_docs,
+                CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000) AS BIGINT) AS si
+         FROM c),
+       t AS (SELECT SUM(n_docs) AS nt, SUM(si) AS st FROM sc),
+       j AS (
+         SELECT source, n_docs, si, nt, st, nt // 2 AS budget
+         FROM sc CROSS JOIN t),
+       b AS (
+         SELECT *, (budget * si) // st AS base, (budget * si) % st AS rem
+         FROM j),
+       r AS (
+         SELECT *,
+                ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+                budget - SUM(base) OVER () AS extra
+         FROM b)
+       SELECT source, n_docs,
+              n_docs * 1000000 // nt AS share_ppm,
+              si * 1000000 // st AS weight_ppm,
+              base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS target_docs,
+              (base + CASE WHEN rk <= extra THEN 1 ELSE 0 END) * 1000000 // n_docs AS rate_ppm
+       FROM r
+       ORDER BY source"""
+
+
   /** Admission-time distribution drift: before [[dedupIncremental]] admits
     * a batch, does the batch LOOK like the corpus? Per language: document
     * share in the batch vs the established corpus (and the share delta —
@@ -1514,6 +1602,7 @@ object CorpusOps {
     "batch_drift" -> ((s, d) => batchDrift(s, d)),
     "contamination_excise" -> ((s, d) => contaminationExcise(s, d)),
     "corpus_mix" -> (corpusMix _),
+    "corpus_temperature_mix" -> (temperatureMix _),
     "data_split" -> (dataSplit _),
     "text_contamination" -> ((s, d) => contamination(s, d)),
     "dedup_incremental" -> ((s, d) => dedupIncremental(s, d)),
@@ -1530,6 +1619,7 @@ object CorpusOps {
     "batch_drift" -> batchDriftSql,
     "contamination_excise" -> contaminationExciseSql,
     "corpus_mix" -> corpusMixSql,
+    "corpus_temperature_mix" -> temperatureMixSql,
     "data_split" -> dataSplitSql,
     "text_contamination" -> contaminationSql,
     "dedup_incremental" -> dedupIncrementalSql,

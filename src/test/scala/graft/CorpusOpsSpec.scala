@@ -79,6 +79,42 @@ class CorpusOpsSpec extends GraftSpecBase {
     } finally spark.conf.unset("spark.graft.corpus.storeRoot")
   }
 
+  test("corpus_temperature_mix: exact apportionment, temperature genuinely flattens") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tmix").toString
+    import spark.implicits._
+    // heavily skewed sources: 64 / 16 / 4 / 1 docs (+ a NULL-source doc)
+    val rows = (1 to 64).map(i => (i.toLong, s"head doc $i", Some("srcBig"))) ++
+      (65 to 80).map(i => (i.toLong, s"mid doc $i", Some("srcMid"))) ++
+      (81 to 84).map(i => (i.toLong, s"small doc $i", Some("srcSmall"))) ++
+      Seq((85L, "tail doc", Some("srcTail")), (86L, "null source doc", None))
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.temperatureMix(spark, dir).collect()
+    assert(out.length == 5, s"one plan row per source incl. '(none)': ${out.length}")
+    val n = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = out.map(r => r.getString(0) -> r.getLong(4)).toMap
+    val rate = out.map(r => r.getString(0) -> r.getLong(5)).toMap
+    // largest-remainder apportionment: targets sum EXACTLY to the budget
+    assert(target.values.sum == 86L / 2, s"targets ${target} must sum to budget 43")
+    // temperature flattening: sampling RATE is anti-monotone in source
+    // size (1/sqrt(n) shape) — the head is thinned hardest, the tail
+    // kept (or repeated) at the highest rate
+    val bySize = out.sortBy(_.getLong(1))
+    bySize.map(_.getLong(5)).zip(bySize.map(_.getLong(5)).drop(1)).foreach { case (small, big) =>
+      assert(small >= big, s"rate_ppm must not grow with source size: $rate for $n")
+    }
+    // weights flatter than shares: tempered weight of the head is BELOW
+    // its natural share, the tail's above
+    val share = out.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val weight = out.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(weight("srcBig") < share("srcBig"), "head must be down-weighted")
+    assert(weight("srcTail") > share("srcTail"), "tail must be up-weighted")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("source divergence matches a brute-force JS computation per source") {
     val got = CorpusOps.sourceDivergence(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getAs[Double]("js_divergence")).toMap
