@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-store compaction — the between-crawls maintenance job every
@@ -91,6 +91,79 @@ object Compaction {
       .parquet(srcPath)
       .repartitionByRange(nFiles, col(key))
       .sortWithinPartitions(key)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(dstPath)
+  }
+
+  /** Compaction + TWO-key Z-order clustering — the multi-column half of
+    * what table formats call OPTIMIZE ... ZORDER: rows are range-
+    * clustered on the Morton interleave of the two keys' normalized
+    * ranks, so each output file covers a small RECTANGLE of
+    * (keyA, keyB) space and parquet min/max stats prune predicates on
+    * EITHER column ([[compactClustered]] prunes only its one sort key;
+    * its second-position column degrades to nothing). With n output
+    * files a selective slice on one dimension touches ~√n of them
+    * instead of all n — the classic Z-order trade: neither column gets
+    * single-key-perfect pruning, both get usable pruning.
+    *
+    * Mechanics: one tiny min/max agg per key (2 values each, driver-
+    * fetched), each key normalized to a ≤16-bit lattice position by an
+    * exact power-of-two down-shift of `x − min` (no multiply — a
+    * `(x−min)·65535` rescale would overflow LONG for wide-span keys
+    * like microsecond timestamps), the two
+    * 16-bit words bit-spread and interleaved into one 32-bit z-value
+    * with five shift-mask steps each (the standard Morton spread — all
+    * codegen'd column arithmetic, no UDF), then range-partition + sort
+    * on z, written WITHOUT the helper column. NULLs in either key sort
+    * to lattice position 0 (coalesce to min), keeping them clustered in
+    * one corner rather than scattered. Numeric keys only (the lattice
+    * needs a metric); both keys are read as BIGINT.
+    *
+    * CompactionSpec pins: row-identical rewrite, and the pruning
+    * geometry itself — per-file rectangles tight enough that a 1/8
+    * slice on EITHER dimension overlaps at most half the files (the
+    * single-key baseline leaves the second key unprunable: every file
+    * overlaps). */
+  def compactZOrdered(
+      s: SparkSession,
+      srcPath: String,
+      dstPath: String,
+      keyA: String,
+      keyB: String,
+      nFiles: Int): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val df = s.read.parquet(srcPath)
+    val Row(minA: Long, maxA: Long, minB: Long, maxB: Long) = df
+      .agg(
+        min(col(keyA).cast("long")),
+        max(col(keyA).cast("long")),
+        min(col(keyB).cast("long")),
+        max(col(keyB).cast("long")))
+      .na.fill(0L)
+      .head()
+    def lattice(key: String, lo: Long, hi: Long) = {
+      val span = math.max(hi - lo, 1L)
+      // down-shift so the span fits 16 bits: exact, overflow-free
+      val shift = math.max(64 - java.lang.Long.numberOfLeadingZeros(span) - 16, 0)
+      shiftrightunsigned(coalesce(col(key).cast("long"), lit(lo)) - lit(lo), shift)
+    }
+    // Morton bit-spread: 16 significant bits widened so a bit at
+    // position i lands at 2i — five shift-mask rounds, pure codegen'd
+    // column arithmetic
+    def spread(c: Column): Column = {
+      val m = Seq(
+        (8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+      m.foldLeft(c.bitwiseAND(lit(0xFFFFL))) { case (x, (sh, mask)) =>
+        (x.bitwiseOR(shiftleft(x, sh))).bitwiseAND(lit(mask))
+      }
+    }
+    val z = spread(lattice(keyA, minA, maxA))
+      .bitwiseOR(shiftleft(spread(lattice(keyB, minB, maxB)), 1))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
       .write
       .mode(SaveMode.Overwrite)
       .parquet(dstPath)

@@ -74,4 +74,42 @@ class CompactionSpec extends GraftSpecBase {
     assert(disorder == 0, s"$disorder rows out of key order within files")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
+
+  test("compactZOrdered: row-identical, both dimensions prune; single-key leaves dim B unprunable") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    import spark.implicits._
+    // 64k rows on a uniform 256x256 grid of two INDEPENDENT keys — the
+    // adversarial case for single-key clustering (key B is pure noise
+    // relative to key A's order)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 65536).map(i => (i.toLong, rnd.nextInt(65536).toLong, s"payload $i"))
+    rows.toDF("ka", "kb", "payload").repartition(16)
+      .write.parquet(s"$tmp/src")
+    Compaction.compactZOrdered(spark, s"$tmp/src", s"$tmp/z", "ka", "kb", 16)
+    Compaction.compactClustered(spark, s"$tmp/src", s"$tmp/single", "ka", 16)
+    val a = spark.read.parquet(s"$tmp/src")
+    val z = spark.read.parquet(s"$tmp/z")
+    assert(a.count() == z.count())
+    assert(a.except(z).isEmpty && z.except(a).isEmpty, "z-order rewrite not row-identical")
+    // pruning geometry: count files whose [min,max] on a key overlaps a
+    // 1/8 slice of its domain — what parquet row-group stats would scan
+    def overlapping(path: String, key: String, lo: Long, hi: Long): Int =
+      Compaction.fileKeyRanges(spark, path, key).collect().count { r =>
+        r.getAs[Long]("key_min") <= hi && r.getAs[Long]("key_max") >= lo
+      }
+    val nz = spark.read.parquet(s"$tmp/z").inputFiles.length
+    assert(nz >= 8, s"fixture produced too few z files to measure pruning: $nz")
+    // EITHER dimension prunes to at most half the files under z-order
+    assert(overlapping(s"$tmp/z", "ka", 0, 8191) <= nz / 2,
+      "z-order fails to prune dimension A")
+    assert(overlapping(s"$tmp/z", "kb", 0, 8191) <= nz / 2,
+      "z-order fails to prune dimension B")
+    // the single-key baseline: perfect on A, USELESS on B (every file
+    // overlaps the B slice) — the gap compactZOrdered exists to close
+    assert(overlapping(s"$tmp/single", "ka", 0, 8191) <= 3)
+    val nSingle = spark.read.parquet(s"$tmp/single").inputFiles.length
+    assert(overlapping(s"$tmp/single", "kb", 0, 8191) == nSingle,
+      "expected the single-key layout to leave dim B unprunable")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
 }
