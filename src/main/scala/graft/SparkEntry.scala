@@ -65,6 +65,7 @@ object SparkEntry {
     "text_quality" -> Seq(col("doc_id")),
     "text_repetition" -> Seq(col("doc_id")),
     "text_scrub" -> Seq(col("doc_id")),
+    "text_chunk" -> Seq(col("doc_id"), col("off")),
     "text_span_dup" -> Seq(col("doc_id")),
     "text_span_dup_s4" -> Seq(col("doc_id")),
     "text_span_excise" -> Seq(col("doc_id")),

@@ -1499,8 +1499,52 @@ FROM mergetab ORDER BY rank"""
        FROM rk WHERE rank <= 3
        ORDER BY doc_id, rank"""
 
+  /** Fixed-window overlapping chunker — the retrieval/embedding-pipeline
+    * pre-step (split each document into 200-char windows at stride 150,
+    * 50 chars of overlap so no sentence is orphaned at a boundary): one
+    * row per chunk with its position and md5, NOT its text — the
+    * span-excise move, so the whole chunking is hash-checkable without
+    * shipping corpus text, and a downstream embedder joins chunks back
+    * by (doc_id, off) when it actually needs the characters.
+    *
+    * Start offsets are 1, 151, 301, … ≤ n_chars (1-based, CODEPOINT
+    * units — Spark `substring`/`length` and DuckDB `substr`/`length`
+    * agree on codepoints, the CharGrams parity), so every document gets
+    * ⌈len/150⌉ chunks, the last one short; empty/NULL texts produce no
+    * chunks (a zero-chunk doc is visible as absence, the chunk COUNT
+    * per doc being derivable from text_stats).
+    *
+    * Scale: scan-side explode of a sequence literal — zero shuffles,
+    * zero joins; output rows ∝ corpus (presentation order applied at
+    * dump time like the other per-doc operators). */
+  def chunk(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .filter(col("text").isNotNull && length(col("text")) >= 1)
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(1), length(col("text")), lit(150))).as("off"),
+        col("text"))
+      .select(
+        col("doc_id"),
+        ((col("off") - 1) / 150).cast("long").as("chunk_idx"),
+        col("off").cast("long").as("off"),
+        length(col("text").substr(col("off"), lit(200))).cast("long").as("chunk_len"),
+        md5(col("text").substr(col("off"), lit(200))).as("chunk_md5"))
+
+  val chunkSql: String =
+    """SELECT doc_id,
+              CAST((t.i - 1) // 150 AS BIGINT) AS chunk_idx,
+              CAST(t.i AS BIGINT) AS off,
+              CAST(length(substr(text, t.i, 200)) AS BIGINT) AS chunk_len,
+              md5(substr(text, t.i, 200)) AS chunk_md5
+       FROM documents, UNNEST(range(1, length(text) + 1, 150)) AS t(i)
+       WHERE text IS NOT NULL AND length(text) >= 1
+       ORDER BY doc_id, off"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf" -> (tfidf _),
+    "text_chunk" -> (chunk _),
     "text_entropy" -> (entropy _),
     "text_compress_ratio" -> (compressRatio _),
     "text_lm_bigram" -> (lmBigram _),
@@ -1531,6 +1575,7 @@ FROM mergetab ORDER BY rank"""
   val oracles: Map[String, String] = Map(
     "text_bpe_train" -> bpeTrainSql,
     "text_tfidf" -> tfidfSql,
+    "text_chunk" -> chunkSql,
     "text_entropy" -> entropySql,
     "text_lm_bigram" -> lmBigramSql,
     "text_len_outliers" -> lenOutliersSql,

@@ -558,6 +558,39 @@ class PipelineOpsSpec extends GraftSpecBase {
     } finally spark.conf.unset("spark.graft.emb.kmeansK")
   }
 
+  test("text_chunk: full coverage at stride 150, window 200, verbatim 50-char overlap") {
+    val out = TextAnalysis.chunk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull && length(col("text")) >= 1)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet, "every non-empty doc must be chunked")
+    for ((id, text) <- docs) {
+      val n = text.codePointCount(0, text.length)
+      val chunks = byDoc(id).sortBy(_._3)
+      assert(chunks.length == (n + 149) / 150, s"doc $id: wrong chunk count")
+      chunks.zipWithIndex.foreach { case ((_, idx, off, len, h), i) =>
+        assert(idx == i && off == 1 + 150L * i, s"doc $id chunk $i offset arithmetic")
+        val start = text.offsetByCodePoints(0, (off - 1).toInt)
+        val end = text.offsetByCodePoints(start, math.min(200L, n - off + 1).toInt)
+        val expect = text.substring(start, end)
+        assert(len == expect.codePointCount(0, expect.length), s"doc $id chunk $i length")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(expect.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(h == md, s"doc $id chunk $i hash mismatch")
+      }
+      // the overlap contract: consecutive full chunks share their
+      // boundary 50 chars verbatim (no sentence orphaned at a cut)
+      if (n >= 350) {
+        val s0 = text.offsetByCodePoints(0, 150)
+        val e0 = text.offsetByCodePoints(s0, 50)
+        assert(text.substring(s0, e0).nonEmpty)
+      }
+    }
+  }
+
   test("dedup_semantic: flags exactly the within-cluster cosine hits, lowest keeper wins") {
     val out = Similarity.dedupSemantic(spark, sfDir).collect()
     val total = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
