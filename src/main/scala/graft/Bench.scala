@@ -124,6 +124,7 @@ object Bench {
       "bpe_merge_table" -> Seq("text_bpe_train", "text_tokenize_ids", "train_pack_ids"),
       "spandup_grams" -> Seq("text_span_dup", "text_span_excise"),
       "ivf_qsample" -> Seq("ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk"),
+      "kmeans_assign" -> Seq("dedup_semantic", "emb_kmeans"),
       "pq" -> Seq("ann_ivfpq_idx", "ann_ivfpq_topk", "ann_pq_topk", "emb_pq"),
       "ivf_store_probes" -> Seq("ann_ivf_idx", "ann_ivfpq_idx"))
       .map { case (tag, qs) =>

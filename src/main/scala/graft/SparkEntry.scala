@@ -66,6 +66,7 @@ object SparkEntry {
     "text_repetition" -> Seq(col("doc_id")),
     "text_scrub" -> Seq(col("doc_id")),
     "text_chunk" -> Seq(col("doc_id"), col("off")),
+    "dedup_semantic" -> Seq(col("vec_id")),
     "text_span_dup" -> Seq(col("doc_id")),
     "text_span_dup_s4" -> Seq(col("doc_id")),
     "text_span_excise" -> Seq(col("doc_id")),

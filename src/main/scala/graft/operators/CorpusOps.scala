@@ -1023,7 +1023,10 @@ object CorpusOps {
       // row count is None by construction (footerCount finds no footers);
       // presence/freshness are the census facts that matter for it
       ("bloom_store", defaultBloomPath(s, dir), BloomStore.FormatVersion, docStamp,
-        (l: Array[String]) => l(1) == GramIndex.DefaultDeltaSource, Seq("filter.bloom")))
+        // mirrors BloomStore.isFresh EXACTLY, incl. the ≥5-line shape:
+        // a truncated meta must read stale here too, not census-fresh
+        (l: Array[String]) => l.length >= 5 && l(1) == GramIndex.DefaultDeltaSource,
+        Seq("filter.bloom")))
     val rows = stores.flatMap { case (name, path, wantVersion, stamp, metaOk, bodies) =>
       val meta = GramIndex.readMeta(s, path).filter(_.length >= 3)
       val fresh = meta.exists(l => l(0) == stamp && l(2) == wantVersion && metaOk(l))
@@ -1320,39 +1323,48 @@ object CorpusOps {
     * construction — no float renormalization anywhere. Products are
     * bounded by budget·s_max < 2⁶³ for any source below ~3·10¹⁴ docs.
     *
-    * Scale shape: ONE map-side-combined count per source (the corpus's
-    * only scan and only shuffle); everything after runs on the ≤|sources|
-    * row frame (the bounded-frame exception to the no-unpartitioned-
-    * window rule — |sources| rows, not corpus rows). */
+    * Scale shape: ONE map-side-combined count per source — the corpus's
+    * only scan, only shuffle, and only Spark job. The apportionment
+    * itself runs DRIVER-SIDE on the collected ≤|sources| count rows
+    * (the bounded-driver-fetch precedent: bpeTrain's argmax, the
+    * prefix-sum bucket totals) in BigInt — exact at any corpus size,
+    * and the count subtree executes exactly once where a declarative
+    * rendering re-ran it per consumer (totals/base/extra — the
+    * multi-consumer subtree rule). */
   def temperatureMix(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     val counts = Tables
       .documents(s, dir)
       .groupBy(coalesce(col("source"), lit("(none)")).as("source"))
       .agg(count(lit(1)).as("n_docs"))
-    val scored =
-      counts.withColumn("si", floor(sqrt(col("n_docs").cast("double")) * 1000).cast("long"))
-    val totals = scored.agg(
-      sum(col("n_docs")).as("nt"),
-      sum(col("si")).as("st"))
-    val j = scored
-      .crossJoin(broadcast(totals))
-      .withColumn("budget", expr("nt DIV 2"))
-      .withColumn("base", expr("(budget * si) DIV st"))
-      .withColumn("rem", expr("(budget * si) % st"))
-    val extra = j.agg((max(col("budget")) - sum(col("base"))).as("extra"))
-    j.crossJoin(broadcast(extra))
-      .withColumn("rk", row_number().over(Window.orderBy(col("rem").desc, col("source"))))
-      .withColumn(
-        "target_docs",
-        col("base") + when(col("rk") <= col("extra"), lit(1L)).otherwise(lit(0L)))
-      .select(
-        col("source"),
-        col("n_docs"),
-        expr("n_docs * 1000000 DIV nt").as("share_ppm"),
-        expr("si * 1000000 DIV st").as("weight_ppm"),
-        col("target_docs"),
-        expr("target_docs * 1000000 DIV n_docs").as("rate_ppm"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val si = counts.map { case (_, n) => math.floor(math.sqrt(n.toDouble) * 1000).toLong }
+    val nt = counts.map(c => BigInt(c._2)).sum
+    val st = si.map(BigInt(_)).sum
+    val budget = nt / 2
+    val base = si.map(x => budget * x / st)
+    val rem = si.map(x => budget * x % st)
+    val extra = (budget - base.sum).toInt // < |sources| by construction
+    // largest remainder, ties by source name: the +1 winners
+    val winners = counts.indices
+      .sortBy(i => (rem(i), counts(i)._1))(
+        Ordering.Tuple2(Ordering[BigInt].reverse, Ordering[String]))
+      .take(extra)
+      .toSet
+    val rows = counts.indices.map { i =>
+      val (src, n) = counts(i)
+      val target = base(i) + (if (winners(i)) 1 else 0)
+      (
+        src,
+        n,
+        (BigInt(n) * 1000000 / nt).toLong,
+        (BigInt(si(i)) * 1000000 / st).toLong,
+        target.toLong,
+        (target * 1000000 / BigInt(n)).toLong)
+    }
+    rows.toDF("source", "n_docs", "share_ppm", "weight_ppm", "target_docs", "rate_ppm")
       .orderBy("source")
   }
 

@@ -854,8 +854,17 @@ object Similarity {
   }
 
   /** Final-round assignment of every corpus vector to its cluster. */
+  /** Stamp-cached: the assignment stage (corpus × codebook cross join +
+    * per-vector argmin window) is the expensive part of every consumer,
+    * and [[dedupSemantic]] reads it THREE times in one plan — without
+    * the persist each consumer re-executes it (ReuseExchange/AQE do not
+    * collapse repeated subtrees across consumers; the PipelineCache
+    * rule). Key carries k and dim: a `spark.graft.emb.kmeansK` change
+    * must never serve another k's clustering. */
   private[graft] def kmeansAssignments(s: SparkSession, dir: String): DataFrame =
-    kmAssign(kmCorpus(s, dir), kmCodebook(kmeansCentroids(s, dir)))
+    PipelineCache.cached(
+      s"kmeans_assign_k${kmeansK(s)}_d${embDim(s)}", s, dir, "embeddings.parquet")(
+      kmAssign(kmCorpus(s, dir), kmCodebook(kmeansCentroids(s, dir))))
 
   def embKmeans(s: SparkSession, dir: String): DataFrame =
     kmeansAssignments(s, dir)
@@ -966,17 +975,27 @@ object Similarity {
     val m = kmeansAssignments(s, dir)
     val a = m.select(col("cid"), col("vec_id").as("va"), col("qv").as("qa"), col("nq").as("na"))
     val b = m.select(col("cid"), col("vec_id").as("vb"), col("qv").as("qb"), col("nq").as("nb"))
+    // the threshold test widens to decimal(38,0): the validity gate
+    // admits quantized elements up to 10^7, so dp can reach ~6.4e15 and
+    // 100·dp² ~4e33 — far past LONG (the oracle widens to HUGEINT for
+    // the same reason; in Long this would throw under ANSI or silently
+    // wrap without it)
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
     val dup = a
       .join(b, Seq("cid"))
       .filter(col("va") < col("vb"))
       .withColumn("dp", call_function("graft_dot", col("qa"), col("qb")))
-      .filter(col("dp") > 0 && lit(100L) * col("dp") * col("dp") >= lit(9L) * col("na") * col("nb"))
+      .filter(
+        col("dp") > 0 &&
+          d38(lit(100)) * d38(col("dp")) * d38(col("dp")) >=
+          d38(lit(9)) * d38(col("na")) * d38(col("nb")))
       .groupBy(col("vb").as("vec_id"))
       .agg(min(col("va")).as("dup_of"))
+    // no inline global sort: output is corpus-proportional — the dump
+    // applies presentation order (SparkEntry.presentationOrder)
     m.select(col("vec_id"), col("cid"))
       .join(dup, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
-      .orderBy("vec_id")
   }
 
   val dedupSemanticSql: String =

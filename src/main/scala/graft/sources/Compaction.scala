@@ -62,6 +62,15 @@ object Compaction {
     // (the previously documented save/restore residual hazard, now
     // structurally gone; nothing to restore, the clone is discarded).
     val scoped = s.newSession()
+    // newSession() starts from the LAUNCH-time conf only — carry the
+    // caller's runtime SQL confs over (compression codec, corrupt-file
+    // policy, …) so the rewrite behaves exactly like the caller's own
+    // session everywhere except the three packer knobs. Static/readonly
+    // entries refuse the set; skip them (they are already inherited).
+    s.conf.getAll.foreach { case (k, v) =>
+      try scoped.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     scoped.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
     // open cost inflates each file's packed size; against MANY tiny
     // files the default 4 MiB would cap packing at ~32 files/partition
@@ -109,9 +118,10 @@ object Compaction {
     *
     * Mechanics: one tiny min/max agg per key (2 values each, driver-
     * fetched), each key normalized to a ≤16-bit lattice position by an
-    * exact power-of-two down-shift of `x − min` (no multiply — a
-    * `(x−min)·65535` rescale would overflow LONG for wide-span keys
-    * like microsecond timestamps), the two
+    * exact power-of-two down-shift in UNSIGNED key order (no multiply —
+    * a `(x−min)·65535` rescale would overflow LONG for wide-span keys,
+    * and even plain `x−min` overflows for full-range hash keys; see the
+    * lattice comment), the two
     * 16-bit words bit-spread and interleaved into one 32-bit z-value
     * with five shift-mask steps each (the standard Morton spread — all
     * codegen'd column arithmetic, no UDF), then range-partition + sort
@@ -142,11 +152,24 @@ object Compaction {
         max(col(keyB).cast("long")))
       .na.fill(0L)
       .head()
+    // overflow discipline: a full-range key (e.g. an xxhash64-derived
+    // column) has hi − lo past Long.MaxValue, and under ANSI a plain
+    // subtraction THROWS. The lattice therefore works in UNSIGNED key
+    // order: x XOR Long.MinValue maps signed order to unsigned order,
+    // the span/shift come from BigInt (exact for any range), shift ≥ 1
+    // keeps both shifted operands non-negative so their difference can
+    // never overflow, and the ≤1 floor-misalignment overhang is clamped
+    // to the top lattice cell (placement-only, never a correctness
+    // surface — rows are just binned).
     def lattice(key: String, lo: Long, hi: Long) = {
-      val span = math.max(hi - lo, 1L)
-      // down-shift so the span fits 16 bits: exact, overflow-free
-      val shift = math.max(64 - java.lang.Long.numberOfLeadingZeros(span) - 16, 0)
-      shiftrightunsigned(coalesce(col(key).cast("long"), lit(lo)) - lit(lo), shift)
+      val span = (BigInt(hi) - BigInt(lo)).max(BigInt(1))
+      val shift = math.max(span.bitLength - 16, 1)
+      val uLoShifted = (lo ^ Long.MinValue) >>> shift
+      least(
+        shiftrightunsigned(
+          coalesce(col(key).cast("long"), lit(lo)).bitwiseXOR(lit(Long.MinValue)),
+          shift) - lit(uLoShifted),
+        lit(65535L))
     }
     // Morton bit-spread: 16 significant bits widened so a bit at
     // position i lands at 2i — five shift-mask rounds, pure codegen'd

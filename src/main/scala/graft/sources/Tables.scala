@@ -108,23 +108,24 @@ object Tables {
     * corpus would hurt. Callers must be order-insensitive (all are:
     * aggregations, sorted capped collects, per-row maps). */
   private val balanceCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Int, Boolean)]
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (String, Boolean)]
 
   def documentsBalanced(spark: SparkSession, d: String): DataFrame = {
     val df = documents(spark, d)
     val cores = spark.sparkContext.defaultParallelism
     // the split probe (.rdd compiles the physical plan and computes file
     // splits) is itself repeated driver work on hot per-query paths —
-    // cache the verdict per (path, stamp, cores): the verdict depends on
-    // the session's parallelism, so a later session with more cores
-    // against the same table must re-probe, not inherit a stale verdict
-    val path = s"$d/documents.parquet"
+    // cache the verdict per (path, cores) KEY with the stamp in the
+    // value: the verdict depends on the session's parallelism, and
+    // keying (not just stamping) by cores lets sessions with different
+    // parallelism coexist instead of ping-ponging one slot
+    val key = (s"$d/documents.parquet", cores)
     val stamp = graft.operators.PipelineCache.sourceStamp(d, "documents.parquet")
-    val underSplit = balanceCache.get(path) match {
-      case (st, c, v) if st == stamp && c == cores => v
+    val underSplit = balanceCache.get(key) match {
+      case (st, v) if st == stamp => v
       case _ =>
         val v = df.rdd.getNumPartitions < cores
-        balanceCache.put(path, (stamp, cores, v))
+        balanceCache.put(key, (stamp, v))
         v
     }
     if (underSplit) df.repartition(cores) else df
