@@ -207,6 +207,67 @@ object TextAnalysis {
        FROM documents
        ORDER BY doc_id"""
 
+  /** Per-language tokenizer FERTILITY census — the multilingual
+    * diagnostic read before committing to a tokenizer: subword tokens
+    * per whitespace word (high fertility = the tokenizer shreds that
+    * language into fragments, inflating its effective sequence length
+    * and training cost) and chars per token, rolled up per language
+    * from the SAME regex token class [[tokensBpe]] reports per doc
+    * (one token definition across the family). NULL lang lands in
+    * `(none)` (the batch_drift census rule — no doc vanishes); NULL
+    * texts contribute NULL counts that both engines' SUM skips
+    * identically; empty/whitespace-only texts count 0 words.
+    *
+    * Exactness: integer sums; the two ratios are one double division
+    * of exact longs + HALF_UP round — bit-equal cross-engine. Scale:
+    * one corpus scan into a map-side-combined per-language aggregate,
+    * ≤|langs| rows out. */
+  def fertility(s: SparkSession, dir: String): DataFrame = {
+    def nMatches(c: Column, pat: String): Column =
+      size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+    val words = when(
+      length(trim(col("text"))) > 0,
+      size(split(trim(regexp_replace(col("text"), " +", " ")), " ")).cast("long"))
+      .otherwise(lit(0L))
+    Tables
+      .documents(s, dir)
+      .select(
+        coalesce(col("lang"), lit("(none)")).as("lang"),
+        words.as("w"),
+        nMatches(col("text"), "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]").as("t"),
+        length(col("text")).cast("long").as("c"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("t")).as("n_tokens"),
+        sum(col("c")).as("n_chars"))
+      .withColumn(
+        "fertility",
+        when(col("n_words") > 0, round(col("n_tokens") / col("n_words").cast("double"), 4)))
+      .withColumn(
+        "chars_per_token",
+        when(col("n_tokens") > 0, round(col("n_chars") / col("n_tokens").cast("double"), 4)))
+      .orderBy("lang")
+  }
+
+  val fertilitySql: String =
+    """WITH d AS (
+         SELECT COALESCE(lang, '(none)') AS lang,
+                CASE WHEN length(trim(text)) > 0
+                     THEN len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' '))
+                     ELSE 0 END AS w,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS t,
+                CAST(LENGTH(text) AS BIGINT) AS c
+         FROM documents)
+       SELECT lang, COUNT(*) AS n_docs,
+              SUM(w) AS n_words, SUM(t) AS n_tokens, SUM(c) AS n_chars,
+              CASE WHEN SUM(w) > 0 THEN ROUND(SUM(t) / CAST(SUM(w) AS DOUBLE), 4) END AS fertility,
+              CASE WHEN SUM(t) > 0 THEN ROUND(SUM(c) / CAST(SUM(t) AS DOUBLE), 4) END AS chars_per_token
+       FROM d
+       GROUP BY lang
+       ORDER BY lang"""
+
   /** Pipeline scrub pass: count and mask URL- and email-shaped spans (the
     * canonical pre-training PII/noise scrub), fingerprint the cleaned text.
     * Narrow map; the cleaned md5 lets a downstream exact-dedup run on
@@ -1566,6 +1627,7 @@ FROM mergetab ORDER BY rank"""
     "text_span_dup_s4" -> (spanDupStride _),
     "text_span_excise" -> (spanExcise _),
     "text_tokens_bpe" -> (tokensBpe _),
+    "text_fertility" -> (fertility _),
     "text_scrub" -> (scrub _),
     "text_stats" -> (stats _),
     "text_langid" -> (langid _),
@@ -1586,6 +1648,7 @@ FROM mergetab ORDER BY rank"""
     "text_heavy_hitters" -> heavyHittersSql,
     "text_vocab_growth" -> vocabGrowthSql,
     "text_tokens_bpe" -> tokensBpeSql,
+    "text_fertility" -> fertilitySql,
     "text_scrub" -> scrubSql,
     "text_span_dup" -> spanDupSql,
     "text_span_dup_s4" -> spanDupStrideSql,

@@ -558,6 +558,27 @@ class PipelineOpsSpec extends GraftSpecBase {
     } finally spark.conf.unset("spark.graft.emb.kmeansK")
   }
 
+  test("text_fertility: reconciles with the per-doc token census, ratios exact") {
+    val out = TextAnalysis.fertility(spark, sfDir).collect()
+    // per-lang sums must reconcile with text_tokens_bpe's per-doc counts
+    val perDoc = TextAnalysis.tokensBpe(spark, sfDir)
+      .join(graft.sources.Tables.documents(spark, sfDir).select("doc_id", "lang"), "doc_id")
+      .groupBy(coalesce(col("lang"), lit("(none)")).as("lang"))
+      .agg(sum(col("n_tokens")).as("t"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (t, n) = perDoc(r.getString(0))
+      assert(r.getAs[Long]("n_tokens") == t, s"${r.getString(0)} token sum mismatch")
+      assert(r.getAs[Long]("n_docs") == n, s"${r.getString(0)} doc count mismatch")
+      val fert = r.getAs[Double]("fertility")
+      assert(fert > 0.5 && fert < 20, s"implausible fertility $fert")
+    }
+    // doc conservation: census rows cover every document exactly once
+    val total = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == total)
+  }
+
   test("text_chunk: full coverage at stride 150, window 200, verbatim 50-char overlap") {
     val out = TextAnalysis.chunk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
