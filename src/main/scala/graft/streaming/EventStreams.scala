@@ -86,6 +86,59 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming Bloom-gated exact admission (22nd twin) — the online twin
+    * of [[graft.operators.CorpusOps.dedupIncrementalBloom]]: each
+    * arriving document is admitted against the established corpus with
+    * the [[graft.operators.BloomStore]]'s filter bytes compiled into the
+    * plan as a LITERAL (the frozen-static-side discipline of
+    * assignClusters/embedding drift — the bits ride the task binary, no
+    * join, no state):
+    *
+    *   - intra-stream exact dups: `dropDuplicatesWithinWatermark` on the
+    *     content hash (first arrival wins = the batch lowest-id keeper
+    *     on ordered replay); a NULL text gets a per-doc sentinel hash so
+    *     it can never dedup against another NULL text — the batch rule
+    *     (NULL-hash equality never fires) reproduced exactly.
+    *   - vs corpus, bloom-NEGATIVE rows: admitted at scan speed with
+    *     ZERO join — the sketch's no-false-negative guarantee makes the
+    *     gate exact for them, the overwhelmingly-common case on a fresh
+    *     crawl.
+    *   - vs corpus, bloom-POSITIVE rows (true dups + ~fpp stragglers):
+    *     stream-static LEFT ANTI against the corpus hash frame —
+    *     stateless; the static side is the join's build artifact, never
+    *     stream state. Self-union of the two branches is append-mode
+    *     legal (one source, two filters).
+    *
+    * Between crawls the filter absorbs the admitted batch
+    * ([[graft.operators.BloomStore.absorb]], a bit-OR) — the store
+    * maintenance loop the batch operator documents, unchanged here.
+    * Two-chunk ordered-replay row parity with the batch operator is
+    * spec-pinned. */
+  def admitBloom(
+      docs: DataFrame,
+      filterBytes: Array[Byte],
+      corpusHashes: DataFrame): DataFrame = {
+    val deduped = docs
+      .withColumn(
+        "content_hash",
+        coalesce(md5(col("text")), concat(lit("\u0000null:"), col("doc_id").cast("string"))))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("content_hash")
+      .withColumn(
+        "maybe",
+        call_function("graft_bloom_contains", lit(filterBytes), xxhash64(col("text"))))
+    val negatives = deduped.filter(!col("maybe"))
+    val positives = deduped
+      .filter(col("maybe"))
+      .join(
+        corpusHashes.withColumnRenamed("h", "content_hash"),
+        Seq("content_hash"),
+        "left_anti")
+    negatives
+      .unionByName(positives)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   /** Streaming heavy hitters — the incremental twin of
     * [[graft.operators.TextAnalysis.heavyHitters]]: a complete-mode word
     * census over the streamed corpus, re-ranked every trigger. State is

@@ -256,6 +256,63 @@ class StreamingSpec extends GraftSpecBase {
     } finally graft.operators.Dedup.clearSharedCache()
   }
 
+  test("streaming bloom admission equals batch dedup_incremental_bloom after two-chunk replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_bloom").toString
+    val dir = s"$base/data"
+    val store = s"$base/bloom"
+    val corpus = Seq(
+      (10L, Some("established page one"), Some("srcA")),
+      (11L, Some("corpus only page"), Some("srcA")),
+      (40L, Some("null source established page"), None))
+    val delta = Seq(
+      (50L, Some("established page one"), Some("src19")), // dup of corpus 10 -> dropped
+      (51L, Some("null source established page"), Some("src19")), // dup of NULL-source 40 -> dropped
+      (52L, Some("fresh delta page alpha"), Some("src19")), // kept (earliest of pair)
+      (53L, Some("fresh delta page alpha"), Some("src19")), // intra-stream dup -> dropped
+      (54L, Some("unique delta page"), Some("src19")), // kept
+      (55L, None: Option[String], Some("src19")), // NULL text: kept
+      (56L, None: Option[String], Some("src19"))) // second NULL text: kept too (batch rule)
+    (corpus ++ delta)
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", coalesce(length(col("text")), lit(0)))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = graft.operators.CorpusOps
+      .dedupIncrementalBloom(spark, dir, "src19", store)
+      .collect().map(_.toSeq).toSet
+    assert(batch.map(_.head) == Set(52L, 54L, 55L, 56L), s"unexpected batch baseline: $batch")
+    val bytes = graft.operators.BloomStore.readFilterBytes(spark, store)
+    val corpusH = graft.sources.Tables.documents(spark, dir)
+      .filter(!(col("source") <=> lit("src19")))
+      .filter(col("text").isNotNull)
+      .select(md5(col("text")).as("h"))
+      .distinct()
+    val baseTs = Timestamp.valueOf("2026-01-01 00:00:00")
+    val input = MemoryStream[(Long, String, String, String, Long, Timestamp)]
+    val rows = delta.zipWithIndex.map { case ((id, text, src), i) =>
+      (id, text.orNull, src.get, "en", text.map(_.length.toLong).getOrElse(0L),
+        new Timestamp(baseTs.getTime + i * 60000L))
+    }
+    val (chunk1, chunk2) = rows.splitAt(3)
+    val streamDf = input.toDF().toDF("doc_id", "text", "source", "lang", "n_chars", "ts")
+    val q = EventStreams.admitBloom(streamDf, bytes, corpusH)
+      .writeStream.format("memory").queryName("bloom_admit_out")
+      .outputMode("append").start()
+    input.addData(chunk1)
+    q.processAllAvailable()
+    input.addData(chunk2)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bloom_admit_out")
+      .select("doc_id", "lang", "source", "n_chars")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"bloom admission diverged:\nstream=$streamed\nbatch=$batch")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("streaming sessionize equals batch sessionize on bounded ordered input") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
