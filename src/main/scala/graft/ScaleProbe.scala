@@ -223,7 +223,19 @@ object ScaleProbe {
       "text_span_excise" -> (TextAnalysis.spanExcise _),
       "skew_probe_events" -> ((s: SparkSession, d: String) =>
         graft.operators.Analytics
-          .keyProbe(graft.sources.Tables.events(s, d), "user_id", "events.user_id")))
+          .keyProbe(graft.sources.Tables.events(s, d), "user_id", "events.user_id")),
+      // round-11 wave: the bloom gate (build = one corpus aggregation
+      // into fixed bits, probe = scan-local — expect linear with the
+      // store build as the dominant term since the probe path rebuilds
+      // per fresh dir), semantic dedup (within-cell quadratic risk, the
+      // ivfDedup shape one level up — assignments cache cleared per
+      // timing), the chunker (pure scan-side explode, the floor-reader),
+      // and the fertility census (one map-side-combined shuffle)
+      "dedup_incremental_bloom" -> ((s: SparkSession, d: String) =>
+        CorpusOps.dedupIncrementalBloom(s, d)),
+      "dedup_semantic" -> (graft.operators.Similarity.dedupSemantic _),
+      "text_chunk" -> (TextAnalysis.chunk _),
+      "text_fertility" -> (TextAnalysis.fertility _))
 
     def time(dir: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {
