@@ -84,6 +84,7 @@ object SparkEntry {
     "corpus_pack_rows" -> Seq(col("seq_id")),
     "emb_pq" -> Seq(col("vec_id")),
     "train_seq_bounds" -> Seq(col("seq_id"), col("start_off")),
+    "train_curriculum" -> Seq(col("seq_id")),
     "train_epoch_plan" -> Seq(col("epoch"), col("shard"), col("position")),
     // dedup (full pair/verdict frames; top-k dedup queries keep their
     // inline sort-then-limit)

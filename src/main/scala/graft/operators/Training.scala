@@ -480,9 +480,93 @@ SELECT split, CAST(gpos // 2048 AS BIGINT) AS seq_id,
 FROM g GROUP BY 1, 2
 ORDER BY split, seq_id"""
 
+  /** Curriculum plan over the packed sequences — the ORDERING sibling of
+    * [[epochPlan]] (that one shuffles uniformly; this one answers "feed
+    * easy data first"): each sequence gets the TOKEN-WEIGHTED mean
+    * quality of its contributing documents (the [[seqBounds]] fragment
+    * stage joined to text_quality's score — one fragment definition,
+    * the views cannot drift) and an exact NTILE(3) curriculum phase
+    * over (mean quality, seq_id): phase 1 = the lowest-quality third …
+    * phase 3 = the highest (a trainer feeds 3→1 for easy-first, 1→3
+    * for hard-first mining; the plan is the deterministic artifact
+    * either way).
+    *
+    * Exactness: per-doc scores quantized to FLOOR(score·10⁶) micro
+    * units (both engines derive the identical double first — the
+    * already-oracled quality expression — so the floor is identical),
+    * weighted mean = Σ(frag_tokens·q_u) DIV Σ frag_tokens in pure
+    * integers, and the phase is [[Scale.globalRank]]'s two-phase exact
+    * rank pushed through the NTILE remainder arithmetic (win_ntile's
+    * move) — never a corpus-wide single-task window; DuckDB replays it
+    * as literal NTILE(3).
+    *
+    * Scale shape: seqBounds' prefix-sum + explode (no post-prefix
+    * shuffle), one (seq_id) aggregation, the bucketed ranker's bounded
+    * windows; output ∝ sequences (presentation order at dump time). */
+  def curriculum(s: SparkSession, dir: String): DataFrame = {
+    val q = graft.operators.TextAnalysis
+      .quality(s, dir)
+      .select(col("doc_id"), floor(col("quality_score") * 1000000).cast("long").as("q_u"))
+    val scored = seqBounds(s, dir)
+      .join(q, "doc_id")
+      .groupBy("seq_id")
+      .agg(
+        sum(col("n_toks")).as("n_toks"),
+        sum(col("n_toks") * col("q_u")).as("num"))
+      .select(col("seq_id"), col("n_toks"), expr("num DIV n_toks").as("mean_q_u"))
+    graft.operators.Scale
+      .globalRank(scored, Seq.empty, col("mean_q_u"), Seq(col("mean_q_u"), col("seq_id")))
+      .withColumn(
+        "phase",
+        expr("""CASE WHEN __rn <= (__n % 3) * (__n DIV 3 + 1)
+                     THEN (__rn - 1) DIV (__n DIV 3 + 1) + 1
+                     ELSE (__n % 3) + (__rn - (__n % 3) * (__n DIV 3 + 1) - 1) DIV (__n DIV 3) + 1
+                END""").cast("int"))
+      .select(col("seq_id"), col("n_toks"), col("mean_q_u"), col("phase"))
+  }
+
+  val curriculumSql: String =
+    """WITH t AS (
+         SELECT doc_id, len(string_split(text, ' ')) AS n
+         FROM documents WHERE LENGTH(TRIM(text)) > 0),
+       c AS (
+         SELECT doc_id, n,
+                COALESCE(SUM(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ex
+         FROM t),
+       f AS (SELECT doc_id, ex, n,
+                    UNNEST(generate_series(CAST(ex // 2048 AS BIGINT),
+                                           CAST((ex + n - 1) // 2048 AS BIGINT))) AS seq_id
+             FROM c),
+       frag AS (
+         SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+                CAST(LEAST((seq_id + 1) * 2048, ex + n) - GREATEST(seq_id * 2048, ex) AS BIGINT)
+                  AS n_toks
+         FROM f),
+       d AS (SELECT * FROM documents WHERE LENGTH(TRIM(text)) > 0),
+       toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM d),
+       div AS (SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct
+               FROM toks GROUP BY doc_id),
+       q AS (
+         SELECT d.doc_id,
+                CAST(FLOOR(ROUND(n_distinct / CAST(n_tokens AS DOUBLE) * 0.5 +
+                      CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 0.5 ELSE 0.0 END, 4)
+                      * 1000000) AS BIGINT) AS q_u
+         FROM d JOIN div USING (doc_id)),
+       sc AS (
+         SELECT seq_id, SUM(n_toks) AS n_toks, SUM(n_toks * q_u) AS num
+         FROM frag JOIN q USING (doc_id)
+         GROUP BY seq_id),
+       m AS (SELECT seq_id, n_toks, num // n_toks AS mean_q_u FROM sc)
+       SELECT seq_id, n_toks, mean_q_u,
+              CAST(NTILE(3) OVER (ORDER BY mean_q_u, seq_id) AS INT) AS phase
+       FROM m
+       ORDER BY seq_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "train_seq_bounds" -> (seqBounds _),
     "train_epoch_plan" -> (epochPlan _),
+    "train_curriculum" -> (curriculum _),
     "text_tokenize_ids" -> (tokenizeIds _),
     "corpus_pack_rows" -> (packRows _),
     "train_pack_ids" -> (packIds _))
@@ -490,6 +574,7 @@ ORDER BY split, seq_id"""
   val oracles: Map[String, String] = Map(
     "train_seq_bounds" -> seqBoundsSql,
     "train_epoch_plan" -> epochPlanSql,
+    "train_curriculum" -> curriculumSql,
     "corpus_pack_rows" -> packRowsSql,
     "text_tokenize_ids" -> tokenizeIdsSql,
     "train_pack_ids" -> packIdsSql)

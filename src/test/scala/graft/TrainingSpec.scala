@@ -244,4 +244,36 @@ class TrainingSpec extends GraftSpecBase {
     assert(spark.read.parquet(s"$dir/export").count() ==
       Training.packIds(spark, sfDir).count())
   }
+
+  test("curriculum: NTILE balance, monotone phase boundaries, covers every sequence") {
+    val out = Training.curriculum(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // every packed sequence id gets exactly one phase row
+    val seqIds = Training.seqBounds(spark, sfDir)
+      .select("seq_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet == seqIds && out.length == seqIds.size,
+      "curriculum rows must cover the sequence set exactly once")
+    // NTILE(3) balance: group sizes differ by at most one, phases 1..3
+    val sizes = out.groupBy(_._4).map { case (k, v) => k -> v.length }
+    assert(sizes.keySet.subsetOf(Set(1, 2, 3)), s"phases out of range: $sizes")
+    assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced tiles: $sizes")
+    // phases are monotone in (mean quality, seq_id): sorting by the rank
+    // key must yield phase 1 block, then 2, then 3
+    val ordered = out.sortBy(r => (r._3, r._1)).map(_._4)
+    assert(ordered.zip(ordered.drop(1)).forall { case (a, b) => a <= b },
+      "phase assignment not monotone in the rank order")
+    // the weighted mean is genuinely token-weighted: recompute one
+    // sequence by hand from fragments + quality
+    val q = TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), floor(col("quality_score") * 1000000).cast("long").as("qu"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val frags = Training.seqBounds(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val someSeq = out.head._1
+    val fs = frags.filter(_._1 == someSeq)
+    val num = fs.map { case (_, d, n) => n * q(d) }.sum
+    val den = fs.map(_._3).sum
+    val expect = out.find(_._1 == someSeq).get
+    assert(expect._2 == den && expect._3 == num / den, s"weighted mean mismatch for seq $someSeq")
+  }
 }
