@@ -224,10 +224,13 @@ object ScaleProbe {
       "skew_probe_events" -> ((s: SparkSession, d: String) =>
         graft.operators.Analytics
           .keyProbe(graft.sources.Tables.events(s, d), "user_id", "events.user_id")),
-      // round-11 wave: the bloom gate (build = one corpus aggregation
-      // into fixed bits, probe = scan-local — expect linear with the
-      // store build as the dominant term since the probe path rebuilds
-      // per fresh dir), semantic dedup (within-cell quadratic risk, the
+      // round-11 wave: the bloom gate — NOTE what min-of-2 measures
+      // here: the FIRST call builds the persistent BloomStore for the
+      // dir, the second serves it warm, so the published number is the
+      // WARM gate+verify path (the steady per-crawl cost); the build
+      // scan amortizes across the store's lifetime and is deliberately
+      // excluded, like the other store-backed probes. Semantic dedup
+      // (within-cell quadratic risk, the
       // ivfDedup shape one level up — assignments cache cleared per
       // timing), the chunker (pure scan-side explode, the floor-reader),
       // and the fertility census (one map-side-combined shuffle)

@@ -201,6 +201,17 @@ object Scale {
     * counts frame, broadcast join back. Requires a deterministic,
     * value-monotone, non-null `__bkt` column (both bucketing modes above
     * guarantee it). */
+  /** Exact NTILE(k) over [[globalRank]]'s (__rn, __n) outputs as a SQL
+    * CASE (standard semantics: the first __n mod k tiles get
+    * ceil(__n/k) rows) — ONE definition shared by every consumer
+    * (win_ntile's quartiles, train_curriculum's phases) so the
+    * remainder arithmetic can never fork between sites. */
+  private[operators] def ntileExpr(k: Int): String =
+    s"""CASE WHEN __rn <= (__n % $k) * (__n DIV $k + 1)
+             THEN (__rn - 1) DIV (__n DIV $k + 1) + 1
+             ELSE (__n % $k) + (__rn - (__n % $k) * (__n DIV $k + 1) - 1) DIV (__n DIV $k) + 1
+        END"""
+
   private def rankWithBuckets(
       withBkt: DataFrame,
       partCols: Seq[String],

@@ -134,20 +134,29 @@ object TextAnalysis {
           4).as("quality_score"))
   }
 
+  /** The d/toks/div CTE chain + the score expression — ONE SQL
+    * definition of "quality" shared by [[qualitySql]] and
+    * [[Training.curriculumSql]] so the oracles cannot drift. */
+  private[operators] val qualityCtesSql: String =
+    """d AS (SELECT * FROM documents WHERE LENGTH(TRIM(text)) > 0),
+       toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM d),
+       div AS (SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct
+               FROM toks GROUP BY doc_id)"""
+
+  private[operators] val qualityScoreSql: String =
+    """ROUND(n_distinct / CAST(n_tokens AS DOUBLE) * 0.5 +
+             CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 0.5 ELSE 0.0 END, 4)"""
+
   val qualitySql: String = {
     val stop = Seq("the", "a", "of", "and")
       .map(w => countOccSql("(' ' || text || ' ')", s" $w "))
       .mkString("CAST(", " + ", " AS BIGINT)")
-    s"""WITH d AS (SELECT * FROM documents WHERE LENGTH(TRIM(text)) > 0),
-       toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM d),
-       div AS (SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct
-               FROM toks GROUP BY doc_id),
+    s"""WITH $qualityCtesSql,
        base AS (SELECT doc_id, n_chars, $stop AS stop_hits FROM d)
        SELECT b.doc_id, n_tokens, n_distinct,
               ROUND(n_distinct / CAST(n_tokens AS DOUBLE), 4) AS ttr,
               ROUND(stop_hits / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
-              ROUND(n_distinct / CAST(n_tokens AS DOUBLE) * 0.5 +
-                    CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 0.5 ELSE 0.0 END, 4) AS quality_score
+              $qualityScoreSql AS quality_score
        FROM base b JOIN div USING (doc_id)
        ORDER BY doc_id"""
   }
@@ -177,6 +186,11 @@ object TextAnalysis {
     * budget token costs per document. Pure narrow map — regex matching at
     * scan speed, identical leftmost-match semantics in Java regex and
     * DuckDB's RE2 for this alternation. */
+  /** The BPE-ish pre-tokenization class — ONE definition across the
+    * family (tokensBpe per-doc census, fertility per-language rollup,
+    * and both oracles interpolate it). */
+  private[operators] val BpeTokenClass = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
   def tokensBpe(s: SparkSession, dir: String): DataFrame = {
     def nMatches(c: Column, pat: String): Column =
       size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
@@ -184,7 +198,7 @@ object TextAnalysis {
       .documents(s, dir)
       .select(
         col("doc_id"),
-        nMatches(col("text"), "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]").as("n_tokens"),
+        nMatches(col("text"), BpeTokenClass).as("n_tokens"),
         nMatches(col("text"), "[A-Za-z]+").as("n_alpha"),
         nMatches(col("text"), "[0-9]+").as("n_digit"),
         nMatches(col("text"), "[^A-Za-z0-9 ]").as("n_mark"),
@@ -195,14 +209,14 @@ object TextAnalysis {
   }
 
   val tokensBpeSql: String =
-    """SELECT doc_id,
-              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_tokens,
+    s"""SELECT doc_id,
+              len(regexp_extract_all(text, '$BpeTokenClass')) AS n_tokens,
               len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha,
               len(regexp_extract_all(text, '[0-9]+')) AS n_digit,
               len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_mark,
               CAST(LENGTH(text) AS BIGINT) AS n_chars,
-              CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) > 0
-                   THEN ROUND(LENGTH(text) / CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS DOUBLE), 4)
+              CASE WHEN len(regexp_extract_all(text, '$BpeTokenClass')) > 0
+                   THEN ROUND(LENGTH(text) / CAST(len(regexp_extract_all(text, '$BpeTokenClass')) AS DOUBLE), 4)
               END AS chars_per_token
        FROM documents
        ORDER BY doc_id"""
@@ -234,7 +248,7 @@ object TextAnalysis {
       .select(
         coalesce(col("lang"), lit("(none)")).as("lang"),
         words.as("w"),
-        nMatches(col("text"), "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]").as("t"),
+        nMatches(col("text"), BpeTokenClass).as("t"),
         length(col("text")).cast("long").as("c"))
       .groupBy("lang")
       .agg(
@@ -252,12 +266,12 @@ object TextAnalysis {
   }
 
   val fertilitySql: String =
-    """WITH d AS (
+    s"""WITH d AS (
          SELECT COALESCE(lang, '(none)') AS lang,
                 CASE WHEN length(trim(text)) > 0
                      THEN len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' '))
                      ELSE 0 END AS w,
-                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS t,
+                len(regexp_extract_all(text, '$BpeTokenClass')) AS t,
                 CAST(LENGTH(text) AS BIGINT) AS c
          FROM documents)
        SELECT lang, COUNT(*) AS n_docs,

@@ -339,8 +339,12 @@ object Training {
         size(col("frag")).cast("long").as("n_toks"))
   }
 
-  val seqBoundsSql: String =
-    """WITH t AS (
+  /** The t/c/f/frag CTE chain — ONE SQL definition of the sequence
+    * fragment tiling (2048-token grid over the doc_id-order prefix sum)
+    * shared by [[seqBoundsSql]] and [[curriculumSql]] so the two
+    * oracles replay the SAME fragments by construction. */
+  private[operators] val seqFragCtesSql: String =
+    """t AS (
          SELECT doc_id, len(string_split(text, ' ')) AS n
          FROM documents WHERE LENGTH(TRIM(text)) > 0),
        c AS (
@@ -351,12 +355,18 @@ object Training {
        f AS (SELECT doc_id, ex, n,
                     UNNEST(generate_series(CAST(ex // 2048 AS BIGINT),
                                            CAST((ex + n - 1) // 2048 AS BIGINT))) AS seq_id
-             FROM c)
-       SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
-              CAST(GREATEST(seq_id * 2048, ex) - seq_id * 2048 AS BIGINT) AS start_off,
-              CAST(LEAST((seq_id + 1) * 2048, ex + n) - GREATEST(seq_id * 2048, ex) AS BIGINT)
-                AS n_toks
-       FROM f
+             FROM c),
+       frag AS (
+         SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+                CAST(GREATEST(seq_id * 2048, ex) - seq_id * 2048 AS BIGINT) AS start_off,
+                CAST(LEAST((seq_id + 1) * 2048, ex + n) - GREATEST(seq_id * 2048, ex) AS BIGINT)
+                  AS n_toks
+         FROM f)"""
+
+  val seqBoundsSql: String =
+    s"""WITH $seqFragCtesSql
+       SELECT seq_id, doc_id, start_off, n_toks
+       FROM frag
        ORDER BY seq_id, start_off"""
 
   /** Deterministic EPOCH SHUFFLE PLAN over the packed sequences — the
@@ -514,43 +524,30 @@ ORDER BY split, seq_id"""
         sum(col("n_toks")).as("n_toks"),
         sum(col("n_toks") * col("q_u")).as("num"))
       .select(col("seq_id"), col("n_toks"), expr("num DIV n_toks").as("mean_q_u"))
+    // bounds are STATIC — q_u ∈ [0, 10⁶] by the score's [0,1] range —
+    // so a 2-row literal frame replaces globalRank's lazy min/max
+    // subquery, which would re-execute the whole scored lineage
+    // (prefix sum + explode + quality join) a second time (epochPlan's
+    // hnumBounds lesson, the ntileQuartiles boundsOf move)
+    import s.implicits._
+    val bounds = Seq(0L, 1000000L).toDF("mean_q_u")
     graft.operators.Scale
-      .globalRank(scored, Seq.empty, col("mean_q_u"), Seq(col("mean_q_u"), col("seq_id")))
-      .withColumn(
-        "phase",
-        expr("""CASE WHEN __rn <= (__n % 3) * (__n DIV 3 + 1)
-                     THEN (__rn - 1) DIV (__n DIV 3 + 1) + 1
-                     ELSE (__n % 3) + (__rn - (__n % 3) * (__n DIV 3 + 1) - 1) DIV (__n DIV 3) + 1
-                END""").cast("int"))
+      .globalRank(
+        scored,
+        Seq.empty,
+        col("mean_q_u"),
+        Seq(col("mean_q_u"), col("seq_id")),
+        boundsOf = Some(bounds))
+      .withColumn("phase", expr(graft.operators.Scale.ntileExpr(3)).cast("int"))
       .select(col("seq_id"), col("n_toks"), col("mean_q_u"), col("phase"))
   }
 
   val curriculumSql: String =
-    """WITH t AS (
-         SELECT doc_id, len(string_split(text, ' ')) AS n
-         FROM documents WHERE LENGTH(TRIM(text)) > 0),
-       c AS (
-         SELECT doc_id, n,
-                COALESCE(SUM(n) OVER (ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ex
-         FROM t),
-       f AS (SELECT doc_id, ex, n,
-                    UNNEST(generate_series(CAST(ex // 2048 AS BIGINT),
-                                           CAST((ex + n - 1) // 2048 AS BIGINT))) AS seq_id
-             FROM c),
-       frag AS (
-         SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
-                CAST(LEAST((seq_id + 1) * 2048, ex + n) - GREATEST(seq_id * 2048, ex) AS BIGINT)
-                  AS n_toks
-         FROM f),
-       d AS (SELECT * FROM documents WHERE LENGTH(TRIM(text)) > 0),
-       toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM d),
-       div AS (SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct
-               FROM toks GROUP BY doc_id),
+    s"""WITH $seqFragCtesSql,
+       ${graft.operators.TextAnalysis.qualityCtesSql},
        q AS (
          SELECT d.doc_id,
-                CAST(FLOOR(ROUND(n_distinct / CAST(n_tokens AS DOUBLE) * 0.5 +
-                      CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 0.5 ELSE 0.0 END, 4)
+                CAST(FLOOR(${graft.operators.TextAnalysis.qualityScoreSql}
                       * 1000000) AS BIGINT) AS q_u
          FROM d JOIN div USING (doc_id)),
        sc AS (

@@ -634,12 +634,7 @@ object Windows {
         boundsOf = Some(
           o.filter(col("o_totalprice").isNotNull)
             .select(floor(col("o_totalprice") * 100).cast("long").as("cents"))))
-      .withColumn(
-        "quartile",
-        expr("""CASE WHEN __rn <= (__n % 4) * (__n DIV 4 + 1)
-                     THEN (__rn - 1) DIV (__n DIV 4 + 1) + 1
-                     ELSE (__n % 4) + (__rn - (__n % 4) * (__n DIV 4 + 1) - 1) DIV (__n DIV 4) + 1
-                END""").cast("int"))
+      .withColumn("quartile", expr(Scale.ntileExpr(4)).cast("int"))
       .groupBy("mktsegment", "quartile")
       .agg(
         count(lit(1)).as("n_orders"),
