@@ -136,6 +136,63 @@ class StreamingSpec extends GraftSpecBase {
       s"restart lost or re-admitted state: kept=$kept (want 1, 2, 5)")
   }
 
+  test("bloom admission state survives a checkpoint restart (no re-admitted dups)") {
+    import spark.implicits._
+    // the twin's only STATE is the intra-stream dedup store; the bloom
+    // bits are a plan literal and the corpus hash frame is static — a
+    // restart must recover the dedup store and keep the literal gate
+    val root = java.nio.file.Files.createTempDirectory("graft_bloom_restart").toString
+    val dir = s"$root/data"
+    val store = s"$root/bloom"
+    val srcDir = s"$root/src"
+    Seq((10L, "established corpus page", Some("srcA")))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    graft.operators.BloomStore.build(spark, dir, store, "src19")
+    val bytes = graft.operators.BloomStore.readFilterBytes(spark, store)
+    val corpusH = graft.sources.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(md5(col("text")).as("h")).distinct()
+    val base = Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(mins: Int) = new Timestamp(base.getTime + mins * 60000L)
+    def writeChunk(rows: Seq[(Long, String, Timestamp)]): Unit =
+      rows.toDF("doc_id", "text", "ts")
+        .withColumn("source", lit("src19"))
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    writeChunk(Seq(
+      (50L, "established corpus page", at(0)), // corpus dup -> dropped (bloom + verify)
+      (51L, "fresh batch page", at(1)),
+      (52L, "fresh batch page", at(2)))) // intra-stream dup of 51 -> dropped
+    val schema = spark.read.parquet(srcDir).schema
+    def start() = EventStreams
+      .admitBloom(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir),
+        bytes,
+        corpusH)
+      .writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/chk")
+      .outputMode("append").start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    // restart: 53 repeats 51's content and must be suppressed from
+    // RECOVERED dedup state; 54 repeats the corpus and must still hit
+    // the literal bloom gate + verify in the new incarnation
+    writeChunk(Seq(
+      (53L, "fresh batch page", at(3)),
+      (54L, "established corpus page", at(4)),
+      (55L, "post restart unique", at(5))))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val kept = spark.read.parquet(s"$root/out").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(51L, 55L),
+      s"restart lost or re-admitted state: kept=$kept (want 51, 55)")
+  }
+
   test("streaming heavy hitters equals batch top-20 after full replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
