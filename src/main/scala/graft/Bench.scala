@@ -132,7 +132,7 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val storeBacked = Seq("dedup_incremental_idx", "corpus_profile", "text_search_idx",
-        "ann_ivf_idx", "ann_ivfpq_idx")
+        "ann_ivf_idx", "ann_ivfpq_idx", "ann_lsh_idx", "dedup_incremental_bloom")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"")
       .mkString("[", ",", "]")

@@ -47,11 +47,11 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
-  /** v2 adds the PQ artifacts (pqcodes/pqcodebook) to the store — a v1
-    * store is stale-by-version and rebuilds, never serves the IVF-ADC
-    * path with missing bodies. */
+  /** v2 added the PQ artifacts (pqcodes/pqcodebook); v3 adds the LSH
+    * bucket body (lshbuckets) — an older store is stale-by-version and
+    * rebuilds, never serves a warm path with missing bodies. */
   private[operators] def formatVersion(s: SparkSession): String =
-    s"v2:ivf16:pq8x16:d${Similarity.embDim(s)}"
+    s"v3:ivf16:pq8x16:lsh6x4:d${Similarity.embDim(s)}"
 
   private[operators] def stamp(dir: String): String =
     PipelineCache.sourceStamp(dir, "embeddings.parquet")
@@ -129,6 +129,17 @@ object VectorIndex {
     pqCents
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/pqcodebook")
+    // LSH bucket body (v3): every vector's 6 table buckets, PARTITIONED
+    // BY (t, b) — 96 partitions — so a probe of a query batch's bucket
+    // set prunes unmatched buckets at the READER (the cell-partitioning
+    // move applied to the hash tables; a single-query serve reads 6 of
+    // 96 partitions). Bucket values are a pure function of qv (no
+    // learned state), which is what makes absorb's union exact.
+    assigned
+      .select(
+        col("vec_id"),
+        posexplode(call_function("graft_lsh_buckets", col("qv"))).as(Seq("t", "b")))
+      .write.mode("overwrite").partitionBy("t", "b").parquet(s"$path/lshbuckets")
     // meta follows the house convention (stamp, info, version) plus the
     // recorded batch exclusion ("" = none) so store_status reads all
     // four stores with one shape
@@ -248,6 +259,21 @@ object VectorIndex {
         .write.mode("overwrite").parquet(s"$path/qsample_new")
       newCodes.write.mode("overwrite").partitionBy("cell").parquet(s"$path/pqcodes_new")
       mergedPq.coalesce(1).write.mode("overwrite").parquet(s"$path/pqcodebook_new")
+      // LSH buckets: old rows + the delta's — bucket values depend only
+      // on qv, so the union is row-identical to a rebuild's derivation
+      val oldLsh =
+        try graft.sources.Tables.stableParquet(s, s"$path/lshbuckets")
+          .select(col("vec_id"), col("t").cast("int").as("t"), col("b").cast("int").as("b"))
+        catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            s.emptyDataset[(Long, Int, Int)].toDF("vec_id", "t", "b")
+        }
+      oldLsh
+        .unionByName(
+          delta.select(
+            col("vec_id"),
+            posexplode(call_function("graft_lsh_buckets", col("qv"))).as(Seq("t", "b"))))
+        .write.mode("overwrite").partitionBy("t", "b").parquet(s"$path/lshbuckets_new")
     } finally
       Seq(reassigned, allVecs, mergedCb, mergedPq).foreach(_.unpersist(blocking = false))
     def swap(name: String): Unit = {
@@ -257,7 +283,7 @@ object VectorIndex {
       if (!fs.rename(next, live))
         throw new java.io.IOException(s"absorb: rename $next -> $live failed")
     }
-    Seq("vectors", "codebook", "qsample", "pqcodes", "pqcodebook").foreach(swap)
+    Seq("vectors", "codebook", "qsample", "pqcodes", "pqcodebook", "lshbuckets").foreach(swap)
     GramIndex.writeMeta(
       s, path,
       Seq(stamp(dir), "k=16", formatVersion(s), newFrom.toString).mkString("\n"))
@@ -337,6 +363,69 @@ object VectorIndex {
     }
   }
 
+  /** [[Similarity.annLsh]]'s exact contract served from the store (same
+    * bucket formula, same candidate union, same rescore, SAME oracle)
+    * with ZERO embeddings scans when fresh: query buckets come from the
+    * stored qsample through the same native kernel, the probed (t, b)
+    * set collapses to an eager literal predicate on the PARTITION
+    * columns (≤ 96 values — one driver fetch of the bounded query-bucket
+    * frame), so candidate reads prune unmatched hash-table partitions
+    * at the reader, and rescoring joins the store's own slim vectors
+    * body — the source table is never touched. */
+  def annLshIndexed(s: SparkSession, dir: String, path: String): DataFrame = {
+    if (!isFresh(s, dir, path)) build(s, dir, path)
+    val qf =
+      try graft.sources.Tables.stableParquet(s, s"$path/qsample")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          import s.implicits._
+          s.emptyDataset[(Long, Array[Long], Long)].toDF("query_id", "qv", "nq")
+      }
+    val queryBuckets = qf
+      .select(
+        col("query_id"),
+        posexplode(call_function("graft_lsh_buckets", col("qv"))).as(Seq("t", "b")))
+    // eager literal on the PARTITION columns: the probed bucket set is
+    // bounded by the 6×16 domain, so one driver fetch turns the read
+    // into reader-level partition pruning (the ann_ivf_idx move)
+    val probed = queryBuckets.select((col("t") * 16 + col("b")).cast("long").as("tb"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (probed.isEmpty) {
+      import s.implicits._
+      s.emptyDataset[(Long, Long, Double, Int)]
+        .toDF("query_id", "neighbor_id", "cos_sim", "rk")
+    } else {
+      val cand = graft.sources.Tables
+        .stableParquet(s, s"$path/lshbuckets")
+        .filter((col("t") * 16 + col("b")).cast("long").isin(probed.map(Long.box): _*))
+        .join(broadcast(queryBuckets), Seq("t", "b"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+      cand
+        .join(
+          graft.sources.Tables.stableParquet(s, s"$path/vectors")
+            .select(col("vec_id"), col("qv"), col("nq")),
+          "vec_id")
+        .join(
+          broadcast(qf.select(
+            col("query_id"), col("qv").as("query_qv"), col("nq").as("query_nq"))),
+          "query_id")
+        .withColumn(
+          "cos_sim",
+          graft.functions.VectorOps.cosine(
+            col("qv"), col("nq"), col("query_qv"), col("query_nq")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(
+          col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("cos_sim"), 4).as("cos_sim"), col("rk"))
+        .orderBy("query_id", "rk")
+    }
+  }
+
   /** The probe frame is consumed twice (cell literal + rescore join) —
     * stamp-cached so the second consumer reads ≤ 4·|queries| cached rows
     * instead of re-scoring the sample ([[PipelineCache]]'s contract:
@@ -370,12 +459,14 @@ object VectorIndex {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_idx" -> ((s, d) => annIndexed(s, d, defaultPath(s, d))),
-    "ann_ivfpq_idx" -> ((s, d) => annIvfPqIndexed(s, d, defaultPath(s, d))))
+    "ann_ivfpq_idx" -> ((s, d) => annIvfPqIndexed(s, d, defaultPath(s, d))),
+    "ann_lsh_idx" -> ((s, d) => annLshIndexed(s, d, defaultPath(s, d))))
 
   /** Identical contracts → identical oracles (the [[TextIndex]]
     * convention): the store paths answer the scan-time operators'
     * DuckDB replays hash-equal, not approximately. */
   val oracles: Map[String, String] = Map(
     "ann_ivf_idx" -> Similarity.annIvfSql,
-    "ann_ivfpq_idx" -> Similarity.annIvfPqSql)
+    "ann_ivfpq_idx" -> Similarity.annIvfPqSql,
+    "ann_lsh_idx" -> Similarity.annLshSql)
 }

@@ -58,6 +58,40 @@ class VectorIndexSpec extends GraftSpecBase {
     }
   }
 
+  test("ann_lsh_idx answers row-identically to the scan-time ann_lsh_topk") {
+    withStore { path =>
+      val idx = VectorIndex.annLshIndexed(spark, sfDir, path).collect().toSeq
+      val scan = Similarity.annLsh(spark, sfDir).collect().toSeq
+      assert(idx == scan,
+        s"indexed LSH diverged from scan-time LSH (${idx.size} vs ${scan.size} rows)")
+    }
+  }
+
+  test("warm LSH path plans zero embeddings scans and prunes hash-table partitions") {
+    withStore { path =>
+      VectorIndex.build(spark, sfDir, path)
+      graft.operators.PipelineCache.clear()
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = VectorIndex.annLshIndexed(spark, sfDir, path)
+        val plan = df.queryExecution.executedPlan
+        val s = plan.toString
+        assert(!s.contains("embeddings.parquet"), s"warm LSH path must not touch the corpus:\n$s")
+        val lshScans = plan.collect {
+          case f: FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.contains("/lshbuckets")) =>
+            f
+        }
+        assert(lshScans.nonEmpty, s"expected a store lshbuckets scan in:\n$s")
+        // the probed-bucket literal must reach the scan as a partition filter
+        assert(lshScans.forall(f => f.toString.contains("PartitionFilters: [((t")
+            && f.toString.contains("INSET")),
+          s"bucket literal did not become a partition filter:\n${lshScans.mkString("\n")}")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+  }
+
   test("warm IVF-ADC path plans zero embeddings scans and prunes pqcodes cells at the reader") {
     withStore { path =>
       VectorIndex.build(spark, sfDir, path)
@@ -135,7 +169,7 @@ class VectorIndexSpec extends GraftSpecBase {
       assert(VectorIndex.isFresh(spark, sfDir, s"$tmp/idxA", Some(1000L)),
         "absorb did not re-bind")
       VectorIndex.build(spark, sfDir, s"$tmp/idxB", Some(1000L))
-      for (body <- Seq("vectors", "codebook", "qsample", "pqcodes", "pqcodebook"))
+      for (body <- Seq("vectors", "codebook", "qsample", "pqcodes", "pqcodebook", "lshbuckets"))
         assert(rows(s"$tmp/idxA", body) == rows(s"$tmp/idxB", body),
           s"absorbed $body diverges from a rebuild")
       // wrong oldFrom = stale base — loud, never a silent wrong merge
