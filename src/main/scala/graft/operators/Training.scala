@@ -551,10 +551,12 @@ ORDER BY split, seq_id"""
                       * 1000000) AS BIGINT) AS q_u
          FROM d JOIN div USING (doc_id)),
        sc AS (
-         SELECT seq_id, SUM(n_toks) AS n_toks, SUM(n_toks * q_u) AS num
+         SELECT seq_id, CAST(SUM(n_toks) AS BIGINT) AS n_toks,
+                CAST(SUM(n_toks * q_u) AS BIGINT) AS num
          FROM frag JOIN q USING (doc_id)
          GROUP BY seq_id),
-       m AS (SELECT seq_id, n_toks, num // n_toks AS mean_q_u FROM sc)
+       m AS (SELECT seq_id, n_toks,
+                    CAST(num // n_toks AS BIGINT) AS mean_q_u FROM sc)
        SELECT seq_id, n_toks, mean_q_u,
               CAST(NTILE(3) OVER (ORDER BY mean_q_u, seq_id) AS INT) AS phase
        FROM m
