@@ -1464,7 +1464,79 @@ object Similarity {
        ORDER BY query_id, rk"""
   }
 
+  /** Recall@5 of every approximate ANN method against the exact
+    * brute-force anchor — retrieval EVALUATION as a first-class engine
+    * op, so an operator choosing between LSH / IVF / PQ / IVF-ADC for a
+    * corpus can measure the recall trade inside the same engine (and
+    * the same oracle discipline) the methods themselves run under,
+    * instead of exporting result sets to an offline notebook.
+    *
+    * hits(m) = |top5_m ∩ top5_brute| over the (query_id, neighbor_id)
+    * pair sets; recall_u = hits·10⁶ DIV n_pairs stays integer-exact
+    * cross-engine (NULL, not an error, for an empty query sample). A
+    * method absent from the intersection still reports its zero row —
+    * the 4-method frame is a literal, so "LSH found nothing" is a fact
+    * in the result, not a missing line.
+    *
+    * Scale: eval cost is dominated by the declared all-pairs brute
+    * anchor (annBrute's scaladoc names its bucketed stand-ins) — at
+    * 100 TB this runs over the same bounded query SAMPLE the anchor
+    * already defines (vec_id % 100), never corpus × corpus. The brute
+    * pair set is consumed twice (intersection probe + n_pairs); the
+    * multi-consumer subtree rule applies, so it is stamp-cached
+    * (shared_cache) and both consumers read ≤ 5·|queries| cached rows.
+    * All four method frames and the pair set are bounded by 5·|queries|,
+    * so every join below broadcasts the bounded side. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val brutePairs = PipelineCache.cached("ann_recall_brute", s, dir, "embeddings.parquet") {
+      annBrute(s, dir).select("query_id", "neighbor_id")
+    }
+    val methods = Seq(
+      "ivf" -> (annIvf _), "ivfpq" -> (annIvfPq _),
+      "lsh" -> (annLsh _), "pq" -> (annPq _))
+    val tagged = methods
+      .map { case (m, f) =>
+        f(s, dir).select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+      }
+      .reduce(_ unionByName _)
+    val nPairs = brutePairs.agg(count(lit(1)).cast("long").as("n_pairs"))
+    methods.map(_._1).toDF("method")
+      .join(
+        tagged
+          .join(broadcast(brutePairs), Seq("query_id", "neighbor_id"))
+          .groupBy("method").agg(count(lit(1)).cast("long").as("hits")),
+        Seq("method"), "left")
+      .na.fill(0L, Seq("hits"))
+      .crossJoin(broadcast(nPairs))
+      .withColumn("recall_u",
+        expr("CAST(hits * 1000000L div nullif(n_pairs, 0L) AS BIGINT)"))
+      .select("method", "hits", "n_pairs", "recall_u")
+      .orderBy("method")
+  }
+
+  /** Exact SQL replay of [[annRecall]]: the four method replays and the
+    * brute replay composed as derived tables (each already bit-exact on
+    * its own), intersected and apportioned with the same integer µ-math. */
+  val annRecallSql: String =
+    s"""WITH b AS (SELECT query_id, neighbor_id FROM ($annBruteSql)),
+       m AS (
+         SELECT 'ivf' AS method, query_id, neighbor_id FROM ($annIvfSql)
+         UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM ($annIvfPqSql)
+         UNION ALL SELECT 'lsh', query_id, neighbor_id FROM ($annLshSql)
+         UNION ALL SELECT 'pq', query_id, neighbor_id FROM ($annPqSql)),
+       h AS (SELECT method, CAST(COUNT(*) AS BIGINT) AS hits
+             FROM m JOIN b USING (query_id, neighbor_id) GROUP BY method),
+       np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM b),
+       names(method) AS (VALUES ('ivf'), ('ivfpq'), ('lsh'), ('pq'))
+       SELECT names.method, COALESCE(hits, CAST(0 AS BIGINT)) AS hits, n_pairs,
+              CAST(COALESCE(hits, 0) * 1000000 // NULLIF(n_pairs, 0) AS BIGINT)
+                AS recall_u
+       FROM names LEFT JOIN h ON names.method = h.method CROSS JOIN np
+       ORDER BY names.method"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall" -> (annRecall _),
     "emb_pq" -> (embPq _),
     "ann_pq_topk" -> (annPq _),
     "ann_ivfpq_topk" -> (annIvfPq _),
@@ -1480,6 +1552,7 @@ object Similarity {
     "dedup_semantic" -> (dedupSemantic _))
 
   val oracles: Map[String, String] = Map(
+    "ann_recall" -> annRecallSql,
     "emb_pq" -> embPqSql,
     "ann_pq_topk" -> annPqSql,
     "ann_ivfpq_topk" -> annIvfPqSql,

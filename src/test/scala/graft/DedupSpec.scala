@@ -80,6 +80,28 @@ class DedupSpec extends GraftSpecBase {
     assert(hits * 100 >= total * 30, s"recall ${hits}/${total} below 30%")
   }
 
+  test("ann_recall reproduces a driver-side recomputation from the method outputs") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.annBrute(spark, sfDir))
+    val methods = Map(
+      "ivf" -> pairs(Similarity.annIvf(spark, sfDir)),
+      "ivfpq" -> pairs(Similarity.annIvfPq(spark, sfDir)),
+      "lsh" -> pairs(Similarity.annLsh(spark, sfDir)),
+      "pq" -> pairs(Similarity.annPq(spark, sfDir)))
+    val got = Similarity.annRecall(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == methods.keySet, s"method rows ${got.keySet}")
+    for ((m, ps) <- methods) {
+      val hits = (ps & brute).size.toLong
+      val expected = (hits, brute.size.toLong, hits * 1000000L / brute.size)
+      assert(got(m) == expected, s"$m: got ${got(m)}, recomputed $expected")
+    }
+    // the composition must agree with the long-standing 30%-LSH-recall bar
+    assert(got("lsh")._3 >= 300000L, s"lsh recall_u ${got("lsh")._3}")
+  }
+
   test("corpus_dedup keeps all minhash keepers and drops all condemned docs") {
     val kept = Dedup.corpusDedup(spark, sfDir).select("doc_id")
     val pairs = Dedup.minhash(spark, sfDir)
