@@ -123,9 +123,10 @@ object Bench {
       "minhash" -> Seq("corpus_dedup", "dedup_minhash"),
       "bpe_merge_table" -> Seq("text_bpe_train", "text_tokenize_ids", "train_pack_ids"),
       "spandup_grams" -> Seq("text_span_dup", "text_span_excise"),
-      "ivf_qsample" -> Seq("ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk"),
+      "ivf_qsample" -> Seq("ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk", "ann_recall"),
+      "lsh_qsample" -> Seq("ann_lsh_topk", "ann_recall"),
       "kmeans_assign" -> Seq("dedup_semantic", "emb_kmeans"),
-      "pq" -> Seq("ann_ivfpq_idx", "ann_ivfpq_topk", "ann_pq_topk", "emb_pq"),
+      "pq" -> Seq("ann_ivfpq_idx", "ann_ivfpq_topk", "ann_pq_topk", "ann_recall", "emb_pq"),
       "ivf_store_probes" -> Seq("ann_ivf_idx", "ann_ivfpq_idx"))
       .map { case (tag, qs) =>
         s"\"$tag\":" + qs.filter(SparkEntry.queries.contains).map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -196,11 +196,6 @@ object Scale {
     rankWithBuckets(bucketed, partCols, orderCols)
   }
 
-  /** Steps 2-3 of [[globalRank]]: local rank within (`__bkt`, partCols),
-    * per-bucket sizes from the ranked frame itself, offsets over the tiny
-    * counts frame, broadcast join back. Requires a deterministic,
-    * value-monotone, non-null `__bkt` column (both bucketing modes above
-    * guarantee it). */
   /** Exact NTILE(k) over [[globalRank]]'s (__rn, __n) outputs as a SQL
     * CASE (standard semantics: the first __n mod k tiles get
     * ceil(__n/k) rows) — ONE definition shared by every consumer
@@ -212,6 +207,11 @@ object Scale {
              ELSE (__n % $k) + (__rn - (__n % $k) * (__n DIV $k + 1) - 1) DIV (__n DIV $k) + 1
         END"""
 
+  /** Steps 2-3 of [[globalRank]]: local rank within (`__bkt`, partCols),
+    * per-bucket sizes from the ranked frame itself, offsets over the tiny
+    * counts frame, broadcast join back. Requires a deterministic,
+    * value-monotone, non-null `__bkt` column (both bucketing modes above
+    * guarantee it). */
   private def rankWithBuckets(
       withBkt: DataFrame,
       partCols: Seq[String],

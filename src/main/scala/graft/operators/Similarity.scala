@@ -280,29 +280,46 @@ object Similarity {
       corpus
         .filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("qv"), col("nq")))
-    val bucketed = corpus
-      .select(
-        col("vec_id"),
-        posexplode(call_function("graft_lsh_buckets", col("qv"))).as(Seq("t", "b")))
+    val bucketed = lshBucketPairs(corpus, "vec_id")
       .select(col("vec_id"), struct(col("t"), col("b")).as("tb"))
-    val queryBuckets = qf
-      .select(
-        col("query_id"),
-        posexplode(call_function("graft_lsh_buckets", col("qv"))).as(Seq("t", "b")))
+    val queryBuckets = lshBucketPairs(qf, "query_id")
       .select(col("query_id"), struct(col("t"), col("b")).as("tb"))
-    // candidate pairs carry only ids (same slim-shuffle pattern as minhash);
-    // a candidate colliding in several tables is deduped before scoring
-    val pairs = bucketed
-      .join(broadcast(queryBuckets), Seq("tb"))
+    lshRescore(lshCandidates(bucketed.join(broadcast(queryBuckets), Seq("tb"))), corpus, qf)
+  }
+
+  /** Every (table, bucket) pair for a frame's `qv` column — the ONE
+    * bucket derivation (native [[graft.functions.LshBuckets]] call +
+    * posexplode) shared by [[annLsh]], [[VectorIndex.build]]'s persisted
+    * hash-table body, absorb's delta, and the store's query probing, so
+    * the bucket formula cannot fork between the scan-time and store
+    * paths. */
+  private[operators] def lshBucketPairs(df: DataFrame, idCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      posexplode(call_function("graft_lsh_buckets", col("qv"))).as(Seq("t", "b")))
+
+  /** Candidate dedup over a bucket-equality join's output: drop
+    * self-matches, keep only ids (the slim-shuffle pattern minhash
+    * uses), dedup a candidate colliding in several tables before any
+    * scoring. */
+  private[operators] def lshCandidates(bucketJoined: DataFrame): DataFrame =
+    bucketJoined
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id")
       .distinct()
+
+  /** [[annLsh]]'s exact-rescore tail — shared verbatim by
+    * [[VectorIndex.annLshIndexed]] ("parity structural", the IVF warm
+    * path's discipline) so a future tie-break / rounding / cut edit
+    * cannot silently fork the two paths that answer the same oracle.
+    * The broadcast re-attach side is the bounded query frame —
+    * broadcasting the unfiltered vectors side would ship every vector
+    * to every executor and OOM the driver at scale. */
+  private[operators] def lshRescore(
+      pairs: DataFrame, vectors: DataFrame, qf: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
-    // the broadcast re-attach side is the cached query sample —
-    // broadcasting the unfiltered corpus here would ship every vector to
-    // every executor and OOM the driver at scale
     pairs
-      .join(corpus, "vec_id")
+      .join(vectors.select(col("vec_id"), col("qv"), col("nq")), "vec_id")
       .join(
         broadcast(
           qf.select(
@@ -1489,7 +1506,8 @@ object Similarity {
     * so every join below broadcasts the bounded side. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val brutePairs = PipelineCache.cached("ann_recall_brute", s, dir, "embeddings.parquet") {
+    val brutePairs = PipelineCache.cached(
+      s"ann_recall_brute_d${embDim(s)}", s, dir, "embeddings.parquet") {
       annBrute(s, dir).select("query_id", "neighbor_id")
     }
     val methods = Seq(

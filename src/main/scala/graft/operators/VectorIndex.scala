@@ -135,10 +135,7 @@ object VectorIndex {
     // move applied to the hash tables; a single-query serve reads 6 of
     // 96 partitions). Bucket values are a pure function of qv (no
     // learned state), which is what makes absorb's union exact.
-    assigned
-      .select(
-        col("vec_id"),
-        posexplode(call_function("graft_lsh_buckets", col("qv"))).as(Seq("t", "b")))
+    Similarity.lshBucketPairs(assigned, "vec_id")
       .write.mode("overwrite").partitionBy("t", "b").parquet(s"$path/lshbuckets")
     // meta follows the house convention (stamp, info, version) plus the
     // recorded batch exclusion ("" = none) so store_status reads all
@@ -269,10 +266,7 @@ object VectorIndex {
             s.emptyDataset[(Long, Int, Int)].toDF("vec_id", "t", "b")
         }
       oldLsh
-        .unionByName(
-          delta.select(
-            col("vec_id"),
-            posexplode(call_function("graft_lsh_buckets", col("qv"))).as(Seq("t", "b"))))
+        .unionByName(Similarity.lshBucketPairs(delta, "vec_id"))
         .write.mode("overwrite").partitionBy("t", "b").parquet(s"$path/lshbuckets_new")
     } finally
       Seq(reassigned, allVecs, mergedCb, mergedPq).foreach(_.unpersist(blocking = false))
@@ -381,10 +375,7 @@ object VectorIndex {
           import s.implicits._
           s.emptyDataset[(Long, Array[Long], Long)].toDF("query_id", "qv", "nq")
       }
-    val queryBuckets = qf
-      .select(
-        col("query_id"),
-        posexplode(call_function("graft_lsh_buckets", col("qv"))).as(Seq("t", "b")))
+    val queryBuckets = Similarity.lshBucketPairs(qf, "query_id")
     // eager literal on the PARTITION columns: the probed bucket set is
     // bounded by the 6×16 domain, so one driver fetch turns the read
     // into reader-level partition pruning (the ann_ivf_idx move)
@@ -395,34 +386,17 @@ object VectorIndex {
       s.emptyDataset[(Long, Long, Double, Int)]
         .toDF("query_id", "neighbor_id", "cos_sim", "rk")
     } else {
-      val cand = graft.sources.Tables
-        .stableParquet(s, s"$path/lshbuckets")
-        .filter((col("t") * 16 + col("b")).cast("long").isin(probed.map(Long.box): _*))
-        .join(broadcast(queryBuckets), Seq("t", "b"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select("query_id", "vec_id")
-        .distinct()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
-      cand
-        .join(
-          graft.sources.Tables.stableParquet(s, s"$path/vectors")
-            .select(col("vec_id"), col("qv"), col("nq")),
-          "vec_id")
-        .join(
-          broadcast(qf.select(
-            col("query_id"), col("qv").as("query_qv"), col("nq").as("query_nq"))),
-          "query_id")
-        .withColumn(
-          "cos_sim",
-          graft.functions.VectorOps.cosine(
-            col("qv"), col("nq"), col("query_qv"), col("query_nq")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(
-          col("query_id"), col("vec_id").as("neighbor_id"),
-          round(col("cos_sim"), 4).as("cos_sim"), col("rk"))
-        .orderBy("query_id", "rk")
+      // candidate build + exact rescore are [[Similarity]]'s own shared
+      // LSH stages ("parity structural" — the scan-time operator and
+      // this store path cannot drift), fed from the store's bodies
+      Similarity.lshRescore(
+        Similarity.lshCandidates(
+          graft.sources.Tables
+            .stableParquet(s, s"$path/lshbuckets")
+            .filter((col("t") * 16 + col("b")).cast("long").isin(probed.map(Long.box): _*))
+            .join(broadcast(queryBuckets), Seq("t", "b"))),
+        graft.sources.Tables.stableParquet(s, s"$path/vectors"),
+        qf)
     }
   }
 
