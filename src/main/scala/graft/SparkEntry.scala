@@ -49,6 +49,7 @@ object SparkEntry {
     "ts_gapfill" -> Seq(col("user_id"), col("day_us")),
     "ts_interpolate" -> Seq(col("user_id"), col("day_us")),
     "ts_twap" -> Seq(col("user_id")),
+    "ts_trend" -> Seq(col("user_id")),
     "ts_features" -> Seq(col("user_id"), col("dayno")),
     "ts_ohlc" -> Seq(col("day_us"), col("event_type")),
     "ts_active_users" -> Seq(col("dayno")),

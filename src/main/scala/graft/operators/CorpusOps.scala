@@ -1115,15 +1115,22 @@ object CorpusOps {
     * inherits from the parts (the dedup predicate rides the shared
     * cached pair frame; langid/quality/split are narrow scans) plus
     * three doc_id equi-joins that AQE sizes. */
-  def curate(s: SparkSession, dir: String): DataFrame = {
-    // session-tunable curation policy; the DuckDB oracle pins the DEFAULT
-    // configuration (the knob convention — tunables change outputs, so
-    // non-default settings are exercised by specs, not the oracle gate)
+  /** Session-tunable curation policy, shared by [[curate]] and
+    * [[funnel]] so the census always reports the pipeline the curator
+    * actually runs; the DuckDB oracle pins the DEFAULT configuration
+    * (the knob convention — tunables change outputs, so non-default
+    * settings are exercised by specs, not the oracle gate). */
+  private[operators] def curatePolicy(s: SparkSession): (String, Double) = {
     val keepLang = s.conf.get("spark.graft.corpus.curateLang", "en")
     require(keepLang.nonEmpty, "curateLang must be non-empty")
     val minQuality = s.conf.get("spark.graft.corpus.curateMinQuality", "0.5").toDouble
     // NaN would make the >= filter silently reject EVERY document
     require(!minQuality.isNaN, s"curateMinQuality must be a number, got NaN")
+    (keepLang, minQuality)
+  }
+
+  def curate(s: SparkSession, dir: String): DataFrame = {
+    val (keepLang, minQuality) = curatePolicy(s)
     val survivors = Dedup.corpusDedupNg(s, dir).select(col("doc_id"), col("n_chars"))
     val lang = TextAnalysis.langid(s, dir).select(col("doc_id"), col("pred_lang"))
     val quality = TextAnalysis.quality(s, dir).select(col("doc_id"), col("quality_score"))
@@ -1141,13 +1148,17 @@ object CorpusOps {
         col("n_chars"))
   }
 
-  val curateSql: String = {
+  /** Shared curation-policy CTE block (near/exact/dropped/lid/q/sp) —
+    * ONE definition of the dedup / language / quality / split predicates
+    * for every oracle that replays [[curate]]'s policy ([[curateSql]],
+    * [[funnelSql]]), so the census and the materializer can never drift
+    * apart. Composes after [[Dedup.rarePairCtesSql]]. */
+  private[operators] val curatePolicyCtesSql: String = {
     def occ(c: String, pat: String): String =
       s"(LENGTH($c) - LENGTH(REPLACE($c, '$pat', ''))) / ${pat.length}"
     def hits(words: Seq[String]): String =
       words.map(w => occ("(' ' || text || ' ')", s" $w ")).mkString("CAST(", " + ", " AS BIGINT)")
-    s"""WITH ${Dedup.rarePairCtesSql},
-       near AS (
+    s"""near AS (
          SELECT DISTINCT doc_b AS doc_id
          FROM inter
          JOIN counts ca ON ca.doc_id = doc_a
@@ -1186,7 +1197,12 @@ object CorpusOps {
                 CASE WHEN substr(md5(text), 1, 3) < 'ccd' THEN 'train'
                      WHEN substr(md5(text), 1, 3) < 'e66' THEN 'val'
                      ELSE 'test' END AS split
-         FROM documents)
+         FROM documents)"""
+  }
+
+  val curateSql: String =
+    s"""WITH ${Dedup.rarePairCtesSql},
+       $curatePolicyCtesSql
        SELECT d.doc_id, lid.pred_lang, q.quality_score, sp.split, d.n_chars
        FROM documents d
        JOIN lid USING (doc_id)
@@ -1195,7 +1211,84 @@ object CorpusOps {
        WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
          AND lid.pred_lang = 'en' AND q.quality_score >= 0.5
        ORDER BY d.doc_id"""
+
+  /** Curation-funnel census — the OBSERVABILITY half of [[curate]]: per
+    * source, how many documents the pipeline admits and where the rest
+    * fall out, attributing every dropped document to the FIRST stage
+    * that rejects it in the fixed order dedup → language → quality (the
+    * order [[curate]]'s conjunction reads in; the attribution makes the
+    * conjunction auditable — "this crawl lost 40% to near-dups, not to
+    * quality" is the fact a pipeline owner acts on between crawls).
+    * n_docs = drop_dedup + drop_lang + drop_quality + n_kept on every
+    * row by construction (spec-pinned identity), n_kept sums to exactly
+    * \|[[curate]]\| (the census and the materializer share predicates —
+    * same policy knobs via [[curatePolicy]], same oracle CTEs via
+    * [[curatePolicyCtesSql]]), and chars_kept is the surviving character
+    * mass (what [[corpusMix]] budgets against).
+    *
+    * A document with empty text has no quality row (outside
+    * [[TextAnalysis.quality]]'s domain); its NULL score fails the
+    * ≥ threshold and lands in drop_quality — both engines via the same
+    * null-rejecting comparison.
+    *
+    * Scale shape: identical to [[curate]] — the dedup verdict rides the
+    * shared cached pair frame, langid/quality are narrow scans, three
+    * doc_id equi-joins AQE sizes, then ONE map-side-combined groupBy
+    * folding the corpus to \|sources\| rows. No sort wider than the
+    * bounded output. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val (keepLang, minQuality) = curatePolicy(s)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+    val survivors = Dedup.corpusDedupNg(s, dir).select(col("doc_id"), lit(true).as("survived"))
+    val lang = TextAnalysis.langid(s, dir).select(col("doc_id"), col("pred_lang"))
+    val quality = TextAnalysis.quality(s, dir).select(col("doc_id"), col("quality_score"))
+    val stage = when(col("survived").isNull, "dedup")
+      .when(col("pred_lang") =!= keepLang, "lang")
+      .when(col("quality_score") >= minQuality, "kept")
+      .otherwise("quality")
+    docs
+      .join(survivors, Seq("doc_id"), "left")
+      .join(lang, Seq("doc_id"))
+      .join(quality, Seq("doc_id"), "left")
+      .withColumn("stage", stage)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("stage") === "dedup", 1)).as("drop_dedup"),
+        count(when(col("stage") === "lang", 1)).as("drop_lang"),
+        count(when(col("stage") === "quality", 1)).as("drop_quality"),
+        count(when(col("stage") === "kept", 1)).as("n_kept"),
+        coalesce(sum(when(col("stage") === "kept", col("n_chars"))), lit(0L))
+          .as("chars_kept"))
+      .orderBy("source")
   }
+
+  /** SQL twin: the same first-drop attribution over the shared policy
+    * CTEs; NULL quality scores fail the threshold through the same
+    * null-rejecting comparison (COALESCE(score >= 0.5, FALSE)). */
+  val funnelSql: String =
+    s"""WITH ${Dedup.rarePairCtesSql},
+       $curatePolicyCtesSql,
+       verdict AS (
+         SELECT d.doc_id, d.source, d.n_chars,
+                CASE WHEN dr.doc_id IS NOT NULL THEN 'dedup'
+                     WHEN lid.pred_lang <> 'en' THEN 'lang'
+                     WHEN COALESCE(q.quality_score >= 0.5, FALSE) THEN 'kept'
+                     ELSE 'quality' END AS stage
+         FROM documents d
+         JOIN lid ON lid.doc_id = d.doc_id
+         LEFT JOIN q ON q.doc_id = d.doc_id
+         LEFT JOIN (SELECT doc_id FROM dropped) dr ON dr.doc_id = d.doc_id)
+       SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN stage = 'dedup' THEN 1 ELSE 0 END) AS BIGINT) AS drop_dedup,
+              CAST(SUM(CASE WHEN stage = 'lang' THEN 1 ELSE 0 END) AS BIGINT) AS drop_lang,
+              CAST(SUM(CASE WHEN stage = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS drop_quality,
+              CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(SUM(CASE WHEN stage = 'kept' THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+       FROM verdict
+       GROUP BY source
+       ORDER BY source"""
 
   val dedupIncrementalSql: String =
     """WITH w AS (
@@ -1623,6 +1716,7 @@ object CorpusOps {
     "corpus_shard" -> (corpusShard _),
     "corpus_pack" -> (corpusPack _),
     "corpus_curate" -> (curate _),
+    "corpus_funnel" -> (funnel _),
     "store_status" -> (storeStatus _))
 
   val oracles: Map[String, String] = Map(
@@ -1640,5 +1734,6 @@ object CorpusOps {
     "dedup_incremental_bloom" -> dedupIncrementalBloomSql,
     "corpus_shard" -> corpusShardSql,
     "corpus_pack" -> corpusPackSql,
-    "corpus_curate" -> curateSql)
+    "corpus_curate" -> curateSql,
+    "corpus_funnel" -> funnelSql)
 }

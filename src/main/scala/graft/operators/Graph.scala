@@ -214,13 +214,13 @@ object Graph {
           4).as("clustering"))
   }
 
-  /** SQL twin: id-order triangle enumeration (`a < b < c` over the
-    * canonical pair list) — the SAME triangle set as the degree-ordered
-    * plan (orientation changes join cost, never membership), in the
-    * simplest SQL rendering. */
-  val trianglesSql: String =
-    s"""WITH ${Dedup.rarePairCtesSql},
-       near AS (
+  /** Oracle CTE chain `near → edges → deg` over [[Dedup.rarePairCtesSql]]:
+    * the Jaccard-≥0.5 pair list, its symmetrized edge set, and node
+    * degrees — ONE definition of the graph both [[trianglesSql]] and
+    * [[linkPredictSql]] replay, so the two oracles can never disagree
+    * about which graph they measure. */
+  private val nearGraphCtesSql: String =
+    """near AS (
          SELECT doc_a, doc_b
          FROM inter
          JOIN counts ca ON ca.doc_id = doc_a
@@ -230,7 +230,15 @@ object Graph {
          SELECT doc_a AS src, doc_b AS dst FROM near
          UNION ALL
          SELECT doc_b AS src, doc_a AS dst FROM near),
-       deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY 1),
+       deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY 1)"""
+
+  /** SQL twin: id-order triangle enumeration (`a < b < c` over the
+    * canonical pair list) — the SAME triangle set as the degree-ordered
+    * plan (orientation changes join cost, never membership), in the
+    * simplest SQL rendering. */
+  val trianglesSql: String =
+    s"""WITH ${Dedup.rarePairCtesSql},
+       $nearGraphCtesSql,
        tri AS (
          SELECT p1.doc_a AS a, p1.doc_b AS b, p2.doc_b AS c
          FROM near p1
@@ -249,11 +257,86 @@ object Graph {
        FROM deg LEFT JOIN tc USING (id)
        ORDER BY doc_id"""
 
+  /** Link prediction over the near-dup graph — candidate EXPANSION, the
+    * step after [[Dedup.dedupClusters]] answers "which docs are
+    * connected": a document pair that shares near-dup neighbors but has
+    * NO direct candidate pair is exactly the transitivity hole a banded
+    * candidate generator can leave (two docs each similar to a common
+    * template, their own pair falling just under the rare-band /
+    * threshold gate). The top 20 such pairs by common-neighbor count —
+    * with both endpoint degrees for triage — are the pairs a curator
+    * (or a second, more expensive verifier) inspects next.
+    *
+    * All-integer scoring (common-neighbor count, degrees) with the full
+    * deterministic order (n_common DESC, doc_a, doc_b), so the top-k cut
+    * is tie-stable cross-engine.
+    *
+    * Scale shape: wedges are enumerated per apex over its neighbor list
+    * (the `a < b` half), so cost is Σ deg² over PAIR-GRAPH nodes — the
+    * graph the upstream df ∈ [2, 20] rare band already degree-bounds
+    * (the [[pagerank]] argument; a 20-doc gram cap admits no hub), and
+    * AQE splits residual skew. The wedge groupBy and the existing-edge
+    * anti-join shuffle on pair keys ∝ wedges, never corpus; the final
+    * top-20 is a TakeOrdered partial top-k, no global sort. */
+  def linkPredict(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup
+      .ngramPairs(s, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+    val sym = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val cand = sym
+      .select(col("src").as("u"), col("dst").as("a"))
+      .join(sym.select(col("src").as("u"), col("dst").as("b")), Seq("u"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(
+        pairs.select(col("doc_a").as("a"), col("doc_b").as("b")),
+        Seq("a", "b"),
+        "left_anti")
+    cand
+      .join(deg.select(col("id").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("deg_b")), "b")
+      .select(
+        col("a").as("doc_a"),
+        col("b").as("doc_b"),
+        col("n_common"),
+        col("deg_a"),
+        col("deg_b"))
+      .orderBy(col("n_common").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** SQL twin: wedge counting as an edges self-join, the direct-pair
+    * exclusion as NOT EXISTS over the canonical pair list. */
+  val linkPredictSql: String =
+    s"""WITH ${Dedup.rarePairCtesSql},
+       $nearGraphCtesSql,
+       wedge AS (
+         SELECT e1.dst AS a, e2.dst AS b
+         FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+       cand AS (
+         SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common
+         FROM wedge w
+         WHERE NOT EXISTS (SELECT 1 FROM near n WHERE n.doc_a = w.a AND n.doc_b = w.b)
+         GROUP BY 1, 2)
+       SELECT a AS doc_a, b AS doc_b, n_common, da.deg AS deg_a, db.deg AS deg_b
+       FROM cand
+       JOIN deg da ON da.id = cand.a
+       JOIN deg db ON db.id = cand.b
+       ORDER BY n_common DESC, doc_a, doc_b
+       LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pagerank _),
-    "graph_triangles" -> (triangles _))
+    "graph_triangles" -> (triangles _),
+    "graph_link_predict" -> (linkPredict _))
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankSql,
-    "graph_triangles" -> trianglesSql)
+    "graph_triangles" -> trianglesSql,
+    "graph_link_predict" -> linkPredictSql)
 }

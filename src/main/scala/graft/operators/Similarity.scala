@@ -1553,8 +1553,132 @@ object Similarity {
        FROM names LEFT JOIN h ON names.method = h.method CROSS JOIN np
        ORDER BY names.method"""
 
+  /** One NN-descent refinement round over the exact kNN-3 graph of the
+    * query sample — the GRAPH-ANN member of the method family (LSH / IVF
+    * / PQ cover the hash, partition and compression disciplines; graph
+    * methods like NN-descent/HNSW build from exactly this step: "my
+    * neighbor's neighbors are probably my neighbors"). Nodes are the
+    * established bounded query sample (vec_id % 100 — [[annBrute]]'s
+    * convention), the base graph is each node's exact cosine top-3
+    * within the sample, and the round proposes every 2-hop pair that is
+    * NOT already adjacent, rescores it with the exact cosine, and flags
+    * whether it beats either endpoint's current worst neighbor — the
+    * `improves` bit is the graph-quality signal that decides whether
+    * another round is worth running. Top-20 proposals by rescored
+    * similarity (full deterministic tie order).
+    *
+    * Scale shape: the \|S\|² base-graph scoring is the declared bounded
+    * anchor (\|S\| = corpus/100; the [[annRecall]] rule — at 100 TB you
+    * refine a sampled graph, or seed from [[annLsh]] buckets instead of
+    * brute force), ranked with the same two-phase partial top-k as
+    * [[annBrute]]. Everything after is ∝ graph size: edges ≤ 6\|S\|,
+    * wedges ≤ Σ deg² ≤ 36\|S\|, and every join below the scoring joins
+    * a bounded side. No corpus-sized shuffle anywhere. */
+  def nnDescent(s: SparkSession, dir: String): DataFrame = {
+    val sample = quantized(s, dir).filter(col("vec_id") % 100 === 0)
+    val qs = sample.select(
+      col("vec_id").as("query_id"),
+      col("qv").as("query_qv"),
+      col("nq").as("query_nq"))
+    val wLocal = Window.partitionBy("__pid", "query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    val knn = sample
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        graft.functions.VectorOps
+          .cosine(col("qv"), col("nq"), col("query_qv"), col("query_nq"))
+          .as("cos_sim"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("rk", row_number().over(wLocal))
+      .filter(col("rk") <= 3)
+      .drop("__pid", "rk")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .drop("rk")
+    val sym = knn
+      .select(col("query_id").as("src"), col("vec_id").as("dst"))
+      .unionByName(knn.select(col("vec_id").as("src"), col("query_id").as("dst")))
+      .distinct()
+    val adj = sym.filter(col("src") < col("dst")).select(col("src").as("a"), col("dst").as("b"))
+    val worst = knn.groupBy(col("query_id").as("id")).agg(min(col("cos_sim")).as("worst_sim"))
+    val cand = sym
+      .select(col("src").as("u"), col("dst").as("a"))
+      .join(sym.select(col("src").as("u"), col("dst").as("b")), Seq("u"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(adj, Seq("a", "b"), "left_anti")
+    cand
+      .join(sample.select(col("vec_id").as("a"), col("qv").as("qa"), col("nq").as("na")), "a")
+      .join(sample.select(col("vec_id").as("b"), col("qv").as("qb"), col("nq").as("nb")), "b")
+      .withColumn(
+        "rescored",
+        graft.functions.VectorOps.cosine(col("qa"), col("na"), col("qb"), col("nb")))
+      .join(worst.select(col("id").as("a"), col("worst_sim").as("worst_a")), "a")
+      .join(worst.select(col("id").as("b"), col("worst_sim").as("worst_b")), "b")
+      .select(
+        col("a").as("vec_a"),
+        col("b").as("vec_b"),
+        col("n_common"),
+        round(col("rescored"), 4).as("cos_sim"),
+        (col("rescored") > col("worst_a") || col("rescored") > col("worst_b"))
+          .cast("int").as("improves"))
+      .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  /** SQL twin: the same sample graph, wedge proposal set and exact
+    * rescoring; the improves flag compares the same raw (pre-round)
+    * doubles both engines derive from identical integer vectors. */
+  val nnDescentSql: String =
+    s"""WITH $embPrelude,
+       smp AS (SELECT vec_id, qv, nq FROM n WHERE vec_id % 100 = 0),
+       scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id,
+                list_dot_product(c.qv, q.qv) / (sqrt(c.nq) * sqrt(q.nq)) AS cos_sim
+         FROM smp c CROSS JOIN smp q
+         WHERE c.vec_id <> q.vec_id),
+       knn AS (
+         SELECT query_id, vec_id, cos_sim FROM (
+           SELECT query_id, vec_id, cos_sim,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rk
+           FROM scored)
+         WHERE rk <= 3),
+       sym AS (
+         SELECT DISTINCT src, dst FROM (
+           SELECT query_id AS src, vec_id AS dst FROM knn
+           UNION ALL
+           SELECT vec_id AS src, query_id AS dst FROM knn)),
+       adj AS (SELECT src AS a, dst AS b FROM sym WHERE src < dst),
+       worst AS (SELECT query_id AS id, MIN(cos_sim) AS worst_sim FROM knn GROUP BY 1),
+       cand AS (
+         SELECT e1.dst AS a, e2.dst AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+         FROM sym e1 JOIN sym e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         WHERE NOT EXISTS (SELECT 1 FROM adj WHERE adj.a = e1.dst AND adj.b = e2.dst)
+         GROUP BY 1, 2),
+       resc AS (
+         SELECT cand.a, cand.b, cand.n_common,
+                list_dot_product(na.qv, nb.qv) / (sqrt(na.nq) * sqrt(nb.nq)) AS rescored
+         FROM cand
+         JOIN smp na ON na.vec_id = cand.a
+         JOIN smp nb ON nb.vec_id = cand.b)
+       SELECT resc.a AS vec_a, resc.b AS vec_b, n_common,
+              ROUND(rescored, 4) AS cos_sim,
+              CAST(CASE WHEN rescored > wa.worst_sim OR rescored > wb.worst_sim
+                        THEN 1 ELSE 0 END AS INT) AS improves
+       FROM resc
+       JOIN worst wa ON wa.id = resc.a
+       JOIN worst wb ON wb.id = resc.b
+       ORDER BY cos_sim DESC, vec_a, vec_b
+       LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall" -> (annRecall _),
+    "ann_nn_descent" -> (nnDescent _),
     "emb_pq" -> (embPq _),
     "ann_pq_topk" -> (annPq _),
     "ann_ivfpq_topk" -> (annIvfPq _),
@@ -1571,6 +1695,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann_recall" -> annRecallSql,
+    "ann_nn_descent" -> nnDescentSql,
     "emb_pq" -> embPqSql,
     "ann_pq_topk" -> annPqSql,
     "ann_ivfpq_topk" -> annIvfPqSql,

@@ -1294,6 +1294,96 @@ object Windows {
        HAVING SUM(dt_s) > 0
        ORDER BY user_id"""
 
+  /** Per-user least-squares trend + 7-day forecast — the "is this metric
+    * drifting" primitive behind capacity alerts and per-account health
+    * scores, as ONE map-side-combined aggregate. OLS over (epoch-day x,
+    * cents y) has the closed form
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   ŷ(x*) = (Σy·Σx² − Σx·Σxy + num·x*) / den
+    * so the whole fit is FIVE associative integer sums per user — exact,
+    * order-independent, partial-aggregatable — and division touches a
+    * double exactly once per output column (the [[twap]] discipline).
+    *
+    * Numeric envelope: x = epoch day ≤ ~2·10⁴, y = cents ≤ 5·10⁸
+    * ([[anomaly]]'s metric envelope, out-of-envelope rows excluded as
+    * rows), so per-row products x·y ≤ 10¹³ are long-safe; the per-user
+    * sums and the cross-products (Σx·Σy ≤ ~10³¹ even at 10⁹ events/user)
+    * accumulate in DECIMAL(38,0) / HUGEINT ([[Analytics.moments]]'
+    * discipline). `div` vs `//` never appears on a possibly-negative
+    * quantity — the one sign-carrying division (slope can be negative)
+    * is the final double division, identical in both engines.
+    *
+    * Scale shape: one partial-aggregated shuffle on user_id, output ∝
+    * users; no window, no sort. A vertical line (all observations on one
+    * day) has den = 0 — slope and forecast are NULL, not an error. */
+  def trend(s: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val agg = Tables
+      .events(s, dir)
+      .filter(
+        col("user_id").isNotNull && col("ts").isNotNull && col("value").isNotNull &&
+          !isnan(col("value")) && abs(col("value")) <= 5.0e6)
+      .select(
+        col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("x"),
+        cents("value").as("c"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_obs"),
+        max(col("x")).as("day_last"),
+        sum(dec(col("x"))).as("sx"),
+        sum(dec(col("c"))).as("sy"),
+        sum(dec(col("x") * col("x"))).as("sxx"),
+        sum(dec(col("x") * col("c"))).as("sxy"))
+    val n = dec(col("n_obs"))
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val den = n * col("sxx") - col("sx") * col("sx")
+    val fcNum =
+      col("sy") * col("sxx") - col("sx") * col("sxy") +
+        num * dec(col("day_last") + lit(7L))
+    agg.select(
+      col("user_id"),
+      col("n_obs"),
+      col("day_last"),
+      when(den =!= lit(0L),
+        round(num.cast("double") / (den.cast("double") * 100.0), 6)).as("slope_per_day"),
+      when(den =!= lit(0L),
+        round(fcNum.cast("double") / (den.cast("double") * 100.0), 4)).as("forecast_7d"))
+  }
+
+  /** SQL twin: the identical five sums in HUGEINT, the identical two
+    * final divisions; outputs cast to BIGINT/DOUBLE so no HUGEINT ever
+    * reaches the driver's pandas hashing. */
+  val trendSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS x,
+                         CAST(FLOOR(value * 100) AS BIGINT) AS c
+                  FROM events
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+                    AND NOT isnan(value) AND abs(value) <= 5000000),
+       agg AS (SELECT user_id,
+                      CAST(COUNT(*) AS BIGINT) AS n_obs,
+                      CAST(MAX(x) AS BIGINT) AS day_last,
+                      SUM(CAST(x AS HUGEINT)) AS sx,
+                      SUM(CAST(c AS HUGEINT)) AS sy,
+                      SUM(CAST(x * x AS HUGEINT)) AS sxx,
+                      SUM(CAST(x * c AS HUGEINT)) AS sxy
+               FROM e GROUP BY 1),
+       fit AS (SELECT user_id, n_obs, day_last,
+                      n_obs * sxy - sx * sy AS num,
+                      n_obs * sxx - sx * sx AS den,
+                      sy * sxx - sx * sxy
+                        + (n_obs * sxy - sx * sy) * CAST(day_last + 7 AS HUGEINT) AS fc_num
+               FROM agg)
+       SELECT user_id, n_obs, day_last,
+              CASE WHEN den <> 0
+                   THEN ROUND(CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * 100.0), 6)
+              END AS slope_per_day,
+              CASE WHEN den <> 0
+                   THEN ROUND(CAST(fc_num AS DOUBLE) / (CAST(den AS DOUBLE) * 100.0), 4)
+              END AS forecast_7d
+       FROM fit
+       ORDER BY user_id"""
+
   /** Per-(user, day) lag-feature materialization — the feature-store
     * shape that turns an event log into an ML training matrix: daily
     * revenue beside its previous-calendar-day value and its trailing
@@ -1512,6 +1602,7 @@ object Windows {
     "ts_features" -> (features _),
     "ts_active_users" -> (activeUsers _),
     "ts_twap" -> (twap _),
+    "ts_trend" -> (trend _),
     "win_rolling_median" -> (rollingMedian _),
     "win_seasonality" -> (seasonality _),
     "win_conversion_time" -> (conversionTime _),
@@ -1542,6 +1633,7 @@ object Windows {
     "ts_features" -> featuresSql,
     "ts_active_users" -> activeUsersSql,
     "ts_twap" -> twapSql,
+    "ts_trend" -> trendSql,
     "win_rolling_median" -> rollingMedianSql,
     "win_seasonality" -> seasonalitySql,
     "win_conversion_time" -> conversionTimeSql,

@@ -633,6 +633,72 @@ object EventStreams {
         })
   }
 
+  case class TrendState(n: Long, dayLast: Long, sx: String, sy: String, sxx: String, sxy: String)
+  case class TrendOut(
+    user_id: Long,
+    n_obs: Long,
+    day_last: Long,
+    slope_per_day: Option[Double],
+    forecast_7d: Option[Double])
+
+  /** Streaming per-user OLS trend (23rd twin) — the incremental twin of
+    * [[graft.operators.Windows.trend]], and the cleanest possible case
+    * for streaming: the batch fit is FIVE associative integer sums, so
+    * the state IS the sufficient statistic — (n, day_last, Σx, Σy, Σx²,
+    * Σxy) — and absorbing an event is six additions. No ring buffer, no
+    * ordering sensitivity at all (the sums commute, so late/shuffled
+    * arrivals converge to the identical fit), ~120 bytes per user
+    * forever (the wide sums ride as BigInt strings — the [[twap]]
+    * accumulator convention, since Σxy can pass 2⁶³ on extreme streams).
+    *
+    * Arithmetic mirrors batch op-for-op: epoch-day x via floorDiv,
+    * integer cents, the closed-form num/den/fc_num in exact BigInt, ONE
+    * double division per output column, the same HALF_UP 6/4-dp rounds —
+    * per-user emissions row-identical to the batch operator on replay
+    * (spec-pinned). Emission follows the [[streaks]] convention: the
+    * current fit emits once per trigger, a vertical line (den = 0)
+    * emits its NULL-fit row rather than vanishing — the batch rule. */
+  def trend(events: Dataset[Ev]): Dataset[TrendOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[Ev], state: GroupState[TrendState]) => {
+          def micros(t: Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          val st = state.getOption.getOrElse(TrendState(0L, Long.MinValue, "0", "0", "0", "0"))
+          var n = st.n
+          var dayLast = st.dayLast
+          var (sx, sy, sxx, sxy) = (BigInt(st.sx), BigInt(st.sy), BigInt(st.sxx), BigInt(st.sxy))
+          for (e <- evs.filter(e => e.ts != null && !e.value.isNaN && math.abs(e.value) <= 5.0e6)) {
+            val x = Math.floorDiv(micros(e.ts), 86400000000L)
+            val c = math.floor(e.value * 100.0).toLong
+            n += 1
+            dayLast = math.max(dayLast, x)
+            sx += x; sy += c; sxx += BigInt(x) * x; sxy += BigInt(x) * c
+          }
+          state.update(TrendState(n, dayLast, sx.toString, sy.toString, sxx.toString, sxy.toString))
+          if (n == 0) Iterator.empty
+          else {
+            val num = BigInt(n) * sxy - sx * sy
+            val den = BigInt(n) * sxx - sx * sx
+            if (den == 0) Iterator(TrendOut(userId, n, dayLast, None, None))
+            else {
+              val slope = BigDecimal
+                .valueOf(num.toDouble / (den.toDouble * 100.0))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble
+              val fcNum = sy * sxx - sx * sxy + num * BigInt(dayLast + 7)
+              val fc = BigDecimal
+                .valueOf(fcNum.toDouble / (den.toDouble * 100.0))
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble
+              Iterator(TrendOut(userId, n, dayLast, Some(slope), Some(fc)))
+            }
+          }
+        })
+  }
+
   /** Streaming conversion latency — the incremental twin of
     * [[graft.operators.Windows.conversionTime]]'s per-user latency
     * derivation: first `view` to first `purchase` at-or-after it, in

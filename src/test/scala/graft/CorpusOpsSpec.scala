@@ -382,6 +382,33 @@ class CorpusOpsSpec extends GraftSpecBase {
     } finally graft.operators.Dedup.clearSharedCache()
   }
 
+  test("corpus_funnel: waterfall identity holds and reconciles with curate exactly") {
+    import graft.operators.{CorpusOps, Dedup}
+    try {
+      Dedup.clearSharedCache()
+      val rows = CorpusOps.funnel(spark, sfDir).collect()
+      assert(rows.nonEmpty, "funnel empty")
+      // per-row identity: every document lands in exactly one stage
+      for (r <- rows) {
+        val (n, dd, dl, dq, k) = (r.getAs[Long]("n_docs"), r.getAs[Long]("drop_dedup"),
+          r.getAs[Long]("drop_lang"), r.getAs[Long]("drop_quality"), r.getAs[Long]("n_kept"))
+        assert(n == dd + dl + dq + k, s"waterfall leak for source ${r.getAs[String]("source")}")
+      }
+      // census totals reconcile with the corpus and the materializer
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count(), "doc conservation")
+      val curated = CorpusOps.curate(spark, sfDir)
+      assert(rows.map(_.getAs[Long]("n_kept")).sum == curated.count(),
+        "funnel kept != curate output")
+      assert(rows.map(_.getAs[Long]("chars_kept")).sum ==
+        curated.agg(sum(col("n_chars"))).collect()(0).getLong(0),
+        "kept char mass != curate char mass")
+      // the fixture discriminates: at least one source actually loses docs
+      assert(rows.exists(r => r.getAs[Long]("n_docs") > r.getAs[Long]("n_kept")),
+        "no source lost a document — filters unobservable")
+    } finally graft.operators.Dedup.clearSharedCache()
+  }
+
   test("corpus_shard: exact two-phase prefix sum, no un-partitioned window") {
     // parity with the naive single-window formulation on real data —
     // the two-phase bucket/offset machinery must be EXACT, not close

@@ -103,6 +103,23 @@ class GraphSpec extends GraftSpecBase {
     assert(expected.values.exists(_._2 > 0), "fixture has no triangles — test is vacuous")
   }
 
+  test("link prediction matches a brute-force reference on sf0.001") {
+    val adj = referenceAdj
+    val nbr: Map[Long, Set[Long]] = adj.map { case (k, v) => k -> v.toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val cands = for {
+      a <- nodes; b <- nodes
+      if a < b && !nbr(a).contains(b)
+      cn = (nbr(a) & nbr(b)).size
+      if cn > 0
+    } yield (a, b, cn.toLong, nbr(a).size.toLong, nbr(b).size.toLong)
+    val expected = cands.sortBy { case (a, b, cn, _, _) => (-cn, a, b) }.take(20)
+    val got = Graph.linkPredict(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected.toSeq,
+      s"link-predict drifted: got ${got.toSeq}, expected $expected")
+  }
+
   test("hand-derived exact values on a planted path graph (1–2–3)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_graph_path").toString
@@ -135,6 +152,13 @@ class GraphSpec extends GraftSpecBase {
       1L -> ((1L, 0L, None)),
       2L -> ((2L, 0L, Some(0.0: java.lang.Double))),
       3L -> ((1L, 0L, None))), s"triangle audit drifted: $tri")
+    // link prediction: the path's one transitivity hole is (1, 3) through
+    // their common neighbor 2 — the planted non-vacuous case (the driver
+    // corpus's near-dup graph is clique-structured, so its census is
+    // legitimately empty; this fixture is what pins the operator's logic)
+    val lp = graft.operators.Graph.linkPredict(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(lp.toSeq == Seq((1L, 3L, 1L, 1L, 1L)), s"link prediction drifted: ${lp.toSeq}")
     graft.operators.Dedup.clearSharedCache()
   }
 

@@ -1110,4 +1110,49 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(bands.map(_.getLong(2)).sum == converted,
       s"bands cover ${bands.map(_.getLong(2)).sum}, expected $converted converters")
   }
+
+  test("nn_descent: proposals match a plain-Scala replay of the sample kNN graph") {
+    val got = Similarity.nnDescent(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    // plain-Scala reference: same quantization (floor(x*1000)), same
+    // sample (%100), exact long dots, the same double cosine expression
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .flatMap { r =>
+        val id = r.getAs[Long]("vec_id")
+        Option(r.getAs[scala.collection.Seq[Float]]("embedding")).collect {
+          case e if id % 100 == 0 && e.length == 64 && e.forall(x => math.abs(x) <= 10000.0f) =>
+            id -> e.map(x => math.floor(x.toDouble * 1000).toLong).toArray
+        }
+      }
+      .filter { case (_, q) => q.map(x => BigInt(x) * x).sum > 0 }
+      .toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Long, na: Long, nb: Long): Double =
+      a.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    val norm = vecs.map { case (id, q) => id -> dot(q, q) }
+    val ids = vecs.keys.toSeq.sorted
+    val knn: Map[Long, Seq[(Long, Double)]] = ids.map { q =>
+      q -> ids.filter(_ != q)
+        .map(c => c -> cos(dot(vecs(q), vecs(c)), norm(c), norm(q)))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(3)
+    }.toMap
+    val sym = knn.toSeq.flatMap { case (q, ns) => ns.flatMap(n => Seq(q -> n._1, n._1 -> q)) }.distinct
+    val nbr = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val worst = knn.map { case (q, ns) => q -> ns.map(_._2).min }
+    val nodes = nbr.keys.toSeq.sorted
+    val expected = (for {
+      a <- nodes; b <- nodes
+      if a < b && !nbr(a).contains(b)
+      cn = (nbr(a) & nbr(b)).size
+      if cn > 0
+    } yield {
+      val rescored = cos(dot(vecs(a), vecs(b)), norm(a), norm(b))
+      val r4 = BigDecimal.valueOf(rescored).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, cn.toLong, r4, if (rescored > worst(a) || rescored > worst(b)) 1 else 0)
+    }).sortBy { case (a, b, _, s, _) => (-s, a, b) }.take(20)
+    assert(got.toSeq == expected, s"nn_descent drifted:\n got ${got.toSeq}\n exp $expected")
+    assert(got.nonEmpty, "fixture produced no proposals — test is vacuous")
+  }
 }

@@ -598,6 +598,41 @@ class StreamingSpec extends GraftSpecBase {
       assert(s0 == b0, s"streamed TWAP diverged: $s0 vs $b0")
   }
 
+  test("streaming trend equals batch ts_trend after two-chunk replay — sums are order-free") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deliberately NOT time-sorted: the sufficient-statistic state is a
+    // set of commuting sums, so an arbitrarily shuffled replay must
+    // converge to the identical fit (a property no ring/lag twin has)
+    val evs = eventRows()
+      .map(r => EventStreams.Ev(r._1, r._2, r._3, r._5))
+      .sortBy(e => (e.event_id % 7, e.event_id))
+    val input = MemoryStream[EventStreams.Ev]
+    val (a, b) = evs.splitAt(evs.length / 2)
+    input.addData(a)
+    val q = EventStreams.trend(input.toDS())
+      .writeStream.format("memory").queryName("trend_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val streamed = spark.table("trend_out").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), opt(r, 3), opt(r, 4))))
+      .zipWithIndex
+      .groupBy(_._1._1).map { case (u, xs) => (u, xs.maxBy(_._2)._1._2) }
+      .toSeq.sortBy(_._1)
+    val batch = graft.operators.Windows.trend(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), opt(r, 3), opt(r, 4))))
+      .toSeq.sortBy(_._1)
+    assert(streamed.length == batch.length,
+      s"user count diverged: stream=${streamed.length} batch=${batch.length}")
+    for ((s0, b0) <- streamed.zip(batch))
+      assert(s0 == b0, s"streamed trend diverged: $s0 vs $b0")
+  }
+
   test("streaming conversion latency equals batch win_conversion_time after two-chunk replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -335,4 +335,71 @@ class WindowsSpec extends GraftSpecBase {
         s"twap mismatch for user ${r.getLong(0)}: $r vs ($n,$sw,$tw)")
     }
   }
+
+  test("trend: per-user OLS slope/forecast match a BigInt replay of the closed form") {
+    val rows = Windows.trend(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(
+        col("user_id").isNotNull && col("ts").isNotNull && col("value").isNotNull &&
+          !isnan(col("value")) && abs(col("value")) <= 5.0e6)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("x"),
+        floor(col("value") * 100.0).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ref = ev.groupBy(_._1).map { case (u, obs) =>
+      val n = BigInt(obs.length)
+      val sx = obs.map(o => BigInt(o._2)).sum
+      val sy = obs.map(o => BigInt(o._3)).sum
+      val sxx = obs.map(o => BigInt(o._2) * o._2).sum
+      val sxy = obs.map(o => BigInt(o._2) * o._3).sum
+      val dayLast = obs.map(_._2).max
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val slope =
+        if (den == 0) None
+        else Some(BigDecimal.valueOf(num.toDouble / (den.toDouble * 100.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val fc =
+        if (den == 0) None
+        else {
+          val fcNum = sy * sxx - sx * sxy + num * BigInt(dayLast + 7)
+          Some(BigDecimal.valueOf(fcNum.toDouble / (den.toDouble * 100.0))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      u -> ((obs.length.toLong, dayLast, slope, fc))
+    }
+    assert(rows.length == ref.size, "user coverage diverges")
+    for (r <- rows) {
+      val (n, dl, slope, fc) = ref(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == dl, s"counts mismatch for ${r.getLong(0)}")
+      val gotSlope = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      val gotFc = if (r.isNullAt(4)) None else Some(r.getDouble(4))
+      assert(gotSlope == slope && gotFc == fc,
+        s"trend mismatch for user ${r.getLong(0)}: ($gotSlope,$gotFc) vs ($slope,$fc)")
+    }
+  }
+
+  test("trend: a vertical line (all observations on one day) yields NULL fit, not an error") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_trend").toString
+    val dayUs = 86400000000L
+    // user 1: three observations on one epoch day (den = 0); user 2: a
+    // clean two-point line, slope 2.00 $/day through (d0, $10), (d0+1, $12)
+    Seq(
+      (1L, 10L * dayUs + 100L, 1L, "view", 5.0, "{}"),
+      (2L, 10L * dayUs + 200L, 1L, "view", 9.0, "{}"),
+      (3L, 10L * dayUs + 86399999999L, 1L, "view", 1.0, "{}"),
+      (4L, 20L * dayUs, 2L, "view", 10.0, "{}"),
+      (5L, 21L * dayUs, 2L, "view", 12.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Windows.trend(spark, dir).collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).isNullAt(3) && got(1L).isNullAt(4), "one-day user must have NULL fit")
+    assert(got(2L).getDouble(3) == 2.0, "two-point slope")
+    // forecast at day_last + 7 = 28: 12 + 7·2 = 26
+    assert(got(2L).getDouble(4) == 26.0, "two-point forecast")
+  }
 }
