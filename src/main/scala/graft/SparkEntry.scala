@@ -50,6 +50,8 @@ object SparkEntry {
     "ts_interpolate" -> Seq(col("user_id"), col("day_us")),
     "ts_twap" -> Seq(col("user_id")),
     "ts_trend" -> Seq(col("user_id")),
+    "ts_changepoint" -> Seq(col("user_id")),
+    "win_cohort_ltv" -> Seq(col("cohort_month"), col("age_months")),
     "ts_features" -> Seq(col("user_id"), col("dayno")),
     "ts_ohlc" -> Seq(col("day_us"), col("event_type")),
     "ts_active_users" -> Seq(col("dayno")),
@@ -65,6 +67,7 @@ object SparkEntry {
     "text_pii" -> Seq(col("doc_id")),
     "text_quality" -> Seq(col("doc_id")),
     "text_repetition" -> Seq(col("doc_id")),
+    "text_novelty" -> Seq(col("doc_id")),
     "text_scrub" -> Seq(col("doc_id")),
     "text_chunk" -> Seq(col("doc_id"), col("off")),
     "dedup_semantic" -> Seq(col("vec_id")),

@@ -931,6 +931,64 @@ object TextAnalysis {
        FROM cells
        ORDER BY decile"""
 
+  /** Per-document CONTENT novelty — [[vocabGrowth]]'s passage-level
+    * sibling: vocabulary saturates long before content does (new
+    * documents keep combining old words), so the crawl-value question
+    * "is this document NEW TEXT or a re-weave of what we have?" needs
+    * gram-level first-occurrence attribution, not word types. Per
+    * document: its distinct word-3-grams (the dedup pipeline's exact
+    * tokenization — "novel" here and "near-duplicate" there measure the
+    * same text), how many of them FIRST occur in this document (crawl
+    * order = doc_id order, the vocabGrowth convention), and the novelty
+    * rate in exact integer ppm (`n_novel·10⁶ DIV n_grams` — no float).
+    * A fully-novel doc reads 10⁶; a pure re-paste of earlier docs reads
+    * 0. Documents under 3 words have no grams and are outside the domain
+    * (the [[repetition]] rule).
+    *
+    * Scale shape: distinct gram hashes ride the native
+    * [[graft.functions.GramHash64]] array (same 64-bit-collision trade
+    * as dedup, P ≈ 1e-11); first-occurrence is ONE map-side-combined
+    * min-aggregation on the balanced gram key (min commutes — no sort,
+    * no window); the novel census re-aggregates that bounded
+    * (gram → first_doc) frame by doc and LEFT-joins the per-doc totals —
+    * shuffles ∝ distinct grams, never corpus text. */
+  def novelty(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .documentsBalanced(s, dir)
+      .select(col("doc_id"), call_function("graft_grams", col("text")).as("garr"))
+      .filter(col("garr").isNotNull)
+    val firstDoc = base
+      .select(col("doc_id"), explode(col("garr")).as("gram"))
+      .groupBy("gram")
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    base
+      .select(col("doc_id"), size(col("garr")).cast("long").as("n_grams"))
+      .join(firstDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        expr("coalesce(n_novel, 0L) * 1000000 DIV n_grams").as("novelty_ppm"))
+  }
+
+  /** SQL twin: the shared tokenized-docs CTE + distinct string grams
+    * (the hash array's oracle mirror), the same min/census/left-join. */
+  val noveltySql: String =
+    s"""WITH ${Dedup.tokenizedDocsCteSql},
+       grams AS (
+         SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
+         FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
+       counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams GROUP BY 1),
+       fs AS (SELECT gram, MIN(doc_id) AS doc_id FROM grams GROUP BY 1),
+       nv AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel FROM fs GROUP BY 1)
+       SELECT counts.doc_id, counts.n_grams,
+              COALESCE(nv.n_novel, 0) AS n_novel,
+              COALESCE(nv.n_novel, 0) * 1000000 // counts.n_grams AS novelty_ppm
+       FROM counts LEFT JOIN nv USING (doc_id)
+       ORDER BY counts.doc_id"""
+
   /** Number of BPE merge rounds [[bpeTrain]] learns — session-tunable;
     * the reference spec pins the default. */
   private[operators] val BpeMergesDefault = 10
@@ -1631,6 +1689,7 @@ FROM mergetab ORDER BY rank"""
     "text_topk_approx" -> (topkApprox _),
     "text_heavy_hitters" -> (heavyHitters _),
     "text_vocab_growth" -> (vocabGrowth _),
+    "text_novelty" -> (novelty _),
     // the FIT rounds ride the SAME stamp-cached merge table its APPLY
     // consumers read (tokenize/pack) — one M-round computation per
     // source stamp across the family, disclosed under shared_cache
@@ -1649,6 +1708,7 @@ FROM mergetab ORDER BY rank"""
     "text_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_novelty" -> noveltySql,
     "text_bpe_train" -> bpeTrainSql,
     "text_tfidf" -> tfidfSql,
     "text_chunk" -> chunkSql,

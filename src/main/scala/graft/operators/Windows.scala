@@ -1384,6 +1384,200 @@ object Windows {
        FROM fit
        ORDER BY user_id"""
 
+  /** Per-user CUSUM changepoint — [[trend]] asks "is this metric
+    * drifting"; this asks "WHEN did it jump": the split point k that
+    * maximizes the cumulative deviation from the user's own mean, the
+    * classic CUSUM statistic. The float-free move: the textbook
+    * statistic max_k |P_k − k·S/n| (P_k = prefix sum of cents, S = total,
+    * n = count) is scaled by n to
+    *   D_k = n·P_k − k·S
+    * — EXACT integer arithmetic, so the argmax (and therefore the
+    * reported changepoint) can never flip on float noise or engine
+    * rounding; ties break to the EARLIEST k. Direction falls out of the
+    * same integers: mean_after − mean_before = −D_k / (k·(n−k)), so
+    * sign(−D_k) classifies up/down/flat exactly. The two segment means
+    * and the reported peak |D_k|/(n·100) — the textbook statistic back
+    * in dollar units — are the only doubles, one division each at the
+    * end (the [[twap]] discipline).
+    *
+    * Numeric envelope: cents ≤ 5·10⁸ ([[anomaly]]'s metric envelope,
+    * out-of-envelope rows excluded as rows), so n·P_k ≤ n²·5·10⁸ passes
+    * 2⁶³ around 4·10⁴ observations/user — D accumulates in
+    * DECIMAL(38,0)/HUGEINT (safe past 10¹⁴ events/user).
+    *
+    * Scale shape: ONE user-partitioned sort carries row_number + the
+    * running sum; n and S ride an unordered window over the same
+    * exchange; the argmax is a map-side-combinable struct-max groupBy —
+    * no second window over the event frame, no unpartitioned sort,
+    * output ∝ users. Split candidates are k ∈ [1, n−1] (both segments
+    * non-empty), so single-observation users drop out as a domain rule. */
+  def changepoint(s: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val wOrd = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("user_id")
+    val best = Tables
+      .events(s, dir)
+      .filter(
+        col("user_id").isNotNull && col("ts").isNotNull && col("value").isNotNull &&
+          !isnan(col("value")) && abs(col("value")) <= 5.0e6)
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        cents("value").as("c"))
+      .withColumn("k", row_number().over(wOrd))
+      .withColumn("pk", sum(col("c")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s_tot", sum(col("c")).over(wAll))
+      .filter(col("k") < col("n"))
+      .withColumn("d", dec(col("n")) * dec(col("pk")) - dec(col("k")) * dec(col("s_tot")))
+      .groupBy("user_id")
+      .agg(
+        max(col("n")).cast("long").as("n_obs"),
+        max(struct(
+          abs(col("d")).as("absd"),
+          (-col("k")).as("negk"),
+          col("k").cast("long").as("k"),
+          col("ts_us").as("cp_ts"),
+          col("pk").as("pk"),
+          col("d").as("d"),
+          col("s_tot").as("s_tot"))).as("b"))
+    best.select(
+      col("user_id"),
+      col("n_obs"),
+      col("b.k").as("cp_k"),
+      col("b.cp_ts").as("cp_ts_us"),
+      when(col("b.d") < 0, "up").when(col("b.d") > 0, "down").otherwise("flat")
+        .as("direction"),
+      round(col("b.absd").cast("double") / (col("n_obs").cast("double") * 100.0), 4)
+        .as("cusum_stat"),
+      round(col("b.pk").cast("double") / (col("b.k").cast("double") * 100.0), 4)
+        .as("mean_before"),
+      round(
+        (col("b.s_tot") - col("b.pk")).cast("double") /
+          ((col("n_obs") - col("b.k")).cast("double") * 100.0),
+        4).as("mean_after"))
+  }
+
+  /** SQL twin: the identical scaled statistic in HUGEINT, the argmax as
+    * a (absd DESC, k) row_number — the same (max |D|, earliest k) pick
+    * the struct-max makes. */
+  val changepointSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                         CAST(FLOOR(value * 100) AS BIGINT) AS c
+                  FROM events
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+                    AND NOT isnan(value) AND abs(value) <= 5000000),
+       p AS (SELECT user_id, ts_us, c,
+                    ROW_NUMBER() OVER w AS k,
+                    SUM(c) OVER w AS pk,
+                    COUNT(*) OVER (PARTITION BY user_id) AS n,
+                    SUM(c) OVER (PARTITION BY user_id) AS s_tot
+             FROM e
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       d AS (SELECT user_id, ts_us, k, pk, n, s_tot,
+                    CAST(n AS HUGEINT) * pk - CAST(k AS HUGEINT) * s_tot AS dd
+             FROM p WHERE k < n),
+       r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ABS(dd) DESC, k) AS rk
+             FROM d)
+       SELECT user_id,
+              CAST(n AS BIGINT) AS n_obs,
+              CAST(k AS BIGINT) AS cp_k,
+              ts_us AS cp_ts_us,
+              CASE WHEN dd < 0 THEN 'up' WHEN dd > 0 THEN 'down' ELSE 'flat' END AS direction,
+              ROUND(CAST(ABS(dd) AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 4) AS cusum_stat,
+              ROUND(CAST(pk AS DOUBLE) / (CAST(k AS DOUBLE) * 100.0), 4) AS mean_before,
+              ROUND(CAST(s_tot - pk AS DOUBLE) /
+                    (CAST(n - k AS DOUBLE) * 100.0), 4) AS mean_after
+       FROM r WHERE rk = 1
+       ORDER BY user_id"""
+
+  /** Cohort LTV curves — [[retention]] answers "do cohorts come back";
+    * this answers "what are they WORTH over time", the growth-analytics
+    * staple beside it: customers are grouped by FIRST-ORDER month, and
+    * each (cohort, age-in-months) cell reports active customers, revenue
+    * cents and the running cumulative revenue per original cohort member
+    * — the LTV curve a finance model reads off. (Orders, not events: the
+    * event fixture's users all start within two days, so first-activity
+    * cohorts are degenerate there; orders span 80 months.) Months are
+    * exact integers (year·12 + month), revenue is exact cents, actives
+    * are exact distinct counts; ONE double division at the end (the
+    * [[twap]] discipline).
+    *
+    * Scale shape: the cohort assignment is a map-side-combined groupBy on
+    * custkey (never a window over raw orders), orders join it back on the
+    * same key (AQE-sized), the cell rollup is a second partial-aggregated
+    * shuffle bounded by \|cohorts × ages\|, and the cumulative window
+    * runs over that BOUNDED frame — no order-wide window or sort
+    * anywhere. Cohort sizes ride the already-aggregated customer frame. */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .orders(s, dir)
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(
+        col("o_custkey").as("cust"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).cast("long").as("m"),
+        cents("o_totalprice").as("rc"))
+    val custs = o.groupBy("cust").agg(min(col("m")).as("cohort_month"))
+    val cohortSize = custs.groupBy("cohort_month").agg(count(lit(1)).as("cohort_users"))
+    val cells = o
+      .join(custs, "cust")
+      .groupBy(col("cohort_month"), (col("m") - col("cohort_month")).as("age_months"))
+      .agg(
+        countDistinct(col("cust")).as("n_active"),
+        sum(col("rc")).as("rev_cents"))
+    val wCum = Window
+      .partitionBy("cohort_month")
+      .orderBy("age_months")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(wCum))
+      .join(cohortSize, "cohort_month")
+      .select(
+        col("cohort_month"),
+        col("age_months"),
+        col("n_active"),
+        col("rev_cents"),
+        col("cum_rev_cents"),
+        col("cohort_users"),
+        round(
+          col("cum_rev_cents").cast("double") / (col("cohort_users").cast("double") * 100.0),
+          4).as("ltv_per_user"))
+  }
+
+  /** SQL twin: identical integer cells and bounded cumulative window;
+    * ages are unique within a cohort after the rollup, so the default
+    * RANGE frame equals the pinned ROWS frame. */
+  val cohortLtvSql: String =
+    """WITH o AS (SELECT o_custkey AS cust,
+                         CAST(date_part('year', o_orderdate) * 12
+                              + date_part('month', o_orderdate) - 1 AS BIGINT) AS m,
+                         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS rc
+                  FROM orders
+                  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+       u AS (SELECT cust, MIN(m) AS cohort_month FROM o GROUP BY 1),
+       cs AS (SELECT cohort_month, CAST(COUNT(*) AS BIGINT) AS cohort_users
+              FROM u GROUP BY 1),
+       g AS (SELECT u.cohort_month, o.m - u.cohort_month AS age_months,
+                    CAST(COUNT(DISTINCT o.cust) AS BIGINT) AS n_active,
+                    CAST(SUM(o.rc) AS BIGINT) AS rev_cents
+             FROM o JOIN u USING (cust)
+             GROUP BY 1, 2),
+       c AS (SELECT *, CAST(SUM(rev_cents) OVER (PARTITION BY cohort_month
+                                                 ORDER BY age_months) AS BIGINT) AS cum_rev_cents
+             FROM g)
+       SELECT c.cohort_month, c.age_months, c.n_active, c.rev_cents, c.cum_rev_cents,
+              cs.cohort_users,
+              ROUND(CAST(c.cum_rev_cents AS DOUBLE) /
+                    (CAST(cs.cohort_users AS DOUBLE) * 100.0), 4) AS ltv_per_user
+       FROM c JOIN cs USING (cohort_month)
+       ORDER BY cohort_month, age_months"""
+
   /** Per-(user, day) lag-feature materialization — the feature-store
     * shape that turns an event log into an ML training matrix: daily
     * revenue beside its previous-calendar-day value and its trailing
@@ -1603,6 +1797,8 @@ object Windows {
     "ts_active_users" -> (activeUsers _),
     "ts_twap" -> (twap _),
     "ts_trend" -> (trend _),
+    "ts_changepoint" -> (changepoint _),
+    "win_cohort_ltv" -> (cohortLtv _),
     "win_rolling_median" -> (rollingMedian _),
     "win_seasonality" -> (seasonality _),
     "win_conversion_time" -> (conversionTime _),
@@ -1634,6 +1830,8 @@ object Windows {
     "ts_active_users" -> activeUsersSql,
     "ts_twap" -> twapSql,
     "ts_trend" -> trendSql,
+    "ts_changepoint" -> changepointSql,
+    "win_cohort_ltv" -> cohortLtvSql,
     "win_rolling_median" -> rollingMedianSql,
     "win_seasonality" -> seasonalitySql,
     "win_conversion_time" -> conversionTimeSql,

@@ -499,6 +499,36 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(g.map(_.getLong(1)).sum == docs, "documents lost between deciles")
   }
 
+  test("novelty: per-doc first-occurrence census matches a string-gram replay") {
+    val got = TextAnalysis.novelty(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    // plain-Scala replay over STRING grams (the oracle's view of the
+    // same tokenization the hash kernel implements)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .flatMap { case (id, t) =>
+        val arr = t.trim.replaceAll(" +", " ").split(" ", -1)
+        if (arr.length < 3) None
+        else Some(id -> arr.sliding(3).map(_.mkString(" ")).toSet)
+      }
+    val firstDoc = docs.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    val ref = docs.map { case (id, gs) =>
+      val novel = gs.count(g => firstDoc(g) == id).toLong
+      id -> ((gs.size.toLong, novel, novel * 1000000L / gs.size))
+    }.toMap
+    assert(got.keySet == ref.keySet, "doc domain diverges")
+    for ((id, r) <- ref) assert(got(id) == r, s"novelty drift for doc $id: ${got(id)} vs $r")
+    // conservation: every distinct gram is novel in exactly one doc
+    assert(got.values.map(_._2).sum == firstDoc.size, "gram conservation broken")
+    // the fixture discriminates: the first doc is fully novel, some doc isn't
+    val minDoc = got.keys.min
+    assert(got(minDoc)._3 == 1000000L, "earliest doc must be fully novel")
+    assert(got.values.exists(_._3 < 1000000L), "no re-woven content — census unobservable")
+  }
+
   test("bpe train: merge table equals a plain-Scala reference implementation") {
     val rows = TextAnalysis
       .bpeTrain(spark, sfDir)

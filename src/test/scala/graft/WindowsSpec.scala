@@ -380,6 +380,112 @@ class WindowsSpec extends GraftSpecBase {
     }
   }
 
+  test("changepoint: argmax of the scaled CUSUM matches a BigInt replay, ties to earliest k") {
+    val rows = Windows.changepoint(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(
+        col("user_id").isNotNull && col("ts").isNotNull && col("value").isNotNull &&
+          !isnan(col("value")) && abs(col("value")) <= 5.0e6)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        floor(col("value") * 100.0).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def r4(x: Double) =
+      BigDecimal.valueOf(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ref = ev.groupBy(_._1).flatMap { case (u, obs0) =>
+      val obs = obs0.sortBy(o => (o._2, o._3))
+      val n = obs.length
+      if (n < 2) None
+      else {
+        val s = obs.map(o => BigInt(o._4)).sum
+        var pk = BigInt(0)
+        val ds = obs.zipWithIndex.take(n - 1).map { case (o, i) =>
+          pk += o._4
+          val k = i + 1
+          (k, o._2, pk, BigInt(n) * pk - BigInt(k) * s)
+        }
+        val (k, ts, p, d) = ds.maxBy { case (k, _, _, d) => (d.abs, BigInt(-k)) }
+        val dir = if (d < 0) "up" else if (d > 0) "down" else "flat"
+        Some(u -> ((n.toLong, k.toLong, ts, dir,
+          r4(d.abs.toDouble / (n * 100.0)),
+          r4(p.toDouble / (k * 100.0)),
+          r4((s - p).toDouble / ((n - k) * 100.0)))))
+      }
+    }.toMap
+    assert(rows.length == ref.size, s"user coverage diverges: ${rows.length} vs ${ref.size}")
+    for (r <- rows) {
+      val got = (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(got == ref(r.getLong(0)), s"changepoint drift for user ${r.getLong(0)}: " +
+        s"$got vs ${ref(r.getLong(0))}")
+    }
+  }
+
+  test("changepoint: a planted level shift is found at the exact boundary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusum").toString
+    val dayUs = 86400000000L
+    // user 1: five days at $10 then five at $20 — the changepoint is after
+    // k=5 (the last $10 observation); direction up, means exact
+    val rows = (1 to 10).map { i =>
+      (i.toLong, i.toLong * dayUs, 1L, "view", if (i <= 5) 10.0 else 20.0, "{}")
+    }
+    rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Windows.changepoint(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(2) == 5L, s"cp_k=${r.getLong(2)}")
+    assert(r.getLong(3) == 5L * dayUs, "cp at the last pre-shift observation")
+    assert(r.getString(4) == "up")
+    // D_5 = 10·5000 − 5·15000 = −25000 cents·? → |D|/(n·100) = 25000/1000 = 25.0
+    assert(r.getDouble(5) == 25.0, s"cusum_stat=${r.getDouble(5)}")
+    assert(r.getDouble(6) == 10.0 && r.getDouble(7) == 20.0, "segment means")
+  }
+
+  test("cohort_ltv: cells match a plain-Scala replay and the cumulative curve is monotone") {
+    val rows = Windows.cohortLtv(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.orders(spark, sfDir)
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).cast("long").as("m"),
+        floor(col("o_totalprice") * 100.0).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cohort = ev.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val size = cohort.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    val cells = ev.groupBy(e => (cohort(e._1), e._2 - cohort(e._1))).map { case (k, xs) =>
+      k -> ((xs.map(_._1).distinct.length.toLong, xs.map(_._3).sum))
+    }
+    assert(rows.length == cells.size, "cell coverage diverges")
+    val byCohort = rows.groupBy(_._1._1)
+    for (((cw, age), (nAct, rev, cum, cu, ltv)) <- rows) {
+      val (refAct, refRev) = cells((cw, age))
+      assert(nAct == refAct && rev == refRev, s"cell ($cw,$age) drifted")
+      assert(cu == size(cw), s"cohort size drifted for $cw")
+      val refCum = cells.collect { case ((c, a), (_, r)) if c == cw && a <= age => r }.sum
+      assert(cum == refCum, s"cumulative drifted at ($cw,$age)")
+      val refLtv = BigDecimal.valueOf(refCum.toDouble / (size(cw) * 100.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(ltv == refLtv, s"ltv drifted at ($cw,$age)")
+    }
+    // the curve is non-decreasing in age within every cohort (order
+    // totals are positive)
+    for ((_, rs) <- byCohort) {
+      val byAge = rs.sortBy(_._1._2).map(_._2._3)
+      assert(byAge.zip(byAge.drop(1)).forall { case (a, b) => a <= b }, "LTV curve decreased")
+    }
+    // fixture is non-vacuous: multiple cohorts, multiple ages, revenue > 0
+    assert(byCohort.size > 1 && rows.map(_._1._2).distinct.length > 1 &&
+      rows.map(_._2._2).sum > 0, "fixture does not exercise the curve")
+  }
+
   test("trend: a vertical line (all observations on one day) yields NULL fit, not an error") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_trend").toString
