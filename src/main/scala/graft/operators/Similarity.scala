@@ -1676,8 +1676,136 @@ object Similarity {
        ORDER BY cos_sim DESC, vec_a, vec_b
        LIMIT 20"""
 
+  /** Leading principal component of the embedding cloud — the
+    * [[Graph.pagerank]] discipline (exact integer linear algebra,
+    * unrolled iterations, bit-identical across engines) applied to
+    * spectral structure: the top PCA direction is what embedding-drift
+    * monitoring, whitening and 2-D map projections all start from.
+    * The float-free construction: the centered scatter matrix
+    *   M[i,j] = n·Σ x_i x_j − (Σ x_i)(Σ x_j)
+    * (= n² × covariance) is EXACT integers over the quantized vectors,
+    * and three power-iteration rounds run on it with an integer
+    * renormalization per round — v ← sign(w)·(|w|·10⁶ DIV max|w|) —
+    * so every loading is a deterministic integer in [−10⁶, 10⁶] (the
+    * sign-decomposed DIV sidesteps the Spark-truncate vs DuckDB-floor
+    * divergence on negatives). The Rayleigh quotient vᵀMv / vᵀv over
+    * the final integer vector gives the eigenvalue estimate λ (taken
+    * as the exact integer floor num DIV den — non-negative operands,
+    * both engines agree), and var_share = λ/trace(M) is the explained-
+    * variance share, rounded to 6 dp with the integer-exact half-away
+    * formula ((2·λ·10⁶ + tr) DIV (2·tr)) / 10⁶ — the one float op is
+    * the final division, so the value is bit-identical cross-engine
+    * even on a rounding boundary (the exactRoundSql discipline).
+    *
+    * Scale shape: ONE narrow pass over the vectors — the double
+    * posexplode fans each vector to dim² (i,j) products and the
+    * aggregation combines MAP-SIDE, so the shuffle carries ≤ dim²
+    * partial rows per task and the result is a BOUNDED dim²-row frame
+    * (4096 at dim 64). Everything after — the matrix assembly, the
+    * 3 matvecs, the Rayleigh quotient — is driver-side BigInt over
+    * that bounded frame (the bpe-argmax / temperature-mix precedent:
+    * collect is bounded by dim², never by corpus). S and n ride the
+    * SAME aggregation (the j=0 column and the group count), so the
+    * corpus is scanned exactly once. A degenerate cloud (M = 0, e.g.
+    * n ≤ 1 or all vectors identical) yields NULL loadings, not an
+    * error. Cross-engine exactness envelope: the HUGEINT replay holds
+    * to ~10⁴ vectors at the oracle SFs (the wᵀMv terms reach 10³⁰·N²);
+    * the Spark side is arbitrary-precision BigInt at any scale. */
+  def pcaTop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = embDim(s)
+    val cells = quantized(s, dir)
+      .select(col("qv"))
+      .select(col("qv"), posexplode(col("qv")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(
+        sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("g"),
+        sum(when(col("j") === 0, col("xi")).cast("decimal(38,0)")).as("s0"),
+        count(lit(1)).as("cnt"))
+      .collect()
+    if (cells.isEmpty) {
+      Seq.empty[(Long, Option[Long], Option[Double])]
+        .toDF("dim_idx", "loading_micro", "var_share")
+    } else {
+      val n = BigInt(cells.head.getAs[Long]("cnt"))
+      val g = Array.ofDim[BigInt](dim, dim)
+      val sv = Array.ofDim[BigInt](dim)
+      for (r <- cells) {
+        val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+        g(i)(j) = BigInt(r.getAs[java.math.BigDecimal]("g").toBigInteger)
+        if (j == 0) sv(i) = BigInt(r.getAs[java.math.BigDecimal]("s0").toBigInteger)
+      }
+      val m = Array.tabulate(dim, dim)((i, j) => n * g(i)(j) - sv(i) * sv(j))
+      var v = Array.fill(dim)(BigInt(1))
+      var degenerate = false
+      for (_ <- 1 to 3 if !degenerate) {
+        val w = Array.tabulate(dim)(i => (0 until dim).map(j => m(i)(j) * v(j)).sum)
+        val mx = w.map(_.abs).max
+        if (mx == 0) degenerate = true
+        else v = w.map(x => BigInt(x.signum) * ((x.abs * 1000000) / mx))
+      }
+      val out =
+        if (degenerate) (0 until dim).map(i => (i.toLong, None: Option[Long], None: Option[Double]))
+        else {
+          val num = (for (i <- 0 until dim; j <- 0 until dim) yield v(i) * m(i)(j) * v(j)).sum
+          val den = v.map(x => x * x).sum
+          val tr = (0 until dim).map(i => m(i)(i)).sum
+          val lam = num / den
+          val share = ((lam * 2000000 + tr) / (tr * 2)).toDouble / 1000000.0
+          (0 until dim).map(i => (i.toLong, Some(v(i).toLong), Some(share)))
+        }
+      out.toDF("dim_idx", "loading_micro", "var_share")
+    }
+  }
+
+  /** SQL twin: the identical scatter matrix, three unrolled integer
+    * matvec+renormalize rounds, and the identical Rayleigh division —
+    * all in HUGEINT over the shared quantize prelude. */
+  val pcaTopSql: String = {
+    def round(k: Int): String =
+      s"""w$k AS (SELECT m.i, SUM(m.m * v.v) AS w
+                 FROM m JOIN v${k - 1} v ON v.i = m.j GROUP BY 1),
+       x$k AS (SELECT MAX(ABS(w)) AS mx FROM w$k),
+       v$k AS (SELECT i, CASE WHEN mx = 0 THEN NULL
+                              ELSE (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                                   * (ABS(w) * 1000000 // mx)
+                         END AS v
+               FROM w$k, x$k)"""
+    s"""WITH $embPrelude,
+       idx AS (SELECT i FROM range(0, $EmbDimDefault) AS t(i)),
+       cells AS (
+         SELECT t1.i AS i, t2.i AS j,
+                SUM(CAST(n.qv[t1.i + 1] AS HUGEINT) * n.qv[t2.i + 1]) AS g
+         FROM n, idx t1, idx t2
+         GROUP BY 1, 2),
+       sv AS (SELECT t1.i AS i, SUM(CAST(n.qv[t1.i + 1] AS HUGEINT)) AS s
+              FROM n, idx t1 GROUP BY 1),
+       nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM n),
+       m AS (SELECT c.i, c.j, nn.n * c.g - sa.s * sb.s AS m
+             FROM cells c
+             JOIN sv sa ON sa.i = c.i
+             JOIN sv sb ON sb.i = c.j
+             CROSS JOIN nn),
+       v0 AS (SELECT i, CAST(1 AS HUGEINT) AS v FROM idx),
+       ${round(1)},
+       ${round(2)},
+       ${round(3)},
+       ray AS (SELECT SUM(va.v * m.m * vb.v) AS num
+               FROM m JOIN v3 va ON va.i = m.i JOIN v3 vb ON vb.i = m.j),
+       dn AS (SELECT SUM(v * v) AS den FROM v3),
+       tr AS (SELECT SUM(m.m) AS tr FROM m WHERE m.i = m.j)
+       SELECT v3.i AS dim_idx,
+              CAST(v3.v AS BIGINT) AS loading_micro,
+              CAST(((num // den) * 2000000 + tr.tr) // (2 * tr.tr) AS DOUBLE)
+                / 1000000.0 AS var_share
+       FROM v3, ray, dn, tr
+       ORDER BY dim_idx"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall" -> (annRecall _),
+    "emb_pca_top" -> (pcaTop _),
     "ann_nn_descent" -> (nnDescent _),
     "emb_pq" -> (embPq _),
     "ann_pq_topk" -> (annPq _),
@@ -1695,6 +1823,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann_recall" -> annRecallSql,
+    "emb_pca_top" -> pcaTopSql,
     "ann_nn_descent" -> nnDescentSql,
     "emb_pq" -> embPqSql,
     "ann_pq_topk" -> annPqSql,

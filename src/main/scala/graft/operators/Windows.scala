@@ -29,6 +29,21 @@ object Windows {
   private def cents(c: String): org.apache.spark.sql.Column =
     floor(col(c) * 100.0).cast("long")
 
+  /** SQL fragment: exact HALF-AWAY-FROM-ZERO rounding of p/q (q > 0) to
+    * 1/scale units, as pure integer arithmetic —
+    * sign(p) · ((2·|p|·scale + q) DIV (2·q)) / scale. ROUND(double) is
+    * representation-sensitive when the true quotient sits exactly on a
+    * rounding boundary (Java rounds the shortest decimal rendering,
+    * DuckDB the binary value — observed to flip the 4th decimal on real
+    * sf0.1 data); this never is: both engines derive the SAME integer
+    * and the one float op is the final division by the scale literal.
+    * |p| goes through DECIMAL(38,0) so 2·|p|·scale stays exact; the DIV
+    * runs on non-negative operands only, so Spark-truncate and
+    * DuckDB-floor agree (the sign is re-applied outside). */
+  private[operators] def exactRoundSql(p: String, q: String, scale: Long): String =
+    s"CAST(SIGN($p) AS DOUBLE) * CAST((2 * ABS(CAST(($p) AS DECIMAL(38,0))) * ${scale}" +
+      s" + ($q)) DIV (2 * ($q)) AS DOUBLE) / $scale.0D"
+
   /** Tumbling hourly aggregate: the batch shape of a streaming windowed agg
     * (see [[graft.streaming.EventStreams]]). One shuffle on (hour, type);
     * partial aggregation makes the shuffle ~|groups| not |rows|. */
@@ -1341,18 +1356,23 @@ object Windows {
     val fcNum =
       col("sy") * col("sxx") - col("sx") * col("sxy") +
         num * dec(col("day_last") + lit(7L))
-    agg.select(
-      col("user_id"),
-      col("n_obs"),
-      col("day_last"),
-      when(den =!= lit(0L),
-        round(num.cast("double") / (den.cast("double") * 100.0), 6)).as("slope_per_day"),
-      when(den =!= lit(0L),
-        round(fcNum.cast("double") / (den.cast("double") * 100.0), 4)).as("forecast_7d"))
+    agg
+      .withColumn("num", num)
+      .withColumn("den", den)
+      .withColumn("fc_num", fcNum)
+      .selectExpr(
+        "user_id",
+        "n_obs",
+        "day_last",
+        "CASE WHEN den <> 0 THEN " + exactRoundSql("num", "den * 100", 1000000) +
+          " END AS slope_per_day",
+        "CASE WHEN den <> 0 THEN " + exactRoundSql("fc_num", "den * 100", 10000) +
+          " END AS forecast_7d")
   }
 
   /** SQL twin: the identical five sums in HUGEINT, the identical two
-    * final divisions; outputs cast to BIGINT/DOUBLE so no HUGEINT ever
+    * integer-exact roundings ([[exactRoundSql]]'s formula in
+    * HUGEINT/`//`); outputs cast to BIGINT/DOUBLE so no HUGEINT ever
     * reaches the driver's pandas hashing. */
   val trendSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS x,
@@ -1376,10 +1396,14 @@ object Windows {
                FROM agg)
        SELECT user_id, n_obs, day_last,
               CASE WHEN den <> 0
-                   THEN ROUND(CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * 100.0), 6)
+                   THEN (CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END) *
+                        CAST((2 * ABS(num) * 1000000 + den * 100)
+                             // (2 * den * 100) AS DOUBLE) / 1000000.0
               END AS slope_per_day,
               CASE WHEN den <> 0
-                   THEN ROUND(CAST(fc_num AS DOUBLE) / (CAST(den AS DOUBLE) * 100.0), 4)
+                   THEN (CASE WHEN fc_num < 0 THEN -1.0 ELSE 1.0 END) *
+                        CAST((2 * ABS(fc_num) * 10000 + den * 100)
+                             // (2 * den * 100) AS DOUBLE) / 10000.0
               END AS forecast_7d
        FROM fit
        ORDER BY user_id"""
@@ -1445,26 +1469,21 @@ object Windows {
           col("pk").as("pk"),
           col("d").as("d"),
           col("s_tot").as("s_tot"))).as("b"))
-    best.select(
-      col("user_id"),
-      col("n_obs"),
-      col("b.k").as("cp_k"),
-      col("b.cp_ts").as("cp_ts_us"),
-      when(col("b.d") < 0, "up").when(col("b.d") > 0, "down").otherwise("flat")
-        .as("direction"),
-      round(col("b.absd").cast("double") / (col("n_obs").cast("double") * 100.0), 4)
-        .as("cusum_stat"),
-      round(col("b.pk").cast("double") / (col("b.k").cast("double") * 100.0), 4)
-        .as("mean_before"),
-      round(
-        (col("b.s_tot") - col("b.pk")).cast("double") /
-          ((col("n_obs") - col("b.k")).cast("double") * 100.0),
-        4).as("mean_after"))
+    best.selectExpr(
+      "user_id",
+      "n_obs",
+      "b.k AS cp_k",
+      "b.cp_ts AS cp_ts_us",
+      "CASE WHEN b.d < 0 THEN 'up' WHEN b.d > 0 THEN 'down' ELSE 'flat' END AS direction",
+      exactRoundSql("b.absd", "n_obs * 100", 10000) + " AS cusum_stat",
+      exactRoundSql("b.pk", "b.k * 100", 10000) + " AS mean_before",
+      exactRoundSql("b.s_tot - b.pk", "(n_obs - b.k) * 100", 10000) + " AS mean_after")
   }
 
   /** SQL twin: the identical scaled statistic in HUGEINT, the argmax as
     * a (absd DESC, k) row_number — the same (max |D|, earliest k) pick
-    * the struct-max makes. */
+    * the struct-max makes — and the identical integer-exact rounding
+    * ([[exactRoundSql]]'s formula in HUGEINT/`//`). */
   val changepointSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
                          CAST(FLOOR(value * 100) AS BIGINT) AS c
@@ -1490,10 +1509,14 @@ object Windows {
               CAST(k AS BIGINT) AS cp_k,
               ts_us AS cp_ts_us,
               CASE WHEN dd < 0 THEN 'up' WHEN dd > 0 THEN 'down' ELSE 'flat' END AS direction,
-              ROUND(CAST(ABS(dd) AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 4) AS cusum_stat,
-              ROUND(CAST(pk AS DOUBLE) / (CAST(k AS DOUBLE) * 100.0), 4) AS mean_before,
-              ROUND(CAST(s_tot - pk AS DOUBLE) /
-                    (CAST(n - k AS DOUBLE) * 100.0), 4) AS mean_after
+              CAST((2 * ABS(dd) * 10000 + n * 100) // (2 * n * 100) AS DOUBLE)
+                / 10000.0 AS cusum_stat,
+              (CASE WHEN pk < 0 THEN -1.0 ELSE 1.0 END) *
+                CAST((2 * ABS(CAST(pk AS HUGEINT)) * 10000 + k * 100)
+                     // (2 * k * 100) AS DOUBLE) / 10000.0 AS mean_before,
+              (CASE WHEN s_tot - pk < 0 THEN -1.0 ELSE 1.0 END) *
+                CAST((2 * ABS(CAST(s_tot - pk AS HUGEINT)) * 10000 + (n - k) * 100)
+                     // (2 * (n - k) * 100) AS DOUBLE) / 10000.0 AS mean_after
        FROM r WHERE rk = 1
        ORDER BY user_id"""
 
@@ -1538,21 +1561,20 @@ object Windows {
     cells
       .withColumn("cum_rev_cents", sum(col("rev_cents")).over(wCum))
       .join(cohortSize, "cohort_month")
-      .select(
-        col("cohort_month"),
-        col("age_months"),
-        col("n_active"),
-        col("rev_cents"),
-        col("cum_rev_cents"),
-        col("cohort_users"),
-        round(
-          col("cum_rev_cents").cast("double") / (col("cohort_users").cast("double") * 100.0),
-          4).as("ltv_per_user"))
+      .selectExpr(
+        "cohort_month",
+        "age_months",
+        "n_active",
+        "rev_cents",
+        "cum_rev_cents",
+        "cohort_users",
+        exactRoundSql("cum_rev_cents", "cohort_users * 100", 10000) + " AS ltv_per_user")
   }
 
-  /** SQL twin: identical integer cells and bounded cumulative window;
-    * ages are unique within a cohort after the rollup, so the default
-    * RANGE frame equals the pinned ROWS frame. */
+  /** SQL twin: identical integer cells and bounded cumulative window
+    * (ages are unique within a cohort after the rollup, so the default
+    * RANGE frame equals the pinned ROWS frame); the per-user division
+    * uses [[exactRoundSql]]'s integer-exact rounding. */
   val cohortLtvSql: String =
     """WITH o AS (SELECT o_custkey AS cust,
                          CAST(date_part('year', o_orderdate) * 12
@@ -1573,8 +1595,10 @@ object Windows {
              FROM g)
        SELECT c.cohort_month, c.age_months, c.n_active, c.rev_cents, c.cum_rev_cents,
               cs.cohort_users,
-              ROUND(CAST(c.cum_rev_cents AS DOUBLE) /
-                    (CAST(cs.cohort_users AS DOUBLE) * 100.0), 4) AS ltv_per_user
+              (CASE WHEN c.cum_rev_cents < 0 THEN -1.0 ELSE 1.0 END) *
+                CAST((2 * ABS(CAST(c.cum_rev_cents AS HUGEINT)) * 10000
+                      + cs.cohort_users * 100)
+                     // (2 * cs.cohort_users * 100) AS DOUBLE) / 10000.0 AS ltv_per_user
        FROM c JOIN cs USING (cohort_month)
        ORDER BY cohort_month, age_months"""
 

@@ -652,10 +652,12 @@ object EventStreams {
     * accumulator convention, since Σxy can pass 2⁶³ on extreme streams).
     *
     * Arithmetic mirrors batch op-for-op: epoch-day x via floorDiv,
-    * integer cents, the closed-form num/den/fc_num in exact BigInt, ONE
-    * double division per output column, the same HALF_UP 6/4-dp rounds —
-    * per-user emissions row-identical to the batch operator on replay
-    * (spec-pinned). Emission follows the [[streaks]] convention: the
+    * integer cents, the closed-form num/den/fc_num in exact BigInt, and
+    * the batch operator's integer-exact half-away rounding (the
+    * [[graft.operators.Windows]] exactRoundSql formula — same integer,
+    * same single float division) — per-user emissions row-identical to
+    * the batch operator on replay (spec-pinned). Emission follows the
+    * [[streaks]] convention: the
     * current fit emits once per trigger, a vertical line (den = 0)
     * emits its NULL-fit row rather than vanishing — the batch rule. */
   def trend(events: Dataset[Ev]): Dataset[TrendOut] = {
@@ -684,16 +686,13 @@ object EventStreams {
             val den = BigInt(n) * sxx - sx * sx
             if (den == 0) Iterator(TrendOut(userId, n, dayLast, None, None))
             else {
-              val slope = BigDecimal
-                .valueOf(num.toDouble / (den.toDouble * 100.0))
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-                .toDouble
+              // the batch operator's integer-exact half-away rounding
+              // (Windows.exactRoundSql): same integer, same one division
+              def hr(p: BigInt, scale: Long): Double =
+                p.signum * ((p.abs * 2 * scale + den * 100) / (den * 200)).toDouble / scale
               val fcNum = sy * sxx - sx * sxy + num * BigInt(dayLast + 7)
-              val fc = BigDecimal
-                .valueOf(fcNum.toDouble / (den.toDouble * 100.0))
-                .setScale(4, BigDecimal.RoundingMode.HALF_UP)
-                .toDouble
-              Iterator(TrendOut(userId, n, dayLast, Some(slope), Some(fc)))
+              Iterator(
+                TrendOut(userId, n, dayLast, Some(hr(num, 1000000L)), Some(hr(fcNum, 10000L))))
             }
           }
         })

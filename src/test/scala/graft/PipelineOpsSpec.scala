@@ -1141,6 +1141,58 @@ class PipelineOpsSpec extends GraftSpecBase {
       s"bands cover ${bands.map(_.getLong(2)).sum}, expected $converted converters")
   }
 
+  test("emb_pca_top: loadings match an independent BigInt power-iteration replay") {
+    val got = Similarity.pcaTop(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 64, s"${got.length} dims")
+    // independent replay from the raw parquet: same gate/quantize, same
+    // scatter matrix, same three renormalized rounds
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .flatMap { r =>
+        Option(r.getAs[scala.collection.Seq[Float]]("embedding")).collect {
+          case e if e.length == 64 && e.forall(x => math.abs(x) <= 10000.0f) =>
+            e.map(x => BigInt(math.floor(x.toDouble * 1000).toLong)).toArray
+        }
+      }
+      .filter(q => q.map(x => x * x).sum > 0)
+    val n = BigInt(vecs.length)
+    val g = Array.tabulate(64, 64)((i, j) => vecs.map(q => q(i) * q(j)).sum)
+    val sv = Array.tabulate(64)(i => vecs.map(_(i)).sum)
+    val m = Array.tabulate(64, 64)((i, j) => n * g(i)(j) - sv(i) * sv(j))
+    var v = Array.fill(64)(BigInt(1))
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(64)(i => (0 until 64).map(j => m(i)(j) * v(j)).sum)
+      val mx = w.map(_.abs).max
+      assert(mx != 0, "fixture is degenerate — replay vacuous")
+      v = w.map(x => BigInt(x.signum) * ((x.abs * 1000000) / mx))
+    }
+    val num = (for (i <- 0 until 64; j <- 0 until 64) yield v(i) * m(i)(j) * v(j)).sum
+    val den = v.map(x => x * x).sum
+    val tr = (0 until 64).map(i => m(i)(i)).sum
+    val share = (((num / den) * 2000000 + tr) / (tr * 2)).toDouble / 1000000.0
+    for ((gi, i) <- got.zipWithIndex) {
+      assert(gi._1 == i.toLong)
+      assert(gi._2 == v(i).toLong, s"loading drift at dim $i: ${gi._2} vs ${v(i)}")
+      assert(gi._3 == share, s"var_share drift: ${gi._3} vs $share")
+    }
+    // invariants: renormalization pins max |loading| at exactly 1e6, the
+    // Rayleigh share of the top component is a positive fraction
+    assert(got.map(x => math.abs(x._2)).max == 1000000L, "renormalization drifted")
+    assert(share > 0.0 && share <= 1.0, s"var_share out of range: $share")
+  }
+
+  test("emb_pca_top: a degenerate cloud (all vectors identical) yields NULL loadings") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca").toString
+    val e = Seq.fill(3)(Array.fill(64)(1.5f))
+    e.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.pcaTop(spark, dir).collect()
+    assert(got.length == 64)
+    assert(got.forall(r => r.isNullAt(1) && r.isNullAt(2)), "degenerate cloud must be NULL")
+  }
+
   test("nn_descent: proposals match a plain-Scala replay of the sample kNN graph") {
     val got = Similarity.nnDescent(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))

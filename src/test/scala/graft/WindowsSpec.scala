@@ -356,17 +356,12 @@ class WindowsSpec extends GraftSpecBase {
       val dayLast = obs.map(_._2).max
       val num = n * sxy - sx * sy
       val den = n * sxx - sx * sx
-      val slope =
-        if (den == 0) None
-        else Some(BigDecimal.valueOf(num.toDouble / (den.toDouble * 100.0))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      def hr(p: BigInt, scale: Long): Double =
+        p.signum * ((p.abs * 2 * scale + den * 100) / (den * 200)).toDouble / scale
+      val slope = if (den == 0) None else Some(hr(num, 1000000L))
       val fc =
         if (den == 0) None
-        else {
-          val fcNum = sy * sxx - sx * sxy + num * BigInt(dayLast + 7)
-          Some(BigDecimal.valueOf(fcNum.toDouble / (den.toDouble * 100.0))
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-        }
+        else Some(hr(sy * sxx - sx * sxy + num * BigInt(dayLast + 7), 10000L))
       u -> ((obs.length.toLong, dayLast, slope, fc))
     }
     assert(rows.length == ref.size, "user coverage diverges")
@@ -391,8 +386,8 @@ class WindowsSpec extends GraftSpecBase {
         floor(col("value") * 100.0).cast("long").as("c"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    def r4(x: Double) =
-      BigDecimal.valueOf(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def hr4(p: BigInt, q: BigInt): Double =
+      p.signum * ((p.abs * 20000 + q) / (q * 2)).toDouble / 10000.0
     val ref = ev.groupBy(_._1).flatMap { case (u, obs0) =>
       val obs = obs0.sortBy(o => (o._2, o._3))
       val n = obs.length
@@ -408,9 +403,9 @@ class WindowsSpec extends GraftSpecBase {
         val (k, ts, p, d) = ds.maxBy { case (k, _, _, d) => (d.abs, BigInt(-k)) }
         val dir = if (d < 0) "up" else if (d > 0) "down" else "flat"
         Some(u -> ((n.toLong, k.toLong, ts, dir,
-          r4(d.abs.toDouble / (n * 100.0)),
-          r4(p.toDouble / (k * 100.0)),
-          r4((s - p).toDouble / ((n - k) * 100.0)))))
+          hr4(d.abs, BigInt(n) * 100),
+          hr4(p, BigInt(k) * 100),
+          hr4(s - p, BigInt(n - k) * 100))))
       }
     }.toMap
     assert(rows.length == ref.size, s"user coverage diverges: ${rows.length} vs ${ref.size}")
@@ -471,8 +466,9 @@ class WindowsSpec extends GraftSpecBase {
       assert(cu == size(cw), s"cohort size drifted for $cw")
       val refCum = cells.collect { case ((c, a), (_, r)) if c == cw && a <= age => r }.sum
       assert(cum == refCum, s"cumulative drifted at ($cw,$age)")
-      val refLtv = BigDecimal.valueOf(refCum.toDouble / (size(cw) * 100.0))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val refLtv =
+        ((BigInt(refCum) * 20000 + BigInt(size(cw)) * 100) /
+          (BigInt(size(cw)) * 200)).toDouble / 10000.0
       assert(ltv == refLtv, s"ltv drifted at ($cw,$age)")
     }
     // the curve is non-decreasing in age within every cohort (order
