@@ -154,6 +154,32 @@ object ScaleProbe {
       embMarker.createNewFile()
     }
 
+    // orders-side synthesis (fourth marker, same reasoning): N×
+    // CUSTOMERS over the same order-date span — the cohort axis. Each
+    // copy's per-customer order history is preserved verbatim, so
+    // cohort membership per copy matches the source and the cohort ×
+    // age cell GRID stays constant while every cell's membership and
+    // sums grow N× — the probe reads whether the two bounded-output
+    // aggregations and the join stay linear in the row count.
+    val ordMarker = new java.io.File(s"$bigDir/_built_orders")
+    if (!ordMarker.exists()) {
+      val o = spark.read.parquet(s"$srcDir/orders.parquet")
+      assertIdEnvelope(o, "o_orderkey", 1000000000000L)
+      assertIdEnvelope(o, "o_custkey", 100000000L)
+      val oCopies = (0 until factor).map { k =>
+        o.select(
+          (col("o_orderkey") + lit(k.toLong * 1000000000000L)).as("o_orderkey"),
+          (col("o_custkey") + lit(k.toLong * 100000000L)).as("o_custkey"),
+          col("o_orderstatus"),
+          col("o_totalprice"),
+          col("o_orderdate"),
+          col("o_orderpriority"))
+      }
+      oCopies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$bigDir/orders.parquet")
+      ordMarker.createNewFile()
+    }
+
     import graft.operators.{CorpusOps, Dedup, Graph, TextAnalysis, Training}
     val probes: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
       "dedup_exact" -> (Dedup.exact _),
@@ -238,7 +264,28 @@ object ScaleProbe {
         CorpusOps.dedupIncrementalBloom(s, d)),
       "dedup_semantic" -> (graft.operators.Similarity.dedupSemantic _),
       "text_chunk" -> (TextAnalysis.chunk _),
-      "text_fertility" -> (TextAnalysis.fertility _))
+      "text_fertility" -> (TextAnalysis.fertility _),
+      // round-12 wave: the sufficient-statistic aggregates (trend: one
+      // map-side-combined user shuffle, no sort — the floor-reader of
+      // the family; changepoint: ONE user-partitioned sort), the first
+      // orders-axis probe (cohort LTV: constant cell grid, N× members),
+      // the gram first-occurrence census (novelty: min-agg on the gram
+      // key — the same shuffle class as the pair pipelines without the
+      // pair expansion), common-neighbor link prediction (wedge work
+      // Σ deg² over the band-bounded pair graph, the triangles
+      // argument), the funnel census (curate's plan + one bounded
+      // groupBy — rides the same shared caches, cleared per timing),
+      // and the scatter-matrix PCA (dim²-bounded shuffle: expect the
+      // cleanest linearity of the wave). ann_nn_descent is deliberately
+      // NOT probed: its |S|² sample graph is the declared bounded
+      // anchor, the ann_brute exception.
+      "ts_trend" -> (graft.operators.Windows.trend _),
+      "ts_changepoint" -> (graft.operators.Windows.changepoint _),
+      "win_cohort_ltv" -> (graft.operators.Windows.cohortLtv _),
+      "text_novelty" -> (TextAnalysis.novelty _),
+      "graph_link_predict" -> (Graph.linkPredict _),
+      "corpus_funnel" -> (CorpusOps.funnel _),
+      "emb_pca_top" -> (graft.operators.Similarity.pcaTop _))
 
     def time(dir: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {

@@ -20,6 +20,27 @@ object Graph {
     * order-independent — and both engines produce bit-identical ranks. */
   private val Scale = 1000000000000L // 10^12
 
+  /** The near-dup pair list (Jaccard ≥ 0.5 over the shared cached
+    * candidate frame) — ONE Scala definition of the graph's edge source
+    * for [[pagerank]], [[triangles]] and [[linkPredict]], mirroring
+    * [[nearGraphCtesSql]] on the oracle side, so a gate change can never
+    * desynchronize one operator's graph from the others'. */
+  private def nearPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .ngramPairs(s, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+
+  /** Symmetrized edge list over [[nearPairs]]' canonical pairs. */
+  private def symEdges(pairs: DataFrame): DataFrame =
+    pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+
+  /** Node degrees over a symmetrized edge list. */
+  private def degrees(sym: DataFrame): DataFrame =
+    sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+
   private val ItersDefault = 3
 
   /** Iteration count — a validated session knob
@@ -73,13 +94,7 @@ object Graph {
     * bounded in practice by the upstream rare-band candidate cap; AQE
     * splits any residual hub skew. Iterations: [[pagerankIters]]. */
   def pagerank(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup
-      .ngramPairs(s, dir)
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b")
-    val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = symEdges(nearPairs(s, dir))
     // N fetched EAGERLY (one O(1) count job, the globalRank/corpusShard
     // eager-literal discipline) rather than carried as a 1-row frame: the
     // iteration below references `cur` twice per round, so a lazy N
@@ -167,14 +182,8 @@ object Graph {
     * corpus — and each triangle lands exactly once before the explode back
     * to its three corners. */
   def triangles(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup
-      .ngramPairs(s, dir)
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b")
-    val sym = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val sym = symEdges(nearPairs(s, dir))
+    val deg = degrees(sym)
     // orient low → high in the (deg, id) total order; ks/kd ride along so
     // the wedge dedup below needs no re-join
     val oriented = sym
@@ -279,14 +288,9 @@ object Graph {
     * anti-join shuffle on pair keys ∝ wedges, never corpus; the final
     * top-20 is a TakeOrdered partial top-k, no global sort. */
   def linkPredict(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup
-      .ngramPairs(s, dir)
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b")
-    val sym = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val pairs = nearPairs(s, dir)
+    val sym = symEdges(pairs)
+    val deg = degrees(sym)
     val cand = sym
       .select(col("src").as("u"), col("dst").as("a"))
       .join(sym.select(col("src").as("u"), col("dst").as("b")), Seq("u"))

@@ -1623,11 +1623,20 @@ object Similarity {
         col("a").as("vec_a"),
         col("b").as("vec_b"),
         col("n_common"),
+        col("rescored"),
         round(col("rescored"), 4).as("cos_sim"),
         (col("rescored") > col("worst_a") || col("rescored") > col("worst_b"))
           .cast("int").as("improves"))
-      .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+      // rank on the RAW cosine (identically-derived IEEE doubles in both
+      // engines), not the rounded rendering: ROUND(double) can differ
+      // cross-engine exactly on a rounding boundary (the exactRoundSql
+      // find), and a boundary hit near the cutoff would otherwise change
+      // WHICH rows the top-20 emits. The emitted 4-dp cos_sim keeps the
+      // same residual boundary risk as annBrute's (disclosed; a sqrt
+      // denominator admits no integer-exact rounding).
+      .orderBy(col("rescored").desc, col("vec_a"), col("vec_b"))
       .limit(20)
+      .drop("rescored")
   }
 
   /** SQL twin: the same sample graph, wedge proposal set and exact
@@ -1673,7 +1682,7 @@ object Similarity {
        FROM resc
        JOIN worst wa ON wa.id = resc.a
        JOIN worst wb ON wb.id = resc.b
-       ORDER BY cos_sim DESC, vec_a, vec_b
+       ORDER BY rescored DESC, vec_a, vec_b
        LIMIT 20"""
 
   /** Leading principal component of the embedding cloud — the
@@ -1705,10 +1714,13 @@ object Similarity {
     * 3 matvecs, the Rayleigh quotient — is driver-side BigInt over
     * that bounded frame (the bpe-argmax / temperature-mix precedent:
     * collect is bounded by dim², never by corpus). S and n ride the
-    * SAME aggregation (the j=0 column and the group count), so the
-    * corpus is scanned exactly once. A degenerate cloud (M = 0, e.g.
-    * n ≤ 1 or all vectors identical) yields NULL loadings, not an
-    * error. Cross-engine exactness envelope: the HUGEINT replay holds
+    * SAME aggregation (the i=0 row of the upper triangle and the group
+    * count), so the corpus is scanned exactly once — and only the
+    * dim·(dim+1)/2 upper triangle is computed (M is symmetric; the
+    * mirror is driver-side). A degenerate cloud (M = 0, e.g. n ≤ 1 or
+    * all vectors identical) yields NULL loadings, not an error; the
+    * fixed (1, 2, …, dim) start also reports NULL in the contrived
+    * residual case where a nonzero M annihilates it. Cross-engine exactness envelope: the HUGEINT replay holds
     * to ~10⁴ vectors at the oracle SFs (the wᵀMv terms reach 10³⁰·N²);
     * the Spark side is arbitrary-precision BigInt at any scale. */
   def pcaTop(s: SparkSession, dir: String): DataFrame = {
@@ -1718,10 +1730,15 @@ object Similarity {
       .select(col("qv"))
       .select(col("qv"), posexplode(col("qv")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("j", "xj")))
+      // the scatter matrix is symmetric: compute the upper triangle only
+      // (dim·(dim+1)/2 groups instead of dim²) and mirror driver-side —
+      // halves the one corpus-sized stage's fan-out and aggregation work
+      .filter(col("j") >= col("i"))
       .groupBy("i", "j")
       .agg(
         sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("g"),
-        sum(when(col("j") === 0, col("xi")).cast("decimal(38,0)")).as("s0"),
+        // S_j rides the i = 0 row of the triangle (xj there spans all j)
+        sum(when(col("i") === 0, col("xj")).cast("decimal(38,0)")).as("s0"),
         count(lit(1)).as("cnt"))
       .collect()
     if (cells.isEmpty) {
@@ -1733,11 +1750,19 @@ object Similarity {
       val sv = Array.ofDim[BigInt](dim)
       for (r <- cells) {
         val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
-        g(i)(j) = BigInt(r.getAs[java.math.BigDecimal]("g").toBigInteger)
-        if (j == 0) sv(i) = BigInt(r.getAs[java.math.BigDecimal]("s0").toBigInteger)
+        val v = BigInt(r.getAs[java.math.BigDecimal]("g").toBigInteger)
+        g(i)(j) = v
+        g(j)(i) = v
+        if (i == 0) sv(j) = BigInt(r.getAs[java.math.BigDecimal]("s0").toBigInteger)
       }
       val m = Array.tabulate(dim, dim)((i, j) => n * g(i)(j) - sv(i) * sv(j))
-      var v = Array.fill(dim)(BigInt(1))
+      // fixed deterministic start (1, 2, …, dim) — NOT all-ones: any
+      // cloud whose vectors share a constant coordinate sum (probability
+      // simplices, count-normalized embeddings) has the ones vector in
+      // ker(M), which would false-report a well-defined component as
+      // degenerate; a start with distinct components is annihilated only
+      // by contrived clouds (and that residual case still reports NULL)
+      var v = Array.tabulate(dim)(i => BigInt(i + 1))
       var degenerate = false
       for (_ <- 1 to 3 if !degenerate) {
         val w = Array.tabulate(dim)(i => (0 until dim).map(j => m(i)(j) * v(j)).sum)
@@ -1778,16 +1803,21 @@ object Similarity {
          SELECT t1.i AS i, t2.i AS j,
                 SUM(CAST(n.qv[t1.i + 1] AS HUGEINT) * n.qv[t2.i + 1]) AS g
          FROM n, idx t1, idx t2
+         WHERE t2.i >= t1.i
          GROUP BY 1, 2),
+       cellsf AS (
+         SELECT i, j, g FROM cells
+         UNION ALL
+         SELECT j AS i, i AS j, g FROM cells WHERE i <> j),
        sv AS (SELECT t1.i AS i, SUM(CAST(n.qv[t1.i + 1] AS HUGEINT)) AS s
               FROM n, idx t1 GROUP BY 1),
        nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM n),
        m AS (SELECT c.i, c.j, nn.n * c.g - sa.s * sb.s AS m
-             FROM cells c
+             FROM cellsf c
              JOIN sv sa ON sa.i = c.i
              JOIN sv sb ON sb.i = c.j
              CROSS JOIN nn),
-       v0 AS (SELECT i, CAST(1 AS HUGEINT) AS v FROM idx),
+       v0 AS (SELECT i, CAST(i + 1 AS HUGEINT) AS v FROM idx),
        ${round(1)},
        ${round(2)},
        ${round(3)},

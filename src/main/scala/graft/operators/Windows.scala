@@ -30,19 +30,31 @@ object Windows {
     floor(col(c) * 100.0).cast("long")
 
   /** SQL fragment: exact HALF-AWAY-FROM-ZERO rounding of p/q (q > 0) to
-    * 1/scale units, as pure integer arithmetic —
-    * sign(p) · ((2·|p|·scale + q) DIV (2·q)) / scale. ROUND(double) is
+    * 1/scale units, as pure integer arithmetic. ROUND(double) is
     * representation-sensitive when the true quotient sits exactly on a
     * rounding boundary (Java rounds the shortest decimal rendering,
     * DuckDB the binary value — observed to flip the 4th decimal on real
     * sf0.1 data); this never is: both engines derive the SAME integer
     * and the one float op is the final division by the scale literal.
-    * |p| goes through DECIMAL(38,0) so 2·|p|·scale stays exact; the DIV
-    * runs on non-negative operands only, so Spark-truncate and
-    * DuckDB-floor agree (the sign is re-applied outside). */
-  private[operators] def exactRoundSql(p: String, q: String, scale: Long): String =
-    s"CAST(SIGN($p) AS DOUBLE) * CAST((2 * ABS(CAST(($p) AS DECIMAL(38,0))) * ${scale}" +
-      s" + ($q)) DIV (2 * ($q)) AS DOUBLE) / $scale.0D"
+    *
+    * The naive form ((2·|p|·scale + q) DIV (2·q)) would need the
+    * intermediate 2·|p|·scale exact — at the operators' documented
+    * envelopes |p| can reach ~10³⁵ (ts_trend's fc_num at 10⁹ events/
+    * user), overflowing DECIMAL(38,0)/HUGEINT. So the quotient is SPLIT
+    * with |p| = a·q + r (a = |p| DIV q, r = |p| % q):
+    *   round(|p|/q · scale) = a·scale + (2·r·scale + q) DIV (2·q)
+    * — an exact identity, and the largest intermediate is now
+    * 2·q·scale (< 10³⁸ whenever q < 5·10³¹), independent of |p|. Every
+    * DIV/% runs on non-negative operands only, so Spark-truncate and
+    * DuckDB-floor agree (the sign is re-applied outside); a·scale is
+    * re-widened to DECIMAL(38,0) (Spark's DIV yields LONG). */
+  private[operators] def exactRoundSql(p: String, q: String, scale: Long): String = {
+    val ap = s"ABS(CAST(($p) AS DECIMAL(38,0)))"
+    s"CAST(SIGN($p) AS DOUBLE) * CAST(" +
+      s"CAST($ap DIV ($q) AS DECIMAL(38,0)) * $scale" +
+      s" + (2 * ($ap % ($q)) * $scale + ($q)) DIV (2 * ($q))" +
+      s" AS DOUBLE) / $scale.0D"
+  }
 
   /** Tumbling hourly aggregate: the batch shape of a streaming windowed agg
     * (see [[graft.streaming.EventStreams]]). One shuffle on (hour, type);
@@ -1324,9 +1336,13 @@ object Windows {
     * rows), so per-row products x·y ≤ 10¹³ are long-safe; the per-user
     * sums and the cross-products (Σx·Σy ≤ ~10³¹ even at 10⁹ events/user)
     * accumulate in DECIMAL(38,0) / HUGEINT ([[Analytics.moments]]'
-    * discipline). `div` vs `//` never appears on a possibly-negative
-    * quantity — the one sign-carrying division (slope can be negative)
-    * is the final double division, identical in both engines.
+    * discipline). Pre-epoch timestamps are excluded as rows (the
+    * envelope rule): a negative unix time would make the epoch-day
+    * division sign-carrying, where Spark's `div` truncates but
+    * DuckDB's `//` floors — the exclusion keeps every integer
+    * division in this operator on non-negative operands. The
+    * sign-carrying arithmetic (slope can be negative) happens only in
+    * the sign-decomposed exact rounding.
     *
     * Scale shape: one partial-aggregated shuffle on user_id, output ∝
     * users; no window, no sort. A vertical line (all observations on one
@@ -1337,7 +1353,8 @@ object Windows {
       .events(s, dir)
       .filter(
         col("user_id").isNotNull && col("ts").isNotNull && col("value").isNotNull &&
-          !isnan(col("value")) && abs(col("value")) <= 5.0e6)
+          !isnan(col("value")) && abs(col("value")) <= 5.0e6 &&
+          unix_micros(col("ts")) >= 0)
       .select(
         col("user_id"),
         expr("unix_micros(ts) div 86400000000").as("x"),
@@ -1379,7 +1396,8 @@ object Windows {
                          CAST(FLOOR(value * 100) AS BIGINT) AS c
                   FROM events
                   WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
-                    AND NOT isnan(value) AND abs(value) <= 5000000),
+                    AND NOT isnan(value) AND abs(value) <= 5000000
+                    AND epoch_us(ts) >= 0),
        agg AS (SELECT user_id,
                       CAST(COUNT(*) AS BIGINT) AS n_obs,
                       CAST(MAX(x) AS BIGINT) AS day_last,
@@ -1397,13 +1415,15 @@ object Windows {
        SELECT user_id, n_obs, day_last,
               CASE WHEN den <> 0
                    THEN (CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END) *
-                        CAST((2 * ABS(num) * 1000000 + den * 100)
-                             // (2 * den * 100) AS DOUBLE) / 1000000.0
+                        CAST((ABS(num) // (den * 100)) * 1000000
+                             + (2 * (ABS(num) % (den * 100)) * 1000000 + den * 100)
+                               // (2 * den * 100) AS DOUBLE) / 1000000.0
               END AS slope_per_day,
               CASE WHEN den <> 0
                    THEN (CASE WHEN fc_num < 0 THEN -1.0 ELSE 1.0 END) *
-                        CAST((2 * ABS(fc_num) * 10000 + den * 100)
-                             // (2 * den * 100) AS DOUBLE) / 10000.0
+                        CAST((ABS(fc_num) // (den * 100)) * 10000
+                             + (2 * (ABS(fc_num) % (den * 100)) * 10000 + den * 100)
+                               // (2 * den * 100) AS DOUBLE) / 10000.0
               END AS forecast_7d
        FROM fit
        ORDER BY user_id"""
@@ -1509,14 +1529,18 @@ object Windows {
               CAST(k AS BIGINT) AS cp_k,
               ts_us AS cp_ts_us,
               CASE WHEN dd < 0 THEN 'up' WHEN dd > 0 THEN 'down' ELSE 'flat' END AS direction,
-              CAST((2 * ABS(dd) * 10000 + n * 100) // (2 * n * 100) AS DOUBLE)
-                / 10000.0 AS cusum_stat,
+              CAST((ABS(dd) // (n * 100)) * 10000
+                   + (2 * (ABS(dd) % (n * 100)) * 10000 + n * 100)
+                     // (2 * n * 100) AS DOUBLE) / 10000.0 AS cusum_stat,
               (CASE WHEN pk < 0 THEN -1.0 ELSE 1.0 END) *
-                CAST((2 * ABS(CAST(pk AS HUGEINT)) * 10000 + k * 100)
-                     // (2 * k * 100) AS DOUBLE) / 10000.0 AS mean_before,
+                CAST((ABS(CAST(pk AS HUGEINT)) // (k * 100)) * 10000
+                     + (2 * (ABS(CAST(pk AS HUGEINT)) % (k * 100)) * 10000 + k * 100)
+                       // (2 * k * 100) AS DOUBLE) / 10000.0 AS mean_before,
               (CASE WHEN s_tot - pk < 0 THEN -1.0 ELSE 1.0 END) *
-                CAST((2 * ABS(CAST(s_tot - pk AS HUGEINT)) * 10000 + (n - k) * 100)
-                     // (2 * (n - k) * 100) AS DOUBLE) / 10000.0 AS mean_after
+                CAST((ABS(CAST(s_tot - pk AS HUGEINT)) // ((n - k) * 100)) * 10000
+                     + (2 * (ABS(CAST(s_tot - pk AS HUGEINT)) % ((n - k) * 100)) * 10000
+                        + (n - k) * 100)
+                       // (2 * (n - k) * 100) AS DOUBLE) / 10000.0 AS mean_after
        FROM r WHERE rk = 1
        ORDER BY user_id"""
 
@@ -1596,9 +1620,11 @@ object Windows {
        SELECT c.cohort_month, c.age_months, c.n_active, c.rev_cents, c.cum_rev_cents,
               cs.cohort_users,
               (CASE WHEN c.cum_rev_cents < 0 THEN -1.0 ELSE 1.0 END) *
-                CAST((2 * ABS(CAST(c.cum_rev_cents AS HUGEINT)) * 10000
-                      + cs.cohort_users * 100)
-                     // (2 * cs.cohort_users * 100) AS DOUBLE) / 10000.0 AS ltv_per_user
+                CAST((ABS(CAST(c.cum_rev_cents AS HUGEINT)) // (cs.cohort_users * 100))
+                       * 10000
+                     + (2 * (ABS(CAST(c.cum_rev_cents AS HUGEINT)) % (cs.cohort_users * 100))
+                          * 10000 + cs.cohort_users * 100)
+                       // (2 * cs.cohort_users * 100) AS DOUBLE) / 10000.0 AS ltv_per_user
        FROM c JOIN cs USING (cohort_month)
        ORDER BY cohort_month, age_months"""
 

@@ -672,7 +672,11 @@ object EventStreams {
           var n = st.n
           var dayLast = st.dayLast
           var (sx, sy, sxx, sxy) = (BigInt(st.sx), BigInt(st.sy), BigInt(st.sxx), BigInt(st.sxy))
-          for (e <- evs.filter(e => e.ts != null && !e.value.isNaN && math.abs(e.value) <= 5.0e6)) {
+          for (
+            e <- evs.filter(e =>
+              e.ts != null && !e.value.isNaN && math.abs(e.value) <= 5.0e6 &&
+                micros(e.ts) >= 0)
+          ) {
             val x = Math.floorDiv(micros(e.ts), 86400000000L)
             val c = math.floor(e.value * 100.0).toLong
             n += 1

@@ -1159,7 +1159,7 @@ class PipelineOpsSpec extends GraftSpecBase {
     val g = Array.tabulate(64, 64)((i, j) => vecs.map(q => q(i) * q(j)).sum)
     val sv = Array.tabulate(64)(i => vecs.map(_(i)).sum)
     val m = Array.tabulate(64, 64)((i, j) => n * g(i)(j) - sv(i) * sv(j))
-    var v = Array.fill(64)(BigInt(1))
+    var v = Array.tabulate(64)(i => BigInt(i + 1))
     for (_ <- 1 to 3) {
       val w = Array.tabulate(64)(i => (0 until 64).map(j => m(i)(j) * v(j)).sum)
       val mx = w.map(_.abs).max
@@ -1232,8 +1232,8 @@ class PipelineOpsSpec extends GraftSpecBase {
     } yield {
       val rescored = cos(dot(vecs(a), vecs(b)), norm(a), norm(b))
       val r4 = BigDecimal.valueOf(rescored).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      (a, b, cn.toLong, r4, if (rescored > worst(a) || rescored > worst(b)) 1 else 0)
-    }).sortBy { case (a, b, _, s, _) => (-s, a, b) }.take(20)
+      ((a, b, cn.toLong, r4, if (rescored > worst(a) || rescored > worst(b)) 1 else 0), rescored)
+    }).sortBy { case ((a, b, _, _, _), raw) => (-raw, a, b) }.take(20).map(_._1)
     assert(got.toSeq == expected, s"nn_descent drifted:\n got ${got.toSeq}\n exp $expected")
     assert(got.nonEmpty, "fixture produced no proposals — test is vacuous")
   }

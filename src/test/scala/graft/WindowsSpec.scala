@@ -342,7 +342,7 @@ class WindowsSpec extends GraftSpecBase {
     val ev = graft.sources.Tables.events(spark, sfDir)
       .filter(
         col("user_id").isNotNull && col("ts").isNotNull && col("value").isNotNull &&
-          !isnan(col("value")) && abs(col("value")) <= 5.0e6)
+          !isnan(col("value")) && abs(col("value")) <= 5.0e6 && unix_micros(col("ts")) >= 0)
       .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("x"),
         floor(col("value") * 100.0).cast("long").as("c"))
       .collect()
