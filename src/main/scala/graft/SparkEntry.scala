@@ -69,6 +69,7 @@ object SparkEntry {
     "text_repetition" -> Seq(col("doc_id")),
     "text_novelty" -> Seq(col("doc_id")),
     "emb_pca_top" -> Seq(col("dim_idx")),
+    "emb_project2d" -> Seq(col("vec_id")),
     "text_scrub" -> Seq(col("doc_id")),
     "text_chunk" -> Seq(col("doc_id"), col("off")),
     "dedup_semantic" -> Seq(col("vec_id")),

@@ -1068,19 +1068,34 @@ object CorpusOps {
     else
       try {
         val it = fs.listFiles(p, true)
-        var n = 0L
-        var any = false
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getPath.getName.endsWith(".parquet") && committed(f.getPath)) {
-            any = true
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
-            try n += r.getRecordCount
-            finally r.close()
-          }
+        val files = Iterator
+          .continually(if (it.hasNext) Some(it.next()) else None)
+          .takeWhile(_.isDefined)
+          .flatten
+          .filter(f => f.getPath.getName.endsWith(".parquet") && committed(f.getPath))
+          .toVector
+        if (files.isEmpty) None
+        else {
+          // footer reads are independent metadata fetches; sequential
+          // opens made the census scale with the store's FILE count
+          // (the v3 vector store's 96 hash-table partitions alone cost
+          // ~2s of driver wall) — a bounded pool reads them concurrently
+          val pool = java.util.concurrent.Executors
+            .newFixedThreadPool(math.min(16, files.size))
+          try {
+            val counts = files.map { f =>
+              pool.submit(new java.util.concurrent.Callable[Long] {
+                def call(): Long = {
+                  val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                    org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+                  try r.getRecordCount
+                  finally r.close()
+                }
+              })
+            }
+            Some(counts.map(_.get()).sum)
+          } finally pool.shutdown()
         }
-        if (any) Some(n) else None
       } catch {
         // an unreadable footer (truncated part from a crash) means the
         // count is unknowable, not zero — the old scan-and-count path

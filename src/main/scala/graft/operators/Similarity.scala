@@ -1685,6 +1685,68 @@ object Similarity {
        ORDER BY rescored DESC, vec_a, vec_b
        LIMIT 20"""
 
+  /** The exact centered scatter matrix M = n·G − S·Sᵀ over the gated
+    * quantized vectors — ONE corpus pass (upper triangle only, see
+    * [[pcaTop]]'s scale notes), collected as the bounded dim²-class
+    * frame and mirrored driver-side. None on an empty table. Shared by
+    * [[pcaTop]] and [[project2d]]. */
+  private def scatterMatrix(s: SparkSession, dir: String): (Int, Option[Array[Array[BigInt]]]) = {
+    val dim = embDim(s)
+    val cells = quantized(s, dir)
+      .select(col("qv"))
+      .select(col("qv"), posexplode(col("qv")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("j", "xj")))
+      // the scatter matrix is symmetric: compute the upper triangle only
+      // (dim·(dim+1)/2 groups instead of dim²) and mirror driver-side —
+      // halves the one corpus-sized stage's fan-out and aggregation work
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(
+        sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("g"),
+        // S_j rides the i = 0 row of the triangle (xj there spans all j)
+        sum(when(col("i") === 0, col("xj")).cast("decimal(38,0)")).as("s0"),
+        count(lit(1)).as("cnt"))
+      .collect()
+    if (cells.isEmpty) (dim, None)
+    else {
+      val n = BigInt(cells.head.getAs[Long]("cnt"))
+      val g = Array.ofDim[BigInt](dim, dim)
+      val sv = Array.ofDim[BigInt](dim)
+      for (r <- cells) {
+        val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+        val v = BigInt(r.getAs[java.math.BigDecimal]("g").toBigInteger)
+        g(i)(j) = v
+        g(j)(i) = v
+        if (i == 0) sv(j) = BigInt(r.getAs[java.math.BigDecimal]("s0").toBigInteger)
+      }
+      (dim, Some(Array.tabulate(dim, dim)((i, j) => n * g(i)(j) - sv(i) * sv(j))))
+    }
+  }
+
+  private def matvec(m: Array[Array[BigInt]], v: Array[BigInt]): Array[BigInt] =
+    Array.tabulate(m.length)(i => m(i).indices.map(j => m(i)(j) * v(j)).sum)
+
+  /** Integer renormalization sign(w)·(|w|·10⁶ DIV max|w|); None when the
+    * vector is annihilated (max = 0) — the degenerate signal. */
+  private def renorm(w: Array[BigInt]): Option[Array[BigInt]] = {
+    val mx = w.map(_.abs).max
+    if (mx == 0) None
+    else Some(w.map(x => BigInt(x.signum) * ((x.abs * 1000000) / mx)))
+  }
+
+  /** Three renormalized power-iteration rounds from the fixed
+    * (1, 2, …, dim) start — NOT all-ones: any cloud whose vectors share
+    * a constant coordinate sum (probability simplices, count-normalized
+    * embeddings) has the ones vector in ker(M), which would
+    * false-report a well-defined component as degenerate; a start with
+    * distinct components is annihilated only by contrived clouds (and
+    * that residual case still reports NULL/None). */
+  private def powerIterate(m: Array[Array[BigInt]]): Option[Array[BigInt]] = {
+    var v: Option[Array[BigInt]] = Some(Array.tabulate(m.length)(i => BigInt(i + 1)))
+    for (_ <- 1 to 3) v = v.flatMap(x => renorm(matvec(m, x)))
+    v
+  }
+
   /** Leading principal component of the embedding cloud — the
     * [[Graph.pagerank]] discipline (exact integer linear algebra,
     * unrolled iterations, bit-identical across engines) applied to
@@ -1725,79 +1787,45 @@ object Similarity {
     * the Spark side is arbitrary-precision BigInt at any scale. */
   def pcaTop(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dim = embDim(s)
-    val cells = quantized(s, dir)
-      .select(col("qv"))
-      .select(col("qv"), posexplode(col("qv")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("j", "xj")))
-      // the scatter matrix is symmetric: compute the upper triangle only
-      // (dim·(dim+1)/2 groups instead of dim²) and mirror driver-side —
-      // halves the one corpus-sized stage's fan-out and aggregation work
-      .filter(col("j") >= col("i"))
-      .groupBy("i", "j")
-      .agg(
-        sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("g"),
-        // S_j rides the i = 0 row of the triangle (xj there spans all j)
-        sum(when(col("i") === 0, col("xj")).cast("decimal(38,0)")).as("s0"),
-        count(lit(1)).as("cnt"))
-      .collect()
-    if (cells.isEmpty) {
-      Seq.empty[(Long, Option[Long], Option[Double])]
-        .toDF("dim_idx", "loading_micro", "var_share")
-    } else {
-      val n = BigInt(cells.head.getAs[Long]("cnt"))
-      val g = Array.ofDim[BigInt](dim, dim)
-      val sv = Array.ofDim[BigInt](dim)
-      for (r <- cells) {
-        val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
-        val v = BigInt(r.getAs[java.math.BigDecimal]("g").toBigInteger)
-        g(i)(j) = v
-        g(j)(i) = v
-        if (i == 0) sv(j) = BigInt(r.getAs[java.math.BigDecimal]("s0").toBigInteger)
-      }
-      val m = Array.tabulate(dim, dim)((i, j) => n * g(i)(j) - sv(i) * sv(j))
-      // fixed deterministic start (1, 2, …, dim) — NOT all-ones: any
-      // cloud whose vectors share a constant coordinate sum (probability
-      // simplices, count-normalized embeddings) has the ones vector in
-      // ker(M), which would false-report a well-defined component as
-      // degenerate; a start with distinct components is annihilated only
-      // by contrived clouds (and that residual case still reports NULL)
-      var v = Array.tabulate(dim)(i => BigInt(i + 1))
-      var degenerate = false
-      for (_ <- 1 to 3 if !degenerate) {
-        val w = Array.tabulate(dim)(i => (0 until dim).map(j => m(i)(j) * v(j)).sum)
-        val mx = w.map(_.abs).max
-        if (mx == 0) degenerate = true
-        else v = w.map(x => BigInt(x.signum) * ((x.abs * 1000000) / mx))
-      }
-      val out =
-        if (degenerate) (0 until dim).map(i => (i.toLong, None: Option[Long], None: Option[Double]))
-        else {
-          val num = (for (i <- 0 until dim; j <- 0 until dim) yield v(i) * m(i)(j) * v(j)).sum
-          val den = v.map(x => x * x).sum
-          val tr = (0 until dim).map(i => m(i)(i)).sum
-          val lam = num / den
-          val share = ((lam * 2000000 + tr) / (tr * 2)).toDouble / 1000000.0
-          (0 until dim).map(i => (i.toLong, Some(v(i).toLong), Some(share)))
+    val (dim, mOpt) = scatterMatrix(s, dir)
+    mOpt match {
+      case None =>
+        Seq.empty[(Long, Option[Long], Option[Double])]
+          .toDF("dim_idx", "loading_micro", "var_share")
+      case Some(m) =>
+        val out = powerIterate(m) match {
+          case None =>
+            (0 until dim).map(i => (i.toLong, None: Option[Long], None: Option[Double]))
+          case Some(v) =>
+            val num =
+              (for (i <- 0 until dim; j <- 0 until dim) yield v(i) * m(i)(j) * v(j)).sum
+            val den = v.map(x => x * x).sum
+            val tr = (0 until dim).map(i => m(i)(i)).sum
+            val lam = num / den
+            val share = ((lam * 2000000 + tr) / (tr * 2)).toDouble / 1000000.0
+            (0 until dim).map(i => (i.toLong, Some(v(i).toLong), Some(share)))
         }
-      out.toDF("dim_idx", "loading_micro", "var_share")
+        out.toDF("dim_idx", "loading_micro", "var_share")
     }
   }
 
-  /** SQL twin: the identical scatter matrix, three unrolled integer
-    * matvec+renormalize rounds, and the identical Rayleigh division —
-    * all in HUGEINT over the shared quantize prelude. */
-  val pcaTopSql: String = {
-    def round(k: Int): String =
-      s"""w$k AS (SELECT m.i, SUM(m.m * v.v) AS w
-                 FROM m JOIN v${k - 1} v ON v.i = m.j GROUP BY 1),
-       x$k AS (SELECT MAX(ABS(w)) AS mx FROM w$k),
-       v$k AS (SELECT i, CASE WHEN mx = 0 THEN NULL
+  /** One SQL power round over matrix CTE `m`: `$in` → w/x → `$out`. */
+  private def sqlPowerRound(in: String, out: String, tag: String): String =
+    s"""w$tag AS (SELECT m.i, SUM(m.m * v.v) AS w
+                 FROM m JOIN $in v ON v.i = m.j GROUP BY 1),
+       x$tag AS (SELECT MAX(ABS(w)) AS mx FROM w$tag),
+       $out AS MATERIALIZED (SELECT i, CASE WHEN mx = 0 THEN NULL
                               ELSE (CASE WHEN w < 0 THEN -1 ELSE 1 END)
                                    * (ABS(w) * 1000000 // mx)
                          END AS v
-               FROM w$k, x$k)"""
-    s"""WITH $embPrelude,
+               FROM w$tag, x$tag)"""
+
+  /** The shared PCA oracle chain: quantize prelude → scatter matrix →
+    * three power rounds → `v3` (the top component in micro-units).
+    * Interpolated by [[pcaTopSql]] and [[project2dSql]] — one
+    * definition of the spectral machinery, the curate-CTE rule. */
+  private val pcaChainCtesSql: String =
+    s"""$embPrelude,
        idx AS (SELECT i FROM range(0, $EmbDimDefault) AS t(i)),
        cells AS (
          SELECT t1.i AS i, t2.i AS j,
@@ -1812,15 +1840,26 @@ object Similarity {
        sv AS (SELECT t1.i AS i, SUM(CAST(n.qv[t1.i + 1] AS HUGEINT)) AS s
               FROM n, idx t1 GROUP BY 1),
        nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM n),
-       m AS (SELECT c.i, c.j, nn.n * c.g - sa.s * sb.s AS m
+       m AS MATERIALIZED (
+             -- MATERIALIZED: DuckDB inlines CTEs by default, and m is
+             -- referenced by every power/deflation round — inlining
+             -- re-expands the whole scan tree per reference (observed:
+             -- "Too many open files" on the 6-round project2d chain)
+             SELECT c.i, c.j, nn.n * c.g - sa.s * sb.s AS m
              FROM cellsf c
              JOIN sv sa ON sa.i = c.i
              JOIN sv sb ON sb.i = c.j
              CROSS JOIN nn),
        v0 AS (SELECT i, CAST(i + 1 AS HUGEINT) AS v FROM idx),
-       ${round(1)},
-       ${round(2)},
-       ${round(3)},
+       ${sqlPowerRound("v0", "v1", "1")},
+       ${sqlPowerRound("v1", "v2", "2")},
+       ${sqlPowerRound("v2", "v3", "3")}"""
+
+  /** SQL twin: the identical scatter matrix, three unrolled integer
+    * matvec+renormalize rounds, and the identical Rayleigh division —
+    * all in HUGEINT over the shared quantize prelude. */
+  val pcaTopSql: String =
+    s"""WITH $pcaChainCtesSql,
        ray AS (SELECT SUM(va.v * m.m * vb.v) AS num
                FROM m JOIN v3 va ON va.i = m.i JOIN v3 vb ON vb.i = m.j),
        dn AS (SELECT SUM(v * v) AS den FROM v3),
@@ -1831,11 +1870,95 @@ object Similarity {
                 / 1000000.0 AS var_share
        FROM v3, ray, dn, tr
        ORDER BY dim_idx"""
+
+  /** 2-D embedding map — the op a user actually wants PCA for: every
+    * vector projected onto the TOP-2 principal directions, the
+    * scatter-plot/UMAP-lite coordinates for corpus inspection. The
+    * second direction comes from power iteration with an exact integer
+    * Gram–Schmidt deflation per round: after the usual renormalize,
+    *   u = w̃·(v₁ᵀv₁) − v₁·(v₁ᵀw̃)
+    * (all products of bounded integers — no division, no floats), then
+    * renormalize u. Projections are exact integer dots of the quantized
+    * vector with the micro-unit directions (graft_dot against a literal
+    * array — a narrow codegen'd map, zero joins/shuffles), emitted in
+    * nano units (thousandths × micro).
+    *
+    * Scale shape: the scatter matrix is the SAME single corpus pass as
+    * [[pcaTop]] (shared code); the deflated iteration is driver-side
+    * BigInt over the bounded dim² frame; the projection pass is
+    * map-only with the two directions folded in as literals — the
+    * assignClusters static-side discipline. Output ∝ vectors, no sort
+    * (presentation order at dump time). Degenerate cases degrade
+    * per-column: a rank-1 cloud projects x and NULLs y; a fully
+    * degenerate cloud NULLs both. */
+  def project2d(s: SparkSession, dir: String): DataFrame = {
+    val (dim, mOpt) = scatterMatrix(s, dir)
+    val v1Opt = mOpt.flatMap(powerIterate)
+    val v2Opt = (mOpt, v1Opt) match {
+      case (Some(m), Some(v1)) =>
+        val den1 = v1.map(x => x * x).sum
+        var v: Option[Array[BigInt]] = Some(Array.tabulate(dim)(i => BigInt(i + 1)))
+        for (_ <- 1 to 3)
+          v = v.flatMap(x => renorm(matvec(m, x))).flatMap { wt =>
+            val d = v1.zip(wt).map { case (a, b) => a * b }.sum
+            renorm(wt.zip(v1).map { case (w, a) => w * den1 - a * d })
+          }
+        v
+      case _ => None
+    }
+    def proj(vOpt: Option[Array[BigInt]]): org.apache.spark.sql.Column =
+      vOpt
+        .map(v => graft.functions.VectorOps.dot(col("qv"), typedLit(v.map(_.toLong).toSeq)))
+        .getOrElse(lit(null).cast("long"))
+    quantized(s, dir).select(
+      col("vec_id"),
+      col("label"),
+      proj(v1Opt).as("x_nano"),
+      proj(v2Opt).as("y_nano"))
+  }
+
+  /** SQL twin: the shared PCA chain, three deflated rounds (renormalize
+    * → exact Gram–Schmidt against v3 → renormalize), and the projection
+    * as a 64-term integer dot per vector. */
+  val project2dSql: String = {
+    def deflatedRound(k: Int): String =
+      s"""bw$k AS (SELECT m.i, SUM(m.m * v.v) AS w
+                  FROM m JOIN u${k - 1} v ON v.i = m.j GROUP BY 1),
+       bx$k AS (SELECT MAX(ABS(w)) AS mx FROM bw$k),
+       bt$k AS MATERIALIZED (SELECT i, CASE WHEN mx = 0 THEN NULL
+                               ELSE (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                                    * (ABS(w) * 1000000 // mx)
+                          END AS v
+                FROM bw$k, bx$k),
+       bd$k AS (SELECT SUM(a.v * b.v) AS d FROM v3 a JOIN bt$k b ON b.i = a.i),
+       bu$k AS (SELECT t.i, t.v * den1.den - a.v * bd$k.d AS w
+                FROM bt$k t JOIN v3 a ON a.i = t.i, den1, bd$k),
+       by$k AS (SELECT MAX(ABS(w)) AS mx FROM bu$k),
+       u$k AS MATERIALIZED (SELECT i, CASE WHEN mx = 0 THEN NULL
+                              ELSE (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                                   * (ABS(w) * 1000000 // mx)
+                         END AS v
+               FROM bu$k, by$k)"""
+    s"""WITH $pcaChainCtesSql,
+       den1 AS MATERIALIZED (SELECT SUM(v * v) AS den FROM v3),
+       u0 AS (SELECT i, CAST(i + 1 AS HUGEINT) AS v FROM idx),
+       ${deflatedRound(1)},
+       ${deflatedRound(2)},
+       ${deflatedRound(3)}
+       SELECT n.vec_id, n.label,
+              CAST(SUM(n.qv[t.i + 1] * va.v) AS BIGINT) AS x_nano,
+              CAST(SUM(n.qv[t.i + 1] * vb.v) AS BIGINT) AS y_nano
+       FROM n, idx t
+       JOIN v3 va ON va.i = t.i
+       JOIN u3 vb ON vb.i = t.i
+       GROUP BY 1, 2
+       ORDER BY vec_id"""
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall" -> (annRecall _),
     "emb_pca_top" -> (pcaTop _),
+    "emb_project2d" -> (project2d _),
     "ann_nn_descent" -> (nnDescent _),
     "emb_pq" -> (embPq _),
     "ann_pq_topk" -> (annPq _),
@@ -1854,6 +1977,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "ann_recall" -> annRecallSql,
     "emb_pca_top" -> pcaTopSql,
+    "emb_project2d" -> project2dSql,
     "ann_nn_descent" -> nnDescentSql,
     "emb_pq" -> embPqSql,
     "ann_pq_topk" -> annPqSql,

@@ -1181,6 +1181,72 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(share > 0.0 && share <= 1.0, s"var_share out of range: $share")
   }
 
+  test("emb_project2d: projections match the replay's deflated top-2 directions") {
+    val got = Similarity.project2d(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    // replay: same gate/quantize, same scatter matrix and rounds as the
+    // pca test, plus the integer Gram-Schmidt deflation
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .flatMap { r =>
+        Option(r.getAs[scala.collection.Seq[Float]]("embedding")).collect {
+          case e if e.length == 64 && e.forall(x => math.abs(x) <= 10000.0f) =>
+            r.getAs[Long]("vec_id") ->
+              e.map(x => BigInt(math.floor(x.toDouble * 1000).toLong)).toArray
+        }
+      }
+      .filter { case (_, q) => q.map(x => x * x).sum > 0 }
+    val qs = vecs.map(_._2)
+    val n = BigInt(qs.length)
+    val g = Array.tabulate(64, 64)((i, j) => qs.map(q => q(i) * q(j)).sum)
+    val sv = Array.tabulate(64)(i => qs.map(_(i)).sum)
+    val m = Array.tabulate(64, 64)((i, j) => n * g(i)(j) - sv(i) * sv(j))
+    def mv(v: Array[BigInt]) = Array.tabulate(64)(i => (0 until 64).map(j => m(i)(j) * v(j)).sum)
+    def rn(w: Array[BigInt]) = {
+      val mx = w.map(_.abs).max
+      assert(mx != 0, "replay degenerate — fixture vacuous")
+      w.map(x => BigInt(x.signum) * ((x.abs * 1000000) / mx))
+    }
+    var v1 = Array.tabulate(64)(i => BigInt(i + 1))
+    for (_ <- 1 to 3) v1 = rn(mv(v1))
+    val den1 = v1.map(x => x * x).sum
+    var v2 = Array.tabulate(64)(i => BigInt(i + 1))
+    for (_ <- 1 to 3) {
+      val wt = rn(mv(v2))
+      val d = v1.zip(wt).map { case (a, b) => a * b }.sum
+      v2 = rn(wt.zip(v1).map { case (w, a) => w * den1 - a * d })
+    }
+    assert(got.size == vecs.length, "vector coverage diverges")
+    for ((id, q) <- vecs) {
+      val x = q.zip(v1).map { case (a, b) => a * b }.sum.toLong
+      val y = q.zip(v2).map { case (a, b) => a * b }.sum.toLong
+      assert(got(id) == ((x, y)), s"projection drift for vec $id")
+    }
+    // the deflated direction is near-orthogonal to the top one (exact
+    // Gram-Schmidt, then one truncating renormalization: residual below
+    // 1e-3 of the norms) and genuinely distinct
+    val dot12 = v1.zip(v2).map { case (a, b) => a * b }.sum.abs
+    assert(dot12 * 1000 < den1, s"v2 not orthogonalized: $dot12 vs $den1")
+    assert(got.values.map(_._2).toSet.size > 1, "y axis is constant — deflation vacuous")
+  }
+
+  test("emb_project2d: a rank-1 cloud projects x and NULLs y") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_p2d").toString
+    // vectors on one line through the origin-offset mean: qv = k * e1
+    // pattern via distinct scalings of a single direction
+    val base = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    Seq(1.0f, 2.0f, 3.0f, 4.0f).zipWithIndex
+      .map { case (k, i) => (i.toLong, base.map(_ * k).toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.project2d(spark, dir).collect()
+      .map(r => (r.getLong(0), r.isNullAt(2), r.isNullAt(3)))
+    assert(got.length == 4)
+    assert(got.forall(r => !r._2), "x must be defined for a rank-1 cloud")
+    assert(got.forall(r => r._3), "y must be NULL for a rank-1 cloud")
+  }
+
   test("emb_pca_top: a degenerate cloud (all vectors identical) yields NULL loadings") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pca").toString
