@@ -285,7 +285,14 @@ object ScaleProbe {
       "text_novelty" -> (TextAnalysis.novelty _),
       "graph_link_predict" -> (Graph.linkPredict _),
       "corpus_funnel" -> (CorpusOps.funnel _),
-      "emb_pca_top" -> (graft.operators.Similarity.pcaTop _))
+      "emb_pca_top" -> (graft.operators.Similarity.pcaTop _),
+      // autocorr: the changepoint sort + a wider map-side aggregate;
+      // rfm: the melt ×3 + one measure-partitioned globalRank on the
+      // N×-customer orders synthesis (three bucketed rank pipelines'
+      // worth of work in one pass — the probe reads whether the bucket
+      // machinery stays linear in the customer count)
+      "ts_autocorr" -> (graft.operators.Windows.autocorr _),
+      "win_rfm" -> (graft.operators.Windows.rfm _))
 
     def time(dir: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {

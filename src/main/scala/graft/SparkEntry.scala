@@ -52,6 +52,8 @@ object SparkEntry {
     "ts_trend" -> Seq(col("user_id")),
     "ts_changepoint" -> Seq(col("user_id")),
     "win_cohort_ltv" -> Seq(col("cohort_month"), col("age_months")),
+    "ts_autocorr" -> Seq(col("user_id")),
+    "win_rfm" -> Seq(col("custkey")),
     "ts_features" -> Seq(col("user_id"), col("dayno")),
     "ts_ohlc" -> Seq(col("day_us"), col("event_type")),
     "ts_active_users" -> Seq(col("dayno")),

@@ -1544,6 +1544,202 @@ object Windows {
        FROM r WHERE rk = 1
        ORDER BY user_id"""
 
+  /** Per-user lag-1/lag-7 autocorrelation — [[trend]] measures drift,
+    * [[changepoint]] locates jumps; this measures MEMORY: does a user's
+    * metric echo its previous observation (lag 1) or last week's
+    * position in the cycle (lag 7 — the seasonality probe at the user
+    * grain, where [[seasonality]] works at the corpus grain)? Pearson r
+    * over (y_t, y_{t+k}) pairs with [[Analytics.corrQtyPrice]]'s exact
+    * discipline: the five sums per lag are exact DECIMAL(38,0)/HUGEINT
+    * integer sums (pairs = rows whose lead exists, NULL-skipping
+    * aggregates in both engines), and the final r = (m·Σxy − ΣxΣy) /
+    * (√(m·Σx²−(Σx)²)·√(m·Σy²−(Σy)²)) is one fixed float expression over
+    * identically-derived doubles (sqrt admits no integer-exact rounding
+    * — agg_corr's disclosed residual, same here). Degenerate lags
+    * (under 2 pairs, or zero variance on either side) are NULL.
+    *
+    * Scale shape: ONE user-partitioned sort carries both leads; the
+    * twelve sums fold in a single map-side-combined groupBy; output ∝
+    * users. No self-join — lag pairing is the lead window. */
+  def autocorr(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val base = Tables
+      .events(s, dir)
+      .filter(
+        col("user_id").isNotNull && col("ts").isNotNull && col("value").isNotNull &&
+          !isnan(col("value")) && abs(col("value")) <= 5.0e6)
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        cents("value").as("c"))
+      .withColumn("y1", lead(col("c"), 1).over(w))
+      .withColumn("y7", lead(col("c"), 7).over(w))
+    def lagSums(yc: String, t: String) = Seq(
+      count(col(yc)).as(s"m$t"),
+      sum(when(col(yc).isNotNull, col("c")).cast(d38)).as(s"sx$t"),
+      sum(col(yc).cast(d38)).as(s"sy$t"),
+      sum((col("c") * col(yc)).cast(d38)).as(s"sxy$t"),
+      sum(when(col(yc).isNotNull, col("c") * col("c")).cast(d38)).as(s"sxx$t"),
+      sum((col(yc) * col(yc)).cast(d38)).as(s"syy$t"))
+    val aggs = (count(lit(1)).as("n_obs") +: (lagSums("y1", "1") ++ lagSums("y7", "7")))
+    val agg = base.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+    def r(t: String): org.apache.spark.sql.Column = {
+      val (m, sx, sy, sxy, sxx, syy) = (
+        col(s"m$t").cast("double"), col(s"sx$t").cast("double"), col(s"sy$t").cast("double"),
+        col(s"sxy$t").cast("double"), col(s"sxx$t").cast("double"), col(s"syy$t").cast("double"))
+      val vx = m * sxx - sx * sx
+      val vy = m * syy - sy * sy
+      when(col(s"m$t") >= 2 && vx > 0 && vy > 0,
+        round((m * sxy - sx * sy) / (sqrt(vx) * sqrt(vy)), 4))
+    }
+    agg.select(col("user_id"), col("n_obs"), r("1").as("acf_lag1"), r("7").as("acf_lag7"))
+  }
+
+  /** SQL twin: the same two leads over one window, the same NULL-skipping
+    * integer sums in HUGEINT, the same fixed float expression. */
+  val autocorrSql: String = {
+    def lagSums(yc: String, t: String) =
+      s"""COUNT($yc) AS m$t,
+          SUM(CASE WHEN $yc IS NOT NULL THEN CAST(c AS HUGEINT) END) AS sx$t,
+          SUM(CAST($yc AS HUGEINT)) AS sy$t,
+          SUM(CAST(c * $yc AS HUGEINT)) AS sxy$t,
+          SUM(CASE WHEN $yc IS NOT NULL THEN CAST(c * c AS HUGEINT) END) AS sxx$t,
+          SUM(CAST($yc * $yc AS HUGEINT)) AS syy$t"""
+    def r(t: String) =
+      s"""CASE WHEN m$t >= 2
+                AND CAST(m$t AS DOUBLE) * CAST(sxx$t AS DOUBLE)
+                    - CAST(sx$t AS DOUBLE) * CAST(sx$t AS DOUBLE) > 0
+                AND CAST(m$t AS DOUBLE) * CAST(syy$t AS DOUBLE)
+                    - CAST(sy$t AS DOUBLE) * CAST(sy$t AS DOUBLE) > 0
+               THEN ROUND((CAST(m$t AS DOUBLE) * CAST(sxy$t AS DOUBLE)
+                           - CAST(sx$t AS DOUBLE) * CAST(sy$t AS DOUBLE)) /
+                          (SQRT(CAST(m$t AS DOUBLE) * CAST(sxx$t AS DOUBLE)
+                                - CAST(sx$t AS DOUBLE) * CAST(sx$t AS DOUBLE)) *
+                           SQRT(CAST(m$t AS DOUBLE) * CAST(syy$t AS DOUBLE)
+                                - CAST(sy$t AS DOUBLE) * CAST(sy$t AS DOUBLE))), 4)
+          END"""
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                          CAST(FLOOR(value * 100) AS BIGINT) AS c
+                   FROM events
+                   WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+                     AND NOT isnan(value) AND abs(value) <= 5000000),
+       l AS (SELECT user_id, c,
+                    lead(c, 1) OVER w AS y1,
+                    lead(c, 7) OVER w AS y7
+             FROM e
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                    ${lagSums("y1", "1")},
+                    ${lagSums("y7", "7")}
+             FROM l GROUP BY 1)
+       SELECT user_id, n_obs, ${r("1")} AS acf_lag1, ${r("7")} AS acf_lag7
+       FROM a
+       ORDER BY user_id"""
+  }
+
+  /** RFM segmentation — the classic customer-value census (recency /
+    * frequency / monetary quartile scores + a coarse segment label),
+    * over orders like [[cohortLtv]]. Scores are EXACT quartiles: the
+    * three measures melt into one (cust, measure, value) frame and ONE
+    * [[Scale.globalRank]] pass partitioned by measure ranks all three
+    * (deterministic (value, cust) tie order), [[Scale.ntileExpr]]'s
+    * closed form assigns tiles bit-identically to both engines' NTILE,
+    * and a conditional-aggregate pivot folds the scores back to one row
+    * per customer. Ascending order ⇒ quartile 4 = most recent / most
+    * frequent / highest spend, the standard RFM orientation. The
+    * segment label is a fixed CASE over the three scores.
+    *
+    * Scale shape: the per-customer rollup is one map-side-combined
+    * groupBy on custkey; the melt is a fixed ×3 narrow explode of THAT
+    * bounded frame (never raw orders); the single globalRank sorts only
+    * within value buckets (the win_ntile argument — no global sort);
+    * the pivot re-aggregates on the same cust key. */
+  def rfm(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .orders(s, dir)
+      .filter(
+        col("o_custkey").isNotNull && col("o_orderdate").isNotNull &&
+          col("o_totalprice").isNotNull)
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(
+        max(expr("unix_date(cast(o_orderdate as date))").cast("long")).as("recency_day"),
+        count(lit(1)).as("frequency"),
+        sum(floor(col("o_totalprice") * 100.0).cast("long")).as("monetary_cents"))
+    val melted = base.select(
+      col("cust"),
+      explode(array(
+        struct(lit("r").as("measure"), col("recency_day").as("value")),
+        struct(lit("f").as("measure"), col("frequency").as("value")),
+        struct(lit("m").as("measure"), col("monetary_cents").as("value")))).as("mv"))
+      .select(col("cust"), col("mv.measure").as("measure"), col("mv.value").as("value"))
+    val scored = Scale
+      .globalRank(melted, Seq("measure"), col("value"), Seq(col("value"), col("cust")))
+      .withColumn("q", expr(Scale.ntileExpr(4)).cast("int"))
+    val pivoted = scored
+      .groupBy("cust")
+      .agg(
+        max(when(col("measure") === "r", col("q"))).as("r_score"),
+        max(when(col("measure") === "f", col("q"))).as("f_score"),
+        max(when(col("measure") === "m", col("q"))).as("m_score"))
+    base
+      .join(pivoted, "cust")
+      .select(
+        col("cust").as("custkey"),
+        col("recency_day"),
+        col("frequency"),
+        col("monetary_cents"),
+        col("r_score"),
+        col("f_score"),
+        col("m_score"),
+        when(col("r_score") >= 3 && col("f_score") >= 3 && col("m_score") >= 3, "champion")
+          .when(col("r_score") >= 3, "recent")
+          .when(col("f_score") >= 3 || col("m_score") >= 3, "lapsing_valuable")
+          .otherwise("dormant")
+          .as("segment"))
+  }
+
+  /** SQL twin: NTILE(4) per measure over the melted frame (the closed
+    * form is bit-identical to NTILE under the total (value, cust)
+    * order), the same pivot and CASE. */
+  val rfmSql: String =
+    """WITH base AS (
+         SELECT o_custkey AS cust,
+                CAST(MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT)
+                  AS recency_day,
+                CAST(COUNT(*) AS BIGINT) AS frequency,
+                CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS monetary_cents
+         FROM orders
+         WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+           AND o_totalprice IS NOT NULL
+         GROUP BY 1),
+       melted AS (
+         SELECT cust, 'r' AS measure, recency_day AS value FROM base
+         UNION ALL
+         SELECT cust, 'f', frequency FROM base
+         UNION ALL
+         SELECT cust, 'm', monetary_cents FROM base),
+       scored AS (
+         SELECT cust, measure,
+                CAST(NTILE(4) OVER (PARTITION BY measure ORDER BY value, cust) AS INT) AS q
+         FROM melted),
+       pivoted AS (
+         SELECT cust,
+                MAX(CASE WHEN measure = 'r' THEN q END) AS r_score,
+                MAX(CASE WHEN measure = 'f' THEN q END) AS f_score,
+                MAX(CASE WHEN measure = 'm' THEN q END) AS m_score
+         FROM scored GROUP BY 1)
+       SELECT base.cust AS custkey, recency_day, frequency, monetary_cents,
+              r_score, f_score, m_score,
+              CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3 THEN 'champion'
+                   WHEN r_score >= 3 THEN 'recent'
+                   WHEN f_score >= 3 OR m_score >= 3 THEN 'lapsing_valuable'
+                   ELSE 'dormant' END AS segment
+       FROM base JOIN pivoted USING (cust)
+       ORDER BY custkey"""
+
   /** Cohort LTV curves — [[retention]] answers "do cohorts come back";
     * this answers "what are they WORTH over time", the growth-analytics
     * staple beside it: customers are grouped by FIRST-ORDER month, and
@@ -1849,6 +2045,8 @@ object Windows {
     "ts_trend" -> (trend _),
     "ts_changepoint" -> (changepoint _),
     "win_cohort_ltv" -> (cohortLtv _),
+    "ts_autocorr" -> (autocorr _),
+    "win_rfm" -> (rfm _),
     "win_rolling_median" -> (rollingMedian _),
     "win_seasonality" -> (seasonality _),
     "win_conversion_time" -> (conversionTime _),
@@ -1882,6 +2080,8 @@ object Windows {
     "ts_trend" -> trendSql,
     "ts_changepoint" -> changepointSql,
     "win_cohort_ltv" -> cohortLtvSql,
+    "ts_autocorr" -> autocorrSql,
+    "win_rfm" -> rfmSql,
     "win_rolling_median" -> rollingMedianSql,
     "win_seasonality" -> seasonalitySql,
     "win_conversion_time" -> conversionTimeSql,

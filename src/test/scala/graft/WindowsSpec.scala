@@ -482,6 +482,103 @@ class WindowsSpec extends GraftSpecBase {
       rows.map(_._2._2).sum > 0, "fixture does not exercise the curve")
   }
 
+  test("autocorr: per-user lag-1/7 Pearson matches an exact-sums replay") {
+    val rows = Windows.autocorr(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(
+        col("user_id").isNotNull && col("ts").isNotNull && col("value").isNotNull &&
+          !isnan(col("value")) && abs(col("value")) <= 5.0e6)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        floor(col("value") * 100.0).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def r4(x: Double) =
+      BigDecimal.valueOf(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def acf(cs: Array[Long], k: Int): Option[Double] = {
+      val pairs = cs.dropRight(k).zip(cs.drop(k))
+      val m = pairs.length
+      if (m < 2) None
+      else {
+        val sx = pairs.map(p => BigInt(p._1)).sum
+        val sy = pairs.map(p => BigInt(p._2)).sum
+        val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+        val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+        val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+        val vx = m.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+        val vy = m.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+        if (vx > 0 && vy > 0)
+          Some(r4((m.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+            (math.sqrt(vx) * math.sqrt(vy))))
+        else None
+      }
+    }
+    val ref = ev.groupBy(_._1).map { case (u, obs) =>
+      val cs = obs.sortBy(o => (o._2, o._3)).map(_._4)
+      u -> ((cs.length.toLong, acf(cs, 1), acf(cs, 7)))
+    }
+    assert(rows.length == ref.size)
+    for (r <- rows) {
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      val got = (r.getLong(1), opt(2), opt(3))
+      assert(got == ref(r.getLong(0)), s"acf drift for user ${r.getLong(0)}: " +
+        s"$got vs ${ref(r.getLong(0))}")
+    }
+    assert(rows.exists(r => !r.isNullAt(2) && !r.isNullAt(3)), "fixture yields no defined acf")
+  }
+
+  test("rfm: quartile scores match an exact NTILE replay and segments follow the CASE") {
+    val rows = Windows.rfm(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7)))).toMap
+    assert(rows.nonEmpty)
+    val base = graft.sources.Tables.orders(spark, sfDir)
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull &&
+        col("o_totalprice").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg(max(expr("unix_date(cast(o_orderdate as date))").cast("long")).as("r"),
+        count(lit(1)).as("f"),
+        sum(floor(col("o_totalprice") * 100.0).cast("long")).as("m"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exact NTILE(4) semantics over ascending (value, cust)
+    def quart(vals: Seq[(Long, Long)]): Map[Long, Int] = {
+      val sorted = vals.sortBy { case (v, c) => (v, c) }
+      val n = sorted.length
+      val (q, rem) = (n / 4, n % 4)
+      sorted.zipWithIndex.map { case ((_, c), i) =>
+        val tile =
+          if (i < rem * (q + 1)) i / (q + 1) + 1
+          else rem + (i - rem * (q + 1)) / q + 1
+        c -> tile
+      }.toMap
+    }
+    val rq = quart(base.map(b => (b._2, b._1)))
+    val fq = quart(base.map(b => (b._3, b._1)))
+    val mq = quart(base.map(b => (b._4, b._1)))
+    assert(rows.size == base.length)
+    for ((c, r, f, m) <- base) {
+      val got = rows(c)
+      assert(got._1 == r && got._2 == f && got._3 == m, s"measures drift for cust $c")
+      assert(got._4 == rq(c) && got._5 == fq(c) && got._6 == mq(c),
+        s"scores drift for cust $c: (${got._4},${got._5},${got._6}) vs " +
+          s"(${rq(c)},${fq(c)},${mq(c)})")
+      val seg =
+        if (got._4 >= 3 && got._5 >= 3 && got._6 >= 3) "champion"
+        else if (got._4 >= 3) "recent"
+        else if (got._5 >= 3 || got._6 >= 3) "lapsing_valuable"
+        else "dormant"
+      assert(got._7 == seg, s"segment drift for cust $c")
+    }
+    // quartiles are balanced: each tile holds n/4 +- 1 customers
+    val n = base.length
+    for (qmap <- Seq(rq, fq, mq); t <- 1 to 4) {
+      val sz = qmap.values.count(_ == t)
+      assert(math.abs(sz - n / 4) <= 1, s"tile $t unbalanced: $sz of $n")
+    }
+    assert(rows.values.map(_._7).toSet.size > 1, "only one segment — CASE unobservable")
+  }
+
   test("trend: a vertical line (all observations on one day) yields NULL fit, not an error") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_trend").toString
