@@ -633,6 +633,76 @@ object EventStreams {
         })
   }
 
+  case class AcfLagState(m: Long, sx: String, sy: String, sxy: String, sxx: String, syy: String)
+  case class AcfState(nObs: Long, ring: Seq[Long], lag1: AcfLagState, lag7: AcfLagState)
+  case class AcfOut(
+    user_id: Long,
+    n_obs: Long,
+    acf_lag1: Option[Double],
+    acf_lag7: Option[Double])
+
+  /** Streaming lag-1/lag-7 autocorrelation (24th twin) — the incremental
+    * twin of [[graft.operators.Windows.autocorr]]: the batch leads
+    * become ring lookbacks (the [[features]] move), so a pair
+    * (y_t, y_{t+k}) completes exactly when observation t+k arrives and
+    * the k-back ring slot supplies y_t. State = ring of the last ≤ 7
+    * cents + the twelve pair sums as exact BigInt strings (the [[twap]]
+    * accumulator convention) — ~300 bytes/user forever.
+    *
+    * Arithmetic mirrors batch op-for-op: the sums are the SAME
+    * NULL-skipping pair sums the batch aggregate folds (ordered arrival
+    * ⇒ identical pairing), and the final r is the same fixed float
+    * expression over identically-derived doubles (BigInt.toDouble =
+    * DECIMAL(38,0)→DOUBLE, round-to-nearest) with the same HALF_UP 4-dp
+    * round and the same m ≥ 2 / positive-variance NULL guards — each
+    * user's last emission row-identical to batch (spec-pinned). */
+  def autocorr(events: Dataset[Ev]): Dataset[AcfOut] = {
+    import events.sparkSession.implicits._
+    val zero = AcfLagState(0L, "0", "0", "0", "0", "0")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[Ev], state: GroupState[AcfState]) => {
+          var st = state.getOption.getOrElse(AcfState(0L, Seq.empty, zero, zero))
+          var ring = st.ring.toVector
+          var nObs = st.nObs
+          def fold(l: AcfLagState, x: Long, y: Long): AcfLagState =
+            AcfLagState(
+              l.m + 1,
+              (BigInt(l.sx) + x).toString,
+              (BigInt(l.sy) + y).toString,
+              (BigInt(l.sxy) + BigInt(x) * y).toString,
+              (BigInt(l.sxx) + BigInt(x) * x).toString,
+              (BigInt(l.syy) + BigInt(y) * y).toString)
+          var (l1, l7) = (st.lag1, st.lag7)
+          for (
+            e <- evs.filter(e => e.ts != null && !e.value.isNaN && math.abs(e.value) <= 5.0e6)
+          ) {
+            val c = math.floor(e.value * 100.0).toLong
+            if (ring.nonEmpty) l1 = fold(l1, ring.last, c)
+            if (ring.length >= 7) l7 = fold(l7, ring(ring.length - 7), c)
+            ring = (ring :+ c).takeRight(7)
+            nObs += 1
+          }
+          state.update(AcfState(nObs, ring, l1, l7))
+          def r(l: AcfLagState): Option[Double] = {
+            val (m, sx, sy) = (l.m.toDouble, BigInt(l.sx).toDouble, BigInt(l.sy).toDouble)
+            val (sxy, sxx, syy) =
+              (BigInt(l.sxy).toDouble, BigInt(l.sxx).toDouble, BigInt(l.syy).toDouble)
+            val vx = m * sxx - sx * sx
+            val vy = m * syy - sy * sy
+            if (l.m >= 2 && vx > 0 && vy > 0)
+              Some(BigDecimal
+                .valueOf((m * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy)))
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble)
+            else None
+          }
+          if (nObs == 0) Iterator.empty
+          else Iterator(AcfOut(userId, nObs, r(l1), r(l7)))
+        })
+  }
+
   case class TrendState(n: Long, dayLast: Long, sx: String, sy: String, sxx: String, sxy: String)
   case class TrendOut(
     user_id: Long,

@@ -598,6 +598,40 @@ class StreamingSpec extends GraftSpecBase {
       assert(s0 == b0, s"streamed TWAP diverged: $s0 vs $b0")
   }
 
+  test("streaming autocorr equals batch ts_autocorr after two-chunk ordered replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = eventRows()
+      .map(r => EventStreams.Ev(r._1, r._2, r._3, r._5))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[EventStreams.Ev]
+    val (a, b) = evs.splitAt(evs.length / 2)
+    input.addData(a)
+    val q = EventStreams.autocorr(input.toDS())
+      .writeStream.format("memory").queryName("acf_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val streamed = spark.table("acf_out").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), opt(r, 2), opt(r, 3))))
+      .zipWithIndex
+      .groupBy(_._1._1).map { case (u, xs) => (u, xs.maxBy(_._2)._1._2) }
+      .toSeq.sortBy(_._1)
+    val batch = graft.operators.Windows.autocorr(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), opt(r, 2), opt(r, 3))))
+      .toSeq.sortBy(_._1)
+    assert(streamed.length == batch.length,
+      s"user count diverged: stream=${streamed.length} batch=${batch.length}")
+    for ((s0, b0) <- streamed.zip(batch))
+      assert(s0 == b0, s"streamed acf diverged: $s0 vs $b0")
+    assert(batch.exists(b => b._2._2.isDefined && b._2._3.isDefined),
+      "fixture yields no defined acf — parity vacuous")
+  }
+
   test("streaming trend equals batch ts_trend after two-chunk replay — sums are order-free") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
