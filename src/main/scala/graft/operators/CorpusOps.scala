@@ -1046,6 +1046,17 @@ object CorpusOps {
     * round-trips per census call). None when the body is absent or holds
     * no parquet files (an empty partitioned write — matches the
     * AnalysisException → None behavior this replaces). */
+  /** Shared daemon pool for footer metadata reads — object-lifetime
+    * (daemon threads never block JVM exit), bounded at 16. */
+  private lazy val footerPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      16,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-footer-census")
+        t.setDaemon(true)
+        t
+      })
+
   private def footerCount(s: SparkSession, dirPath: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(dirPath)
     val conf = s.sparkContext.hadoopConfiguration
@@ -1079,22 +1090,20 @@ object CorpusOps {
           // footer reads are independent metadata fetches; sequential
           // opens made the census scale with the store's FILE count
           // (the v3 vector store's 96 hash-table partitions alone cost
-          // ~2s of driver wall) — a bounded pool reads them concurrently
-          val pool = java.util.concurrent.Executors
-            .newFixedThreadPool(math.min(16, files.size))
-          try {
-            val counts = files.map { f =>
-              pool.submit(new java.util.concurrent.Callable[Long] {
-                def call(): Long = {
-                  val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-                    org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
-                  try r.getRecordCount
-                  finally r.close()
-                }
-              })
-            }
-            Some(counts.map(_.get()).sum)
-          } finally pool.shutdown()
+          // ~2s of driver wall) — the shared bounded pool reads them
+          // concurrently (shared across bodies: a per-call pool would
+          // pay construction/teardown once per census body)
+          val counts = files.map { f =>
+            footerPool.submit(new java.util.concurrent.Callable[Long] {
+              def call(): Long = {
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                  org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+                try r.getRecordCount
+                finally r.close()
+              }
+            })
+          }
+          Some(counts.map(_.get()).sum)
         }
       } catch {
         // an unreadable footer (truncated part from a crash) means the

@@ -1783,8 +1783,14 @@ object Similarity {
     * all vectors identical) yields NULL loadings, not an error; the
     * fixed (1, 2, …, dim) start also reports NULL in the contrived
     * residual case where a nonzero M annihilates it. Cross-engine exactness envelope: the HUGEINT replay holds
-    * to ~10⁴ vectors at the oracle SFs (the wᵀMv terms reach 10³⁰·N²);
-    * the Spark side is arbitrary-precision BigInt at any scale. */
+    * to ~10⁴ gate-magnitude vectors for the Rayleigh terms (wᵀMv
+    * reaches 10³⁰·N²) and ~10⁴-10⁷ for the renormalization multiply
+    * \|w\|·10⁶ (≤ 64·\|M\|·10¹² with \|M\| ≤ 2N²·10¹⁴ at the ±10⁴
+    * gate; realistic O(10)-magnitude embeddings push it to ~10⁷
+    * vectors) — past that DuckDB raises Out-of-Range (a loud oracle
+    * failure, never silent divergence); [[project2d]]'s deflated chain
+    * inherits the same bound. The Spark side is arbitrary-precision
+    * BigInt at any scale. */
   def pcaTop(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (dim, mOpt) = scatterMatrix(s, dir)
@@ -1809,16 +1815,23 @@ object Similarity {
     }
   }
 
-  /** One SQL power round over matrix CTE `m`: `$in` → w/x → `$out`. */
-  private def sqlPowerRound(in: String, out: String, tag: String): String =
-    s"""w$tag AS (SELECT m.i, SUM(m.m * v.v) AS w
-                 FROM m JOIN $in v ON v.i = m.j GROUP BY 1),
-       x$tag AS (SELECT MAX(ABS(w)) AS mx FROM w$tag),
+  /** SQL integer renormalization of a `(i, w)` CTE into `(i, v)` — ONE
+    * definition of the sign-decomposed `|w|·10⁶ DIV max|w|` (NULL on
+    * annihilation) shared by the power rounds and the deflated rounds. */
+  private def sqlRenorm(in: String, out: String, tag: String): String =
+    s"""x$tag AS (SELECT MAX(ABS(w)) AS mx FROM $in),
        $out AS MATERIALIZED (SELECT i, CASE WHEN mx = 0 THEN NULL
                               ELSE (CASE WHEN w < 0 THEN -1 ELSE 1 END)
                                    * (ABS(w) * 1000000 // mx)
                          END AS v
-               FROM w$tag, x$tag)"""
+               FROM $in, x$tag)"""
+
+  /** One SQL power round over matrix CTE `m`: `$in` → matvec →
+    * [[sqlRenorm]] → `$out`. */
+  private def sqlPowerRound(in: String, out: String, tag: String): String =
+    s"""w$tag AS (SELECT m.i, SUM(m.m * v.v) AS w
+                 FROM m JOIN $in v ON v.i = m.j GROUP BY 1),
+       ${sqlRenorm(s"w$tag", out, tag)}"""
 
   /** The shared PCA oracle chain: quantize prelude → scatter matrix →
     * three power rounds → `v3` (the top component in micro-units).
@@ -1922,23 +1935,11 @@ object Similarity {
     * as a 64-term integer dot per vector. */
   val project2dSql: String = {
     def deflatedRound(k: Int): String =
-      s"""bw$k AS (SELECT m.i, SUM(m.m * v.v) AS w
-                  FROM m JOIN u${k - 1} v ON v.i = m.j GROUP BY 1),
-       bx$k AS (SELECT MAX(ABS(w)) AS mx FROM bw$k),
-       bt$k AS MATERIALIZED (SELECT i, CASE WHEN mx = 0 THEN NULL
-                               ELSE (CASE WHEN w < 0 THEN -1 ELSE 1 END)
-                                    * (ABS(w) * 1000000 // mx)
-                          END AS v
-                FROM bw$k, bx$k),
+      s"""${sqlPowerRound(s"u${k - 1}", s"bt$k", s"a$k")},
        bd$k AS (SELECT SUM(a.v * b.v) AS d FROM v3 a JOIN bt$k b ON b.i = a.i),
        bu$k AS (SELECT t.i, t.v * den1.den - a.v * bd$k.d AS w
                 FROM bt$k t JOIN v3 a ON a.i = t.i, den1, bd$k),
-       by$k AS (SELECT MAX(ABS(w)) AS mx FROM bu$k),
-       u$k AS MATERIALIZED (SELECT i, CASE WHEN mx = 0 THEN NULL
-                              ELSE (CASE WHEN w < 0 THEN -1 ELSE 1 END)
-                                   * (ABS(w) * 1000000 // mx)
-                         END AS v
-               FROM bu$k, by$k)"""
+       ${sqlRenorm(s"bu$k", s"u$k", s"b$k")}"""
     s"""WITH $pcaChainCtesSql,
        den1 AS MATERIALIZED (SELECT SUM(v * v) AS den FROM v3),
        u0 AS (SELECT i, CAST(i + 1 AS HUGEINT) AS v FROM idx),

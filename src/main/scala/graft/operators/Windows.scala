@@ -1674,8 +1674,20 @@ object Windows {
         struct(lit("f").as("measure"), col("frequency").as("value")),
         struct(lit("m").as("measure"), col("monetary_cents").as("value")))).as("mv"))
       .select(col("cust"), col("mv.measure").as("measure"), col("mv.value").as("value"))
+    // quantileBounds: fixed-width min/max bounds would span ALL THREE
+    // measures at once — monetary cents dwarf recency days and order
+    // counts, so every r/f row would collapse into bucket 0 and rank as
+    // two single-task full sorts. Quantile boundaries over the combined
+    // distribution give each measure's value block ~1/3 of the buckets
+    // by construction (each measure is 1/3 of the melted rows) — the
+    // bucketed-sort guarantee holds for all three.
     val scored = Scale
-      .globalRank(melted, Seq("measure"), col("value"), Seq(col("value"), col("cust")))
+      .globalRank(
+        melted,
+        Seq("measure"),
+        col("value"),
+        Seq(col("value"), col("cust")),
+        quantileBounds = true)
       .withColumn("q", expr(Scale.ntileExpr(4)).cast("int"))
     val pivoted = scored
       .groupBy("cust")
