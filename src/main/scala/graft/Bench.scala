@@ -126,6 +126,7 @@ object Bench {
       "ivf_qsample" -> Seq("ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk", "ann_recall"),
       "lsh_qsample" -> Seq("ann_lsh_topk", "ann_recall"),
       "kmeans_assign" -> Seq("dedup_semantic", "emb_kmeans"),
+      "pca_scatter" -> Seq("emb_pca_top", "emb_project2d"),
       "pq" -> Seq("ann_ivfpq_idx", "ann_ivfpq_topk", "ann_pq_topk", "ann_recall", "emb_pq"),
       "ivf_store_probes" -> Seq("ann_ivf_idx", "ann_ivfpq_idx"))
       .map { case (tag, qs) =>

@@ -1692,20 +1692,25 @@ object Similarity {
     * [[pcaTop]] and [[project2d]]. */
   private def scatterMatrix(s: SparkSession, dir: String): (Int, Option[Array[Array[BigInt]]]) = {
     val dim = embDim(s)
-    val cells = quantized(s, dir)
-      .select(col("qv"))
-      .select(col("qv"), posexplode(col("qv")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("j", "xj")))
-      // the scatter matrix is symmetric: compute the upper triangle only
-      // (dim·(dim+1)/2 groups instead of dim²) and mirror driver-side —
-      // halves the one corpus-sized stage's fan-out and aggregation work
-      .filter(col("j") >= col("i"))
-      .groupBy("i", "j")
-      .agg(
-        sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("g"),
-        // S_j rides the i = 0 row of the triangle (xj there spans all j)
-        sum(when(col("i") === 0, col("xj")).cast("decimal(38,0)")).as("s0"),
-        count(lit(1)).as("cnt"))
+    // the aggregated triangle is a bounded ≤ dim·(dim+1)/2-row frame and
+    // [[pcaTop]] and [[project2d]] both need it — stamp-cached so the
+    // corpus pass runs once per source stamp across the family
+    // (shared_cache disclosure, the ivf_qsample convention)
+    val cells = PipelineCache.cached(s"pca_scatter_d$dim", s, dir, "embeddings.parquet")(
+      quantized(s, dir)
+        .select(col("qv"))
+        .select(col("qv"), posexplode(col("qv")).as(Seq("i", "xi")))
+        .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("j", "xj")))
+        // the scatter matrix is symmetric: compute the upper triangle only
+        // (dim·(dim+1)/2 groups instead of dim²) and mirror driver-side —
+        // halves the one corpus-sized stage's fan-out and aggregation work
+        .filter(col("j") >= col("i"))
+        .groupBy("i", "j")
+        .agg(
+          sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("g"),
+          // S_j rides the i = 0 row of the triangle (xj there spans all j)
+          sum(when(col("i") === 0, col("xj")).cast("decimal(38,0)")).as("s0"),
+          count(lit(1)).as("cnt")))
       .collect()
     if (cells.isEmpty) (dim, None)
     else {
