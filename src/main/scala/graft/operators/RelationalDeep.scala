@@ -700,7 +700,139 @@ object RelationalDeep {
        GROUP BY 1
        ORDER BY linestatus"""
 
+  /** TPC-H Q20's plan skeleton adapted to this schema ("potential part
+    * promotion" — canonical Q20 correlates partsupp availability with
+    * shipped quantity; this schema carries no partsupp, so the
+    * EXCESS-SHIPPER adaptation keeps the skeleton: a name-filtered part
+    * dim, a date-windowed per-(supplier, part) shipment aggregate, a
+    * correlated per-part threshold, and the supplier → nation join
+    * chain): suppliers that shipped MORE THAN HALF of some red part's
+    * 1995 volume — the "who really carries this part" census. Dominance
+    * is the exact integer test 2·q > total (never a float share); the
+    * reported best share is exact integer ppm (q·10⁶ DIV total, both
+    * non-negative so DIV and `//` agree).
+    *
+    * Scale shape: the name-filtered part dim broadcasts; the fact scan
+    * aggregates PARTIAL to (supplier, part); the per-part totals
+    * re-aggregate that bounded frame — plan-pinned ReuseExchange, never
+    * a second fact scan; supplier and nation are broadcast dims; output
+    * ∝ suppliers (bounded), inline deterministic order. */
+  def q20ExcessShippers(s: SparkSession, dir: String): DataFrame = {
+    val tp = Tables.part(s, dir).filter(col("p_name").like("red%")).select(col("p_partkey"))
+    val sh = Tables
+      .lineitem(s, dir)
+      .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
+      .join(broadcast(tp), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("q"))
+    val tot = sh.groupBy("l_partkey").agg(sum(col("q")).as("t"))
+    sh.join(tot, "l_partkey")
+      .filter(col("q") * 2 > col("t"))
+      .groupBy("l_suppkey")
+      .agg(
+        count(lit(1)).as("n_dominated"),
+        max(expr("q * 1000000 DIV t")).as("max_share_ppm"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(
+        col("s_suppkey").as("suppkey"),
+        col("s_name"),
+        col("n_name"),
+        col("n_dominated"),
+        col("max_share_ppm"))
+      .orderBy("suppkey")
+  }
+
+  val q20ExcessShippersSql: String =
+    """WITH tp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+       sh AS (SELECT l_suppkey, l_partkey,
+                     CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS q
+              FROM lineitem JOIN tp ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate < TIMESTAMP '1996-01-01'
+              GROUP BY 1, 2),
+       tot AS (SELECT l_partkey, SUM(q) AS t FROM sh GROUP BY 1),
+       dom AS (SELECT l_suppkey,
+                      CAST(COUNT(*) AS BIGINT) AS n_dominated,
+                      CAST(MAX(q * 1000000 // t) AS BIGINT) AS max_share_ppm
+               FROM sh JOIN tot USING (l_partkey)
+               WHERE 2 * q > t
+               GROUP BY 1)
+       SELECT s_suppkey AS suppkey, s_name, n_name, n_dominated, max_share_ppm
+       FROM dom
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       ORDER BY suppkey"""
+
+  /** TPC-H Q2's plan skeleton adapted ("minimum-cost supplier" —
+    * canonical Q2 reads partsupp supply cost; without partsupp, unit
+    * price observed in shipments plays the cost: for every size-15
+    * part, WHICH supplier ships it cheapest per unit, with the
+    * supplier → nation → region chain attached — the min-per-group
+    * correlated-subquery skeleton). Unit price is the exact integer
+    * micro-dollar floor (Σ cents·10⁴ DIV Σ qty over the supplier's
+    * shipments of that part — floor division is monotone, so the
+    * argmin over (price_micro, suppkey) is deterministic and
+    * cross-engine; both operands non-negative). One struct-min
+    * aggregate per part — no window, no self-join.
+    *
+    * Scale shape: part dim filtered + broadcast; fact aggregates
+    * partial to (part, supplier); the argmin is a map-side-combinable
+    * min(struct) on the part key; supplier/nation/region broadcast.
+    * Output ∝ filtered parts, inline deterministic order. */
+  def q2MinPriceSupplier(s: SparkSession, dir: String): DataFrame = {
+    val tp = Tables.part(s, dir).filter(col("p_size") === 15)
+      .select(col("p_partkey"), col("p_brand"))
+    val perSupp = Tables
+      .lineitem(s, dir)
+      .filter(col("l_quantity") > 0)
+      .join(broadcast(tp), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("p_brand"), col("l_suppkey"))
+      .agg(
+        sum(floor(col("l_extendedprice") * 100.0).cast("long")).as("sc"),
+        sum(floor(col("l_quantity")).cast("long")).as("qt"))
+      .select(
+        col("l_partkey"),
+        col("p_brand"),
+        col("l_suppkey"),
+        expr("sc * 10000 DIV qt").as("price_micro"))
+    perSupp
+      .groupBy(col("l_partkey").as("partkey"), col("p_brand"))
+      .agg(min(struct(col("price_micro"), col("l_suppkey").as("suppkey"))).as("b"))
+      .join(broadcast(Tables.supplier(s, dir)), col("b.suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(
+        col("partkey"),
+        col("p_brand"),
+        col("b.suppkey").as("suppkey"),
+        col("s_name"),
+        col("n_name"),
+        col("b.price_micro").as("price_micro"))
+      .orderBy("partkey")
+  }
+
+  val q2MinPriceSupplierSql: String =
+    """WITH tp AS (SELECT p_partkey, p_brand FROM part WHERE p_size = 15),
+       ps AS (SELECT l_partkey, p_brand, l_suppkey,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) * 10000
+                          // SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS price_micro
+              FROM lineitem JOIN tp ON l_partkey = p_partkey
+              WHERE l_quantity > 0
+              GROUP BY 1, 2, 3),
+       best AS (SELECT l_partkey AS partkey, p_brand, l_suppkey AS suppkey, price_micro,
+                       ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                          ORDER BY price_micro, l_suppkey) AS rk
+                FROM ps)
+       SELECT partkey, p_brand, suppkey, s_name, n_name, price_micro
+       FROM best
+       JOIN supplier ON suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE rk = 1
+       ORDER BY partkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_excess_shippers" -> (q20ExcessShippers _),
+    "q2_min_price_supplier" -> (q2MinPriceSupplier _),
     "q3_unshipped" -> (q3Unshipped _),
     "q4_priority_exists" -> (q4PriorityExists _),
     "q6_forecast" -> (q6Forecast _),
@@ -719,6 +851,8 @@ object RelationalDeep {
     "q22_idle_rich" -> (q22IdleRich _))
 
   val oracles: Map[String, String] = Map(
+    "q20_excess_shippers" -> q20ExcessShippersSql,
+    "q2_min_price_supplier" -> q2MinPriceSupplierSql,
     "q3_unshipped" -> q3UnshippedSql,
     "q4_priority_exists" -> q4PriorityExistsSql,
     "q6_forecast" -> q6ForecastSql,

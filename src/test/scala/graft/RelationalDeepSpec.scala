@@ -18,6 +18,53 @@ class RelationalDeepSpec extends GraftSpecBase {
     }
   }
 
+  test("q20: dominance set matches a plain-Scala replay of the exact 2q > t test") {
+    val got = RelationalDeep.q20ExcessShippers(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val red = spark.read.parquet(s"$sfDir/part.parquet").collect()
+      .filter(_.getAs[String]("p_name").startsWith("red"))
+      .map(_.getAs[Long]("p_partkey")).toSet
+    val sh = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
+      .select("l_suppkey", "l_partkey", "l_quantity").collect()
+      .filter(r => red(r.getLong(1)))
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case (k, rs) => k -> rs.map(r => math.floor(r.getDouble(2)).toLong).sum }
+    val tot = sh.groupBy(_._1._2).map { case (p, xs) => p -> xs.values.sum }
+    // .toSeq first: collect on a Map producing pairs would rebuild a Map
+    // and silently deduplicate multiple dominated parts per supplier
+    val ref = sh.toSeq
+      .collect { case ((su, p), q) if 2 * q > tot(p) => (su, q * 1000000L / tot(p)) }
+      .groupBy(_._1)
+      .map { case (su, xs) => su -> ((xs.size.toLong, xs.map(_._2).max)) }
+    assert(got == ref, s"q20 drifted: got ${got.toSeq.sorted} vs ${ref.toSeq.sorted}")
+    assert(got.nonEmpty, "fixture yields no dominant supplier — shape vacuous")
+  }
+
+  test("q2: the min-price pick matches a rational argmin replay with deterministic ties") {
+    val got = RelationalDeep.q2MinPriceSupplier(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(5)))).toMap
+    val sized = spark.read.parquet(s"$sfDir/part.parquet").collect()
+      .filter(_.getAs[Int]("p_size") == 15)
+      .map(_.getAs[Long]("p_partkey")).toSet
+    val ps = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_quantity") > 0)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity").collect()
+      .filter(r => sized(r.getLong(0)))
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case ((p, su), rs) =>
+        val sc = rs.map(r => math.floor(r.getDouble(2) * 100.0).toLong).sum
+        val qt = rs.map(r => math.floor(r.getDouble(3)).toLong).sum
+        (p, su, (BigInt(sc) * 10000 / qt).toLong)
+      }
+    val ref = ps.groupBy(_._1).map { case (p, xs) =>
+      val best = xs.minBy(x => (x._3, x._2))
+      p -> ((best._2, best._3))
+    }
+    assert(got == ref, "q2 argmin drifted")
+    assert(got.nonEmpty, "no size-15 parts shipped — shape vacuous")
+  }
+
   test("q11/q15 scalar-total branch reuses the per-key exchange (one fact scan)") {
     for ((name, fn) <- Seq(
         "q11_concentration" -> RelationalDeep.q11Concentration _,
