@@ -1493,7 +1493,8 @@ object CorpusOps {
          SELECT source, n_docs,
                 CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000) AS BIGINT) AS si
          FROM c),
-       t AS (SELECT SUM(n_docs) AS nt, SUM(si) AS st FROM sc),
+       t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nt,
+                    CAST(SUM(si) AS BIGINT) AS st FROM sc),
        j AS (
          SELECT source, n_docs, si, nt, st, nt // 2 AS budget
          FROM sc CROSS JOIN t),

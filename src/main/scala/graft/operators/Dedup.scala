@@ -90,7 +90,13 @@ object Dedup {
     *     near-dup pairs, which by definition share mostly *rare* grams. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramPairs(s, dir)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      // integer-exact HALF-UP rounding (Windows.exactRoundSql): ROUND of
+      // the double ratio is representation-sensitive exactly on a 4th-
+      // decimal boundary — both engines derive the SAME integer here
+      .selectExpr(
+        "doc_a",
+        "doc_b",
+        Windows.exactRoundSql("n_inter", "denom", 10000) + " AS jaccard")
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
 
@@ -158,6 +164,8 @@ object Dedup {
       .select(
         col("doc_a"),
         col("doc_b"),
+        col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("denom"),
         (col("n_inter") / (col("na") + col("nb") - col("n_inter")).cast("double"))
           .as("jaccard"))
   }
@@ -238,12 +246,18 @@ object Dedup {
          GROUP BY 1, 2)"""
 
   val ngramJaccardSql: String =
-    s"""WITH $rarePairCtesSql
+    s"""WITH $rarePairCtesSql,
+       jd AS (
+         SELECT doc_a, doc_b, n_inter,
+                ca.n_grams + cb.n_grams - n_inter AS den
+         FROM inter
+         JOIN counts ca ON ca.doc_id = doc_a
+         JOIN counts cb ON cb.doc_id = doc_b)
        SELECT doc_a, doc_b,
-              ROUND(n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE), 4) AS jaccard
-       FROM inter
-       JOIN counts ca ON ca.doc_id = doc_a
-       JOIN counts cb ON cb.doc_id = doc_b
+              CAST((n_inter // den) * 10000
+                   + (2 * (n_inter % den) * 10000 + den) // (2 * den) AS DOUBLE)
+                / 10000.0 AS jaccard
+       FROM jd
        ORDER BY jaccard DESC, doc_a, doc_b
        LIMIT 20"""
 
@@ -295,9 +309,11 @@ object Dedup {
     * census); the pair is reported under the lexicographically ordered
     * source pair so the matrix is one triangle, not two halves.
     *
-    * Determinism discipline: min/max of exact-integer-division doubles
-    * (order-free — never a float SUM/AVG across an unordered pair set),
-    * rounded once for display.
+    * Determinism discipline: min/max over the per-pair INTEGER-EXACT
+    * rounded jaccard (rounding is monotone, so min(round(j)) ==
+    * round(min(j)) — the aggregate is unchanged in meaning, and the
+    * ROUND(double) boundary sensitivity is gone); never a float SUM/AVG
+    * across an unordered pair set.
     *
     * Scale shape: rides the SHARED cached pair frame ([[ngramPairs]] —
     * bounded by the rare-gram df band, cached across consumers), so the
@@ -309,7 +325,10 @@ object Dedup {
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val pairs = ngramPairs(s, dir)
       .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "jaccard")
+      .selectExpr(
+        "doc_a",
+        "doc_b",
+        Windows.exactRoundSql("n_inter", "denom", 10000) + " AS jr")
     val src = Tables
       .documents(s, dir)
       .select(col("doc_id"), coalesce(col("source"), lit("(none)")).as("src"))
@@ -319,12 +338,12 @@ object Dedup {
       .select(
         least(col("sa"), col("sb")).as("source_a"),
         greatest(col("sa"), col("sb")).as("source_b"),
-        col("jaccard"))
+        col("jr"))
       .groupBy("source_a", "source_b")
       .agg(
         count(lit(1)).as("n_pairs"),
-        round(min(col("jaccard")), 4).as("min_jaccard"),
-        round(max(col("jaccard")), 4).as("max_jaccard"))
+        min(col("jr")).as("min_jaccard"),
+        max(col("jr")).as("max_jaccard"))
       .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
   }
 
@@ -332,17 +351,21 @@ object Dedup {
     s"""WITH $rarePairCtesSql,
        jp AS (
          SELECT doc_a, doc_b,
-                n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE) AS jaccard
-         FROM inter
-         JOIN counts ca ON ca.doc_id = doc_a
-         JOIN counts cb ON cb.doc_id = doc_b
-         WHERE n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE) >= 0.5),
+                CAST((n_inter // den) * 10000
+                     + (2 * (n_inter % den) * 10000 + den) // (2 * den) AS DOUBLE)
+                  / 10000.0 AS jr
+         FROM (SELECT doc_a, doc_b, n_inter,
+                      ca.n_grams + cb.n_grams - n_inter AS den
+               FROM inter
+               JOIN counts ca ON ca.doc_id = doc_a
+               JOIN counts cb ON cb.doc_id = doc_b) d
+         WHERE n_inter / CAST(den AS DOUBLE) >= 0.5),
        srcd AS (SELECT doc_id, COALESCE(source, '(none)') AS src FROM documents)
        SELECT LEAST(a.src, b.src) AS source_a,
               GREATEST(a.src, b.src) AS source_b,
               COUNT(*) AS n_pairs,
-              ROUND(MIN(jaccard), 4) AS min_jaccard,
-              ROUND(MAX(jaccard), 4) AS max_jaccard
+              MIN(jr) AS min_jaccard,
+              MAX(jr) AS max_jaccard
        FROM jp
        JOIN srcd a ON a.doc_id = jp.doc_a
        JOIN srcd b ON b.doc_id = jp.doc_b

@@ -251,12 +251,14 @@ object Relational {
         countDistinct(col("o_orderkey")).as("total_orders"),
         countDistinct(col("o_custkey")).as("total_customers"))
       .filter(col("total_customers") > 0)
-      .select(
-        col("n_name"),
-        col("total_orders"),
-        col("total_customers"),
-        round(col("total_orders") * 1.0 / col("total_customers"), 2)
-          .as("avg_orders_per_customer"))
+      // integer-exact HALF-UP rounding (Windows.exactRoundSql): both
+      // engines derive the same integer, never a ROUND(double) boundary
+      .selectExpr(
+        "n_name",
+        "total_orders",
+        "total_customers",
+        Windows.exactRoundSql("total_orders", "total_customers", 100) +
+          " AS avg_orders_per_customer")
       .orderBy(col("avg_orders_per_customer").desc, col("n_name"))
       .limit(10)
   }
@@ -272,7 +274,10 @@ object Relational {
          WHERE TRIM(c_name) != ''
          GROUP BY n_name)
        SELECT n_name, total_orders, total_customers,
-              ROUND(total_orders * 1.0 / total_customers, 2) AS avg_orders_per_customer
+              CAST((total_orders // total_customers) * 100
+                   + (2 * (total_orders % total_customers) * 100 + total_customers)
+                     // (2 * total_customers) AS DOUBLE) / 100.0
+                AS avg_orders_per_customer
        FROM per
        WHERE total_customers > 0
        ORDER BY avg_orders_per_customer DESC, n_name

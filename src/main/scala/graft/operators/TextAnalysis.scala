@@ -232,10 +232,13 @@ object TextAnalysis {
     * texts contribute NULL counts that both engines' SUM skips
     * identically; empty/whitespace-only texts count 0 words.
     *
-    * Exactness: integer sums; the two ratios are one double division
-    * of exact longs + HALF_UP round — bit-equal cross-engine. Scale:
-    * one corpus scan into a map-side-combined per-language aggregate,
-    * ≤|langs| rows out. */
+    * Exactness: integer sums; the two ratios use the integer-exact
+    * HALF-UP rounding of [[Windows.exactRoundSql]] (ROUND(double) is
+    * representation-sensitive exactly on a rounding boundary — the
+    * ts_trend discipline), so both engines derive the SAME integer
+    * and divide by the scale literal once. Scale: one corpus scan
+    * into a map-side-combined per-language aggregate, ≤|langs| rows
+    * out. */
   def fertility(s: SparkSession, dir: String): DataFrame = {
     def nMatches(c: Column, pat: String): Column =
       size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
@@ -256,12 +259,16 @@ object TextAnalysis {
         sum(col("w")).as("n_words"),
         sum(col("t")).as("n_tokens"),
         sum(col("c")).as("n_chars"))
-      .withColumn(
-        "fertility",
-        when(col("n_words") > 0, round(col("n_tokens") / col("n_words").cast("double"), 4)))
-      .withColumn(
-        "chars_per_token",
-        when(col("n_tokens") > 0, round(col("n_chars") / col("n_tokens").cast("double"), 4)))
+      .selectExpr(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        "CASE WHEN n_words > 0 THEN " +
+          Windows.exactRoundSql("n_tokens", "n_words", 10000) + " END AS fertility",
+        "CASE WHEN n_tokens > 0 THEN " +
+          Windows.exactRoundSql("n_chars", "n_tokens", 10000) + " END AS chars_per_token")
       .orderBy("lang")
   }
 
@@ -273,13 +280,24 @@ object TextAnalysis {
                      ELSE 0 END AS w,
                 len(regexp_extract_all(text, '$BpeTokenClass')) AS t,
                 CAST(LENGTH(text) AS BIGINT) AS c
-         FROM documents)
-       SELECT lang, COUNT(*) AS n_docs,
-              SUM(w) AS n_words, SUM(t) AS n_tokens, SUM(c) AS n_chars,
-              CASE WHEN SUM(w) > 0 THEN ROUND(SUM(t) / CAST(SUM(w) AS DOUBLE), 4) END AS fertility,
-              CASE WHEN SUM(t) > 0 THEN ROUND(SUM(c) / CAST(SUM(t) AS DOUBLE), 4) END AS chars_per_token
-       FROM d
-       GROUP BY lang
+         FROM documents),
+       a AS (
+         SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(w) AS BIGINT) AS sw,
+                CAST(SUM(t) AS BIGINT) AS st,
+                CAST(SUM(c) AS BIGINT) AS sc
+         FROM d
+         GROUP BY lang)
+       SELECT lang, n_docs, sw AS n_words, st AS n_tokens, sc AS n_chars,
+              CASE WHEN sw > 0
+                   THEN CAST((st // sw) * 10000
+                             + (2 * (st % sw) * 10000 + sw) // (2 * sw) AS DOUBLE) / 10000.0
+              END AS fertility,
+              CASE WHEN st > 0
+                   THEN CAST((sc // st) * 10000
+                             + (2 * (sc % st) * 10000 + st) // (2 * st) AS DOUBLE) / 10000.0
+              END AS chars_per_token
+       FROM a
        ORDER BY lang"""
 
   /** Pipeline scrub pass: count and mask URL- and email-shaped spans (the

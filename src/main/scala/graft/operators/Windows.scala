@@ -1064,7 +1064,15 @@ object Windows {
       .agg(
         count(lit(1)).as("n_events"),
         (sum(cents("value")) / 100.0).as("total_value"))
-      .withColumn("pct_events", round(col("n_events") / sum(col("n_events")).over(all) * 100.0, 4))
+      .withColumn("tot", sum(col("n_events")).over(all))
+      // integer-exact HALF-UP rounding of the share ([[exactRoundSql]]):
+      // never a ROUND(double) boundary flip
+      .selectExpr(
+        "dow",
+        "hod",
+        "n_events",
+        "total_value",
+        exactRoundSql("n_events * 100", "tot", 10000) + " AS pct_events")
       .orderBy("dow", "hod")
   }
 
@@ -1074,10 +1082,14 @@ object Windows {
                 CAST(date_part('hour', ts) AS INT) AS hod,
                 COUNT(*) AS n_events,
                 SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) / 100.0 AS total_value
-         FROM events GROUP BY 1, 2)
+         FROM events GROUP BY 1, 2),
+       t AS (
+         SELECT *, CAST(SUM(n_events) OVER () AS BIGINT) AS tot FROM cells)
        SELECT dow, hod, n_events, total_value,
-              ROUND(n_events / SUM(n_events) OVER () * 100.0, 4) AS pct_events
-       FROM cells
+              CAST(((n_events * 100) // tot) * 10000
+                   + (2 * ((n_events * 100) % tot) * 10000 + tot) // (2 * tot)
+                AS DOUBLE) / 10000.0 AS pct_events
+       FROM t
        ORDER BY dow, hod"""
 
   /** Daily OHLC (open/high/low/close) per event type — the time-series

@@ -47,14 +47,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         ok_shape = spark_df.shape == duck_df.shape
         ok_cols = list(spark_df.columns) == list(duck_df.columns)
-        # dtype drift (e.g. int32 vs int64, hugeint->object) may break the
-        # driver's value hashing even when == passes — surface it loudly
+        # dtype drift (e.g. int64 vs float64 from a HUGEINT-promoted SUM)
+        # breaks the driver's value hashing even when astype(object) ==
+        # passes (1000 == 1000.0 in object space) — it is a FAIL here so
+        # the local gate can never pass what the driver's hash fails
+        dtype_drift = []
         if ok_cols:
-            dt = [(c, str(spark_df[c].dtype), str(duck_df[c].dtype))
-                  for c in spark_df.columns
-                  if str(spark_df[c].dtype) != str(duck_df[c].dtype)]
-            if dt:
-                print(f"WARN {name}: dtype drift {dt}")
+            dtype_drift = [(c, str(spark_df[c].dtype), str(duck_df[c].dtype))
+                           for c in spark_df.columns
+                           if str(spark_df[c].dtype) != str(duck_df[c].dtype)]
         if not (ok_shape and ok_cols):
             print(f"FAIL {name}: shape spark={spark_df.shape} duck={duck_df.shape} "
                   f"cols spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
@@ -66,7 +67,11 @@ def main(sf_dir: str, out_dir: str) -> int:
                 .equals(duck_df.astype(object).where(pd.notna(duck_df), None))
         except Exception:
             eq = False
-        if eq:
+        if eq and dtype_drift:
+            print(f"FAIL {name}: dtype drift {dtype_drift} "
+                  f"(values equal but the driver's hash differs)")
+            n_fail += 1
+        elif eq:
             print(f"PASS {name} ({spark_df.shape[0]} rows)")
             n_pass += 1
         else:
