@@ -194,10 +194,14 @@ object Analytics {
     * generated INSIDE the array by a codegen'd lambda, so pair volume is
     * C(b,2) of a bounded b per order — linear in orders, never
     * O(parts²), and one orderkey shuffle replaces the two exchanges a
-    * self-join would plan. The top-20 cut happens BEFORE the lift joins
-    * (aggregate-then-join): only 20 rows ever meet the per-part counts,
-    * which then broadcast. Lift divides exact integers in a fixed order,
-    * so both engines produce the identical 4-dp value. */
+    * self-join would plan. The top-20 cut happens BEFORE the lift join
+    * (aggregate-then-join): the 20 pairs MELT into ≤40 (side, pk) probe
+    * rows that broadcast against ONE pass of the per-part counts — the
+    * earlier two-join chain executed the partN subtree (a full
+    * explode+count over every basket) once per side (the multi-consumer
+    * subtree rule). Lift = n_pair·n_orders / (n_p1·n_p2) is rounded
+    * integer-exactly ([[Windows.exactRoundSql]]), never a ROUND(double)
+    * boundary. */
   def basketPairs(s: SparkSession, dir: String): DataFrame = {
     // the per-order item-set frame feeds THREE consumers (pairs, per-part
     // counts, order total) — persist it once via the stamp-keyed cache
@@ -227,19 +231,36 @@ object Analytics {
       .select(explode(col("items")).as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("n_part"))
     val totalOrders = baskets.agg(count(lit(1)).as("n_orders"))
-    // the 20-row cut is the broadcast side — part counts are
-    // catalog-sized at scale and stream past it
-    val withP1 = partN.select(col("pk").as("p1"), col("n_part").as("n_p1"))
-      .join(broadcast(pairs), "p1")
-    val withP2 = partN.select(col("pk").as("p2"), col("n_part").as("n_p2"))
-      .join(broadcast(withP1), "p2")
-    withP2
-      .crossJoin(broadcast(totalOrders))
+    // the ≤40-row melted probe set is the broadcast side — part counts
+    // are catalog-sized at scale and stream past it in ONE pass
+    val melted = pairs
       .select(
-        col("p1"), col("p2"), col("n_pair"), col("n_p1"), col("n_p2"),
-        round(
-          col("n_pair").cast("double") * col("n_orders") / col("n_p1") / col("n_p2"),
-          4).as("lift"))
+        col("p1"),
+        col("p2"),
+        col("n_pair"),
+        explode(array(
+          struct(lit("a").as("side"), col("p1").as("pk")),
+          struct(lit("b").as("side"), col("p2").as("pk")))).as("m"))
+      .select(col("p1"), col("p2"), col("n_pair"), col("m.side").as("side"), col("m.pk").as("pk"))
+    partN
+      .join(broadcast(melted), "pk")
+      .groupBy("p1", "p2", "n_pair")
+      .agg(
+        max(when(col("side") === "a", col("n_part"))).as("n_p1"),
+        max(when(col("side") === "b", col("n_part"))).as("n_p2"))
+      .crossJoin(broadcast(totalOrders))
+      .selectExpr(
+        "p1",
+        "p2",
+        "n_pair",
+        "n_p1",
+        "n_p2",
+        // products widen to DECIMAL(38,0) BEFORE multiplying: counts can
+        // each reach ~|orders|, so the long product would overflow first
+        Windows.exactRoundSql(
+          "CAST(n_pair AS DECIMAL(38,0)) * n_orders",
+          "CAST(n_p1 AS DECIMAL(38,0)) * n_p2",
+          10000) + " AS lift")
       .orderBy(col("n_pair").desc, col("p1"), col("p2"))
   }
 
@@ -254,14 +275,20 @@ object Analytics {
          ORDER BY n_pair DESC, p1, p2
          LIMIT 20),
        part_n AS (SELECT pk, COUNT(*) AS n_part FROM base GROUP BY 1),
-       total AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM base)
-       SELECT p1, p2, n_pair,
-              c1.n_part AS n_p1, c2.n_part AS n_p2,
-              ROUND(CAST(n_pair AS DOUBLE) * n_orders / c1.n_part / c2.n_part, 4) AS lift
-       FROM pairs
-       JOIN part_n c1 ON p1 = c1.pk
-       JOIN part_n c2 ON p2 = c2.pk
-       CROSS JOIN total
+       total AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM base),
+       j AS (
+         SELECT p1, p2, n_pair,
+                c1.n_part AS n_p1, c2.n_part AS n_p2,
+                n_pair * n_orders AS num, c1.n_part * c2.n_part AS den
+         FROM pairs
+         JOIN part_n c1 ON p1 = c1.pk
+         JOIN part_n c2 ON p2 = c2.pk
+         CROSS JOIN total)
+       SELECT p1, p2, n_pair, n_p1, n_p2,
+              CAST((num // den) * 10000
+                   + (2 * (num % den) * 10000 + den) // (2 * den) AS DOUBLE)
+                / 10000.0 AS lift
+       FROM j
        ORDER BY n_pair DESC, p1, p2"""
 
   /** Pivot: event counts per user across the five event types. The value

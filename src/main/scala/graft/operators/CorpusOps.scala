@@ -1057,6 +1057,19 @@ object CorpusOps {
         t
       })
 
+  /** Footer-count cache keyed by body path, guarded by the committed-file
+    * listing signature (path, length, mtime per file — the Tables
+    * schema-cache precedent): a census call re-LISTS the body (cheap, one
+    * RPC-ish metadata walk) but only re-OPENS the footers when some file
+    * actually changed. A rebuilt/absorbed store changes file names or
+    * mtimes → signature miss → fresh read; an untouched store serves the
+    * memoized sum. Unbounded in principle but O(#store bodies) in
+    * practice (a handful of fixed paths per dataset). */
+  private val footerCountCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String,
+      (Vector[(String, Long, Long)], Long)]()
+
   private def footerCount(s: SparkSession, dirPath: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(dirPath)
     val conf = s.sparkContext.hadoopConfiguration
@@ -1087,23 +1100,32 @@ object CorpusOps {
           .toVector
         if (files.isEmpty) None
         else {
-          // footer reads are independent metadata fetches; sequential
-          // opens made the census scale with the store's FILE count
-          // (the v3 vector store's 96 hash-table partitions alone cost
-          // ~2s of driver wall) — the shared bounded pool reads them
-          // concurrently (shared across bodies: a per-call pool would
-          // pay construction/teardown once per census body)
-          val counts = files.map { f =>
-            footerPool.submit(new java.util.concurrent.Callable[Long] {
-              def call(): Long = {
-                val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-                  org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
-                try r.getRecordCount
-                finally r.close()
+          val sig = files
+            .map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
+            .sortBy(_._1)
+          Option(footerCountCache.get(dirPath)).filter(_._1 == sig) match {
+            case Some((_, total)) => Some(total)
+            case None =>
+              // footer reads are independent metadata fetches; sequential
+              // opens made the census scale with the store's FILE count
+              // (the v3 vector store's 96 hash-table partitions alone cost
+              // ~2s of driver wall) — the shared bounded pool reads them
+              // concurrently (shared across bodies: a per-call pool would
+              // pay construction/teardown once per census body)
+              val counts = files.map { f =>
+                footerPool.submit(new java.util.concurrent.Callable[Long] {
+                  def call(): Long = {
+                    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                      org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+                    try r.getRecordCount
+                    finally r.close()
+                  }
+                })
               }
-            })
+              val total = counts.map(_.get()).sum
+              footerCountCache.put(dirPath, (sig, total))
+              Some(total)
           }
-          Some(counts.map(_.get()).sum)
         }
       } catch {
         // an unreadable footer (truncated part from a crash) means the

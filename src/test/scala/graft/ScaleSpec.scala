@@ -575,13 +575,18 @@ class ScaleSpec extends GraftSpecBase {
       s"global sort in search plan:\n$plan")
   }
 
-  test("basket_pairs: top-20 via TakeOrdered, lift joins broadcast the 20-row cut") {
+  test("basket_pairs: top-20 via TakeOrdered, one broadcast lift pass over the part counts") {
     val plan = graft.operators.Analytics.basketPairs(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected partial top-k cut:\n$plan")
-    // both lift joins must broadcast (the cut side) — a part-count
-    // shuffle join would move catalog-sized frames for a 20-row answer
-    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, s"lift joins not broadcast:\n$plan")
+    // the melted ≤40-row probe set broadcasts against ONE pass of the
+    // part counts — a part-count shuffle join would move catalog-sized
+    // frames for a 20-row answer
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 1, s"lift join not broadcast:\n$plan")
+    // exactly one part-count aggregate: the old two-join chain executed
+    // the explode+count subtree once per side
+    assert("partial_count".r.findAllIn(plan).size <= 3,
+      s"part-count subtree duplicated:\n$plan")
   }
 
   test("agg_moments: partial aggregation below the exchange (one 5-key shuffle)") {
