@@ -573,8 +573,10 @@ object Dedup {
     * (computed in one pass by the native [[graft.functions.SimHash64]]
     * expression — no explode, no shuffle, scan-speed), candidates via
     * 4×16-bit block index (any pair within hamming distance 3 shares a
-    * block; we verify at <= 8). No SQL oracle (token-hash-dependent):
-    * rows-only check. */
+    * block; we verify at <= 8). Hash-checked against [[simhashSql]] —
+    * FNV-1a is portable integer arithmetic, so the whole pipeline
+    * (signature, block index, hot guard, hamming verify) renders as
+    * exact SQL. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val sig = Tables
       .documentsBalanced(s, dir)
@@ -929,6 +931,79 @@ object Dedup {
        GROUP BY b
        ORDER BY jaccard_lo"""
 
+  /** [[simhash]]'s oracle, generated: the full pipeline is deterministic
+    * and engine-portable — FNV-1a 64 is ~8 integer ops per byte
+    * (rendered as a `list_reduce` over the token's UTF-8 bytes in
+    * mod-2⁶⁴ HUGEINT arithmetic, XOR touching only the low byte since
+    * every vote byte < 256), the 64 bit-votes are 64 generated SUM
+    * columns over the per-doc distinct-token hashes, and the block
+    * index / hot-block guard / hamming verify mirror the operator
+    * clause for clause. Distinct tokens hash ONCE at the vocab grain
+    * and join back (the corpus repeats tokens; the vocab doesn't).
+    * Signed/unsigned care: Spark's LongType signature is the HUGEINT
+    * signature minus 2⁶⁴ when bit 63 is set; `bit_count(xor(...))` on
+    * the re-signed BIGINTs equals Spark's two's-complement bit_count.
+    * Docs with text but zero tokens get signature 0 (the all-votes-tie
+    * case), NULL texts never pair — both matching the native
+    * expression's NULL/empty semantics. */
+  val simhashSql: String = {
+    val init = java.lang.Long.toUnsignedString(0xcbf29ce484222325L)
+    val m64 = BigInt(2).pow(64).toString
+    val h63 = BigInt(2).pow(63).toString
+    def pow2(b: Int) = BigInt(2).pow(b).toString
+    val fnv =
+      s"""list_reduce(
+         list_prepend(CAST('$init' AS HUGEINT),
+           [CAST(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+               + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS HUGEINT)
+            for i in generate_series(1, octet_length(encode(t)))]),
+         (h, b) -> ((h - h % 256 + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)))
+                    * 1099511628211) % CAST('$m64' AS HUGEINT))"""
+    val votes = (0 until 64)
+      .map(b =>
+        s"SUM(CASE WHEN (h // CAST('${pow2(b)}' AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n           ")
+    val sig = (0 until 64)
+      .map(b => s"(CASE WHEN v$b > 0 THEN CAST('${pow2(b)}' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+         SELECT DISTINCT doc_id, t
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+               FROM documents WHERE text IS NOT NULL)
+         WHERE t <> ''),
+       vocab AS (SELECT DISTINCT t FROM toks),
+       vh AS (SELECT t, $fnv AS h
+              FROM (SELECT t, upper(hex(encode(t))) AS hx FROM vocab)),
+       th AS (SELECT doc_id, h FROM toks JOIN vh USING (t)),
+       votes AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+       usig AS (
+         SELECT d.doc_id, COALESCE($sig, CAST(0 AS HUGEINT)) AS us
+         FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+         LEFT JOIN votes USING (doc_id)),
+       blocks AS (
+         SELECT doc_id, us, u.blk, CAST((us // u.d) % 65536 AS BIGINT) AS bv
+         FROM usig, unnest([{'blk': 0, 'd': CAST('1' AS HUGEINT)},
+                            {'blk': 1, 'd': CAST('65536' AS HUGEINT)},
+                            {'blk': 2, 'd': CAST('4294967296' AS HUGEINT)},
+                            {'blk': 3, 'd': CAST('281474976710656' AS HUGEINT)}]) AS t(u)),
+       cold AS (SELECT blk, bv FROM blocks GROUP BY blk, bv HAVING COUNT(*) <= $blockDfCap),
+       cb AS (SELECT b.doc_id, b.us, b.blk, b.bv FROM blocks b JOIN cold USING (blk, bv)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.us AS ua, b.us AS ub
+         FROM cb a JOIN cb b ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       ss AS (
+         SELECT doc_a, doc_b,
+                CAST(CASE WHEN ua >= CAST('$h63' AS HUGEINT)
+                          THEN ua - CAST('$m64' AS HUGEINT) ELSE ua END AS BIGINT) AS sa,
+                CAST(CASE WHEN ub >= CAST('$h63' AS HUGEINT)
+                          THEN ub - CAST('$m64' AS HUGEINT) ELSE ub END AS BIGINT) AS sb
+         FROM pairs)
+       SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       FROM ss
+       WHERE bit_count(xor(sa, sb)) <= 8
+       ORDER BY doc_a, doc_b"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_threshold_hist" -> (thresholdHist _),
     "dedup_survivorship" -> (survivorship _),
@@ -944,8 +1019,10 @@ object Dedup {
     "dedup_minhash" -> (minhash _),
     "dedup_simhash" -> (simhash _))
 
-  /** minhash/simhash intentionally absent: xxhash64-based, not portable SQL. */
+  /** minhash intentionally absent: xxhash64-based, not portable SQL
+    * (simhash IS oracled — FNV-1a renders as portable integer SQL). */
   val oracles: Map[String, String] = Map(
+    "dedup_simhash" -> simhashSql,
     "dedup_threshold_hist" -> thresholdHistSql,
     "dedup_survivorship" -> survivorshipSql,
     "source_overlap" -> sourceOverlapSql,
