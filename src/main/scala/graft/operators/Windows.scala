@@ -1668,9 +1668,16 @@ object Windows {
     * bounded frame (never raw orders); the single globalRank sorts only
     * within value buckets (the win_ntile argument — no global sort);
     * the pivot re-aggregates on the same cust key. */
-  def rfm(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables
-      .orders(s, dir)
+  def rfm(s: SparkSession, dir: String): DataFrame =
+    rfmScores(rfmBase(Tables.orders(s, dir)))
+
+  /** The per-customer RFM census — max recency / order count / cents sum,
+    * all associative, so the SAME definition runs batch here and in
+    * complete mode on an order stream
+    * ([[graft.streaming.EventStreams.rfmCensus]], the
+    * heavyHitters/wordCensus shared-code discipline). */
+  private[graft] def rfmBase(orders: DataFrame): DataFrame =
+    orders
       .filter(
         col("o_custkey").isNotNull && col("o_orderdate").isNotNull &&
           col("o_totalprice").isNotNull)
@@ -1679,6 +1686,12 @@ object Windows {
         max(expr("unix_date(cast(o_orderdate as date))").cast("long")).as("recency_day"),
         count(lit(1)).as("frequency"),
         sum(floor(col("o_totalprice") * 100.0).cast("long")).as("monetary_cents"))
+
+  /** Quartile scoring + segmentation over a census frame — the second
+    * aggregation level streaming cannot run in-query (multiple stateful
+    * aggs unsupported), applied by the streaming sink per trigger to the
+    * bounded census table (the keyCensus precedent). */
+  private[graft] def rfmScores(base: DataFrame): DataFrame = {
     val melted = base.select(
       col("cust"),
       explode(array(
@@ -1701,14 +1714,18 @@ object Windows {
         Seq(col("value"), col("cust")),
         quantileBounds = true)
       .withColumn("q", expr(Scale.ntileExpr(4)).cast("int"))
-    val pivoted = scored
+    // the measure VALUES ride the same pivot as the scores — no join back
+    // to base (one fewer consumer of the census subtree, and a census fed
+    // from a streaming memory sink can't hit self-join reference conflicts)
+    scored
       .groupBy("cust")
       .agg(
+        max(when(col("measure") === "r", col("value"))).as("recency_day"),
+        max(when(col("measure") === "f", col("value"))).as("frequency"),
+        max(when(col("measure") === "m", col("value"))).as("monetary_cents"),
         max(when(col("measure") === "r", col("q"))).as("r_score"),
         max(when(col("measure") === "f", col("q"))).as("f_score"),
         max(when(col("measure") === "m", col("q"))).as("m_score"))
-    base
-      .join(pivoted, "cust")
       .select(
         col("cust").as("custkey"),
         col("recency_day"),

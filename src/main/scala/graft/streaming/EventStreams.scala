@@ -171,6 +171,24 @@ object EventStreams {
   def keyCounts(events: DataFrame): DataFrame =
     events.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
 
+  /** Streaming RFM census (25th twin) — the incremental half of
+    * [[graft.operators.Windows.rfm]] on a live order stream: per-customer
+    * (max recency day, order count, cents sum) in complete mode. All
+    * three accumulators are associative, so state is THREE longs per
+    * customer — bounded by the active customer space, not stream length;
+    * each trigger touches only the customers whose orders arrived.
+    * Quartile scoring is a SECOND aggregation level (rank over the
+    * census), which Spark cannot run in the same streaming query
+    * (multiple stateful aggregations are unsupported) — the sink applies
+    * [[graft.operators.Windows.rfmScores]] to the bounded census table
+    * per trigger, the SAME code path batch uses (the [[keyCounts]]/
+    * keyCensus and [[heavyHitters]]/wordCensus shared-code discipline;
+    * two-chunk replay parity spec-pinned). The operational loop: batch
+    * RFM segments the book monthly, the monitor watches customers drift
+    * between segments live. */
+  def rfmCensus(orders: DataFrame): DataFrame =
+    graft.operators.Windows.rfmBase(orders)
+
   /** Stream-stream interval join — the incremental twin of
     * [[graft.operators.Windows.rangeJoin]]: pair each event with same-user
     * events up to 5 minutes later. Watermarks on BOTH sides plus the time

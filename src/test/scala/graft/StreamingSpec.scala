@@ -76,6 +76,43 @@ class StreamingSpec extends GraftSpecBase {
     assert(streamed == batch, "streamed census must be row-identical to the batch probe")
   }
 
+  test("streaming RFM census + sink scoring equals batch rfm after two-chunk replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // o_orderdate rides as its string rendering (the table is NTZ, which
+    // collects as LocalDateTime); rfmBase's cast(o_orderdate AS date)
+    // accepts both, so the census code path is identical either way
+    val rows = graft.sources.Tables.orders(spark, sfDir)
+      .select(
+        col("o_custkey"),
+        col("o_orderdate").cast("string"),
+        col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq
+    val input = MemoryStream[(Long, String, Double)]
+    // two chunks: the complete-mode (max, count, sum) state must carry
+    // across triggers for the census to equal one batch pass
+    val (a, b) = rows.splitAt(rows.length / 2)
+    input.addData(a)
+    val streamDf = input.toDF().toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val q = EventStreams.rfmCensus(streamDf)
+      .writeStream.format("memory").queryName("rfm_census")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    input.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    // sink-side scoring over the final census — the SAME code path batch
+    // uses (Windows.rfmScores), applied per trigger in prod
+    val streamed = graft.operators.Windows
+      .rfmScores(spark.table("rfm_census"))
+      .collect().map(_.toSeq).toSet
+    val batch = Windows.rfm(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, "streamed RFM must be row-identical to batch rfm")
+  }
+
   test("streaming exact dedup keeps one row per distinct content") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
