@@ -180,6 +180,34 @@ object ScaleProbe {
       ordMarker.createNewFile()
     }
 
+    // lineitem-side synthesis (fifth marker): N× FACT rows against a
+    // CONSTANT catalog — the realistic fact-table growth axis (more
+    // sales of the same parts by the same suppliers). Orderkeys offset
+    // in lockstep with the orders synthesis so l_orderkey = o_orderkey
+    // joins stay consistent; part/supplier/nation/region/customer copy
+    // VERBATIM (dimensions don't grow 20× when facts do). Per-(supplier,
+    // part) and per-part group COUNTS therefore stay constant while
+    // every group's membership grows N× — exactly the shape that reads
+    // whether a partial aggregate collapses map-side or ships N× rows.
+    val liMarker = new java.io.File(s"$bigDir/_built_lineitem")
+    if (!liMarker.exists()) {
+      val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+      assertIdEnvelope(li, "l_orderkey", 1000000000000L)
+      val liCopies = (0 until factor).map { k =>
+        li.select(
+          (col("l_orderkey") + lit(k.toLong * 1000000000000L)).as("l_orderkey"),
+          col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      }
+      liCopies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$bigDir/lineitem.parquet")
+      for (dim <- Seq("part", "supplier", "nation", "region", "customer"))
+        spark.read.parquet(s"$srcDir/$dim.parquet")
+          .write.mode("overwrite").parquet(s"$bigDir/$dim.parquet")
+      liMarker.createNewFile()
+    }
+
     import graft.operators.{CorpusOps, Dedup, Graph, TextAnalysis, Training}
     val probes: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
       "dedup_exact" -> (Dedup.exact _),
@@ -292,7 +320,19 @@ object ScaleProbe {
       // worth of work in one pass — the probe reads whether the bucket
       // machinery stays linear in the customer count)
       "ts_autocorr" -> (graft.operators.Windows.autocorr _),
-      "win_rfm" -> (graft.operators.Windows.rfm _))
+      "win_rfm" -> (graft.operators.Windows.rfm _),
+      // round-13 wave: the last two TPC-H shapes on the N×-fact /
+      // constant-catalog lineitem synthesis — q20 (two stacked partial
+      // aggregates over the date-windowed fact scan + the correlated
+      // per-part threshold: group count constant, members N×) and q2
+      // (per-(part, supplier) partial aggregate + struct-argmin: the
+      // probe reads whether both collapse map-side or ship N× rows) —
+      // and the ANN recall eval (four bounded-candidate probe pipelines
+      // + the brute anchor over the N×-vector synthesis; caches cleared
+      // per timing so each point pays its index builds, the honest cost)
+      "q20_excess_shippers" -> (graft.operators.RelationalDeep.q20ExcessShippers _),
+      "q2_min_price_supplier" -> (graft.operators.RelationalDeep.q2MinPriceSupplier _),
+      "ann_recall" -> (graft.operators.Similarity.annRecall _))
 
     def time(dir: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {
@@ -305,11 +345,16 @@ object ScaleProbe {
     }
 
     def dp(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val results = probes.map { case (name, fn) =>
-      val t1 = time(srcDir, fn)
-      val tn = time(bigDir, fn)
-      (name, t1, tn)
-    }
+    // optional 3rd arg: comma-separated probe-name filter (fast iteration
+    // on one wave; the Verify precedent)
+    val only = args.lift(2).map(_.split(',').toSet)
+    val results = probes
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val t1 = time(srcDir, fn)
+        val tn = time(bigDir, fn)
+        (name, t1, tn)
+      }
     val json = results
       .map { case (n, t1, tn) =>
         s"""\"$n\":{\"t1\":${dp(t1)},\"tN\":${dp(tn)},\"ratio\":${dp(tn / math.max(t1, 1e-9))}}"""
