@@ -80,8 +80,11 @@ object MinHash64 {
     h
   }
 
-  /** Independently avalanched per-permutation seed constants. */
-  private val Seeds: Array[Long] =
+  /** Independently avalanched per-permutation seed constants
+    * (package-visible: [[graft.operators.Dedup.minhashSql]] embeds them
+    * as literals so the oracle's permutations can never drift from the
+    * kernel's). */
+  private[graft] val Seeds: Array[Long] =
     Array.tabulate(NumPerms)(i => fmix64(0x9e3779b97f4a7c15L * (i + 1)))
 
   private[functions] def fnv1a(bytes: Array[Byte], from: Int, until: Int): Long = {

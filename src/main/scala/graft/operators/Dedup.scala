@@ -433,10 +433,20 @@ object Dedup {
     * hot bands; raise the cap if exact pair enumeration inside huge
     * boilerplate clusters matters more than bounded work per key.
     *
-    * No SQL oracle: minhash values depend on the engine hash, which portable
-    * SQL cannot reproduce — the driver records a rows-only check, and
-    * [[ngramJaccard]] (exact, oracle-checked) validates the same semantics
-    * at test scale. */
+    * Hash-checked against [[minhashSql]] since driver-round 12: the
+    * signature kernel is FNV-1a + the murmur-style fmix64 finalizer —
+    * BOTH portable mod-2⁶⁴ integer arithmetic, so the whole pipeline
+    * renders as exact SQL (the [[simhashSql]] move, one level harder).
+    * The only engine-specific hash left is the BAND-BUCKET key
+    * (xxhash64 of the 4-slot slice) — it never reaches the output, so
+    * the oracle keys buckets by the 4-slot TUPLE itself: identical
+    * bucketing unless two DIFFERENT slices xxhash64-collide (P ≈ 2⁻⁶⁴
+    * per bucket pair; a collision would merge two buckets and could
+    * only ADD candidate pairs, which the est ≥ 0.5 verify then judges
+    * on the same signatures). The oracle embeds the session-DEFAULT
+    * band cap (200): a driver run always uses the default; sessions
+    * that retune `spark.graft.dedup.bandDfCap` are spec territory, not
+    * oracle territory. */
   def minhash(s: SparkSession, dir: String): DataFrame =
     minhashPairs(s, dir)
 
@@ -1019,10 +1029,146 @@ object Dedup {
     "dedup_minhash" -> (minhash _),
     "dedup_simhash" -> (simhash _))
 
-  /** minhash intentionally absent: xxhash64-based, not portable SQL
-    * (simhash IS oracled — FNV-1a renders as portable integer SQL). */
+  /** The shared CTE chain of [[minhashSql]] / [[corpusDedupSql]]:
+    * word FNV hashes at the VOCAB grain (each distinct word hashed
+    * once, joined back — the corpus repeats words, the vocab doesn't),
+    * the rolling 3-window via lag() over the per-doc word order,
+    * mix2 = fmix64(a·GOLD + b) staged through GROUP-BY barriers
+    * (plain CTE chaining INLINES each stage into the next — a 2×
+    * duplication per stage compounds exponentially; a no-op GROUP BY
+    * re-chunks AND re-parallelizes, measured 4× end-to-end), per-perm
+    * minima compared as SIGNED longs (the kernel's Long compare — an
+    * unsigned MIN picks different slots), and candidate buckets keyed
+    * by the 4-slot band TUPLE (see [[minhash]]'s scaladoc for why that
+    * equals the engine's xxhash64 keying). mod-2⁶⁴ primitives: xor via
+    * signed BIGINT with single-occurrence ±2⁶³ re-biasing (a CASE-based
+    * sign split duplicates its operand and measured ~4× slower), and
+    * multiply via the 32-bit limb split (lo·c + ((hi·c mod 2³²) << 32))
+    * so no intermediate exceeds HUGEINT. */
+  private val minhashCtesSql: String = {
+    val h64 = BigInt(2).pow(64).toString
+    val h63 = BigInt(2).pow(63).toString
+    val h32 = BigInt(2).pow(32).toString
+    val h33 = BigInt(2).pow(33).toString
+    val H = s"CAST('$h64' AS HUGEINT)"
+    val H63 = s"CAST('$h63' AS HUGEINT)"
+    val H32 = s"CAST('$h32' AS HUGEINT)"
+    val H33 = s"CAST('$h33' AS HUGEINT)"
+    def mulmod(u: String, c: BigInt): String = {
+      val cLo = c % BigInt(2).pow(32)
+      s"((($u % $H32) * CAST('$c' AS HUGEINT)" +
+        s" + ((($u // $H32) * CAST('$cLo' AS HUGEINT)) % $H32) * $H32) % $H)"
+    }
+    def tosg(u: String) = s"CAST(($u + $H63) % $H - $H63 AS BIGINT)"
+    def toun(s: String) = s"((CAST($s AS HUGEINT) + $H) % $H)"
+    def xoru(a: String, b: String) = toun(s"xor(${tosg(a)}, ${tosg(b)})")
+    def shr33(u: String) = s"($u // $H33)"
+    val c1 = BigInt("ff51afd7ed558ccd", 16)
+    val c2 = BigInt("c4ceb9fe1a85ec53", 16)
+    val gold = BigInt("9e3779b97f4a7c15", 16)
+    def fmix(x: String): String = {
+      val z1 = xoru(x, shr33(x))
+      val z2 = mulmod(z1, c1)
+      val z3 = xoru(z2, shr33(z2))
+      val z4 = mulmod(z3, c2)
+      xoru(z4, shr33(z4))
+    }
+    val init = java.lang.Long.toUnsignedString(0xcbf29ce484222325L)
+    val seeds = graft.functions.MinHash64.Seeds.zipWithIndex
+      .map { case (s0, p) => s"($p, CAST('${java.lang.Long.toUnsignedString(s0)}' AS HUGEINT))" }
+      .mkString(",")
+    val fnv =
+      s"""list_reduce(
+         list_prepend(CAST('$init' AS HUGEINT),
+           [CAST(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+               + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS HUGEINT)
+            for i in generate_series(1, octet_length(encode(w)))]),
+         (h, b) -> ((h - h % 256 + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)))
+                    * 1099511628211) % $H)"""
+    s"""sd(p, seed) AS (VALUES $seeds),
+       wl AS (
+         SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         FROM documents WHERE text IS NOT NULL),
+       wpos AS (
+         SELECT doc_id, g.j AS j, ws[g.j] AS w
+         FROM wl, unnest(generate_series(1, len(ws))) AS g(j)
+         WHERE len(ws) >= 3),
+       vocab AS (SELECT DISTINCT w FROM wpos),
+       vh AS (SELECT w, $fnv AS h
+              FROM (SELECT w, upper(hex(encode(w))) AS hx FROM vocab)),
+       sh0 AS (
+         SELECT doc_id,
+                lag(h, 2) OVER (PARTITION BY doc_id ORDER BY j) AS wa,
+                lag(h, 1) OVER (PARTITION BY doc_id ORDER BY j) AS wb,
+                h AS wc
+         FROM wpos JOIN vh USING (w)),
+       mA AS (
+         SELECT doc_id, wc, ${fmix(s"((${mulmod("wa", gold)} + wb) % $H)")} AS ab
+         FROM sh0 WHERE wa IS NOT NULL AND wb IS NOT NULL),
+       mB AS (SELECT doc_id, wc, ab FROM mA GROUP BY doc_id, wc, ab),
+       based AS (
+         SELECT DISTINCT doc_id, ${fmix(s"((${mulmod("ab", gold)} + wc) % $H)")} AS base
+         FROM mB),
+       pg0 AS (SELECT DISTINCT doc_id, p, base, seed FROM based CROSS JOIN sd),
+       pg AS (SELECT doc_id, p, ${xoru("base", "seed")} AS x0 FROM pg0),
+       pf AS (SELECT doc_id, p, ${tosg(fmix("x0"))} AS v FROM pg),
+       mins AS (SELECT doc_id, p, MIN(v) AS m FROM pf GROUP BY doc_id, p),
+       sigs AS (SELECT doc_id, list(m ORDER BY p) AS sg FROM mins GROUP BY doc_id),
+       bands AS (
+         SELECT doc_id, b, sg[4*b + 1] AS k1, sg[4*b + 2] AS k2,
+                sg[4*b + 3] AS k3, sg[4*b + 4] AS k4
+         FROM sigs, unnest(generate_series(0, 15)) AS g(b)),
+       wdf AS (
+         SELECT doc_id, b, k1, k2, k3, k4,
+                COUNT(*) OVER (PARTITION BY b, k1, k2, k3, k4) AS df,
+                MIN(doc_id) OVER (PARTITION BY b, k1, k2, k3, k4) AS rep
+         FROM bands),
+       cold AS (
+         SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+         FROM (SELECT * FROM wdf WHERE df <= 200) a
+         JOIN (SELECT * FROM wdf WHERE df <= 200) c
+           ON a.b = c.b AND a.k1 = c.k1 AND a.k2 = c.k2 AND a.k3 = c.k3 AND a.k4 = c.k4
+          AND a.doc_id < c.doc_id),
+       star AS (SELECT rep AS doc_a, doc_id AS doc_b FROM wdf WHERE df > 200 AND doc_id <> rep),
+       cand AS (SELECT DISTINCT doc_a, doc_b
+                FROM (SELECT * FROM cold UNION ALL SELECT * FROM star)),
+       est AS (
+         SELECT doc_a, doc_b,
+                list_sum([CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END
+                          for i in generate_series(1, 64)]) / 64.0 AS e
+         FROM cand
+         JOIN sigs sa ON sa.doc_id = doc_a
+         JOIN sigs sb ON sb.doc_id = doc_b)"""
+  }
+
+  /** [[minhash]]'s oracle — the full LSH pipeline as exact SQL (see
+    * [[minhashCtesSql]] and the [[minhash]] scaladoc). */
+  val minhashSql: String =
+    s"""WITH $minhashCtesSql
+       SELECT doc_a, doc_b, ROUND(e, 4) AS est_jaccard
+       FROM est WHERE e >= 0.5
+       ORDER BY doc_a, doc_b"""
+
+  /** [[corpusDedup]]'s oracle: the minhash drop set plus the exact-hash
+    * drop set, anti-joined against the corpus — corpusDedupNgSql's
+    * rendering with the near stage swapped to the LSH pipeline. */
+  val corpusDedupSql: String =
+    s"""WITH $minhashCtesSql,
+       near AS (SELECT DISTINCT doc_b AS doc_id FROM est WHERE e >= 0.5),
+       exact AS (
+         SELECT doc_id FROM (
+           SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+           FROM documents) WHERE doc_id <> keeper),
+       dropped AS (SELECT doc_id FROM near UNION SELECT doc_id FROM exact)
+       SELECT doc_id, lang, source, n_chars
+       FROM documents
+       WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+       ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
     "dedup_simhash" -> simhashSql,
+    "dedup_minhash" -> minhashSql,
+    "corpus_dedup" -> corpusDedupSql,
     "dedup_threshold_hist" -> thresholdHistSql,
     "dedup_survivorship" -> survivorshipSql,
     "source_overlap" -> sourceOverlapSql,
