@@ -1046,68 +1046,14 @@ object Dedup {
     * multiply via the 32-bit limb split (lo·c + ((hi·c mod 2³²) << 32))
     * so no intermediate exceeds HUGEINT. */
   private val minhashCtesSql: String = {
-    val h64 = BigInt(2).pow(64).toString
-    val h63 = BigInt(2).pow(63).toString
-    val h32 = BigInt(2).pow(32).toString
-    val h33 = BigInt(2).pow(33).toString
-    val H = s"CAST('$h64' AS HUGEINT)"
-    val H63 = s"CAST('$h63' AS HUGEINT)"
-    val H32 = s"CAST('$h32' AS HUGEINT)"
-    val H33 = s"CAST('$h33' AS HUGEINT)"
-    def mulmod(u: String, c: BigInt): String = {
-      val cLo = c % BigInt(2).pow(32)
-      s"((($u % $H32) * CAST('$c' AS HUGEINT)" +
-        s" + ((($u // $H32) * CAST('$cLo' AS HUGEINT)) % $H32) * $H32) % $H)"
-    }
-    def tosg(u: String) = s"CAST(($u + $H63) % $H - $H63 AS BIGINT)"
-    def toun(s: String) = s"((CAST($s AS HUGEINT) + $H) % $H)"
-    def xoru(a: String, b: String) = toun(s"xor(${tosg(a)}, ${tosg(b)})")
-    def shr33(u: String) = s"($u // $H33)"
-    val c1 = BigInt("ff51afd7ed558ccd", 16)
-    val c2 = BigInt("c4ceb9fe1a85ec53", 16)
-    val gold = BigInt("9e3779b97f4a7c15", 16)
-    def fmix(x: String): String = {
-      val z1 = xoru(x, shr33(x))
-      val z2 = mulmod(z1, c1)
-      val z3 = xoru(z2, shr33(z2))
-      val z4 = mulmod(z3, c2)
-      xoru(z4, shr33(z4))
-    }
-    val init = java.lang.Long.toUnsignedString(0xcbf29ce484222325L)
+    import U64Sql._
     val seeds = graft.functions.MinHash64.Seeds.zipWithIndex
       .map { case (s0, p) => s"($p, CAST('${java.lang.Long.toUnsignedString(s0)}' AS HUGEINT))" }
       .mkString(",")
-    val fnv =
-      s"""list_reduce(
-         list_prepend(CAST('$init' AS HUGEINT),
-           [CAST(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
-               + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS HUGEINT)
-            for i in generate_series(1, octet_length(encode(w)))]),
-         (h, b) -> ((h - h % 256 + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)))
-                    * 1099511628211) % $H)"""
     s"""sd(p, seed) AS (VALUES $seeds),
-       wl AS (
-         SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
-         FROM documents WHERE text IS NOT NULL),
-       wpos AS (
-         SELECT doc_id, g.j AS j, ws[g.j] AS w
-         FROM wl, unnest(generate_series(1, len(ws))) AS g(j)
-         WHERE len(ws) >= 3),
-       vocab AS (SELECT DISTINCT w FROM wpos),
-       vh AS (SELECT w, $fnv AS h
-              FROM (SELECT w, upper(hex(encode(w))) AS hx FROM vocab)),
-       sh0 AS (
-         SELECT doc_id,
-                lag(h, 2) OVER (PARTITION BY doc_id ORDER BY j) AS wa,
-                lag(h, 1) OVER (PARTITION BY doc_id ORDER BY j) AS wb,
-                h AS wc
-         FROM wpos JOIN vh USING (w)),
-       mA AS (
-         SELECT doc_id, wc, ${fmix(s"((${mulmod("wa", gold)} + wb) % $H)")} AS ab
-         FROM sh0 WHERE wa IS NOT NULL AND wb IS NOT NULL),
-       mB AS (SELECT doc_id, wc, ab FROM mA GROUP BY doc_id, wc, ab),
+       $rollingGramCtesSql,
        based AS (
-         SELECT DISTINCT doc_id, ${fmix(s"((${mulmod("ab", gold)} + wc) % $H)")} AS base
+         SELECT DISTINCT doc_id, ${fmix(s"((${mulmod("ab", Gold)} + wc) % $H)")} AS base
          FROM mB),
        pg0 AS (SELECT DISTINCT doc_id, p, base, seed FROM based CROSS JOIN sd),
        pg AS (SELECT doc_id, p, ${xoru("base", "seed")} AS x0 FROM pg0),
@@ -1179,4 +1125,98 @@ object Dedup {
     "text_edit_sim" -> editSimSql,
     "corpus_dedup_ng" -> corpusDedupNgSql,
     "dedup_embedding" -> embeddingPairsSql)
+}
+
+/** Shared DuckDB renderings of the engine's portable 64-bit hash kernel
+  * ([[graft.functions.MinHash64]] fnv1a/mix2/fmix64 — all mod-2⁶⁴
+  * integer arithmetic), used by [[Dedup.minhashSql]]/
+  * [[Dedup.corpusDedupSql]] and [[TextAnalysis]]'s winnow oracle so the
+  * three renderings can never drift apart.
+  *
+  * Performance contract (measured against DuckDB 1.x on the sf0.1
+  * corpus): every primitive keeps its operand SINGLE-OCCURRENCE —
+  * to-signed/to-unsigned via ±2⁶³ re-biasing, never a CASE sign split
+  * (which duplicates its operand and compounds exponentially when
+  * stages inline) — and callers stage successive fmix applications
+  * through no-op GROUP BY barriers: plain CTE chaining INLINES each
+  * stage into the next, and MATERIALIZED CTEs evaluate eagerly AND
+  * serially, so the barrier is what keeps the pipeline parallel. */
+private[operators] object U64Sql {
+  private val h64 = BigInt(2).pow(64).toString
+  private val h63 = BigInt(2).pow(63).toString
+  private val h32 = BigInt(2).pow(32).toString
+  private val h33 = BigInt(2).pow(33).toString
+  val H = s"CAST('$h64' AS HUGEINT)"
+  val H63 = s"CAST('$h63' AS HUGEINT)"
+  val H32 = s"CAST('$h32' AS HUGEINT)"
+  val H33 = s"CAST('$h33' AS HUGEINT)"
+  val C1 = BigInt("ff51afd7ed558ccd", 16)
+  val C2 = BigInt("c4ceb9fe1a85ec53", 16)
+  val Gold = BigInt("9e3779b97f4a7c15", 16)
+
+  /** (u · c) mod 2⁶⁴ via the 32-bit limb split — no intermediate
+    * exceeds HUGEINT for any u < 2⁶⁴ and constant c < 2⁶⁴. */
+  def mulmod(u: String, c: BigInt): String = {
+    val cLo = c % BigInt(2).pow(32)
+    s"((($u % $H32) * CAST('$c' AS HUGEINT)" +
+      s" + ((($u // $H32) * CAST('$cLo' AS HUGEINT)) % $H32) * $H32) % $H)"
+  }
+  def tosg(u: String): String = s"CAST(($u + $H63) % $H - $H63 AS BIGINT)"
+  def toun(s: String): String = s"((CAST($s AS HUGEINT) + $H) % $H)"
+  def xoru(a: String, b: String): String = toun(s"xor(${tosg(a)}, ${tosg(b)})")
+  def shr33(u: String): String = s"($u // $H33)"
+
+  /** The murmur-style fmix64 finalizer (MinHash64.fmix64), inlined. */
+  def fmix(x: String): String = {
+    val z1 = xoru(x, shr33(x))
+    val z2 = mulmod(z1, C1)
+    val z3 = xoru(z2, shr33(z2))
+    val z4 = mulmod(z3, C2)
+    xoru(z4, shr33(z4))
+  }
+
+  /** FNV-1a 64 of column `w`'s UTF-8 bytes (expects `hx` =
+    * upper(hex(encode(w))) in scope) — the [[Dedup.simhashSql]]
+    * rendering, one definition. */
+  val fnvW: String = {
+    val init = java.lang.Long.toUnsignedString(0xcbf29ce484222325L)
+    s"""list_reduce(
+       list_prepend(CAST('$init' AS HUGEINT),
+         [CAST(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+             + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS HUGEINT)
+          for i in generate_series(1, octet_length(encode(w)))]),
+       (h, b) -> ((h - h % 256 + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)))
+                  * 1099511628211) % $H)"""
+  }
+
+  /** CTE chain `wl → wpos → vocab → vh → sh0 → mA → mB` producing, per
+    * (doc_id, shingle position j), the first mix2 stage `ab` =
+    * fmix64(wa·GOLD + wb) plus the third word hash `wc` — the shared
+    * prefix of the minhash and winnow oracles (the rolling 3-gram base
+    * is mix2(ab, wc), applied by each caller so the second fmix nests
+    * behind mB's GROUP BY barrier, not inside this chain). Word hashes
+    * compute once at the VOCAB grain and join back; j rides through so
+    * order-sensitive callers (winnow's window minima) keep the document
+    * order, and order-free callers (minhash) just ignore it. */
+  val rollingGramCtesSql: String =
+    s"""wl AS (
+         SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         FROM documents WHERE text IS NOT NULL),
+       wpos AS (
+         SELECT doc_id, g.j AS j, ws[g.j] AS w
+         FROM wl, unnest(generate_series(1, len(ws))) AS g(j)
+         WHERE len(ws) >= 3),
+       vocab AS (SELECT DISTINCT w FROM wpos),
+       vh AS (SELECT w, $fnvW AS h
+              FROM (SELECT w, upper(hex(encode(w))) AS hx FROM vocab)),
+       sh0 AS (
+         SELECT doc_id, j,
+                lag(h, 2) OVER (PARTITION BY doc_id ORDER BY j) AS wa,
+                lag(h, 1) OVER (PARTITION BY doc_id ORDER BY j) AS wb,
+                h AS wc
+         FROM wpos JOIN vh USING (w)),
+       mA AS (
+         SELECT doc_id, j, wc, ${fmix(s"((${mulmod("wa", Gold)} + wb) % $H)")} AS ab
+         FROM sh0 WHERE wa IS NOT NULL AND wb IS NOT NULL),
+       mB AS (SELECT doc_id, j, wc, ab FROM mA GROUP BY doc_id, j, wc, ab)"""
 }

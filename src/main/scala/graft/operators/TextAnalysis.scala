@@ -512,9 +512,13 @@ object TextAnalysis {
     * consecutive rolling 3-word-gram hashes — guaranteeing any shared run
     * of ≥ 10 words between two docs shares a fingerprint element. Output
     * is the fingerprint's size plus its min/max elements (set summary).
-    * Narrow map, scan-speed; engine-hash-dependent, so rows-only check —
-    * FunctionsSpec pins the kernel invariants including the shared-run
-    * guarantee. */
+    * Narrow map, scan-speed. Hash-checked against [[winnowSql]] since
+    * driver-round 12: the rolling-gram hash is the portable
+    * fnv1a/mix2 kernel ([[U64Sql]]'s renderings, shared with the
+    * minhash oracle), the window minima compare as SIGNED longs, and
+    * the per-doc fingerprint summary is three aggregates over the
+    * distinct minima. FunctionsSpec still pins the kernel invariants
+    * including the shared-run guarantee. */
   def winnow(s: SparkSession, dir: String): DataFrame =
     Tables
       .documents(s, dir)
@@ -525,6 +529,38 @@ object TextAnalysis {
         size(col("fp")).cast("long").as("n_fp"),
         array_min(col("fp")).as("fp_min"),
         array_max(col("fp")).as("fp_max"))
+
+  /** [[winnow]]'s oracle: the rolling 3-gram hashes in DOCUMENT ORDER
+    * (the [[U64Sql.rollingGramCtesSql]] chain keeps position j;
+    * duplicates kept — unlike minhash's DISTINCT bases), each
+    * 8-gram-window minimum via a ROWS frame, windows clamped to the
+    * kernel's nWindows = max(n−7, 1) (a document with < 8 shingles has
+    * exactly ONE window spanning them all), minima compared as SIGNED
+    * longs, fingerprint = the distinct minima set summarized per doc.
+    * The second mix2 stage nests behind mB's GROUP BY barrier (the
+    * U64Sql staging contract). */
+  val winnowSql: String = {
+    import U64Sql._
+    s"""WITH $rollingGramCtesSql,
+       gs AS (
+         SELECT doc_id, j, ${tosg(fmix(s"((${mulmod("ab", Gold)} + wc) % $H)"))} AS g
+         FROM mB),
+       wn AS (
+         SELECT doc_id, g,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) AS k,
+                COUNT(*) OVER (PARTITION BY doc_id) AS n,
+                MIN(g) OVER (PARTITION BY doc_id ORDER BY j
+                             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+         FROM gs)
+       SELECT doc_id,
+              CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fp,
+              MIN(wmin) AS fp_min,
+              MAX(wmin) AS fp_max
+       FROM wn
+       WHERE k <= GREATEST(n - 7, 1)
+       GROUP BY doc_id
+       ORDER BY doc_id"""
+  }
 
   /** Span length (characters) for the substring-duplication census. */
   private[graft] val SpanLen = 32
@@ -1726,6 +1762,7 @@ FROM mergetab ORDER BY rank"""
     "text_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_winnow" -> winnowSql,
     "text_novelty" -> noveltySql,
     "text_bpe_train" -> bpeTrainSql,
     "text_tfidf" -> tfidfSql,
