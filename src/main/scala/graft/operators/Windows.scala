@@ -1799,18 +1799,43 @@ object Windows {
     * shuffle bounded by \|cohorts × ages\|, and the cumulative window
     * runs over that BOUNDED frame — no order-wide window or sort
     * anywhere. Cohort sizes ride the already-aggregated customer frame. */
-  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables
-      .orders(s, dir)
+  def cohortLtv(s: SparkSession, dir: String): DataFrame =
+    cohortLtvScores(custMonthCensus(Tables.orders(s, dir)))
+
+  /** Per-(customer, month) revenue census — ONE associative aggregate
+    * (cents sums combine), so the SAME definition runs batch here and
+    * in complete mode on an order stream
+    * ([[graft.streaming.EventStreams.cohortCensus]], the rfmBase
+    * discipline). Every downstream cohort quantity derives from this
+    * frame: summing the census per cell equals summing raw orders, and
+    * a customer appears once per (cohort, age) cell by construction. */
+  private[graft] def custMonthCensus(orders: DataFrame): DataFrame =
+    orders
       .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
       .select(
         col("o_custkey").as("cust"),
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).cast("long").as("m"),
         cents("o_totalprice").as("rc"))
-    val custs = o.groupBy("cust").agg(min(col("m")).as("cohort_month"))
-    val cohortSize = custs.groupBy("cohort_month").agg(count(lit(1)).as("cohort_users"))
+      .groupBy("cust", "m")
+      .agg(sum(col("rc")).as("rc"))
+
+  /** Cohort assembly over a (cust, m, rc) census — min-month cohort
+    * assignment, (cohort × age) cells, bounded cumulative window and
+    * the exact ltv division: the second+ aggregation levels streaming
+    * can't run in-query; the streaming sink applies this to the bounded
+    * census per trigger (the rfmScores precedent).
+    *
+    * JOIN-FREE by construction: cohort assignment is a cust-partitioned
+    * window min (not a groupBy joined back), and cohort_users rides the
+    * cells themselves — every cohort member is active at age 0 (the
+    * min-month row IS an age-0 row), so cohort size = first(n_active)
+    * under the age order. Beyond saving two joins, this is what lets
+    * the streaming sink score a memory-sink census: joining a streamed
+    * view's aggregates back to itself trips Spark's conflicting-
+    * reference resolution (the rfmScores lesson). */
+  private[graft] def cohortLtvScores(o: DataFrame): DataFrame = {
     val cells = o
-      .join(custs, "cust")
+      .withColumn("cohort_month", min(col("m")).over(Window.partitionBy("cust")))
       .groupBy(col("cohort_month"), (col("m") - col("cohort_month")).as("age_months"))
       .agg(
         countDistinct(col("cust")).as("n_active"),
@@ -1821,7 +1846,7 @@ object Windows {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cells
       .withColumn("cum_rev_cents", sum(col("rev_cents")).over(wCum))
-      .join(cohortSize, "cohort_month")
+      .withColumn("cohort_users", first(col("n_active")).over(wCum))
       .selectExpr(
         "cohort_month",
         "age_months",

@@ -189,6 +189,21 @@ object EventStreams {
   def rfmCensus(orders: DataFrame): DataFrame =
     graft.operators.Windows.rfmBase(orders)
 
+  /** Streaming cohort-LTV census (26th twin) — the incremental half of
+    * [[graft.operators.Windows.cohortLtv]]: per-(customer, month)
+    * revenue sums in complete mode, state = one long per active
+    * (customer, month) pair — the FINEST associative census from which
+    * every cohort quantity derives. Cohort assignment (min month per
+    * customer) is itself an aggregation, and the cell rollup +
+    * cumulative window are two more levels — none of which streaming
+    * can stack in one query — so the sink applies
+    * [[graft.operators.Windows.cohortLtvScores]] to the bounded census
+    * per trigger (SAME code as batch; two-chunk replay parity
+    * spec-pinned). The live question this answers: how is THIS month's
+    * acquisition cohort monetizing while the month is still running? */
+  def cohortCensus(orders: DataFrame): DataFrame =
+    graft.operators.Windows.custMonthCensus(orders)
+
   /** Stream-stream interval join — the incremental twin of
     * [[graft.operators.Windows.rangeJoin]]: pair each event with same-user
     * events up to 5 minutes later. Watermarks on BOTH sides plus the time

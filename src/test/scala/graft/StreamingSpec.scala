@@ -113,6 +113,38 @@ class StreamingSpec extends GraftSpecBase {
     assert(streamed == batch, "streamed RFM must be row-identical to batch rfm")
   }
 
+  test("streaming cohort census + sink scoring equals batch cohortLtv after two-chunk replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.sources.Tables.orders(spark, sfDir)
+      .select(
+        col("o_custkey"),
+        col("o_orderdate").cast("string"),
+        col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq
+    val input = MemoryStream[(Long, String, Double)]
+    // two chunks: the complete-mode per-(cust, month) sums must carry
+    // across triggers for the census to equal one batch pass
+    val (a, b) = rows.splitAt(rows.length / 2)
+    input.addData(a)
+    val streamDf = input.toDF().toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val q = EventStreams.cohortCensus(streamDf)
+      .writeStream.format("memory").queryName("cohort_census")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    input.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = graft.operators.Windows
+      .cohortLtvScores(spark.table("cohort_census"))
+      .collect().map(_.toSeq).toSet
+    val batch = Windows.cohortLtv(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, "streamed cohort LTV must be row-identical to batch")
+  }
+
   test("streaming exact dedup keeps one row per distinct content") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
