@@ -261,6 +261,74 @@ object Dedup {
        ORDER BY jaccard DESC, doc_a, doc_b
        LIMIT 20"""
 
+  /** Fingerprint-Jaccard near-dup pairs: the top-20 most similar document
+    * pairs by WINNOW-fingerprint overlap — the plagiarism-detection pair
+    * query the [[TextAnalysis.winnow]] fingerprints exist to serve
+    * (winnowing guarantees any shared run of ≥ 10 words shares a
+    * fingerprint element, so long verbatim copies collide here even when
+    * word-3-gram sets diverge elsewhere). Same candidate engine as
+    * [[ngramJaccard]] ([[rarePairCounts]]: df∈[2,20] band, capped
+    * collect, in-place pair expansion — all the 100 TB arguments carry
+    * over verbatim), with the winnow fingerprint as the bucket key
+    * instead of the raw 3-gram: fingerprints are ~1/4 as many per doc
+    * (window minima), so the candidate stage shuffles proportionally
+    * less. Overlap = |A∩B| / |A∪B| over fingerprint SETS,
+    * integer-exactly rounded. */
+  def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val pack = 1048576L // 2^20, the ngramPairsPlan packing envelope
+    val g = Tables
+      .documentsBalanced(s, dir)
+      .select(col("doc_id"), call_function("graft_winnow", col("text")).as("fp"))
+      .filter(col("fp").isNotNull)
+      .filter(
+        assert_true(
+          size(col("fp")) < pack && col("doc_id") >= 0 && col("doc_id") < (1L << 43),
+          lit("winnowPairs packing envelope exceeded: doc too large or doc_id out of range"))
+          .isNull)
+      .select((col("doc_id") * pack + size(col("fp"))).as("dn"), explode(col("fp")).as("gram"))
+    rarePairCounts(s, g)
+      .select(
+        expr("pa DIV 1048576").as("doc_a"),
+        expr("pb DIV 1048576").as("doc_b"),
+        (col("pa") % pack).as("na"),
+        (col("pb") % pack).as("nb"),
+        col("n_inter"))
+      .selectExpr(
+        "doc_a",
+        "doc_b",
+        "n_inter AS n_shared",
+        Windows.exactRoundSql("n_inter", "na + nb - n_inter", 10000) + " AS fp_jaccard")
+      .orderBy(col("fp_jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** [[winnowPairs]]'s oracle: the [[U64Sql.winnowFpCtesSql]] fingerprint
+    * sets through the same df-band/intersection/exact-round tail as
+    * [[ngramJaccardSql]]. */
+  val winnowPairsSql: String =
+    s"""WITH ${U64Sql.winnowFpCtesSql},
+       counts AS (SELECT doc_id, COUNT(*) AS n_fp FROM fpe GROUP BY 1),
+       rare AS (SELECT f FROM fpe GROUP BY f HAVING COUNT(*) BETWEEN 2 AND 20),
+       gr AS (SELECT fpe.doc_id, f FROM fpe JOIN rare USING (f)),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         FROM gr a JOIN gr b ON a.f = b.f AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       jd AS (
+         SELECT doc_a, doc_b, n_inter,
+                ca.n_fp + cb.n_fp - n_inter AS den
+         FROM inter
+         JOIN counts ca ON ca.doc_id = doc_a
+         JOIN counts cb ON cb.doc_id = doc_b)
+       SELECT doc_a, doc_b,
+              CAST(n_inter AS BIGINT) AS n_shared,
+              CAST((n_inter // den) * 10000
+                   + (2 * (n_inter % den) * 10000 + den) // (2 * den) AS DOUBLE)
+                / 10000.0 AS fp_jaccard
+       FROM jd
+       ORDER BY fp_jaccard DESC, doc_a, doc_b
+       LIMIT 20"""
+
   /** Edit-distance enrichment of the top n-gram pairs: Levenshtein over
     * 40-char prefixes of the 20 most similar pairs — the string-distance
     * verification step a dedup pipeline applies to its few survivors
@@ -1025,6 +1093,7 @@ object Dedup {
     "dedup_exact" -> (exact _),
     "dedup_exact_norm" -> (exactNorm _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_winnow_pairs" -> (winnowPairs _),
     "dedup_embedding" -> (embeddingPairs _),
     "dedup_minhash" -> (minhash _),
     "dedup_simhash" -> (simhash _))
@@ -1122,6 +1191,7 @@ object Dedup {
     "dedup_exact" -> exactSql,
     "dedup_exact_norm" -> exactNormSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_winnow_pairs" -> winnowPairsSql,
     "text_edit_sim" -> editSimSql,
     "corpus_dedup_ng" -> corpusDedupNgSql,
     "dedup_embedding" -> embeddingPairsSql)
@@ -1219,4 +1289,27 @@ private[operators] object U64Sql {
          SELECT doc_id, j, wc, ${fmix(s"((${mulmod("wa", Gold)} + wb) % $H)")} AS ab
          FROM sh0 WHERE wa IS NOT NULL AND wb IS NOT NULL),
        mB AS (SELECT doc_id, j, wc, ab FROM mA GROUP BY doc_id, j, wc, ab)"""
+
+  /** Winnowing-fingerprint CTE chain ending in `fpe(doc_id, f)` — each
+    * doc's DISTINCT set of 8-gram-window minima (the
+    * [[graft.functions.GramHash64]].winnow contract: rolling 3-gram
+    * hashes in document order, duplicates kept, window minima compared
+    * as SIGNED longs, windows clamped to nWindows = max(n−7, 1)).
+    * Shared by [[TextAnalysis]]'s winnow summary oracle and
+    * [[Dedup]]'s fingerprint-pair oracle. */
+  val winnowFpCtesSql: String =
+    s"""$rollingGramCtesSql,
+       gs AS (
+         SELECT doc_id, j, ${tosg(fmix(s"((${mulmod("ab", Gold)} + wc) % $H)"))} AS g
+         FROM mB),
+       wn AS (
+         SELECT doc_id, g,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) AS k,
+                COUNT(*) OVER (PARTITION BY doc_id) AS n,
+                MIN(g) OVER (PARTITION BY doc_id ORDER BY j
+                             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+         FROM gs),
+       fpe AS (
+         SELECT DISTINCT doc_id, wmin AS f
+         FROM wn WHERE k <= GREATEST(n - 7, 1))"""
 }

@@ -539,28 +539,15 @@ object TextAnalysis {
     * longs, fingerprint = the distinct minima set summarized per doc.
     * The second mix2 stage nests behind mB's GROUP BY barrier (the
     * U64Sql staging contract). */
-  val winnowSql: String = {
-    import U64Sql._
-    s"""WITH $rollingGramCtesSql,
-       gs AS (
-         SELECT doc_id, j, ${tosg(fmix(s"((${mulmod("ab", Gold)} + wc) % $H)"))} AS g
-         FROM mB),
-       wn AS (
-         SELECT doc_id, g,
-                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) AS k,
-                COUNT(*) OVER (PARTITION BY doc_id) AS n,
-                MIN(g) OVER (PARTITION BY doc_id ORDER BY j
-                             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
-         FROM gs)
+  val winnowSql: String =
+    s"""WITH ${U64Sql.winnowFpCtesSql}
        SELECT doc_id,
-              CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fp,
-              MIN(wmin) AS fp_min,
-              MAX(wmin) AS fp_max
-       FROM wn
-       WHERE k <= GREATEST(n - 7, 1)
+              CAST(COUNT(*) AS BIGINT) AS n_fp,
+              MIN(f) AS fp_min,
+              MAX(f) AS fp_max
+       FROM fpe
        GROUP BY doc_id
        ORDER BY doc_id"""
-  }
 
   /** Span length (characters) for the substring-duplication census. */
   private[graft] val SpanLen = 32

@@ -277,6 +277,21 @@ class DedupSpec extends GraftSpecBase {
     assert(capped.nonEmpty, s"capped collect aggregate missing from:\n$plan")
   }
 
+  test("winnow_pairs rides the capped-collect candidate engine + partial top-k") {
+    // same rarePairCounts engine as the ngram pipeline (the capped-collect
+    // spec above pins its state bound); here pin that the fingerprint
+    // variant actually routes through it and cuts top-20 partially
+    val physical = Dedup.winnowPairs(spark, sfDir).queryExecution.executedPlan.toString
+    assert(physical.contains("graft_collect_capped"),
+      s"winnow pairs not on the capped candidate engine:\n$physical")
+    assert(physical.contains("TakeOrderedAndProject"),
+      s"top-20 not a partial top-k:\n$physical")
+    val rows = Dedup.winnowPairs(spark, sfDir).collect()
+    assert(rows.length <= 20)
+    // the known sf0.001 near-dup family must collide on fingerprints too
+    assert(rows.nonEmpty, "expected at least one fingerprint-overlap pair at sf0.001")
+  }
+
   test("ngram bucket aggregation: one scan, map-side partials, no stragglers") {
     // the round-5/6 straggler shipped a hot gram's every occurrence to
     // one reducer (count + semi-join), and the round-6 plan silently paid
