@@ -274,33 +274,38 @@ object Dedup {
     * (window minima), so the candidate stage shuffles proportionally
     * less. Overlap = |A∩B| / |A∪B| over fingerprint SETS,
     * integer-exactly rounded. */
-  def winnowPairs(s: SparkSession, dir: String): DataFrame = {
-    val pack = 1048576L // 2^20, the ngramPairsPlan packing envelope
-    val g = Tables
-      .documentsBalanced(s, dir)
-      .select(col("doc_id"), call_function("graft_winnow", col("text")).as("fp"))
-      .filter(col("fp").isNotNull)
-      .filter(
-        assert_true(
-          size(col("fp")) < pack && col("doc_id") >= 0 && col("doc_id") < (1L << 43),
-          lit("winnowPairs packing envelope exceeded: doc too large or doc_id out of range"))
-          .isNull)
-      .select((col("doc_id") * pack + size(col("fp"))).as("dn"), explode(col("fp")).as("gram"))
-    rarePairCounts(s, g)
-      .select(
-        expr("pa DIV 1048576").as("doc_a"),
-        expr("pb DIV 1048576").as("doc_b"),
-        (col("pa") % pack).as("na"),
-        (col("pb") % pack).as("nb"),
-        col("n_inter"))
+  def winnowPairs(s: SparkSession, dir: String): DataFrame =
+    winnowPairsPlan(s, dir)
       .selectExpr(
         "doc_a",
         "doc_b",
         "n_inter AS n_shared",
-        Windows.exactRoundSql("n_inter", "na + nb - n_inter", 10000) + " AS fp_jaccard")
+        Windows.exactRoundSql("n_inter", "denom", 10000) + " AS fp_jaccard")
       .orderBy(col("fp_jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
-  }
+
+  /** Fingerprint candidate pairs with exact overlap integers — shared
+    * (via the stamp cache) by [[winnowPairs]] and [[dedupRecall]]. */
+  private[graft] def winnowPairsPlan(s: SparkSession, dir: String): DataFrame =
+    cachedByStamp("winnowpairs", s, dir) {
+      val pack = 1048576L // 2^20, the ngramPairsPlan packing envelope
+      val g = Tables
+        .documentsBalanced(s, dir)
+        .select(col("doc_id"), call_function("graft_winnow", col("text")).as("fp"))
+        .filter(col("fp").isNotNull)
+        .filter(
+          assert_true(
+            size(col("fp")) < pack && col("doc_id") >= 0 && col("doc_id") < (1L << 43),
+            lit("winnowPairs packing envelope exceeded: doc too large or doc_id out of range"))
+            .isNull)
+        .select((col("doc_id") * pack + size(col("fp"))).as("dn"), explode(col("fp")).as("gram"))
+      rarePairCounts(s, g)
+        .select(
+          expr("pa DIV 1048576").as("doc_a"),
+          expr("pb DIV 1048576").as("doc_b"),
+          col("n_inter"),
+          ((col("pa") % pack) + (col("pb") % pack) - col("n_inter")).as("denom"))
+    }
 
   /** [[winnowPairs]]'s oracle: the [[U64Sql.winnowFpCtesSql]] fingerprint
     * sets through the same df-band/intersection/exact-round tail as
@@ -328,6 +333,110 @@ object Dedup {
        FROM jd
        ORDER BY fp_jaccard DESC, doc_a, doc_b
        LIMIT 20"""
+
+  /** In-engine recall/precision evaluation of the bucketed near-dup
+    * methods against the EXACT n-gram ground truth — the [[Similarity]]
+    * `ann_recall` discipline applied to the dedup family: ground truth =
+    * exact word-3-gram Jaccard ≥ 0.5 pairs ([[ngramPairsPlan]], the
+    * oracle-checked anchor), candidates = the minhash-LSH pair set
+    * (est ≥ 0.5, [[minhashPairs]]) and the winnow-fingerprint pair set
+    * (fingerprint Jaccard ≥ 0.5, [[winnowPairsPlan]]). The operator a
+    * pipeline owner runs before switching dedup methods: "how much of
+    * the exact dup mass does the cheap method keep, and how much junk
+    * does it add?" — recall and precision in exact integer ppm.
+    *
+    * Predicates are the INTEGER forms (2·n_inter ≥ denom ⟺ jaccard ≥
+    * 0.5 for positive denominators) so both engines cut identically
+    * with no float compare anywhere. Scale shape: every input frame is
+    * candidate-bounded (df-band / band-bucket arguments in each plan)
+    * and served from the shared stamp caches; the truth set broadcasts;
+    * output = 2 rows. */
+  def dedupRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val truth = ngramPairs(s, dir)
+      .filter(col("n_inter") * 2 >= col("denom"))
+      .select("doc_a", "doc_b")
+    val methods = Seq(
+      "minhash" -> minhashPairs(s, dir).select("doc_a", "doc_b"),
+      "winnow" -> winnowPairsPlan(s, dir)
+        .filter(col("n_inter") * 2 >= col("denom"))
+        .select("doc_a", "doc_b"))
+    val tagged = methods
+      .map { case (m, df) => df.select(lit(m).as("method"), col("doc_a"), col("doc_b")) }
+      .reduce(_ unionByName _)
+    val nTruth = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+    val per = tagged.groupBy("method").agg(count(lit(1)).cast("long").as("n_pred"))
+    val hits = tagged
+      .join(broadcast(truth), Seq("doc_a", "doc_b"))
+      .groupBy("method")
+      .agg(count(lit(1)).cast("long").as("hits"))
+    methods.map(_._1).toDF("method")
+      .join(per, Seq("method"), "left")
+      .na.fill(0L, Seq("n_pred"))
+      .join(hits, Seq("method"), "left")
+      .na.fill(0L, Seq("hits"))
+      .crossJoin(broadcast(nTruth))
+      .selectExpr(
+        "method",
+        "n_pred",
+        "n_truth",
+        "hits",
+        "CAST(hits * 1000000L DIV NULLIF(n_truth, 0L) AS BIGINT) AS recall_ppm",
+        "CAST(hits * 1000000L DIV NULLIF(n_pred, 0L) AS BIGINT) AS precision_ppm")
+      .orderBy("method")
+  }
+
+  /** [[dedupRecall]]'s oracle: ONE copy of the shared rolling-gram
+    * prefix feeding both method tails (minhash `based → est`, winnow
+    * `gs → fpe` + a `w`-prefixed pair tail so its counts/rare/gr/inter
+    * names don't collide with the ngram truth chain), intersected and
+    * apportioned with the same integer µ-math. */
+  lazy val dedupRecallSql: String =
+    s"""WITH $minhashSeedCteSql,
+       ${U64Sql.rollingGramCtesSql},
+       $minhashTailCtesSql,
+       ${U64Sql.winnowTailCtesSql},
+       wcounts AS (SELECT doc_id, COUNT(*) AS n_fp FROM fpe GROUP BY 1),
+       wrare AS (SELECT f FROM fpe GROUP BY f HAVING COUNT(*) BETWEEN 2 AND 20),
+       wgr AS (SELECT fpe.doc_id, f FROM fpe JOIN wrare USING (f)),
+       winter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         FROM wgr a JOIN wgr b ON a.f = b.f AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       wpred AS (
+         SELECT doc_a, doc_b
+         FROM winter
+         JOIN wcounts ca ON ca.doc_id = doc_a
+         JOIN wcounts cb ON cb.doc_id = doc_b
+         WHERE 2 * n_inter >= ca.n_fp + cb.n_fp - n_inter),
+       mpred AS (SELECT doc_a, doc_b FROM est WHERE e >= 0.5),
+       $rarePairCtesSql,
+       truth AS (
+         SELECT doc_a, doc_b
+         FROM inter
+         JOIN counts ca ON ca.doc_id = doc_a
+         JOIN counts cb ON cb.doc_id = doc_b
+         WHERE 2 * n_inter >= ca.n_grams + cb.n_grams - n_inter),
+       m AS (
+         SELECT 'minhash' AS method, doc_a, doc_b FROM mpred
+         UNION ALL SELECT 'winnow', doc_a, doc_b FROM wpred),
+       per AS (SELECT method, CAST(COUNT(*) AS BIGINT) AS n_pred FROM m GROUP BY 1),
+       h AS (SELECT method, CAST(COUNT(*) AS BIGINT) AS hits
+             FROM m JOIN truth USING (doc_a, doc_b) GROUP BY 1),
+       nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+       names(method) AS (VALUES ('minhash'), ('winnow'))
+       SELECT names.method,
+              CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+              n_truth,
+              CAST(COALESCE(hits, 0) AS BIGINT) AS hits,
+              CAST(COALESCE(hits, 0) * 1000000 // NULLIF(n_truth, 0) AS BIGINT) AS recall_ppm,
+              CAST(COALESCE(hits, 0) * 1000000 // NULLIF(COALESCE(n_pred, 0), 0) AS BIGINT)
+                AS precision_ppm
+       FROM names
+       LEFT JOIN per ON names.method = per.method
+       LEFT JOIN h ON names.method = h.method
+       CROSS JOIN nt
+       ORDER BY names.method"""
 
   /** Edit-distance enrichment of the top n-gram pairs: Levenshtein over
     * 40-char prefixes of the 20 most similar pairs — the string-distance
@@ -1094,6 +1203,7 @@ object Dedup {
     "dedup_exact_norm" -> (exactNorm _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_winnow_pairs" -> (winnowPairs _),
+    "dedup_recall" -> (dedupRecall _),
     "dedup_embedding" -> (embeddingPairs _),
     "dedup_minhash" -> (minhash _),
     "dedup_simhash" -> (simhash _))
@@ -1114,14 +1224,14 @@ object Dedup {
     * sign split duplicates its operand and measured ~4× slower), and
     * multiply via the 32-bit limb split (lo·c + ((hi·c mod 2³²) << 32))
     * so no intermediate exceeds HUGEINT. */
-  private val minhashCtesSql: String = {
+  /** The minhash tail alone (`based → est`), for composition with OTHER
+    * consumers of the shared [[U64Sql.rollingGramCtesSql]] prefix
+    * ([[dedupRecallSql]] needs the minhash and winnow tails over ONE
+    * copy of the prefix — repeating the chain would double the
+    * oracle's heaviest stage AND redefine its CTE names). */
+  private val minhashTailCtesSql: String = {
     import U64Sql._
-    val seeds = graft.functions.MinHash64.Seeds.zipWithIndex
-      .map { case (s0, p) => s"($p, CAST('${java.lang.Long.toUnsignedString(s0)}' AS HUGEINT))" }
-      .mkString(",")
-    s"""sd(p, seed) AS (VALUES $seeds),
-       $rollingGramCtesSql,
-       based AS (
+    s"""based AS (
          SELECT DISTINCT doc_id, ${fmix(s"((${mulmod("ab", Gold)} + wc) % $H)")} AS base
          FROM mB),
        pg0 AS (SELECT DISTINCT doc_id, p, base, seed FROM based CROSS JOIN sd),
@@ -1155,6 +1265,18 @@ object Dedup {
          JOIN sigs sa ON sa.doc_id = doc_a
          JOIN sigs sb ON sb.doc_id = doc_b)"""
   }
+
+  private val minhashSeedCteSql: String = {
+    val seeds = graft.functions.MinHash64.Seeds.zipWithIndex
+      .map { case (s0, p) => s"($p, CAST('${java.lang.Long.toUnsignedString(s0)}' AS HUGEINT))" }
+      .mkString(",")
+    s"sd(p, seed) AS (VALUES $seeds)"
+  }
+
+  private val minhashCtesSql: String =
+    s"""$minhashSeedCteSql,
+       ${U64Sql.rollingGramCtesSql},
+       $minhashTailCtesSql"""
 
   /** [[minhash]]'s oracle — the full LSH pipeline as exact SQL (see
     * [[minhashCtesSql]] and the [[minhash]] scaladoc). */
@@ -1192,6 +1314,7 @@ object Dedup {
     "dedup_exact_norm" -> exactNormSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_winnow_pairs" -> winnowPairsSql,
+    "dedup_recall" -> dedupRecallSql,
     "text_edit_sim" -> editSimSql,
     "corpus_dedup_ng" -> corpusDedupNgSql,
     "dedup_embedding" -> embeddingPairsSql)
@@ -1299,7 +1422,13 @@ private[operators] object U64Sql {
     * [[Dedup]]'s fingerprint-pair oracle. */
   val winnowFpCtesSql: String =
     s"""$rollingGramCtesSql,
-       gs AS (
+       $winnowTailCtesSql"""
+
+  /** The winnow tail alone (`gs → wn → fpe`), for composition beside
+    * other consumers of [[rollingGramCtesSql]] (the minhash-tail
+    * convention in [[Dedup]]). */
+  lazy val winnowTailCtesSql: String =
+    s"""gs AS (
          SELECT doc_id, j, ${tosg(fmix(s"((${mulmod("ab", Gold)} + wc) % $H)"))} AS g
          FROM mB),
        wn AS (
