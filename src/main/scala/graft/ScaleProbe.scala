@@ -332,7 +332,14 @@ object ScaleProbe {
       // per timing so each point pays its index builds, the honest cost)
       "q20_excess_shippers" -> (graft.operators.RelationalDeep.q20ExcessShippers _),
       "q2_min_price_supplier" -> (graft.operators.RelationalDeep.q2MinPriceSupplier _),
-      "ann_recall" -> (graft.operators.Similarity.annRecall _))
+      "ann_recall" -> (graft.operators.Similarity.annRecall _),
+      // fingerprint pairing (the rarePairCounts engine on ~1/4 the keys
+      // of the ngram family — expect the ngram band) and the dedup
+      // method eval (ngram + minhash + winnow pipelines end to end,
+      // caches cleared per timing — the honest full cost of the
+      // "should I switch methods" question)
+      "dedup_winnow_pairs" -> (Dedup.winnowPairs _),
+      "dedup_recall" -> (Dedup.dedupRecall _))
 
     def time(dir: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {
