@@ -339,8 +339,11 @@ object Dedup {
     * `ann_recall` discipline applied to the dedup family: ground truth =
     * exact word-3-gram Jaccard ≥ 0.5 pairs ([[ngramPairsPlan]], the
     * oracle-checked anchor), candidates = the minhash-LSH pair set
-    * (est ≥ 0.5, [[minhashPairs]]) and the winnow-fingerprint pair set
-    * (fingerprint Jaccard ≥ 0.5, [[winnowPairsPlan]]). The operator a
+    * (est ≥ 0.5, [[minhashPairs]]), the simhash pair set (hamming ≤ 8,
+    * [[simhash]] — a bit-distance criterion, so its precision against
+    * the Jaccard truth is exactly the cross-method read this exists
+    * for) and the winnow-fingerprint pair set (fingerprint Jaccard ≥
+    * 0.5, [[winnowPairsPlan]]). The operator a
     * pipeline owner runs before switching dedup methods: "how much of
     * the exact dup mass does the cheap method keep, and how much junk
     * does it add?" — recall and precision in exact integer ppm.
@@ -358,6 +361,7 @@ object Dedup {
       .select("doc_a", "doc_b")
     val methods = Seq(
       "minhash" -> minhashPairs(s, dir).select("doc_a", "doc_b"),
+      "simhash" -> simhash(s, dir).select("doc_a", "doc_b"),
       "winnow" -> winnowPairsPlan(s, dir)
         .filter(col("n_inter") * 2 >= col("denom"))
         .select("doc_a", "doc_b"))
@@ -410,6 +414,8 @@ object Dedup {
          JOIN wcounts cb ON cb.doc_id = doc_b
          WHERE 2 * n_inter >= ca.n_fp + cb.n_fp - n_inter),
        mpred AS (SELECT doc_a, doc_b FROM est WHERE e >= 0.5),
+       ${simhashCtesSql("sx")},
+       sxpred AS (SELECT doc_a, doc_b FROM sxss WHERE bit_count(xor(sa, sb)) <= 8),
        $rarePairCtesSql,
        truth AS (
          SELECT doc_a, doc_b
@@ -419,12 +425,13 @@ object Dedup {
          WHERE 2 * n_inter >= ca.n_grams + cb.n_grams - n_inter),
        m AS (
          SELECT 'minhash' AS method, doc_a, doc_b FROM mpred
+         UNION ALL SELECT 'simhash', doc_a, doc_b FROM sxpred
          UNION ALL SELECT 'winnow', doc_a, doc_b FROM wpred),
        per AS (SELECT method, CAST(COUNT(*) AS BIGINT) AS n_pred FROM m GROUP BY 1),
        h AS (SELECT method, CAST(COUNT(*) AS BIGINT) AS hits
              FROM m JOIN truth USING (doc_a, doc_b) GROUP BY 1),
        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
-       names(method) AS (VALUES ('minhash'), ('winnow'))
+       names(method) AS (VALUES ('minhash'), ('simhash'), ('winnow'))
        SELECT names.method,
               CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
               n_truth,
@@ -1133,7 +1140,12 @@ object Dedup {
     * Docs with text but zero tokens get signature 0 (the all-votes-tie
     * case), NULL texts never pair — both matching the native
     * expression's NULL/empty semantics. */
-  val simhashSql: String = {
+  /** The simhash CTE chain ending in `<p>ss(doc_a, doc_b, sa, sb)` —
+    * every candidate pair with both re-signed signatures. CTE names take
+    * a caller prefix so the chain composes beside the minhash/winnow/
+    * ngram chains in [[dedupRecallSql]] (its `vocab`/`vh`/`cold` names
+    * would otherwise collide with the rolling-gram prefix's). */
+  private def simhashCtesSql(p: String): String = {
     val init = java.lang.Long.toUnsignedString(0xcbf29ce484222325L)
     val m64 = BigInt(2).pow(64).toString
     val h63 = BigInt(2).pow(63).toString
@@ -1153,43 +1165,46 @@ object Dedup {
     val sig = (0 until 64)
       .map(b => s"(CASE WHEN v$b > 0 THEN CAST('${pow2(b)}' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)")
       .mkString(" + ")
-    s"""WITH toks AS (
+    s"""${p}toks AS (
          SELECT DISTINCT doc_id, t
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
                FROM documents WHERE text IS NOT NULL)
          WHERE t <> ''),
-       vocab AS (SELECT DISTINCT t FROM toks),
-       vh AS (SELECT t, $fnv AS h
-              FROM (SELECT t, upper(hex(encode(t))) AS hx FROM vocab)),
-       th AS (SELECT doc_id, h FROM toks JOIN vh USING (t)),
-       votes AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
-       usig AS (
+       ${p}vocab AS (SELECT DISTINCT t FROM ${p}toks),
+       ${p}vh AS (SELECT t, $fnv AS h
+              FROM (SELECT t, upper(hex(encode(t))) AS hx FROM ${p}vocab)),
+       ${p}th AS (SELECT doc_id, h FROM ${p}toks JOIN ${p}vh USING (t)),
+       ${p}votes AS (SELECT doc_id, $votes FROM ${p}th GROUP BY doc_id),
+       ${p}usig AS (
          SELECT d.doc_id, COALESCE($sig, CAST(0 AS HUGEINT)) AS us
          FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
-         LEFT JOIN votes USING (doc_id)),
-       blocks AS (
+         LEFT JOIN ${p}votes USING (doc_id)),
+       ${p}blocks AS (
          SELECT doc_id, us, u.blk, CAST((us // u.d) % 65536 AS BIGINT) AS bv
-         FROM usig, unnest([{'blk': 0, 'd': CAST('1' AS HUGEINT)},
+         FROM ${p}usig, unnest([{'blk': 0, 'd': CAST('1' AS HUGEINT)},
                             {'blk': 1, 'd': CAST('65536' AS HUGEINT)},
                             {'blk': 2, 'd': CAST('4294967296' AS HUGEINT)},
                             {'blk': 3, 'd': CAST('281474976710656' AS HUGEINT)}]) AS t(u)),
-       cold AS (SELECT blk, bv FROM blocks GROUP BY blk, bv HAVING COUNT(*) <= $blockDfCap),
-       cb AS (SELECT b.doc_id, b.us, b.blk, b.bv FROM blocks b JOIN cold USING (blk, bv)),
-       pairs AS (
+       ${p}cold AS (SELECT blk, bv FROM ${p}blocks GROUP BY blk, bv HAVING COUNT(*) <= $blockDfCap),
+       ${p}cb AS (SELECT b.doc_id, b.us, b.blk, b.bv FROM ${p}blocks b JOIN ${p}cold USING (blk, bv)),
+       ${p}pairs AS (
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.us AS ua, b.us AS ub
-         FROM cb a JOIN cb b ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id),
-       ss AS (
+         FROM ${p}cb a JOIN ${p}cb b ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       ${p}ss AS (
          SELECT doc_a, doc_b,
                 CAST(CASE WHEN ua >= CAST('$h63' AS HUGEINT)
                           THEN ua - CAST('$m64' AS HUGEINT) ELSE ua END AS BIGINT) AS sa,
                 CAST(CASE WHEN ub >= CAST('$h63' AS HUGEINT)
                           THEN ub - CAST('$m64' AS HUGEINT) ELSE ub END AS BIGINT) AS sb
-         FROM pairs)
+         FROM ${p}pairs)"""
+  }
+
+  val simhashSql: String =
+    s"""WITH ${simhashCtesSql("")}
        SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
        FROM ss
        WHERE bit_count(xor(sa, sb)) <= 8
        ORDER BY doc_a, doc_b"""
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_threshold_hist" -> (thresholdHist _),
