@@ -218,13 +218,45 @@ object Multimodal {
        WHERE text IS NOT NULL
        ORDER BY doc_id"""
 
+  /** Media content dedup — exact payload-hash dedup at the MEDIA grain,
+    * the image-pipeline move (identical bytes = identical asset no
+    * matter which crawl delivered them): keeper = lowest doc_id per
+    * payload hash (the [[Dedup.exactDupPairs]] keeper rule), with the
+    * copy count and how many distinct container FORMATS the same bytes
+    * arrived under (n_formats > 1 flags mislabeled containers — the
+    * metadata differs, the content doesn't). Rides [[features]]' batched
+    * decode plumbing, so the hash comes from the same per-partition
+    * batches a real codec would produce; the whole operator is a narrow
+    * map + ONE map-side-combined groupBy on the hash — scan-speed at
+    * 100 TB, no pair expansion (exact hashing needs no candidates). */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame =
+    features(s, dir)
+      .groupBy(col("feat_hash").as("content_hash"))
+      .agg(
+        min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("format")).as("n_formats"))
+
+  val mediaDedupSql: String =
+    """SELECT md5(text) AS content_hash,
+              MIN(doc_id) AS keeper_doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_copies,
+              CAST(COUNT(DISTINCT ['png', 'jpeg', 'wav'][CAST(doc_id % 3 + 1 AS INT)])
+                   AS BIGINT) AS n_formats
+       FROM documents
+       WHERE text IS NOT NULL
+       GROUP BY 1
+       ORDER BY keeper_doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> (features _),
     "mm_resize" -> (resize _),
-    "mm_frame_sample" -> (frameSample _))
+    "mm_frame_sample" -> (frameSample _),
+    "mm_dedup" -> (mediaDedup _))
 
   val oracles: Map[String, String] = Map(
     "mm_features" -> featuresSql,
     "mm_resize" -> resizeSql,
-    "mm_frame_sample" -> frameSampleSql)
+    "mm_frame_sample" -> frameSampleSql,
+    "mm_dedup" -> mediaDedupSql)
 }
