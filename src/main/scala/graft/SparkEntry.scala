@@ -68,6 +68,8 @@ object SparkEntry {
     "text_lm_score" -> Seq(col("doc_id")),
     "text_pii" -> Seq(col("doc_id")),
     "text_quality" -> Seq(col("doc_id")),
+    "text_quality_train" -> Seq(col("bucket")),
+    "text_quality_model" -> Seq(col("doc_id")),
     "text_repetition" -> Seq(col("doc_id")),
     "text_novelty" -> Seq(col("doc_id")),
     "emb_pca_top" -> Seq(col("dim_idx")),

@@ -1716,6 +1716,209 @@ FROM mergetab ORDER BY rank"""
        WHERE text IS NOT NULL AND length(text) >= 1
        ORDER BY doc_id, off"""
 
+  // ──────────────────── trained quality classifier (Naive Bayes) ─────────
+  //
+  // The model-based quality scorer production pipelines rank by (CCNet /
+  // fastText-filtered crawls): a multinomial Naive-Bayes classifier over
+  // HASHED word features, trained in-engine on the session curation
+  // policy's own keep/reject verdict (language + heuristic quality — the
+  // "curated vs raw" label a pipeline owner already has), then applied at
+  // scan speed via a broadcast weight table. The dedup verdict is
+  // deliberately NOT part of the label: near-dup status is a property of
+  // the corpus, not of the document's text, so a text classifier trained
+  // on it would memorize sampling noise (and the oracle would inherit the
+  // kernel-replay chains' cost for no signal).
+
+  /** Hashed-feature space size: 4096 buckets = the first 3 hex digits of
+    * md5(token) — the hashing-trick feature map, portable verbatim to the
+    * oracle (md5 is identical in Spark and DuckDB; the split policy
+    * already keys on md5 prefixes). Collisions are the hashing trick's
+    * accepted noise, identical in both engines by construction. */
+  private[operators] val NbBuckets = 4096
+
+  /** keep-label per non-empty document under the session curation policy
+    * ([[CorpusOps.curatePolicy]] knobs; oracle pins the defaults — the
+    * knob convention). Domain = documents with tokens (the trainable
+    * set). */
+  private def nbLabels(s: SparkSession, dir: String): DataFrame = {
+    val (keepLang, minQ) = CorpusOps.curatePolicy(s)
+    langid(s, dir)
+      .select(col("doc_id"), col("pred_lang"))
+      .join(quality(s, dir).select(col("doc_id"), col("quality_score")), "doc_id")
+      .select(
+        col("doc_id"),
+        when(col("pred_lang") === keepLang && col("quality_score") >= minQ, 1L)
+          .otherwise(0L)
+          .as("keep"))
+  }
+
+  /** Per-(doc, bucket) hashed-feature occurrence counts — ONE balanced
+    * shuffle whose key cardinality is ≤ 4096 per document (narrower than
+    * the raw (doc, token) key), with map-side partials. */
+  private def nbFeatures(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(
+        col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("occ"))
+
+  /** ln(num/den) quantized to integer micro-nats — the [[lmScore]]
+    * determinism rule: both operands are exact integers, the division and
+    * LN produce identical doubles in both engines, and everything after
+    * the per-term round is exact long arithmetic. */
+  private def lnMicro(num: Column, den: Column): Column =
+    round(log(num.cast("double") / den.cast("double")) * 1e6).cast("long")
+
+  /** FIT: the Naive-Bayes weight table. One row per observed feature
+    * bucket — Laplace-smoothed class-conditional token counts and the
+    * per-bucket log-likelihood-ratio weight `w_micro` in integer
+    * micro-nats — plus one `bucket = -1` row carrying the class prior
+    * (c_pos/c_neg = keep/reject document counts, w_micro = smoothed
+    * log-odds prior), so the trained artifact is ONE self-contained
+    * bounded table (≤ 4097 rows at any corpus size — broadcastable by
+    * construction, the 100 TB apply path).
+    *
+    * Scale shape: one (doc, bucket) feature shuffle, one ≤ 4096-group
+    * map-side-combined bucket rollup, two 1-row broadcasts (totals,
+    * prior). No driver fetch, no data-sized sort. */
+  def qualityTrain(s: SparkSession, dir: String): DataFrame = {
+    val bc = nbFeatures(s, dir)
+      .join(nbLabels(s, dir), "doc_id")
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("keep") === 1, col("occ")).otherwise(0L)).as("c_pos"),
+        sum(when(col("keep") === 0, col("occ")).otherwise(0L)).as("c_neg"))
+    val tot = bc.agg(sum(col("c_pos")).as("tp"), sum(col("c_neg")).as("tn"))
+    val wt = bc
+      .crossJoin(broadcast(tot))
+      .select(
+        col("bucket"),
+        col("c_pos").cast("long").as("c_pos"),
+        col("c_neg").cast("long").as("c_neg"),
+        (lnMicro(col("c_pos") + 1, col("tp") + NbBuckets) -
+          lnMicro(col("c_neg") + 1, col("tn") + NbBuckets)).as("w_micro"))
+    val prior = nbLabels(s, dir)
+      .agg(sum(col("keep")).as("np"), sum(lit(1L) - col("keep")).as("nn"))
+      .select(
+        lit(-1L).as("bucket"),
+        col("np").cast("long").as("c_pos"),
+        col("nn").cast("long").as("c_neg"),
+        (lnMicro(col("np") + 1, col("np") + col("nn") + 2) -
+          lnMicro(col("nn") + 1, col("np") + col("nn") + 2)).as("w_micro"))
+    wt.unionAll(prior)
+  }
+
+  /** APPLY: per-document Naive-Bayes quality score — `nb_score` = mean
+    * per-token log-likelihood ratio (keep vs reject) in nats, 4 dp, and
+    * `pred_keep` = the full NB decision `prior + Σ occ·w > 0` as an EXACT
+    * integer comparison (micro-nat longs — partitioning- and
+    * engine-independent by construction). The [[bpeTrain]]/[[tokensBpe]]
+    * FIT+APPLY pattern: apply reads the stamp-cached weight table
+    * ([[qualityTrain]] is computed once per source stamp across both
+    * queries) and broadcasts it into one scan-speed feature join. */
+  def qualityModel(s: SparkSession, dir: String): DataFrame = {
+    val weights =
+      PipelineCache.cached("nb_weight_table", s, dir, "documents.parquet")(qualityTrain(s, dir))
+    val wt = broadcast(weights.filter(col("bucket") >= 0).select("bucket", "w_micro"))
+    val prior = broadcast(weights.filter(col("bucket") === -1).select(col("w_micro").as("prior")))
+    nbFeatures(s, dir)
+      .join(wt, "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("occ")).as("n"), sum(col("occ") * col("w_micro")).as("sw"))
+      .crossJoin(prior)
+      .select(
+        col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        round(col("sw") / (col("n") * 1e6), 4).as("nb_score"),
+        when(col("prior") + col("sw") > 0, 1L).otherwise(0L).as("pred_keep"))
+  }
+
+  /** ONE SQL definition of the whole NB chain (labels → hashed features →
+    * class counts → smoothed weights → prior), shared by the FIT and
+    * APPLY oracles so they can never drift. Composes after
+    * [[qualityCtesSql]] (reuses its d/toks/div chain and the
+    * [[qualityScoreSql]] expression verbatim); the lid CASE restates
+    * [[langidSql]]'s argmax on the same hit counts. */
+  private val nbCtesSql: String = {
+    def hits(words: Seq[String]): String =
+      words
+        .map(w => countOccSql("(' ' || text || ' ')", s" $w "))
+        .mkString("CAST(", " + ", " AS BIGINT)")
+    val en = hits(Seq("the", "a", "of"))
+    val de = hits(Seq("der", "und", "das"))
+    val es = hits(Seq("el", "los", "que"))
+    val fr = hits(Seq("le", "les", "est"))
+    def hx(i: Int): String =
+      s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)"
+    s"""$qualityCtesSql,
+       lid AS (
+         SELECT doc_id,
+                CASE WHEN $en >= GREATEST($de, $es, $fr) THEN 'en'
+                     WHEN $de >= GREATEST($es, $fr) THEN 'de'
+                     WHEN $es >= $fr THEN 'es'
+                     ELSE 'fr' END AS pred_lang
+         FROM documents),
+       labels AS (
+         SELECT d.doc_id,
+                CASE WHEN pred_lang = 'en' AND $qualityScoreSql >= 0.5
+                     THEN 1 ELSE 0 END AS keep
+         FROM d JOIN div USING (doc_id) JOIN lid USING (doc_id)),
+       bt AS (
+         SELECT doc_id,
+                ${hx(1)} * 256 + ${hx(2)} * 16 + ${hx(3)} AS bucket,
+                COUNT(*) AS occ
+         FROM toks WHERE tok <> ''
+         GROUP BY 1, 2),
+       bc AS (
+         SELECT bucket,
+                SUM(CASE WHEN keep = 1 THEN occ ELSE 0 END) AS c_pos,
+                SUM(CASE WHEN keep = 0 THEN occ ELSE 0 END) AS c_neg
+         FROM bt JOIN labels USING (doc_id)
+         GROUP BY 1),
+       tot AS (SELECT SUM(c_pos) AS tp, SUM(c_neg) AS tn FROM bc),
+       dtot AS (SELECT SUM(keep) AS np, SUM(1 - keep) AS nn FROM labels),
+       wt AS (
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+                CAST(c_pos AS BIGINT) AS c_pos,
+                CAST(c_neg AS BIGINT) AS c_neg,
+                CAST(ROUND(LN(CAST(c_pos + 1 AS DOUBLE) / CAST(tp + $NbBuckets AS DOUBLE)) * 1e6) AS BIGINT)
+              - CAST(ROUND(LN(CAST(c_neg + 1 AS DOUBLE) / CAST(tn + $NbBuckets AS DOUBLE)) * 1e6) AS BIGINT)
+                  AS w_micro
+         FROM bc CROSS JOIN tot),
+       prior AS (
+         SELECT CAST(-1 AS BIGINT) AS bucket,
+                CAST(np AS BIGINT) AS c_pos,
+                CAST(nn AS BIGINT) AS c_neg,
+                CAST(ROUND(LN(CAST(np + 1 AS DOUBLE) / CAST(np + nn + 2 AS DOUBLE)) * 1e6) AS BIGINT)
+              - CAST(ROUND(LN(CAST(nn + 1 AS DOUBLE) / CAST(np + nn + 2 AS DOUBLE)) * 1e6) AS BIGINT)
+                  AS w_micro
+         FROM dtot)"""
+  }
+
+  val qualityTrainSql: String =
+    s"""WITH $nbCtesSql
+       SELECT * FROM wt
+       UNION ALL
+       SELECT * FROM prior
+       ORDER BY bucket"""
+
+  val qualityModelSql: String =
+    s"""WITH $nbCtesSql,
+       sc AS (
+         SELECT doc_id, SUM(occ) AS n, SUM(occ * w_micro) AS sw
+         FROM bt JOIN wt USING (bucket)
+         GROUP BY doc_id)
+       SELECT doc_id,
+              CAST(n AS BIGINT) AS n_tokens,
+              ROUND(sw / (n * 1e6), 4) AS nb_score,
+              CAST(CASE WHEN p.w_micro + sw > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred_keep
+       FROM sc CROSS JOIN prior p
+       ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf" -> (tfidf _),
     "text_chunk" -> (chunk _),
@@ -1737,6 +1940,10 @@ FROM mergetab ORDER BY rank"""
     "text_bpe_train" -> ((s, d) =>
       PipelineCache.cached("bpe_merge_table", s, d, "documents.parquet")(bpeTrain(s, d))),
     "text_winnow" -> (winnow _),
+    // FIT + APPLY share one stamp-cached weight table (the bpe pattern)
+    "text_quality_train" -> ((s, d) =>
+      PipelineCache.cached("nb_weight_table", s, d, "documents.parquet")(qualityTrain(s, d))),
+    "text_quality_model" -> (qualityModel _),
     "text_span_dup" -> (spanDup _),
     "text_span_dup_s4" -> (spanDupStride _),
     "text_span_excise" -> (spanExcise _),
@@ -1750,6 +1957,8 @@ FROM mergetab ORDER BY rank"""
 
   val oracles: Map[String, String] = Map(
     "text_winnow" -> winnowSql,
+    "text_quality_train" -> qualityTrainSql,
+    "text_quality_model" -> qualityModelSql,
     "text_novelty" -> noveltySql,
     "text_bpe_train" -> bpeTrainSql,
     "text_tfidf" -> tfidfSql,

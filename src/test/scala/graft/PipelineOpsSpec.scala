@@ -1303,4 +1303,54 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(got.toSeq == expected, s"nn_descent drifted:\n got ${got.toSeq}\n exp $expected")
     assert(got.nonEmpty, "fixture produced no proposals — test is vacuous")
   }
+
+  test("quality model separates heuristic-fooling junk that text_quality admits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nbq").toString
+    // clean English: stopword-rich, repeated words (TTR well below 1),
+    // n_chars inside the [100, 2000] heuristic bonus band
+    val clean = (1 to 30).map { i =>
+      (i.toLong,
+        "the cat sat of the mat and the dog ran a mile of joy the end is " +
+          s"near and all of it was good news for the town of number$i people")
+    }
+    // adversarial junk: German word salad with ALL-DISTINCT tokens, so the
+    // TTR+length heuristic scores it 1.0 (admitted) while the words are
+    // pure reject-class evidence for the trained model
+    val junk = (31 to 40).map { i =>
+      (i.toLong,
+        "der und das haus baum fluss berg stadt wald feld wiese himmel " +
+          s"wolke regen schnee sonne mond stern nacht morgen abend$i")
+    }
+    (clean ++ junk).toDF("doc_id", "text")
+      .withColumn("lang", lit("xx"))
+      .withColumn("source", lit("fix"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val heur = TextAnalysis.quality(spark, dir)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every junk doc FOOLS the heuristic (score >= the 0.5 curation bar)
+    junk.foreach { case (id, _) =>
+      assert(heur(id) >= 0.5, s"junk doc $id heuristic=${heur(id)} — fixture not adversarial")
+    }
+    val model = TextAnalysis.qualityModel(spark, dir)
+      .select("doc_id", "nb_score", "pred_keep").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val (cleanS, junkS) = model.partition(_._1 <= 30)
+    // the trained model separates with margin: every clean doc above
+    // every junk doc, and the NB decision rejects all junk / keeps all clean
+    assert(cleanS.map(_._2).min > junkS.map(_._2).max,
+      s"no margin: clean min ${cleanS.map(_._2).min} vs junk max ${junkS.map(_._2).max}")
+    assert(cleanS.forall(_._3 == 1L) && junkS.forall(_._3 == 0L),
+      s"NB decision drifted: ${model.toSeq.sortBy(_._1)}")
+    // trained artifact: one bounded self-contained table — prior row
+    // present, every bucket row inside the hashed feature space
+    val wt = TextAnalysis.qualityTrain(spark, dir).collect()
+    assert(wt.count(_.getLong(0) == -1L) == 1, "exactly one prior row")
+    assert(wt.forall(r => r.getLong(0) >= -1L && r.getLong(0) < 4096L))
+    assert(wt.length <= 4097, s"weight table must stay broadcastable: ${wt.length}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
