@@ -410,13 +410,23 @@ class PipelineOpsSpec extends GraftSpecBase {
     }
   }
 
-  test("frame sample: 8 frames per doc at the right source offsets") {
+  test("frame sample: ceil(nFrames/8) frames per doc from a REAL y4m stream") {
     val f = Multimodal.frameSample(spark, sfDir).cache()
+    // per-doc frame count = ceil((32 + n_chars % 32) / 8) ∈ [4, 8]
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), floor((lit(39) + length(col("text")) % 32) / 8).cast("long").as("want"))
     val perDoc = f.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    assert(perDoc.filter(col("n") =!= 8).count() == 0)
+    assert(perDoc.join(docs, "doc_id").filter(col("n") =!= col("want")).count() == 0)
     assert(f.filter(col("src_frame") =!= col("frame_idx") * 8).count() == 0)
     assert(f.filter(col("ts_ms") =!= col("src_frame") * 40).count() == 0)
     f.unpersist()
+    // the container is a real YUV4MPEG2 stream: header + FRAME markers
+    val frames = (0 until 9).map(i => Multimodal.Content.framePixels(5L, i))
+    val stream = Multimodal.Enc.y4m(16, 16, frames)
+    assert(new String(stream.slice(0, 9), "US-ASCII") == "YUV4MPEG2")
+    val (w, h, back) = Multimodal.Dec.y4m(stream)
+    assert((w, h, back.length) == (16, 16, 9))
+    assert(back.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) })
   }
 
   test("gapfill property: equals a brute-force reference on generated ragged series") {
