@@ -1030,13 +1030,56 @@ object CorpusOps {
     val rows = stores.flatMap { case (name, path, wantVersion, stamp, metaOk, bodies) =>
       val meta = GramIndex.readMeta(s, path).filter(_.length >= 3)
       val fresh = meta.exists(l => l(0) == stamp && l(2) == wantVersion && metaOk(l))
+      // Body counts resolve through the STORE-grain cache keyed by the
+      // meta file's signature (mtime, length, content hash): every store
+      // build/absorb ends by rewriting meta, so an unchanged meta means
+      // unchanged bodies and the census skips the body listings entirely
+      // (the warm cost was the re-LISTING itself — the v3 vector store's
+      // partitioned bodies cost ~1s of recursive Hadoop-FS walking per
+      // call even when every footer was already memoized). Freshness is
+      // NOT cached — it re-derives from the live corpus stamp above, so
+      // a corpus change still flips fresh with counts served warm.
+      val counts: Map[String, Option[Long]] = meta match {
+        case Some(m) =>
+          val st = fileSig(s, GramIndex.metaPath(path))
+          val key = (st, java.util.Arrays.hashCode(m.asInstanceOf[Array[AnyRef]]))
+          Option(storeCountCache.get(path)).filter(_._1 == key).map(_._2).getOrElse {
+            val c = bodies.map(b => b -> footerCount(s, s"$path/$b")).toMap
+            storeCountCache.put(path, (key, c))
+            c
+          }
+        case None =>
+          // deleted/absent store: evict any stale entry (a later rebuild
+          // at the same path must re-list) and report absence live
+          storeCountCache.remove(path)
+          bodies.map(b => b -> footerCount(s, s"$path/$b")).toMap
+      }
       bodies.map { body =>
-        (name, body, meta.isDefined, fresh, meta.map(_(2)), meta.map(_(1)),
-          footerCount(s, s"$path/$body"))
+        (name, body, meta.isDefined, fresh, meta.map(_(2)), meta.map(_(1)), counts(body))
       }
     }
     rows.toDF("store", "body", "present", "fresh", "format_version", "recorded_info", "n_rows")
   }
+
+  /** (mtime, length) of one file — the meta-file half of the store-grain
+    * census cache key. (0, 0) when absent. */
+  private def fileSig(s: SparkSession, p: org.apache.hadoop.fs.Path): (Long, Long) = {
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    try { val st = fs.getFileStatus(p); (st.getModificationTime, st.getLen) }
+    catch { case _: java.io.FileNotFoundException => (0L, 0L) }
+  }
+
+  /** Census body-count cache at STORE grain: path → (meta signature,
+    * per-body counts). Bounded at O(#stores per dataset); entries for
+    * deleted stores are evicted on the next census call that observes
+    * the absence. Accepted granularity: a body rewritten WITHOUT a meta
+    * rewrite inside the filesystem's mtime granularity would serve a
+    * stale count — outside the store lifecycle contract (every
+    * build/absorb rewrites meta last). */
+  private val storeCountCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String,
+      (((Long, Long), Int), Map[String, Option[Long]])]()
 
   /** Row count of a parquet store body read ENTIRELY on the driver from
     * file footers (recursive listing + per-file record counts via
@@ -1088,8 +1131,10 @@ object CorpusOps {
       }
       true
     }
-    if (!fs.exists(p)) None
-    else
+    if (!fs.exists(p)) {
+      footerCountCache.remove(dirPath) // deleted body: drop the stale sum
+      None
+    } else
       try {
         val it = fs.listFiles(p, true)
         val files = Iterator
