@@ -1961,8 +1961,118 @@ object Similarity {
        ORDER BY vec_id"""
   }
 
+  // ───────────────────────── chunk-grain retrieval (RAG shape) ─────────
+
+  /** Chunk-grain retrieval with document rollup — the RAG-shaped query a
+    * user runs against this engine: retrieve at the CHUNK grain (fine
+    * matching), answer at the DOCUMENT grain (what gets cited). Chunks
+    * come from [[TextAnalysis.chunk]] (200-char windows, stride 150);
+    * each chunk's embedding is the deterministic fingerprint fixture the
+    * round-12 verdict asked for — 16 exact-integer dims read off the
+    * chunk's md5 bytes (two hex digits per dim, re-biased by −120 so
+    * directions spread over all orthants). A deployment swaps the
+    * fixture for a model embedding column; every stage downstream —
+    * gate, scoring, rollup — is unchanged.
+    *
+    * Query set = chunk 0 of every doc_id % 100 == 0 document (bounded,
+    * broadcast); candidates exclude the query's own document (RAG never
+    * cites the query back). Rollup: per (query, candidate doc) the BEST
+    * chunk cosine wins (max-pooling, the standard passage→doc score),
+    * docs ranked by (best_cos, doc_id) and cut to top 3.
+    *
+    * Scale shape: the chunk explode is a narrow map; scoring is one
+    * corpus scan against the broadcast query set; the rollup groupBy
+    * collapses to (queries × docs) BEFORE ranking, and ranking uses the
+    * [[annBrute]] two-phase partial-top-k (local rank bounded by the
+    * task's partition, global merge over ≤ 3·pids·queries rows) so no
+    * task ever sorts a corpus-sized partition. The exact-scan anchor at
+    * 100 TB: the production path is this same pipeline over a chunk-grain
+    * [[VectorIndex]] (cell-pruned candidates), which the bounded query
+    * discipline here composes with unchanged. */
+  def annChunk(s: SparkSession, dir: String): DataFrame = {
+    val vec = array((0 until 16).map(j =>
+      conv(substring(col("chunk_md5"), 2 * j + 1, 2), 16, 10).cast("long") - 120L): _*)
+    val emb = TextAnalysis
+      .chunk(s, dir)
+      .select(col("doc_id"), col("chunk_idx"), vec.as("qv"))
+      .withColumn("nq", selfDot(col("qv")))
+      .filter(col("nq") > 0)
+    val queries = emb
+      .filter(col("doc_id") % 100 === 0 && col("chunk_idx") === 0)
+      .select(col("doc_id").as("query_doc"), col("qv").as("query_qv"), col("nq").as("query_nq"))
+    val wLocal = Window.partitionBy("__pid", "query_doc").orderBy(col("best_cos").desc, col("doc_id"))
+    val w = Window.partitionBy("query_doc").orderBy(col("best_cos").desc, col("doc_id"))
+    emb
+      .crossJoin(broadcast(queries))
+      .filter(col("doc_id") =!= col("query_doc"))
+      .select(
+        col("query_doc"),
+        col("doc_id"),
+        graft.functions.VectorOps
+          .cosine(col("qv"), col("nq"), col("query_qv"), col("query_nq"))
+          .as("cos_sim"))
+      .groupBy("query_doc", "doc_id")
+      .agg(max(col("cos_sim")).as("best_cos"), count(lit(1)).as("n_chunks"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("rk", row_number().over(wLocal))
+      .filter(col("rk") <= 3)
+      .drop("__pid", "rk")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(
+        col("query_doc"),
+        col("doc_id").as("neighbor_doc"),
+        round(col("best_cos"), 4).as("cos_sim"),
+        col("n_chunks").cast("long").as("n_chunks"),
+        col("rk"))
+      .orderBy("query_doc", "rk")
+  }
+
+  /** SQL twin: same chunk windows, same md5-byte embedding, same
+    * max-pool rollup; identical float expression (dot / (√n·√n)) so MAX
+    * and the rank order agree bit-for-bit. */
+  val annChunkSql: String = {
+    def hexAt(i: String): String =
+      s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+    s"""WITH ch AS (
+         SELECT doc_id, CAST((t.i - 1) // 150 AS BIGINT) AS chunk_idx,
+                md5(substr(text, t.i, 200)) AS m
+         FROM documents, UNNEST(range(1, length(text) + 1, 150)) AS t(i)
+         WHERE text IS NOT NULL AND length(text) >= 1),
+       emb0 AS (
+         SELECT doc_id, chunk_idx,
+                [CAST(${hexAt("2*j + 1")} * 16 + ${hexAt("2*j + 2")} - 120 AS BIGINT)
+                 for j in range(16)] AS qv
+         FROM ch),
+       emb AS (
+         SELECT doc_id, chunk_idx, qv, list_dot_product(qv, qv) AS nq
+         FROM emb0 WHERE list_dot_product(qv, qv) > 0),
+       q AS (
+         SELECT doc_id AS query_doc, qv AS query_qv, nq AS query_nq
+         FROM emb WHERE doc_id % 100 = 0 AND chunk_idx = 0),
+       sc AS (
+         SELECT query_doc, e.doc_id,
+                list_dot_product(e.qv, query_qv) / (sqrt(e.nq) * sqrt(query_nq)) AS cos_sim
+         FROM emb e CROSS JOIN q
+         WHERE e.doc_id <> query_doc),
+       pd AS (
+         SELECT query_doc, doc_id, MAX(cos_sim) AS best_cos, COUNT(*) AS n_chunks
+         FROM sc GROUP BY 1, 2),
+       rkd AS (
+         SELECT query_doc, doc_id, best_cos, n_chunks,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_doc
+                                        ORDER BY best_cos DESC, doc_id) AS INT) AS rk
+         FROM pd)
+       SELECT query_doc, doc_id AS neighbor_doc,
+              ROUND(best_cos, 4) AS cos_sim,
+              CAST(n_chunks AS BIGINT) AS n_chunks, rk
+       FROM rkd WHERE rk <= 3
+       ORDER BY query_doc, rk"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall" -> (annRecall _),
+    "ann_chunk_topk" -> (annChunk _),
     "emb_pca_top" -> (pcaTop _),
     "emb_project2d" -> (project2d _),
     "ann_nn_descent" -> (nnDescent _),
@@ -1982,6 +2092,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann_recall" -> annRecallSql,
+    "ann_chunk_topk" -> annChunkSql,
     "emb_pca_top" -> pcaTopSql,
     "emb_project2d" -> project2dSql,
     "ann_nn_descent" -> nnDescentSql,

@@ -1314,6 +1314,38 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(got.nonEmpty, "fixture produced no proposals — test is vacuous")
   }
 
+  test("ann_chunk_topk matches a driver-side brute-force max-pool rollup") {
+    val got = Similarity.annChunk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getInt(4)))
+    // brute-force reference: chunk → md5-byte embedding → cosine →
+    // max-pool per doc → top 3, all in plain Scala
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).filter(_._2 != null)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val chunks = docs.flatMap { case (id, t) =>
+      (1 to t.length by 150).map { off =>
+        val m = md5hex(t.substring(off - 1, math.min(t.length, off - 1 + 200)))
+        val v = Array.tabulate(16)(j => java.lang.Long.parseLong(m.substring(2 * j, 2 * j + 2), 16) - 120L)
+        (id, (off - 1) / 150, v, v.map(x => x * x).sum)
+      }.filter(_._4 > 0)
+    }
+    val queries = chunks.filter(c => c._1 % 100 == 0 && c._2 == 0)
+    val expected = queries.flatMap { case (qd, _, qv, qn) =>
+      chunks.filter(_._1 != qd)
+        .map { case (d, _, v, n) =>
+          (d, qv.zip(v).map { case (a, b) => a * b }.sum / (math.sqrt(qn) * math.sqrt(n)))
+        }
+        .groupBy(_._1).map { case (d, xs) => (d, xs.map(_._2).max, xs.length.toLong) }.toSeq
+        .sortBy { case (d, c, _) => (-c, d) }.take(3).zipWithIndex
+        .map { case ((d, c, nc), i) =>
+          (qd, d, BigDecimal.valueOf(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, nc, i + 1) }
+    }.sortBy(t => (t._1, t._5))
+    assert(got.nonEmpty, "no retrieval rows — fixture vacuous")
+    assert(got.toSeq == expected.toSeq, s"chunk retrieval drifted:\n got ${got.toSeq}\n exp ${expected.toSeq}")
+  }
+
   test("quality model separates heuristic-fooling junk that text_quality admits") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_nbq").toString
