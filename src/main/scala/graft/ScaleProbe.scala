@@ -202,9 +202,23 @@ object ScaleProbe {
       }
       liCopies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$bigDir/lineitem.parquet")
-      for (dim <- Seq("part", "supplier", "nation", "region", "customer"))
+      for (dim <- Seq("part", "supplier", "nation", "region"))
         spark.read.parquet(s"$srcDir/$dim.parquet")
           .write.mode("overwrite").parquet(s"$bigDir/$dim.parquet")
+      // customer scales IN LOCKSTEP with the orders synthesis (same
+      // k·10⁸ custkey offset): the orders copies reference offset
+      // custkeys, so a verbatim customer copy would make every
+      // orders ⋈ customer probe silently measure a 1/N-match join
+      // instead of N× growth
+      val cu = spark.read.parquet(s"$srcDir/customer.parquet")
+      assertIdEnvelope(cu, "c_custkey", 100000000L)
+      (0 until factor)
+        .map(k =>
+          cu.select(
+            (col("c_custkey") + lit(k.toLong * 100000000L)).as("c_custkey"),
+            col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$bigDir/customer.parquet")
       liMarker.createNewFile()
     }
 
@@ -339,7 +353,17 @@ object ScaleProbe {
       // caches cleared per timing — the honest full cost of the
       // "should I switch methods" question)
       "dedup_winnow_pairs" -> (Dedup.winnowPairs _),
-      "dedup_recall" -> (Dedup.dedupRecall _))
+      "dedup_recall" -> (Dedup.dedupRecall _),
+      // round-13 wave: the media-grain hash dedup (scan-shaped — real
+      // container encode + decode per doc, then ONE map-side-combined
+      // groupBy; should read ~linear), the trained-classifier FIT (two
+      // token shuffles + a 4096-group rollup; the weight table is
+      // corpus-size-independent) and the chunk-grain retrieval (chunk
+      // explode ≈ 7× docs against a FIXED broadcast query set; the
+      // rollup groupBy is (queries × docs)-bounded)
+      "mm_dedup" -> (graft.operators.Multimodal.mediaDedup _),
+      "text_quality_train" -> (TextAnalysis.qualityTrain _),
+      "ann_chunk_topk" -> (graft.operators.Similarity.annChunk _))
 
     def time(dir: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {
@@ -353,8 +377,17 @@ object ScaleProbe {
 
     def dp(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     // optional 3rd arg: comma-separated probe-name filter (fast iteration
-    // on one wave; the Verify precedent)
+    // on one wave; the Verify precedent). Unknown names FAIL LOUDLY — a
+    // typo would otherwise probe nothing and write an empty results JSON
+    // that reads as success
     val only = args.lift(2).map(_.split(',').toSet)
+    only.foreach { names =>
+      val unknown = names -- probes.map(_._1).toSet
+      require(
+        unknown.isEmpty,
+        s"unknown probe name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+          s"known: ${probes.map(_._1).sorted.mkString(", ")}")
+    }
     val results = probes
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -1252,9 +1252,7 @@ object CorpusOps {
     s"""near AS (
          SELECT DISTINCT doc_b AS doc_id
          FROM inter
-         JOIN counts ca ON ca.doc_id = doc_a
-         JOIN counts cb ON cb.doc_id = doc_b
-         WHERE n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE) >= 0.5),
+         WHERE n_inter / CAST(den AS DOUBLE) >= 0.5),
        exact AS (
          SELECT doc_id FROM (
            SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper

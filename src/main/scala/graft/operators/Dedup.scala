@@ -228,31 +228,48 @@ object Dedup {
          FROM documents
          WHERE len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) >= 3)"""
 
-  /** Oracle CTE chain `w → grams → counts → rare → gr → inter`: distinct
-    * word-3-grams, the df ∈ [2, 20] rare band, and candidate-pair
-    * intersection counts — the SQL twin of [[rarePairCounts]]. One
-    * definition, interpolated by the four pair-pipeline oracles. */
+  /** Oracle CTE chain `w → grams → gdn → gbuckets → gexpand → inter`:
+    * distinct word-3-grams, the df ∈ [2, 20] rare band, and candidate
+    * pairs with intersection count AND union size — the SQL twin of
+    * [[rarePairCounts]], now carrying `den` (= n_a + n_b − n_inter)
+    * IN-ROW so consumers never join per-doc counts back. One
+    * definition, interpolated by the pair-pipeline oracles.
+    *
+    * Round-13 LINEAR rewrite (the [[minhashTailCtesSql]] argument):
+    * every CTE consumed once. The old `gr a JOIN gr b` self-join +
+    * `counts ca/cb` join-backs re-evaluated the whole tokenize/gram
+    * chain per reference under DuckDB 1.0 and collapsed statement
+    * parallelism when composed beside a second chain. Per-doc gram
+    * counts pack into the id (dn = doc_id·2²⁰ + n_grams — the ENGINE's
+    * own packing, [[ngramPairsPlan]], same < 2²⁰ grams / < 2⁴³ doc_id
+    * envelope), buckets collapse via ONE GROUP BY, and C(df,2) pairs
+    * expand in place from the ≤ 20-member list. dn is monotone in
+    * doc_id, so ds is doc-ordered and pa < pb ⟺ doc_a < doc_b. */
   private[operators] val rarePairCtesSql: String =
     s"""$tokenizedDocsCteSql,
        grams AS (
          SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
          FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
-       counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
-       rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 20),
-       gr AS (SELECT g.doc_id, g.gram FROM grams g JOIN rare USING (gram)),
+       gdn AS (
+         SELECT doc_id * 1048576 + COUNT(*) OVER (PARTITION BY doc_id) AS dn, gram
+         FROM grams),
+       gbuckets AS (
+         SELECT gram, COUNT(*) AS df, list(dn ORDER BY dn) AS ds
+         FROM gdn GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 20),
+       gexpand AS (
+         SELECT unnest(flatten([[{'pa': ds[i], 'pb': ds[j]}
+                                 for j in range(i + 1, CAST(df AS INT) + 1)]
+                                for i in range(1, CAST(df AS INT) + 1)])) AS p
+         FROM gbuckets),
        inter AS (
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-         FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         GROUP BY 1, 2)"""
+         SELECT p.pa // 1048576 AS doc_a, p.pb // 1048576 AS doc_b,
+                COUNT(*) AS n_inter,
+                CAST(p.pa % 1048576 + p.pb % 1048576 - COUNT(*) AS BIGINT) AS den
+         FROM gexpand GROUP BY p.pa, p.pb)"""
 
   val ngramJaccardSql: String =
     s"""WITH $rarePairCtesSql,
-       jd AS (
-         SELECT doc_a, doc_b, n_inter,
-                ca.n_grams + cb.n_grams - n_inter AS den
-         FROM inter
-         JOIN counts ca ON ca.doc_id = doc_a
-         JOIN counts cb ON cb.doc_id = doc_b)
+       jd AS (SELECT doc_a, doc_b, n_inter, den FROM inter)
        SELECT doc_a, doc_b,
               CAST((n_inter // den) * 10000
                    + (2 * (n_inter % den) * 10000 + den) // (2 * den) AS DOUBLE)
@@ -312,19 +329,8 @@ object Dedup {
     * [[ngramJaccardSql]]. */
   val winnowPairsSql: String =
     s"""WITH ${U64Sql.winnowFpCtesSql},
-       counts AS (SELECT doc_id, COUNT(*) AS n_fp FROM fpe GROUP BY 1),
-       rare AS (SELECT f FROM fpe GROUP BY f HAVING COUNT(*) BETWEEN 2 AND 20),
-       gr AS (SELECT fpe.doc_id, f FROM fpe JOIN rare USING (f)),
-       inter AS (
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-         FROM gr a JOIN gr b ON a.f = b.f AND a.doc_id < b.doc_id
-         GROUP BY 1, 2),
-       jd AS (
-         SELECT doc_a, doc_b, n_inter,
-                ca.n_fp + cb.n_fp - n_inter AS den
-         FROM inter
-         JOIN counts ca ON ca.doc_id = doc_a
-         JOIN counts cb ON cb.doc_id = doc_b)
+       ${U64Sql.winnowPairTailCtesSql},
+       jd AS (SELECT doc_a, doc_b, n_inter, den FROM winter)
        SELECT doc_a, doc_b,
               CAST(n_inter AS BIGINT) AS n_shared,
               CAST((n_inter // den) * 10000
@@ -392,44 +398,35 @@ object Dedup {
 
   /** [[dedupRecall]]'s oracle: ONE copy of the shared rolling-gram
     * prefix feeding both method tails (minhash `based → est`, winnow
-    * `gs → fpe` + a `w`-prefixed pair tail so its counts/rare/gr/inter
-    * names don't collide with the ngram truth chain), intersected and
-    * apportioned with the same integer µ-math. */
+    * `gs → fpe → winter`), the prefixed simhash chain and the ngram
+    * truth chain, intersected and apportioned with the same integer
+    * µ-math. Round-13 cost rewrite: every composed chain is the LINEAR
+    * single-consumption form (den carried in-row, in-place pair
+    * expansion — see [[rarePairCtesSql]]/[[minhashTailCtesSql]]), and
+    * the scoring tail consumes the union ONCE via LEFT JOIN + grouped
+    * conditional count instead of the old per/h double read. Measured
+    * 417 s → under a minute at sf0.1 for byte-identical output. */
   lazy val dedupRecallSql: String =
     s"""WITH $minhashSeedCteSql,
        ${U64Sql.rollingGramCtesSql},
        $minhashTailCtesSql,
        ${U64Sql.winnowTailCtesSql},
-       wcounts AS (SELECT doc_id, COUNT(*) AS n_fp FROM fpe GROUP BY 1),
-       wrare AS (SELECT f FROM fpe GROUP BY f HAVING COUNT(*) BETWEEN 2 AND 20),
-       wgr AS (SELECT fpe.doc_id, f FROM fpe JOIN wrare USING (f)),
-       winter AS (
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-         FROM wgr a JOIN wgr b ON a.f = b.f AND a.doc_id < b.doc_id
-         GROUP BY 1, 2),
-       wpred AS (
-         SELECT doc_a, doc_b
-         FROM winter
-         JOIN wcounts ca ON ca.doc_id = doc_a
-         JOIN wcounts cb ON cb.doc_id = doc_b
-         WHERE 2 * n_inter >= ca.n_fp + cb.n_fp - n_inter),
+       ${U64Sql.winnowPairTailCtesSql},
+       wpred AS (SELECT doc_a, doc_b FROM winter WHERE 2 * n_inter >= den),
        mpred AS (SELECT doc_a, doc_b FROM est WHERE e >= 0.5),
        ${simhashCtesSql("sx")},
        sxpred AS (SELECT doc_a, doc_b FROM sxss WHERE bit_count(xor(sa, sb)) <= 8),
        $rarePairCtesSql,
-       truth AS (
-         SELECT doc_a, doc_b
-         FROM inter
-         JOIN counts ca ON ca.doc_id = doc_a
-         JOIN counts cb ON cb.doc_id = doc_b
-         WHERE 2 * n_inter >= ca.n_grams + cb.n_grams - n_inter),
+       truth AS (SELECT doc_a, doc_b FROM inter WHERE 2 * n_inter >= den),
        m AS (
          SELECT 'minhash' AS method, doc_a, doc_b FROM mpred
          UNION ALL SELECT 'simhash', doc_a, doc_b FROM sxpred
          UNION ALL SELECT 'winnow', doc_a, doc_b FROM wpred),
-       per AS (SELECT method, CAST(COUNT(*) AS BIGINT) AS n_pred FROM m GROUP BY 1),
-       h AS (SELECT method, CAST(COUNT(*) AS BIGINT) AS hits
-             FROM m JOIN truth USING (doc_a, doc_b) GROUP BY 1),
+       stats AS (
+         SELECT method, CAST(COUNT(*) AS BIGINT) AS n_pred,
+                CAST(COUNT(t.doc_a) AS BIGINT) AS hits
+         FROM m LEFT JOIN truth t USING (doc_a, doc_b)
+         GROUP BY method),
        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
        names(method) AS (VALUES ('minhash'), ('simhash'), ('winnow'))
        SELECT names.method,
@@ -440,8 +437,7 @@ object Dedup {
               CAST(COALESCE(hits, 0) * 1000000 // NULLIF(COALESCE(n_pred, 0), 0) AS BIGINT)
                 AS precision_ppm
        FROM names
-       LEFT JOIN per ON names.method = per.method
-       LEFT JOIN h ON names.method = h.method
+       LEFT JOIN stats ON names.method = stats.method
        CROSS JOIN nt
        ORDER BY names.method"""
 
@@ -538,11 +534,7 @@ object Dedup {
                 CAST((n_inter // den) * 10000
                      + (2 * (n_inter % den) * 10000 + den) // (2 * den) AS DOUBLE)
                   / 10000.0 AS jr
-         FROM (SELECT doc_a, doc_b, n_inter,
-                      ca.n_grams + cb.n_grams - n_inter AS den
-               FROM inter
-               JOIN counts ca ON ca.doc_id = doc_a
-               JOIN counts cb ON cb.doc_id = doc_b) d
+         FROM inter
          WHERE n_inter / CAST(den AS DOUBLE) >= 0.5),
        srcd AS (SELECT doc_id, COALESCE(source, '(none)') AS src FROM documents)
        SELECT LEAST(a.src, b.src) AS source_a,
@@ -737,8 +729,15 @@ object Dedup {
     * one: above it, hot buckets switch to star pairing (see
     * [[minhashCandidates]]), which represents member–member edges only
     * transitively through the bucket representative. */
+  /** The session-default band cap — ONE constant shared by the config
+    * accessor and [[minhashTailCtesSql]]'s rendering, so the oracle can
+    * never drift from the default the driver runs under (a RETUNED
+    * session is spec territory: its output legitimately differs from the
+    * default-pinned oracle, the knob convention). */
+  private[graft] val BandDfCapDefault = 200
+
   private[graft] def bandDfCap(s: SparkSession): Int =
-    s.conf.get("spark.graft.dedup.bandDfCap", "200").toInt
+    s.conf.get("spark.graft.dedup.bandDfCap", BandDfCapDefault.toString).toInt
 
   /** Hot-block df cap for [[simhash]] — same bound, same argument. Total
     * output is then ≤ blockRows × cap/2 (every surviving bucket pairs each
@@ -857,9 +856,7 @@ object Dedup {
        near AS (
          SELECT DISTINCT doc_b AS doc_id
          FROM inter
-         JOIN counts ca ON ca.doc_id = doc_a
-         JOIN counts cb ON cb.doc_id = doc_b
-         WHERE n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE) >= 0.5),
+         WHERE n_inter / CAST(den AS DOUBLE) >= 0.5),
        exact AS (
          SELECT doc_id FROM (
            SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
@@ -1022,9 +1019,7 @@ object Dedup {
        near AS (
          SELECT doc_a, doc_b
          FROM inter
-         JOIN counts ca ON ca.doc_id = doc_a
-         JOIN counts cb ON cb.doc_id = doc_b
-         WHERE n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE) >= 0.5),
+         WHERE n_inter / CAST(den AS DOUBLE) >= 0.5),
        exact_e AS (
          SELECT keeper AS doc_a, doc_id AS doc_b FROM (
            SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
@@ -1077,9 +1072,7 @@ object Dedup {
        near AS (
          SELECT doc_a, doc_b
          FROM inter
-         JOIN counts ca ON ca.doc_id = doc_a
-         JOIN counts cb ON cb.doc_id = doc_b
-         WHERE n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE) >= 0.5),
+         WHERE n_inter / CAST(den AS DOUBLE) >= 0.5),
        nd AS (
          SELECT doc_b AS doc_id, 'near' AS reason, MIN(doc_a) AS keeper_id
          FROM near GROUP BY 1),
@@ -1115,11 +1108,8 @@ object Dedup {
   val thresholdHistSql: String =
     s"""WITH $rarePairCtesSql,
        j AS (
-         SELECT CAST(FLOOR(n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE) * 20)
-                 AS BIGINT) AS b
-         FROM inter
-         JOIN counts ca ON ca.doc_id = doc_a
-         JOIN counts cb ON cb.doc_id = doc_b)
+         SELECT CAST(FLOOR(n_inter / CAST(den AS DOUBLE) * 20) AS BIGINT) AS b
+         FROM inter)
        SELECT b / CAST(20 AS DOUBLE) AS jaccard_lo, COUNT(*) AS n_pairs
        FROM j
        GROUP BY b
@@ -1185,11 +1175,18 @@ object Dedup {
                             {'blk': 1, 'd': CAST('65536' AS HUGEINT)},
                             {'blk': 2, 'd': CAST('4294967296' AS HUGEINT)},
                             {'blk': 3, 'd': CAST('281474976710656' AS HUGEINT)}]) AS t(u)),
-       ${p}cold AS (SELECT blk, bv FROM ${p}blocks GROUP BY blk, bv HAVING COUNT(*) <= $blockDfCap),
-       ${p}cb AS (SELECT b.doc_id, b.us, b.blk, b.bv FROM ${p}blocks b JOIN ${p}cold USING (blk, bv)),
+       ${p}buckets AS (
+         SELECT blk, bv, COUNT(*) AS df,
+                list({'d': doc_id, 'u': us} ORDER BY doc_id) AS ms
+         FROM ${p}blocks GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND $blockDfCap),
+       ${p}expand AS (
+         SELECT unnest(flatten([[{'pa': ms[i], 'pb': ms[j]}
+                                 for j in range(i + 1, CAST(df AS INT) + 1)]
+                                for i in range(1, CAST(df AS INT) + 1)])) AS p
+         FROM ${p}buckets),
        ${p}pairs AS (
-         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.us AS ua, b.us AS ub
-         FROM ${p}cb a JOIN ${p}cb b ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         SELECT DISTINCT p.pa.d AS doc_a, p.pb.d AS doc_b, p.pa.u AS ua, p.pb.u AS ub
+         FROM ${p}expand),
        ${p}ss AS (
          SELECT doc_a, doc_b,
                 CAST(CASE WHEN ua >= CAST('$h63' AS HUGEINT)
@@ -1244,6 +1241,20 @@ object Dedup {
     * ([[dedupRecallSql]] needs the minhash and winnow tails over ONE
     * copy of the prefix — repeating the chain would double the
     * oracle's heaviest stage AND redefine its CTE names). */
+  /** Round-13 rewrite: the tail is a fully LINEAR pipeline — every CTE
+    * consumed exactly once. DuckDB 1.0 re-evaluates a multi-referenced
+    * CTE per reference and (measured) degrades the whole statement's
+    * parallelism as soon as a second consumer chain appears, so the old
+    * shape (sigs joined back twice in `est`, wdf self-joined in `cold` +
+    * read again in `star`) re-ran the signature pipeline repeatedly:
+    * 74.8 s at sf0.1 where this form reads 18.6 s, byte-identical
+    * output. The moves: signatures RIDE the band rows (no join-back),
+    * bucket membership collapses via ONE GROUP BY carrying
+    * (doc_id, sg) structs, and pairs expand IN PLACE from the bounded
+    * member list (the engine's own [[rarePairCounts]] shape) — cold
+    * buckets as C(df,2) nested comprehension, hot buckets as the star
+    * against ms[1] (= min doc_id, the rep, since the list is
+    * doc-ordered). */
   private val minhashTailCtesSql: String = {
     import U64Sql._
     s"""based AS (
@@ -1255,30 +1266,30 @@ object Dedup {
        mins AS (SELECT doc_id, p, MIN(v) AS m FROM pf GROUP BY doc_id, p),
        sigs AS (SELECT doc_id, list(m ORDER BY p) AS sg FROM mins GROUP BY doc_id),
        bands AS (
-         SELECT doc_id, b, sg[4*b + 1] AS k1, sg[4*b + 2] AS k2,
+         SELECT doc_id, sg, b, sg[4*b + 1] AS k1, sg[4*b + 2] AS k2,
                 sg[4*b + 3] AS k3, sg[4*b + 4] AS k4
          FROM sigs, unnest(generate_series(0, 15)) AS g(b)),
-       wdf AS (
-         SELECT doc_id, b, k1, k2, k3, k4,
-                COUNT(*) OVER (PARTITION BY b, k1, k2, k3, k4) AS df,
-                MIN(doc_id) OVER (PARTITION BY b, k1, k2, k3, k4) AS rep
-         FROM bands),
-       cold AS (
-         SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
-         FROM (SELECT * FROM wdf WHERE df <= 200) a
-         JOIN (SELECT * FROM wdf WHERE df <= 200) c
-           ON a.b = c.b AND a.k1 = c.k1 AND a.k2 = c.k2 AND a.k3 = c.k3 AND a.k4 = c.k4
-          AND a.doc_id < c.doc_id),
-       star AS (SELECT rep AS doc_a, doc_id AS doc_b FROM wdf WHERE df > 200 AND doc_id <> rep),
-       cand AS (SELECT DISTINCT doc_a, doc_b
-                FROM (SELECT * FROM cold UNION ALL SELECT * FROM star)),
+       mbuckets AS (
+         SELECT b, k1, k2, k3, k4, COUNT(*) AS df,
+                list({'d': doc_id, 's': sg} ORDER BY doc_id) AS ms
+         FROM bands GROUP BY 1, 2, 3, 4, 5),
+       mexpand AS (
+         SELECT unnest(CASE WHEN df <= $BandDfCapDefault
+                  THEN flatten([[{'pa': ms[i], 'pb': ms[j]}
+                                 for j in range(i + 1, CAST(df AS INT) + 1)]
+                                for i in range(1, CAST(df AS INT) + 1)])
+                  ELSE [{'pa': ms[1], 'pb': ms[i]}
+                        for i in range(2, CAST(df AS INT) + 1)]
+                END) AS p
+         FROM mbuckets),
+       cand AS (SELECT DISTINCT p.pa.d AS doc_a, p.pb.d AS doc_b,
+                       p.pa.s AS sga, p.pb.s AS sgb
+                FROM mexpand),
        est AS (
          SELECT doc_a, doc_b,
-                list_sum([CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END
+                list_sum([CASE WHEN sga[i] = sgb[i] THEN 1 ELSE 0 END
                           for i in generate_series(1, 64)]) / 64.0 AS e
-         FROM cand
-         JOIN sigs sa ON sa.doc_id = doc_a
-         JOIN sigs sb ON sb.doc_id = doc_b)"""
+         FROM cand)"""
   }
 
   private val minhashSeedCteSql: String = {
@@ -1456,4 +1467,28 @@ private[operators] object U64Sql {
        fpe AS (
          SELECT DISTINCT doc_id, wmin AS f
          FROM wn WHERE k <= GREATEST(n - 7, 1))"""
+
+  /** `fpe → fdn → fbuckets → fexpand → winter(doc_a, doc_b, n_inter,
+    * den)`: the LINEAR pair tail over winnow fingerprints — packed dn
+    * (doc_id·2²⁰ + n_fp), df ∈ [2, 20] bucket collapse, in-place
+    * C(df,2) expansion; [[Dedup.rarePairCtesSql]]'s round-13 shape on
+    * the fingerprint domain, shared by [[Dedup.winnowPairsSql]] and
+    * [[Dedup.dedupRecallSql]]. */
+  lazy val winnowPairTailCtesSql: String =
+    s"""fdn AS (
+         SELECT doc_id * 1048576 + COUNT(*) OVER (PARTITION BY doc_id) AS dn, f
+         FROM fpe),
+       fbuckets AS (
+         SELECT f, COUNT(*) AS df, list(dn ORDER BY dn) AS ds
+         FROM fdn GROUP BY f HAVING COUNT(*) BETWEEN 2 AND 20),
+       fexpand AS (
+         SELECT unnest(flatten([[{'pa': ds[i], 'pb': ds[j]}
+                                 for j in range(i + 1, CAST(df AS INT) + 1)]
+                                for i in range(1, CAST(df AS INT) + 1)])) AS p
+         FROM fbuckets),
+       winter AS (
+         SELECT p.pa // 1048576 AS doc_a, p.pb // 1048576 AS doc_b,
+                COUNT(*) AS n_inter,
+                CAST(p.pa % 1048576 + p.pb % 1048576 - COUNT(*) AS BIGINT) AS den
+         FROM fexpand GROUP BY p.pa, p.pb)"""
 }

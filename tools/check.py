@@ -77,7 +77,8 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             diff = (spark_df != duck_df) & ~(spark_df.isna() & duck_df.isna())
             bad = diff.any(axis=1)
-            print(f"FAIL {name}: value mismatch in {int(bad.sum())}/{len(spark_df)} rows")
+            drift = f" (dtype drift {dtype_drift} — likely root cause)" if dtype_drift else ""
+            print(f"FAIL {name}: value mismatch in {int(bad.sum())}/{len(spark_df)} rows{drift}")
             merged = pd.concat(
                 [spark_df[bad].head(3).add_prefix("spark_"),
                  duck_df[bad].head(3).add_prefix("duck_")], axis=1)
