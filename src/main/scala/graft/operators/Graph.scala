@@ -143,9 +143,7 @@ object Graph {
        near AS (
          SELECT doc_a, doc_b
          FROM inter
-         JOIN counts ca ON ca.doc_id = doc_a
-         JOIN counts cb ON cb.doc_id = doc_b
-         WHERE n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE) >= 0.5),
+         WHERE n_inter / CAST(den AS DOUBLE) >= 0.5),
        edges AS (
          SELECT doc_a AS src, doc_b AS dst FROM near
          UNION ALL
@@ -232,9 +230,7 @@ object Graph {
     """near AS (
          SELECT doc_a, doc_b
          FROM inter
-         JOIN counts ca ON ca.doc_id = doc_a
-         JOIN counts cb ON cb.doc_id = doc_b
-         WHERE n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE) >= 0.5),
+         WHERE n_inter / CAST(den AS DOUBLE) >= 0.5),
        edges AS (
          SELECT doc_a AS src, doc_b AS dst FROM near
          UNION ALL
