@@ -1992,11 +1992,18 @@ object Similarity {
   def annChunk(s: SparkSession, dir: String): DataFrame = {
     val vec = array((0 until 16).map(j =>
       conv(substring(col("chunk_md5"), 2 * j + 1, 2), 16, 10).cast("long") - 120L): _*)
-    val emb = TextAnalysis
-      .chunk(s, dir)
-      .select(col("doc_id"), col("chunk_idx"), vec.as("qv"))
-      .withColumn("nq", selfDot(col("qv")))
-      .filter(col("nq") > 0)
+    // the query side and the candidate side are both projections of this
+    // frame, and Spark plans the two crossJoin inputs as independent
+    // subtrees (no cross-consumer reuse) — stamp-caching it halves the
+    // chunk-explode + md5 + embed work (the PipelineCache discipline;
+    // ~6 MB at sf0.1, chunk-count-proportional)
+    val emb = PipelineCache.cached("chunk_emb", s, dir, "documents.parquet") {
+      TextAnalysis
+        .chunk(s, dir)
+        .select(col("doc_id"), col("chunk_idx"), vec.as("qv"))
+        .withColumn("nq", selfDot(col("qv")))
+        .filter(col("nq") > 0)
+    }
     val queries = emb
       .filter(col("doc_id") % 100 === 0 && col("chunk_idx") === 0)
       .select(col("doc_id").as("query_doc"), col("qv").as("query_qv"), col("nq").as("query_nq"))
