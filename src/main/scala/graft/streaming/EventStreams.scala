@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
@@ -1061,5 +1061,51 @@ object EventStreams {
       .gateQuantize(vecs, graft.operators.Similarity.embDim(vecs.sparkSession))
       .withColumn("best", graft.operators.Similarity.argminBest(cb))
       .select(col("vec_id"), col("best.cid").as("cid"))
+  }
+
+  /** Streaming quality scoring (26th twin) — the online-inference twin
+    * of [[graft.operators.TextAnalysis.qualityModel]]: each arriving
+    * document is scored against a FROZEN Naive-Bayes weight table
+    * ([[graft.operators.TextAnalysis.qualityTrain]]'s bounded artifact,
+    * ≤ 4097 rows) compiled into the plan as a map LITERAL at wiring
+    * time — the [[assignClusters]] frozen-model discipline: zero joins,
+    * zero state, zero shuffles, zero static re-scans per trigger;
+    * scoring is a narrow per-row map over the token array (the
+    * crawl-ingest gate: score text the moment it arrives, admit or
+    * reject before it ever lands in the corpus).
+    *
+    * Arithmetic mirrors batch exactly: per token, the hashed bucket
+    * (3 hex md5 digits) looks up its micro-nat weight; UNKNOWN buckets
+    * (token never seen at train time — possible on a live stream,
+    * impossible in batch where apply and fit share the corpus) drop
+    * from BOTH the sum and the token count, which is precisely the
+    * batch inner join's semantics; a document with zero known buckets
+    * emits nothing (batch: no row survives the join). nb_score and
+    * pred_keep are the same exact-integer expressions, so ordered
+    * replay is row-identical to batch (spec-pinned). */
+  def scoreQuality(docs: DataFrame, weights: Map[Long, Long], prior: Long): DataFrame = {
+    require(weights.nonEmpty, "scoreQuality needs a trained weight table")
+    val wmap = typedlit(weights)
+    def bucket(t: Column): Column =
+      conv(substring(md5(t), 1, 3), 16, 10).cast("long")
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(
+        col("doc_id"),
+        filter(
+          transform(
+            filter(split(col("text"), " "), t => t =!= ""),
+            t => element_at(wmap, bucket(t))),
+          w => w.isNotNull).as("ws"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        aggregate(col("ws"), lit(0L), (a, w) => a + w).as("s"))
+      .filter(col("n_tokens") > 0)
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("s") / (col("n_tokens") * 1e6), 4).as("nb_score"),
+        when(lit(prior) + col("s") > 0, 1L).otherwise(0L).as("pred_keep"))
   }
 }

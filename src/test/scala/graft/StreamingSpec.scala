@@ -978,4 +978,33 @@ class StreamingSpec extends GraftSpecBase {
     assert(streamed == batch,
       s"assignment diverged: missing=${batch -- streamed} extra=${streamed -- batch}")
   }
+
+  test("streaming quality scoring equals batch text_quality_model on two-chunk replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wt = graft.operators.TextAnalysis.qualityTrain(spark, sfDir).collect()
+    val weights = wt.filter(_.getLong(0) >= 0L).map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val prior = wt.find(_.getLong(0) == -1L).get.getLong(3)
+    val batch = graft.operators.TextAnalysis.qualityModel(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty, "no batch scores — parity test is vacuous")
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val (a, b) = rows.splitAt(rows.length / 2)
+    input.addData(a)
+    val q = EventStreams.scoreQuality(
+        input.toDF().toDF("doc_id", "text"), weights, prior)
+      .writeStream.format("memory").queryName("nbq_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("nbq_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(streamed == batch,
+      s"quality scores diverged: missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
 }
