@@ -821,4 +821,50 @@ class ScaleSpec extends GraftSpecBase {
     assert(exchanges == 1,
       s"expected the explicit user repartition to be the only shuffle, got $exchanges:\n$plan")
   }
+
+  test("quality model: weight table broadcasts, scoring pays one balanced feature shuffle") {
+    graft.operators.Dedup.clearSharedCache()
+    val plan = graft.operators.TextAnalysis
+      .qualityModel(spark, sfDir).queryExecution.executedPlan.toString
+    // the ≤4097-row weight table joins by BROADCAST (the 100 TB apply
+    // path: model ships to the data, never the reverse) — a sort-merge
+    // join here would shuffle the corpus-sized feature frame by bucket
+    assert(plan.contains("BroadcastHashJoin"), s"weight join not broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-sized sort-merge join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    graft.operators.Dedup.clearSharedCache()
+  }
+
+  test("ann_chunk_topk: query set broadcasts, ranking never sorts a corpus-sized partition") {
+    graft.operators.Dedup.clearSharedCache()
+    val df = graft.operators.Similarity.annChunk(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the bounded query side broadcasts into the chunk scan (scoring is
+    // one pass over chunks), and the only nested loop is that broadcast
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nlj <= 1, s"unexpected nested loops ($nlj) in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // two-phase top-k: the window sort must be preceded by the local
+    // (__pid, query) rank so no task sorts |docs| rows per query — pinned
+    // by requiring BOTH window passes to survive in the plan
+    val windows = "Window".r.findAllIn(plan).size
+    assert(windows >= 2, s"partial-top-k phase lost (windows=$windows) in:\n$plan")
+    graft.operators.Dedup.clearSharedCache()
+  }
+
+  test("mm family: decode is a narrow map — mm_features plans zero shuffles") {
+    val plan = graft.operators.Multimodal
+      .features(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in the decode pipeline:\n$plan")
+    // mm_dedup adds the content-hash groupBy; countDistinct(format)
+    // plans Spark's canonical TWO-phase distinct aggregate (partial on
+    // (hash, format) → exchange → merge → hash exchange) — both stages
+    // map-side combined, both keyed on the hash, so the pin is ≤ 2
+    // exchanges and zero joins
+    val dplan = graft.operators.Multimodal
+      .mediaDedup(spark, sfDir).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(dplan).size
+    assert(exchanges <= 2, s"content-hash rollup grew extra shuffles ($exchanges):\n$dplan")
+    assert(!dplan.contains("Join"), s"unexpected join in the hash rollup:\n$dplan")
+  }
 }
