@@ -1379,27 +1379,15 @@ object CorpusOps {
        GROUP BY source
        ORDER BY source"""
 
+  // the gram pipeline IS Dedup.rarePairCtesSql (same tokenize, same
+  // df band, round-13 linear form) — composed instead of restated so the
+  // incremental oracle can never drift from the pair-pipeline family
   val dedupIncrementalSql: String =
-    """WITH w AS (
-         SELECT doc_id, string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS arr
-         FROM documents
-         WHERE len(string_split(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) >= 3),
-       grams AS (
-         SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
-         FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
-       counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
-       rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 20),
-       gr AS (SELECT g.doc_id, g.gram FROM grams g JOIN rare USING (gram)),
-       inter AS (
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-         FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         GROUP BY 1, 2),
+    s"""WITH ${Dedup.rarePairCtesSql},
        near AS (
          SELECT doc_a, doc_b
          FROM inter
-         JOIN counts ca ON ca.doc_id = doc_a
-         JOIN counts cb ON cb.doc_id = doc_b
-         WHERE n_inter / CAST(ca.n_grams + cb.n_grams - n_inter AS DOUBLE) >= 0.5),
+         WHERE n_inter / CAST(den AS DOUBLE) >= 0.5),
        delta AS (SELECT doc_id FROM documents WHERE source = 'src19'),
        exact_hit AS (
          SELECT d.doc_id
