@@ -1837,6 +1837,40 @@ FROM mergetab ORDER BY rank"""
         when(col("prior") + col("sw") > 0, 1L).otherwise(0L).as("pred_keep"))
   }
 
+  /** EVALUATE: confusion census of the NB decision against the policy
+    * labels it was trained on — the [[Dedup.dedupRecall]] discipline
+    * applied to the classifier (train-set fit by construction: the
+    * corpus IS the training set; a held-out evaluation is a caller
+    * concern — score one corpus against a weight table trained on
+    * another). One row: counts are exact longs, the three ppm rates are
+    * exact integer division (NULL, not error, when a denominator is
+    * zero — e.g. a corpus whose policy rejects everything has no
+    * positive class to recall). Scale shape: rides [[qualityModel]]'s
+    * scan + broadcast join, one doc_id equi-join against the label
+    * frame, ONE map-side-combined fold to a single row. */
+  def qualityEval(s: SparkSession, dir: String): DataFrame = {
+    val cell = (p: Int, k: Int) =>
+      sum(when(col("pred_keep") === p && col("keep") === k, 1L).otherwise(0L))
+    qualityModel(s, dir)
+      .select(col("doc_id"), col("pred_keep"))
+      .join(nbLabels(s, dir), "doc_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        cell(1, 1).as("tp"),
+        cell(1, 0).as("fp"),
+        cell(0, 1).as("fn"),
+        cell(0, 0).as("tn"))
+      .selectExpr(
+        "n_docs",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        "CAST((tp + tn) * 1000000L DIV NULLIF(n_docs, 0L) AS BIGINT) AS accuracy_ppm",
+        "CAST(tp * 1000000L DIV NULLIF(tp + fp, 0L) AS BIGINT) AS precision_ppm",
+        "CAST(tp * 1000000L DIV NULLIF(tp + fn, 0L) AS BIGINT) AS recall_ppm")
+  }
+
   /** ONE SQL definition of the whole NB chain (labels → hashed features →
     * class counts → smoothed weights → prior), shared by the FIT and
     * APPLY oracles so they can never drift. Composes after
@@ -1919,6 +1953,28 @@ FROM mergetab ORDER BY rank"""
        FROM sc CROSS JOIN prior p
        ORDER BY doc_id"""
 
+  val qualityEvalSql: String =
+    s"""WITH $nbCtesSql,
+       sc AS (
+         SELECT doc_id, SUM(occ * w_micro) AS sw
+         FROM bt JOIN wt USING (bucket)
+         GROUP BY doc_id),
+       scored AS (
+         SELECT doc_id, CASE WHEN p.w_micro + sw > 0 THEN 1 ELSE 0 END AS pred
+         FROM sc CROSS JOIN prior p),
+       cm AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN pred = 1 AND keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(SUM(CASE WHEN pred = 1 AND keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(SUM(CASE WHEN pred = 0 AND keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                CAST(SUM(CASE WHEN pred = 0 AND keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         FROM scored JOIN labels USING (doc_id))
+       SELECT n_docs, tp, fp, fn, tn,
+              CAST((tp + tn) * 1000000 // NULLIF(n_docs, 0) AS BIGINT) AS accuracy_ppm,
+              CAST(tp * 1000000 // NULLIF(tp + fp, 0) AS BIGINT) AS precision_ppm,
+              CAST(tp * 1000000 // NULLIF(tp + fn, 0) AS BIGINT) AS recall_ppm
+       FROM cm"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf" -> (tfidf _),
     "text_chunk" -> (chunk _),
@@ -1944,6 +2000,7 @@ FROM mergetab ORDER BY rank"""
     "text_quality_train" -> ((s, d) =>
       PipelineCache.cached("nb_weight_table", s, d, "documents.parquet")(qualityTrain(s, d))),
     "text_quality_model" -> (qualityModel _),
+    "text_quality_eval" -> (qualityEval _),
     "text_span_dup" -> (spanDup _),
     "text_span_dup_s4" -> (spanDupStride _),
     "text_span_excise" -> (spanExcise _),
@@ -1959,6 +2016,7 @@ FROM mergetab ORDER BY rank"""
     "text_winnow" -> winnowSql,
     "text_quality_train" -> qualityTrainSql,
     "text_quality_model" -> qualityModelSql,
+    "text_quality_eval" -> qualityEvalSql,
     "text_novelty" -> noveltySql,
     "text_bpe_train" -> bpeTrainSql,
     "text_tfidf" -> tfidfSql,

@@ -1393,6 +1393,14 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(wt.count(_.getLong(0) == -1L) == 1, "exactly one prior row")
     assert(wt.forall(r => r.getLong(0) >= -1L && r.getLong(0) < 4096L))
     assert(wt.length <= 4097, s"weight table must stay broadcastable: ${wt.length}")
+    // the in-engine evaluation census agrees: perfect train-set fit on
+    // the planted fixture (30 keeps, 10 rejects, no confusion)
+    val ev = TextAnalysis.qualityEval(spark, dir).collect()(0)
+    assert(
+      (ev.getLong(0), ev.getLong(1), ev.getLong(2), ev.getLong(3), ev.getLong(4)) ==
+        ((40L, 30L, 0L, 0L, 10L)),
+      s"confusion census drifted: $ev")
+    assert(ev.getLong(5) == 1000000L && ev.getLong(6) == 1000000L && ev.getLong(7) == 1000000L)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 }
