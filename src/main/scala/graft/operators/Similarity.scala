@@ -1989,35 +1989,36 @@ object Similarity {
     * 100 TB: the production path is this same pipeline over a chunk-grain
     * [[VectorIndex]] (cell-pruned candidates), which the bounded query
     * discipline here composes with unchanged. */
-  def annChunk(s: SparkSession, dir: String): DataFrame = {
+  /** The shared chunk-embedding frame (doc_id, chunk_idx, qv, nq) —
+    * query side, exact scoring and the LSH bucket path are all
+    * projections of it, and Spark plans join inputs as independent
+    * subtrees (no cross-consumer reuse), so it is stamp-cached (~6 MB
+    * at sf0.1, chunk-count-proportional). */
+  private def chunkEmb(s: SparkSession, dir: String): DataFrame = {
     val vec = array((0 until 16).map(j =>
       conv(substring(col("chunk_md5"), 2 * j + 1, 2), 16, 10).cast("long") - 120L): _*)
-    // the query side and the candidate side are both projections of this
-    // frame, and Spark plans the two crossJoin inputs as independent
-    // subtrees (no cross-consumer reuse) — stamp-caching it halves the
-    // chunk-explode + md5 + embed work (the PipelineCache discipline;
-    // ~6 MB at sf0.1, chunk-count-proportional)
-    val emb = PipelineCache.cached("chunk_emb", s, dir, "documents.parquet") {
+    PipelineCache.cached("chunk_emb", s, dir, "documents.parquet") {
       TextAnalysis
         .chunk(s, dir)
         .select(col("doc_id"), col("chunk_idx"), vec.as("qv"))
         .withColumn("nq", selfDot(col("qv")))
         .filter(col("nq") > 0)
     }
-    val queries = emb
+  }
+
+  private def chunkQueries(emb: DataFrame): DataFrame =
+    emb
       .filter(col("doc_id") % 100 === 0 && col("chunk_idx") === 0)
       .select(col("doc_id").as("query_doc"), col("qv").as("query_qv"), col("nq").as("query_nq"))
+
+  /** Shared max-pool doc rollup + two-phase partial top-3 over a scored
+    * (query_doc, doc_id, cos_sim) chunk frame — ONE tail for the exact
+    * anchor and the LSH path, so ranking/tie-break/rounding can never
+    * fork between them (the lshRescore discipline). */
+  private def chunkRollup(scored: DataFrame): DataFrame = {
     val wLocal = Window.partitionBy("__pid", "query_doc").orderBy(col("best_cos").desc, col("doc_id"))
     val w = Window.partitionBy("query_doc").orderBy(col("best_cos").desc, col("doc_id"))
-    emb
-      .crossJoin(broadcast(queries))
-      .filter(col("doc_id") =!= col("query_doc"))
-      .select(
-        col("query_doc"),
-        col("doc_id"),
-        graft.functions.VectorOps
-          .cosine(col("qv"), col("nq"), col("query_qv"), col("query_nq"))
-          .as("cos_sim"))
+    scored
       .groupBy("query_doc", "doc_id")
       .agg(max(col("cos_sim")).as("best_cos"), count(lit(1)).as("n_chunks"))
       .withColumn("__pid", spark_partition_id())
@@ -2035,13 +2036,88 @@ object Similarity {
       .orderBy("query_doc", "rk")
   }
 
+  def annChunk(s: SparkSession, dir: String): DataFrame = {
+    val emb = chunkEmb(s, dir)
+    chunkRollup(
+      emb
+        .crossJoin(broadcast(chunkQueries(emb)))
+        .filter(col("doc_id") =!= col("query_doc"))
+        .select(
+          col("query_doc"),
+          col("doc_id"),
+          graft.functions.VectorOps
+            .cosine(col("qv"), col("nq"), col("query_qv"), col("query_nq"))
+            .as("cos_sim")))
+  }
+
+  /** [[annChunk]]'s 100 TB path — the SAME retrieval contract served
+    * from LSH buckets instead of a corpus-wide scan: chunk vectors hash
+    * into the 6×4-plane sign buckets ([[graft.functions.LshBuckets]] —
+    * dim-agnostic by the prefix convention, so the 16-dim chunk space
+    * rides the SAME native call and weight formula as the 64-dim doc
+    * space), candidates are the query chunk's bucket collisions only,
+    * and scoring + max-pool rollup are [[chunkRollup]] verbatim (parity
+    * structural). Chunk ids pack as doc_id·2²⁰ + chunk_idx (loudly
+    * asserted — the ngramPairsPlan envelope) so the bucket shuffle
+    * carries 16-byte rows. n_chunks here counts the CANDIDATE chunks
+    * the method actually scored for that doc — the honest census of a
+    * bucketed method (the exact anchor counts all of them).
+    *
+    * At 100 TB: candidate generation is a key-equality join against a
+    * broadcast ≤ 6·|queries| bucket set — no scan ever sees a
+    * (query × chunk) pair space. */
+  def annChunkLsh(s: SparkSession, dir: String): DataFrame = {
+    val pack = 1048576L
+    val emb = chunkEmb(s, dir)
+      .filter(
+        assert_true(
+          col("chunk_idx") < pack && col("doc_id") >= 0 && col("doc_id") < (1L << 43),
+          lit("annChunkLsh packing envelope exceeded")).isNull)
+      .select(
+        (col("doc_id") * pack + col("chunk_idx")).as("cid"),
+        col("doc_id"),
+        col("qv"),
+        col("nq"))
+    val queries = emb
+      .filter(col("doc_id") % 100 === 0 && col("cid") % pack === 0)
+      .select(col("doc_id").as("query_doc"), col("qv").as("query_qv"), col("nq").as("query_nq"))
+    val bucketed = emb
+      .select(
+        col("cid"),
+        posexplode(call_function("graft_lsh_buckets", col("qv"))).as(Seq("t", "b")))
+      .select(col("cid"), struct(col("t"), col("b")).as("tb"))
+    val queryBuckets = queries
+      .select(
+        col("query_doc"),
+        posexplode(call_function("graft_lsh_buckets", col("query_qv"))).as(Seq("t", "b")))
+      .select(col("query_doc"), struct(col("t"), col("b")).as("tb"))
+    val cand = bucketed
+      .join(broadcast(queryBuckets), Seq("tb"))
+      .filter(expr(s"cid DIV $pack") =!= col("query_doc"))
+      .select(col("query_doc"), col("cid"))
+      .distinct()
+    chunkRollup(
+      cand
+        .join(emb.select(col("cid"), col("doc_id"), col("qv"), col("nq")), "cid")
+        .join(broadcast(queries), "query_doc")
+        .select(
+          col("query_doc"),
+          col("doc_id"),
+          graft.functions.VectorOps
+            .cosine(col("qv"), col("nq"), col("query_qv"), col("query_nq"))
+            .as("cos_sim")))
+  }
+
   /** SQL twin: same chunk windows, same md5-byte embedding, same
     * max-pool rollup; identical float expression (dot / (√n·√n)) so MAX
     * and the rank order agree bit-for-bit. */
-  val annChunkSql: String = {
+  /** Shared chunk-embedding + query CTEs (`ch → emb0 → emb → q`) and the
+    * shared rollup tail — one definition for the exact and LSH chunk
+    * oracles, mirroring [[chunkEmb]]/[[chunkQueries]]/[[chunkRollup]]. */
+  private val chunkEmbCtesSql: String = {
     def hexAt(i: String): String =
       s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
-    s"""WITH ch AS (
+    s"""ch AS (
          SELECT doc_id, CAST((t.i - 1) // 150 AS BIGINT) AS chunk_idx,
                 md5(substr(text, t.i, 200)) AS m
          FROM documents, UNNEST(range(1, length(text) + 1, 150)) AS t(i)
@@ -2056,13 +2132,11 @@ object Similarity {
          FROM emb0 WHERE list_dot_product(qv, qv) > 0),
        q AS (
          SELECT doc_id AS query_doc, qv AS query_qv, nq AS query_nq
-         FROM emb WHERE doc_id % 100 = 0 AND chunk_idx = 0),
-       sc AS (
-         SELECT query_doc, e.doc_id,
-                list_dot_product(e.qv, query_qv) / (sqrt(e.nq) * sqrt(query_nq)) AS cos_sim
-         FROM emb e CROSS JOIN q
-         WHERE e.doc_id <> query_doc),
-       pd AS (
+         FROM emb WHERE doc_id % 100 = 0 AND chunk_idx = 0)"""
+  }
+
+  private val chunkRollupTailSql: String =
+    """pd AS (
          SELECT query_doc, doc_id, MAX(cos_sim) AS best_cos, COUNT(*) AS n_chunks
          FROM sc GROUP BY 1, 2),
        rkd AS (
@@ -2075,11 +2149,49 @@ object Similarity {
               CAST(n_chunks AS BIGINT) AS n_chunks, rk
        FROM rkd WHERE rk <= 3
        ORDER BY query_doc, rk"""
-  }
+
+  val annChunkSql: String =
+    s"""WITH $chunkEmbCtesSql,
+       sc AS (
+         SELECT query_doc, e.doc_id,
+                list_dot_product(e.qv, query_qv) / (sqrt(e.nq) * sqrt(query_nq)) AS cos_sim
+         FROM emb e CROSS JOIN q
+         WHERE e.doc_id <> query_doc),
+       $chunkRollupTailSql"""
+
+  /** Exact replay of [[annChunkLsh]]: same integer plane weights over the
+    * 16-dim prefix, same sign buckets, same candidate collisions, same
+    * scoring + rollup expressions. */
+  val annChunkLshSql: String =
+    s"""WITH $chunkEmbCtesSql,
+       w AS (
+         SELECT t, p, LIST(((((t*31+p)*97+d)*40503) % 65536) - 32768 ORDER BY d) AS wv
+         FROM range(6) tt(t), range(4) pp(p), range(16) dd(d)
+         GROUP BY t, p),
+       proj AS (
+         SELECT e.doc_id, e.chunk_idx, w.t,
+                SUM(CASE WHEN list_dot_product(e.qv, w.wv) >= 0 THEN (1 << p) ELSE 0 END) AS b
+         FROM emb e CROSS JOIN w
+         GROUP BY e.doc_id, e.chunk_idx, w.t),
+       qproj AS (
+         SELECT doc_id AS query_doc, t, b FROM proj
+         WHERE doc_id % 100 = 0 AND chunk_idx = 0),
+       cand AS (
+         SELECT DISTINCT qp.query_doc, c.doc_id, c.chunk_idx
+         FROM proj c JOIN qproj qp ON c.t = qp.t AND c.b = qp.b
+         WHERE c.doc_id <> qp.query_doc),
+       sc AS (
+         SELECT cand.query_doc, cand.doc_id,
+                list_dot_product(e.qv, q.query_qv) / (sqrt(e.nq) * sqrt(q.query_nq)) AS cos_sim
+         FROM cand
+         JOIN emb e ON e.doc_id = cand.doc_id AND e.chunk_idx = cand.chunk_idx
+         JOIN q ON q.query_doc = cand.query_doc),
+       $chunkRollupTailSql"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall" -> (annRecall _),
     "ann_chunk_topk" -> (annChunk _),
+    "ann_chunk_lsh" -> (annChunkLsh _),
     "emb_pca_top" -> (pcaTop _),
     "emb_project2d" -> (project2d _),
     "ann_nn_descent" -> (nnDescent _),
@@ -2100,6 +2212,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "ann_recall" -> annRecallSql,
     "ann_chunk_topk" -> annChunkSql,
+    "ann_chunk_lsh" -> annChunkLshSql,
     "emb_pca_top" -> pcaTopSql,
     "emb_project2d" -> project2dSql,
     "ann_nn_descent" -> nnDescentSql,

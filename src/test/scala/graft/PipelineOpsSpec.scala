@@ -1346,6 +1346,29 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(got.toSeq == expected.toSeq, s"chunk retrieval drifted:\n got ${got.toSeq}\n exp ${expected.toSeq}")
   }
 
+  test("ann_chunk_lsh scores a subset of the exact anchor's space, identically") {
+    val brute = Similarity.annChunk(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getInt(4)))).toMap
+    val lsh = Similarity.annChunkLsh(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getLong(3), r.getInt(4))))
+    assert(lsh.nonEmpty, "no lsh retrieval rows — fixture vacuous")
+    // same scoring: any (query, doc) surfaced by BOTH paths whose lsh
+    // candidate set contained the doc's best chunk must agree on cos_sim
+    // ... and never EXCEED it (lsh max-pools over a candidate subset)
+    lsh.foreach { case ((q, d), (cos, _, _)) =>
+      brute.get((q, d)).foreach { case (bcos, _) =>
+        assert(cos <= bcos + 1e-9, s"lsh cos $cos exceeds exact $bcos for ($q, $d)")
+      }
+    }
+    // bucketed recall against the exact top-3: the 6-table 4-bit index
+    // must recover a solid share (the doc-grain LSH floor argument)
+    val hits = lsh.count { case (k, _) => brute.contains(k) }
+    assert(hits * 10 >= brute.size * 3,
+      s"lsh chunk recall collapsed: $hits of ${brute.size} exact pairs recovered")
+    // rk sanity and packed-id derivation
+    assert(lsh.forall { case ((q, d), (_, nc, rk)) => rk >= 1 && rk <= 3 && nc >= 1 && q != d })
+  }
+
   test("quality model separates heuristic-fooling junk that text_quality admits") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_nbq").toString
