@@ -203,7 +203,7 @@ object Multimodal {
     * equal-length documents carry the SAME asset — the "one image crawled
     * from many pages" duplication [[mediaDedup]] exists to find, and png
     * vs pgm of the same raster is a genuinely mislabeled container). */
-  private def mediaTable(s: SparkSession, dir: String): Dataset[MediaIn] = {
+  private[graft] def mediaTable(s: SparkSession, dir: String): Dataset[MediaIn] = {
     import s.implicits._
     Tables
       .documents(s, dir)

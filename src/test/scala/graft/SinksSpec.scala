@@ -179,6 +179,34 @@ class SinksSpec extends GraftSpecBase {
     assert(df.columns.toSet.subsetOf(back.columns.toSet))
   }
 
+  test("binary media payloads round-trip a format-partitioned parquet store") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_store").toString
+    // persist the REAL container bytes partitioned by format — the media
+    // lake layout: a format-filtered decode prunes partitions at the reader
+    Sinks.fullParquet(
+      Multimodal.mediaTable(spark, sfDir).toDF(), s"$dir/media.parquet", Seq("format"))
+    val back = spark.read.parquet(s"$dir/media.parquet")
+      .select("doc_id", "format", "payload")
+      .as[Multimodal.MediaIn]
+    // decode the STORED bytes through the same batched decoder: features
+    // must match the scan-time pipeline exactly (binary column intact)
+    val fromStore = back
+      .mapPartitions(it => it.grouped(32).flatMap(Multimodal.MediaDecoder.decodeBatch))
+      .toDF().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      .toSet
+    val live = Multimodal.features(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      .toSet
+    assert(fromStore == live, s"stored-media decode diverged: ${(live -- fromStore).take(2)}")
+    // and the partition pruning is real: a format filter reads only its dir
+    val plan = spark.read.parquet(s"$dir/media.parquet")
+      .filter(col("format") === "wav").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(format"), s"format not partition-pruned:\n$plan")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("mm_resize: exact half geometry, resized content NOT the original's hash") {
     val out = Multimodal.resize(spark, sfDir).cache()
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
