@@ -1785,9 +1785,12 @@ FROM mergetab ORDER BY rank"""
     * Scale shape: one (doc, bucket) feature shuffle, one ≤ 4096-group
     * map-side-combined bucket rollup, two 1-row broadcasts (totals,
     * prior). No driver fetch, no data-sized sort. */
-  def qualityTrain(s: SparkSession, dir: String): DataFrame = {
-    val bc = nbFeatures(s, dir)
-      .join(nbLabels(s, dir), "doc_id")
+  /** FIT core over explicit label/feature frames — shared by the
+    * whole-corpus [[qualityTrain]] and the split-aware
+    * [[qualityHoldout]], so the two fits can never drift. */
+  private def qualityTrainFrom(feats: DataFrame, labels: DataFrame): DataFrame = {
+    val bc = feats
+      .join(labels, "doc_id")
       .groupBy("bucket")
       .agg(
         sum(when(col("keep") === 1, col("occ")).otherwise(0L)).as("c_pos"),
@@ -1801,7 +1804,7 @@ FROM mergetab ORDER BY rank"""
         col("c_neg").cast("long").as("c_neg"),
         (lnMicro(col("c_pos") + 1, col("tp") + NbBuckets) -
           lnMicro(col("c_neg") + 1, col("tn") + NbBuckets)).as("w_micro"))
-    val prior = nbLabels(s, dir)
+    val prior = labels
       .agg(sum(col("keep")).as("np"), sum(lit(1L) - col("keep")).as("nn"))
       .select(
         lit(-1L).as("bucket"),
@@ -1810,6 +1813,60 @@ FROM mergetab ORDER BY rank"""
         (lnMicro(col("np") + 1, col("np") + col("nn") + 2) -
           lnMicro(col("nn") + 1, col("np") + col("nn") + 2)).as("w_micro"))
     wt.unionAll(prior)
+  }
+
+  def qualityTrain(s: SparkSession, dir: String): DataFrame =
+    qualityTrainFrom(nbFeatures(s, dir), nbLabels(s, dir))
+
+  /** HELD-OUT evaluation — the ML-hygiene counterpart of [[qualityEval]]
+    * (which measures train-set fit): the model fits on the `train` split
+    * only and the confusion census runs on the UNSEEN `val` split, both
+    * under [[CorpusOps.dataSplit]]'s content-hash split (stable across
+    * re-crawls, so the holdout never leaks through id reassignment).
+    * Out-of-vocabulary val buckets (never seen at fit time) drop from
+    * both the score and the token count — the genuine OOV behavior the
+    * streaming twin documents, here exercised in batch. One row:
+    * n_train (fit documents), n_val (scored val documents), confusion
+    * counts, and the three exact-ppm rates. */
+  def qualityHoldout(s: SparkSession, dir: String): DataFrame = {
+    val split = CorpusOps.dataSplit(s, dir).select(col("doc_id"), col("split"))
+    val trainIds = split.filter(col("split") === "train").select("doc_id")
+    val valIds = split.filter(col("split") === "val").select("doc_id")
+    val weights = qualityTrainFrom(
+      nbFeatures(s, dir).join(trainIds, "doc_id"),
+      nbLabels(s, dir).join(trainIds, "doc_id"))
+    val wt = broadcast(weights.filter(col("bucket") >= 0).select("bucket", "w_micro"))
+    val prior = broadcast(weights.filter(col("bucket") === -1).select(col("w_micro").as("prior")))
+    val scored = nbFeatures(s, dir)
+      .join(valIds, "doc_id")
+      .join(wt, "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("occ") * col("w_micro")).as("sw"))
+      .crossJoin(prior)
+      .select(col("doc_id"), when(col("prior") + col("sw") > 0, 1L).otherwise(0L).as("pred_keep"))
+    val nTrain = broadcast(
+      nbLabels(s, dir).join(trainIds, "doc_id").agg(count(lit(1)).as("n_train")))
+    val cell = (p: Int, k: Int) =>
+      sum(when(col("pred_keep") === p && col("keep") === k, 1L).otherwise(0L))
+    scored
+      .join(nbLabels(s, dir), "doc_id")
+      .agg(
+        count(lit(1)).as("n_val"),
+        cell(1, 1).as("tp"),
+        cell(1, 0).as("fp"),
+        cell(0, 1).as("fn"),
+        cell(0, 0).as("tn"))
+      .crossJoin(nTrain)
+      .selectExpr(
+        "n_train",
+        "n_val",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        "CAST((tp + tn) * 1000000L DIV NULLIF(n_val, 0L) AS BIGINT) AS accuracy_ppm",
+        "CAST(tp * 1000000L DIV NULLIF(tp + fp, 0L) AS BIGINT) AS precision_ppm",
+        "CAST(tp * 1000000L DIV NULLIF(tp + fn, 0L) AS BIGINT) AS recall_ppm")
   }
 
   /** APPLY: per-document Naive-Bayes quality score — `nb_score` = mean
@@ -1877,7 +1934,9 @@ FROM mergetab ORDER BY rank"""
     * [[qualityCtesSql]] (reuses its d/toks/div chain and the
     * [[qualityScoreSql]] expression verbatim); the lid CASE restates
     * [[langidSql]]'s argmax on the same hit counts. */
-  private val nbCtesSql: String = {
+  /** The label + hashed-feature domain (`d/toks/div → lid → labels →
+    * bt`) — the split-independent half of the chain. */
+  private val nbDomainCtesSql: String = {
     def hits(words: Seq[String]): String =
       words
         .map(w => countOccSql("(' ' || text || ' ')", s" $w "))
@@ -1906,15 +1965,21 @@ FROM mergetab ORDER BY rank"""
                 ${hx(1)} * 256 + ${hx(2)} * 16 + ${hx(3)} AS bucket,
                 COUNT(*) AS occ
          FROM toks WHERE tok <> ''
-         GROUP BY 1, 2),
-       bc AS (
+         GROUP BY 1, 2)"""
+  }
+
+  /** The FIT tail (`bc → tot/dtot → wt/prior`) over caller-named label
+    * and feature CTEs — shared by the whole-corpus chain and the
+    * holdout's train-split chain so the two fits cannot drift. */
+  private def nbFitCtesSql(labelsCte: String, btCte: String): String =
+    s"""bc AS (
          SELECT bucket,
                 SUM(CASE WHEN keep = 1 THEN occ ELSE 0 END) AS c_pos,
                 SUM(CASE WHEN keep = 0 THEN occ ELSE 0 END) AS c_neg
-         FROM bt JOIN labels USING (doc_id)
+         FROM $btCte JOIN $labelsCte USING (doc_id)
          GROUP BY 1),
        tot AS (SELECT SUM(c_pos) AS tp, SUM(c_neg) AS tn FROM bc),
-       dtot AS (SELECT SUM(keep) AS np, SUM(1 - keep) AS nn FROM labels),
+       dtot AS (SELECT SUM(keep) AS np, SUM(1 - keep) AS nn FROM $labelsCte),
        wt AS (
          SELECT CAST(bucket AS BIGINT) AS bucket,
                 CAST(c_pos AS BIGINT) AS c_pos,
@@ -1931,7 +1996,10 @@ FROM mergetab ORDER BY rank"""
               - CAST(ROUND(LN(CAST(nn + 1 AS DOUBLE) / CAST(np + nn + 2 AS DOUBLE)) * 1e6) AS BIGINT)
                   AS w_micro
          FROM dtot)"""
-  }
+
+  private val nbCtesSql: String =
+    s"""$nbDomainCtesSql,
+       ${nbFitCtesSql("labels", "bt")}"""
 
   val qualityTrainSql: String =
     s"""WITH $nbCtesSql
@@ -1975,6 +2043,46 @@ FROM mergetab ORDER BY rank"""
               CAST(tp * 1000000 // NULLIF(tp + fn, 0) AS BIGINT) AS recall_ppm
        FROM cm"""
 
+  /** SQL twin of [[qualityHoldout]]: the domain CTEs + the split CTE
+    * (dataSplit's content-hash thresholds verbatim), the fit tail over
+    * the train-restricted frames, val-split scoring, confusion. */
+  val qualityHoldoutSql: String =
+    s"""WITH $nbDomainCtesSql,
+       sp AS (
+         SELECT doc_id,
+                CASE WHEN substr(md5(text), 1, 3) < 'ccd' THEN 'train'
+                     WHEN substr(md5(text), 1, 3) < 'e66' THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents),
+       labels_tr AS (
+         SELECT labels.doc_id, keep FROM labels JOIN sp USING (doc_id)
+         WHERE split = 'train'),
+       bt_tr AS (
+         SELECT bt.doc_id, bucket, occ FROM bt JOIN sp USING (doc_id)
+         WHERE split = 'train'),
+       ${nbFitCtesSql("labels_tr", "bt_tr")},
+       sc AS (
+         SELECT bt.doc_id, SUM(occ * w_micro) AS sw
+         FROM bt JOIN sp USING (doc_id) JOIN wt USING (bucket)
+         WHERE split = 'val'
+         GROUP BY bt.doc_id),
+       scored AS (
+         SELECT doc_id, CASE WHEN p.w_micro + sw > 0 THEN 1 ELSE 0 END AS pred
+         FROM sc CROSS JOIN prior p),
+       ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM labels_tr),
+       cm AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_val,
+                CAST(SUM(CASE WHEN pred = 1 AND keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(SUM(CASE WHEN pred = 1 AND keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(SUM(CASE WHEN pred = 0 AND keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                CAST(SUM(CASE WHEN pred = 0 AND keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         FROM scored JOIN labels USING (doc_id))
+       SELECT n_train, n_val, tp, fp, fn, tn,
+              CAST((tp + tn) * 1000000 // NULLIF(n_val, 0) AS BIGINT) AS accuracy_ppm,
+              CAST(tp * 1000000 // NULLIF(tp + fp, 0) AS BIGINT) AS precision_ppm,
+              CAST(tp * 1000000 // NULLIF(tp + fn, 0) AS BIGINT) AS recall_ppm
+       FROM cm CROSS JOIN ntr"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf" -> (tfidf _),
     "text_chunk" -> (chunk _),
@@ -2001,6 +2109,7 @@ FROM mergetab ORDER BY rank"""
       PipelineCache.cached("nb_weight_table", s, d, "documents.parquet")(qualityTrain(s, d))),
     "text_quality_model" -> (qualityModel _),
     "text_quality_eval" -> (qualityEval _),
+    "text_quality_holdout" -> (qualityHoldout _),
     "text_span_dup" -> (spanDup _),
     "text_span_dup_s4" -> (spanDupStride _),
     "text_span_excise" -> (spanExcise _),
@@ -2017,6 +2126,7 @@ FROM mergetab ORDER BY rank"""
     "text_quality_train" -> qualityTrainSql,
     "text_quality_model" -> qualityModelSql,
     "text_quality_eval" -> qualityEvalSql,
+    "text_quality_holdout" -> qualityHoldoutSql,
     "text_novelty" -> noveltySql,
     "text_bpe_train" -> bpeTrainSql,
     "text_tfidf" -> tfidfSql,

@@ -1424,6 +1424,15 @@ class PipelineOpsSpec extends GraftSpecBase {
         ((40L, 30L, 0L, 0L, 10L)),
       s"confusion census drifted: $ev")
     assert(ev.getLong(5) == 1000000L && ev.getLong(6) == 1000000L && ev.getLong(7) == 1000000L)
+    // held-out generalization on the fixture: the word-level signal is
+    // shared across docs, so the train-split model confuses NOTHING on
+    // the unseen val split (which classes land in val is split-dependent
+    // — the no-confusion claim is the split-independent invariant)
+    val ho = TextAnalysis.qualityHoldout(spark, dir).collect()(0)
+    assert(ho.getLong(2) + ho.getLong(5) == ho.getLong(1),
+      s"held-out confusion on planted fixture: $ho") // tp + tn == n_val
+    assert(ho.getLong(3) == 0L && ho.getLong(4) == 0L, s"fp/fn nonzero: $ho")
+    assert(ho.getLong(0) + ho.getLong(1) <= 40L, s"split domains overlap: $ho")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 }
