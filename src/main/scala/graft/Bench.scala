@@ -123,6 +123,8 @@ object Bench {
       "minhash" -> Seq("corpus_dedup", "dedup_minhash"),
       "bpe_merge_table" -> Seq("text_bpe_train", "text_tokenize_ids", "train_pack_ids"),
       "nb_weight_table" -> Seq("text_quality_eval", "text_quality_model", "text_quality_train"),
+      "nb_features" -> Seq(
+        "text_quality_eval", "text_quality_holdout", "text_quality_model", "text_quality_train"),
       "chunk_emb" -> Seq("ann_chunk_lsh", "ann_chunk_topk"),
       "spandup_grams" -> Seq("text_span_dup", "text_span_excise"),
       "ivf_qsample" -> Seq("ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk", "ann_recall"),

@@ -1742,6 +1742,11 @@ FROM mergetab ORDER BY rank"""
     * set). */
   private def nbLabels(s: SparkSession, dir: String): DataFrame = {
     val (keepLang, minQ) = CorpusOps.curatePolicy(s)
+    // stamp-cached: four registry queries (train/model/eval/holdout)
+    // consume this frame, several more than once per plan — 5k rows at
+    // sf0.1, the PipelineCache discipline (knob folded into the tag so a
+    // policy retune can never serve stale labels)
+    PipelineCache.cached(s"nb_labels:$keepLang:$minQ", s, dir, "documents.parquet") {
     langid(s, dir)
       .select(col("doc_id"), col("pred_lang"))
       .join(quality(s, dir).select(col("doc_id"), col("quality_score")), "doc_id")
@@ -1750,12 +1755,16 @@ FROM mergetab ORDER BY rank"""
         when(col("pred_lang") === keepLang && col("quality_score") >= minQ, 1L)
           .otherwise(0L)
           .as("keep"))
+    }
   }
 
   /** Per-(doc, bucket) hashed-feature occurrence counts — ONE balanced
     * shuffle whose key cardinality is ≤ 4096 per document (narrower than
     * the raw (doc, token) key), with map-side partials. */
   private def nbFeatures(s: SparkSession, dir: String): DataFrame =
+    // stamp-cached for the same multi-consumer reason as [[nbLabels]]
+    // (~150k (doc, bucket, occ) rows at sf0.1)
+    PipelineCache.cached("nb_features", s, dir, "documents.parquet") {
     Tables
       .documents(s, dir)
       .filter(length(trim(col("text"))) > 0)
@@ -1765,6 +1774,7 @@ FROM mergetab ORDER BY rank"""
         col("doc_id"),
         conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("long").as("bucket"))
       .agg(count(lit(1)).as("occ"))
+    }
 
   /** ln(num/den) quantized to integer micro-nats — the [[lmScore]]
     * determinism rule: both operands are exact integers, the division and
