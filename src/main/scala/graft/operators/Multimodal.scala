@@ -231,17 +231,26 @@ object Multimodal {
     * Per-batch init (codec tables, here the MessageDigest) is amortized
     * exactly like a pandas-UDF batch. */
   object MediaDecoder {
+    /** Lenient by contract: a payload the codec rejects (truncated
+      * container, bad magic, mislabeled format — the rows a real crawl
+      * always contains) is DROPPED, never fatal: one corrupt asset must
+      * not kill a 100 TB decode job. Dropped rows are countable as
+      * input.count − output.count; a decoder REGRESSION that rejects
+      * valid payloads still fails the oracle gate loudly through the
+      * row-count mismatch. */
     def decodeBatch(batch: Seq[MediaIn]): Seq[MediaFeat] =
-      batch.map { m =>
-        val (w, h, content) = m.format match {
-          case "png" => Dec.png(m.payload)
-          case "pgm" => Dec.pgm(m.payload)
-          case "wav" =>
-            val (rate, data) = Dec.wav(m.payload)
-            require(rate == 8000, s"unexpected sample rate $rate")
-            (data.length, 1, data)
-        }
-        MediaFeat(m.doc_id, m.format, w.toLong, h.toLong, content.length.toLong, md5Hex(content))
+      batch.flatMap { m =>
+        scala.util.Try {
+          val (w, h, content) = m.format match {
+            case "png" => Dec.png(m.payload)
+            case "pgm" => Dec.pgm(m.payload)
+            case "wav" =>
+              val (rate, data) = Dec.wav(m.payload)
+              require(rate == 8000, s"unexpected sample rate $rate")
+              (data.length, 1, data)
+          }
+          MediaFeat(m.doc_id, m.format, w.toLong, h.toLong, content.length.toLong, md5Hex(content))
+        }.toOption
       }
   }
 
@@ -300,11 +309,14 @@ object Multimodal {
     val FrameMs = 40L
     def sampleBatch(batch: Seq[MediaIn]): Seq[Frame] =
       batch.flatMap { v =>
-        val (w, h, frames) = Dec.y4m(v.payload)
-        require(w == 16 && h == 16, s"fixture streams are 16x16, got $w x $h")
-        (frames.indices by SampleEvery).zipWithIndex.map { case (src, idx) =>
-          Frame(v.doc_id, idx.toLong, src.toLong, src * FrameMs, md5Hex(frames(src)))
-        }
+        // same lenient contract as [[MediaDecoder.decodeBatch]]
+        scala.util.Try {
+          val (w, h, frames) = Dec.y4m(v.payload)
+          require(w == 16 && h == 16, s"fixture streams are 16x16, got $w x $h")
+          (frames.indices by SampleEvery).zipWithIndex.map { case (src, idx) =>
+            Frame(v.doc_id, idx.toLong, src.toLong, src * FrameMs, md5Hex(frames(src)))
+          }
+        }.getOrElse(Seq.empty)
       }
   }
 
@@ -362,8 +374,9 @@ object Multimodal {
     * integer resampling → oracle-replayable byte-for-byte. */
   object Resizer {
     def resizeBatch(batch: Seq[MediaIn]): Seq[Resized] =
-      batch.map { m =>
-        m.format match {
+      // same lenient contract as [[MediaDecoder.decodeBatch]]
+      batch.flatMap { m =>
+        scala.util.Try(m.format match {
           case "png" | "pgm" =>
             val (w, h, pix) = if (m.format == "png") Dec.png(m.payload) else Dec.pgm(m.payload)
             val (nw, nh) = (w / 2, h / 2)
@@ -373,7 +386,7 @@ object Multimodal {
             val (_, data) = Dec.wav(m.payload)
             val out = Array.tabulate(data.length / 2)(k => data(2 * k))
             Resized(m.doc_id, data.length.toLong, 1L, out.length.toLong, 1L, out.length.toLong, md5Hex(out))
-        }
+        }).toOption
       }
   }
 

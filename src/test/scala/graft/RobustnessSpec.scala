@@ -316,4 +316,34 @@ class RobustnessSpec extends GraftSpecBase {
       failures.map { case (n, t) => s"$n: ${t.getClass.getSimpleName} ${t.getMessage}" }
         .mkString("queries crashed on pathological events:\n", "\n", ""))
   }
+
+  test("corrupt media payloads are quarantined, never fatal") {
+    import graft.operators.Multimodal
+    val w = 20; val h = 10
+    val goodPng = Multimodal.Enc.png(w, h, Multimodal.Content.imagePixels(7L, w, h))
+    val goodWav = Multimodal.Enc.wav(Multimodal.Content.audioSamples(7L))
+    val corrupt = Seq(
+      Multimodal.MediaIn(90L, "png", goodPng.take(20)), // truncated mid-IHDR
+      Multimodal.MediaIn(91L, "png", goodWav), // mislabeled container
+      Multimodal.MediaIn(92L, "wav", Array.fill[Byte](50)(42)), // garbage bytes
+      Multimodal.MediaIn(93L, "pgm", "P6\nnot binary gray\n".getBytes("US-ASCII")),
+      Multimodal.MediaIn(94L, "wav", Array.emptyByteArray))
+    val batch = Seq(
+      Multimodal.MediaIn(1L, "png", goodPng),
+      Multimodal.MediaIn(2L, "wav", goodWav)) ++ corrupt
+    val feats = Multimodal.MediaDecoder.decodeBatch(batch)
+    assert(feats.map(_.doc_id).sorted == Seq(1L, 2L),
+      s"corrupt rows must drop, valid rows must survive: ${feats.map(_.doc_id)}")
+    assert(feats.find(_.doc_id == 1L).get.width == w)
+    val resized = Multimodal.Resizer.resizeBatch(batch)
+    assert(resized.map(_.doc_id).sorted == Seq(1L, 2L), s"resizer: ${resized.map(_.doc_id)}")
+    // the y4m sampler quarantines a wrong-geometry stream too
+    val vid = Multimodal.Enc.y4m(16, 16, (0 until 8).map(Multimodal.Content.framePixels(7L, _)))
+    val badVid = Multimodal.Enc.y4m(8, 8, Seq(Array.fill[Byte](64)(42)))
+    val frames = Multimodal.FrameSampler.sampleBatch(Seq(
+      Multimodal.MediaIn(1L, "y4m", vid),
+      Multimodal.MediaIn(90L, "y4m", badVid),
+      Multimodal.MediaIn(91L, "y4m", goodWav)))
+    assert(frames.map(_.doc_id).distinct == Seq(1L), s"sampler: ${frames.map(_.doc_id).distinct}")
+  }
 }
