@@ -363,7 +363,12 @@ object ScaleProbe {
       // rollup groupBy is (queries × docs)-bounded)
       "mm_dedup" -> (graft.operators.Multimodal.mediaDedup _),
       "text_quality_train" -> (TextAnalysis.qualityTrain _),
-      "ann_chunk_topk" -> (graft.operators.Similarity.annChunk _))
+      "ann_chunk_topk" -> (graft.operators.Similarity.annChunk _),
+      // round-13 wave 2: the bucketed chunk retrieval (collision-bounded
+      // candidates — should grow slower than the exact anchor) and the
+      // split-aware holdout (two fits + a scan-speed apply)
+      "ann_chunk_lsh" -> (graft.operators.Similarity.annChunkLsh _),
+      "text_quality_holdout" -> (TextAnalysis.qualityHoldout _))
 
     def time(dir: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {
