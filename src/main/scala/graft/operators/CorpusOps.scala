@@ -40,8 +40,23 @@ object CorpusOps {
     * output — one label contract, structurally shared. */
   private[operators] def splitLabel(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val b = substring(md5(text), 1, 3)
-    when(b < "ccd", "train").when(b < "e66", "val").otherwise("test")
+    when(b < SplitTrainHi, "train").when(b < SplitValHi, "val").otherwise("test")
   }
+
+  /** Single source of truth for the split thresholds — the Scala
+    * [[splitLabel]] and every SQL twin ([[dataSplitSql]],
+    * [[curatePolicyCtesSql]], TextAnalysis.qualityHoldoutSql) read these
+    * two constants, so a ratio retune can never de-synchronize the
+    * engine's split from an oracle. */
+  private[operators] val SplitTrainHi = "ccd"
+  private[operators] val SplitValHi = "e66"
+
+  /** The split CASE as a SQL expression over a `text` column in scope —
+    * interpolate wherever an oracle needs the split label. */
+  private[operators] val splitCaseSql: String =
+    s"""CASE WHEN substr(md5(text), 1, 3) < '$SplitTrainHi' THEN 'train'
+                     WHEN substr(md5(text), 1, 3) < '$SplitValHi' THEN 'val'
+                     ELSE 'test' END"""
 
   def dataSplit(s: SparkSession, dir: String): DataFrame = {
     Tables
@@ -54,10 +69,8 @@ object CorpusOps {
   }
 
   val dataSplitSql: String =
-    """SELECT doc_id, lang, n_chars,
-              CASE WHEN substr(md5(text), 1, 3) < 'ccd' THEN 'train'
-                   WHEN substr(md5(text), 1, 3) < 'e66' THEN 'val'
-                   ELSE 'test' END AS split
+    s"""SELECT doc_id, lang, n_chars,
+              $splitCaseSql AS split
        FROM documents
        ORDER BY doc_id"""
 
@@ -1042,7 +1055,17 @@ object CorpusOps {
       val counts: Map[String, Option[Long]] = meta match {
         case Some(m) =>
           val st = fileSig(s, GramIndex.metaPath(path))
-          val key = (st, java.util.Arrays.hashCode(m.asInstanceOf[Array[AnyRef]]))
+          // widen the signature with each body DIR's (mtime, length): a
+          // body rewrite that lands with an identical-content, same-size,
+          // same-granularity-mtime meta (sub-second rebuild of an
+          // unchanged-stamp store) still flips the body dirs' own mtimes,
+          // so it can no longer serve stale counts. |bodies| driver stats
+          // — cheap next to the recursive walk the cache avoids.
+          val bodySig = bodies
+            .map(b => fileSig(s, new org.apache.hadoop.fs.Path(s"$path/$b")))
+            .hashCode()
+          val key =
+            ((st, bodySig), java.util.Arrays.hashCode(m.asInstanceOf[Array[AnyRef]]))
           Option(storeCountCache.get(path)).filter(_._1 == key).map(_._2).getOrElse {
             val c = bodies.map(b => b -> footerCount(s, s"$path/$b")).toMap
             storeCountCache.put(path, (key, c))
@@ -1069,17 +1092,19 @@ object CorpusOps {
     catch { case _: java.io.FileNotFoundException => (0L, 0L) }
   }
 
-  /** Census body-count cache at STORE grain: path → (meta signature,
-    * per-body counts). Bounded at O(#stores per dataset); entries for
-    * deleted stores are evicted on the next census call that observes
-    * the absence. Accepted granularity: a body rewritten WITHOUT a meta
-    * rewrite inside the filesystem's mtime granularity would serve a
-    * stale count — outside the store lifecycle contract (every
-    * build/absorb rewrites meta last). */
+  /** Census body-count cache at STORE grain: path → ((meta signature +
+    * body-dir signatures), per-body counts). Bounded at O(#stores per
+    * dataset); entries for deleted stores are evicted on the next census
+    * call that observes the absence. Accepted granularity: a body whose
+    * DIRECTORY (mtime, length) is also unchanged after a rewrite — both
+    * the meta file AND every body dir would have to land bit- and
+    * stat-identical inside the filesystem's mtime granularity to serve a
+    * stale count, far outside the store lifecycle contract (every
+    * build/absorb rewrites meta last and touches its body dirs). */
   private val storeCountCache =
     new java.util.concurrent.ConcurrentHashMap[
       String,
-      (((Long, Long), Int), Map[String, Option[Long]])]()
+      ((((Long, Long), Int), Int), Map[String, Option[Long]])]()
 
   /** Row count of a parquet store body read ENTIRELY on the driver from
     * file footers (recursive listing + per-file record counts via
@@ -1283,9 +1308,7 @@ object CorpusOps {
          FROM dq b JOIN div USING (doc_id)),
        sp AS (
          SELECT doc_id,
-                CASE WHEN substr(md5(text), 1, 3) < 'ccd' THEN 'train'
-                     WHEN substr(md5(text), 1, 3) < 'e66' THEN 'val'
-                     ELSE 'test' END AS split
+                $splitCaseSql AS split
          FROM documents)"""
   }
 

@@ -251,7 +251,10 @@ object Dedup {
          SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
          FROM w, UNNEST(range(1, len(arr) - 1)) AS t(i)),
        gdn AS (
-         SELECT doc_id * 1048576 + COUNT(*) OVER (PARTITION BY doc_id) AS dn, gram
+         SELECT doc_id * 1048576 +
+                CASE WHEN COUNT(*) OVER (PARTITION BY doc_id) >= 1048576
+                     THEN error('gdn: per-doc gram count exceeds the 2^20 packing envelope')
+                     ELSE COUNT(*) OVER (PARTITION BY doc_id) END AS dn, gram
          FROM grams),
        gbuckets AS (
          SELECT gram, COUNT(*) AS df, list(dn ORDER BY dn) AS ds
@@ -1476,7 +1479,10 @@ private[operators] object U64Sql {
     * [[Dedup.dedupRecallSql]]. */
   lazy val winnowPairTailCtesSql: String =
     s"""fdn AS (
-         SELECT doc_id * 1048576 + COUNT(*) OVER (PARTITION BY doc_id) AS dn, f
+         SELECT doc_id * 1048576 +
+                CASE WHEN COUNT(*) OVER (PARTITION BY doc_id) >= 1048576
+                     THEN error('fdn: per-doc fingerprint count exceeds the 2^20 packing envelope')
+                     ELSE COUNT(*) OVER (PARTITION BY doc_id) END AS dn, f
          FROM fpe),
        fbuckets AS (
          SELECT f, COUNT(*) AS df, list(dn ORDER BY dn) AS ds

@@ -1828,6 +1828,17 @@ FROM mergetab ORDER BY rank"""
   def qualityTrain(s: SparkSession, dir: String): DataFrame =
     qualityTrainFrom(nbFeatures(s, dir), nbLabels(s, dir))
 
+  /** The stamp-cached weight table every APPLY consumer reads. The
+    * curation-policy knobs are folded into the cache tag (mirroring
+    * [[nbLabels]]) so a session that retunes
+    * `spark.graft.corpus.curateLang`/`curateMinQuality` can never be
+    * served weights trained under the old policy. */
+  private[operators] def cachedQualityTrain(s: SparkSession, dir: String): DataFrame = {
+    val (keepLang, minQ) = CorpusOps.curatePolicy(s)
+    PipelineCache.cached(s"nb_weight_table:$keepLang:$minQ", s, dir, "documents.parquet")(
+      qualityTrain(s, dir))
+  }
+
   /** HELD-OUT evaluation — the ML-hygiene counterpart of [[qualityEval]]
     * (which measures train-set fit): the model fits on the `train` split
     * only and the confusion census runs on the UNSEEN `val` split, both
@@ -1888,8 +1899,7 @@ FROM mergetab ORDER BY rank"""
     * ([[qualityTrain]] is computed once per source stamp across both
     * queries) and broadcasts it into one scan-speed feature join. */
   def qualityModel(s: SparkSession, dir: String): DataFrame = {
-    val weights =
-      PipelineCache.cached("nb_weight_table", s, dir, "documents.parquet")(qualityTrain(s, dir))
+    val weights = cachedQualityTrain(s, dir)
     val wt = broadcast(weights.filter(col("bucket") >= 0).select("bucket", "w_micro"))
     val prior = broadcast(weights.filter(col("bucket") === -1).select(col("w_micro").as("prior")))
     nbFeatures(s, dir)
@@ -2054,15 +2064,14 @@ FROM mergetab ORDER BY rank"""
        FROM cm"""
 
   /** SQL twin of [[qualityHoldout]]: the domain CTEs + the split CTE
-    * (dataSplit's content-hash thresholds verbatim), the fit tail over
-    * the train-restricted frames, val-split scoring, confusion. */
+    * ([[CorpusOps.splitCaseSql]] — the SAME constant dataSplit's oracle
+    * interpolates, so the thresholds live in exactly one place), the fit
+    * tail over the train-restricted frames, val-split scoring, confusion. */
   val qualityHoldoutSql: String =
     s"""WITH $nbDomainCtesSql,
        sp AS (
          SELECT doc_id,
-                CASE WHEN substr(md5(text), 1, 3) < 'ccd' THEN 'train'
-                     WHEN substr(md5(text), 1, 3) < 'e66' THEN 'val'
-                     ELSE 'test' END AS split
+                ${CorpusOps.splitCaseSql} AS split
          FROM documents),
        labels_tr AS (
          SELECT labels.doc_id, keep FROM labels JOIN sp USING (doc_id)
@@ -2115,8 +2124,7 @@ FROM mergetab ORDER BY rank"""
       PipelineCache.cached("bpe_merge_table", s, d, "documents.parquet")(bpeTrain(s, d))),
     "text_winnow" -> (winnow _),
     // FIT + APPLY share one stamp-cached weight table (the bpe pattern)
-    "text_quality_train" -> ((s, d) =>
-      PipelineCache.cached("nb_weight_table", s, d, "documents.parquet")(qualityTrain(s, d))),
+    "text_quality_train" -> (cachedQualityTrain _),
     "text_quality_model" -> (qualityModel _),
     "text_quality_eval" -> (qualityEval _),
     "text_quality_holdout" -> (qualityHoldout _),
