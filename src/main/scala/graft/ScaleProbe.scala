@@ -368,7 +368,20 @@ object ScaleProbe {
       // candidates — should grow slower than the exact anchor) and the
       // split-aware holdout (two fits + a scan-speed apply)
       "ann_chunk_lsh" -> (graft.operators.Similarity.annChunkLsh _),
-      "text_quality_holdout" -> (TextAnalysis.qualityHoldout _))
+      "text_quality_holdout" -> (TextAnalysis.qualityHoldout _),
+      // round-14 wave: the PROBE-IN-M for the BPE fit — M=64 instead of
+      // the default 10; the in-memory incremental path must hold cluster
+      // round-trips at 1 regardless of M (printed beside the timing),
+      // and the 1×→N× ratio reads the word-census scan, the only
+      // corpus-sized stage the fit has
+      "bpe_fit_m64" -> ((s: SparkSession, d: String) => {
+        s.conf.set("spark.graft.text.bpeMerges", "64")
+        try {
+          val (df, rounds) = TextAnalysis.bpeTrainRounds(s, d)
+          println(s"[scale-probe] bpe_fit_m64 dir=$d cluster_rounds=$rounds (M=64)")
+          df
+        } finally s.conf.unset("spark.graft.text.bpeMerges")
+      }))
 
     def time(dir: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {

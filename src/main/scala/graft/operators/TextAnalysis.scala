@@ -1047,6 +1047,47 @@ object TextAnalysis {
     n
   }
 
+  /** Max merges learned per driver round by the distributed BATCHED
+    * [[bpeTrain]] fallback — session-tunable; rounds ≈ M / batch where
+    * the ranking permits (see the batch-acceptance proof on
+    * [[bpeTrainRounds]]). */
+  private[operators] val BpeBatchDefault = 8
+
+  private[operators] def bpeBatch(s: SparkSession): Int = {
+    val raw = s.conf.get("spark.graft.text.bpeBatch", BpeBatchDefault.toString)
+    val n =
+      try raw.toInt
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"spark.graft.text.bpeBatch must be a positive integer, got '$raw'")
+      }
+    require(n > 0, s"spark.graft.text.bpeBatch must be positive, got $n")
+    n
+  }
+
+  /** Vocabulary-size ceiling for the in-memory incremental-count FIT
+    * path: a word census of at most this many DISTINCT words is
+    * collected once and all M merges run driver-side with exact
+    * incremental pair counts (1 cluster round-trip total). Above the
+    * ceiling the distributed batched loop takes over. 0 disables the
+    * in-memory path (forces the distributed loop — spec/probe hook). */
+  private[operators] val BpeFitDriverCapDefault = 1000000
+
+  private[operators] def bpeFitDriverCap(s: SparkSession): Int = {
+    val raw =
+      s.conf.get("spark.graft.text.bpeFitDriverCap", BpeFitDriverCapDefault.toString)
+    val n =
+      try raw.toInt
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"spark.graft.text.bpeFitDriverCap must be a non-negative integer, got '$raw'")
+      }
+    require(n >= 0, s"spark.graft.text.bpeFitDriverCap must be non-negative, got $n")
+    n
+  }
+
   /** BPE tokenizer TRAINING — learn the top-M byte-pair merges from the
     * corpus, the tokenizer-fitting step of a training-data pipeline (the
     * [[tokensBpe]] tokenizer is the APPLY side; this is the FIT side).
@@ -1060,13 +1101,9 @@ object TextAnalysis {
     * plain-Scala reference implementation in the spec (rows-only for the
     * driver — the greedy in-array fold has no portable-SQL rendering).
     *
-    * Scale shape: the CORPUS is scanned exactly once (the word census);
-    * all M rounds act on the bounded vocabulary frame — per round one
-    * explode+groupBy pair census (map-side combined, key space ≈ symbol
-    * bigrams), a 1-row TakeOrdered argmax to the driver (the globalRank
-    * eager-literal precedent), and a narrow aggregate-fold rewrite. Each
-    * round's frame is persisted and the previous unpersisted, so plans
-    * stay shallow. Runs out of pairs → stops early with fewer rows.
+    * Since round 14 the FIT is BATCHED per driver round while staying
+    * byte-exact with sequential BPE — round mechanics and the
+    * batch-acceptance proof live on [[bpeTrainRounds]].
     *
     * Symbols are CODEPOINT-level (Spark's substring), and merged tokens
     * are keyed by their string text — two different merge paths yielding
@@ -1169,48 +1206,255 @@ tok AS MATERIALIZED (SELECT doc_id,
       """SELECT rank, l AS "left", r AS "right", l || r AS merged, pf AS pair_freq
 FROM mergetab ORDER BY rank"""
 
-  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = bpeTrainRounds(s, dir)._1
+
+  /** One word split into codepoint symbols — the driver-side twin of the
+    * census's `substring(w, i, 1)` expansion (Spark substring counts
+    * code points; an astral char is one symbol on both sides). */
+  private def codePointSyms(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** EXACT in-memory BPE FIT over a collected word census — the
+    * incremental-pair-count form (Sennrich's algorithm): pair counts and
+    * a pair→words occurrence index are maintained under each merge, so
+    * only the words CONTAINING the merged pair are rewritten and the
+    * argmax is a lazy-deletion heap pop, O((rewrites + pair updates)
+    * · log pairs) for ALL M merges — no per-merge scan of anything.
+    * Byte-exact with the sequential recount-per-round semantics because
+    * the maintained counts ARE the census counts (same greedy
+    * left-to-right merge pass, same (pf DESC, l, r) tie-break). */
+  private def bpeFitInMemory(
+      vocab: Array[(Array[String], Long)],
+      m: Int): Seq[(Int, String, String, String, Long)] = {
+    val syms = vocab.map(_._1)
+    val freqs = vocab.map(_._2)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occ = scala.collection.mutable.HashMap.empty[(String, String), java.util.BitSet]
+    // max-heap: highest pf first, ties toward the SMALLEST (l, r)
+    val ord: Ordering[(Long, String, String)] = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val cl = y._2.compareTo(x._2)
+          if (cl != 0) cl else y._3.compareTo(x._3)
+        }
+      }
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    def bump(p: (String, String), delta: Long, wordIdx: Int): Unit = {
+      val nv = counts.getOrElse(p, 0L) + delta
+      if (nv <= 0L) { counts.remove(p); () }
+      else {
+        counts.update(p, nv)
+        if (delta > 0L) {
+          occ.getOrElseUpdate(p, new java.util.BitSet()).set(wordIdx)
+          heap.enqueue((nv, p._1, p._2))
+        } else heap.enqueue((nv, p._1, p._2))
+      }
+    }
+    var i = 0
+    while (i < syms.length) {
+      val w = syms(i)
+      var j = 0
+      while (j < w.length - 1) { bump((w(j), w(j + 1)), freqs(i), i); j += 1 }
+      i += 1
+    }
+    def mergePassLocal(w: Array[String], l: String, r: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (x <- w)
+        if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = l + r
+        else out += x
+      out.toArray
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    while (rank <= m && heap.nonEmpty) {
+      // lazy-deletion pop: discard stale heap entries
+      var picked: Option[(String, String, Long)] = None
+      while (picked.isEmpty && heap.nonEmpty) {
+        val (pf, l, r) = heap.dequeue()
+        if (counts.getOrElse((l, r), 0L) == pf) picked = Some((l, r, pf))
+      }
+      picked match {
+        case None => // counts drained
+        case Some((l, r, pf)) =>
+          merges += ((rank, l, r, l + r, pf))
+          val hits = occ.remove((l, r)).getOrElse(new java.util.BitSet())
+          var wi = hits.nextSetBit(0)
+          while (wi >= 0) {
+            val w = syms(wi)
+            // stale index entries (word rewritten since) are filtered here
+            var has = false
+            var j = 0
+            while (!has && j < w.length - 1) { has = w(j) == l && w(j + 1) == r; j += 1 }
+            if (has) {
+              val f = freqs(wi)
+              j = 0
+              while (j < w.length - 1) { bump((w(j), w(j + 1)), -f, wi); j += 1 }
+              val nw = mergePassLocal(w, l, r)
+              syms(wi) = nw
+              j = 0
+              while (j < nw.length - 1) { bump((nw(j), nw(j + 1)), f, wi); j += 1 }
+            }
+            wi = hits.nextSetBit(wi + 1)
+          }
+          rank += 1
+      }
+      if (picked.isEmpty) rank = m + 1 // drained — stop
+    }
+    merges.toSeq
+  }
+
+  /** BPE FIT that scales in MERGE COUNT, byte-exact with sequential BPE.
+    * Two paths, both exact:
+    *
+    * '''In-memory incremental path (default).''' The corpus collapses to
+    * its word census in one distributed scan; when the census holds at
+    * most [[bpeFitDriverCap]] distinct words (1M default — any practical
+    * tokenizer-training vocab; a census row is a word + a long) it is
+    * collected ONCE and all M merges run driver-side with exact
+    * incremental pair counts ([[bpeFitInMemory]]). Cluster round-trips:
+    * 1, for ANY M — a 32k-merge production fit is one Spark job plus an
+    * in-memory loop, exactly how reference tokenizer trainers work. The
+    * census is the bounded eager-literal class: the collect is CAPPED,
+    * and an over-cap corpus falls through to the distributed loop.
+    *
+    * '''Distributed batched fallback.''' Over the cap, per driver round
+    * ONE pair census is ranked (pf DESC, l, r) and a no-skip prefix
+    * batch is accepted under three conditions that keep the batched
+    * merge table PROVABLY equal to the sequential one:
+    *
+    *  1. '''safe sharing''' — p_i = (a, b) joins the batch only if for
+    *     every earlier accepted (l_j, r_j): a ≠ r_j and b ≠ l_j (for
+    *     l_j = r_j = x: a ≠ x and b ≠ x), and a+b ≠ l_j+r_j. Merging
+    *     (l_j, r_j) destroys an (a, b) adjacency only by consuming one
+    *     of its tokens — possible only when b = l_j (site to the right)
+    *     or a = r_j (site to the left) — and creates only pairs touching
+    *     the fresh string l_j+r_j; under these conditions p_i's count at
+    *     its sequential round equals its batch-census count, and the
+    *     fold application in rank order IS sequential application.
+    *  2. '''fresh merged strings''' — each accepted l+r must not exist
+    *     as a live census symbol (one bounded probe per round): a
+    *     collision would let a merge INCREASE an existing symbol's pair
+    *     counts past the bounds below. A colliding merge ends its batch
+    *     (itself still exact — round i depends only on merges before i).
+    *  3. '''strict descent at the cut''' — shrink until pf(p_k) >
+    *     pf(rank k+1). Decreased sharers rank after the prefix, and new
+    *     pairs (x, l_j+r_j) inherit counts bounded by a sharer's old
+    *     count ≤ pf(rank k+1); strictness forbids any of them tying an
+    *     accepted pair and stealing its round on the (l, r) tie-break.
+    *     Unchanged pairs can tie — the original ranking already orders
+    *     them after p_i. p₁ alone is always exact (it IS the argmax).
+    *
+    * Parity spec at M = 64 covers BOTH paths (PipelineOpsSpec); the
+    * sequential-unrolled DuckDB oracle stays byte-exact for the same
+    * reason. Returns (merge table, cluster round-trips) — the rounds
+    * reading is the ScaleProbe-in-M evidence that rounds ≪ M. */
+  private[graft] def bpeTrainRounds(s: SparkSession, dir: String): (DataFrame, Int) = {
     import s.implicits._
     val m = bpeMerges(s)
-    val census = Tables
+    val batchCap = bpeBatch(s)
+    val driverCap = bpeFitDriverCap(s)
+    val wordCensus = Tables
       .documents(s, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w")
       .agg(count(lit(1)).as("freq"))
-      .select(
-        col("freq"),
-        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
-    var cur = census.persist()
+    val wc = wordCensus.persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-    var exhausted = false
     try {
-      for (rank <- 1 to m if !exhausted) {
-        val top = cur
-          .filter(size(col("syms")) >= 2)
-          .select(
-            col("freq"),
-            explode(expr(
-              "transform(sequence(1, size(syms) - 1), " +
-                "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))")).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("freq")).as("pf"))
-          .orderBy(col("pf").desc, col("l"), col("r"))
-          .limit(1)
-          .collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val (l, r, pf) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += ((rank, l, r, l + r, pf))
-          val next = cur
-            .withColumn("syms", bpeMergePass(col("syms"), l, r))
-            .persist()
-          cur.unpersist(blocking = false)
-          cur = next
+      if (driverCap > 0) {
+        val head = wc.limit(driverCap + 1).collect()
+        if (head.length <= driverCap) {
+          val vocab = head.map(r => (codePointSyms(r.getString(0)), r.getLong(1)))
+          return (bpeFitInMemory(vocab, m).toDF("rank", "left", "right", "merged", "pair_freq"), 1)
         }
       }
-    } finally cur.unpersist(blocking = false)
-    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_freq")
+      var cur = wc
+        .select(
+          col("freq"),
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+        .persist()
+      var exhausted = false
+      var rounds = if (driverCap > 0) 1 else 0 // the over-cap probe was a round-trip
+      try {
+        while (merges.size < m && !exhausted) {
+          rounds += 1
+          val want = math.min(m - merges.size, batchCap)
+          val pairs = cur
+            .filter(size(col("syms")) >= 2)
+            .select(
+              col("freq"),
+              explode(expr(
+                "transform(sequence(1, size(syms) - 1), " +
+                  "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))")).as("p"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum(col("freq")).as("pf"))
+            .persist()
+          try {
+            val top = pairs
+              .orderBy(col("pf").desc, col("l"), col("r"))
+              .limit(want + 1)
+              .collect()
+              .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+            if (top.isEmpty) exhausted = true
+            else {
+              // 1. maximal no-skip safe-sharing prefix (≤ want)
+              var k = 0
+              var blocked = false
+              while (!blocked && k < math.min(want, top.length)) {
+                val (a, b, _) = top(k)
+                val safe = (0 until k).forall { j =>
+                  val (lj, rj, _) = top(j)
+                  val shareOk = if (lj == rj) a != lj && b != lj else a != rj && b != lj
+                  shareOk && (a + b) != (lj + rj)
+                }
+                if (k == 0 || safe) k += 1 else blocked = true
+              }
+              // 2. freshness of merged strings (cut AFTER the first collider)
+              if (k > 1) {
+                val ms = top.take(k).map { case (l, r, _) => l + r }.toSeq
+                val live = pairs
+                  .select(explode(array(col("l"), col("r"))).as("sym"))
+                  .filter(col("sym").isInCollection(ms))
+                  .distinct()
+                  .as[String]
+                  .collect()
+                  .toSet
+                val firstBad = top.take(k).indexWhere { case (l, r, _) => live(l + r) }
+                if (firstBad >= 0) k = firstBad + 1
+              }
+              // 3. strict pf descent at the cut
+              while (k > 1 && k < top.length && top(k - 1)._3 <= top(k)._3) k -= 1
+              val base = merges.size
+              top.take(k).zipWithIndex.foreach { case ((l, r, pf), i) =>
+                merges += ((base + i + 1, l, r, l + r, pf))
+              }
+              val next = cur
+                .withColumn(
+                  "syms",
+                  top.take(k).foldLeft(col("syms")) { case (c, (l, r, _)) =>
+                    bpeMergePass(c, l, r)
+                  })
+                .persist()
+              if (!(cur eq wc)) cur.unpersist(blocking = false)
+              cur = next
+            }
+          } finally pairs.unpersist(blocking = false)
+        }
+      } finally if (!(cur eq wc)) cur.unpersist(blocking = false)
+      (merges.toSeq.toDF("rank", "left", "right", "merged", "pair_freq"), rounds)
+    } finally wc.unpersist(blocking = false)
   }
 
   /** Approximate heavy hitters — the sketch twin of [[heavyHitters]]:

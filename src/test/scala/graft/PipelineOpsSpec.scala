@@ -539,14 +539,9 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(got.values.exists(_._3 < 1000000L), "no re-woven content — census unobservable")
   }
 
-  test("bpe train: merge table equals a plain-Scala reference implementation") {
-    val rows = TextAnalysis
-      .bpeTrain(spark, sfDir)
-      .collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
-      .sortBy(_._1)
-      .toSeq
-    // reference: the identical Sennrich-style algorithm in plain Scala
+  /** Sequential Sennrich-style BPE in plain Scala — THE reference the
+    * batched engine must equal byte-for-byte at any M. */
+  private def refBpe(m: Int): Seq[(Int, String, String, String, Long)] = {
     var vocab = spark.read
       .parquet(s"$sfDir/documents.parquet")
       .select(col("text"))
@@ -559,7 +554,7 @@ class PipelineOpsSpec extends GraftSpecBase {
       .toVector
     val ref = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var stop = false
-    for (rank <- 1 to 10 if !stop) {
+    for (rank <- 1 to m if !stop) {
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
         counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
@@ -577,7 +572,56 @@ class PipelineOpsSpec extends GraftSpecBase {
         }
       }
     }
-    assert(rows == ref.toSeq, s"operator\n  $rows\n!= reference\n  ${ref.toSeq}")
+    ref.toSeq
+  }
+
+  test("bpe train: merge table equals a plain-Scala reference implementation") {
+    val rows = TextAnalysis
+      .bpeTrain(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+      .toSeq
+    val ref = refBpe(10)
+    assert(rows == ref, s"operator\n  $rows\n!= reference\n  $ref")
+  }
+
+  test("bpe train in-memory path: sequential parity at M=64, ONE cluster round-trip") {
+    spark.conf.set("spark.graft.text.bpeMerges", "64")
+    try {
+      val (df, rounds) = TextAnalysis.bpeTrainRounds(spark, sfDir)
+      val rows = df
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .sortBy(_._1)
+        .toSeq
+      val ref = refBpe(64)
+      assert(rows == ref, s"in-memory merge table diverges from sequential reference at M=64")
+      // rounds << M is the point: the incremental-count fit collects the
+      // word census once and never returns to the cluster
+      assert(rounds == 1, s"$rounds cluster round-trips for ${rows.length} merges")
+    } finally spark.conf.unset("spark.graft.text.bpeMerges")
+  }
+
+  test("bpe train distributed fallback: sequential parity at M=64 under batching") {
+    spark.conf.set("spark.graft.text.bpeMerges", "64")
+    spark.conf.set("spark.graft.text.bpeFitDriverCap", "0") // force the distributed loop
+    try {
+      val (df, rounds) = TextAnalysis.bpeTrainRounds(spark, sfDir)
+      val rows = df
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .sortBy(_._1)
+        .toSeq
+      val ref = refBpe(64)
+      assert(rows == ref, s"batched merge table diverges from sequential reference at M=64")
+      // the safe-sharing batch rule must fire at least sometimes even on
+      // this small-alphabet fixture (full batching is data-dependent)
+      assert(rounds < rows.length, s"$rounds rounds for ${rows.length} merges — no batch ever formed")
+    } finally {
+      spark.conf.unset("spark.graft.text.bpeMerges")
+      spark.conf.unset("spark.graft.text.bpeFitDriverCap")
+    }
   }
 
   test("kmeans: clusters partition the corpus, assignments are the true argmin") {
