@@ -11,6 +11,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // the job census below reads per-group job ids from the status
+      // store AFTER all passes; the 1000-job default evicts the warm
+      // pass's early queries (~700 jobs/pass × 4 passes) and reads 0
+      .config("spark.ui.retainedJobs", "20000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: run every query once at the smallest SF so the timed pass
@@ -45,17 +49,32 @@ object Bench {
     // instead of timing a cache hit. A FAILING query must not masquerade
     // as a fast one (an exception path returns in ms) — failures are
     // named loudly on stderr and in the JSON.
-    def timedPass(): Seq[(String, Double, Boolean)] = {
+    def timedPass(passIdx: Int): Seq[(String, Double, Boolean)] = {
       graft.operators.Dedup.clearSharedCache()
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // job-group tag per (query, pass): the floor-attribution census
+        // below reads the WARM pass's job count per query from the status
+        // tracker — exact attribution, no listener-race sleeps
+        spark.sparkContext.setJobGroup(s"$name#$passIdx", name)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
+        spark.sparkContext.clearJobGroup()
         (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     }
-    val passes = Seq(timedPass(), timedPass(), timedPass())
+    val passes = Seq(timedPass(0), timedPass(1), timedPass(2))
+    // per-query Spark-job counts from the LAST (steady-state) pass — the
+    // JobProbe floor discipline folded into the artifact: on local mode a
+    // sub-second query's wall clock is often jobs × scheduling floor, and
+    // this column is what lets ratio.py separate work from floor.
+    // Broadcast-thread jobs inherit the group through Spark's local-
+    // property capture; a straggling event is bounded by the drain sleep.
+    Thread.sleep(500)
+    val jobCounts = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+      n -> spark.sparkContext.statusTracker.getJobIdsForGroup(s"$n#2").length
+    }.toMap
     val names = passes.head.map(_._1)
     val timed = names.zipWithIndex.map { case (name, i) =>
       val ts = passes.map(_(i)._2)
@@ -146,11 +165,14 @@ object Bench {
     val passesJson = timed
       .map { case (k, _, _, ts) => s"\"" + k + "\":" + ts.map(dp3).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    val jobsJson = timed
+      .map { case (k, _, _, _) => s"\"" + k + "\":" + jobCounts.getOrElse(k, 0) }
+      .mkString("{", ",", "}")
     val fileJson =
       s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$qsFull,""" +
         s""""failed":$failedJson,"pass_totals":$passTotalsJson,"noisy":$noisyFullJson,""" +
         s""""shared_cache":$sharedCache,"store_backed":$storeBacked,"sf":"$sfDir",""" +
-        s""""passes":$passesJson}"""
+        s""""jobs":$jobsJson,"passes":$passesJson}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
       (fileJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -70,6 +70,7 @@ object SparkEntry {
     "text_quality" -> Seq(col("doc_id")),
     "text_quality_train" -> Seq(col("bucket")),
     "text_quality_model" -> Seq(col("doc_id")),
+    "text_dsir" -> Seq(col("doc_id")),
     "text_repetition" -> Seq(col("doc_id")),
     "text_novelty" -> Seq(col("doc_id")),
     "emb_pca_top" -> Seq(col("dim_idx")),

@@ -88,6 +88,18 @@ object Multimodal {
     }
     def pgm(w: Int, h: Int, pix: Array[Byte]): Array[Byte] =
       s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++ pix
+    /** Real JPEG through the JDK's native lossy codec (round 14): the
+      * encoded container is a true JFIF stream — decoded pixels are NOT
+      * the input raster (DCT quantization), which is exactly why the
+      * lossy format is spec-pinned instead of oracle-replayed. */
+    def jpeg(w: Int, h: Int, pix: Array[Byte]): Array[Byte] = {
+      val img =
+        new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, pix)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
     def wav(samples: Array[Byte]): Array[Byte] = {
       val b = java.nio.ByteBuffer
         .allocate(44 + samples.length)
@@ -135,6 +147,49 @@ object Multimodal {
       img.getRaster.getDataElements(0, 0, w, h, pix)
       (w, h, pix)
     }
+    /** JPEG: SOI check + marker walk to the SOF frame header (geometry
+      * by pure byte arithmetic — the PNG IHDR discipline), then the full
+      * decode through `ImageIO`'s native codec, REQUIRING the two
+      * geometries to agree. The returned content is the DECODED raster:
+      * lossy, so not the encoder's input — but deterministic per stored
+      * file, which is what the content hash needs for dedup. */
+    def jpeg(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(
+        (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+        "not a JPEG: bad SOI marker")
+      def be16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+      var i = 2
+      var wh: Option[(Int, Int)] = None
+      while (wh.isEmpty && i + 9 <= bytes.length) {
+        require((bytes(i) & 0xff) == 0xff, "bad JPEG segment marker")
+        val m = bytes(i + 1) & 0xff
+        // SOF0..SOF15 carry the frame header; C4/C8/CC are DHT/JPG/DAC
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          wh = Some((be16(i + 7), be16(i + 5))) // len(2) prec(1) H(2) W(2)
+        else require(m != 0xda, "SOS before SOF — no frame header")
+        i += 2 + be16(i + 2)
+      }
+      val (w, h) = wh.getOrElse(sys.error("no SOF frame header"))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "ImageIO could not decode the JPEG stream")
+      require(
+        img.getWidth == w && img.getHeight == h,
+        s"SOF ($w x $h) disagrees with decoded geometry (${img.getWidth} x ${img.getHeight})")
+      val gray =
+        if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+        else {
+          val g = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val gg = g.createGraphics()
+          try gg.drawImage(img, 0, 0, null)
+          finally gg.dispose()
+          g
+        }
+      val pix = new Array[Byte](w * h)
+      gray.getRaster.getDataElements(0, 0, w, h, pix)
+      (w, h, pix)
+    }
+
     def pgm(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
       // P5\n{w} {h}\n255\n — three whitespace-delimited header tokens
       var i = 0
@@ -243,6 +298,7 @@ object Multimodal {
         scala.util.Try {
           val (w, h, content) = m.format match {
             case "png" => Dec.png(m.payload)
+            case "jpeg" | "jpg" => Dec.jpeg(m.payload)
             case "pgm" => Dec.pgm(m.payload)
             case "wav" =>
               val (rate, data) = Dec.wav(m.payload)
@@ -257,11 +313,18 @@ object Multimodal {
   /** documents → real binary payload → batched decode → typed feature
     * rows: geometry from the REAL headers, content hash from the REAL
     * decoded bytes. Narrow map — scan speed at any corpus size. */
-  def features(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    mediaTable(s, dir)
-      .mapPartitions(it => it.grouped(32).flatMap(MediaDecoder.decodeBatch))
-      .toDF()
+  def features(s: SparkSession, dir: String): DataFrame = featuresOf(mediaTable(s, dir))
+
+  /** Frame-parameterized body of [[features]] — the deployment entry
+    * point for a real media lake (a `payload BINARY` column projected
+    * into [[MediaIn]] rows), and the jpeg spec's hook: the LOSSY formats
+    * flow through the identical batched decode + quarantine path, they
+    * just cannot be oracle-replayed in SQL (decoded raster ≠ synthetic
+    * source), so their coverage is fixture-pinned (RobustnessSpec)
+    * instead of driver-hashed — declared, per the lossy-codec rule. */
+  def featuresOf(ds: Dataset[MediaIn]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(it => it.grouped(32).flatMap(MediaDecoder.decodeBatch)).toDF()
   }
 
   /** One SQL definition of the decoded-content string (ASCII bytes →

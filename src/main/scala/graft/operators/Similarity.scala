@@ -265,7 +265,17 @@ object Similarity {
     * integer dots, so the whole pipeline (bucketing included) is replayed
     * exactly by the DuckDB oracle; DedupSpec additionally asserts LSH never
     * reports a better neighbor than brute force and measures its recall.
-    */
+    *
+    * Bucket-skew policy: candidate cost is ∝ probed-bucket MASS, and under
+    * anisotropic real embeddings one sign-pattern bucket can hold a large
+    * corpus fraction — run [[skewLshBuckets]] (the oracled (t, b) census)
+    * before deploying; when it reports heavy buckets, either cap the
+    * probe side at `salt_factor × fair-share` candidates per bucket
+    * (rank by vec_id — deterministic, recall degrades gracefully) or let
+    * AQE's skew-join split carry the imbalance, which preserves
+    * exactness at the price of wider tasks. The fixture is hash-uniform
+    * (census reads flat), so the cap is deliberately NOT wired in here —
+    * capping on flat data would only discard recall. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     // all 6 bucket values come from ONE native call per vector
     // ([[graft.functions.LshBuckets]] — same integer weight formula the
@@ -1502,7 +1512,7 @@ object Similarity {
     * pair set is consumed twice (intersection probe + n_pairs); the
     * multi-consumer subtree rule applies, so it is stamp-cached
     * (shared_cache) and both consumers read ≤ 5·|queries| cached rows.
-    * All four method frames and the pair set are bounded by 5·|queries|,
+    * All five method frames and the pair set are bounded by 5·|queries|,
     * so every join below broadcasts the bounded side. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1511,7 +1521,7 @@ object Similarity {
       annBrute(s, dir).select("query_id", "neighbor_id")
     }
     val methods = Seq(
-      "ivf" -> (annIvf _), "ivfpq" -> (annIvfPq _),
+      "graph" -> (annGraph _), "ivf" -> (annIvf _), "ivfpq" -> (annIvfPq _),
       "lsh" -> (annLsh _), "pq" -> (annPq _))
     val tagged = methods
       .map { case (m, f) =>
@@ -1533,20 +1543,22 @@ object Similarity {
       .orderBy("method")
   }
 
-  /** Exact SQL replay of [[annRecall]]: the four method replays and the
+  /** Exact SQL replay of [[annRecall]]: the five method replays and the
     * brute replay composed as derived tables (each already bit-exact on
-    * its own), intersected and apportioned with the same integer µ-math. */
-  val annRecallSql: String =
+    * its own), intersected and apportioned with the same integer µ-math.
+    * Lazy: [[annGraphSql]] is declared later in this object. */
+  lazy val annRecallSql: String =
     s"""WITH b AS (SELECT query_id, neighbor_id FROM ($annBruteSql)),
        m AS (
-         SELECT 'ivf' AS method, query_id, neighbor_id FROM ($annIvfSql)
+         SELECT 'graph' AS method, query_id, neighbor_id FROM ($annGraphSql)
+         UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ($annIvfSql)
          UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM ($annIvfPqSql)
          UNION ALL SELECT 'lsh', query_id, neighbor_id FROM ($annLshSql)
          UNION ALL SELECT 'pq', query_id, neighbor_id FROM ($annPqSql)),
        h AS (SELECT method, CAST(COUNT(*) AS BIGINT) AS hits
              FROM m JOIN b USING (query_id, neighbor_id) GROUP BY method),
        np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM b),
-       names(method) AS (VALUES ('ivf'), ('ivfpq'), ('lsh'), ('pq'))
+       names(method) AS (VALUES ('graph'), ('ivf'), ('ivfpq'), ('lsh'), ('pq'))
        SELECT names.method, COALESCE(hits, CAST(0 AS BIGINT)) AS hits, n_pairs,
               CAST(COALESCE(hits, 0) * 1000000 // NULLIF(n_pairs, 0) AS BIGINT)
                 AS recall_u
@@ -1684,6 +1696,278 @@ object Similarity {
        JOIN worst wb ON wb.id = resc.b
        ORDER BY rescored DESC, vec_a, vec_b
        LIMIT 20"""
+
+  /** Seed kNN graph over the whole corpus from LSH co-occupancy — the
+    * scalable graph-ANN construction ([[nnDescent]]'s scaladoc names it:
+    * at 100 TB you seed from LSH buckets instead of brute force): within
+    * each of a vector's 6 (table, bucket) cells, pair it with its next
+    * [[NnSeedWidth]] bucket members in vec_id order (linear in bucket
+    * mass — never the within-bucket all-pairs), rescore every undirected
+    * candidate with the exact cosine, and keep each node's top-
+    * [[NnGraphDegree]] directed edges ((cos DESC, dst) ties — identical
+    * IEEE doubles cross-engine, the family discipline). Every node's
+    * candidate degree is bounded at 2·6·[[NnSeedWidth]], so the ranking
+    * window sorts O(1) rows per src at any corpus size. */
+  private[operators] val NnGraphDegree = 8
+  private[operators] val NnSeedWidth = 4
+  private[operators] val NnBeam = 4
+  private[operators] val NnEntries = 16
+
+  private[operators] def nnSeedGraph(bucketPairs: DataFrame, vecs: DataFrame): DataFrame = {
+    val wB = Window.partitionBy("t", "b").orderBy("vec_id")
+    val seeds = bucketPairs
+      .select(
+        col("vec_id"),
+        array((1 to NnSeedWidth).map(j => lead(col("vec_id"), j).over(wB)): _*).as("nbrs"))
+      .select(col("vec_id").as("a"), explode(col("nbrs")).as("nb"))
+      .filter(col("nb").isNotNull)
+    val und = seeds
+      .select(col("a"), col("nb").as("b"))
+      .unionByName(seeds.select(col("nb").as("a"), col("a").as("b")))
+      .distinct()
+    val scored = und
+      .join(vecs.select(col("vec_id").as("a"), col("qv").as("qa"), col("nq").as("na")), "a")
+      .join(vecs.select(col("vec_id").as("b"), col("qv").as("qb"), col("nq").as("nb")), "b")
+      .select(
+        col("a").as("src"),
+        col("b").as("dst"),
+        graft.functions.VectorOps.cosine(col("qa"), col("na"), col("qb"), col("nb")).as("cos_sim"))
+    val wS = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst"))
+    scored.withColumn("rk", row_number().over(wS)).filter(col("rk") <= NnGraphDegree).drop("rk")
+  }
+
+  /** ONE NN-descent refinement round over a seed graph ([[nnDescent]]'s
+    * "my neighbor's neighbors" step applied corpus-wide): every 2-hop
+    * wedge over OUT-edges (≤ C(K,2) wedges per pivot — out-only keeps
+    * the proposal set linear where the symmetrized form is Σ deg² with
+    * unbounded in-degree), rescored exactly, unioned with the seeds in
+    * both directions, per-src top-K re-rank. In-degree of the seed graph
+    * is bounded by the seed candidate degree, so wedge fan-in per node
+    * is bounded too — no hot-node sort anywhere. */
+  private[operators] def nnRefine(g0: DataFrame, vecs: DataFrame): DataFrame = {
+    val wedges = g0
+      .select(col("src").as("u"), col("dst").as("a"))
+      .join(g0.select(col("src").as("u"), col("dst").as("b")), Seq("u"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    val wScored = wedges
+      .join(vecs.select(col("vec_id").as("a"), col("qv").as("qa"), col("nq").as("na")), "a")
+      .join(vecs.select(col("vec_id").as("b"), col("qv").as("qb"), col("nq").as("nb")), "b")
+      .select(
+        col("a"),
+        col("b"),
+        graft.functions.VectorOps.cosine(col("qa"), col("na"), col("qb"), col("nb")).as("cos_sim"))
+    val both = wScored
+      .select(col("a").as("src"), col("b").as("dst"), col("cos_sim"))
+      .unionByName(wScored.select(col("b").as("src"), col("a").as("dst"), col("cos_sim")))
+    val wS = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst"))
+    g0.unionByName(both)
+      .groupBy("src", "dst")
+      .agg(max(col("cos_sim")).as("cos_sim"))
+      .withColumn("rk", row_number().over(wS))
+      .filter(col("rk") <= NnGraphDegree)
+      .drop("rk")
+  }
+
+  /** The ≤ [[NnEntries]] deterministic walk entry nodes: min vec_id per
+    * vec_id-residue class — id-spread, SQL-trivial, corpus-size-
+    * independent (the bounded entry set is what keeps entry scoring
+    * linear in |queries| instead of |queries|·|corpus|/1000). */
+  private[operators] def gEntriesOf(vecs: DataFrame): DataFrame =
+    vecs
+      .groupBy((col("vec_id") % NnEntries).as("res"))
+      .agg(min(col("vec_id")).as("vec_id"))
+      .drop("res")
+      .join(vecs.select(col("vec_id"), col("qv"), col("nq")), "vec_id")
+
+  /** The deterministic greedy beam walk — shared VERBATIM by the
+    * scan-time [[annGraph]] and the store path
+    * [[VectorIndex.annGraphIndexed]] ("parity structural", the
+    * lshRescore discipline). Round 0 scores the ≤ 16 entries per query;
+    * each of the 2 hops takes the round's top-[[NnBeam]] nodes per query
+    * and scores their graph out-neighbors (≤ beam·K candidates — the
+    * frontier side broadcasts, the graph side is scanned, never
+    * shuffled); the answer is the exact top-5 over everything visited.
+    * Self-matches excluded throughout (the family convention);
+    * duplicate visits collapse before ranking (identical doubles). */
+  private[operators] def graphWalk(
+      graph: DataFrame, entries: DataFrame, vecs: DataFrame, qf: DataFrame): DataFrame = {
+    val qb = broadcast(
+      qf.select(col("query_id"), col("qv").as("query_qv"), col("nq").as("query_nq")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(vecs.select(col("vec_id"), col("qv"), col("nq")), "vec_id")
+      .join(qb, "query_id")
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        graft.functions.VectorOps
+          .cosine(col("qv"), col("nq"), col("query_qv"), col("query_nq"))
+          .as("cos_sim"))
+    val s0 = score(
+      qf.select("query_id")
+        .crossJoin(broadcast(entries.select("vec_id")))
+        .filter(col("vec_id") =!= col("query_id")))
+    def hop(scored: DataFrame): DataFrame = {
+      val frontier = scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= NnBeam)
+        .select(col("vec_id").as("src"), col("query_id"))
+      score(
+        graph
+          .join(broadcast(frontier), "src")
+          .select(col("query_id"), col("dst").as("vec_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .distinct())
+    }
+    val s1 = hop(s0)
+    val s2 = hop(s1)
+    s0.unionByName(s1)
+      .unionByName(s2)
+      .groupBy("query_id", "vec_id")
+      .agg(max(col("cos_sim")).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        round(col("cos_sim"), 4).as("cos_sim"),
+        col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** The corpus NN-graph, stamp-cached in two stages (seed graph + the
+    * refined graph) so the scan-time query, [[annRecall]]'s graph row
+    * and [[VectorIndex.build]]'s default-path persisted body all share
+    * ONE construction per source stamp (shared_cache disclosure). */
+  private[graft] def nnGraphCached(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+    val vecs = corpus.select(col("vec_id"), col("qv"), col("nq"))
+    val g0 = PipelineCache.cached(s"nn_g0_d${embDim(s)}", s, dir, "embeddings.parquet")(
+      nnSeedGraph(lshBucketPairs(corpus, "vec_id"), vecs))
+    PipelineCache.cached(s"nn_graph_d${embDim(s)}", s, dir, "embeddings.parquet")(
+      nnRefine(g0, vecs))
+  }
+
+  /** Graph-ANN top-5 — the scan-time twin of the store-served
+    * [[VectorIndex.annGraphIndexed]]: the LSH-seeded, NN-descent-refined
+    * corpus kNN graph walked greedily from the bounded entry set, every
+    * candidate rescored with the exact cosine. Completes the method
+    * family: recall@5 vs brute is itself oracled through [[annRecall]]'s
+    * `graph` row.
+    *
+    * Scale shape: graph build is linear (bounded per-node candidate
+    * degree everywhere — see [[nnSeedGraph]]/[[nnRefine]]); the walk
+    * touches ≤ 16 + 2·beam·K scored nodes per query, the frontier side
+    * of every hop broadcasts, and the graph side is scanned once per
+    * hop — no corpus-sized shuffle, no embeddings rescan beyond the
+    * shared cached frames. */
+  def annGraph(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+    val vecs = corpus.select(col("vec_id"), col("qv"), col("nq"))
+    val qf = PipelineCache.cached(s"lsh_qsample_d${embDim(s)}", s, dir, "embeddings.parquet")(
+      corpus
+        .filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("qv"), col("nq")))
+    graphWalk(nnGraphCached(s, dir), gEntriesOf(vecs), vecs, qf)
+  }
+
+  /** Exact SQL replay of the WHOLE graph-ANN pipeline: LSH bucket seeds
+    * (annLshSql's plane CTEs), per-bucket successor pairing, exact seed
+    * rescore + top-K, one out-edge wedge refinement, residue-class
+    * entries, and the 2-hop beam walk unrolled — every ranking on the
+    * raw cosine doubles both engines derive from identical integer
+    * vectors. */
+  val annGraphSql: String =
+    s"""WITH $embPrelude,
+       w AS (
+         SELECT t, p, LIST(((((t*31+p)*97+d)*40503) % 65536) - 32768 ORDER BY d) AS wv
+         FROM range(6) tt(t), range(4) pp(p), range(64) dd(d)
+         GROUP BY t, p),
+       proj AS (
+         SELECT n.vec_id, w.t,
+                SUM(CASE WHEN list_dot_product(n.qv, w.wv) >= 0 THEN (1 << p) ELSE 0 END) AS b
+         FROM n CROSS JOIN w
+         GROUP BY n.vec_id, w.t),
+       mem AS (
+         SELECT t, b, vec_id, ROW_NUMBER() OVER (PARTITION BY t, b ORDER BY vec_id) AS rn
+         FROM proj),
+       seeds AS (
+         SELECT m1.vec_id AS a, m2.vec_id AS b
+         FROM mem m1 JOIN mem m2
+           ON m1.t = m2.t AND m1.b = m2.b AND m2.rn BETWEEN m1.rn + 1 AND m1.rn + 4),
+       und AS (SELECT DISTINCT a, b FROM
+                 (SELECT a, b FROM seeds UNION ALL SELECT b AS a, a AS b FROM seeds)),
+       sscore AS (
+         SELECT und.a AS src, und.b AS dst,
+                list_dot_product(na.qv, nb.qv) / (sqrt(na.nq) * sqrt(nb.nq)) AS cos_sim
+         FROM und JOIN n na ON na.vec_id = und.a JOIN n nb ON nb.vec_id = und.b),
+       g0 AS (SELECT src, dst, cos_sim FROM (
+                SELECT src, dst, cos_sim,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                                          ORDER BY cos_sim DESC, dst) AS rk
+                FROM sscore) WHERE rk <= 8),
+       wed AS (SELECT DISTINCT g1.dst AS a, g2.dst AS b
+               FROM g0 g1 JOIN g0 g2 ON g1.src = g2.src AND g1.dst < g2.dst),
+       wscore AS (
+         SELECT wed.a, wed.b,
+                list_dot_product(na.qv, nb.qv) / (sqrt(na.nq) * sqrt(nb.nq)) AS cos_sim
+         FROM wed JOIN n na ON na.vec_id = wed.a JOIN n nb ON nb.vec_id = wed.b),
+       gall AS (SELECT src, dst, MAX(cos_sim) AS cos_sim FROM (
+                  SELECT src, dst, cos_sim FROM g0
+                  UNION ALL SELECT a AS src, b AS dst, cos_sim FROM wscore
+                  UNION ALL SELECT b AS src, a AS dst, cos_sim FROM wscore)
+                GROUP BY src, dst),
+       graph AS (SELECT src, dst FROM (
+                   SELECT src, dst,
+                          ROW_NUMBER() OVER (PARTITION BY src
+                                             ORDER BY cos_sim DESC, dst) AS rk
+                   FROM gall) WHERE rk <= 8),
+       entries AS (SELECT MIN(vec_id) AS vec_id FROM n GROUP BY vec_id % 16),
+       queries AS (SELECT vec_id AS query_id, qv, nq FROM n WHERE vec_id % 100 = 0),
+       s0 AS (
+         SELECT q.query_id, e.vec_id,
+                list_dot_product(nv.qv, q.qv) / (sqrt(nv.nq) * sqrt(q.nq)) AS cos_sim
+         FROM queries q CROSS JOIN entries e JOIN n nv ON nv.vec_id = e.vec_id
+         WHERE e.vec_id <> q.query_id),
+       f1 AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, vec_id) AS rk
+                FROM s0) WHERE rk <= 4),
+       c1 AS (SELECT DISTINCT f1.query_id, g.dst AS vec_id
+              FROM f1 JOIN graph g ON g.src = f1.vec_id
+              WHERE g.dst <> f1.query_id),
+       s1 AS (
+         SELECT c1.query_id, c1.vec_id,
+                list_dot_product(nv.qv, q.qv) / (sqrt(nv.nq) * sqrt(q.nq)) AS cos_sim
+         FROM c1 JOIN n nv ON nv.vec_id = c1.vec_id
+         JOIN queries q ON q.query_id = c1.query_id),
+       f2 AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, vec_id) AS rk
+                FROM s1) WHERE rk <= 4),
+       c2 AS (SELECT DISTINCT f2.query_id, g.dst AS vec_id
+              FROM f2 JOIN graph g ON g.src = f2.vec_id
+              WHERE g.dst <> f2.query_id),
+       s2 AS (
+         SELECT c2.query_id, c2.vec_id,
+                list_dot_product(nv.qv, q.qv) / (sqrt(nv.nq) * sqrt(q.nq)) AS cos_sim
+         FROM c2 JOIN n nv ON nv.vec_id = c2.vec_id
+         JOIN queries q ON q.query_id = c2.query_id),
+       vis AS (SELECT query_id, vec_id, MAX(cos_sim) AS cos_sim FROM (
+                 SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+               GROUP BY query_id, vec_id)
+       SELECT query_id, vec_id AS neighbor_id, ROUND(cos_sim, 4) AS cos_sim,
+              CAST(rk AS INT) AS rk
+       FROM (SELECT query_id, vec_id, cos_sim,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, vec_id) AS rk
+             FROM vis)
+       WHERE rk <= 5
+       ORDER BY query_id, rk"""
 
   /** The exact centered scatter matrix M = n·G − S·Sᵀ over the gated
     * quantized vectors — ONE corpus pass (upper triangle only, see
@@ -2066,6 +2350,11 @@ object Similarity {
     * At 100 TB: candidate generation is a key-equality join against a
     * broadcast ≤ 6·|queries| bucket set — no scan ever sees a
     * (query × chunk) pair space. */
+  /** Bucket-skew policy: same as [[annLsh]]'s — [[skewLshBuckets]]
+    * censuses THIS body's (t, b) key too (the chunk grain multiplies
+    * bucket mass ~7×, so a hot chunk bucket is the serve-cost driver
+    * here first); the cap/salting options and the deliberate no-cap
+    * default are annLsh's verbatim. */
   def annChunkLsh(s: SparkSession, dir: String): DataFrame = {
     val pack = 1048576L
     val emb = chunkEmb(s, dir)
@@ -2114,7 +2403,10 @@ object Similarity {
   /** Shared chunk-embedding + query CTEs (`ch → emb0 → emb → q`) and the
     * shared rollup tail — one definition for the exact and LSH chunk
     * oracles, mirroring [[chunkEmb]]/[[chunkQueries]]/[[chunkRollup]]. */
-  private val chunkEmbCtesSql: String = {
+  /** The chunk chain alone (`ch → emb0 → emb`) — shared with the bucket
+    * skew census, which needs the chunk embeddings but not the query
+    * CTE (whose name `q` would collide with [[embPrelude]]'s). */
+  private val chunkEmbBaseCtesSql: String = {
     def hexAt(i: String): String =
       s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
     s"""ch AS (
@@ -2129,11 +2421,14 @@ object Similarity {
          FROM ch),
        emb AS (
          SELECT doc_id, chunk_idx, qv, list_dot_product(qv, qv) AS nq
-         FROM emb0 WHERE list_dot_product(qv, qv) > 0),
+         FROM emb0 WHERE list_dot_product(qv, qv) > 0)"""
+  }
+
+  private val chunkEmbCtesSql: String =
+    s"""$chunkEmbBaseCtesSql,
        q AS (
          SELECT doc_id AS query_doc, qv AS query_qv, nq AS query_nq
          FROM emb WHERE doc_id % 100 = 0 AND chunk_idx = 0)"""
-  }
 
   private val chunkRollupTailSql: String =
     """pd AS (
@@ -2188,13 +2483,94 @@ object Similarity {
          JOIN q ON q.query_doc = cand.query_doc),
        $chunkRollupTailSql"""
 
+  /** LSH bucket-occupancy skew census — [[Analytics.keyCensus]]'s
+    * discipline applied to the (t, b) bucket key of BOTH LSH bodies (the
+    * doc-embedding tables behind [[annLsh]]/ann_lsh_idx and the
+    * chunk-grain tables behind [[annChunkLsh]]): under anisotropic REAL
+    * embeddings one sign-pattern bucket can hold a large corpus
+    * fraction, and serve cost is ∝ probed-bucket mass — this census is
+    * the diagnostic that makes that visible BEFORE a deployment ships
+    * (max bucket mass, heavy buckets at > 10× fair share, and
+    * `salt_factor` doubling as the recommended probe-side candidate
+    * cap in multiples of the fair-share bucket). The fixture vectors
+    * are hash-uniform, so the driver-gated reading is the flat case;
+    * the operator exists for the clustered one.
+    *
+    * Scale shape: per body ONE map-side-combined (t, b) count shuffle
+    * (≤ 6·16 groups for the doc body — the bucket domain, not the
+    * corpus) + the 1-row stats broadcast-back, keyCensus's plan. */
+  def skewLshBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docCounts = lshBucketPairs(quantized(s, dir), "vec_id")
+      .groupBy("t", "b")
+      .agg(count(lit(1)).as("c"))
+    val chunkCounts = chunkEmb(s, dir)
+      .select(posexplode(call_function("graft_lsh_buckets", col("qv"))).as(Seq("t", "b")))
+      .groupBy("t", "b")
+      .agg(count(lit(1)).as("c"))
+    Analytics
+      .keyCensus(chunkCounts, "chunk_lsh.(t,b)")
+      .unionByName(Analytics.keyCensus(docCounts, "emb_lsh.(t,b)"))
+      .orderBy("key_name")
+  }
+
+  /** SQL twin: both bucket derivations replayed (64-dim planes for the
+    * doc body, 16-dim for the chunk body), then keyCensus's exact
+    * integer census per key. */
+  val skewLshBucketsSql: String =
+    s"""WITH $embPrelude,
+       w AS (
+         SELECT t, p, LIST(((((t*31+p)*97+d)*40503) % 65536) - 32768 ORDER BY d) AS wv
+         FROM range(6) tt(t), range(4) pp(p), range(64) dd(d)
+         GROUP BY t, p),
+       proj AS (
+         SELECT n.vec_id, w.t,
+                SUM(CASE WHEN list_dot_product(n.qv, w.wv) >= 0 THEN (1 << p) ELSE 0 END) AS b
+         FROM n CROSS JOIN w
+         GROUP BY n.vec_id, w.t),
+       k1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM proj GROUP BY t, b),
+       s1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+                     MAX(c) AS max_key_rows FROM k1),
+       p1 AS (
+         SELECT 'emb_lsh.(t,b)' AS key_name, n_rows, n_keys, max_key_rows,
+                (SELECT COUNT(*) FROM k1, s1
+                 WHERE c > (10 * n_rows) // n_keys) AS heavy_keys,
+                (max_key_rows + (n_rows // n_keys) - 1) // (n_rows // n_keys)
+                  AS salt_factor,
+                ROUND(max_key_rows / CAST(n_rows AS DOUBLE), 6) AS top_share
+         FROM s1),
+       $chunkEmbBaseCtesSql,
+       wc AS (
+         SELECT t, p, LIST(((((t*31+p)*97+d)*40503) % 65536) - 32768 ORDER BY d) AS wv
+         FROM range(6) tt(t), range(4) pp(p), range(16) dd(d)
+         GROUP BY t, p),
+       cproj AS (
+         SELECT e.doc_id, e.chunk_idx, wc.t,
+                SUM(CASE WHEN list_dot_product(e.qv, wc.wv) >= 0 THEN (1 << p) ELSE 0 END) AS b
+         FROM emb e CROSS JOIN wc
+         GROUP BY e.doc_id, e.chunk_idx, wc.t),
+       k2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM cproj GROUP BY t, b),
+       s2 AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+                     MAX(c) AS max_key_rows FROM k2),
+       p2 AS (
+         SELECT 'chunk_lsh.(t,b)' AS key_name, n_rows, n_keys, max_key_rows,
+                (SELECT COUNT(*) FROM k2, s2
+                 WHERE c > (10 * n_rows) // n_keys) AS heavy_keys,
+                (max_key_rows + (n_rows // n_keys) - 1) // (n_rows // n_keys)
+                  AS salt_factor,
+                ROUND(max_key_rows / CAST(n_rows AS DOUBLE), 6) AS top_share
+         FROM s2)
+       SELECT * FROM p2 UNION ALL SELECT * FROM p1
+       ORDER BY key_name"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall" -> (annRecall _),
+    "skew_lsh_buckets" -> (skewLshBuckets _),
     "ann_chunk_topk" -> (annChunk _),
     "ann_chunk_lsh" -> (annChunkLsh _),
     "emb_pca_top" -> (pcaTop _),
     "emb_project2d" -> (project2d _),
     "ann_nn_descent" -> (nnDescent _),
+    "ann_graph_topk" -> (annGraph _),
     "emb_pq" -> (embPq _),
     "ann_pq_topk" -> (annPq _),
     "ann_ivfpq_topk" -> (annIvfPq _),
@@ -2211,11 +2587,13 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann_recall" -> annRecallSql,
+    "skew_lsh_buckets" -> skewLshBucketsSql,
     "ann_chunk_topk" -> annChunkSql,
     "ann_chunk_lsh" -> annChunkLshSql,
     "emb_pca_top" -> pcaTopSql,
     "emb_project2d" -> project2dSql,
     "ann_nn_descent" -> nnDescentSql,
+    "ann_graph_topk" -> annGraphSql,
     "emb_pq" -> embPqSql,
     "ann_pq_topk" -> annPqSql,
     "ann_ivfpq_topk" -> annIvfPqSql,

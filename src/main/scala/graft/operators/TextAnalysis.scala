@@ -2346,7 +2346,132 @@ FROM mergetab ORDER BY rank"""
               CAST(tp * 1000000 // NULLIF(tp + fn, 0) AS BIGINT) AS recall_ppm
        FROM cm CROSS JOIN ntr"""
 
+  /** The DSIR target-sample selector — which `source` plays the "looks
+    * like what I want to train on" role. Session-tunable; the oracle
+    * pins the default (the knob convention). */
+  private[operators] def dsirTarget(s: SparkSession): String = {
+    val v = s.conf.get("spark.graft.text.dsirTarget", "src0")
+    require(v.nonEmpty, "spark.graft.text.dsirTarget must be non-empty")
+    v
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — the hashed-ngram
+    * variant): per document, the log-likelihood ratio between a TARGET
+    * bag-of-hashed-bigrams unigram model (fit on the [[dsirTarget]]
+    * source's documents) and the CORPUS model, in integer micro-nats —
+    * quality family #2, ranking documents by "looks like the target
+    * domain" where the NB policy classifier ranks by "passes the
+    * curation policy" (the spec shows the two signals are orthogonal).
+    *
+    * Features are word BIGRAMS hashed into the [[NbBuckets]] domain
+    * (md5-prefix buckets — DSIR's hashing trick with the house hash);
+    * both models are Laplace-smoothed bucket unigram distributions;
+    * per-bucket weight w = ln(p_target) − ln(p_corpus) quantized to
+    * micro-nats per term (the [[lmScore]] determinism rule: exact
+    * integer operands → identical IEEE doubles → identical rounds), so
+    * `dsir_micro` = Σ occ·w is an EXACT long and the emitted mean is
+    * one guarded 4-dp round. Documents with < 2 tokens have no bigrams
+    * and drop from the domain (nothing to weight).
+    *
+    * Scale shape: one (doc, bucket) feature shuffle with map-side
+    * partials (bucket key ≤ 4096 per doc), one ≤ 4096-group rollup per
+    * model, two 1-row total broadcasts, and the APPLY is the NB path's
+    * scan-speed ≤ 4096-row broadcast join. The weight table is
+    * corpus-size-independent — at 100 TB you fit once and apply
+    * everywhere, which is DSIR's whole point. */
+  def dsir(s: SparkSession, dir: String): DataFrame = {
+    val tgt = dsirTarget(s)
+    val feats = PipelineCache.cached(s"dsir_features", s, dir, "documents.parquet") {
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          col("source"),
+          expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(
+          col("doc_id"),
+          col("source"),
+          explode(expr(
+            "transform(sequence(1, size(ws) - 1), " +
+              "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("g"))
+        .groupBy(
+          col("doc_id"),
+          col("source"),
+          conv(substring(md5(col("g")), 1, 3), 16, 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("occ"))
+    }
+    val weights = PipelineCache.cached(s"dsir_weights:$tgt", s, dir, "documents.parquet") {
+      val bc = feats
+        .groupBy("bucket")
+        .agg(
+          sum(when(col("source") === tgt, col("occ")).otherwise(0L)).as("ct"),
+          sum(col("occ")).as("cc"))
+      val tot = bc.agg(sum(col("ct")).as("tt"), sum(col("cc")).as("tc"))
+      bc.crossJoin(broadcast(tot))
+        .select(
+          col("bucket"),
+          (lnMicro(col("ct") + 1, col("tt") + NbBuckets) -
+            lnMicro(col("cc") + 1, col("tc") + NbBuckets)).as("w_micro"))
+    }
+    feats
+      .join(broadcast(weights), "bucket")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("occ")).cast("long").as("n_grams"),
+        sum(col("occ") * col("w_micro")).cast("long").as("dsir_micro"))
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        col("dsir_micro"),
+        round(col("dsir_micro") / (col("n_grams") * 1e6), 4).as("dsir_score"))
+  }
+
+  /** SQL twin: same bigram extraction over the empty-filtered word
+    * list, same md5-prefix buckets, same smoothed micro-nat weights
+    * (pins the default target — the knob convention). Written as one
+    * linear chain; the feature CTE is the only multi-consumer and is
+    * cheap (the kernel-oracle rule only bites on heavy chains). */
+  val dsirSql: String = {
+    def hx(i: Int): String =
+      s"(strpos('0123456789abcdef', substr(md5(g), $i, 1)) - 1)"
+    s"""WITH toks AS (
+         SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         FROM documents),
+       bg AS (
+         SELECT doc_id, source,
+                ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS g
+         FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+         WHERE len(ws) >= 2),
+       ft AS (
+         SELECT doc_id, source,
+                ${hx(1)} * 256 + ${hx(2)} * 16 + ${hx(3)} AS bucket,
+                CAST(COUNT(*) AS BIGINT) AS occ
+         FROM bg GROUP BY 1, 2, 3),
+       bc AS (
+         SELECT bucket,
+                SUM(CASE WHEN source = 'src0' THEN occ ELSE 0 END) AS ct,
+                SUM(occ) AS cc
+         FROM ft GROUP BY bucket),
+       tot AS (SELECT SUM(ct) AS tt, SUM(cc) AS tc FROM bc),
+       wt AS (
+         SELECT bucket,
+                CAST(ROUND(LN((ct + 1) / CAST(tt + 4096 AS DOUBLE)) * 1000000) AS BIGINT) -
+                CAST(ROUND(LN((cc + 1) / CAST(tc + 4096 AS DOUBLE)) * 1000000) AS BIGINT)
+                  AS w_micro
+         FROM bc CROSS JOIN tot)
+       SELECT ft.doc_id,
+              CAST(SUM(occ) AS BIGINT) AS n_grams,
+              CAST(SUM(occ * w_micro) AS BIGINT) AS dsir_micro,
+              ROUND(SUM(occ * w_micro) / (SUM(occ) * 1000000.0), 4) AS dsir_score
+       FROM ft JOIN wt USING (bucket)
+       GROUP BY ft.doc_id
+       ORDER BY ft.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_dsir" -> (dsir _),
     "text_tfidf" -> (tfidf _),
     "text_chunk" -> (chunk _),
     "text_entropy" -> (entropy _),
@@ -2384,6 +2509,7 @@ FROM mergetab ORDER BY rank"""
     "text_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_dsir" -> dsirSql,
     "text_winnow" -> winnowSql,
     "text_quality_train" -> qualityTrainSql,
     "text_quality_model" -> qualityModelSql,

@@ -47,11 +47,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
-  /** v2 added the PQ artifacts (pqcodes/pqcodebook); v3 adds the LSH
-    * bucket body (lshbuckets) — an older store is stale-by-version and
-    * rebuilds, never serves a warm path with missing bodies. */
+  /** v2 added the PQ artifacts (pqcodes/pqcodebook); v3 added the LSH
+    * bucket body (lshbuckets); v4 adds the graph-ANN bodies (nngraph +
+    * gentries) — an older store is stale-by-version and rebuilds, never
+    * serves a warm path with missing bodies. */
   private[operators] def formatVersion(s: SparkSession): String =
-    s"v3:ivf16:pq8x16:lsh6x4:d${Similarity.embDim(s)}"
+    s"v4:ivf16:pq8x16:lsh6x4:nn8:d${Similarity.embDim(s)}"
 
   private[operators] def stamp(dir: String): String =
     PipelineCache.sourceStamp(dir, "embeddings.parquet")
@@ -135,8 +136,30 @@ object VectorIndex {
     // move applied to the hash tables; a single-query serve reads 6 of
     // 96 partitions). Bucket values are a pure function of qv (no
     // learned state), which is what makes absorb's union exact.
-    Similarity.lshBucketPairs(assigned, "vec_id")
-      .write.mode("overwrite").partitionBy("t", "b").parquet(s"$path/lshbuckets")
+    val bucketPairs = Similarity.lshBucketPairs(assigned, "vec_id")
+    bucketPairs.write.mode("overwrite").partitionBy("t", "b").parquet(s"$path/lshbuckets")
+    // Graph-ANN bodies (v4): the LSH-seeded, NN-descent-refined corpus
+    // kNN graph (nngraph) and the bounded deterministic walk entries
+    // (gentries) — both PURE functions of the vector set, which is what
+    // makes absorb's regeneration exact. The default path rides the same
+    // stamp-cached construction the scan-time ann_graph_topk uses
+    // (shared_cache); an exclusion build derives from its own filtered
+    // frames with a one-shot local persist.
+    val vecsSlim = assigned.select(col("vec_id"), col("qv"), col("nq"))
+    val g0Local = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val graph = excludeFrom match {
+      case None => Similarity.nnGraphCached(s, dir)
+      case Some(_) =>
+        val g0 = Similarity
+          .nnSeedGraph(bucketPairs, vecsSlim)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        g0Local += g0
+        Similarity.nnRefine(g0, vecsSlim)
+    }
+    try {
+      graph.write.mode("overwrite").parquet(s"$path/nngraph")
+      Similarity.gEntriesOf(vecsSlim).coalesce(1).write.mode("overwrite").parquet(s"$path/gentries")
+    } finally g0Local.foreach(_.unpersist(blocking = false))
     // meta follows the house convention (stamp, info, version) plus the
     // recorded batch exclusion ("" = none) so store_status reads all
     // four stores with one shape
@@ -265,9 +288,23 @@ object VectorIndex {
           case _: org.apache.spark.sql.AnalysisException =>
             s.emptyDataset[(Long, Int, Int)].toDF("vec_id", "t", "b")
         }
-      oldLsh
+      val mergedLsh = oldLsh
         .unionByName(Similarity.lshBucketPairs(delta, "vec_id"))
-        .write.mode("overwrite").partitionBy("t", "b").parquet(s"$path/lshbuckets_new")
+        .persist(pin)
+      try {
+        mergedLsh.write.mode("overwrite").partitionBy("t", "b").parquet(s"$path/lshbuckets_new")
+        // graph-ANN bodies: regenerated from the merged frames — both are
+        // PURE functions of the vector set (deterministic seeds from the
+        // bucket pairs, exact rescore, deterministic ranks), so the
+        // regeneration is row-identical to a rebuild's derivation
+        val g0 = Similarity.nnSeedGraph(mergedLsh, allVecs).persist(pin)
+        try {
+          Similarity.nnRefine(g0, allVecs)
+            .write.mode("overwrite").parquet(s"$path/nngraph_new")
+          Similarity.gEntriesOf(allVecs)
+            .coalesce(1).write.mode("overwrite").parquet(s"$path/gentries_new")
+        } finally g0.unpersist(blocking = false)
+      } finally mergedLsh.unpersist(blocking = false)
     } finally
       Seq(reassigned, allVecs, mergedCb, mergedPq).foreach(_.unpersist(blocking = false))
     def swap(name: String): Unit = {
@@ -277,7 +314,8 @@ object VectorIndex {
       if (!fs.rename(next, live))
         throw new java.io.IOException(s"absorb: rename $next -> $live failed")
     }
-    Seq("vectors", "codebook", "qsample", "pqcodes", "pqcodebook", "lshbuckets").foreach(swap)
+    Seq("vectors", "codebook", "qsample", "pqcodes", "pqcodebook", "lshbuckets",
+      "nngraph", "gentries").foreach(swap)
     GramIndex.writeMeta(
       s, path,
       Seq(stamp(dir), "k=16", formatVersion(s), newFrom.toString).mkString("\n"))
@@ -365,7 +403,15 @@ object VectorIndex {
     * columns (≤ 96 values — one driver fetch of the bounded query-bucket
     * frame), so candidate reads prune unmatched hash-table partitions
     * at the reader, and rescoring joins the store's own slim vectors
-    * body — the source table is never touched. */
+    * body — the source table is never touched.
+    *
+    * Bucket-skew policy: the stored partitions inherit whatever bucket
+    * imbalance the corpus has — [[Similarity.skewLshBuckets]] censuses
+    * the same (t, b) key this body partitions by; its cap/salting
+    * options ([[Similarity.annLsh]]'s scaladoc) apply here unchanged,
+    * with one store-specific extra: a heavy bucket is also a heavy
+    * PARTITION, so the census's salt_factor is simultaneously the
+    * file-split factor a rebuild should apply to that bucket's body. */
   def annLshIndexed(s: SparkSession, dir: String, path: String): DataFrame = {
     if (!isFresh(s, dir, path)) build(s, dir, path)
     val qf =
@@ -398,6 +444,36 @@ object VectorIndex {
         graft.sources.Tables.stableParquet(s, s"$path/vectors"),
         qf)
     }
+  }
+
+  /** [[Similarity.annGraph]]'s exact contract served from the store
+    * (same entries, same 2-hop beam walk, same rescore, SAME oracle)
+    * with ZERO embeddings scans when fresh: the walk is
+    * [[Similarity.graphWalk]] VERBATIM ("parity structural"), fed the
+    * persisted NN-descent-refined graph body, the ≤ 16-row gentries
+    * body and the store's slim vectors — the source table is never
+    * touched. Access is query-dependent (a walk's frontier can land
+    * anywhere), so unlike the cell/bucket paths there is no partition
+    * literal to push: each hop BROADCASTS the bounded frontier
+    * (≤ beam·|queries| rows) into one scan of the 16-byte-row graph
+    * body — at 100 TB that is two sequential passes over ids+sims,
+    * never a corpus-sized shuffle and never the float vectors. */
+  def annGraphIndexed(s: SparkSession, dir: String, path: String): DataFrame = {
+    if (!isFresh(s, dir, path)) build(s, dir, path)
+    import s.implicits._
+    def bodyOr(name: String, empty: => DataFrame): DataFrame =
+      try graft.sources.Tables.stableParquet(s, s"$path/$name")
+      catch { case _: org.apache.spark.sql.AnalysisException => empty }
+    val qf = bodyOr("qsample",
+      s.emptyDataset[(Long, Array[Long], Long)].toDF("query_id", "qv", "nq"))
+    val entries = bodyOr("gentries",
+      s.emptyDataset[(Long, Array[Long], Long)].toDF("vec_id", "qv", "nq"))
+    val graph = bodyOr("nngraph",
+      s.emptyDataset[(Long, Long, Double)].toDF("src", "dst", "cos_sim"))
+    val vecs = bodyOr("vectors",
+      s.emptyDataset[(Long, Array[Long], Long)].toDF("vec_id", "qv", "nq"))
+      .select(col("vec_id"), col("qv"), col("nq"))
+    Similarity.graphWalk(graph.select("src", "dst"), entries, vecs, qf)
   }
 
   /** The probe frame is consumed twice (cell literal + rescore join) —
@@ -434,7 +510,8 @@ object VectorIndex {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_idx" -> ((s, d) => annIndexed(s, d, defaultPath(s, d))),
     "ann_ivfpq_idx" -> ((s, d) => annIvfPqIndexed(s, d, defaultPath(s, d))),
-    "ann_lsh_idx" -> ((s, d) => annLshIndexed(s, d, defaultPath(s, d))))
+    "ann_lsh_idx" -> ((s, d) => annLshIndexed(s, d, defaultPath(s, d))),
+    "ann_graph_idx" -> ((s, d) => annGraphIndexed(s, d, defaultPath(s, d))))
 
   /** Identical contracts → identical oracles (the [[TextIndex]]
     * convention): the store paths answer the scan-time operators'
@@ -442,5 +519,6 @@ object VectorIndex {
   val oracles: Map[String, String] = Map(
     "ann_ivf_idx" -> Similarity.annIvfSql,
     "ann_ivfpq_idx" -> Similarity.annIvfPqSql,
-    "ann_lsh_idx" -> Similarity.annLshSql)
+    "ann_lsh_idx" -> Similarity.annLshSql,
+    "ann_graph_idx" -> Similarity.annGraphSql)
 }

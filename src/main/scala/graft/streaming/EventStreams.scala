@@ -139,6 +139,72 @@ object EventStreams {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** A streaming media asset: the crawl-ingest grain — binary payload +
+    * claimed format + event time. */
+  case class MediaEv(doc_id: Long, format: String, payload: Array[Byte], ts: Timestamp)
+
+  /** Streaming media admission (27th twin) — the crawl-ingest gate for
+    * ARRIVING MEDIA, [[admitBloom]]'s discipline at the asset grain:
+    *
+    *   - '''decode-or-quarantine''': each asset decodes through the
+    *     SHARED batched [[graft.operators.Multimodal.MediaDecoder]]
+    *     (real container parse; the batch/stream parity is structural —
+    *     one codec, two drivers). A payload the codec rejects is DROPPED
+    *     inside its batch, never fatal — the batch decoder's lenient
+    *     quarantine contract, unchanged; quarantined counts read as
+    *     input − output.
+    *   - '''intra-stream exact dedup''' on the DECODED content hash
+    *     (same raster in different containers collides — mm_dedup's
+    *     property) via `dropDuplicatesWithinWatermark`; first arrival
+    *     wins = the batch min-doc_id keeper on ordered replay.
+    *   - '''vs the established media corpus''': the frozen BloomStore
+    *     bits over corpus content hashes ride the plan as a LITERAL;
+    *     bloom-negative assets admit at scan speed with zero join,
+    *     positives fall back to a stateless stream-static LEFT ANTI
+    *     against the corpus hash frame — admitBloom's two-branch shape
+    *     verbatim.
+    *
+    * Two-chunk ordered-replay parity with batch
+    * [[graft.operators.Multimodal.mediaDedup]]'s keeper set is
+    * spec-pinned (StreamingSpec). */
+  def admitMedia(
+      assets: DataFrame,
+      filterBytes: Array[Byte],
+      corpusHashes: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    import graft.operators.Multimodal.{MediaDecoder, MediaIn}
+    val decoded = assets
+      .as[MediaEv]
+      .mapPartitions { it =>
+        it.grouped(32).flatMap { batch =>
+          val feats = MediaDecoder
+            .decodeBatch(batch.map(m => MediaIn(m.doc_id, m.format, m.payload)))
+            .map(f => f.doc_id -> f)
+            .toMap
+          batch.flatMap(m =>
+            feats.get(m.doc_id).map(f =>
+              (f.doc_id, f.format, f.width, f.height, f.content_hash, m.ts)))
+        }
+      }
+      .toDF("doc_id", "format", "width", "height", "content_hash", "ts")
+    val deduped = decoded
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("content_hash")
+      .withColumn(
+        "maybe",
+        call_function("graft_bloom_contains", lit(filterBytes), xxhash64(col("content_hash"))))
+    val negatives = deduped.filter(!col("maybe"))
+    val positives = deduped
+      .filter(col("maybe"))
+      .join(
+        corpusHashes.withColumnRenamed("h", "content_hash"),
+        Seq("content_hash"),
+        "left_anti")
+    negatives
+      .unionByName(positives)
+      .select(col("doc_id"), col("format"), col("width"), col("height"), col("content_hash"))
+  }
+
   /** Streaming heavy hitters — the incremental twin of
     * [[graft.operators.TextAnalysis.heavyHitters]]: a complete-mode word
     * census over the streamed corpus, re-ranked every trigger. State is

@@ -86,6 +86,7 @@ class DedupSpec extends GraftSpecBase {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = pairs(Similarity.annBrute(spark, sfDir))
     val methods = Map(
+      "graph" -> pairs(Similarity.annGraph(spark, sfDir)),
       "ivf" -> pairs(Similarity.annIvf(spark, sfDir)),
       "ivfpq" -> pairs(Similarity.annIvfPq(spark, sfDir)),
       "lsh" -> pairs(Similarity.annLsh(spark, sfDir)),

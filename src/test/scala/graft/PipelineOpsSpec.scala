@@ -1479,4 +1479,49 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(ho.getLong(0) + ho.getLong(1) <= 40L, s"split domains overlap: $ho")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("dsir importance weighting ranks target-like docs where the NB policy is indifferent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    // one DOMAIN split that the curation policy cannot see: every doc is
+    // the same stopword-rich English shape (same TTR band, same length
+    // band, same language), so the NB policy classifier lands them all in
+    // ONE class — only the domain vocabulary differs
+    def chem(i: Long, src: String) = (i, src,
+      "the acid and the salt of the flask did mix in the lab and the gas rose " +
+        s"to the top of the tube while the heat of the flame held it there sample$i")
+    def generic(i: Long) = (i, "src1",
+      "the cat sat on the mat and the dog ran to the park while the bird flew " +
+        s"over the town and the crowd of the fair cheered it on and on game$i")
+    val target = (1L to 10L).map(chem(_, "src0"))
+    // target-LIKE docs planted in a NON-target source: DSIR must rank
+    // them by similarity to the target distribution, not by source label
+    val planted = (11L to 13L).map(chem(_, "src1"))
+    val gen = (14L to 38L).map(generic)
+    (target ++ planted ++ gen).toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("xx"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // NB indifference: one policy class for the whole fixture
+    val keeps = TextAnalysis.qualityModel(spark, dir)
+      .select("pred_keep").distinct().collect().map(_.getLong(0)).toSet
+    assert(keeps.size == 1, s"fixture must be NB-indifferent, got classes $keeps")
+    val d = TextAnalysis.dsir(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(3))
+      .toMap
+    assert(d.size == 38, s"dsir domain drifted: ${d.size} docs")
+    val genScores = gen.map(g => d(g._1))
+    // every target-sample doc AND every planted target-like doc outranks
+    // every corpus-typical doc — the importance-resampling ordering
+    (target ++ planted).foreach { case (id, _, _) =>
+      assert(d(id) > genScores.max,
+        s"doc $id (target-like, ${d(id)}) does not outrank generic max ${genScores.max}")
+    }
+    // corpus-typical docs sit below zero mean-LLR (their mass is closer
+    // to the corpus model than the target model)
+    assert(genScores.max < 0.0, s"generic docs should score negative: ${genScores.max}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

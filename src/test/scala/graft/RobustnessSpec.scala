@@ -346,4 +346,60 @@ class RobustnessSpec extends GraftSpecBase {
       Multimodal.MediaIn(91L, "y4m", goodWav)))
     assert(frames.map(_.doc_id).distinct == Seq(1L), s"sampler: ${frames.map(_.doc_id).distinct}")
   }
+
+  test("jpeg media: lossy decode is deterministic and near-faithful, quarantine + store pruning hold") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions.col
+    val w = 32; val h = 24
+    val src = Multimodal.Content.imagePixels(11L, w, h)
+    val payload = Multimodal.Enc.jpeg(w, h, src)
+    // the container is a real JFIF stream the SOF walk + ImageIO both read
+    val (dw, dh, raster) = Multimodal.Dec.jpeg(payload)
+    assert((dw, dh) == ((w, h)), s"jpeg geometry drifted: $dw x $dh")
+    // LOSSY, deliberately: the decoded raster is NOT the source pixels —
+    // asserting inequality pins that this is a genuine DCT codec, not a
+    // disguised lossless path the oracle could have replayed
+    assert(!java.util.Arrays.equals(raster, src), "jpeg decode was lossless?!")
+    // ...but near-faithful (gray 8x8 DCT at ImageIO's default quality)
+    val maxErr = raster.zip(src).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxErr <= 48, s"jpeg decode error $maxErr exceeds the fixture envelope")
+    // fixture-pinned determinism: the content hash of a STORED file is
+    // stable across decodes — the property media dedup needs from a
+    // lossy format (same bytes => same raster => same hash)
+    val batch = Seq(
+      Multimodal.MediaIn(1L, "jpeg", payload),
+      Multimodal.MediaIn(2L, "jpg", payload), // extension alias, same codec
+      Multimodal.MediaIn(90L, "jpeg", payload.take(24)), // truncated: quarantined
+      Multimodal.MediaIn(91L, "jpeg", Multimodal.Enc.pgm(4, 4, Array.fill[Byte](16)(42))))
+    val feats = Multimodal.MediaDecoder.decodeBatch(batch)
+    assert(feats.map(_.doc_id).sorted == Seq(1L, 2L),
+      s"corrupt jpeg must quarantine, valid must survive: ${feats.map(_.doc_id)}")
+    assert(feats.map(_.content_hash).distinct.size == 1,
+      "identical jpeg payloads must hash identically (dedup grain)")
+    assert(feats.forall(f => f.width == w && f.height == h && f.n_content_bytes == w.toLong * h))
+    // the mm_features operator body accepts the lossy kind end-to-end
+    import spark.implicits._
+    val viaOperator = Multimodal
+      .featuresOf(spark.createDataset(Seq(
+        Multimodal.MediaIn(7L, "jpeg", payload),
+        Multimodal.MediaIn(8L, "jpeg", Array[Byte](1, 2, 3)))))
+      .collect()
+    assert(viaOperator.map(_.getLong(0)).toSeq == Seq(7L),
+      s"featuresOf jpeg path drifted: ${viaOperator.toSeq}")
+    // and the media store partition-prunes the new format like the others
+    val dir = java.nio.file.Files.createTempDirectory("graft_jpeg_store").toString
+    try {
+      graft.Sinks.fullParquet(
+        spark.createDataset(Seq(
+          Multimodal.MediaIn(1L, "jpeg", payload),
+          Multimodal.MediaIn(2L, "wav", Multimodal.Enc.wav(Multimodal.Content.audioSamples(7L)))))
+          .toDF(),
+        s"$dir/media.parquet",
+        Seq("format"))
+      val plan = spark.read.parquet(s"$dir/media.parquet")
+        .filter(col("format") === "jpeg").queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(format"),
+        s"jpeg not partition-pruned:\n$plan")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

@@ -439,6 +439,84 @@ class StreamingSpec extends GraftSpecBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("streaming media admission equals batch mm_dedup keepers after two-chunk replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_media").toString
+    val dir = s"$base/data"
+    // media content is a pure function of (doc_id % 3, n_chars): corpus =
+    // docs 0..7; delta docs planted so 30 duplicates corpus doc 3's raster
+    // (same kind, same length), 31/34 duplicate each other, 32/33/35 fresh
+    val corpus = (0L to 7L).map(d => (d, "x" * (50 + 3 * d).toInt))
+    val delta = Seq(
+      (30L, "y" * 59), // kind 0, len 59 = corpus doc 3 → bloom-dropped
+      (31L, "z" * 77), // kind 1 — kept (first of the 31/34 pair)
+      (32L, "w" * 88), // kind 2 — kept
+      (33L, "v" * 64), // kind 0 — kept
+      (34L, "u" * 77), // kind 1, dup of 31 → intra-stream dropped
+      (35L, "t" * 99)) // kind 2 — kept
+    (corpus ++ delta)
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("fix"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // batch baseline: mm_dedup keepers — parity target is its keeper set
+    // restricted to the arriving batch (a keeper that is a CORPUS doc
+    // means the delta copy must not be admitted)
+    val batchKeepers = graft.operators.Multimodal
+      .mediaDedup(spark, dir)
+      .collect()
+      .map(_.getLong(1))
+      .toSet
+    val expected = batchKeepers.filter(_ >= 30L)
+    assert(expected == Set(31L, 32L, 33L, 35L), s"fixture drifted: $expected")
+    // frozen corpus gate: bloom bits + exact hash frame over corpus media
+    val corpusHashes = graft.operators.Multimodal
+      .features(spark, dir)
+      .filter(col("doc_id") < 8L)
+      .select(col("content_hash").as("h"))
+      .distinct()
+    val bf = corpusHashes
+      .select(xxhash64(col("h")).as("k"))
+      .stat.bloomFilter("k", 64L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bytes = bos.toByteArray
+    // stream the delta's REAL container payloads (through the production
+    // synthesizer) in doc_id order, two chunks, plus one corrupt asset
+    // that must quarantine (drop) without killing the query
+    val payloads = graft.operators.Multimodal
+      .mediaTable(spark, dir)
+      .collect()
+      .map(m => m.doc_id -> m)
+      .toMap
+    val baseTs = Timestamp.valueOf("2026-01-01 00:00:00")
+    val rows = delta.map(_._1).sorted.zipWithIndex.map { case (id, i) =>
+      val m = payloads(id)
+      (m.doc_id, m.format, m.payload, new Timestamp(baseTs.getTime + i * 60000L))
+    }
+    val corrupt =
+      (99L, "png", Array[Byte](1, 2, 3, 4), new Timestamp(baseTs.getTime + 999000L))
+    val input = MemoryStream[(Long, String, Array[Byte], Timestamp)]
+    val streamDf = input.toDF().toDF("doc_id", "format", "payload", "ts")
+    val q = EventStreams.admitMedia(streamDf, bytes, corpusHashes)
+      .writeStream.format("memory").queryName("media_admit_out")
+      .outputMode("append").start()
+    val (chunk1, chunk2) = rows.splitAt(3)
+    input.addData(chunk1)
+    q.processAllAvailable()
+    input.addData(chunk2 :+ corrupt)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("media_admit_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == expected,
+      s"media admission diverged: stream=$streamed batch-keepers=$expected")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("streaming sessionize equals batch sessionize on bounded ordered input") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -119,6 +119,53 @@ class VectorIndexSpec extends GraftSpecBase {
     }
   }
 
+  test("ann_graph_idx answers row-identically to the scan-time ann_graph_topk") {
+    withStore { path =>
+      val idx = VectorIndex.annGraphIndexed(spark, sfDir, path).collect().toSeq
+      val scan = Similarity.annGraph(spark, sfDir).collect().toSeq
+      assert(idx == scan,
+        s"indexed graph-ANN diverged from scan-time graph-ANN (${idx.size} vs ${scan.size} rows)")
+    }
+  }
+
+  test("warm graph path plans zero embeddings scans and reads the persisted graph body") {
+    withStore { path =>
+      VectorIndex.build(spark, sfDir, path)
+      assert(VectorIndex.isFresh(spark, sfDir, path))
+      graft.operators.PipelineCache.clear()
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val df = VectorIndex.annGraphIndexed(spark, sfDir, path)
+        val plan = df.queryExecution.executedPlan
+        val s = plan.toString
+        assert(!s.contains("embeddings.parquet"), s"warm graph path must not touch the corpus:\n$s")
+        val graphScans = plan.collect {
+          case f: FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.contains("/nngraph")) =>
+            f
+        }
+        // one scan per hop: the walk reads the persisted graph, never
+        // rebuilds it
+        assert(graphScans.size >= 2, s"expected two nngraph hop scans in:\n$s")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+  }
+
+  test("graph method recall floor: the ann_recall frame reports graph hits above zero") {
+    val rows = Similarity
+      .annRecall(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(3))
+      .toMap
+    assert(rows.contains("graph"), s"annRecall must report the graph method: $rows")
+    // hash-uniform fixture vectors are graph-ANN's worst case (no cluster
+    // structure to climb), so the floor is modest — but the walk must
+    // find SOME true neighbors and can never exceed brute by construction
+    assert(rows("graph") > 0L, s"graph recall collapsed to zero: $rows")
+    assert(rows("graph") <= 1000000L, s"recall_u over 100%: $rows")
+  }
+
   test("a v1-format store is stale-by-version: serving rebuilds it as v2 with the PQ bodies") {
     withStore { path =>
       VectorIndex.build(spark, sfDir, path)
@@ -169,7 +216,8 @@ class VectorIndexSpec extends GraftSpecBase {
       assert(VectorIndex.isFresh(spark, sfDir, s"$tmp/idxA", Some(1000L)),
         "absorb did not re-bind")
       VectorIndex.build(spark, sfDir, s"$tmp/idxB", Some(1000L))
-      for (body <- Seq("vectors", "codebook", "qsample", "pqcodes", "pqcodebook", "lshbuckets"))
+      for (body <- Seq("vectors", "codebook", "qsample", "pqcodes", "pqcodebook", "lshbuckets",
+          "nngraph", "gentries"))
         assert(rows(s"$tmp/idxA", body) == rows(s"$tmp/idxB", body),
           s"absorbed $body diverges from a rebuild")
       // wrong oldFrom = stale base — loud, never a silent wrong merge

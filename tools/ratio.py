@@ -36,7 +36,7 @@ def main(sf_dir: str, oracle_path: str, bench_path: str) -> int:
     missing = sorted(set(duck) - set(spark_q))
     ds = sum(duck[q] for q in common)
     ss = sum(spark_q[q] for q in common)
-    print(json.dumps({
+    out = {
         "n_oracles": len(duck), "n_common": len(common),
         "duck_sec": round(ds, 2), "spark_sec": round(ss, 2),
         "ratio": round(ss / ds, 3), "missing_in_bench": missing,
@@ -44,7 +44,30 @@ def main(sf_dir: str, oracle_path: str, bench_path: str) -> int:
                        for q in common if duck[q] > 2 * spark_q[q] and duck[q] > 0.5},
         "duck_wins_big": {q: [round(spark_q[q], 2), round(duck[q], 2)]
                           for q in common if spark_q[q] > 4 * duck[q] and spark_q[q] > 0.5},
-    }))
+    }
+    # Floor attribution: when the bench detail carries per-query Spark job
+    # counts (warm pass), separate scheduling floor from work. The per-job
+    # floor is estimated as the 5th-percentile observed sec/job across the
+    # common set — the cheapest jobs are pure scheduling round-trips, so
+    # that quantile is an upper bound on nothing and a lower bound on
+    # everything, i.e. the conservative floor. The adjusted line reads how
+    # the suite compares once local-mode dispatch (which a real cluster
+    # amortizes across queries and DuckDB's in-process calls never pay)
+    # is priced out.
+    jobs = bench.get("jobs", {})
+    rated = [(q, spark_q[q] / jobs[q]) for q in common if jobs.get(q, 0) > 0]
+    if rated:
+        per_job = sorted(r for _, r in rated)[max(0, len(rated) // 20 - 1)]
+        floor = {q: min(jobs.get(q, 0) * per_job, spark_q[q]) for q in common}
+        work = {q: spark_q[q] - floor[q] for q in common}
+        out["floor"] = {
+            "per_job_sec": round(per_job, 4),
+            "n_jobs": sum(jobs.get(q, 0) for q in common),
+            "spark_floor_sec": round(sum(floor.values()), 2),
+            "spark_work_sec": round(sum(work.values()), 2),
+            "ratio_ex_floor": round(sum(work.values()) / ds, 3),
+        }
+    print(json.dumps(out))
     return 0
 
 
