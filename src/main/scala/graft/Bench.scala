@@ -147,7 +147,8 @@ object Bench {
       "chunk_emb" -> Seq("ann_chunk_lsh", "ann_chunk_topk"),
       "spandup_grams" -> Seq("text_span_dup", "text_span_excise"),
       "ivf_qsample" -> Seq("ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk", "ann_recall"),
-      "lsh_qsample" -> Seq("ann_lsh_topk", "ann_recall"),
+      "lsh_qsample" -> Seq("ann_graph_topk", "ann_lsh_topk", "ann_recall"),
+      "nn_graph" -> Seq("ann_graph_idx", "ann_graph_topk", "ann_recall"),
       "kmeans_assign" -> Seq("dedup_semantic", "emb_kmeans"),
       "pca_scatter" -> Seq("emb_pca_top", "emb_project2d"),
       "pq" -> Seq("ann_ivfpq_idx", "ann_ivfpq_topk", "ann_pq_topk", "ann_recall", "emb_pq"),
@@ -157,7 +158,8 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val storeBacked = Seq("dedup_incremental_idx", "corpus_profile", "text_search_idx",
-        "ann_ivf_idx", "ann_ivfpq_idx", "ann_lsh_idx", "dedup_incremental_bloom")
+        "ann_ivf_idx", "ann_ivfpq_idx", "ann_lsh_idx", "ann_graph_idx",
+        "dedup_incremental_bloom")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"")
       .mkString("[", ",", "]")

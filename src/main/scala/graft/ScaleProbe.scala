@@ -369,6 +369,16 @@ object ScaleProbe {
       // split-aware holdout (two fits + a scan-speed apply)
       "ann_chunk_lsh" -> (graft.operators.Similarity.annChunkLsh _),
       "text_quality_holdout" -> (TextAnalysis.qualityHoldout _),
+      // round-14 wave: graph-ANN end to end (LSH-seeded graph build +
+      // refinement + the 2-hop walk; caches cleared per timing so each
+      // point pays the graph construction, the honest cost — expect
+      // ~linear: every stage is a bounded-degree key-equality shuffle),
+      // the DSIR fit+apply (two bounded rollups + a scan-speed broadcast
+      // join — the weight table is corpus-size-independent) and the LSH
+      // bucket census (bucket-domain-bounded groupBys)
+      "ann_graph_topk" -> (graft.operators.Similarity.annGraph _),
+      "text_dsir" -> (TextAnalysis.dsir _),
+      "skew_lsh_buckets" -> (graft.operators.Similarity.skewLshBuckets _),
       // round-14 wave: the PROBE-IN-M for the BPE fit — M=64 instead of
       // the default 10; the in-memory incremental path must hold cluster
       // round-trips at 1 regardless of M (printed beside the timing),
