@@ -269,13 +269,19 @@ object Similarity {
     * Bucket-skew policy: candidate cost is ∝ probed-bucket MASS, and under
     * anisotropic real embeddings one sign-pattern bucket can hold a large
     * corpus fraction — run [[skewLshBuckets]] (the oracled (t, b) census)
-    * before deploying; when it reports heavy buckets, either cap the
-    * probe side at `salt_factor × fair-share` candidates per bucket
-    * (rank by vec_id — deterministic, recall degrades gracefully) or let
-    * AQE's skew-join split carry the imbalance, which preserves
-    * exactness at the price of wider tasks. The fixture is hash-uniform
-    * (census reads flat), so the cap is deliberately NOT wired in here —
-    * capping on flat data would only discard recall. */
+    * before deploying; when it reports heavy buckets, either set
+    * `spark.graft.ann.lshBucketCap` to the census's
+    * `salt_factor × fair-share` reading (the ENGINEERED cap, wired below
+    * via [[capBuckets]]: each bucket's corpus side truncates to its
+    * `cap` lowest vec_ids — deterministic, recall degrades gracefully,
+    * and candidate cost per probed bucket is bounded at cap·|probes|)
+    * or leave it 0 and let AQE's skew-join split carry the imbalance,
+    * which preserves exactness at the price of wider tasks. The default
+    * is 0 (off): the fixture is hash-uniform (census reads flat), and
+    * capping on flat data would only discard recall — the knob exists
+    * for the clustered-embedding deployment the census diagnoses.
+    * A cap ≥ the census's max-bucket mass is a provable no-op
+    * (spec-pinned), so enabling it conservatively is safe. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     // all 6 bucket values come from ONE native call per vector
     // ([[graft.functions.LshBuckets]] — same integer weight formula the
@@ -290,12 +296,46 @@ object Similarity {
       corpus
         .filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("qv"), col("nq")))
-    val bucketed = lshBucketPairs(corpus, "vec_id")
+    val bucketed = capBuckets(lshBucketPairs(corpus, "vec_id"), "vec_id", lshBucketCap(s))
       .select(col("vec_id"), struct(col("t"), col("b")).as("tb"))
     val queryBuckets = lshBucketPairs(qf, "query_id")
       .select(col("query_id"), struct(col("t"), col("b")).as("tb"))
     lshRescore(lshCandidates(bucketed.join(broadcast(queryBuckets), Seq("tb"))), corpus, qf)
   }
+
+  /** Probe-side LSH bucket candidate cap — 0 (default) = off. Set to the
+    * [[skewLshBuckets]] census's `salt_factor × fair-share` reading when
+    * the census reports heavy buckets; all three LSH serve paths
+    * ([[annLsh]], [[annChunkLsh]], [[VectorIndex.annLshIndexed]]) read
+    * this one knob through [[capBuckets]]. */
+  private[operators] def lshBucketCap(s: SparkSession): Int = {
+    val raw = s.conf.get("spark.graft.ann.lshBucketCap", "0")
+    val n =
+      try raw.toInt
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"spark.graft.ann.lshBucketCap must be a non-negative integer, got '$raw'")
+      }
+    require(n >= 0, s"spark.graft.ann.lshBucketCap must be non-negative, got $n")
+    n
+  }
+
+  /** Deterministic per-bucket truncation of a (id, t, b) bucket-pair
+    * frame: keep each (t, b) bucket's `cap` LOWEST ids (row_number —
+    * ties impossible on an id), pass-through when cap ≤ 0. Bounds the
+    * candidate join's corpus side at cap rows per probed bucket; a cap
+    * ≥ the max bucket mass keeps every row (the provable-no-op spec).
+    * The window shuffles the bucket body once on the same (t, b) key
+    * the join would shuffle on anyway — a hot bucket sorts as one
+    * O(mass log mass) task instead of exploding the join output by
+    * |probes| × mass, which is the trade the cap exists to make. */
+  private[graft] def capBuckets(pairs: DataFrame, idCol: String, cap: Int): DataFrame =
+    if (cap <= 0) pairs
+    else {
+      val w = Window.partitionBy("t", "b").orderBy(col(idCol))
+      pairs.withColumn("rk_cap", row_number().over(w)).filter(col("rk_cap") <= cap).drop("rk_cap")
+    }
 
   /** Every (table, bucket) pair for a frame's `qv` column — the ONE
     * bucket derivation (native [[graft.functions.LshBuckets]] call +
@@ -2353,8 +2393,8 @@ object Similarity {
   /** Bucket-skew policy: same as [[annLsh]]'s — [[skewLshBuckets]]
     * censuses THIS body's (t, b) key too (the chunk grain multiplies
     * bucket mass ~7×, so a hot chunk bucket is the serve-cost driver
-    * here first); the cap/salting options and the deliberate no-cap
-    * default are annLsh's verbatim. */
+    * here first); the same `spark.graft.ann.lshBucketCap` knob caps
+    * this body through the same [[capBuckets]], default 0 (off). */
   def annChunkLsh(s: SparkSession, dir: String): DataFrame = {
     val pack = 1048576L
     val emb = chunkEmb(s, dir)
@@ -2370,10 +2410,11 @@ object Similarity {
     val queries = emb
       .filter(col("doc_id") % 100 === 0 && col("cid") % pack === 0)
       .select(col("doc_id").as("query_doc"), col("qv").as("query_qv"), col("nq").as("query_nq"))
-    val bucketed = emb
-      .select(
+    val bucketed = capBuckets(
+      emb.select(
         col("cid"),
-        posexplode(call_function("graft_lsh_buckets", col("qv"))).as(Seq("t", "b")))
+        posexplode(call_function("graft_lsh_buckets", col("qv"))).as(Seq("t", "b"))),
+      "cid", lshBucketCap(s))
       .select(col("cid"), struct(col("t"), col("b")).as("tb"))
     val queryBuckets = queries
       .select(

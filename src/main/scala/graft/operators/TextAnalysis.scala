@@ -2381,8 +2381,24 @@ FROM mergetab ORDER BY rank"""
     * corpus-size-independent — at 100 TB you fit once and apply
     * everywhere, which is DSIR's whole point. */
   def dsir(s: SparkSession, dir: String): DataFrame = {
-    val tgt = dsirTarget(s)
-    val feats = PipelineCache.cached(s"dsir_features", s, dir, "documents.parquet") {
+    val feats = dsirFeatures(s, dir)
+    feats
+      .join(broadcast(dsirWeights(s, dir)), "bucket")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("occ")).cast("long").as("n_grams"),
+        sum(col("occ") * col("w_micro")).cast("long").as("dsir_micro"))
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        col("dsir_micro"),
+        round(col("dsir_micro") / (col("n_grams") * 1e6), 4).as("dsir_score"))
+  }
+
+  /** The stamp-cached (doc, bucket, occ) hashed-bigram feature frame
+    * [[dsir]] scores — one computation per source stamp. */
+  private def dsirFeatures(s: SparkSession, dir: String): DataFrame =
+    PipelineCache.cached(s"dsir_features", s, dir, "documents.parquet") {
       Tables
         .documents(s, dir)
         .select(
@@ -2402,8 +2418,16 @@ FROM mergetab ORDER BY rank"""
           conv(substring(md5(col("g")), 1, 3), 16, 10).cast("long").as("bucket"))
         .agg(count(lit(1)).as("occ"))
     }
-    val weights = PipelineCache.cached(s"dsir_weights:$tgt", s, dir, "documents.parquet") {
-      val bc = feats
+
+  /** The ≤ [[NbBuckets]]-row DSIR weight table (bucket → micro-nat
+    * log-likelihood ratio), stamp-cached per (source stamp, target) —
+    * the frozen artifact the streaming DSIR twin compiles into its plan
+    * as a map literal ([[graft.streaming.EventStreams.scoreDsir]]), the
+    * [[qualityTrain]]/scoreQuality relationship at the domain grain. */
+  private[graft] def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val tgt = dsirTarget(s)
+    PipelineCache.cached(s"dsir_weights:$tgt", s, dir, "documents.parquet") {
+      val bc = dsirFeatures(s, dir)
         .groupBy("bucket")
         .agg(
           sum(when(col("source") === tgt, col("occ")).otherwise(0L)).as("ct"),
@@ -2415,17 +2439,6 @@ FROM mergetab ORDER BY rank"""
           (lnMicro(col("ct") + 1, col("tt") + NbBuckets) -
             lnMicro(col("cc") + 1, col("tc") + NbBuckets)).as("w_micro"))
     }
-    feats
-      .join(broadcast(weights), "bucket")
-      .groupBy("doc_id")
-      .agg(
-        sum(col("occ")).cast("long").as("n_grams"),
-        sum(col("occ") * col("w_micro")).cast("long").as("dsir_micro"))
-      .select(
-        col("doc_id"),
-        col("n_grams"),
-        col("dsir_micro"),
-        round(col("dsir_micro") / (col("n_grams") * 1e6), 4).as("dsir_score"))
   }
 
   /** SQL twin: same bigram extraction over the empty-filtered word

@@ -407,9 +407,10 @@ object VectorIndex {
     *
     * Bucket-skew policy: the stored partitions inherit whatever bucket
     * imbalance the corpus has — [[Similarity.skewLshBuckets]] censuses
-    * the same (t, b) key this body partitions by; its cap/salting
-    * options ([[Similarity.annLsh]]'s scaladoc) apply here unchanged,
-    * with one store-specific extra: a heavy bucket is also a heavy
+    * the same (t, b) key this body partitions by; the same
+    * `spark.graft.ann.lshBucketCap` knob caps the pruned body read here
+    * through the same [[Similarity.capBuckets]] (default 0 = off), with
+    * one store-specific extra: a heavy bucket is also a heavy
     * PARTITION, so the census's salt_factor is simultaneously the
     * file-split factor a rebuild should apply to that bucket's body. */
   def annLshIndexed(s: SparkSession, dir: String, path: String): DataFrame = {
@@ -437,9 +438,11 @@ object VectorIndex {
       // this store path cannot drift), fed from the store's bodies
       Similarity.lshRescore(
         Similarity.lshCandidates(
-          graft.sources.Tables
-            .stableParquet(s, s"$path/lshbuckets")
-            .filter((col("t") * 16 + col("b")).cast("long").isin(probed.map(Long.box): _*))
+          Similarity.capBuckets(
+            graft.sources.Tables
+              .stableParquet(s, s"$path/lshbuckets")
+              .filter((col("t") * 16 + col("b")).cast("long").isin(probed.map(Long.box): _*)),
+            "vec_id", Similarity.lshBucketCap(s))
             .join(broadcast(queryBuckets), Seq("t", "b"))),
         graft.sources.Tables.stableParquet(s, s"$path/vectors"),
         qf)

@@ -1174,4 +1174,59 @@ object EventStreams {
         round(col("s") / (col("n_tokens") * 1e6), 4).as("nb_score"),
         when(lit(prior) + col("s") > 0, 1L).otherwise(0L).as("pred_keep"))
   }
+
+  /** Streaming DSIR scoring (28th twin) — the online-inference twin of
+    * [[graft.operators.TextAnalysis.dsir]], completing the pair of
+    * quality scores a crawl-ingest gate wants at arrival time: the NB
+    * policy score ([[scoreQuality]], "passes the curation policy") and
+    * the DSIR importance weight (this one, "looks like the target
+    * domain"). The frozen ≤ 4096-row weight table
+    * ([[graft.operators.TextAnalysis.dsirWeights]] — fit once, apply
+    * everywhere is DSIR's whole point) is compiled into the plan as a
+    * map LITERAL at wiring time, the [[scoreQuality]] frozen-model
+    * discipline: zero joins, zero state, zero shuffles, zero static
+    * re-scans per trigger; scoring is a narrow per-row map over the
+    * document's hashed word bigrams.
+    *
+    * Arithmetic mirrors batch exactly: the SAME bigram expression
+    * (empty-filtered word split, adjacent concat), the SAME md5-prefix
+    * bucket, per-occurrence micro-nat weight lookup; UNKNOWN buckets
+    * (bigram never seen at fit time — possible on a live stream,
+    * impossible in batch where fit and apply share the corpus) drop
+    * from BOTH `dsir_micro` and `n_grams`, which is precisely the batch
+    * inner join's semantics; a document with < 2 tokens or zero known
+    * buckets emits nothing (batch: no bigrams / no surviving join row).
+    * `dsir_micro` is the same exact long, the 4-dp mean the same one
+    * guarded round, so ordered replay is row-identical to batch
+    * (spec-pinned). */
+  def scoreDsir(docs: DataFrame, weights: Map[Long, Long]): DataFrame = {
+    require(weights.nonEmpty, "scoreDsir needs a fitted weight table")
+    val wmap = typedlit(weights)
+    def bucket(g: Column): Column =
+      conv(substring(md5(g), 1, 3), 16, 10).cast("long")
+    docs
+      .select(
+        col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(
+        col("doc_id"),
+        filter(
+          transform(
+            expr(
+              "transform(sequence(1, size(ws) - 1), " +
+                "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"),
+            g => element_at(wmap, bucket(g))),
+          w => w.isNotNull).as("gw"))
+      .select(
+        col("doc_id"),
+        size(col("gw")).cast("long").as("n_grams"),
+        aggregate(col("gw"), lit(0L), (a, w) => a + w).as("dsir_micro"))
+      .filter(col("n_grams") > 0)
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        col("dsir_micro"),
+        round(col("dsir_micro") / (col("n_grams") * 1e6), 4).as("dsir_score"))
+  }
 }

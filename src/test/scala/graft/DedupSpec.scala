@@ -70,6 +70,46 @@ class DedupSpec extends GraftSpecBase {
     assert(bad == 0)
   }
 
+  test("lsh bucket cap: keeps each bucket's lowest ids, passes through at 0") {
+    import spark.implicits._
+    val hot = (1L to 50L).map(i => (i, 0, 0))
+    val cold = Seq((10L, 1, 2), (20L, 1, 2))
+    val pairs = (hot ++ cold).toDF("vec_id", "t", "b")
+    val capped = Similarity.capBuckets(pairs, "vec_id", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(capped == ((1L to 4L).map(i => (i, 0, 0)) ++ cold).toSet,
+      s"cap=4 must keep the 4 lowest ids of the hot bucket and all of the cold one: $capped")
+    val off = Similarity.capBuckets(pairs, "vec_id", 0)
+    assert(off eq pairs, "cap=0 must be a structural pass-through")
+  }
+
+  test("lsh bucket cap end-to-end: loose cap is a no-op, tight cap bounds candidates") {
+    def rows() = Similarity.annLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val baseline = rows()
+    try {
+      // loose: cap >= any bucket's mass -> provably identical output
+      spark.conf.set("spark.graft.ann.lshBucketCap", "1000000")
+      assert(rows() == baseline, "a cap above the max bucket mass must be a no-op")
+      // tight: 1 corpus row per (t, b) -> each query sees at most its 6
+      // probed buckets' single survivors
+      spark.conf.set("spark.graft.ann.lshBucketCap", "1")
+      val tight = Similarity.annLsh(spark, sfDir)
+      val nQueries = Similarity.annBrute(spark, sfDir)
+        .select("query_id").distinct().count()
+      assert(tight.count() <= 6 * nQueries,
+        "cap=1 must bound candidates at one survivor per probed bucket")
+      val overBest = tight
+        .join(
+          Similarity.annBrute(spark, sfDir).filter(col("rk") === 1)
+            .select(col("query_id"), col("cos_sim").as("best")),
+          "query_id")
+        .filter(col("cos_sim") > col("best"))
+        .count()
+      assert(overBest == 0, "capped LSH must never beat brute force")
+    } finally spark.conf.set("spark.graft.ann.lshBucketCap", "0")
+  }
+
   test("multi-table lsh recall vs brute-force top-5 is material") {
     val brute = Similarity.annBrute(spark, sfDir).select("query_id", "neighbor_id")
     val lsh = Similarity.annLsh(spark, sfDir).select("query_id", "neighbor_id")

@@ -1085,4 +1085,33 @@ class StreamingSpec extends GraftSpecBase {
     assert(streamed == batch,
       s"quality scores diverged: missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
+
+  test("streaming dsir scoring equals batch text_dsir on two-chunk replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // freeze the batch-fitted weight table (bucket -> micro-nat LLR)
+    val weights = graft.operators.TextAnalysis.dsirWeights(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weights.nonEmpty, "no dsir weights — parity test is vacuous")
+    val batch = graft.operators.TextAnalysis.dsir(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(batch.nonEmpty, "no batch dsir scores — parity test is vacuous")
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val (a, b) = rows.splitAt(rows.length / 2)
+    input.addData(a)
+    val q = EventStreams.scoreDsir(input.toDF().toDF("doc_id", "text"), weights)
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dsir_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch,
+      s"dsir scores diverged: missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
 }
