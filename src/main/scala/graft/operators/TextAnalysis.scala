@@ -1222,6 +1222,25 @@ FROM mergetab ORDER BY rank"""
     out.toArray
   }
 
+  /** Lexicographic comparison of the UTF-8 ENCODINGS (unsigned bytes) —
+    * the string order Spark's UTF8String sort and DuckDB's text
+    * comparison both implement; every driver-side tie-break that must
+    * agree with an in-plan ORDER BY goes through this, never through
+    * String.compareTo (UTF-16 code-unit order, which diverges on
+    * supplementary-plane characters). */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(ab.length, bb.length)
+    while (i < n) {
+      val c = java.lang.Integer.compare(ab(i) & 0xff, bb(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(ab.length, bb.length)
+  }
+
   /** EXACT in-memory BPE FIT over a collected word census — the
     * incremental-pair-count form (Sennrich's algorithm): pair counts and
     * a pair→words occurrence index are maintained under each merge, so
@@ -1231,21 +1250,28 @@ FROM mergetab ORDER BY rank"""
     * Byte-exact with the sequential recount-per-round semantics because
     * the maintained counts ARE the census counts (same greedy
     * left-to-right merge pass, same (pf DESC, l, r) tie-break). */
-  private def bpeFitInMemory(
+  private[graft] def bpeFitInMemory(
       vocab: Array[(Array[String], Long)],
       m: Int): Seq[(Int, String, String, String, Long)] = {
     val syms = vocab.map(_._1)
     val freqs = vocab.map(_._2)
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val occ = scala.collection.mutable.HashMap.empty[(String, String), java.util.BitSet]
-    // max-heap: highest pf first, ties toward the SMALLEST (l, r)
+    // max-heap: highest pf first, ties toward the SMALLEST (l, r) in
+    // BINARY UTF-8 order ([[utf8Compare]]) — Java String.compareTo
+    // orders by UTF-16 code unit, which DISAGREES with the distributed
+    // path (Spark's UTF8String) and the DuckDB oracle for
+    // supplementary-plane symbols (surrogates 0xD800+ sort before
+    // U+E000.. in UTF-16, after in UTF-8); the byte order is the one
+    // contract all three engines share (spec-pinned on a planted
+    // astral-vs-private-use tie)
     val ord: Ordering[(Long, String, String)] = new Ordering[(Long, String, String)] {
       def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
         val c = java.lang.Long.compare(x._1, y._1)
         if (c != 0) c
         else {
-          val cl = y._2.compareTo(x._2)
-          if (cl != 0) cl else y._3.compareTo(x._3)
+          val cl = utf8Compare(y._2, x._2)
+          if (cl != 0) cl else utf8Compare(y._3, x._3)
         }
       }
     }
@@ -1447,12 +1473,14 @@ FROM mergetab ORDER BY rank"""
                     bpeMergePass(c, l, r)
                   })
                 .persist()
-              if (!(cur eq wc)) cur.unpersist(blocking = false)
+              cur.unpersist(blocking = false)
               cur = next
             }
           } finally pairs.unpersist(blocking = false)
         }
-      } finally if (!(cur eq wc)) cur.unpersist(blocking = false)
+      // cur is always a fresh frame derived from wc (never wc itself);
+      // wc's own unpersist is the outer finally's job
+      } finally cur.unpersist(blocking = false)
       (merges.toSeq.toDF("rank", "left", "right", "merged", "pair_freq"), rounds)
     } finally wc.unpersist(blocking = false)
   }

@@ -146,15 +146,13 @@ object VectorIndex {
     // (shared_cache); an exclusion build derives from its own filtered
     // frames with a one-shot local persist.
     val vecsSlim = assigned.select(col("vec_id"), col("qv"), col("nq"))
-    val g0Local = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
-    val graph = excludeFrom match {
+    val g0Local: Option[org.apache.spark.sql.DataFrame] = excludeFrom.map(_ =>
+      Similarity
+        .nnSeedGraph(bucketPairs, vecsSlim)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val graph = g0Local match {
       case None => Similarity.nnGraphCached(s, dir)
-      case Some(_) =>
-        val g0 = Similarity
-          .nnSeedGraph(bucketPairs, vecsSlim)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        g0Local += g0
-        Similarity.nnRefine(g0, vecsSlim)
+      case Some(g0) => Similarity.nnRefine(g0, vecsSlim)
     }
     try {
       graph.write.mode("overwrite").parquet(s"$path/nngraph")

@@ -177,13 +177,23 @@ object EventStreams {
       .as[MediaEv]
       .mapPartitions { it =>
         it.grouped(32).flatMap { batch =>
+          // key the decode by the asset's POSITION in its batch, not by
+          // doc_id: a crawl can redeliver one doc_id with different
+          // payloads inside one group, and a doc_id-keyed map would
+          // attribute a single decode result (or a corrupt neighbor's
+          // quarantine) to both rows — position is unique by
+          // construction, so each row gets exactly its own payload's
+          // features (the batch decoder's per-asset semantics)
           val feats = MediaDecoder
-            .decodeBatch(batch.map(m => MediaIn(m.doc_id, m.format, m.payload)))
-            .map(f => f.doc_id -> f)
+            .decodeBatch(batch.zipWithIndex.map { case (m, i) =>
+              MediaIn(i.toLong, m.format, m.payload)
+            })
+            .map(f => f.doc_id.toInt -> f)
             .toMap
-          batch.flatMap(m =>
-            feats.get(m.doc_id).map(f =>
-              (f.doc_id, f.format, f.width, f.height, f.content_hash, m.ts)))
+          batch.zipWithIndex.flatMap { case (m, i) =>
+            feats.get(i).map(f =>
+              (m.doc_id, f.format, f.width, f.height, f.content_hash, m.ts))
+          }
         }
       }
       .toDF("doc_id", "format", "width", "height", "content_hash", "ts")

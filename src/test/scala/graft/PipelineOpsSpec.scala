@@ -560,6 +560,10 @@ class PipelineOpsSpec extends GraftSpecBase {
         counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
       if (counts.isEmpty) stop = true
       else {
+        // tie order = binary UTF-8, the contract Spark's UTF8String sort
+        // and DuckDB share (NOT Java's UTF-16 compareTo)
+        implicit val utf8: Ordering[String] =
+          (a: String, b: String) => TextAnalysis.utf8Compare(a, b)
         val ((l, r), pf) = counts.toSeq.minBy { case ((pl, pr), c) => (-c, pl, pr) }
         ref += ((rank, l, r, l + r, pf))
         vocab = vocab.map { case (syms, f) =>
@@ -601,6 +605,33 @@ class PipelineOpsSpec extends GraftSpecBase {
       // word census once and never returns to the cluster
       assert(rounds == 1, s"$rounds cluster round-trips for ${rows.length} merges")
     } finally spark.conf.unset("spark.graft.text.bpeMerges")
+  }
+
+  test("bpe tie-break follows utf-8 byte order (astral vs private-use tie)") {
+    import spark.implicits._
+    // U+1F600 encodes F0 9F 98 80 (4 bytes), U+E000 encodes EE 80 80 —
+    // UTF-8 orders the private-use char FIRST; Java's UTF-16 compareTo
+    // orders the surrogate pair first. The in-memory fit must take the
+    // UTF-8 side, because that is what the distributed path (Spark
+    // orderBy) and the DuckDB oracle both do.
+    val astral = new String(Character.toChars(0x1F600))
+    val pua = "\uE000"
+    assert(astral.compareTo(pua) < 0, "fixture premise: UTF-16 orders astral first")
+    assert(graft.operators.TextAnalysis.utf8Compare(pua, astral) < 0,
+      "fixture premise: UTF-8 orders private-use first")
+    val vocab = Array(
+      (Array(astral, "a"), 5L),
+      (Array(pua, "a"), 5L))
+    val merges = graft.operators.TextAnalysis.bpeFitInMemory(vocab, 1)
+    assert(merges.head._2 == pua,
+      s"tie must break toward the UTF-8-smaller left symbol, got ${merges.head._2}")
+    // and Spark's own (pf DESC, l, r) sort picks the same side — the
+    // cross-engine contract the driver-side heap must reproduce
+    val sparkFirst = Seq((astral, "a", 5L), (pua, "a", 5L))
+      .toDF("l", "r", "pf")
+      .orderBy(col("pf").desc, col("l"), col("r"))
+      .head().getString(0)
+    assert(sparkFirst == pua, "Spark's UTF8String order disagrees with the driver tie-break")
   }
 
   test("bpe train distributed fallback: sequential parity at M=64 under batching") {

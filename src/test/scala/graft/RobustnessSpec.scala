@@ -347,6 +347,36 @@ class RobustnessSpec extends GraftSpecBase {
     assert(frames.map(_.doc_id).distinct == Seq(1L), s"sampler: ${frames.map(_.doc_id).distinct}")
   }
 
+  test("jpeg marker walk tolerates T.81 fill bytes and standalone TEM markers") {
+    import graft.operators.Multimodal
+    val w = 16; val h = 8
+    val payload = Multimodal.Enc.jpeg(w, h, Multimodal.Content.imagePixels(3L, w, h))
+    val (cw, ch2, clean) = Multimodal.Dec.jpeg(payload)
+    // ITU T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
+    // marker — a real media lake contains such streams even though the
+    // JDK encoder emits none; the walk must not misparse the second
+    // 0xFF as a marker byte and land mid-segment
+    val filled = payload.take(2) ++ Array(0xff.toByte) ++ payload.drop(2)
+    val (fw, fh, fr) = Multimodal.Dec.jpeg(filled)
+    assert((fw, fh) == ((cw, ch2)) && java.util.Arrays.equals(fr, clean),
+      "a fill byte before a marker must not change the decode")
+    // standalone TEM (0xFF 0x01) carries no length segment; the walk
+    // must step over it without consuming phantom length bytes. ImageIO
+    // itself may reject TEM-bearing streams — then quarantine is the
+    // correct outcome, but the failure must be the codec's verdict, not
+    // a walk misparse
+    val temmed = payload.take(2) ++ Array(0xff.toByte, 0x01.toByte) ++ payload.drop(2)
+    try {
+      val (tw, th, tr) = Multimodal.Dec.jpeg(temmed)
+      assert((tw, th) == ((cw, ch2)) && java.util.Arrays.equals(tr, clean),
+        "a pre-SOF TEM marker must not change the decode")
+    } catch {
+      case e: Exception =>
+        assert(Option(e.getMessage).exists(_.contains("ImageIO")),
+          s"TEM handling failed in the marker walk, not the codec: ${e.getMessage}")
+    }
+  }
+
   test("jpeg media: lossy decode is deterministic and near-faithful, quarantine + store pruning hold") {
     import graft.operators.Multimodal
     import org.apache.spark.sql.functions.col

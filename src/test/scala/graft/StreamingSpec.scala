@@ -517,6 +517,43 @@ class StreamingSpec extends GraftSpecBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("streaming media admission: redelivered doc_id with different payloads keeps both rasters") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    // one doc_id, two DIFFERENT payloads, forced into ONE decode batch
+    // (repartition(1)) — the attribution must be per asset, not per
+    // doc_id: each row carries its own payload's content hash
+    val pA = Multimodal.Enc.pgm(4, 4, Array.tabulate[Byte](16)(i => (40 + i).toByte))
+    val pB = Multimodal.Enc.pgm(4, 4, Array.tabulate[Byte](16)(i => (90 - i).toByte))
+    val expectedHashes = Multimodal.MediaDecoder
+      .decodeBatch(Seq(Multimodal.MediaIn(0L, "pgm", pA), Multimodal.MediaIn(1L, "pgm", pB)))
+      .map(_.content_hash).toSet
+    assert(expectedHashes.size == 2, "fixture premise: distinct payloads hash apart")
+    val corpusHashes = Seq("unrelated").toDF("h")
+    val bf = corpusHashes.select(xxhash64(col("h")).as("k")).stat.bloomFilter("k", 4L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val baseTs = Timestamp.valueOf("2026-01-01 00:00:00")
+    val input = MemoryStream[(Long, String, Array[Byte], Timestamp)]
+    input.addData(Seq(
+      (42L, "pgm", pA, baseTs),
+      (42L, "pgm", pB, new Timestamp(baseTs.getTime + 60000L))))
+    val streamDf = input.toDF().toDF("doc_id", "format", "payload", "ts").repartition(1)
+    val q = EventStreams.admitMedia(streamDf, bos.toByteArray, corpusHashes)
+      .writeStream.format("memory").queryName("media_dup_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("media_dup_out")
+      .select("doc_id", "content_hash").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.length == 2 && out.forall(_._1 == 42L),
+      s"both redelivered assets must admit: ${out.toSeq}")
+    assert(out.map(_._2).toSet == expectedHashes,
+      s"each asset must carry its OWN payload's hash: ${out.toSeq} vs $expectedHashes")
+  }
+
   test("streaming sessionize equals batch sessionize on bounded ordered input") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
