@@ -138,12 +138,15 @@ object Bench {
       "ngram" -> Seq(
         "corpus_curate", "corpus_dedup_ng", "dedup_clusters", "dedup_incremental",
         "dedup_ngram_jaccard", "dedup_survivorship", "graph_pagerank",
-        "graph_triangles", "text_edit_sim"),
+        "graph_triangles", "split_leakage", "text_edit_sim"),
       "minhash" -> Seq("corpus_dedup", "dedup_minhash"),
       "bpe_merge_table" -> Seq("text_bpe_train", "text_tokenize_ids", "train_pack_ids"),
-      "nb_weight_table" -> Seq("text_quality_eval", "text_quality_model", "text_quality_train"),
+      "nb_weight_table" -> Seq(
+        "text_quality_calibration", "text_quality_eval", "text_quality_model",
+        "text_quality_train"),
       "nb_features" -> Seq(
-        "text_quality_eval", "text_quality_holdout", "text_quality_model", "text_quality_train"),
+        "text_quality_calibration", "text_quality_eval", "text_quality_holdout",
+        "text_quality_model", "text_quality_train"),
       "chunk_emb" -> Seq("ann_chunk_lsh", "ann_chunk_topk"),
       "spandup_grams" -> Seq("text_span_dup", "text_span_excise"),
       "ivf_qsample" -> Seq("ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk", "ann_recall"),

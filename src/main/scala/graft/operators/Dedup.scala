@@ -1206,7 +1206,80 @@ object Dedup {
        WHERE bit_count(xor(sa, sb)) <= 8
        ORDER BY doc_a, doc_b"""
 
+  /** Cross-split near-dup LEAKAGE census — the ML-hygiene hazard a
+    * content-hash split cannot prevent: [[CorpusOps.dataSplit]] keeps
+    * EXACT duplicates in one split (identical text ⇒ identical md5 ⇒
+    * identical split), but a NEAR-duplicate of a train doc hashes
+    * independently and can land in val/test, inflating every evaluation
+    * run on that split (the contamination family's concern turned
+    * inward, train↔eval instead of corpus↔benchmark). Per leaked
+    * eval-side document: its split, how many train near-dups it has,
+    * and the worst (highest) Jaccard — the actionable "excise or
+    * re-split these" list.
+    *
+    * Composition, not new machinery: near-dup pairs are the SHARED
+    * stamp-cached [[ngramPairs]] frame under [[corpusDedupNg]]'s exact
+    * integer predicate (2·n_inter ≥ denom ⟺ jaccard ≥ 0.5), splits are
+    * [[CorpusOps.splitLabel]] (the one split definition), and the
+    * reported max_jaccard is the family's integer-exact HALF-UP 4-dp
+    * round. Scale shape: the pair frame is candidate-bounded, its
+    * two split joins are doc_id equi-joins against the slim (doc_id,
+    * split) projection, output ∝ leaked docs. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val sp = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), CorpusOps.splitLabel(col("text")).as("split"))
+    val nd = ngramPairs(s, dir).filter(col("n_inter") * 2 >= col("denom"))
+    val und = nd
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("partner"), col("n_inter"), col("denom"))
+      .unionByName(
+        nd.select(col("doc_b").as("doc_id"), col("doc_a").as("partner"), col("n_inter"), col("denom")))
+    und
+      .join(sp, "doc_id")
+      .filter(col("split").isin("val", "test"))
+      .join(sp.select(col("doc_id").as("partner"), col("split").as("partner_split")), "partner")
+      .filter(col("partner_split") === "train")
+      // jaccard·10⁴ as an exact integer (the ngramJaccard rounding in
+      // integer form) so MAX ranks identically cross-engine; one double
+      // division after the aggregate
+      .selectExpr(
+        "doc_id",
+        "split",
+        "CAST((n_inter DIV denom) * 10000 " +
+          "+ (2 * (n_inter % denom) * 10000 + denom) DIV (2 * denom) AS BIGINT) AS ju")
+      .groupBy("doc_id", "split")
+      .agg(count(lit(1)).cast("long").as("n_train_dups"), max(col("ju")).as("mj"))
+      .select(
+        col("doc_id"),
+        col("split"),
+        col("n_train_dups"),
+        (col("mj") / 10000.0).as("max_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** SQL twin: the shared linear pair chain + the one split CASE
+    * ([[CorpusOps.splitCaseSql]]), same integer predicate and round. */
+  val splitLeakageSql: String =
+    s"""WITH $rarePairCtesSql,
+       nd AS (SELECT doc_a, doc_b, n_inter, den FROM inter WHERE 2 * n_inter >= den),
+       und AS (SELECT doc_a AS doc_id, doc_b AS partner, n_inter, den FROM nd
+               UNION ALL
+               SELECT doc_b AS doc_id, doc_a AS partner, n_inter, den FROM nd),
+       sp AS (SELECT doc_id, ${CorpusOps.splitCaseSql} AS split FROM documents)
+       SELECT u.doc_id, s1.split,
+              CAST(COUNT(*) AS BIGINT) AS n_train_dups,
+              MAX((n_inter // den) * 10000
+                  + (2 * (n_inter % den) * 10000 + den) // (2 * den)) / 10000.0
+                AS max_jaccard
+       FROM und u
+       JOIN sp s1 ON s1.doc_id = u.doc_id
+       JOIN sp s2 ON s2.doc_id = u.partner
+       WHERE s1.split IN ('val', 'test') AND s2.split = 'train'
+       GROUP BY u.doc_id, s1.split
+       ORDER BY u.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_leakage" -> (splitLeakage _),
     "dedup_threshold_hist" -> (thresholdHist _),
     "dedup_survivorship" -> (survivorship _),
     "source_overlap" -> (sourceOverlap _),
@@ -1332,6 +1405,7 @@ object Dedup {
        ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "split_leakage" -> splitLeakageSql,
     "dedup_simhash" -> simhashSql,
     "dedup_minhash" -> minhashSql,
     "corpus_dedup" -> corpusDedupSql,

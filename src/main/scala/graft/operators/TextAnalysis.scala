@@ -2313,6 +2313,75 @@ FROM mergetab ORDER BY rank"""
        FROM sc CROSS JOIN prior p
        ORDER BY doc_id"""
 
+  /** CALIBRATION census of the NB score — the threshold-sweep
+    * companion of [[qualityEval]]'s single-cut confusion: documents
+    * ranked by `nb_score` into 10 exact NTILE deciles ((nb_score,
+    * doc_id) order — the identical-doubles family rule makes the double
+    * sort key cross-engine safe), each decile reporting its doc count,
+    * policy-label keep count, keep rate in exact ppm and its score
+    * range. A well-calibrated score shows keep_ppm rising with the
+    * decile; a flat band names the score region where the model is
+    * guessing — what a pipeline owner reads to pick the admission
+    * threshold and the human-review band.
+    *
+    * Scale shape: rides [[qualityModel]]'s scan + broadcast weight
+    * join and the stamp-cached label frame; the global decile is
+    * [[Scale.globalRank]]'s two-phase exact rank (quantile bounds —
+    * value-skew immune) pushed through the NTILE remainder arithmetic
+    * (win_ntile's move, never a corpus-wide single-task window);
+    * output = 10 rows. */
+  def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val labeled = qualityModel(s, dir)
+      .select(col("doc_id"), col("nb_score"))
+      .join(nbLabels(s, dir), "doc_id")
+    Scale
+      .globalRank(
+        labeled,
+        Seq.empty,
+        col("nb_score"),
+        Seq(col("nb_score"), col("doc_id")),
+        quantileBounds = true)
+      .withColumn("decile", expr(Scale.ntileExpr(10)).cast("int"))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("keep")).cast("long").as("n_keep"),
+        min(col("nb_score")).as("lo_score"),
+        max(col("nb_score")).as("hi_score"))
+      .selectExpr(
+        "decile",
+        "n_docs",
+        "n_keep",
+        "CAST(n_keep * 1000000L DIV n_docs AS BIGINT) AS keep_ppm",
+        "lo_score",
+        "hi_score")
+      .orderBy("decile")
+  }
+
+  /** SQL twin: the shared NB chain scored per doc, literal NTILE(10)
+    * over the same (nb_score, doc_id) order, same exact-ppm tail. */
+  val qualityCalibrationSql: String =
+    s"""WITH $nbCtesSql,
+       sc AS (
+         SELECT doc_id, SUM(occ) AS n, SUM(occ * w_micro) AS sw
+         FROM bt JOIN wt USING (bucket)
+         GROUP BY doc_id),
+       scored AS (
+         SELECT doc_id, ROUND(sw / (n * 1e6), 4) AS nb_score FROM sc),
+       dec AS (
+         SELECT s.doc_id, nb_score, keep,
+                NTILE(10) OVER (ORDER BY nb_score, s.doc_id) AS decile
+         FROM scored s JOIN labels ON labels.doc_id = s.doc_id)
+       SELECT CAST(decile AS INT) AS decile,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(keep) AS BIGINT) AS n_keep,
+              CAST(SUM(keep) * 1000000 // COUNT(*) AS BIGINT) AS keep_ppm,
+              MIN(nb_score) AS lo_score,
+              MAX(nb_score) AS hi_score
+       FROM dec
+       GROUP BY decile
+       ORDER BY decile"""
+
   val qualityEvalSql: String =
     s"""WITH $nbCtesSql,
        sc AS (
@@ -2537,6 +2606,7 @@ FROM mergetab ORDER BY rank"""
     "text_quality_train" -> (cachedQualityTrain _),
     "text_quality_model" -> (qualityModel _),
     "text_quality_eval" -> (qualityEval _),
+    "text_quality_calibration" -> (qualityCalibration _),
     "text_quality_holdout" -> (qualityHoldout _),
     "text_span_dup" -> (spanDup _),
     "text_span_dup_s4" -> (spanDupStride _),
@@ -2555,6 +2625,7 @@ FROM mergetab ORDER BY rank"""
     "text_quality_train" -> qualityTrainSql,
     "text_quality_model" -> qualityModelSql,
     "text_quality_eval" -> qualityEvalSql,
+    "text_quality_calibration" -> qualityCalibrationSql,
     "text_quality_holdout" -> qualityHoldoutSql,
     "text_novelty" -> noveltySql,
     "text_bpe_train" -> bpeTrainSql,

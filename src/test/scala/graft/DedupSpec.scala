@@ -70,6 +70,40 @@ class DedupSpec extends GraftSpecBase {
     assert(bad == 0)
   }
 
+  test("split_leakage reproduces a driver-side recomputation from pairs x splits") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def splitOf(text: String): String = {
+      val b = md5hex(text).substring(0, 3)
+      if (b < "ccd") "train" else if (b < "e66") "val" else "test"
+    }
+    val splits = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> splitOf(Option(r.getString(1)).getOrElse(""))).toMap
+    val pairs = Dedup.ngramPairsPlan(spark, sfDir)
+      .select("doc_a", "doc_b", "n_inter", "denom").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter { case (_, _, n, d) => 2 * n >= d }
+    def ju(n: Long, d: Long): Long = (n / d) * 10000 + (2 * (n % d) * 10000 + d) / (2 * d)
+    val leaks = pairs
+      .flatMap { case (a, b, n, d) => Seq((a, b, n, d), (b, a, n, d)) }
+      .filter { case (doc, p, _, _) =>
+        Set("val", "test")(splits(doc)) && splits(p) == "train"
+      }
+      .groupBy { case (doc, _, _, _) => doc }
+      .map { case (doc, ps) =>
+        (doc, splits(doc), ps.length.toLong,
+          ps.map { case (_, _, n, d) => ju(n, d) }.max / 10000.0)
+      }
+      .toSet
+    val got = Dedup.splitLeakage(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == leaks, s"leak census diverged:\n got=$got\n exp=$leaks")
+    // every reported doc is eval-side by construction
+    assert(got.forall(r => r._2 == "val" || r._2 == "test"))
+  }
+
   test("lsh bucket cap: keeps each bucket's lowest ids, passes through at 0") {
     import spark.implicits._
     val hot = (1L to 50L).map(i => (i, 0, 0))

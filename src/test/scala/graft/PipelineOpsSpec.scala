@@ -607,6 +607,43 @@ class PipelineOpsSpec extends GraftSpecBase {
     } finally spark.conf.unset("spark.graft.text.bpeMerges")
   }
 
+  test("text_quality_calibration: exact NTILE(10) parity with a driver recomputation") {
+    val lang = TextAnalysis.langid(spark, sfDir).select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val qual = TextAnalysis.quality(spark, sfDir).select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val labeled = TextAnalysis.qualityModel(spark, sfDir)
+      .select("doc_id", "nb_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .collect { case (id, s) if lang.contains(id) && qual.contains(id) =>
+        (id, s, if (lang(id) == "en" && qual(id) >= 0.5) 1L else 0L)
+      }
+    assert(labeled.length > 20, "fixture too small for a meaningful decile census")
+    val sorted = labeled.sortBy { case (id, s, _) => (s, id) }
+    val n = sorted.length
+    val k = 10
+    val big = n % k
+    val base = n / k
+    def decileOf(rn: Int): Int =
+      if (rn <= big * (base + 1)) (rn - 1) / (base + 1) + 1
+      else big + (rn - big * (base + 1) - 1) / base + 1
+    val exp = sorted.zipWithIndex
+      .map { case ((_, s, kp), i) => (decileOf(i + 1), s, kp) }
+      .groupBy(_._1)
+      .map { case (d, rs) =>
+        (d, rs.length.toLong, rs.map(_._3).sum,
+          rs.map(_._3).sum * 1000000L / rs.length,
+          rs.map(_._2).min, rs.map(_._2).max)
+      }
+      .toSet
+    val got = TextAnalysis.qualityCalibration(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+      .toSet
+    assert(got == exp, s"calibration census diverged:\n got=${got.toSeq.sortBy(_._1)}\n" +
+      s" exp=${exp.toSeq.sortBy(_._1)}")
+  }
+
   test("bpe tie-break follows utf-8 byte order (astral vs private-use tie)") {
     import spark.implicits._
     // U+1F600 encodes F0 9F 98 80 (4 bytes), U+E000 encodes EE 80 80 —
