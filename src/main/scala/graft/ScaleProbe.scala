@@ -379,6 +379,11 @@ object ScaleProbe {
       "ann_graph_topk" -> (graft.operators.Similarity.annGraph _),
       "text_dsir" -> (TextAnalysis.dsir _),
       "skew_lsh_buckets" -> (graft.operators.Similarity.skewLshBuckets _),
+      // later round-14 wave: the leak census (pair-frame-bounded joins —
+      // answer grows with near-dup mass, the corpus_curate class) and
+      // the score calibration (NB scan + the two-phase global decile)
+      "split_leakage" -> (graft.operators.Dedup.splitLeakage _),
+      "text_quality_calibration" -> (TextAnalysis.qualityCalibration _),
       // round-14 wave: the PROBE-IN-M for the BPE fit — M=64 instead of
       // the default 10; the in-memory incremental path must hold cluster
       // round-trips at 1 regardless of M (printed beside the timing),
