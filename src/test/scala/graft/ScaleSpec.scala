@@ -276,7 +276,12 @@ class ScaleSpec extends GraftSpecBase {
     // on (__pid/__bkt, group); a single-key window is only legal above a
     // barrier (Aggregate or another Window) that already shrank the frame.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
-    val highCard = Set("user_id", "query_id", "doc_id", "event_id", "id")
+    // __bkt counts as high-cardinality BY CONSTRUCTION: globalRank's
+    // bucket column is either 256 fixed-width ranges or quantile
+    // boundaries, so each bucket holds ~1/256 of the frame regardless
+    // of value skew — a __bkt-only window is the two-phase ranker
+    // working as designed, not a hot-key sort
+    val highCard = Set("user_id", "query_id", "doc_id", "event_id", "id", "__bkt")
     def scanBelowWithoutBarrier(p: LogicalPlan): Boolean = p match {
       case _: Aggregate | _: LWindow => false
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation => true
@@ -288,6 +293,9 @@ class ScaleSpec extends GraftSpecBase {
         "win_ntile" -> Windows.ntileQuartiles(spark, sfDir),
         "win_anomaly" -> Windows.anomaly(spark, sfDir),
         "win_rolling_median" -> Windows.rollingMedian(spark, sfDir),
+        "train_curriculum" -> graft.operators.Training.curriculum(spark, sfDir),
+        "text_quality_calibration" ->
+          graft.operators.TextAnalysis.qualityCalibration(spark, sfDir),
         "sample_stratified" -> graft.operators.Sampling.stratified(spark, sfDir))
     ) {
       val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
@@ -299,6 +307,19 @@ class ScaleSpec extends GraftSpecBase {
           s"$name: full-table window partitioned only by ${partNames.mkString(",")} — single-task sort at scale")
       }
     }
+  }
+
+  test("split_leakage: candidate-bounded equi-joins only — no cartesian, no window") {
+    val qe = graft.operators.Dedup.splitLeakage(spark, sfDir).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"leak census must never pair splits cartesianly:\n$plan")
+    // the pair frame is the only fan-out; everything downstream is
+    // doc_id equi-joins + one grouped aggregate — a window here would
+    // mean a global sort crept into a corpus-proportional path
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "split_leakage must stay window-free")
   }
 
   // ---- CorpusOps: plan shapes the 100 TB story depends on ----
