@@ -163,17 +163,22 @@ object Multimodal {
       while (wh.isEmpty && i + 9 <= bytes.length) {
         require((bytes(i) & 0xff) == 0xff, "bad JPEG segment marker")
         // ITU T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
-        // marker byte — skip them (JDK encoders emit none, real lakes do)
-        while (i + 9 <= bytes.length && (bytes(i + 1) & 0xff) == 0xff) i += 1
-        val m = bytes(i + 1) & 0xff
-        // SOF0..SOF15 carry the frame header; C4/C8/CC are DHT/JPG/DAC
-        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
-          wh = Some((be16(i + 7), be16(i + 5))) // len(2) prec(1) H(2) W(2)
-        else require(m != 0xda, "SOS before SOF — no frame header")
-        // standalone markers carry NO length segment: TEM (0x01) and
-        // RSTn (0xD0-D7; scan-data only, but tolerate them pre-SOF)
-        if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
-        else i += 2 + be16(i + 2)
+        // marker byte — skip ONE per outer iteration so the loop bound
+        // re-checks i+9 after every advance (a truncated header behind a
+        // fill run must exit to the controlled no-SOF verdict below,
+        // never read past the array)
+        if ((bytes(i + 1) & 0xff) == 0xff) i += 1
+        else {
+          val m = bytes(i + 1) & 0xff
+          // SOF0..SOF15 carry the frame header; C4/C8/CC are DHT/JPG/DAC
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+            wh = Some((be16(i + 7), be16(i + 5))) // len(2) prec(1) H(2) W(2)
+          else require(m != 0xda, "SOS before SOF — no frame header")
+          // standalone markers carry NO length segment: TEM (0x01) and
+          // RSTn (0xD0-D7; scan-data only, but tolerate them pre-SOF)
+          if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+          else i += 2 + be16(i + 2)
+        }
       }
       val (w, h) = wh.getOrElse(sys.error("no SOF frame header"))
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))

@@ -1229,16 +1229,29 @@ FROM mergetab ORDER BY rank"""
     * String.compareTo (UTF-16 code-unit order, which diverges on
     * supplementary-plane characters). */
   private[graft] def utf8Compare(a: String, b: String): Int = {
-    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(ab.length, bb.length)
-    while (i < n) {
-      val c = java.lang.Integer.compare(ab(i) & 0xff, bb(i) & 0xff)
-      if (c != 0) return c
-      i += 1
+    // UTF-8 byte order equals Unicode CODE-POINT order for well-formed
+    // text, so compare code points in place — this sits on the BPE
+    // heap comparator's tie path, where a per-call getBytes would
+    // allocate four transient arrays per comparison. The one encoding
+    // wrinkle is reproduced explicitly: Java's UTF-8 encoder (the same
+    // one Spark's UTF8String.fromString rides) replaces each UNPAIRED
+    // surrogate with '?' (0x3F), so a lone surrogate must compare as
+    // 0x3F here too or the driver order would diverge from the engine's
+    // byte order exactly on malformed input.
+    def cp(s: String, i: Int): Int = {
+      val c = s.codePointAt(i)
+      if (c >= 0xd800 && c <= 0xdfff) 0x3f else c
     }
-    java.lang.Integer.compare(ab.length, bb.length)
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = cp(a, i)
+      val cb = cp(b, j)
+      if (ca != cb) return java.lang.Integer.compare(ca, cb)
+      i += Character.charCount(a.codePointAt(i))
+      j += Character.charCount(b.codePointAt(j))
+    }
+    java.lang.Integer.compare(a.length - i, b.length - j)
   }
 
   /** EXACT in-memory BPE FIT over a collected word census — the

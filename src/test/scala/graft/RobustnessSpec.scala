@@ -375,6 +375,13 @@ class RobustnessSpec extends GraftSpecBase {
         assert(Option(e.getMessage).exists(_.contains("ImageIO")),
           s"TEM handling failed in the marker walk, not the codec: ${e.getMessage}")
     }
+    // a SOF truncated right behind a fill run must exit to the walk's
+    // CONTROLLED no-SOF verdict — never an uncontrolled index read past
+    // the array (the i+9 bound must survive every fill-skip advance)
+    val truncated = Array(0xff, 0xd8, 0xff, 0xff, 0xc0, 0, 11, 8, 0, 8, 0).map(_.toByte)
+    val err = intercept[Exception](Multimodal.Dec.jpeg(truncated))
+    assert(!err.isInstanceOf[ArrayIndexOutOfBoundsException],
+      s"truncated-after-fill stream escaped the walk's bounds: $err")
   }
 
   test("jpeg media: lossy decode is deterministic and near-faithful, quarantine + store pruning hold") {

@@ -276,34 +276,35 @@ class ScaleSpec extends GraftSpecBase {
     // on (__pid/__bkt, group); a single-key window is only legal above a
     // barrier (Aggregate or another Window) that already shrank the frame.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
-    // __bkt counts as high-cardinality BY CONSTRUCTION: globalRank's
-    // bucket column is either 256 fixed-width ranges or quantile
-    // boundaries, so each bucket holds ~1/256 of the frame regardless
-    // of value skew — a __bkt-only window is the two-phase ranker
-    // working as designed, not a hot-key sort
-    val highCard = Set("user_id", "query_id", "doc_id", "event_id", "id", "__bkt")
+    val highCard = Set("user_id", "query_id", "doc_id", "event_id", "id")
     def scanBelowWithoutBarrier(p: LogicalPlan): Boolean = p match {
       case _: Aggregate | _: LWindow => false
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation => true
       case other => other.children.exists(scanBelowWithoutBarrier)
     }
+    // quantileBkt: a __bkt-ONLY window is accepted for this entry —
+    // legal ONLY for rankers that bucket with quantileBounds = true
+    // (boundaries are observed percentiles, so each bucket holds
+    // ~1/256 of the frame REGARDLESS of value skew). Fixed-width
+    // rankers don't get the pass: their balance premise is value
+    // uniformity, exactly what this guard distrusts.
     for (
-      (name, df) <- Seq(
-        "win_topk" -> Windows.topkPerType(spark, sfDir),
-        "win_ntile" -> Windows.ntileQuartiles(spark, sfDir),
-        "win_anomaly" -> Windows.anomaly(spark, sfDir),
-        "win_rolling_median" -> Windows.rollingMedian(spark, sfDir),
-        "train_curriculum" -> graft.operators.Training.curriculum(spark, sfDir),
-        "text_quality_calibration" ->
-          graft.operators.TextAnalysis.qualityCalibration(spark, sfDir),
-        "sample_stratified" -> graft.operators.Sampling.stratified(spark, sfDir))
+      (name, df, quantileBkt) <- Seq(
+        ("win_topk", Windows.topkPerType(spark, sfDir), false),
+        ("win_ntile", Windows.ntileQuartiles(spark, sfDir), false),
+        ("win_anomaly", Windows.anomaly(spark, sfDir), false),
+        ("win_rolling_median", Windows.rollingMedian(spark, sfDir), false),
+        ("text_quality_calibration",
+          graft.operators.TextAnalysis.qualityCalibration(spark, sfDir), true),
+        ("sample_stratified", graft.operators.Sampling.stratified(spark, sfDir), false))
     ) {
       val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
       assert(windows.nonEmpty, s"$name: expected window nodes")
       for (w <- windows if w.children.exists(scanBelowWithoutBarrier)) {
         val partNames = w.partitionSpec.flatMap(_.references.map(_.name))
+        val bktOk = quantileBkt && partNames.nonEmpty && partNames.forall(_ == "__bkt")
         assert(
-          partNames.size >= 2 || partNames.exists(highCard),
+          partNames.size >= 2 || partNames.exists(highCard) || bktOk,
           s"$name: full-table window partitioned only by ${partNames.mkString(",")} — single-task sort at scale")
       }
     }

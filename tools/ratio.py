@@ -57,11 +57,10 @@ def main(sf_dir: str, oracle_path: str, bench_path: str) -> int:
     jobs = bench.get("jobs", {})
     rated = [(q, spark_q[q] / jobs[q]) for q in common if jobs.get(q, 0) > 0]
     if rated:
-        # index len//20 = the 5th-percentile rank (0-based, so one
-        # observation is always discarded below it when len >= 20);
-        # clamped so a small suite reads its minimum rather than
-        # indexing out of range
-        idx = min(len(rated) - 1, len(rated) // 20)
+        # nearest-rank 5th percentile: 0-based index ceil(0.05*n) - 1
+        # (n=100 -> the 5th smallest, index 4); clamped to the minimum
+        # for suites too small for the rank to exist
+        idx = min(len(rated) - 1, max(0, -(-len(rated) * 5 // 100) - 1))
         per_job = sorted(r for _, r in rated)[idx]
         floor = {q: min(jobs.get(q, 0) * per_job, spark_q[q]) for q in common}
         work = {q: spark_q[q] - floor[q] for q in common}
