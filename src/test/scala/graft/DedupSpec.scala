@@ -144,6 +144,65 @@ class DedupSpec extends GraftSpecBase {
     } finally spark.conf.set("spark.graft.ann.lshBucketCap", "0")
   }
 
+  test("lsh skew remediation loop: census flags a planted hot bucket, the cap bounds it gracefully") {
+    // the census + cap are driver-gated on hash-uniform fixtures (flat
+    // census, cap exercised only synthetically); THIS is the clustered
+    // deployment they exist for: 240 identical embeddings collapse to
+    // ONE sign-pattern bucket per table, the census must flag it, and
+    // the census-derived cap must bound that bucket while leaving cold
+    // buckets' results untouched (graceful degradation, not emptiness)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_skew").toString
+    // hot mass sized to trip the census's heavy-key bar (c > 10x fair
+    // share) against the bounded 6x16 bucket domain: that needs the
+    // spread population to OCCUPY most of the 96 keys (fair share small)
+    // while the hot bucket holds > 10x it — sign-pattern-diverse spread
+    // vectors (one distinct +/- pattern per id) cover the domain; 2000
+    // hot vs ~90 occupied keys puts the hot bucket at ~13x fair
+    val hotN = 2000
+    val hot = (0 until hotN).map(i => (1000L + i, "h", Array.fill(8)(0.5f)))
+    val spread = (0 until 200).map { i =>
+      val id = if (i < 3) (i + 1) * 100L else 400L + i
+      (id, "s", Array.tabulate(8)(d => if (((id >> d) & 1L) == 1L) 0.9f else -0.9f))
+    }
+    (hot ++ spread).toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    (1L to 10L).map(i => (i, ("word " * 30).trim + s" doc$i", "en", "fix", 155L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.conf.set("spark.graft.emb.dim", "8")
+    try {
+      val census = Similarity.skewLshBuckets(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+      val (nRows, nKeys, maxKey, heavy, salt) = census("emb_lsh.(t,b)")
+      assert(maxKey >= hotN, s"hot bucket invisible: max_key_rows=$maxKey < $hotN")
+      assert(heavy >= 1 && salt >= 4,
+        s"census must flag the planted skew: heavy_keys=$heavy salt_factor=$salt")
+      def byQuery(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+        df.collect().map(r => (r.getLong(0), r.getDouble(2)))
+          .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSeq.sorted.reverse }
+      val uncapped = byQuery(Similarity.annLsh(spark, dir))
+      assert(uncapped.nonEmpty, "fixture produced no LSH results at all")
+      val cap = 2 * (nRows / nKeys).toInt
+      spark.conf.set("spark.graft.ann.lshBucketCap", cap.toString)
+      val capped = byQuery(Similarity.annLsh(spark, dir))
+      for ((q, u) <- uncapped) {
+        val c = capped.getOrElse(q, Seq.empty)
+        assert(c.nonEmpty, s"query $q emptied by the cap — degradation must be graceful")
+        // capped candidates are a subset, so its ranked cos list is
+        // pointwise dominated by the uncapped one
+        for ((cs, us) <- c.zip(u))
+          assert(cs <= us + 1e-9, s"query $q: capped cos $cs beats uncapped $us")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.emb.dim")
+      spark.conf.set("spark.graft.ann.lshBucketCap", "0")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("multi-table lsh recall vs brute-force top-5 is material") {
     val brute = Similarity.annBrute(spark, sfDir).select("query_id", "neighbor_id")
     val lsh = Similarity.annLsh(spark, sfDir).select("query_id", "neighbor_id")
