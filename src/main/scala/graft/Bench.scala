@@ -141,17 +141,10 @@ object Bench {
         "graph_triangles", "split_leakage", "text_edit_sim"),
       "minhash" -> Seq("corpus_dedup", "dedup_minhash"),
       "bpe_merge_table" -> Seq("text_bpe_train", "text_tokenize_ids", "train_pack_ids"),
-      "nb_weight_table" -> Seq(
-        "text_quality_calibration", "text_quality_eval", "text_quality_model",
-        "text_quality_train"),
-      "nb_features" -> Seq(
-        "text_quality_calibration", "text_quality_eval", "text_quality_holdout",
-        "text_quality_model", "text_quality_train"),
       "chunk_emb" -> Seq("ann_chunk_lsh", "ann_chunk_topk"),
       "spandup_grams" -> Seq("text_span_dup", "text_span_excise"),
       "ivf_qsample" -> Seq("ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk", "ann_recall"),
       "lsh_qsample" -> Seq("ann_graph_topk", "ann_lsh_topk", "ann_recall"),
-      "nn_graph" -> Seq("ann_graph_idx", "ann_graph_topk", "ann_recall"),
       "kmeans_assign" -> Seq("dedup_semantic", "emb_kmeans"),
       "pca_scatter" -> Seq("emb_pca_top", "emb_project2d"),
       "pq" -> Seq("ann_ivfpq_idx", "ann_ivfpq_topk", "ann_pq_topk", "ann_recall", "emb_pq"),
@@ -160,9 +153,15 @@ object Bench {
         s"\"$tag\":" + qs.filter(SparkEntry.queries.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
       }
       .mkString("{", ",", "}")
+    // r15: the quality family serves the persisted quality-model store
+    // (features/labels/weights/scored bodies) and ann_graph_topk /
+    // ann_recall's graph leg read the fresh vector store's nngraph body
+    // — their pass-1 spike is the store build, later passes serve warm
     val storeBacked = Seq("dedup_incremental_idx", "corpus_profile", "text_search_idx",
         "ann_ivf_idx", "ann_ivfpq_idx", "ann_lsh_idx", "ann_graph_idx",
-        "dedup_incremental_bloom")
+        "dedup_incremental_bloom", "ann_graph_topk", "ann_recall",
+        "text_quality_train", "text_quality_model", "text_quality_eval",
+        "text_quality_calibration", "text_quality_holdout")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"")
       .mkString("[", ",", "]")

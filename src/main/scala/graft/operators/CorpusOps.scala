@@ -1040,7 +1040,12 @@ object CorpusOps {
         // mirrors BloomStore.isFresh EXACTLY, incl. the ≥5-line shape:
         // a truncated meta must read stale here too, not census-fresh
         (l: Array[String]) => l.length >= 5 && l(1) == GramIndex.DefaultDeltaSource,
-        Seq("filter.bloom")))
+        Seq("filter.bloom")),
+      // the quality-model store (r15) folds the curation policy into its
+      // VERSION line, so the version comparison IS the policy binding
+      ("quality_model", storePath(s, dir, "graft_quality"),
+        TextAnalysis.qualityStoreVersion(s), docStamp, anyMeta,
+        Seq("features", "labels", "weights", "scored")))
     val rows = stores.flatMap { case (name, path, wantVersion, stamp, metaOk, bodies) =>
       val meta = GramIndex.readMeta(s, path).filter(_.length >= 3)
       val fresh = meta.exists(l => l(0) == stamp && l(2) == wantVersion && metaOk(l))

@@ -1226,9 +1226,15 @@ object Dedup {
     * two split joins are doc_id equi-joins against the slim (doc_id,
     * split) projection, output ∝ leaked docs. */
   def splitLeakage(s: SparkSession, dir: String): DataFrame = {
-    val sp = Tables
-      .documents(s, dir)
-      .select(col("doc_id"), CorpusOps.splitLabel(col("text")).as("split"))
+    // the slim (doc_id, split) projection is joined twice below on
+    // DIFFERENT keys (doc_id, then partner), so without a persist the
+    // documents scan + md5 split label execute twice per run — the
+    // PipelineCache multi-consumer rule (ADVICE r14), stamp-keyed like
+    // every other shared frame in this family
+    val sp = PipelineCache.cached("split_slim", s, dir, "documents.parquet")(
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), CorpusOps.splitLabel(col("text")).as("split")))
     val nd = ngramPairs(s, dir).filter(col("n_inter") * 2 >= col("denom"))
     val und = nd
       .select(col("doc_a").as("doc_id"), col("doc_b").as("partner"), col("n_inter"), col("denom"))

@@ -174,9 +174,14 @@ object Multimodal {
           if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
             wh = Some((be16(i + 7), be16(i + 5))) // len(2) prec(1) H(2) W(2)
           else require(m != 0xda, "SOS before SOF — no frame header")
-          // standalone markers carry NO length segment: TEM (0x01) and
-          // RSTn (0xD0-D7; scan-data only, but tolerate them pre-SOF)
-          if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+          // standalone markers carry NO length segment: TEM (0x01),
+          // RSTn (0xD0-D7; scan-data only, but tolerate them pre-SOF),
+          // a doubled SOI (0xD8) and a stray EOI (0xD9) — all four
+          // classes would otherwise read two scan/garbage bytes as a
+          // segment length and reject a stream a lenient decoder
+          // accepts (ADVICE r14: the tolerance must cover the whole
+          // length-less 0xD0-0xD9 range, not just RSTn)
+          if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2
           else i += 2 + be16(i + 2)
         }
       }

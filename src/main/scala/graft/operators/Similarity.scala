@@ -1877,17 +1877,35 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
-  /** The corpus NN-graph, stamp-cached in two stages (seed graph + the
-    * refined graph) so the scan-time query, [[annRecall]]'s graph row
-    * and [[VectorIndex.build]]'s default-path persisted body all share
-    * ONE construction per source stamp (shared_cache disclosure). */
+  /** The corpus NN-graph — STORE-BACKED BY DEFAULT (r14 verdict #1, the
+    * text_search_idx precedent): when the default [[VectorIndex]] store
+    * is fresh for this corpus, its persisted `nngraph` body IS this
+    * frame (the store writes it from this very construction, and the
+    * absorb rebuild-parity spec pins the bodies row-identical), so the
+    * scan-time query, [[annRecall]]'s graph row and every later bench
+    * pass read 16-byte rows from disk instead of re-running the
+    * seed + refine pipeline per pass. On a stale/absent store the
+    * scan-time construction below runs, stamp-cached in two stages
+    * (seed graph + refined graph) so all consumers still share ONE
+    * build per source stamp (shared_cache disclosure) — and
+    * [[VectorIndex.build]]'s default path persists exactly that cached
+    * frame (its meta is deleted before it calls back here, so the
+    * dispatch can never recurse into a half-written store). */
   private[graft] def nnGraphCached(s: SparkSession, dir: String): DataFrame = {
-    val corpus = quantized(s, dir)
-    val vecs = corpus.select(col("vec_id"), col("qv"), col("nq"))
-    val g0 = PipelineCache.cached(s"nn_g0_d${embDim(s)}", s, dir, "embeddings.parquet")(
-      nnSeedGraph(lshBucketPairs(corpus, "vec_id"), vecs))
-    PipelineCache.cached(s"nn_graph_d${embDim(s)}", s, dir, "embeddings.parquet")(
-      nnRefine(g0, vecs))
+    val p = VectorIndex.defaultPath(s, dir)
+    val stored =
+      if (VectorIndex.isFresh(s, dir, p))
+        try Some(graft.sources.Tables.stableParquet(s, s"$p/nngraph"))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      else None
+    stored.getOrElse {
+      val corpus = quantized(s, dir)
+      val vecs = corpus.select(col("vec_id"), col("qv"), col("nq"))
+      val g0 = PipelineCache.cached(s"nn_g0_d${embDim(s)}", s, dir, "embeddings.parquet")(
+        nnSeedGraph(lshBucketPairs(corpus, "vec_id"), vecs))
+      PipelineCache.cached(s"nn_graph_d${embDim(s)}", s, dir, "embeddings.parquet")(
+        nnRefine(g0, vecs))
+    }
   }
 
   /** Graph-ANN top-5 — the scan-time twin of the store-served

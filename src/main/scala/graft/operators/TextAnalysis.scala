@@ -2138,12 +2138,18 @@ FROM mergetab ORDER BY rank"""
     val split = CorpusOps.dataSplit(s, dir).select(col("doc_id"), col("split"))
     val trainIds = split.filter(col("split") === "train").select("doc_id")
     val valIds = split.filter(col("split") === "val").select("doc_id")
+    // the split FIT is this query's own computation (a different model
+    // than the whole-corpus store's weights body), but its inputs are
+    // the store's `features`/`labels` bodies — slim parquet reads, not
+    // a re-tokenize of the corpus (r14 verdict #1)
+    val feats = qualityBody(s, dir, "features")
+    val labels = qualityBody(s, dir, "labels")
     val weights = qualityTrainFrom(
-      nbFeatures(s, dir).join(trainIds, "doc_id"),
-      nbLabels(s, dir).join(trainIds, "doc_id"))
+      feats.join(trainIds, "doc_id"),
+      labels.join(trainIds, "doc_id"))
     val wt = broadcast(weights.filter(col("bucket") >= 0).select("bucket", "w_micro"))
     val prior = broadcast(weights.filter(col("bucket") === -1).select(col("w_micro").as("prior")))
-    val scored = nbFeatures(s, dir)
+    val scored = feats
       .join(valIds, "doc_id")
       .join(wt, "bucket")
       .groupBy("doc_id")
@@ -2151,11 +2157,11 @@ FROM mergetab ORDER BY rank"""
       .crossJoin(prior)
       .select(col("doc_id"), when(col("prior") + col("sw") > 0, 1L).otherwise(0L).as("pred_keep"))
     val nTrain = broadcast(
-      nbLabels(s, dir).join(trainIds, "doc_id").agg(count(lit(1)).as("n_train")))
+      labels.join(trainIds, "doc_id").agg(count(lit(1)).as("n_train")))
     val cell = (p: Int, k: Int) =>
       sum(when(col("pred_keep") === p && col("keep") === k, 1L).otherwise(0L))
     scored
-      .join(nbLabels(s, dir), "doc_id")
+      .join(labels, "doc_id")
       .agg(
         count(lit(1)).as("n_val"),
         cell(1, 1).as("tp"),
@@ -2183,11 +2189,20 @@ FROM mergetab ORDER BY rank"""
     * FIT+APPLY pattern: apply reads the stamp-cached weight table
     * ([[qualityTrain]] is computed once per source stamp across both
     * queries) and broadcasts it into one scan-speed feature join. */
-  def qualityModel(s: SparkSession, dir: String): DataFrame = {
-    val weights = cachedQualityTrain(s, dir)
+  def qualityModel(s: SparkSession, dir: String): DataFrame =
+    qualityBody(s, dir, "scored").select("doc_id", "n_tokens", "nb_score", "pred_keep")
+
+  /** The scan-time APPLY plan over explicit feature/weight frames — what
+    * [[buildQualityStore]] materializes and the ScaleSpec broadcast pin
+    * inspects (the ≤ 4097-row weight table must broadcast into the
+    * feature scan; model ships to the data, never the reverse). */
+  private[graft] def qualityModelScan(s: SparkSession, dir: String): DataFrame =
+    qualityModelFrom(nbFeatures(s, dir), cachedQualityTrain(s, dir))
+
+  private def qualityModelFrom(feats: DataFrame, weights: DataFrame): DataFrame = {
     val wt = broadcast(weights.filter(col("bucket") >= 0).select("bucket", "w_micro"))
     val prior = broadcast(weights.filter(col("bucket") === -1).select(col("w_micro").as("prior")))
-    nbFeatures(s, dir)
+    feats
       .join(wt, "bucket")
       .groupBy("doc_id")
       .agg(sum(col("occ")).as("n"), sum(col("occ") * col("w_micro")).as("sw"))
@@ -2197,6 +2212,76 @@ FROM mergetab ORDER BY rank"""
         col("n").cast("long").as("n_tokens"),
         round(col("sw") / (col("n") * 1e6), 4).as("nb_score"),
         when(col("prior") + col("sw") > 0, 1L).otherwise(0L).as("pred_keep"))
+  }
+
+  /** Persisted quality-model store — the r14 verdict's carrier-cache
+    * amortization applied to the NB family (the [[TextIndex]] store
+    * discipline on the classifier side): a pipeline scores its corpus
+    * far more often than the corpus (or the policy) changes, so the
+    * four facts the family's queries consume land once per
+    * (corpus stamp, policy) and every later call — including every
+    * bench pass — reads slim parquet instead of re-running the
+    * tokenize + fit + apply chain:
+    *
+    *   - `features`: `(doc_id, bucket, occ)` — the hashed bag-of-words
+    *     representation ([[nbFeatures]]' output; the split-aware
+    *     [[qualityHoldout]] fit filters it by doc_id).
+    *   - `labels`: `(doc_id, keep)` — the policy labels under the
+    *     session curation policy.
+    *   - `weights`: the ≤ 4097-row trained NB table incl. the prior row
+    *     (the model artifact proper).
+    *   - `scored`: `(doc_id, n_tokens, nb_score, pred_keep, keep)` —
+    *     APPLY output + label, one row per scored document (what the
+    *     calibration sweep and the confusion census read).
+    *
+    * Every stored value is either an exact long or a double computed
+    * once and round-tripped losslessly through parquet, so store-served
+    * answers are hash-identical to the scan-time chain (the same DuckDB
+    * oracles gate both). The curation-policy knobs fold into the meta
+    * VERSION line, so a policy retune is stale-by-version and rebuilds
+    * ([[nbLabels]]' cache-tag rule lifted to the store). Crash contract:
+    * meta deleted first, bodies written, meta written LAST
+    * ([[CorpusProfile]]'s convention — a crash mid-build leaves a
+    * stale-by-stamp store the next consumer rebuilds). */
+  private def qualityStorePath(s: SparkSession, dir: String): String =
+    CorpusOps.storePath(s, dir, "graft_quality")
+
+  private[operators] def qualityStoreVersion(s: SparkSession): String = {
+    val (keepLang, minQ) = CorpusOps.curatePolicy(s)
+    s"v1:nb$NbBuckets:$keepLang:$minQ"
+  }
+
+  private[operators] def qualityStoreFresh(s: SparkSession, dir: String): Boolean =
+    GramIndex.readMeta(s, qualityStorePath(s, dir)).exists(l =>
+      l.length >= 3 && l(0) == GramIndex.stamp(dir) && l(2) == qualityStoreVersion(s))
+
+  private[graft] def buildQualityStore(s: SparkSession, dir: String): Unit = {
+    val path = qualityStorePath(s, dir)
+    val mp = GramIndex.metaPath(path)
+    mp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(mp, false)
+    // the build rides the family's stamp-cached frames (one tokenize
+    // pass, one fit per stamp) and lands each as its own body; the two
+    // corpus-grain bodies stay parallel writes, the weight table
+    // coalesces (≤ 4097 rows — the codebook convention)
+    val feats = nbFeatures(s, dir)
+    val labels = nbLabels(s, dir)
+    feats.write.mode("overwrite").parquet(s"$path/features")
+    labels.write.mode("overwrite").parquet(s"$path/labels")
+    val weights = cachedQualityTrain(s, dir)
+    weights.coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
+    qualityModelFrom(feats, weights)
+      .join(labels, "doc_id")
+      .write.mode("overwrite").parquet(s"$path/scored")
+    GramIndex.writeMeta(
+      s, path,
+      Seq(GramIndex.stamp(dir), "nb", qualityStoreVersion(s), "").mkString("\n"))
+  }
+
+  /** Build-if-stale + read one store body — the family's one dispatch
+    * point ([[TextIndex.searchIndexed]]'s shape). */
+  private def qualityBody(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (!qualityStoreFresh(s, dir)) buildQualityStore(s, dir)
+    Tables.stableParquet(s, s"${qualityStorePath(s, dir)}/$name")
   }
 
   /** EVALUATE: confusion census of the NB decision against the policy
@@ -2213,9 +2298,10 @@ FROM mergetab ORDER BY rank"""
   def qualityEval(s: SparkSession, dir: String): DataFrame = {
     val cell = (p: Int, k: Int) =>
       sum(when(col("pred_keep") === p && col("keep") === k, 1L).otherwise(0L))
-    qualityModel(s, dir)
-      .select(col("doc_id"), col("pred_keep"))
-      .join(nbLabels(s, dir), "doc_id")
+    // the stored `scored` body already carries (pred_keep, keep) side by
+    // side — the census is ONE map-side-combined fold over it, no join
+    qualityBody(s, dir, "scored")
+      .select(col("doc_id"), col("pred_keep"), col("keep"))
       .agg(
         count(lit(1)).as("n_docs"),
         cell(1, 1).as("tp"),
@@ -2345,17 +2431,11 @@ FROM mergetab ORDER BY rank"""
     * output = 10 rows. */
   def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
     // the scored+labeled frame is consumed three times inside one query
-    // (quantile bounds, local rank, per-bucket counts) and the NB score
-    // is a full corpus scan per execution — the PipelineCache
-    // multi-consumer rule applies WITHIN the query (the annIvf probe
-    // frame precedent; measured 3.96 s -> the cached form). Policy knobs
-    // folded into the tag, mirroring nbLabels.
-    val (keepLang, minQ) = CorpusOps.curatePolicy(s)
-    val labeled =
-      PipelineCache.cached(s"nb_scored:$keepLang:$minQ", s, dir, "documents.parquet")(
-        qualityModel(s, dir)
-          .select(col("doc_id"), col("nb_score"))
-          .join(nbLabels(s, dir), "doc_id"))
+    // (quantile bounds, local rank, per-bucket counts) — it is the
+    // store's `scored` body read three times from parquet (r14 verdict
+    // #1: the per-pass nb_scored cache build this query used to carry
+    // is now the store build, paid once per (stamp, policy))
+    val labeled = qualityBody(s, dir, "scored").select("doc_id", "nb_score", "keep")
     Scale
       .globalRank(
         labeled,
@@ -2624,8 +2704,9 @@ FROM mergetab ORDER BY rank"""
     "text_bpe_train" -> ((s, d) =>
       PipelineCache.cached("bpe_merge_table", s, d, "documents.parquet")(bpeTrain(s, d))),
     "text_winnow" -> (winnow _),
-    // FIT + APPLY share one stamp-cached weight table (the bpe pattern)
-    "text_quality_train" -> (cachedQualityTrain _),
+    // FIT serves the quality store's persisted weight table — one fit
+    // per (corpus stamp, policy), shared with every APPLY consumer
+    "text_quality_train" -> ((s, d) => qualityBody(s, d, "weights")),
     "text_quality_model" -> (qualityModel _),
     "text_quality_eval" -> (qualityEval _),
     "text_quality_calibration" -> (qualityCalibration _),

@@ -1198,6 +1198,17 @@ object EventStreams {
     * re-scans per trigger; scoring is a narrow per-row map over the
     * document's hashed word bigrams.
     *
+    * Serve-path CPU cost, disclosed (ADVICE r14): `element_at` on a map
+    * LITERAL is a linear scan of the literal's entries, so each bigram
+    * lookup costs O(|table|) comparisons — up to 4096 — versus the batch
+    * path's broadcast hash join. At the twin's fixture scale that is
+    * noise; a high-throughput deployment with long documents should
+    * swap the literal for a hash-backed lookup (a codegen'd Expression
+    * closing over an immutable HashMap — the [[graft.functions]]
+    * pattern), trading the zero-UDF plan purity this twin keeps for
+    * O(1) per-bigram CPU. Correctness is unaffected either way
+    * (spec-pinned row-identical to batch).
+    *
     * Arithmetic mirrors batch exactly: the SAME bigram expression
     * (empty-filtered word split, adjacent concat), the SAME md5-prefix
     * bucket, per-occurrence micro-nat weight lookup; UNKNOWN buckets

@@ -846,8 +846,11 @@ class ScaleSpec extends GraftSpecBase {
 
   test("quality model: weight table broadcasts, scoring pays one balanced feature shuffle") {
     graft.operators.Dedup.clearSharedCache()
+    // the pin inspects the scan-time APPLY plan (what the quality
+    // store's build executes); the registry query itself reads the
+    // store's scored body and has no join to pin
     val plan = graft.operators.TextAnalysis
-      .qualityModel(spark, sfDir).queryExecution.executedPlan.toString
+      .qualityModelScan(spark, sfDir).queryExecution.executedPlan.toString
     // the ≤4097-row weight table joins by BROADCAST (the 100 TB apply
     // path: model ships to the data, never the reverse) — a sort-merge
     // join here would shuffle the corpus-sized feature frame by bucket
