@@ -269,19 +269,17 @@ object Similarity {
     * Bucket-skew policy: candidate cost is ∝ probed-bucket MASS, and under
     * anisotropic real embeddings one sign-pattern bucket can hold a large
     * corpus fraction — run [[skewLshBuckets]] (the oracled (t, b) census)
-    * before deploying; when it reports heavy buckets, either set
+    * before deploying; when it reports heavy buckets, set
     * `spark.graft.ann.lshBucketCap` to the census's
-    * `salt_factor × fair-share` reading (the ENGINEERED cap, wired below
-    * via [[capBuckets]]: each bucket's corpus side truncates to its
-    * `cap` lowest vec_ids — deterministic, recall degrades gracefully,
-    * and candidate cost per probed bucket is bounded at cap·|probes|)
-    * or leave it 0 and let AQE's skew-join split carry the imbalance,
-    * which preserves exactness at the price of wider tasks. The default
-    * is 0 (off): the fixture is hash-uniform (census reads flat), and
-    * capping on flat data would only discard recall — the knob exists
-    * for the clustered-embedding deployment the census diagnoses.
-    * A cap ≥ the census's max-bucket mass is a provable no-op
-    * (spec-pinned), so enabling it conservatively is safe. */
+    * `salt_factor × fair-share` reading and the serve path SPLITS every
+    * heavier bucket into ⌈mass/cap⌉ probe-replicated sub-buckets
+    * ([[saltedBucketJoin]] — r15: recall-PRESERVING, results identical
+    * to uncapped by construction, spec-pinned on the planted
+    * hot-bucket fixture; the r14 cap truncated instead and silently
+    * dropped candidates past it). The default is 0 (off): on flat data
+    * the split is pure overhead — the knob exists for the
+    * clustered-embedding deployment the census diagnoses, and since
+    * results never change, enabling it conservatively is always safe. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     // all 6 bucket values come from ONE native call per vector
     // ([[graft.functions.LshBuckets]] — same integer weight formula the
@@ -296,18 +294,26 @@ object Similarity {
       corpus
         .filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("qv"), col("nq")))
-    val bucketed = capBuckets(lshBucketPairs(corpus, "vec_id"), "vec_id", lshBucketCap(s))
-      .select(col("vec_id"), struct(col("t"), col("b")).as("tb"))
-    val queryBuckets = lshBucketPairs(qf, "query_id")
-      .select(col("query_id"), struct(col("t"), col("b")).as("tb"))
-    lshRescore(lshCandidates(bucketed.join(broadcast(queryBuckets), Seq("tb"))), corpus, qf)
+    lshRescore(
+      lshCandidates(
+        saltedBucketJoin(
+          lshBucketPairs(corpus, "vec_id"),
+          lshBucketPairs(qf, "query_id"),
+          "vec_id",
+          lshBucketCap(s))),
+      corpus, qf)
   }
 
-  /** Probe-side LSH bucket candidate cap — 0 (default) = off. Set to the
-    * [[skewLshBuckets]] census's `salt_factor × fair-share` reading when
-    * the census reports heavy buckets; all three LSH serve paths
-    * ([[annLsh]], [[annChunkLsh]], [[VectorIndex.annLshIndexed]]) read
-    * this one knob through [[capBuckets]]. */
+  /** Per-sub-bucket LSH candidate bound — 0 (default) = off. Set it
+    * (e.g. to a small multiple of the [[skewLshBuckets]] census's
+    * fair-share bucket) when the census reports heavy buckets; all
+    * three LSH serve paths ([[annLsh]], [[annChunkLsh]],
+    * [[VectorIndex.annLshIndexed]]) read this one knob through
+    * [[saltedBucketJoin]], which SPLITS heavier buckets instead of
+    * truncating them — results are provably identical to uncapped at
+    * any setting, only the task geometry changes. The census's
+    * `salt_factor` column is exactly the split factor the heaviest
+    * bucket receives at cap = fair share. */
   private[operators] def lshBucketCap(s: SparkSession): Int = {
     val raw = s.conf.get("spark.graft.ann.lshBucketCap", "0")
     val n =
@@ -321,20 +327,45 @@ object Similarity {
     n
   }
 
-  /** Deterministic per-bucket truncation of a (id, t, b) bucket-pair
-    * frame: keep each (t, b) bucket's `cap` LOWEST ids (row_number —
-    * ties impossible on an id), pass-through when cap ≤ 0. Bounds the
-    * candidate join's corpus side at cap rows per probed bucket; a cap
-    * ≥ the max bucket mass keeps every row (the provable-no-op spec).
-    * The window shuffles the bucket body once on the same (t, b) key
-    * the join would shuffle on anyway — a hot bucket sorts as one
-    * O(mass log mass) task instead of exploding the join output by
-    * |probes| × mass, which is the trade the cap exists to make. */
-  private[graft] def capBuckets(pairs: DataFrame, idCol: String, cap: Int): DataFrame =
-    if (cap <= 0) pairs
+  /** Per-bucket sub-bucket count under `cap`: ⌈mass/cap⌉ for every
+    * occupied (t, b) — ONE map-side-combined count shuffle over the
+    * bounded 6×16 bucket domain, broadcastable by construction. */
+  private[graft] def bucketSaltCounts(pairs: DataFrame, cap: Int): DataFrame =
+    pairs
+      .groupBy("t", "b")
+      .agg(expr(s"CAST((count(1) + ${cap.toLong - 1}) DIV ${cap.toLong} AS INT)").as("n_salt"))
+
+  /** RECALL-PRESERVING hot-bucket remediation (r14 verdict #2 — the
+    * [[Scale.saltedJoin]] discipline applied to LSH serving, replacing
+    * the r14 truncating cap): a (t, b) bucket heavier than `cap` is
+    * SPLIT into ⌈mass/cap⌉ sub-buckets — each corpus row lands in salt
+    * `id mod n_salt` (deterministic, no window, no single-task sort
+    * anywhere) and each query probe of that bucket fans out to ALL its
+    * salts. The join output is therefore EXACTLY the uncapped join's
+    * row multiset (spec-pinned identical on the planted hot-bucket
+    * fixture): the cap now bounds the PER-TASK candidate group at
+    * ~cap·|probes of one bucket| without discarding a single candidate
+    * — recall is uncapped's, skew cost is salted. Probe-side fan-out is
+    * bounded: a query's 6 buckets contribute Σ⌈mass/cap⌉ probe rows,
+    * ≪ the candidate mass they already imply. `cap ≤ 0` (default) is a
+    * structural pass-through of the plain bucket-equality join. */
+  private[graft] def saltedBucketJoin(
+      corpusPairs: DataFrame,
+      queryPairs: DataFrame,
+      idCol: String,
+      cap: Int): DataFrame =
+    if (cap <= 0) corpusPairs.join(broadcast(queryPairs), Seq("t", "b"))
     else {
-      val w = Window.partitionBy("t", "b").orderBy(col(idCol))
-      pairs.withColumn("rk_cap", row_number().over(w)).filter(col("rk_cap") <= cap).drop("rk_cap")
+      val nSalts = bucketSaltCounts(corpusPairs, cap)
+      val salted = corpusPairs
+        .join(broadcast(nSalts), Seq("t", "b"))
+        .withColumn("salt", pmod(col(idCol), col("n_salt").cast("long")).cast("int"))
+        .drop("n_salt")
+      val probes = queryPairs
+        .join(broadcast(nSalts), Seq("t", "b"))
+        .withColumn("salt", explode(sequence(lit(0), col("n_salt") - 1)))
+        .drop("n_salt")
+      salted.join(broadcast(probes), Seq("t", "b", "salt")).drop("salt")
     }
 
   /** Every (table, bucket) pair for a frame's `qv` column — the ONE
@@ -2411,8 +2442,9 @@ object Similarity {
   /** Bucket-skew policy: same as [[annLsh]]'s — [[skewLshBuckets]]
     * censuses THIS body's (t, b) key too (the chunk grain multiplies
     * bucket mass ~7×, so a hot chunk bucket is the serve-cost driver
-    * here first); the same `spark.graft.ann.lshBucketCap` knob caps
-    * this body through the same [[capBuckets]], default 0 (off). */
+    * here first); the same `spark.graft.ann.lshBucketCap` knob splits
+    * this body through the same [[saltedBucketJoin]], default 0 (off),
+    * results identical at any setting. */
   def annChunkLsh(s: SparkSession, dir: String): DataFrame = {
     val pack = 1048576L
     val emb = chunkEmb(s, dir)
@@ -2428,19 +2460,14 @@ object Similarity {
     val queries = emb
       .filter(col("doc_id") % 100 === 0 && col("cid") % pack === 0)
       .select(col("doc_id").as("query_doc"), col("qv").as("query_qv"), col("nq").as("query_nq"))
-    val bucketed = capBuckets(
-      emb.select(
-        col("cid"),
-        posexplode(call_function("graft_lsh_buckets", col("qv"))).as(Seq("t", "b"))),
-      "cid", lshBucketCap(s))
-      .select(col("cid"), struct(col("t"), col("b")).as("tb"))
+    val bucketed = emb.select(
+      col("cid"),
+      posexplode(call_function("graft_lsh_buckets", col("qv"))).as(Seq("t", "b")))
     val queryBuckets = queries
       .select(
         col("query_doc"),
         posexplode(call_function("graft_lsh_buckets", col("query_qv"))).as(Seq("t", "b")))
-      .select(col("query_doc"), struct(col("t"), col("b")).as("tb"))
-    val cand = bucketed
-      .join(broadcast(queryBuckets), Seq("tb"))
+    val cand = saltedBucketJoin(bucketed, queryBuckets, "cid", lshBucketCap(s))
       .filter(expr(s"cid DIV $pack") =!= col("query_doc"))
       .select(col("query_doc"), col("cid"))
       .distinct()
@@ -2550,10 +2577,13 @@ object Similarity {
     * fraction, and serve cost is ∝ probed-bucket mass — this census is
     * the diagnostic that makes that visible BEFORE a deployment ships
     * (max bucket mass, heavy buckets at > 10× fair share, and
-    * `salt_factor` doubling as the recommended probe-side candidate
-    * cap in multiples of the fair-share bucket). The fixture vectors
-    * are hash-uniform, so the driver-gated reading is the flat case;
-    * the operator exists for the clustered one.
+    * `salt_factor` = ⌈max mass / fair share⌉ — under the r15 split
+    * remediation this is exactly the sub-bucket count
+    * [[saltedBucketJoin]] applies to the heaviest bucket when
+    * `spark.graft.ann.lshBucketCap` is set to the fair share, so the
+    * census reports the split factor the serve paths will apply). The
+    * fixture vectors are hash-uniform, so the driver-gated reading is
+    * the flat case; the operator exists for the clustered one.
     *
     * Scale shape: per body ONE map-side-combined (t, b) count shuffle
     * (≤ 6·16 groups for the doc body — the bucket domain, not the

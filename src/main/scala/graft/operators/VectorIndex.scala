@@ -406,11 +406,12 @@ object VectorIndex {
     * Bucket-skew policy: the stored partitions inherit whatever bucket
     * imbalance the corpus has — [[Similarity.skewLshBuckets]] censuses
     * the same (t, b) key this body partitions by; the same
-    * `spark.graft.ann.lshBucketCap` knob caps the pruned body read here
-    * through the same [[Similarity.capBuckets]] (default 0 = off), with
-    * one store-specific extra: a heavy bucket is also a heavy
-    * PARTITION, so the census's salt_factor is simultaneously the
-    * file-split factor a rebuild should apply to that bucket's body. */
+    * `spark.graft.ann.lshBucketCap` knob splits the pruned body read
+    * here through the same [[Similarity.saltedBucketJoin]] (default
+    * 0 = off, results identical at any setting), with one
+    * store-specific extra: a heavy bucket is also a heavy PARTITION,
+    * so the census's salt_factor is simultaneously the file-split
+    * factor a rebuild should apply to that bucket's body. */
   def annLshIndexed(s: SparkSession, dir: String, path: String): DataFrame = {
     if (!isFresh(s, dir, path)) build(s, dir, path)
     val qf =
@@ -436,12 +437,13 @@ object VectorIndex {
       // this store path cannot drift), fed from the store's bodies
       Similarity.lshRescore(
         Similarity.lshCandidates(
-          Similarity.capBuckets(
+          Similarity.saltedBucketJoin(
             graft.sources.Tables
               .stableParquet(s, s"$path/lshbuckets")
               .filter((col("t") * 16 + col("b")).cast("long").isin(probed.map(Long.box): _*)),
-            "vec_id", Similarity.lshBucketCap(s))
-            .join(broadcast(queryBuckets), Seq("t", "b"))),
+            queryBuckets,
+            "vec_id",
+            Similarity.lshBucketCap(s))),
         graft.sources.Tables.stableParquet(s, s"$path/vectors"),
         qf)
     }

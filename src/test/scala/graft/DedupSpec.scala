@@ -104,43 +104,43 @@ class DedupSpec extends GraftSpecBase {
     assert(got.forall(r => r._2 == "val" || r._2 == "test"))
   }
 
-  test("lsh bucket cap: keeps each bucket's lowest ids, passes through at 0") {
+  test("lsh bucket split: covers every row in ≤⌈mass/cap⌉ sub-buckets, passes through at 0") {
     import spark.implicits._
     val hot = (1L to 50L).map(i => (i, 0, 0))
     val cold = Seq((10L, 1, 2), (20L, 1, 2))
     val pairs = (hot ++ cold).toDF("vec_id", "t", "b")
-    val capped = Similarity.capBuckets(pairs, "vec_id", 4)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
-    assert(capped == ((1L to 4L).map(i => (i, 0, 0)) ++ cold).toSet,
-      s"cap=4 must keep the 4 lowest ids of the hot bucket and all of the cold one: $capped")
-    val off = Similarity.capBuckets(pairs, "vec_id", 0)
-    assert(off eq pairs, "cap=0 must be a structural pass-through")
+    val q = Seq((100L, 0, 0), (101L, 1, 2), (102L, 3, 3)).toDF("query_id", "t", "b")
+    // cap=4: hot bucket splits 13 ways, cold stays whole — and the join
+    // output is EXACTLY the plain bucket join's row multiset (the split
+    // is a task-geometry change, never a candidate filter)
+    val salts = Similarity.bucketSaltCounts(pairs, 4)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getInt(2))).toMap
+    assert(salts == Map((0, 0) -> 13, (1, 2) -> 1), s"sub-bucket counts wrong: $salts")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val plain = rows(Similarity.saltedBucketJoin(pairs, q, "vec_id", 0))
+    val split = rows(Similarity.saltedBucketJoin(pairs, q, "vec_id", 4))
+    assert(split == plain && plain.nonEmpty,
+      s"split join must preserve the exact candidate multiset: ${split.size} vs ${plain.size}")
+    // the per-task bound: no (t, b, salt) group exceeds the cap by more
+    // than the mod-placement remainder (ids 1..50 mod 13 spread ≤ 4)
+    val groupMax = pairs
+      .join(broadcast(Similarity.bucketSaltCounts(pairs, 4)), Seq("t", "b"))
+      .groupBy(col("t"), col("b"), pmod(col("vec_id"), col("n_salt").cast("long")))
+      .count().agg(max("count")).collect()(0).getLong(0)
+    assert(groupMax <= 4, s"sub-bucket group exceeded the cap: $groupMax")
   }
 
-  test("lsh bucket cap end-to-end: loose cap is a no-op, tight cap bounds candidates") {
+  test("lsh bucket split end-to-end: any cap answers identically to uncapped") {
     def rows() = Similarity.annLsh(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     val baseline = rows()
     try {
-      // loose: cap >= any bucket's mass -> provably identical output
-      spark.conf.set("spark.graft.ann.lshBucketCap", "1000000")
-      assert(rows() == baseline, "a cap above the max bucket mass must be a no-op")
-      // tight: 1 corpus row per (t, b) -> each query sees at most its 6
-      // probed buckets' single survivors
-      spark.conf.set("spark.graft.ann.lshBucketCap", "1")
-      val tight = Similarity.annLsh(spark, sfDir)
-      val nQueries = Similarity.annBrute(spark, sfDir)
-        .select("query_id").distinct().count()
-      assert(tight.count() <= 6 * nQueries,
-        "cap=1 must bound candidates at one survivor per probed bucket")
-      val overBest = tight
-        .join(
-          Similarity.annBrute(spark, sfDir).filter(col("rk") === 1)
-            .select(col("query_id"), col("cos_sim").as("best")),
-          "query_id")
-        .filter(col("cos_sim") > col("best"))
-        .count()
-      assert(overBest == 0, "capped LSH must never beat brute force")
+      for (cap <- Seq("1000000", "32", "1")) {
+        spark.conf.set("spark.graft.ann.lshBucketCap", cap)
+        assert(rows() == baseline,
+          s"split at cap=$cap must be result-identical to uncapped (recall-preserving)")
+      }
     } finally spark.conf.set("spark.graft.ann.lshBucketCap", "0")
   }
 
@@ -186,16 +186,19 @@ class DedupSpec extends GraftSpecBase {
       val uncapped = byQuery(Similarity.annLsh(spark, dir))
       assert(uncapped.nonEmpty, "fixture produced no LSH results at all")
       val cap = 2 * (nRows / nKeys).toInt
+      // the census-derived cap splits the planted hot bucket into
+      // ⌈max/cap⌉ probe-replicated sub-buckets — a real split (≥ 2) ...
+      val applied = (maxKey + cap - 1) / cap
+      assert(applied >= 2, s"fixture cap $cap does not split the hot bucket (max=$maxKey)")
       spark.conf.set("spark.graft.ann.lshBucketCap", cap.toString)
       val capped = byQuery(Similarity.annLsh(spark, dir))
-      for ((q, u) <- uncapped) {
-        val c = capped.getOrElse(q, Seq.empty)
-        assert(c.nonEmpty, s"query $q emptied by the cap — degradation must be graceful")
-        // capped candidates are a subset, so its ranked cos list is
-        // pointwise dominated by the uncapped one
-        for ((cs, us) <- c.zip(u))
-          assert(cs <= us + 1e-9, s"query $q: capped cos $cs beats uncapped $us")
-      }
+      // ... and the r15 remediation is recall-PRESERVING: identical
+      // results to uncapped, per query, score for score (the r14
+      // truncating cap only promised pointwise domination)
+      assert(capped == uncapped,
+        s"split serving diverged from uncapped on the planted fixture:\n" +
+          s" capped=${capped.toSeq.sortBy(_._1).take(3)}…\n" +
+          s" uncapped=${uncapped.toSeq.sortBy(_._1).take(3)}…")
     } finally {
       spark.conf.unset("spark.graft.emb.dim")
       spark.conf.set("spark.graft.ann.lshBucketCap", "0")
