@@ -135,9 +135,17 @@ object Similarity {
     * which is exactly right: every (query, candidate) pair must be scored. */
   def annBrute(s: SparkSession, dir: String): DataFrame = {
     val corpus = quantized(s, dir)
-    val queries = corpus
-      .filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("qv").as("query_qv"), col("nq").as("query_nq"))
+    annBruteOf(
+      corpus,
+      corpus
+        .filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("qv").as("query_qv"), col("nq").as("query_nq")))
+  }
+
+  /** Frame-parameterized body of [[annBrute]], shared with the
+    * clustered recall census ([[annRecallClustered]]) — parity is
+    * structural. */
+  private[operators] def annBruteOf(corpus: DataFrame, queries: DataFrame): DataFrame = {
     // top-5 per query via partial-top-k-then-merge: a window keyed on
     // query_id alone would sort a corpus-sized candidate set per task;
     // keying phase 1 on (physical partition, query_id) bounds every sort
@@ -166,8 +174,10 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
-  val annBruteSql: String =
-    s"""WITH $embPrelude,
+  val annBruteSql: String = annBruteSqlFrom(embPrelude)
+
+  private[operators] def annBruteSqlFrom(prelude: String): String =
+    s"""WITH $prelude,
        queries AS (SELECT vec_id AS query_id, qv AS query_qv, nq AS query_nq
                    FROM n WHERE vec_id % 100 = 0),
        scored AS (
@@ -421,8 +431,10 @@ object Similarity {
     * (((t*31+p)*97+d)*40503 % 65536 - 32768), same 4-bit sign buckets per
     * table, same candidate union and exact rescoring. Integer dots are
     * exact in DuckDB's double arithmetic (|dot| < 2^53). */
-  val annLshSql: String =
-    s"""WITH $embPrelude,
+  val annLshSql: String = annLshSqlFrom(embPrelude)
+
+  private[operators] def annLshSqlFrom(prelude: String): String =
+    s"""WITH $prelude,
        w AS (
          SELECT t, p, LIST(((((t*31+p)*97+d)*40503) % 65536) - 32768 ORDER BY d) AS wv
          FROM range(6) tt(t), range(4) pp(p), range(64) dd(d)
@@ -593,8 +605,10 @@ object Similarity {
   /** Exact SQL replay of [[annIvf]]: same hash-partition seed cells, same
     * integer centroid sums, same argmax assignment (ties to lower cell),
     * same 4-cell probe and exact rescore. */
-  val annIvfSql: String =
-    s"""WITH $embPrelude,
+  val annIvfSql: String = annIvfSqlFrom(embPrelude)
+
+  private[operators] def annIvfSqlFrom(prelude: String): String =
+    s"""WITH $prelude,
        e AS (SELECT vec_id % 16 AS cell, i, SUM(qv[i]) AS sv
              FROM n, UNNEST(range(1, len(qv) + 1)) AS t(i)
              GROUP BY 1, 2),
@@ -1432,12 +1446,14 @@ object Similarity {
 
   /** Exact SQL replay of [[annPq]]: same PQ prelude, same query distance
     * tables, same fixed-order 8-term sum, same (adist, vec_id) cut. */
-  val annPqSql: String = {
+  val annPqSql: String = annPqSqlFrom(embPrelude)
+
+  private[operators] def annPqSqlFrom(prelude: String): String = {
     val sd = EmbDimDefault / 8
     val adistSum = (0 until 8)
       .map(j => s"MAX(CASE WHEN sub_id = $j THEN d END)")
       .mkString(" + ")
-    s"""WITH $embPrelude,
+    s"""WITH $prelude,
        $pqOraclePrelude,
        qs AS (SELECT vec_id AS query_id, qv FROM n WHERE vec_id % 100 = 0),
        qsub AS (
@@ -1505,12 +1521,14 @@ object Similarity {
 
   /** Exact SQL replay of [[annIvfPq]]: the annIvf cell/probe CTEs + the
     * PQ prelude + the ADC tables, composed. */
-  val annIvfPqSql: String = {
+  val annIvfPqSql: String = annIvfPqSqlFrom(embPrelude)
+
+  private[operators] def annIvfPqSqlFrom(prelude: String): String = {
     val sd = EmbDimDefault / 8
     val adistSum = (0 until 8)
       .map(j => s"MAX(CASE WHEN sub_id = $j THEN d END)")
       .mkString(" + ")
-    s"""WITH $embPrelude,
+    s"""WITH $prelude,
        $pqOraclePrelude,
        e AS (SELECT vec_id % 16 AS cell, i, SUM(qv[i]) AS sv
              FROM n, UNNEST(range(1, len(qv) + 1)) AS t(i)
@@ -1586,17 +1604,29 @@ object Similarity {
     * All five method frames and the pair set are bounded by 5·|queries|,
     * so every join below broadcasts the bounded side. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val brutePairs = PipelineCache.cached(
       s"ann_recall_brute_d${embDim(s)}", s, dir, "embeddings.parquet") {
       annBrute(s, dir).select("query_id", "neighbor_id")
     }
-    val methods = Seq(
-      "graph" -> (annGraph _), "ivf" -> (annIvf _), "ivfpq" -> (annIvfPq _),
-      "lsh" -> (annLsh _), "pq" -> (annPq _))
+    recallCensusOf(
+      s,
+      Seq(
+        "graph" -> annGraph(s, dir), "ivf" -> annIvf(s, dir), "ivfpq" -> annIvfPq(s, dir),
+        "lsh" -> annLsh(s, dir), "pq" -> annPq(s, dir)),
+      brutePairs)
+  }
+
+  /** The census tail shared by [[annRecall]] and [[annRecallClustered]]
+    * — one intersection/apportion definition, so the uniform and
+    * clustered censuses measure recall identically. */
+  private def recallCensusOf(
+      s: SparkSession,
+      methods: Seq[(String, DataFrame)],
+      brutePairs: DataFrame): DataFrame = {
+    import s.implicits._
     val tagged = methods
-      .map { case (m, f) =>
-        f(s, dir).select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+      .map { case (m, df) =>
+        df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
       }
       .reduce(_ unionByName _)
     val nPairs = brutePairs.agg(count(lit(1)).cast("long").as("n_pairs"))
@@ -1614,18 +1644,130 @@ object Similarity {
       .orderBy("method")
   }
 
+  /** Recall@5 census under SKEW — [[annRecall]] on a deliberately
+    * CLUSTERED embedding view (r14 verdict #3: the uniform fixture is
+    * graph-ANN's declared worst case but LSH/IVF's best case — no hot
+    * buckets, balanced cells — so the recall cost of bucket skew was
+    * invisible to the driver gate). The view is derived IN-QUERY from
+    * the gated corpus's vec_ids by exact integer arithmetic (so DuckDB
+    * replays it bit-for-bit): 5 mixture centers keyed on `vec_id % 5`,
+    * center component = the LSH plane scramble family
+    * `((c·37 + d)·40503) % 65536 − 32768`, plus a small deterministic
+    * residue `(vec_id·7 + d)·2654435761 % 201 − 100` — five tight
+    * cosine clusters whose members collide into one sign bucket per
+    * table, the anisotropy [[skewLshBuckets]] exists to diagnose.
+    *
+    * The LSH leg runs with the hot-bucket split cap ON, derived from
+    * the view's own bucket census (fair-share ÷ 4 — one bounded driver
+    * fetch, the eager-literal move), while the ORACLE replays plain
+    * uncapped LSH: the driver's hash gate is therefore a standing proof
+    * that [[saltedBucketJoin]] is recall-preserving under real skew
+    * (the join_skew_salted contract applied to ANN serving). All six
+    * pipelines run on a deterministic quarter-sample
+    * (`vec_id % 4 = 0` — recall evaluation is sampling-based at any
+    * corpus scale; queries `vec_id % 100 = 0` remain a subset since
+    * 4 | 100), so census cost stays bounded beside the uniform row. */
+  def annRecallClustered(s: SparkSession, dir: String): DataFrame = {
+    val corpus = clusteredCorpus(s, dir)
+    val vecs = corpus.select(col("vec_id"), col("qv"), col("nq"))
+    val qf = corpus
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("qv"), col("nq"))
+    val pairs = lshBucketPairs(corpus, "vec_id")
+    // census-derived split cap: fair share ÷ 4 forces a real split of
+    // the cluster buckets; ONE bounded driver fetch over the ≤ 96-key
+    // census (results are cap-invariant by the split's construction)
+    val st = pairs
+      .groupBy("t", "b").agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("n"), count(lit(1)).as("k")).collect()(0)
+    val cap =
+      if (st.isNullAt(0)) 1
+      else math.max(1L, st.getLong(0) / (math.max(1L, st.getLong(1)) * 4L)).toInt
+    val lsh = lshRescore(
+      lshCandidates(saltedBucketJoin(pairs, lshBucketPairs(qf, "query_id"), "vec_id", cap)),
+      corpus, qf)
+    val (assigned, codebook) = ivfCellsOf(corpus, 16)
+    val ivf = ivfRescore(assigned, ivfProbes(qf, codebook), qf)
+    val sd = embDim(s) / 8
+    val cents = pqCentroids(subspaceRows(corpus, "vec_id", sd))
+    val assignedPq = pqAssigned(subspaceRows(corpus, "vec_id", sd), cents)
+    val dt = pqQueryTablesFrom(qf, cents, sd)
+    val pq = pqRank(pqCodes(assignedPq).crossJoin(broadcast(dt)))
+    val ivfpq = pqRank(
+      assigned.select(col("vec_id"), col("cell"))
+        .join(pqCodes(assignedPq), "vec_id")
+        .join(broadcast(ivfProbes(qf, codebook)), Seq("cell"))
+        .join(broadcast(dt), "query_id"))
+    val graph = graphWalk(nnRefine(nnSeedGraph(pairs, vecs), vecs), gEntriesOf(vecs), vecs, qf)
+    val brutePairs = PipelineCache.cached(
+      s"ann_recall_clustered_brute_d${embDim(s)}", s, dir, "embeddings.parquet") {
+      annBruteOf(
+        corpus,
+        qf.select(col("query_id"), col("qv").as("query_qv"), col("nq").as("query_nq")))
+        .select("query_id", "neighbor_id")
+    }
+    recallCensusOf(
+      s,
+      Seq("graph" -> graph, "ivf" -> ivf, "ivfpq" -> ivfpq, "lsh" -> lsh, "pq" -> pq),
+      brutePairs)
+  }
+
+  /** The clustered view, stamp-cached (six method pipelines consume it
+    * within one census execution). Integer construction only — the
+    * element range (±32 968) keeps every downstream dot far inside the
+    * 2⁵³ exact-double envelope. */
+  private def clusteredCorpus(s: SparkSession, dir: String): DataFrame =
+    PipelineCache.cached(s"clustered_corpus_d${embDim(s)}", s, dir, "embeddings.parquet")(
+      quantizedEmbeddings(s, dir)
+        .filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("label"))
+        .withColumn("qv", expr(
+          s"transform(sequence(0, ${embDim(s) - 1}), d -> " +
+            "(((vec_id % 5) * 37 + d) * 40503) % 65536 - 32768 " +
+            "+ ((vec_id * 7 + d) * 2654435761) % 201 - 100)"))
+        .withColumn("nq", selfDot(col("qv")))
+        .filter(col("nq") > 0))
+
+  /** The clustered corpus prelude for the oracle — the SAME gate as
+    * [[embPrelude]] (vec_id set identical), the vectors rebuilt by the
+    * integer formula above. */
+  private[operators] val clusteredPrelude: String =
+    s"""q AS (
+         SELECT vec_id, label,
+                list_transform(range(0, $EmbDimDefault), d ->
+                  (((vec_id % 5) * 37 + d) * 40503) % 65536 - 32768
+                  + ((vec_id * 7 + d) * 2654435761) % 201 - 100) AS qv
+         FROM embeddings
+         WHERE vec_id % 4 = 0 AND $validEmbWhere),
+       n AS (SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nq FROM q
+            WHERE list_dot_product(qv, qv) > 0)"""
+
+  /** SQL twin of [[annRecallClustered]] — the shared census shape over
+    * the clustered prelude. The LSH leg here is PLAIN (uncapped): the
+    * Spark side serves it through the census-derived split cap, so the
+    * driver's hash equality IS the recall-preservation proof. */
+  lazy val annRecallClusteredSql: String = annRecallSqlFrom(clusteredPrelude)
+
   /** Exact SQL replay of [[annRecall]]: the five method replays and the
     * brute replay composed as derived tables (each already bit-exact on
     * its own), intersected and apportioned with the same integer µ-math.
     * Lazy: [[annGraphSql]] is declared later in this object. */
-  lazy val annRecallSql: String =
-    s"""WITH b AS (SELECT query_id, neighbor_id FROM ($annBruteSql)),
+  lazy val annRecallSql: String = annRecallSqlFrom(embPrelude)
+
+  /** The recall-census SQL shape over an arbitrary corpus prelude —
+    * ONE composition for the hash-uniform census ([[annRecallSql]]) and
+    * the clustered one ([[annRecallClusteredSql]]): the six method
+    * replays are each complete derived tables over the prelude's `n`,
+    * so a prelude swap re-points the whole family at once and the two
+    * censuses can never drift structurally. */
+  private def annRecallSqlFrom(prelude: String): String =
+    s"""WITH b AS (SELECT query_id, neighbor_id FROM (${annBruteSqlFrom(prelude)})),
        m AS (
-         SELECT 'graph' AS method, query_id, neighbor_id FROM ($annGraphSql)
-         UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ($annIvfSql)
-         UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM ($annIvfPqSql)
-         UNION ALL SELECT 'lsh', query_id, neighbor_id FROM ($annLshSql)
-         UNION ALL SELECT 'pq', query_id, neighbor_id FROM ($annPqSql)),
+         SELECT 'graph' AS method, query_id, neighbor_id FROM (${annGraphSqlFrom(prelude)})
+         UNION ALL SELECT 'ivf', query_id, neighbor_id FROM (${annIvfSqlFrom(prelude)})
+         UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM (${annIvfPqSqlFrom(prelude)})
+         UNION ALL SELECT 'lsh', query_id, neighbor_id FROM (${annLshSqlFrom(prelude)})
+         UNION ALL SELECT 'pq', query_id, neighbor_id FROM (${annPqSqlFrom(prelude)})),
        h AS (SELECT method, CAST(COUNT(*) AS BIGINT) AS hits
              FROM m JOIN b USING (query_id, neighbor_id) GROUP BY method),
        np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM b),
@@ -1968,8 +2110,10 @@ object Similarity {
     * entries, and the 2-hop beam walk unrolled — every ranking on the
     * raw cosine doubles both engines derive from identical integer
     * vectors. */
-  val annGraphSql: String =
-    s"""WITH $embPrelude,
+  val annGraphSql: String = annGraphSqlFrom(embPrelude)
+
+  private[operators] def annGraphSqlFrom(prelude: String): String =
+    s"""WITH $prelude,
        w AS (
          SELECT t, p, LIST(((((t*31+p)*97+d)*40503) % 65536) - 32768 ORDER BY d) AS wv
          FROM range(6) tt(t), range(4) pp(p), range(64) dd(d)
@@ -2653,6 +2797,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall" -> (annRecall _),
+    "ann_recall_clustered" -> (annRecallClustered _),
     "skew_lsh_buckets" -> (skewLshBuckets _),
     "ann_chunk_topk" -> (annChunk _),
     "ann_chunk_lsh" -> (annChunkLsh _),
@@ -2676,6 +2821,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann_recall" -> annRecallSql,
+    "ann_recall_clustered" -> annRecallClusteredSql,
     "skew_lsh_buckets" -> skewLshBucketsSql,
     "ann_chunk_topk" -> annChunkSql,
     "ann_chunk_lsh" -> annChunkLshSql,

@@ -206,6 +206,22 @@ class DedupSpec extends GraftSpecBase {
     }
   }
 
+  test("ann_recall_clustered: five methods censused, split-capped LSH keeps full recall under skew") {
+    val rows = Similarity.annRecallClustered(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("graph", "ivf", "ivfpq", "lsh", "pq"),
+      s"census must report every method: ${rows.keySet}")
+    val (_, np, ru) = rows("lsh")
+    assert(np > 0, "clustered census has no brute anchor pairs")
+    // the clustered view drops every cluster member into its query's
+    // sign buckets, so plain LSH's candidate set contains the true
+    // top-5 — and the operator serves LSH through the census-derived
+    // SPLIT cap, so this floor is simultaneously the
+    // recall-preservation assertion: the r14 truncating cap would
+    // shear cluster mates past the cap and fail it
+    assert(ru >= 900000, s"clustered split-capped LSH recall $ru below the 0.9 floor")
+  }
+
   test("multi-table lsh recall vs brute-force top-5 is material") {
     val brute = Similarity.annBrute(spark, sfDir).select("query_id", "neighbor_id")
     val lsh = Similarity.annLsh(spark, sfDir).select("query_id", "neighbor_id")
