@@ -542,15 +542,200 @@ object Multimodal {
        GROUP BY 1
        ORDER BY keeper_doc_id"""
 
+  /** Per-asset perceptual hash: the four 16-bit dHash blocks + the exact
+    * content hash they sit beside. */
+  case class MediaPHash(
+      doc_id: Long, content_hash: String, p0: Int, p1: Int, p2: Int, p3: Int)
+
+  /** Perceptual (difference) hash over the DECODED raster — the
+    * near-dup signal the exact content hash cannot give (r14 verdict
+    * #4: a re-encoded JPEG of the same photo — quality 80 vs 90, the
+    * dominant real-lake duplicate — never collides on decoded bytes,
+    * but its gradient STRUCTURE survives requantization). Pure integer
+    * arithmetic on sampled pixels:
+    *
+    *   - images (w×h): an 8×9 nearest-neighbor sample grid
+    *     (`y = r·h ÷ 8`, `x = c·w ÷ 9`), bit(r, c) = 1 iff
+    *     p(r, c) > p(r, c+1) — 64 horizontal-gradient bits, the
+    *     classic dHash;
+    *   - flat media (PCM, h = 1): 65 resampled points
+    *     (`s(i) = data[i·n ÷ 65]`), bit i = s(i) > s(i+1).
+    *
+    * The 64 bits land as FOUR 16-bit blocks (p0..p3 — [[Dedup.simhash]]'s
+    * 4-block shape, which both sidesteps 64-bit sign arithmetic in the
+    * oracle and IS the banding index near-dup serving needs). */
+  private[graft] object PHasher {
+    def blocks(w: Int, h: Int, content: Array[Byte]): Array[Int] = {
+      def px(i: Int): Int = content(i) & 0xff
+      val bits = new Array[Boolean](64)
+      if (h == 1) {
+        val n = content.length
+        def s(i: Int): Int = px((i * n) / 65)
+        var j = 0
+        while (j < 64) { bits(j) = s(j) > s(j + 1); j += 1 }
+      } else {
+        var j = 0
+        while (j < 64) {
+          val r = j / 8
+          val c = j % 8
+          val y = r * h / 8
+          bits(j) = px(y * w + c * w / 9) > px(y * w + (c + 1) * w / 9)
+          j += 1
+        }
+      }
+      Array.tabulate(4) { g =>
+        (0 until 16).foldLeft(0)((acc, jj) => if (bits(16 * g + jj)) acc | (1 << jj) else acc)
+      }
+    }
+
+    /** Same batched decode + quarantine contract as
+      * [[MediaDecoder.decodeBatch]] (shared [[Dec]] codecs — the JPEG
+      * path hashes the decoded raster, which is the whole point). */
+    def phashBatch(batch: Seq[MediaIn]): Seq[MediaPHash] =
+      batch.flatMap { m =>
+        scala.util.Try {
+          val (w, h, content) = m.format match {
+            case "png" => Dec.png(m.payload)
+            case "jpeg" | "jpg" => Dec.jpeg(m.payload)
+            case "pgm" => Dec.pgm(m.payload)
+            case "wav" =>
+              val (rate, data) = Dec.wav(m.payload)
+              require(rate == 8000, s"unexpected sample rate $rate")
+              (data.length, 1, data)
+          }
+          val b = blocks(w, h, content)
+          MediaPHash(m.doc_id, md5Hex(content), b(0), b(1), b(2), b(3))
+        }.toOption
+      }
+  }
+
+  /** Perceptual near-dup pairs at the media grain — [[mediaDedup]]'s
+    * near-dup companion ([[Dedup.simhash]]'s index discipline applied to
+    * the decoded raster): candidates collide on ≥ 1 of the 4 phash
+    * blocks (complete for hamming ≤ 3 by pigeonhole), hot blocks over
+    * the [[Dedup.blockDfCap]] df cap are dropped (a block value shared
+    * corpus-wide is a palette/silence pattern, not duplication —
+    * simhash's exact argument), and survivors report their full 64-bit
+    * hamming plus whether the pair is ALSO an exact decoded-content
+    * match — `same_exact = 0` rows are the re-encoded/requantized
+    * duplicates only this operator can see. One block-equality shuffle,
+    * candidate output ≤ blockRows × cap/2 — linear, never all-pairs. */
+  def nearDup(s: SparkSession, dir: String): DataFrame = nearDupOf(mediaTable(s, dir))
+
+  /** Frame-parameterized body of [[nearDup]] — the deployment entry
+    * point, and the cross-quality JPEG fixture's hook (lossy formats
+    * flow through the same path, fixture-pinned not oracle-replayed —
+    * the [[featuresOf]] rule). */
+  def nearDupOf(ds: Dataset[MediaIn]): DataFrame = {
+    import ds.sparkSession.implicits._
+    val ph = ds.mapPartitions(it => it.grouped(32).flatMap(PHasher.phashBatch)).toDF()
+    val allBlocks = ph
+      .select(
+        col("doc_id"),
+        col("content_hash"),
+        array(col("p0"), col("p1"), col("p2"), col("p3")).as("ps"))
+      .select(
+        col("doc_id"), col("content_hash"), col("ps"),
+        posexplode(col("ps")).as(Seq("blk", "bv")))
+      .select(
+        col("doc_id"), col("content_hash"), col("ps"),
+        struct(col("blk"), col("bv")).as("b"))
+    val hotBlocks = allBlocks
+      .groupBy("b")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > Dedup.blockDfCap)
+      .select("b")
+    val blocks = allBlocks.join(broadcast(hotBlocks), Seq("b"), "left_anti")
+    val a = blocks.select(
+      col("doc_id").as("doc_a"), col("content_hash").as("h_a"), col("ps").as("ps_a"), col("b"))
+    val bb = blocks.select(
+      col("doc_id").as("doc_b"), col("content_hash").as("h_b"), col("ps").as("ps_b"), col("b"))
+    a.join(bb, Seq("b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "h_a", "h_b", "ps_a", "ps_b")
+      .distinct()
+      .withColumn(
+        "hamming",
+        expr("aggregate(zip_with(ps_a, ps_b, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
+      .filter(col("hamming") <= 3)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("hamming").cast("int").as("hamming"),
+        when(col("h_a") === col("h_b"), 1L).otherwise(0L).as("same_exact"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SQL twin: the dHash bits computed DIRECTLY from the content formula
+    * (no string build — the comparison is invariant to the +32 offset),
+    * same 4-block banding, same df cap, same hamming tail. */
+  val nearDupSql: String = {
+    // px(k) differences: ((k*mul + nc) % 64) comparisons replay the
+    // decoded-byte comparisons exactly (bytes are 32 + that value)
+    val imgK1 = "((j // 8) * h // 8) * w + ((j % 8) * w // 9)"
+    val imgK2 = "((j // 8) * h // 8) * w + (((j % 8) + 1) * w // 9)"
+    val wavK1 = "(j * w) // 65"
+    val wavK2 = "((j + 1) * w) // 65"
+    s"""WITH $geoCteSql,
+       f AS (
+         SELECT doc_id,
+                md5(list_aggr(
+                  [chr(CAST(32 + ((k * mul + nc) % 64) AS INT)) for k in range(w * h)],
+                  'string_agg', '')) AS content_hash
+         FROM geo),
+       bits AS (
+         SELECT doc_id, j,
+                CASE WHEN doc_id % 3 = 2 THEN
+                  CASE WHEN (($wavK1) * 5 + nc) % 64 > (($wavK2) * 5 + nc) % 64
+                       THEN 1 ELSE 0 END
+                ELSE
+                  CASE WHEN (($imgK1) * 3 + nc) % 64 > (($imgK2) * 3 + nc) % 64
+                       THEN 1 ELSE 0 END
+                END AS bit
+         FROM geo, UNNEST(range(64)) AS t(j)),
+       pb AS (
+         SELECT doc_id, CAST(j // 16 AS INT) AS blk,
+                CAST(SUM(bit * (1 << CAST(j % 16 AS INT))) AS BIGINT) AS bv
+         FROM bits GROUP BY doc_id, j // 16),
+       buckets AS (
+         SELECT blk, bv, COUNT(*) AS df, list(doc_id ORDER BY doc_id) AS ds
+         FROM pb GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND ${Dedup.blockDfCap}),
+       expand AS (
+         SELECT unnest(flatten([[{'pa': ds[i], 'pb': ds[j]}
+                                 for j in range(i + 1, CAST(df AS INT) + 1)]
+                                for i in range(1, CAST(df AS INT) + 1)])) AS p
+         FROM buckets),
+       cand AS (SELECT DISTINCT p.pa AS doc_a, p.pb AS doc_b FROM expand),
+       pv AS (SELECT doc_id, list(bv ORDER BY blk) AS ps FROM pb GROUP BY doc_id),
+       hm AS (
+         SELECT doc_a, doc_b,
+                CAST(bit_count(xor(pa.ps[1], pb.ps[1])) + bit_count(xor(pa.ps[2], pb.ps[2]))
+                   + bit_count(xor(pa.ps[3], pb.ps[3])) + bit_count(xor(pa.ps[4], pb.ps[4]))
+                  AS INT) AS hamming
+         FROM cand
+         JOIN pv pa ON pa.doc_id = cand.doc_a
+         JOIN pv pb ON pb.doc_id = cand.doc_b)
+       SELECT hm.doc_a, hm.doc_b, hamming,
+              CAST(CASE WHEN fa.content_hash = fb.content_hash THEN 1 ELSE 0 END AS BIGINT)
+                AS same_exact
+       FROM hm
+       JOIN f fa ON fa.doc_id = hm.doc_a
+       JOIN f fb ON fb.doc_id = hm.doc_b
+       WHERE hamming <= 3
+       ORDER BY doc_a, doc_b"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> (features _),
     "mm_resize" -> (resize _),
     "mm_frame_sample" -> (frameSample _),
-    "mm_dedup" -> (mediaDedup _))
+    "mm_dedup" -> (mediaDedup _),
+    "mm_near_dup" -> (nearDup _))
 
   val oracles: Map[String, String] = Map(
     "mm_features" -> featuresSql,
     "mm_resize" -> resizeSql,
     "mm_frame_sample" -> frameSampleSql,
-    "mm_dedup" -> mediaDedupSql)
+    "mm_dedup" -> mediaDedupSql,
+    "mm_near_dup" -> nearDupSql)
 }

@@ -384,6 +384,56 @@ class RobustnessSpec extends GraftSpecBase {
       s"truncated-after-fill stream escaped the walk's bounds: $err")
   }
 
+  test("mm_near_dup: cross-quality jpeg re-encodes collide perceptually, never exactly") {
+    import graft.operators.Multimodal
+    // the dominant real-lake duplicate: the SAME photo re-encoded at two
+    // JPEG qualities — decoded bytes differ (different quantization
+    // tables), so the exact content hash can never pair them; the dHash
+    // gradient structure survives requantization and must
+    def jpegAt(w: Int, h: Int, pix: Array[Byte], q: Float): Array[Byte] = {
+      val img =
+        new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, pix)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(q)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    // w = 45 makes the dHash sample grid land EXACTLY on 5-px stripe
+    // boundaries (x(c) = c·45÷9 = 5c), so every sampled comparison is a
+    // decisive ±160 step — requantization ringing (±~40) cannot flip
+    // any bit, while equal-valued neighbors would flip on codec noise
+    val w = 45; val h = 32
+    val pix = Array.tabulate(w * h)(k => (if (((k % w) / 5) % 2 == 0) 40 else 200).toByte)
+    val hi = jpegAt(w, h, pix, 0.95f)
+    val lo = jpegAt(w, h, pix, 0.3f)
+    val (_, _, rHi) = Multimodal.Dec.jpeg(hi)
+    val (_, _, rLo) = Multimodal.Dec.jpeg(lo)
+    assert(!java.util.Arrays.equals(rHi, rLo),
+      "fixture degenerate: quality change did not change decoded bytes")
+    import spark.implicits._
+    val got = Multimodal.nearDupOf(spark.createDataset(Seq(
+      Multimodal.MediaIn(1L, "jpeg", hi),
+      Multimodal.MediaIn(2L, "jpeg", lo),
+      // negative control: unrelated media must not ride along
+      Multimodal.MediaIn(3L, "wav", Multimodal.Enc.wav(Multimodal.Content.audioSamples(7L))))))
+      .collect()
+    val pair = got.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(pair.isDefined, s"cross-quality jpeg pair not detected: ${got.mkString(", ")}")
+    assert(pair.get.getInt(2) <= 3, s"hamming ${pair.get.getInt(2)} above the near-dup bar")
+    assert(pair.get.getLong(3) == 0L,
+      "the pair must be PERCEPTUAL (exact hashes differ) — that is the operator's reason to exist")
+    assert(!got.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L),
+      "unrelated wav asset paired spuriously")
+  }
+
   test("jpeg media: lossy decode is deterministic and near-faithful, quarantine + store pruning hold") {
     import graft.operators.Multimodal
     import org.apache.spark.sql.functions.col
