@@ -131,6 +131,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }))
     ext.injectFunction(
       (
+        FunctionIdentifier("graft_unigram_ids"),
+        new ExpressionInfo(
+          classOf[graft.functions.UnigramIds].getName,
+          null,
+          "graft_unigram_ids",
+          "graft_unigram_ids(text, pieces, costs) - unigram-LM Viterbi token ids with the literal vocabulary",
+          ""),
+        (children: Seq[Expression]) => {
+          val c = arity(children, 3, "graft_unigram_ids(text, pieces, costs)")
+          graft.functions.UnigramIds(c.head, c(1), c(2))
+        }))
+    ext.injectFunction(
+      (
         FunctionIdentifier("graft_deflate_len"),
         new ExpressionInfo(
           classOf[DeflateLen].getName,

@@ -2682,6 +2682,385 @@ FROM mergetab ORDER BY rank"""
        ORDER BY ft.doc_id"""
   }
 
+  // ---------------------------------------------------------------------
+  // Unigram-LM (SentencePiece-style) tokenizer — the SECOND tokenizer
+  // family (r14 verdict #5). FIT mirrors [[bpeTrain]]'s architecture:
+  // the corpus collapses to its word census in one distributed scan,
+  // the census is collected ONCE (same [[bpeFitDriverCap]] bound,
+  // deterministic (freq DESC, word) truncation above it) and the seed +
+  // EM/prune rounds run driver-side; APPLY is the native Viterbi kernel
+  // [[graft.functions.UnigramIds]] with the ≤ V-row vocabulary folded in
+  // as literal arrays. The DuckDB oracle replays the WHOLE fit — seed
+  // counts, both EM rounds' Viterbi segmentations (a list_reduce DP fold
+  // + a backtrack fold per word), the prune and the Laplace costs — and
+  // the apply's per-document id stream, so fit and apply are
+  // hash-checked end to end like BPE's.
+  // ---------------------------------------------------------------------
+
+  /** Fixed fit schedule: 2 EM rounds (seed → segment/re-count/prune ×2)
+    * — enough for the prune to bite (round-1 zero-use multis drop,
+    * round-2 re-costs stabilize the survivors) while keeping the
+    * unrolled oracle bounded, the BpeMergesDefault rule. */
+  private[operators] val UnigramRoundsDefault = 2
+
+  /** Target vocabulary size (singles always kept, multis fill the
+    * remainder). Session-tunable; the oracle pins the default. */
+  private[operators] val UnigramVocabDefault = 512
+
+  private[graft] def unigramVocab(s: SparkSession): Int = {
+    val raw = s.conf.get("spark.graft.text.unigramVocab", UnigramVocabDefault.toString)
+    val n =
+      try raw.toInt
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"spark.graft.text.unigramVocab must be a positive integer, got '$raw'")
+      }
+    require(n > 0, s"spark.graft.text.unigramVocab must be positive, got $n")
+    n
+  }
+
+  private def cpCount(sr: String): Int = sr.codePointCount(0, sr.length)
+
+  /** The driver-side FIT over a collected census — every step has an
+    * exact CTE rendering in [[unigramOracleCtes]]:
+    *  1. piece counts: all code-point substrings of length
+    *     1..[[graft.functions.UnigramIds.PieceMax]], weighted by word
+    *     frequency (overlapping occurrences count);
+    *  2. seed vocab: ALL singles + the top (V − |singles|) multis by
+    *     (count DESC, utf8-byte order), multis need count ≥ 2;
+    *  3. costs: round(ln(total/count)·10⁶) micro-nats (positive, so
+    *     HALF-UP rounding agrees cross-engine — the lnMicro rule);
+    *  4. EM round ×2: Viterbi-segment every census word under the
+    *     current costs ([[graft.functions.UnigramIds.segmentPieces]] —
+    *     the APPLY kernel's own segmenter, fit/apply consistency by
+    *     construction), usage(p) = Σ freq·uses; prune multis with zero
+    *     usage (singles always survive); re-cost with Laplace
+    *     round(ln((Σuses + |kept|)/(uses+1))·10⁶).
+    * Returns (piece, n_chars, n_uses, cost_micro) in utf8 piece order. */
+  private[graft] def unigramFit(
+      census: Seq[(String, Long)], v: Int): Seq[(String, Long, Long, Long)] = {
+    import graft.functions.UnigramIds
+    val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, f) <- census) {
+      val syms = codePointSyms(w)
+      var i = 0
+      while (i < syms.length) {
+        var piece = ""
+        var l = 0
+        while (l < UnigramIds.PieceMax && i + l < syms.length) {
+          piece += syms(i + l)
+          cnt(piece) = cnt.getOrElse(piece, 0L) + f
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val singles = cnt.iterator.filter(kv => cpCount(kv._1) == 1).toSeq
+    val multis = cnt.iterator
+      .filter(kv => cpCount(kv._1) >= 2 && kv._2 >= 2)
+      .toSeq
+      .sortWith((a, b) =>
+        a._2 > b._2 || (a._2 == b._2 && utf8Compare(a._1, b._1) < 0))
+      .take(math.max(0, v - singles.size))
+    val seed = singles ++ multis
+    val total0 = seed.iterator.map(_._2).sum
+    var costs: Map[String, Long] = seed.map { case (p, c) =>
+      p -> math.round(math.log(total0.toDouble / c.toDouble) * 1e6)
+    }.toMap
+    var uses: Map[String, Long] = Map.empty
+    var r = 0
+    while (r < UnigramRoundsDefault) {
+      val ordered = costs.keysIterator.toArray
+      val table = new UnigramIds.Table(ordered, ordered.map(costs))
+      val u = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, f) <- census; p <- UnigramIds.segmentPieces(w, table))
+        u(p) = u.getOrElse(p, 0L) + f
+      val kept = costs.keysIterator
+        .filter(p => cpCount(p) == 1 || u.getOrElse(p, 0L) >= 1)
+        .toSeq
+      val den = kept.iterator.map(p => u.getOrElse(p, 0L)).sum + kept.size
+      costs = kept.map { p =>
+        p -> math.round(
+          math.log(den.toDouble / (u.getOrElse(p, 0L) + 1).toDouble) * 1e6)
+      }.toMap
+      uses = kept.map(p => p -> u.getOrElse(p, 0L)).toMap
+      r += 1
+    }
+    costs.keysIterator.toSeq
+      .sortWith(utf8Compare(_, _) < 0)
+      .map(p => (p, cpCount(p).toLong, uses(p), costs(p)))
+  }
+
+  /** FIT query: the learned vocabulary table. One distributed census
+    * scan + the driver rounds — 1 cluster round-trip at any corpus size
+    * (the bpeFitInMemory story; above [[bpeFitDriverCap]] the census
+    * truncates to its top rows deterministically, which is ALSO how
+    * reference unigram trainers bound fit cost on unbounded corpora). */
+  def unigramTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cap = bpeFitDriverCap(s)
+    val wc = Tables
+      .documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"))
+    val bounded = if (cap > 0) wc.orderBy(col("freq").desc, col("w")).limit(cap) else wc
+    val census = bounded.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    unigramFit(census, unigramVocab(s)).toDF("piece", "n_chars", "n_uses", "cost_micro")
+  }
+
+  /** The stamp-cached vocabulary every unigram APPLY consumer collects
+    * ([[Training]]'s mergeTable pattern): (piece, cost) in utf8 piece
+    * order — the order IS the id space. Vocab knob in the tag. */
+  private[operators] def unigramTable(s: SparkSession, dir: String): Seq[(String, Long)] =
+    PipelineCache
+      .cached(s"unigram_table:${unigramVocab(s)}", s, dir, "documents.parquet")(
+        unigramTrain(s, dir))
+      .collect()
+      .toSeq
+      .map(r => (r.getString(0), r.getLong(3)))
+      .sortWith((a, b) => utf8Compare(a._1, b._1) < 0)
+
+  private def unigramIdsCol(table: Seq[(String, Long)], text: Column): Column =
+    call_function(
+      "graft_unigram_ids",
+      text,
+      typedLit(table.map(_._1)),
+      typedLit(table.map(_._2)))
+
+  /** APPLY query: per-document Viterbi segmentation stats + the id-array
+    * fingerprint ([[Training.tokenizeIds]]'s shape — ids are indices
+    * into the utf8-ordered vocabulary, −1 = unknown code point). Narrow
+    * codegen'd map, zero joins, zero shuffles. */
+  def tokensUnigram(s: SparkSession, dir: String): DataFrame = {
+    val table = unigramTable(s, dir)
+    Tables
+      .documentsBalanced(s, dir)
+      .select(col("doc_id"), unigramIdsCol(table, col("text")).as("ids"))
+      .select(
+        col("doc_id"),
+        size(col("ids")).cast("long").as("n_pieces"),
+        size(filter(col("ids"), i => i < 0)).cast("long").as("n_unk"),
+        Training.idsMd5(col("ids")).as("ids_md5"))
+  }
+
+  /** The tokenizer-choice census [[fertility]] existed to motivate, now
+    * with BOTH trained tokenizers to measure: per language, subword
+    * tokens per word under the learned BPE merges vs the learned unigram
+    * vocabulary, side by side ([[Training.tokenizeIdsRaw]]'s ids and the
+    * unigram kernel's, rolled up on the shared split-nonempty word
+    * count). The language whose unigram fertility beats its BPE
+    * fertility is the language the unigram model serves better — the
+    * multilingual read this family is for. Scale: two narrow tokenize
+    * maps + one ≤|langs|-group rollup. */
+  def fertilityTokenizers(s: SparkSession, dir: String): DataFrame = {
+    val table = unigramTable(s, dir)
+    val docs = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        coalesce(col("lang"), lit("(none)")).as("lang"),
+        coalesce(
+          size(filter(split(col("text"), " "), x => length(x) > 0)).cast("long"),
+          lit(0L)).as("n_words"))
+    val uni = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), unigramIdsCol(table, col("text")).as("uids"))
+      .select(col("doc_id"), size(col("uids")).cast("long").as("n_uni"))
+    val bpe = Training
+      .tokenizeIdsRaw(s, dir)
+      .select(col("doc_id"), col("n_ids").as("n_bpe"))
+    docs
+      .join(bpe, Seq("doc_id"), "left")
+      .join(uni, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(coalesce(col("n_bpe"), lit(0L))).as("n_tok_bpe"),
+        sum(coalesce(col("n_uni"), lit(0L))).as("n_tok_unigram"))
+      .selectExpr(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tok_bpe",
+        "n_tok_unigram",
+        "CASE WHEN n_words > 0 THEN " +
+          Windows.exactRoundSql("n_tok_bpe", "n_words", 10000) + " END AS fert_bpe",
+        "CASE WHEN n_words > 0 THEN " +
+          Windows.exactRoundSql("n_tok_unigram", "n_words", 10000) + " END AS fert_unigram")
+      .orderBy("lang")
+  }
+
+  /** One Viterbi-segmentation CTE block (tag-namespaced so several
+    * instances compose in one statement): a RECURSIVE dp whose state
+    * carries the last four dp values as plain columns (dp(k) = min over
+    * piece lengths 1..4 of dp(k−p) + cost; UNK for an unknown single,
+    * impossible for an unknown longer piece), then the per-position
+    * longest-achieving piece length and the backtrack CHAIN as a second
+    * recursion following k → k − p*(k) from the word end. Deliberately
+    * LAMBDA-FREE: DuckDB 1.0 misaligns correlated columns inside
+    * complex nested list lambdas (observed live: one row's fold read
+    * its neighbor's word), while recursive CTEs + plain projections
+    * vectorize correctly. Emits `useg$tag(w, k, p, piece)` — one row
+    * per chosen piece, k ascending = left-to-right. */
+  private def unigramSegCtes(tag: String, wordsCte: String, vocabCte: String): String = {
+    val inf = "CAST(4611686018427387904 AS BIGINT)"
+    val unk = s"CAST(${graft.functions.UnigramIds.UnkCostMicro} AS BIGINT)"
+    s"""uvm$tag AS (SELECT map(list(piece), list(cost)) AS vm FROM $vocabCte),
+udr$tag AS (
+  SELECT w, 0 AS k, CAST(0 AS BIGINT) AS d0, $inf AS d1, $inf AS d2, $inf AS d3
+  FROM $wordsCte
+  UNION ALL
+  SELECT u.w, u.k + 1,
+    least(
+      u.d0 + COALESCE(m.vm[substr(u.w, u.k + 1, 1)][1], $unk),
+      CASE WHEN u.k >= 1 THEN u.d1 + COALESCE(m.vm[substr(u.w, u.k, 2)][1], $inf) ELSE $inf END,
+      CASE WHEN u.k >= 2 THEN u.d2 + COALESCE(m.vm[substr(u.w, u.k - 1, 3)][1], $inf) ELSE $inf END,
+      CASE WHEN u.k >= 3 THEN u.d3 + COALESCE(m.vm[substr(u.w, u.k - 2, 4)][1], $inf) ELSE $inf END),
+    u.d0, u.d1, u.d2
+  FROM udr$tag u, uvm$tag m
+  WHERE u.k < length(u.w)),
+udpl$tag AS MATERIALIZED (SELECT w, LIST(d0 ORDER BY k) AS dpl FROM udr$tag GROUP BY w),
+ups$tag AS MATERIALIZED (
+  SELECT d.w, CAST(t.k AS INT) AS k,
+    CASE WHEN t.k >= 4 AND d.dpl[CAST(t.k AS INT)+1] = d.dpl[CAST(t.k AS INT)-3]
+              + COALESCE(m.vm[substr(d.w, CAST(t.k AS INT)-3, 4)][1], $inf) THEN 4
+         WHEN t.k >= 3 AND d.dpl[CAST(t.k AS INT)+1] = d.dpl[CAST(t.k AS INT)-2]
+              + COALESCE(m.vm[substr(d.w, CAST(t.k AS INT)-2, 3)][1], $inf) THEN 3
+         WHEN t.k >= 2 AND d.dpl[CAST(t.k AS INT)+1] = d.dpl[CAST(t.k AS INT)-1]
+              + COALESCE(m.vm[substr(d.w, CAST(t.k AS INT)-1, 2)][1], $inf) THEN 2
+         ELSE 1 END AS p
+  FROM udpl$tag d, uvm$tag m, UNNEST(range(1, length(d.w) + 1)) AS t(k)),
+ubr$tag AS (
+  SELECT w, CAST(length(w) AS INT) AS k FROM $wordsCte
+  UNION ALL
+  SELECT b.w, b.k - p.p FROM ubr$tag b JOIN ups$tag p ON p.w = b.w AND p.k = b.k
+  WHERE b.k > 0),
+useg$tag AS MATERIALIZED (
+  SELECT b.w, b.k, p.p, substr(b.w, b.k - p.p + 1, p.p) AS piece
+  FROM ubr$tag b JOIN ups$tag p ON p.w = b.w AND p.k = b.k)"""
+  }
+
+  /** The FIT oracle chain: census → capped census → piece counts → seed
+    * vocab/costs → two unrolled EM rounds (recursive Viterbi per census
+    * word, usage rollup, prune, Laplace re-cost). Names u-prefixed so
+    * the chain composes beside the BPE CTEs in the fertility oracle;
+    * every statement using it must open with WITH RECURSIVE. */
+  private[operators] val unigramOracleCtes: String = {
+    val v = UnigramVocabDefault
+    val cap = BpeFitDriverCapDefault
+    val head =
+      s"""ucc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE LENGTH(w) > 0 GROUP BY w),
+ucap AS MATERIALIZED (SELECT w, freq FROM ucc ORDER BY freq DESC, w LIMIT $cap),
+upc AS (SELECT substr(w, CAST(i AS INT), CAST(L AS INT)) AS piece,
+               CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM ucap,
+             UNNEST(range(1, length(w) + 1)) AS t(i),
+             UNNEST(range(1, ${graft.functions.UnigramIds.PieceMax + 1})) AS u(L)
+        WHERE i + L - 1 <= length(w)
+        GROUP BY 1),
+usng AS (SELECT piece, cnt FROM upc WHERE length(piece) = 1),
+umul AS (SELECT piece, cnt FROM (
+           SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+           FROM upc WHERE length(piece) >= 2 AND cnt >= 2)
+         WHERE rk <= greatest(0, $v - (SELECT COUNT(*) FROM usng))),
+uv0 AS (SELECT piece, cnt FROM usng UNION ALL SELECT piece, cnt FROM umul),
+ut0 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS den FROM uv0),
+uc0 AS (SELECT piece,
+               CAST(ROUND(LN(CAST(den AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS cost
+        FROM uv0 CROSS JOIN ut0)"""
+    val rounds = (1 to UnigramRoundsDefault).map { i =>
+      s"""${unigramSegCtes(i.toString, "ucap", s"uc${i - 1}")},
+uu$i AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS uses
+         FROM useg$i s JOIN ucap c USING (w) GROUP BY piece),
+uk$i AS (SELECT p.piece, COALESCE(u.uses, CAST(0 AS BIGINT)) AS uses
+         FROM uc${i - 1} p LEFT JOIN uu$i u USING (piece)
+         WHERE length(p.piece) = 1 OR COALESCE(u.uses, 0) >= 1),
+ut$i AS (SELECT CAST(SUM(uses) AS BIGINT) + COUNT(*) AS den FROM uk$i),
+uc$i AS (SELECT piece, uses,
+                CAST(ROUND(LN(CAST(den AS DOUBLE) / CAST(uses + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+                  AS cost
+         FROM uk$i CROSS JOIN ut$i)"""
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  val unigramTrainSql: String =
+    "WITH RECURSIVE " + unigramOracleCtes + s"""
+       SELECT piece, CAST(length(piece) AS BIGINT) AS n_chars, uses AS n_uses,
+              cost AS cost_micro
+       FROM uc$UnigramRoundsDefault
+       ORDER BY piece"""
+
+  /** APPLY-side CTE chain over the fit's final state: utf8-ordered piece
+    * ids, per-DISTINCT-word Viterbi segmentation (words repeat
+    * massively — segment each once), the per-document ordered id
+    * stream. */
+  private[operators] val unigramApplyCtes: String = {
+    val r = UnigramRoundsDefault
+    s"""upid AS (SELECT piece, cost, CAST(ROW_NUMBER() OVER (ORDER BY piece) - 1 AS INT) AS pid
+         FROM uc$r),
+udw AS MATERIALIZED (SELECT doc_id, j AS wpos, words[CAST(j AS INT)] AS w
+       FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+             WHERE text IS NOT NULL),
+            UNNEST(range(1, len(words) + 1)) AS t(j)
+       WHERE LENGTH(words[CAST(j AS INT)]) > 0),
+uws AS MATERIALIZED (SELECT DISTINCT w FROM udw),
+${unigramSegCtes("a", "uws", s"uc$r")},
+uwid AS MATERIALIZED (
+  SELECT s.w, s.k, COALESCE(p2.pid, -1) AS id
+  FROM usega s LEFT JOIN upid p2 ON p2.piece = s.piece),
+utok AS MATERIALIZED (SELECT doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_pieces,
+              CAST(SUM(CASE WHEN id < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+              md5(string_agg(id::VARCHAR, ',' ORDER BY wpos, k)) AS ids_md5
+       FROM udw JOIN uwid USING (w)
+       GROUP BY doc_id)"""
+  }
+
+  val tokensUnigramSql: String =
+    "WITH RECURSIVE " + unigramOracleCtes + ",\n" + unigramApplyCtes + """
+       SELECT d.doc_id, COALESCE(t.n_pieces, 0) AS n_pieces,
+              COALESCE(t.n_unk, 0) AS n_unk,
+              COALESCE(t.ids_md5, md5('')) AS ids_md5
+       FROM documents d LEFT JOIN utok t USING (doc_id)
+       ORDER BY doc_id"""
+
+  val fertilityTokenizersSql: String =
+    "WITH RECURSIVE " + bpeOracleCtes + ",\n" + bpeApplyCtes + ",\n" +
+      unigramOracleCtes + ",\n" + unigramApplyCtes + s"""
+       SELECT COALESCE(d.lang, '(none)') AS lang,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN d.text IS NULL THEN 0
+                            ELSE len(list_filter(string_split(d.text, ' '), x -> x <> '')) END)
+                AS BIGINT) AS n_words,
+              CAST(SUM(COALESCE(t.n_ids, 0)) AS BIGINT) AS n_tok_bpe,
+              CAST(SUM(COALESCE(u.n_pieces, 0)) AS BIGINT) AS n_tok_unigram,
+              CASE WHEN SUM(CASE WHEN d.text IS NULL THEN 0
+                                 ELSE len(list_filter(string_split(d.text, ' '), x -> x <> '')) END) > 0
+                   THEN CAST((SUM(COALESCE(t.n_ids, 0)) // SUM(CASE WHEN d.text IS NULL THEN 0 ELSE len(list_filter(string_split(d.text, ' '), x -> x <> '')) END)) * 10000
+                        + (2 * (SUM(COALESCE(t.n_ids, 0)) % SUM(CASE WHEN d.text IS NULL THEN 0 ELSE len(list_filter(string_split(d.text, ' '), x -> x <> '')) END)) * 10000
+                           + SUM(CASE WHEN d.text IS NULL THEN 0 ELSE len(list_filter(string_split(d.text, ' '), x -> x <> '')) END))
+                          // (2 * SUM(CASE WHEN d.text IS NULL THEN 0 ELSE len(list_filter(string_split(d.text, ' '), x -> x <> '')) END)) AS DOUBLE) / 10000.0
+              END AS fert_bpe,
+              CASE WHEN SUM(CASE WHEN d.text IS NULL THEN 0
+                                 ELSE len(list_filter(string_split(d.text, ' '), x -> x <> '')) END) > 0
+                   THEN CAST((SUM(COALESCE(u.n_pieces, 0)) // SUM(CASE WHEN d.text IS NULL THEN 0 ELSE len(list_filter(string_split(d.text, ' '), x -> x <> '')) END)) * 10000
+                        + (2 * (SUM(COALESCE(u.n_pieces, 0)) % SUM(CASE WHEN d.text IS NULL THEN 0 ELSE len(list_filter(string_split(d.text, ' '), x -> x <> '')) END)) * 10000
+                           + SUM(CASE WHEN d.text IS NULL THEN 0 ELSE len(list_filter(string_split(d.text, ' '), x -> x <> '')) END))
+                          // (2 * SUM(CASE WHEN d.text IS NULL THEN 0 ELSE len(list_filter(string_split(d.text, ' '), x -> x <> '')) END)) AS DOUBLE) / 10000.0
+              END AS fert_unigram
+       FROM documents d
+       LEFT JOIN tok t USING (doc_id)
+       LEFT JOIN utok u USING (doc_id)
+       GROUP BY 1
+       ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_dsir" -> (dsir _),
     "text_tfidf" -> (tfidf _),
@@ -2703,6 +3082,12 @@ FROM mergetab ORDER BY rank"""
     // source stamp across the family, disclosed under shared_cache
     "text_bpe_train" -> ((s, d) =>
       PipelineCache.cached("bpe_merge_table", s, d, "documents.parquet")(bpeTrain(s, d))),
+    // the SECOND tokenizer family: unigram-LM fit (same cached-FIT rule)
+    "text_unigram_train" -> ((s, d) =>
+      PipelineCache.cached(s"unigram_table:${unigramVocab(s)}", s, d, "documents.parquet")(
+        unigramTrain(s, d))),
+    "text_tokens_unigram" -> (tokensUnigram _),
+    "text_fertility_tokenizers" -> (fertilityTokenizers _),
     "text_winnow" -> (winnow _),
     // FIT serves the quality store's persisted weight table — one fit
     // per (corpus stamp, policy), shared with every APPLY consumer
@@ -2732,6 +3117,9 @@ FROM mergetab ORDER BY rank"""
     "text_quality_holdout" -> qualityHoldoutSql,
     "text_novelty" -> noveltySql,
     "text_bpe_train" -> bpeTrainSql,
+    "text_unigram_train" -> unigramTrainSql,
+    "text_tokens_unigram" -> tokensUnigramSql,
+    "text_fertility_tokenizers" -> fertilityTokenizersSql,
     "text_tfidf" -> tfidfSql,
     "text_chunk" -> chunkSql,
     "text_entropy" -> entropySql,

@@ -333,6 +333,44 @@ class FunctionsSpec extends GraftSpecBase {
     assert(e2.getMessage != null && e2.getMessage.contains("NULL element"))
   }
 
+  test("graft_unigram_ids: Viterbi segmentation via SQL front door, astral-safe, unk = -1") {
+    import spark.implicits._
+    import graft.functions.UnigramIds
+    // vocabulary in utf8 id order: cheap 'ab', expensive singles
+    val pieces = Seq("a", "ab", "b", "\ud83d\ude00") // last: one astral cp (two UTF-16 chars)
+    val costs = Seq(5000000L, 1000000L, 5000000L, 1000000L)
+    def ids(t: String): Seq[Int] = Seq(t).toDF("t")
+      .selectExpr(
+        "graft_unigram_ids(t, " +
+          s"array(${pieces.map("'" + _ + "'").mkString(",")}), " +
+          s"array(${costs.map(_.toString + "L").mkString(",")})) AS ids")
+      .collect()(0).getSeq[Int](0)
+    // 'ab' (cost 1e6) beats 'a'+'b' (1e7): one piece id 1
+    assert(ids("ab") == Seq(1), s"got ${ids("ab")}")
+    // two words, unknown 'z' -> -1; astral char is ONE symbol with its id
+    assert(ids("ab z") == Seq(1, -1))
+    assert(ids("\ud83d\ude00ab") == Seq(3, 1),
+      "astral code point must segment as one symbol (fit/apply consistency)")
+    // longest-achieving tie rule: 'aab' -> a + ab (backtrack takes the
+    // LONGEST piece at the word end first)
+    assert(ids("aab") == Seq(0, 1))
+    // arity + null-table rejection surface as analysis errors, not NPEs
+    val e = intercept[Exception] {
+      Seq("x").toDF("t").selectExpr("graft_unigram_ids(t, array('a'), array(1L, 2L))").collect()
+    }
+    assert(e.getMessage.contains("disagree") && !e.isInstanceOf[NullPointerException])
+    val e2 = intercept[Exception] {
+      Seq("x").toDF("t")
+        .select(call_function("graft_unigram_ids", col("t"),
+          array(lit("a"), lit(null).cast("string")), array(lit(1L), lit(2L)))).collect()
+    }
+    assert(e2.getMessage.contains("NULL element"))
+    // NULL text -> empty array, never NULL (the BpeIds contract)
+    val n = Seq((1, null: String)).toDF("i", "t")
+      .selectExpr("graft_unigram_ids(t, array('a'), array(1L)) AS ids").collect()(0)
+    assert(!n.isNullAt(0) && n.getSeq[Int](0).isEmpty)
+  }
+
   test("deflate kernel: deterministic, positive, repetition compresses far below entropy") {
     import graft.functions.DeflateLen
     def dl(t: String) = DeflateLen.compute(UTF8String.fromString(t))

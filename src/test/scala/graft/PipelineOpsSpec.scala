@@ -1592,4 +1592,79 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(genScores.max < 0.0, s"generic docs should score negative: ${genScores.max}")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("unigram fit: engine output equals an independent driver reference, fit/apply consistent") {
+    import graft.functions.UnigramIds
+    // independent reference implementation of the WHOLE fit -- seed
+    // counts, Viterbi E-steps (longest-achieving-piece backtrack),
+    // prune, Laplace re-cost -- written from the algorithm statement,
+    // not by calling the engine's code (the bpe parity discipline)
+    val census = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
+      .filter(org.apache.spark.sql.functions.length(col("w")) > 0)
+      .groupBy("w").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    def refViterbi(w: String, cost: Map[String, Long]): Seq[String] = {
+      val n = w.length // ascii fixture: chars == code points here
+      val dp = new Array[Long](n + 1)
+      for (k <- 1 to n) {
+        dp(k) = (1 to math.min(4, k)).flatMap { p =>
+          val piece = w.substring(k - p, k)
+          cost.get(piece).orElse(if (p == 1) Some(UnigramIds.UnkCostMicro) else None)
+            .map(dp(k - p) + _)
+        }.min
+      }
+      var k = n
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (k > 0) {
+        val p = (math.min(4, k) to 1 by -1).find { p =>
+          val piece = w.substring(k - p, k)
+          cost.get(piece).orElse(if (p == 1) Some(UnigramIds.UnkCostMicro) else None)
+            .exists(dp(k - p) + _ == dp(k))
+        }.get
+        out.prepend(w.substring(k - p, k))
+        k -= p
+      }
+      out.toSeq
+    }
+    val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, f) <- census; i <- 0 until w.length; l <- 1 to 4 if i + l <= w.length)
+      cnt(w.substring(i, i + l)) = cnt.getOrElse(w.substring(i, i + l), 0L) + f
+    val singles = cnt.filter(_._1.length == 1).toSeq
+    val multis = cnt.filter(kv => kv._1.length >= 2 && kv._2 >= 2).toSeq
+      .sortWith((a, b) => a._2 > b._2 ||
+        (a._2 == b._2 && graft.operators.TextAnalysis.utf8Compare(a._1, b._1) < 0))
+      .take(math.max(0, 512 - singles.size))
+    val seed = singles ++ multis
+    val total0 = seed.map(_._2).sum
+    var cost: Map[String, Long] = seed.map { case (p2, c) =>
+      p2 -> math.round(math.log(total0.toDouble / c.toDouble) * 1e6)
+    }.toMap
+    var uses: Map[String, Long] = Map.empty
+    for (_ <- 1 to 2) {
+      val u = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, f) <- census; p <- refViterbi(w, cost))
+        u(p) = u.getOrElse(p, 0L) + f
+      val kept = cost.keys.filter(p => p.length == 1 || u.getOrElse(p, 0L) >= 1).toSeq
+      val den = kept.map(p => u.getOrElse(p, 0L)).sum + kept.size
+      cost = kept.map(p => p ->
+        math.round(math.log(den.toDouble / (u.getOrElse(p, 0L) + 1).toDouble) * 1e6)).toMap
+      uses = kept.map(p => p -> u.getOrElse(p, 0L)).toMap
+    }
+    val expect = cost.keys.toSeq.sorted
+      .map(p => (p, p.length.toLong, uses(p), cost(p))).toSet
+    val got = graft.operators.TextAnalysis.unigramTrain(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect,
+      s"unigram fit diverged: missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    // APPLY consistency: the kernel's per-word segmentation under the
+    // final table equals the reference Viterbi
+    val ordered = cost.keys.toSeq.sorted
+    val table = new UnigramIds.Table(ordered.toArray, ordered.map(cost).toArray)
+    for ((w, _) <- census.take(200)) {
+      val ks = UnigramIds.segmentPieces(w, table).toSeq
+      assert(ks == refViterbi(w, cost), s"kernel segmentation diverged on '$w': $ks")
+    }
+  }
 }
