@@ -1032,7 +1032,7 @@ object CorpusOps {
       ("vector_index", VectorIndex.defaultPath(s, dir), VectorIndex.formatVersion(s),
         VectorIndex.stamp(dir), (l: Array[String]) => l.length >= 4 && l(3) == "",
         Seq("vectors", "codebook", "qsample", "pqcodes", "pqcodebook", "lshbuckets",
-          "nngraph", "gentries")),
+          "g0graph", "nngraph", "gentries")),
       // the bloom store's body is raw filter bytes, not parquet — its
       // row count is None by construction (footerCount finds no footers);
       // presence/freshness are the census facts that matter for it

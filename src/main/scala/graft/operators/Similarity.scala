@@ -384,7 +384,7 @@ object Similarity {
     * hash-table body, absorb's delta, and the store's query probing, so
     * the bucket formula cannot fork between the scan-time and store
     * paths. */
-  private[operators] def lshBucketPairs(df: DataFrame, idCol: String): DataFrame =
+  private[graft] def lshBucketPairs(df: DataFrame, idCol: String): DataFrame =
     df.select(
       col(idCol),
       posexplode(call_function("graft_lsh_buckets", col("qv"))).as(Seq("t", "b")))
@@ -2048,6 +2048,125 @@ object Similarity {
         round(col("cos_sim"), 4).as("cos_sim"),
         col("rk"))
       .orderBy("query_id", "rk")
+  }
+
+  /** The stamp-cached SEED graph (the refine stage's input), exposed so
+    * [[VectorIndex.build]]'s default path can persist it as the v5
+    * `g0graph` body without a second construction. */
+  private[graft] def nnG0Cached(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+    val vecs = corpus.select(col("vec_id"), col("qv"), col("nq"))
+    PipelineCache.cached(s"nn_g0_d${embDim(s)}", s, dir, "embeddings.parquet")(
+      nnSeedGraph(lshBucketPairs(corpus, "vec_id"), vecs))
+  }
+
+  /** O(delta) NN-graph maintenance (r14 verdict #6) — fold an absorbed
+    * vector batch into the stored seed + refined graphs WITHOUT
+    * regenerating either from the merged corpus, row-identical to a
+    * rebuild (the absorb parity spec pins it):
+    *
+    *  1. '''Seed delta.''' Delta ids are all ≥ `oldFrom` (the range
+    *     convention), so they append at the END of every bucket's
+    *     vec_id order: the only windows that change are the delta
+    *     members' own and the last [[NnSeedWidth]] ESTABLISHED members'
+    *     of each touched bucket. Window-pair exactly (those tails ∪
+    *     delta) per touched bucket, keep pairs whose later member is a
+    *     delta id — every other seed pair is untouched by construction.
+    *  2. '''Seed re-rank is monotone.''' g0(src) is the top-K of src's
+    *     candidate set; the delta only ADDS candidates, so
+    *     g0'(src) = top-K(stored g0 rows of src ∪ new scored pairs) for
+    *     affected srcs A, and the stored rows verbatim otherwise — no
+    *     discarded candidate can re-enter a grown set.
+    *  3. '''Refine re-rank set.''' A pivot's wedge set depends only on
+    *     its out-edges, so only pivots in A propose differently; their
+    *     old AND new out-neighbors T are the only possible targets of
+    *     changed proposals. S = A ∪ T is re-ranked from full inputs:
+    *     g0'(S) ∪ every proposal targeting S, whose proposers are
+    *     exactly the g0' in-neighbors of S (one linear pass over the
+    *     16-byte g0' rows — the accepted slim-body cost — with all
+    *     recomputed wedge/score work ∝ |S|·K²). Rows with src ∉ S are
+    *     the stored refined rows verbatim.
+    *
+    * Returns (g0', refined'); g0' comes back PERSISTED (it feeds both
+    * its own body write and the refine recompute) — the caller
+    * unpersists. */
+  private[graft] def nnGraphDelta(
+      oldG0: DataFrame,
+      oldRefined: DataFrame,
+      oldLsh: DataFrame,
+      deltaPairs: DataFrame,
+      vecs: DataFrame,
+      oldFrom: Long): (DataFrame, DataFrame) = {
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(vecs.select(col("vec_id").as("a"), col("qv").as("qa"), col("nq").as("na")), "a")
+      .join(vecs.select(col("vec_id").as("b"), col("qv").as("qb"), col("nq").as("nb")), "b")
+      .select(
+        col("a").as("src"),
+        col("b").as("dst"),
+        graft.functions.VectorOps.cosine(col("qa"), col("na"), col("qb"), col("nb")).as("cos_sim"))
+    val wS = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("dst"))
+    def topK(df: DataFrame): DataFrame = df
+      .groupBy("src", "dst")
+      .agg(max(col("cos_sim")).as("cos_sim"))
+      .withColumn("rk", row_number().over(wS))
+      .filter(col("rk") <= NnGraphDegree)
+      .drop("rk")
+    // 1. touched buckets, their established tails, the new window pairs
+    val tb = deltaPairs.select("t", "b").distinct()
+    val wTail = Window.partitionBy("t", "b").orderBy(col("vec_id").desc)
+    val tails = oldLsh
+      .join(broadcast(tb), Seq("t", "b"))
+      .withColumn("rn", row_number().over(wTail))
+      .filter(col("rn") <= NnSeedWidth)
+      .select("vec_id", "t", "b")
+    val wB = Window.partitionBy("t", "b").orderBy("vec_id")
+    val newSeeds = tails
+      .unionByName(deltaPairs.select("vec_id", "t", "b"))
+      .select(
+        col("vec_id"),
+        array((1 to NnSeedWidth).map(j => lead(col("vec_id"), j).over(wB)): _*).as("nbrs"))
+      .select(col("vec_id").as("a"), explode(col("nbrs")).as("nb"))
+      .filter(col("nb").isNotNull && col("nb") >= oldFrom)
+    // delta-bounded; recomputation from the bounded window is cheaper
+    // than managing another persist hand-off across the staged writes
+    val scoredNew = score(
+      newSeeds.select(col("a"), col("nb").as("b"))
+        .unionByName(newSeeds.select(col("nb").as("a"), col("a").as("b")))
+        .distinct())
+    // 2. affected srcs re-ranked over (stored rows ∪ new pairs)
+    val aSrcs = scoredNew.select("src").distinct()
+    val g0New = oldG0
+      .join(broadcast(aSrcs), Seq("src"), "left_anti")
+      .unionByName(topK(oldG0.join(broadcast(aSrcs), Seq("src")).unionByName(scoredNew)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 3. refine re-rank set S = A ∪ out_old(A) ∪ out_new(A)
+    val sSet = aSrcs
+      .select(col("src").as("id"))
+      .unionByName(oldG0.join(broadcast(aSrcs), Seq("src")).select(col("dst").as("id")))
+      .unionByName(g0New.join(broadcast(aSrcs), Seq("src")).select(col("dst").as("id")))
+      .distinct()
+    // proposers = g0' in-neighbors of S; their wedges, targets in S only
+    val pivots = g0New
+      .join(broadcast(sSet.select(col("id").as("dst"))), Seq("dst"))
+      .select("src")
+      .distinct()
+    val pg = g0New.join(broadcast(pivots), Seq("src"))
+    val wedges = pg
+      .select(col("src").as("u"), col("dst").as("wa"))
+      .join(pg.select(col("src").as("u"), col("dst").as("wb")), Seq("u"))
+      .filter(col("wa") < col("wb"))
+      .select("wa", "wb")
+      .distinct()
+    val wScored = score(wedges.select(col("wa").as("a"), col("wb").as("b")))
+    val props = wScored
+      .unionByName(wScored.select(col("dst").as("src"), col("src").as("dst"), col("cos_sim")))
+      .join(broadcast(sSet.select(col("id").as("src"))), Seq("src"))
+    val refined = oldRefined
+      .join(broadcast(sSet.select(col("id").as("src"))), Seq("src"), "left_anti")
+      .unionByName(
+        topK(g0New.join(broadcast(sSet.select(col("id").as("src"))), Seq("src"))
+          .unionByName(props)))
+    (g0New, refined)
   }
 
   /** The corpus NN-graph — STORE-BACKED BY DEFAULT (r14 verdict #1, the

@@ -48,11 +48,13 @@ import org.apache.spark.sql.functions._
 object VectorIndex {
 
   /** v2 added the PQ artifacts (pqcodes/pqcodebook); v3 added the LSH
-    * bucket body (lshbuckets); v4 adds the graph-ANN bodies (nngraph +
-    * gentries) — an older store is stale-by-version and rebuilds, never
-    * serves a warm path with missing bodies. */
+    * bucket body (lshbuckets); v4 added the graph-ANN bodies (nngraph +
+    * gentries); v5 adds the SEED graph body (g0graph) that makes
+    * [[absorb]]'s O(delta) graph maintenance possible — an older store
+    * is stale-by-version and rebuilds, never serves a warm path with
+    * missing bodies. */
   private[operators] def formatVersion(s: SparkSession): String =
-    s"v4:ivf16:pq8x16:lsh6x4:nn8:d${Similarity.embDim(s)}"
+    s"v5:ivf16:pq8x16:lsh6x4:nn8:d${Similarity.embDim(s)}"
 
   private[operators] def stamp(dir: String): String =
     PipelineCache.sourceStamp(dir, "embeddings.parquet")
@@ -150,11 +152,14 @@ object VectorIndex {
       Similarity
         .nnSeedGraph(bucketPairs, vecsSlim)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val graph = g0Local match {
-      case None => Similarity.nnGraphCached(s, dir)
-      case Some(g0) => Similarity.nnRefine(g0, vecsSlim)
+    // the SEED graph lands as its own body (v5): [[absorb]]'s O(delta)
+    // maintenance needs the refine stage's INPUT, not just its output
+    val (g0Frame, graph) = g0Local match {
+      case None => (Similarity.nnG0Cached(s, dir), Similarity.nnGraphCached(s, dir))
+      case Some(g0) => (g0, Similarity.nnRefine(g0, vecsSlim))
     }
     try {
+      g0Frame.write.mode("overwrite").parquet(s"$path/g0graph")
       graph.write.mode("overwrite").parquet(s"$path/nngraph")
       Similarity.gEntriesOf(vecsSlim).coalesce(1).write.mode("overwrite").parquet(s"$path/gentries")
     } finally g0Local.foreach(_.unpersist(blocking = false))
@@ -291,17 +296,25 @@ object VectorIndex {
         .persist(pin)
       try {
         mergedLsh.write.mode("overwrite").partitionBy("t", "b").parquet(s"$path/lshbuckets_new")
-        // graph-ANN bodies: regenerated from the merged frames — both are
-        // PURE functions of the vector set (deterministic seeds from the
-        // bucket pairs, exact rescore, deterministic ranks), so the
-        // regeneration is row-identical to a rebuild's derivation
-        val g0 = Similarity.nnSeedGraph(mergedLsh, allVecs).persist(pin)
+        // graph-ANN bodies at O(delta) (r15): the stored seed graph is
+        // spliced — only touched buckets re-pair, only affected srcs
+        // re-rank, only their in-neighbor pivots re-propose — and the
+        // result is ROW-IDENTICAL to a full regeneration (the monotone
+        // top-K and re-rank-set arguments in [[Similarity.nnGraphDelta]];
+        // the parity spec compares against a rebuild byte for byte)
+        val (g0New, refinedNew) = Similarity.nnGraphDelta(
+          graft.sources.Tables.stableParquet(s, s"$path/g0graph"),
+          graft.sources.Tables.stableParquet(s, s"$path/nngraph"),
+          oldLsh,
+          Similarity.lshBucketPairs(delta, "vec_id"),
+          allVecs,
+          oldFrom)
         try {
-          Similarity.nnRefine(g0, allVecs)
-            .write.mode("overwrite").parquet(s"$path/nngraph_new")
+          g0New.write.mode("overwrite").parquet(s"$path/g0graph_new")
+          refinedNew.write.mode("overwrite").parquet(s"$path/nngraph_new")
           Similarity.gEntriesOf(allVecs)
             .coalesce(1).write.mode("overwrite").parquet(s"$path/gentries_new")
-        } finally g0.unpersist(blocking = false)
+        } finally g0New.unpersist(blocking = false)
       } finally mergedLsh.unpersist(blocking = false)
     } finally
       Seq(reassigned, allVecs, mergedCb, mergedPq).foreach(_.unpersist(blocking = false))
@@ -313,7 +326,7 @@ object VectorIndex {
         throw new java.io.IOException(s"absorb: rename $next -> $live failed")
     }
     Seq("vectors", "codebook", "qsample", "pqcodes", "pqcodebook", "lshbuckets",
-      "nngraph", "gentries").foreach(swap)
+      "g0graph", "nngraph", "gentries").foreach(swap)
     GramIndex.writeMeta(
       s, path,
       Seq(stamp(dir), "k=16", formatVersion(s), newFrom.toString).mkString("\n"))

@@ -217,13 +217,70 @@ class VectorIndexSpec extends GraftSpecBase {
         "absorb did not re-bind")
       VectorIndex.build(spark, sfDir, s"$tmp/idxB", Some(1000L))
       for (body <- Seq("vectors", "codebook", "qsample", "pqcodes", "pqcodebook", "lshbuckets",
-          "nngraph", "gentries"))
+          "g0graph", "nngraph", "gentries"))
         assert(rows(s"$tmp/idxA", body) == rows(s"$tmp/idxB", body),
           s"absorbed $body diverges from a rebuild")
       // wrong oldFrom = stale base — loud, never a silent wrong merge
       intercept[IllegalStateException] {
         VectorIndex.absorb(spark, sfDir, s"$tmp/idxA", 400L, 2000L)
       }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
+  test("absorb graph maintenance touches only the delta's bucket/graph neighborhood") {
+    // the O(delta) claim pinned structurally (scale-independent, unlike
+    // a count bound at fixture size): every seed-graph row absorb
+    // changes belongs to a delta id or a touched bucket's last-4
+    // established members (A), and every refined row it changes belongs
+    // to A or A's one-hop out-neighborhood under either graph state (S)
+    // — the exact recompute sets nnGraphDelta derives, so regeneration
+    // (which rewrites task-partitioning row sets corpus-wide on a plan
+    // change) cannot silently replace the splice
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vidx_delta").toString
+    val path = s"$tmp/idx"
+    def rowsBy(p: String): Map[Long, Set[(Long, Double)]] =
+      spark.read.parquet(p).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    try {
+      VectorIndex.build(spark, sfDir, path, Some(400L))
+      val preG0 = rowsBy(s"$path/g0graph")
+      val preFin = rowsBy(s"$path/nngraph")
+      val preLsh = spark.read.parquet(s"$path/lshbuckets")
+        .select(col("vec_id"), col("t").cast("int"), col("b").cast("int")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      val delta = Similarity.quantizedEmbeddings(spark, sfDir)
+        .filter(col("vec_id") >= 400L && col("vec_id") < 1000L)
+      val deltaPairs = Similarity.lshBucketPairs(delta, "vec_id")
+        .select(col("vec_id"), col("t").cast("int"), col("b").cast("int")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      val deltaIds = deltaPairs.map(_._1).toSet
+      val touched = deltaPairs.map(p => (p._2, p._3)).toSet
+      val tails = preLsh.filter(r => touched((r._2, r._3)))
+        .groupBy(r => (r._2, r._3))
+        .toSeq
+        .flatMap { case (_, rs) => rs.map(_._1).sorted.takeRight(4).toSeq }
+        .toSet
+      VectorIndex.absorb(spark, sfDir, path, 400L, 1000L)
+      val postG0 = rowsBy(s"$path/g0graph")
+      val postFin = rowsBy(s"$path/nngraph")
+      val aMax = deltaIds ++ tails
+      val g0Changed = (preG0.keySet ++ postG0.keySet)
+        .filter(k => preG0.get(k) != postG0.get(k))
+      assert(g0Changed.subsetOf(aMax),
+        s"seed rows changed outside the delta neighborhood: ${(g0Changed -- aMax).take(5)}")
+      val outA = (preG0 ++ Nil).view.filterKeys(aMax).values.flatten.map(_._1).toSet ++
+        postG0.view.filterKeys(aMax).values.flatten.map(_._1).toSet
+      val sMax = aMax ++ outA
+      val finChanged = (preFin.keySet ++ postFin.keySet)
+        .filter(k => preFin.get(k) != postFin.get(k))
+      assert(finChanged.subsetOf(sMax),
+        s"refined rows changed outside S: ${(finChanged -- sMax).take(5)}")
+      // and the splice genuinely reuses the established graph: some
+      // established srcs' refined rows survive bit-identical
+      val untouched = preFin.keySet.filter(k => k < 400L && preFin.get(k) == postFin.get(k))
+      assert(untouched.nonEmpty, "no established rows survived — regeneration, not a splice")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
