@@ -140,7 +140,10 @@ object Bench {
         "dedup_ngram_jaccard", "dedup_survivorship", "graph_pagerank",
         "graph_triangles", "split_leakage", "text_edit_sim"),
       "minhash" -> Seq("corpus_dedup", "dedup_minhash"),
-      "bpe_merge_table" -> Seq("text_bpe_train", "text_tokenize_ids", "train_pack_ids"),
+      "bpe_merge_table" -> Seq(
+        "text_bpe_train", "text_fertility_tokenizers", "text_tokenize_ids", "train_pack_ids"),
+      "unigram_table" -> Seq(
+        "text_fertility_tokenizers", "text_tokens_unigram", "text_unigram_train"),
       "chunk_emb" -> Seq("ann_chunk_lsh", "ann_chunk_topk"),
       "spandup_grams" -> Seq("text_span_dup", "text_span_excise"),
       "ivf_qsample" -> Seq("ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk", "ann_recall"),

@@ -84,6 +84,7 @@ object SparkEntry {
     "text_stats" -> Seq(col("doc_id")),
     "text_tfidf" -> Seq(col("doc_id"), col("rank")),
     "text_tokens_bpe" -> Seq(col("doc_id")),
+    "text_tokens_unigram" -> Seq(col("doc_id")),
     "text_winnow" -> Seq(col("doc_id")),
     // corpus lifecycle
     "corpus_curate" -> Seq(col("doc_id")),

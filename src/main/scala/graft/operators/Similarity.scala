@@ -375,7 +375,12 @@ object Similarity {
         .join(broadcast(nSalts), Seq("t", "b"))
         .withColumn("salt", explode(sequence(lit(0), col("n_salt") - 1)))
         .drop("n_salt")
-      salted.join(broadcast(probes), Seq("t", "b", "salt")).drop("salt")
+        // the exploded probe side is UNHINTED, deliberately: its size is
+      // Σ⌈mass/cap⌉ over probed buckets — small at sane caps, but a
+      // pathological cap (1 on a hot corpus) would make a forced
+      // broadcast corpus-proportional; AQE broadcasts it when small and
+      // shuffles when not, correct either way
+      salted.join(probes, Seq("t", "b", "salt")).drop("salt")
     }
 
   /** Every (table, bucket) pair for a frame's `qv` column — the ONE
@@ -1724,7 +1729,11 @@ object Similarity {
         .withColumn("qv", expr(
           s"transform(sequence(0, ${embDim(s) - 1}), d -> " +
             "(((vec_id % 5) * 37 + d) * 40503) % 65536 - 32768 " +
-            "+ ((vec_id * 7 + d) * 2654435761) % 201 - 100)"))
+            // vec_id reduced mod 100003 BEFORE the 2654435761 multiply:
+            // the raw product passes 2^63 near vec_id ~ 5e8 — Spark
+            // would wrap silently while DuckDB errors; the reduced form
+            // stays exact and identical at any id range
+            "+ (((vec_id % 100003) * 7 + d) * 2654435761) % 201 - 100)"))
         .withColumn("nq", selfDot(col("qv")))
         .filter(col("nq") > 0))
 
@@ -1736,9 +1745,12 @@ object Similarity {
          SELECT vec_id, label,
                 list_transform(range(0, $EmbDimDefault), d ->
                   (((vec_id % 5) * 37 + d) * 40503) % 65536 - 32768
-                  + ((vec_id * 7 + d) * 2654435761) % 201 - 100) AS qv
+                  + (((vec_id % 100003) * 7 + d) * 2654435761) % 201 - 100) AS qv
          FROM embeddings
-         WHERE vec_id % 4 = 0 AND $validEmbWhere),
+         WHERE vec_id % 4 = 0 AND $validEmbWhere
+           AND list_dot_product(
+                 list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+                 list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))) > 0),
        n AS (SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nq FROM q
             WHERE list_dot_product(qv, qv) > 0)"""
 

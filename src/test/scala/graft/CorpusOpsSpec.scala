@@ -19,7 +19,7 @@ class CorpusOpsSpec extends GraftSpecBase {
     spark.conf.set("spark.graft.corpus.storeRoot", s"$tmp/stores")
     try {
       val s0 = CorpusOps.storeStatus(spark, dir).collect()
-      assert(s0.length == 14, s"expected 14 store bodies, got ${s0.length}")
+      assert(s0.length == 19, s"expected 19 store bodies, got ${s0.length}")
       assert(s0.forall(r => !r.getAs[Boolean]("present") && !r.getAs[Boolean]("fresh")),
         "nothing is built yet — all stores must report absent")
       graft.operators.TextIndex.build(
@@ -30,6 +30,7 @@ class CorpusOpsSpec extends GraftSpecBase {
       graft.operators.VectorIndex.build(
         spark, dir, graft.operators.VectorIndex.defaultPath(spark, dir))
       graft.operators.BloomStore.build(spark, dir, CorpusOps.defaultBloomPath(spark, dir))
+      graft.operators.TextAnalysis.buildQualityStore(spark, dir)
       val s1 = CorpusOps.storeStatus(spark, dir).collect()
       assert(s1.forall(r => r.getAs[Boolean]("present") && r.getAs[Boolean]("fresh")),
         s"freshly built stores must report fresh: ${s1.mkString(";")}")
