@@ -389,6 +389,20 @@ object ScaleProbe {
       // round-trips at 1 regardless of M (printed beside the timing),
       // and the 1×→N× ratio reads the word-census scan, the only
       // corpus-sized stage the fit has
+      // round-15 wave: the clustered recall census (six frame-
+      // parameterized pipelines over the in-query integer view — every
+      // stage the uniform census probes, now under planted skew with
+      // the split cap live), the perceptual media near-dup (batched
+      // decode + 4-block banding join — the simhash class at the media
+      // grain; output grows with duplicate mass) and the unigram
+      // tokenizer family (fit = one census scan + driver EM rounds,
+      // corpus-size-independent vocabulary; apply + the two-tokenizer
+      // fertility rollup are narrow native maps)
+      "ann_recall_clustered" -> (graft.operators.Similarity.annRecallClustered _),
+      "mm_near_dup" -> (graft.operators.Multimodal.nearDup _),
+      "text_unigram_train" -> (TextAnalysis.unigramTrain _),
+      "text_tokens_unigram" -> (TextAnalysis.tokensUnigram _),
+      "text_fertility_tokenizers" -> (TextAnalysis.fertilityTokenizers _),
       "bpe_fit_m64" -> ((s: SparkSession, d: String) => {
         s.conf.set("spark.graft.text.bpeMerges", "64")
         try {

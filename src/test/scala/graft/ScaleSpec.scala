@@ -877,6 +877,27 @@ class ScaleSpec extends GraftSpecBase {
     graft.operators.Dedup.clearSharedCache()
   }
 
+  test("round-15 operators: banded pairs only, no cartesian, narrow tokenize maps") {
+    import graft.operators.{Multimodal, Similarity, TextAnalysis}
+    // mm_near_dup: candidates come from the 4-block banding equi-join —
+    // never an all-pairs expansion over the media grain
+    val nd = Multimodal.nearDup(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!nd.contains("CartesianProduct"), s"media near-dup paired cartesianly:\n$nd")
+    assert(!nd.contains("BroadcastNestedLoopJoin"), s"unbounded nested loop in:\n$nd")
+    // ann_recall_clustered: six pipelines, and the only pair spaces are
+    // the DECLARED bounded broadcasts (brute anchor, walk entries) —
+    // an unhinted cartesian anywhere is a corpus x corpus regression
+    val rc = Similarity.annRecallClustered(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!rc.contains("CartesianProduct"), s"clustered census went cartesian:\n$rc")
+    // unigram apply: a narrow codegen'd map — no joins; the only
+    // exchange is balancedDocs' conditional rebalance
+    val tu = TextAnalysis.tokensUnigram(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!tu.contains("Join"), s"unigram apply grew a join:\n$tu")
+    assert("Exchange".r.findAllIn(tu).size <= 1,
+      s"unigram apply grew shuffles beyond the reader rebalance:\n$tu")
+  }
+
   test("mm family: decode is a narrow map — mm_features plans zero shuffles") {
     val plan = graft.operators.Multimodal
       .features(spark, sfDir).queryExecution.executedPlan.toString
