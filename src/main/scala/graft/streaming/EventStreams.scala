@@ -1185,6 +1185,38 @@ object EventStreams {
         when(lit(prior) + col("s") > 0, 1L).otherwise(0L).as("pred_keep"))
   }
 
+  /** Streaming unigram tokenization (29th twin) — the online twin of
+    * [[graft.operators.TextAnalysis.tokensUnigram]], completing the
+    * arrival-time triple a crawl-ingest gate wants per document: the NB
+    * policy score, the DSIR domain weight, and now the TOKEN BUDGET
+    * under the production tokenizer (sequence-length cost is decided at
+    * admission, not at packing time). The frozen ≤ V-row vocabulary
+    * (fit once, apply everywhere) folds into the plan as the SAME
+    * literal arrays the batch kernel takes, so scoring IS
+    * `graft_unigram_ids` — one codegen'd native call per arriving
+    * document, zero joins, zero state, zero shuffles, zero static
+    * re-scans per trigger; per-piece lookup is O(1) through the
+    * kernel's own hash table (the hash-backed shape [[scoreDsir]]'s
+    * CPU disclosure names — native here because the kernel already
+    * owns it). Output = the batch query's exact columns
+    * (n_pieces, n_unk, ids_md5), so ordered replay is row-identical to
+    * batch (spec-pinned); NULL text → 0 pieces + md5(''), the batch
+    * contract. */
+  def tokenizeUnigram(docs: DataFrame, pieces: Seq[String], costs: Seq[Long]): DataFrame = {
+    require(pieces.nonEmpty && pieces.length == costs.length,
+      "tokenizeUnigram needs a fitted vocabulary (pieces aligned with costs)")
+    docs
+      .select(
+        col("doc_id"),
+        call_function(
+          "graft_unigram_ids", col("text"), typedlit(pieces), typedlit(costs)).as("ids"))
+      .select(
+        col("doc_id"),
+        size(col("ids")).cast("long").as("n_pieces"),
+        size(filter(col("ids"), i => i < 0)).cast("long").as("n_unk"),
+        md5(concat_ws(",", col("ids").cast("array<string>")).cast("binary")).as("ids_md5"))
+  }
+
   /** Streaming DSIR scoring (28th twin) — the online-inference twin of
     * [[graft.operators.TextAnalysis.dsir]], completing the pair of
     * quality scores a crawl-ingest gate wants at arrival time: the NB

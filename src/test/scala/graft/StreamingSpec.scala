@@ -1123,6 +1123,38 @@ class StreamingSpec extends GraftSpecBase {
       s"quality scores diverged: missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("streaming unigram tokenization equals batch text_tokens_unigram on two-chunk replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // freeze the batch-fitted vocabulary; ids = utf8 piece order, the
+    // batch kernel's id space
+    val vocab = graft.operators.TextAnalysis.unigramTrain(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+      .sortWith((a, b) => graft.operators.TextAnalysis.utf8Compare(a._1, b._1) < 0)
+    assert(vocab.nonEmpty, "no fitted vocabulary — parity test is vacuous")
+    val batch = graft.operators.TextAnalysis.tokensUnigram(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(batch.nonEmpty, "no batch tokenization — parity test is vacuous")
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val (a, b) = rows.splitAt(rows.length / 2)
+    input.addData(a)
+    val q = EventStreams.tokenizeUnigram(
+        input.toDF().toDF("doc_id", "text"), vocab.map(_._1).toSeq, vocab.map(_._2).toSeq)
+      .writeStream.format("memory").queryName("uni_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(b)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("uni_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(streamed == batch,
+      s"unigram ids diverged: missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("streaming dsir scoring equals batch text_dsir on two-chunk replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
