@@ -224,6 +224,16 @@ class VectorIndexSpec extends GraftSpecBase {
       intercept[IllegalStateException] {
         VectorIndex.absorb(spark, sfDir, s"$tmp/idxA", 400L, 2000L)
       }
+      // CHAINED absorbs: the second splice reads bodies the FIRST splice
+      // wrote (g0graph round-tripped through parquet, refined rows
+      // spliced twice) — still byte-identical to a one-shot rebuild
+      VectorIndex.build(spark, sfDir, s"$tmp/idxC", Some(250L))
+      VectorIndex.absorb(spark, sfDir, s"$tmp/idxC", 250L, 400L)
+      VectorIndex.absorb(spark, sfDir, s"$tmp/idxC", 400L, 1000L)
+      for (body <- Seq("vectors", "codebook", "qsample", "pqcodes", "pqcodebook", "lshbuckets",
+          "g0graph", "nngraph", "gentries"))
+        assert(rows(s"$tmp/idxC", body) == rows(s"$tmp/idxB", body),
+          s"chained-absorbed $body diverges from a rebuild")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
