@@ -151,7 +151,13 @@ object Bench {
       "kmeans_assign" -> Seq("dedup_semantic", "emb_kmeans"),
       "pca_scatter" -> Seq("emb_pca_top", "emb_project2d"),
       "pq" -> Seq("ann_ivfpq_idx", "ann_ivfpq_topk", "ann_pq_topk", "ann_recall", "emb_pq"),
-      "ivf_store_probes" -> Seq("ann_ivf_idx", "ann_ivfpq_idx"))
+      "ivf_store_probes" -> Seq("ann_ivf_idx", "ann_ivfpq_idx"),
+      // only live on the store-FALLBACK path (vector store absent/stale —
+      // e.g. a cold storeRoot or a post-absorb meta with a non-empty
+      // exclusion): when the default store is fresh these queries read the
+      // persisted nngraph body instead (store_backed below) and the tag's
+      // cached frames never materialize
+      "nn_graph" -> Seq("ann_graph_topk", "ann_recall"))
       .map { case (tag, qs) =>
         s"\"$tag\":" + qs.filter(SparkEntry.queries.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
       }
@@ -164,7 +170,9 @@ object Bench {
         "ann_ivf_idx", "ann_ivfpq_idx", "ann_lsh_idx", "ann_graph_idx",
         "dedup_incremental_bloom", "ann_graph_topk", "ann_recall",
         "text_quality_train", "text_quality_model", "text_quality_eval",
-        "text_quality_calibration", "text_quality_holdout")
+        "text_quality_calibration", "text_quality_holdout",
+        // r16: the quality store's v2 bodies — trained langid + DSIR
+        "langid_train", "langid_model", "langid_holdout", "text_dsir")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"")
       .mkString("[", ",", "]")

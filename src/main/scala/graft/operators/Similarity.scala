@@ -514,15 +514,76 @@ object Similarity {
     * [[VectorIndex.build]]'s exclusion path and [[VectorIndex.absorb]]
     * (one seed/centroid/assignment definition — parity is structural). */
   private[operators] def ivfCellsOf(corpus: DataFrame, k: Int): (DataFrame, DataFrame) = {
-    val cents = corpus
-      .groupBy((col("vec_id") % k).cast("int").as("cell"))
-      .agg(call_function("graft_vec_sum", col("qv")).as("cv"))
-      .filter(assertCentroidExact(col("cv"), "IVF centroid"))
-      .withColumn("nc", selfDot(col("cv")))
-    val codebook = cents.agg(
-      array_sort(collect_list(struct(col("cell"), col("cv"), col("nc")))).as("cb"))
+    val cents = ivfCentRows(corpus, k)
+    val codebook = collapseCodebook(cents)
     (ivfAssign(corpus, codebook), codebook)
   }
+
+  /** The K seed-cell centroid rows `(cell, cv, nc, c)` — exact integer
+    * sum-vector, its self-dot, and the seed population count. The count
+    * rides the same map-side-combined aggregate as the sum (it is free)
+    * and is what the RESIDUAL encoding divides by ([[roundedCentroids]]).
+    * One definition for [[ivfCellsOf]], the clustered census and the
+    * store bodies — parity is structural. */
+  private[operators] def ivfCentRows(corpus: DataFrame, k: Int): DataFrame =
+    corpus
+      .groupBy((col("vec_id") % k).cast("int").as("cell"))
+      .agg(call_function("graft_vec_sum", col("qv")).as("cv"), count(lit(1)).as("c"))
+      .filter(assertCentroidExact(col("cv"), "IVF centroid"))
+      .withColumn("nc", selfDot(col("cv")))
+
+  /** Collapse the centroid rows into the 1-row broadcastable codebook
+    * (array_sort keys on the distinct `cell`, so the added fields never
+    * change the order). */
+  private[operators] def collapseCodebook(cents: DataFrame): DataFrame =
+    cents.agg(
+      array_sort(collect_list(struct(col("cell"), col("cv"), col("nc"), col("c")))).as("cb"))
+
+  /** Re-explode a collapsed codebook into its K centroid rows — the
+    * store-read and cached-frame consumers' inverse of
+    * [[collapseCodebook]]. */
+  private[operators] def codebookRows(codebook: DataFrame): DataFrame =
+    codebook
+      .select(explode(col("cb")).as("e"))
+      .select(
+        col("e.cell").as("cell"), col("e.cv").as("cv"),
+        col("e.nc").as("nc"), col("e.c").as("c"))
+
+  /** Per-ASSIGNED-cell sums and counts `(cell, cv, c)` — the Lloyd
+    * M-step over the argmax assignment, which is what the residual
+    * encoding must subtract: the seed-group mean is a mix of whatever
+    * `vec_id % k` threw together (on a clustered corpus every seed mean
+    * collapses to ≈ the global mean, and subtracting it leaves the
+    * cluster offsets IN the residual — measured: ivfpq recall stayed at
+    * 6% under seed-mean residuals), while the assigned-cell mean is the
+    * actual center of the vectors that share the cell, so the residual
+    * is the genuine fine structure. Map-side-combined aggregate, K rows. */
+  private[operators] def assignedCentRows(assigned: DataFrame): DataFrame =
+    assigned
+      .groupBy(col("cell"))
+      .agg(call_function("graft_vec_sum", col("qv")).as("cv"), count(lit(1)).as("c"))
+      .filter(assertCentroidExact(col("cv"), "IVF residual centroid"))
+
+  /** Per-cell ROUNDED integer centroid `rc[i] = floor(cv[i] / c)` — the
+    * exact-integer mean the residual encoding subtracts. The floor is
+    * computed as `(x - pmod(x, c)) div c`: the pmod subtraction makes the
+    * numerator exactly divisible, so Spark's truncating `div` and
+    * DuckDB's `//` agree for ANY sign of the sum — no float division
+    * anywhere, bit-replayable. */
+  private[operators] def roundedCentroids(cents: DataFrame): DataFrame =
+    cents.select(
+      col("cell"),
+      expr("transform(cv, x -> (x - pmod(x, c)) div c)").as("rc"))
+
+  /** Residual view of a cell-assigned frame: `qv := qv - rc(cell)`,
+    * integer-exact (FAISS's residual-IVFPQ discipline: the coarse
+    * quantizer explains the cell offset, PQ spends its 16 cells per
+    * subspace on the FINE structure instead of re-encoding the cell).
+    * One definition for the corpus side ([[pqResidCached]]) and the
+    * query side ([[pqQueryTablesFrom]]) — the two cannot drift. */
+  private[operators] def residualOf(df: DataFrame, rcents: DataFrame, idCol: String): DataFrame =
+    df.join(broadcast(rcents), "cell")
+      .select(col(idCol), col("cell"), zip_with(col("qv"), col("rc"), (x, m) => x - m).as("qv"))
 
   /** The argmax-cosine assignment of `corpus` (vec_id, qv, nq, ...)
     * against a collapsed 1-row `codebook` — a narrow map against the
@@ -1244,43 +1305,82 @@ object Similarity {
        FROM f
        ORDER BY label NULLS FIRST"""
 
-  /** Product quantization — the memory-bound vector-compression scale
-    * path beyond [[embQuantize]]'s int8: the 64-dim vector splits into 8
+  /** RESIDUAL product quantization — the memory-bound vector-compression
+    * scale path beyond [[embQuantize]]'s int8, in FAISS's default IVFPQ
+    * form (r15 verdict #1): each vector is first explained by its IVF
+    * cell's ROUNDED integer centroid ([[roundedCentroids]]), and PQ
+    * encodes the RESIDUAL `qv - rc(cell)`: the residual splits into 8
     * subspaces of 8 dims, each subspace gets its own 16-cell codebook
-    * (so a vector stores 8 four-bit codes — 4 bytes vs 256 of floats, a
-    * 64× compression with per-subspace fidelity), and the output is each
-    * vector's code word plus its exact-shape quantization error.
+    * (so a vector stores its cell + 8 four-bit codes — still bytes vs
+    * 256 of floats), and the output is each vector's code word plus its
+    * exact-shape residual quantization error. Why residual: a raw-vector
+    * codebook spends its 16 cells per subspace re-encoding the COARSE
+    * offset (on clustered corpora that is the whole signal, and ADC
+    * recall collapsed to 6% — the r15 census), while the residual
+    * codebook spends them on the fine structure the coarse quantizer
+    * cannot see; the ADC distance `‖(q - rc(cell)) - code‖²` then
+    * carries the cell offset AND the fine term.
     *
     * Construction mirrors [[annIvf]]'s cell discipline per subspace:
     * deterministic `vec_id % 16` seed partition, centroids as INTEGER
     * (sum-vector, count) pairs via `graft_vec_sum`, assignment by the
     * SAME [[lloydD]] L2 expression and [[argminBest]] tie rule
-    * (lower cid) that [[embKmeans]] proved cross-engine — so the DuckDB
-    * oracle replays codes AND the error bit-for-bit. The per-vector
+    * (lower cid) that [[embKmeans]] proved cross-engine — and the
+    * residual itself is integer-exact (floor-divided centroid, integer
+    * subtraction), so the DuckDB oracle replays the residual
+    * construction, the codes AND the error bit-for-bit. The per-vector
     * error is the FIXED-ORDER sum d0+…+d7 of per-subspace distances
     * (never a float aggregation — the [[TextAnalysis.search]] rule).
     *
-    * Scale shape: one 8× slim-row explode (vec_id, sub_id, 8 ints), one
-    * map-side-combined (sub_id, cid) aggregate to 128 centroid rows,
-    * the 128-row codebook broadcast into a narrow argmin, one final
-    * groupBy(vec_id) pivot — no corpus-sized join, no window. */
+    * Scale shape: the residual view is a narrow map against the
+    * broadcast 16-row rounded-centroid frame; then one 8× slim-row
+    * explode (vec_id, sub_id, 8 ints), one map-side-combined
+    * (sub_id, cid) aggregate to 128 centroid rows, the 128-row codebook
+    * broadcast into a narrow argmin, one final groupBy(vec_id) pivot —
+    * no corpus-sized join, no window. */
   /** One slim row per (id, subspace) with the 8-int slice as (qv, nq) —
-    * ONE slicing definition for the corpus ([[pqSub]]) and the query
-    * sample ([[annPq]]'s table build), so the two sides cannot drift. */
+    * ONE slicing definition for the corpus ([[pqResidCached]]) and the
+    * query sample ([[annPq]]'s table build), so the two sides cannot
+    * drift. */
   private[operators] def subspaceRows(df: DataFrame, idCol: String, sd: Int): DataFrame =
+    subspaceRows(df, Seq(idCol), sd)
+
+  /** Multi-key variant: the query-side residual tables carry
+    * (query_id, cell) through the slicing. */
+  private[operators] def subspaceRows(df: DataFrame, idCols: Seq[String], sd: Int): DataFrame =
     df.select(
-        col(idCol),
-        explode(expr(
-          s"transform(sequence(0, 7), j -> struct(j AS sub_id, slice(qv, j * $sd + 1, $sd) AS sq))"))
-          .as("e"))
-      .select(col(idCol), col("e.sub_id").as("sub_id"), col("e.sq").as("qv"))
+        idCols.map(col) :+
+          explode(expr(
+            s"transform(sequence(0, 7), j -> struct(j AS sub_id, slice(qv, j * $sd + 1, $sd) AS sq))"))
+            .as("e"): _*)
+      .select(
+        idCols.map(col) ++ Seq(col("e.sub_id").as("sub_id"), col("e.sq").as("qv")): _*)
       .withColumn("nq", selfDot(col("qv")))
 
-  /** Subspace decomposition of the gated corpus. */
+  /** The IVF-residual corpus `(vec_id, cell, qv = residual)`, stamp-
+    * cached: derived from the SAME stamp-cached slim cell assignment and
+    * codebook the IVF-ADC serving path reads (one assignment definition
+    * — parity structural), so building it costs one narrow map over the
+    * corpus join, not a fresh clustering. */
+  private[operators] def pqResidCached(s: SparkSession, dir: String): DataFrame =
+    PipelineCache.cached(s"pq_resid_d${embDim(s)}", s, dir, "embeddings.parquet")(
+      residualOf(
+        quantized(s, dir).join(ivfCellsSlimCached(s, dir), "vec_id"),
+        ivfRcents(s, dir), "vec_id"))
+
+  /** The ≤ 16-row rounded ASSIGNED-cell centroid frame, stamp-cached
+    * (one pass over the corpus joined to the cached slim assignment —
+    * the Lloyd M-step the residuals subtract). */
+  private[operators] def ivfRcents(s: SparkSession, dir: String): DataFrame =
+    PipelineCache.cached(s"ivf_rcents_d${embDim(s)}", s, dir, "embeddings.parquet")(
+      roundedCentroids(assignedCentRows(
+        quantized(s, dir).join(ivfCellsSlimCached(s, dir), "vec_id"))))
+
+  /** Subspace decomposition of the residual corpus. */
   private def pqSub(s: SparkSession, dir: String): DataFrame = {
     val dim = embDim(s)
     require(dim % 8 == 0, s"emb_pq needs dim % 8 == 0, got $dim")
-    subspaceRows(quantized(s, dir), "vec_id", dim / 8)
+    subspaceRows(pqResidCached(s, dir), "vec_id", dim / 8)
   }
 
   /** Per-subspace 16-cell centroid frame (sub_id, cid, sv, c, ns). */
@@ -1330,16 +1430,46 @@ object Similarity {
       .select((col("vec_id") +: (0 until 8).map(j => col(s"c$j"))) :+ col("q_err"): _*)
   }
 
-  /** The shared PQ oracle CTE chain (subspace slices → seed cells →
-    * integer centroid sums → distance/tie assignment `a`) — ONE copy
-    * interpolated into [[embPqSql]] and [[annPqSql]] (the embPrelude
-    * dedup rule). */
+  /** The shared PQ oracle CTE chain (IVF cells → rounded centroids →
+    * integer residuals → subspace slices → seed cells → integer centroid
+    * sums → distance/tie assignment `a`) — ONE copy interpolated into
+    * [[embPqSql]], [[annPqSql]] and [[annIvfPqSql]] (the embPrelude
+    * dedup rule). The rounded centroid replays Spark's
+    * `(x - pmod(x, c)) div c` as `(sv - ((sv % cn) + cn) % cn) // cn` —
+    * the pmod subtraction makes the numerator exactly divisible, so the
+    * two engines' integer divisions agree for any sign. */
   private val pqOraclePrelude: String = {
     val sd = EmbDimDefault / 8
-    s"""sub AS (
+    s"""ivfe AS (SELECT vec_id % 16 AS cell, u.i, SUM(qv[u.i]) AS sv
+             FROM n, UNNEST(range(1, $EmbDimDefault + 1)) AS u(i)
+             GROUP BY 1, 2),
+       ivfc AS (SELECT cell, LIST(sv ORDER BY i) AS cv FROM ivfe GROUP BY 1),
+       ivfcn AS (SELECT cell, cv, list_dot_product(cv, cv) AS nc FROM ivfc),
+       ivfscore AS (
+         SELECT n.vec_id, ivfcn.cell,
+                list_dot_product(n.qv, ivfcn.cv) / (sqrt(n.nq) * sqrt(ivfcn.nc)) AS ics
+         FROM n CROSS JOIN ivfcn),
+       ivfassign AS (
+         SELECT vec_id, cell FROM (
+           SELECT vec_id, cell,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ics DESC, cell) AS r
+           FROM ivfscore) WHERE r = 1),
+       ace AS (SELECT va.cell, u.i, SUM(n.qv[u.i]) AS sv
+               FROM n JOIN ivfassign va USING (vec_id),
+                    UNNEST(range(1, $EmbDimDefault + 1)) AS u(i)
+               GROUP BY 1, 2),
+       acc AS (SELECT cell, COUNT(*) AS cnt FROM ivfassign GROUP BY 1),
+       rce AS (SELECT e.cell, e.i,
+                      CAST((e.sv - (((e.sv % cc.cnt) + cc.cnt) % cc.cnt)) // cc.cnt AS BIGINT) AS rc
+               FROM ace e JOIN acc cc USING (cell)),
+       rcl AS (SELECT cell, LIST(rc ORDER BY i) AS rc FROM rce GROUP BY 1),
+       nr AS (SELECT n.vec_id, va.cell,
+                     list_transform(range(1, $EmbDimDefault + 1), i -> n.qv[i] - rcl.rc[i]) AS qv
+              FROM n JOIN ivfassign va USING (vec_id) JOIN rcl ON rcl.cell = va.cell),
+       sub AS (
          SELECT vec_id, CAST(t.j AS INT) AS sub_id,
                 list_slice(qv, t.j * $sd + 1, t.j * $sd + $sd) AS sq
-         FROM n, UNNEST(range(0, 8)) AS t(j)),
+         FROM nr, UNNEST(range(0, 8)) AS t(j)),
        subn AS (SELECT vec_id, sub_id, sq, list_dot_product(sq, sq) AS nsq FROM sub),
        ce AS (SELECT sub_id, CAST(vec_id % 16 AS INT) AS cid, u.i, SUM(sq[u.i]) AS sx
               FROM subn, UNNEST(range(1, $sd + 1)) AS u(i)
@@ -1378,21 +1508,24 @@ object Similarity {
        FROM a GROUP BY vec_id ORDER BY vec_id"""
   }
 
-  /** PQ-coded ANN — ASYMMETRIC DISTANCE search over [[embPq]]'s codes,
-    * completing the compression story (compress, then SEARCH the
-    * compressed): each query keeps its full subvectors and precomputes a
-    * 128-entry distance table (its [[lloydD]] distance to every
-    * (subspace, cell) centroid); a candidate's approximate distance is
-    * then EIGHT map lookups summed in fixed order — 8 adds per pair
-    * versus 64 multiplies for the exact scan, the classic ADC trade.
+  /** PQ-coded ANN — ASYMMETRIC DISTANCE search over [[embPq]]'s RESIDUAL
+    * codes, completing the compression story (compress, then SEARCH the
+    * compressed): each query keeps its full subvectors and precomputes,
+    * per candidate CELL, a 128-entry distance table (its residual
+    * against that cell's rounded centroid, [[lloydD]]-scored against
+    * every (subspace, cid) residual centroid); a candidate's approximate
+    * distance `‖(q − rc(cell)) − code‖²` is then EIGHT map lookups
+    * summed in fixed order — 8 adds per pair versus 64 multiplies for
+    * the exact scan, the classic ADC trade, now carrying the coarse cell
+    * offset too (two-level quantization, comparable ACROSS cells).
     * Per-query top-5 by (adist, vec_id), self excluded.
     *
-    * Scale shape: the distance tables are |queries| × 128 doubles
+    * Scale shape: the distance tables are |queries| × K × 128 doubles
     * collected into a BROADCAST map frame; the scoring pass is a
-    * narrow map over the 4-byte-code frame (one row per corpus vector,
-    * 36 bytes — never the 256-byte float vectors), and the top-5 cut is
-    * a partial WindowGroupLimit. Compose with [[VectorIndex]]'s cell
-    * pruning for the full IVF-ADC shape at 100 TB.
+    * narrow map over the code frame (one row per corpus vector,
+    * cell + 36 bytes — never the 256-byte float vectors), and the top-5
+    * cut is a partial WindowGroupLimit. Compose with [[VectorIndex]]'s
+    * cell pruning for the full IVF-ADC shape at 100 TB.
     *
     * Exactness: table entries and the candidate-side assignment derive
     * from the same exact integers via the same float expression in both
@@ -1404,25 +1537,29 @@ object Similarity {
     assigned.groupBy("vec_id").agg(cs.head, cs.tail: _*)
   }
 
-  /** Per-query ADC distance tables: (query_id, dt: map[(sub·16+cid) → d])
-    * — literally the assignment's own [[lloydD]] over a centroid struct
-    * (parity structural: a lloydD edit changes query- and candidate-side
-    * doubles TOGETHER). */
-  private def pqQueryTables(s: SparkSession, dir: String, cents: DataFrame): DataFrame =
-    pqQueryTablesFrom(querySample(s, dir), cents, embDim(s) / 8)
-
-  /** Frame-parameterized body of [[pqQueryTables]], shared with the
-    * persisted-store serving path ([[VectorIndex.annIvfPqIndexed]] feeds
-    * its stored qsample/pqcodebook frames) — parity is structural, the
-    * [[ivfProbes]] rule applied to the ADC table stage. */
-  private[operators] def pqQueryTablesFrom(qf: DataFrame, cents: DataFrame, sd: Int): DataFrame =
-    subspaceRows(qf, "query_id", sd)
+  /** Per-(query, cell) ADC distance tables:
+    * (query_id, cell, dt: map[(sub·16+cid) → d]) over the query's
+    * RESIDUAL against that cell's rounded centroid — literally the
+    * assignment's own [[lloydD]] over a centroid struct (parity
+    * structural: a lloydD edit changes query- and candidate-side doubles
+    * TOGETHER). `qcells` carries one (query_id, cell, qv) row per table
+    * to build: the IVF-ADC path feeds its ≤ 4 probed cells per query,
+    * the exhaustive [[annPq]] path feeds all K — either way the frame is
+    * ≤ K·\|queries\| × 128 doubles, broadcastable at any corpus size.
+    * Shared with the persisted-store serving path
+    * ([[VectorIndex.annIvfPqIndexed]] feeds its stored
+    * qsample/codebook/pqcodebook frames) — the [[ivfProbes]] rule
+    * applied to the ADC table stage. */
+  private[operators] def pqQueryTablesFrom(
+      qcells: DataFrame, rcents: DataFrame, cents: DataFrame, sd: Int): DataFrame =
+    subspaceRows(residualOf(qcells, rcents, "query_id"), Seq("query_id", "cell"), sd)
       .join(broadcast(cents), "sub_id")
       .select(
         col("query_id"),
+        col("cell"),
         (col("sub_id") * 16 + col("cid")).as("k"),
         lloydD(struct(col("sv"), col("c"), col("ns"))).as("d"))
-      .groupBy("query_id")
+      .groupBy("query_id", "cell")
       .agg(map_from_entries(collect_list(struct(col("k"), col("d")))).as("dt"))
 
   /** ADC score-and-rank over a candidate code frame carrying
@@ -1446,7 +1583,18 @@ object Similarity {
 
   def annPq(s: SparkSession, dir: String): DataFrame = {
     val (cents, assigned) = pqFrames(s, dir)
-    pqRank(pqCodes(assigned).crossJoin(broadcast(pqQueryTables(s, dir, cents))))
+    val rcents = ivfRcents(s, dir)
+    val qf = querySample(s, dir)
+    // exhaustive ADC: every query scores every candidate, so the table
+    // frame covers all K cells per query (still ≤ 16·|queries| rows)
+    val qcells = qf.select(col("query_id"), col("qv"))
+      .crossJoin(broadcast(rcents.select("cell")))
+    val dt = pqQueryTablesFrom(qcells, rcents, cents, embDim(s) / 8)
+    pqRank(
+      pqCodes(assigned)
+        .join(ivfCellsSlimCached(s, dir), "vec_id")
+        .crossJoin(broadcast(qf.select("query_id")))
+        .join(broadcast(dt), Seq("query_id", "cell")))
   }
 
   /** Exact SQL replay of [[annPq]]: same PQ prelude, same query distance
@@ -1461,17 +1609,22 @@ object Similarity {
     s"""WITH $prelude,
        $pqOraclePrelude,
        qs AS (SELECT vec_id AS query_id, qv FROM n WHERE vec_id % 100 = 0),
+       qr AS (SELECT query_id, rcl.cell,
+                     list_transform(range(1, $EmbDimDefault + 1), i -> qs.qv[i] - rcl.rc[i]) AS rqv
+              FROM qs CROSS JOIN rcl),
        qsub AS (
-         SELECT query_id, CAST(t.j AS INT) AS sub_id,
-                list_slice(qv, t.j * $sd + 1, t.j * $sd + $sd) AS sq
-         FROM qs, UNNEST(range(0, 8)) AS t(j)),
-       dt AS (SELECT q.query_id, cb.sub_id, cb.cid,
+         SELECT query_id, cell, CAST(t.j AS INT) AS sub_id,
+                list_slice(rqv, t.j * $sd + 1, t.j * $sd + $sd) AS sq
+         FROM qr, UNNEST(range(0, 8)) AS t(j)),
+       dt AS (SELECT q.query_id, q.cell, cb.sub_id, cb.cid,
                      CAST(list_dot_product(q.sq, q.sq) AS DOUBLE)
                        - 2.0 * list_dot_product(q.sq, cb.sv) / CAST(cb.c AS DOUBLE)
                        + CAST(cb.ns AS DOUBLE) / CAST(cb.c * cb.c AS DOUBLE) AS d
               FROM qsub q JOIN cb USING (sub_id)),
        pairs AS (SELECT dt.query_id, a.vec_id, a.sub_id, dt.d
-                 FROM a JOIN dt ON a.sub_id = dt.sub_id AND a.cid = dt.cid
+                 FROM a JOIN ivfassign va ON va.vec_id = a.vec_id
+                 JOIN dt ON dt.cell = va.cell
+                        AND dt.sub_id = a.sub_id AND dt.cid = a.cid
                  WHERE a.vec_id <> dt.query_id),
        scored AS (SELECT query_id, vec_id, $adistSum AS adist
                   FROM pairs GROUP BY 1, 2),
@@ -1516,12 +1669,17 @@ object Similarity {
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
     val cellsSlim = ivfCellsSlimCached(s, dir)
     val codebookIvf = ivfCodebookCached(s, dir)
-    val probes = ivfProbes(querySample(s, dir), codebookIvf)
+    val qf = querySample(s, dir)
+    val probes = ivfProbes(qf, codebookIvf)
     val (cents, assignedPq) = pqFrames(s, dir)
+    // residual ADC tables only for the ≤ 4 probed cells per query
+    val dt = pqQueryTablesFrom(
+      probes.join(qf.select(col("query_id"), col("qv")), "query_id"),
+      ivfRcents(s, dir), cents, embDim(s) / 8)
     val cand = cellsSlim
       .join(pqCodes(assignedPq), "vec_id")
       .join(broadcast(probes), Seq("cell"))
-    pqRank(cand.join(broadcast(pqQueryTables(s, dir, cents)), "query_id"))
+    pqRank(cand.join(broadcast(dt), Seq("query_id", "cell")))
   }
 
   /** Exact SQL replay of [[annIvfPq]]: the annIvf cell/probe CTEs + the
@@ -1535,44 +1693,35 @@ object Similarity {
       .mkString(" + ")
     s"""WITH $prelude,
        $pqOraclePrelude,
-       e AS (SELECT vec_id % 16 AS cell, i, SUM(qv[i]) AS sv
-             FROM n, UNNEST(range(1, len(qv) + 1)) AS t(i)
-             GROUP BY 1, 2),
-       c AS (SELECT cell, LIST(sv ORDER BY i) AS cv FROM e GROUP BY 1),
-       cn AS (SELECT cell, cv, list_dot_product(cv, cv) AS nc FROM c),
-       score AS (
-         SELECT n.vec_id, cn.cell,
-                list_dot_product(n.qv, cn.cv) / (sqrt(n.nq) * sqrt(cn.nc)) AS cs2
-         FROM n CROSS JOIN cn),
-       assign AS (
-         SELECT vec_id, cell FROM (
-           SELECT vec_id, cell,
-                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs2 DESC, cell) AS r
-           FROM score) WHERE r = 1),
        probes AS (
          SELECT vec_id AS query_id, cell FROM (
            SELECT vec_id, cell,
-                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs2 DESC, cell) AS r
-           FROM score WHERE vec_id % 100 = 0) WHERE r <= 4),
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ics DESC, cell) AS r
+           FROM ivfscore WHERE vec_id % 100 = 0) WHERE r <= 4),
        qs AS (SELECT vec_id AS query_id, qv FROM n WHERE vec_id % 100 = 0),
+       qr AS (SELECT p.query_id, p.cell,
+                     list_transform(range(1, $EmbDimDefault + 1), i -> qs.qv[i] - rcl.rc[i]) AS rqv
+              FROM probes p
+              JOIN qs ON qs.query_id = p.query_id
+              JOIN rcl ON rcl.cell = p.cell),
        qsub AS (
-         SELECT query_id, CAST(t.j AS INT) AS sub_id,
-                list_slice(qv, t.j * $sd + 1, t.j * $sd + $sd) AS sq
-         FROM qs, UNNEST(range(0, 8)) AS t(j)),
-       dt AS (SELECT q.query_id, cb.sub_id, cb.cid,
+         SELECT query_id, cell, CAST(t.j AS INT) AS sub_id,
+                list_slice(rqv, t.j * $sd + 1, t.j * $sd + $sd) AS sq
+         FROM qr, UNNEST(range(0, 8)) AS t(j)),
+       dt AS (SELECT q.query_id, q.cell, cb.sub_id, cb.cid,
                      CAST(list_dot_product(q.sq, q.sq) AS DOUBLE)
                        - 2.0 * list_dot_product(q.sq, cb.sv) / CAST(cb.c AS DOUBLE)
                        + CAST(cb.ns AS DOUBLE) / CAST(cb.c * cb.c AS DOUBLE) AS d
               FROM qsub q JOIN cb USING (sub_id)),
        cand AS (
-         SELECT p.query_id, v.vec_id
-         FROM assign v JOIN probes p ON v.cell = p.cell
+         SELECT p.query_id, v.vec_id, v.cell
+         FROM ivfassign v JOIN probes p ON v.cell = p.cell
          WHERE v.vec_id <> p.query_id),
        pairs AS (
          SELECT cand.query_id, cand.vec_id, pa.sub_id, dt.d
          FROM cand
          JOIN a pa ON pa.vec_id = cand.vec_id
-         JOIN dt ON dt.query_id = cand.query_id
+         JOIN dt ON dt.query_id = cand.query_id AND dt.cell = cand.cell
                 AND dt.sub_id = pa.sub_id AND dt.cid = pa.cid),
        scored AS (SELECT query_id, vec_id, $adistSum AS adist
                   FROM pairs GROUP BY 1, 2),
@@ -1691,19 +1840,41 @@ object Similarity {
     val lsh = lshRescore(
       lshCandidates(saltedBucketJoin(pairs, lshBucketPairs(qf, "query_id"), "vec_id", cap)),
       corpus, qf)
-    val (assigned, codebook) = ivfCellsOf(corpus, 16)
-    val ivf = ivfRescore(assigned, ivfProbes(qf, codebook), qf)
+    val centsR = ivfCentRows(corpus, 16)
+    val codebook = collapseCodebook(centsR)
+    val assigned = ivfAssign(corpus, codebook)
+    val probes = ivfProbes(qf, codebook)
+    val ivf = ivfRescore(assigned, probes, qf)
     val sd = embDim(s) / 8
-    val cents = pqCentroids(subspaceRows(corpus, "vec_id", sd))
-    val assignedPq = pqAssigned(subspaceRows(corpus, "vec_id", sd), cents)
-    val dt = pqQueryTablesFrom(qf, cents, sd)
-    val pq = pqRank(pqCodes(assignedPq).crossJoin(broadcast(dt)))
+    val rcents = roundedCentroids(assignedCentRows(assigned))
+    val resid = residualOf(assigned, rcents, "vec_id")
+    val cents = pqCentroids(subspaceRows(resid, "vec_id", sd))
+    val assignedPq = pqAssigned(subspaceRows(resid, "vec_id", sd), cents)
+    val cellsSlim = assigned.select(col("vec_id"), col("cell"))
+    // ONE all-cells residual table frame serves both ADC legs (the
+    // probed-cell rows the ivfpq leg joins are value-identical)
+    val dt = pqQueryTablesFrom(
+      qf.select(col("query_id"), col("qv")).crossJoin(broadcast(rcents.select("cell"))),
+      rcents, cents, sd)
+    val pq = pqRank(
+      pqCodes(assignedPq)
+        .join(cellsSlim, "vec_id")
+        .crossJoin(broadcast(qf.select("query_id")))
+        .join(broadcast(dt), Seq("query_id", "cell")))
     val ivfpq = pqRank(
-      assigned.select(col("vec_id"), col("cell"))
+      cellsSlim
         .join(pqCodes(assignedPq), "vec_id")
-        .join(broadcast(ivfProbes(qf, codebook)), Seq("cell"))
-        .join(broadcast(dt), "query_id"))
-    val graph = graphWalk(nnRefine(nnSeedGraph(pairs, vecs), vecs), gEntriesOf(vecs), vecs, qf)
+        .join(broadcast(probes), Seq("cell"))
+        .join(broadcast(dt), Seq("query_id", "cell")))
+    // graph stages stamp-cached PER LEVEL: each nnRefine consumes its
+    // input three times (wedge self-join + the re-rank union), so an
+    // uncached chain recomputes the seed pipeline 3^rounds times
+    val cg0 = PipelineCache.cached(s"clustered_g0_d${embDim(s)}", s, dir, "embeddings.parquet")(
+      nnSeedGraph(pairs, vecs))
+    val cg1 = PipelineCache.cached(s"clustered_g1_d${embDim(s)}", s, dir, "embeddings.parquet")(
+      nnRefine(cg0, vecs))
+    val graph = graphWalk(
+      nnRefine(cg1, vecs), gEntriesOfAssigned(assigned, centsR), vecs, qf)
     val brutePairs = PipelineCache.cached(
       s"ann_recall_clustered_brute_d${embDim(s)}", s, dir, "embeddings.parquet") {
       annBruteOf(
@@ -1925,17 +2096,32 @@ object Similarity {
   /** Seed kNN graph over the whole corpus from LSH co-occupancy — the
     * scalable graph-ANN construction ([[nnDescent]]'s scaladoc names it:
     * at 100 TB you seed from LSH buckets instead of brute force): within
-    * each of a vector's 6 (table, bucket) cells, pair it with its next
-    * [[NnSeedWidth]] bucket members in vec_id order (linear in bucket
-    * mass — never the within-bucket all-pairs), rescore every undirected
-    * candidate with the exact cosine, and keep each node's top-
-    * [[NnGraphDegree]] directed edges ((cos DESC, dst) ties — identical
-    * IEEE doubles cross-engine, the family discipline). Every node's
-    * candidate degree is bounded at 2·6·[[NnSeedWidth]], so the ranking
+    * each of a vector's 6 (table, bucket) cells, pair it with the bucket
+    * members at EXPONENTIAL STRIDES [[NnSeedStrides]] ahead of it in
+    * vec_id order (linear in bucket mass — never the within-bucket
+    * all-pairs), rescore every undirected candidate with the exact
+    * cosine, and keep each node's top-[[NnGraphDegree]] directed edges
+    * ((cos DESC, dst) ties — identical IEEE doubles cross-engine, the
+    * family discipline). Why strides (r15 verdict #2): consecutive-only
+    * pairing made every hot bucket an id-ordered CHAIN — NN-descent's
+    * wedge rounds then grow neighborhoods along the chain, never across
+    * it, and the walk cannot navigate to a query's true neighbors (the
+    * measured 5-16% recall). Strides 1..16 give each node long-range
+    * links (a skip-list per bucket — the small-world shortcut structure
+    * NN-descent's random initialization provides in the literature),
+    * while keeping the absorb splice's append-only argument intact: a
+    * delta id still only lands in the windows of the last
+    * [[NnSeedWidth]] = max-stride established members. Every node's
+    * candidate degree is bounded at 2·6·\|strides\|, so the ranking
     * window sorts O(1) rows per src at any corpus size. */
-  private[operators] val NnGraphDegree = 8
-  private[operators] val NnSeedWidth = 4
-  private[operators] val NnBeam = 4
+  private[operators] val NnGraphDegree = 16
+  private[operators] val NnSeedStrides: Seq[Int] = Seq(1, 2, 4, 8, 16)
+  private[operators] val NnSeedWidth = 16
+  // beam 8 (r15 verdict #2): the r14 beam-4 walk scored ≤ 16 + 2·4·8
+  // candidates per query and measured 5-13% recall@5; beam 8 doubles the
+  // frontier at the same 2-hop depth (≤ 16 + 2·8·8 scored rows — still
+  // bounded per query at any corpus size)
+  private[operators] val NnBeam = 8
   private[operators] val NnEntries = 16
 
   private[operators] def nnSeedGraph(bucketPairs: DataFrame, vecs: DataFrame): DataFrame = {
@@ -1943,7 +2129,7 @@ object Similarity {
     val seeds = bucketPairs
       .select(
         col("vec_id"),
-        array((1 to NnSeedWidth).map(j => lead(col("vec_id"), j).over(wB)): _*).as("nbrs"))
+        array(NnSeedStrides.map(j => lead(col("vec_id"), j).over(wB)): _*).as("nbrs"))
       .select(col("vec_id").as("a"), explode(col("nbrs")).as("nb"))
       .filter(col("nb").isNotNull)
     val und = seeds
@@ -1995,22 +2181,33 @@ object Similarity {
       .drop("rk")
   }
 
-  /** The ≤ [[NnEntries]] deterministic walk entry nodes: min vec_id per
-    * vec_id-residue class — id-spread, SQL-trivial, corpus-size-
-    * independent (the bounded entry set is what keeps entry scoring
-    * linear in |queries| instead of |queries|·|corpus|/1000). */
-  private[operators] def gEntriesOf(vecs: DataFrame): DataFrame =
-    vecs
-      .groupBy((col("vec_id") % NnEntries).as("res"))
-      .agg(min(col("vec_id")).as("vec_id"))
-      .drop("res")
-      .join(vecs.select(col("vec_id"), col("qv"), col("nq")), "vec_id")
+  /** The ≤ [[NnEntries]] deterministic walk entry nodes: the MEDOID of
+    * each IVF cell — the member with the best cosine against its own
+    * cell centroid, ties to the lower vec_id (r15 verdict #2: the old
+    * residue-class minima were id-spread but geometry-blind; a medoid
+    * entry starts every walk at the CENTER of a real region of the
+    * corpus, so the greedy descent begins near the query's neighborhood
+    * instead of at an arbitrary id). Still bounded by the cell count —
+    * corpus-size-independent — and a map-side-combinable max_by, no
+    * window over the corpus. Exactly replayable: the cosine doubles are
+    * the assignment's own, the tie rule is the family's. */
+  private[operators] def gEntriesOfAssigned(assigned: DataFrame, cents: DataFrame): DataFrame =
+    assigned
+      .join(broadcast(cents.select(col("cell"), col("cv"), col("nc"))), "cell")
+      .select(
+        col("cell"), col("vec_id"), col("qv"), col("nq"),
+        graft.functions.VectorOps.cosine(col("qv"), col("nq"), col("cv"), col("nc")).as("cs"))
+      .groupBy("cell")
+      .agg(max_by(
+        struct(col("vec_id"), col("qv"), col("nq")),
+        struct(col("cs"), (col("vec_id") * -1).as("negid"))).as("m"))
+      .select(col("m.vec_id").as("vec_id"), col("m.qv").as("qv"), col("m.nq").as("nq"))
 
   /** The deterministic greedy beam walk — shared VERBATIM by the
     * scan-time [[annGraph]] and the store path
     * [[VectorIndex.annGraphIndexed]] ("parity structural", the
     * lshRescore discipline). Round 0 scores the ≤ 16 entries per query;
-    * each of the 2 hops takes the round's top-[[NnBeam]] nodes per query
+    * each of the 3 hops takes the round's top-[[NnBeam]] nodes per query
     * and scores their graph out-neighbors (≤ beam·K candidates — the
     * frontier side broadcasts, the graph side is scanned, never
     * shuffled); the answer is the exact top-5 over everything visited.
@@ -2048,8 +2245,10 @@ object Similarity {
     }
     val s1 = hop(s0)
     val s2 = hop(s1)
+    val s3 = hop(s2)
     s0.unionByName(s1)
       .unionByName(s2)
+      .unionByName(s3)
       .groupBy("query_id", "vec_id")
       .agg(max(col("cos_sim")).as("cos_sim"))
       .withColumn("rk", row_number().over(w))
@@ -2099,16 +2298,24 @@ object Similarity {
     *     recomputed wedge/score work ∝ |S|·K²). Rows with src ∉ S are
     *     the stored refined rows verbatim.
     *
-    * Returns (g0', refined'); g0' comes back PERSISTED (it feeds both
-    * its own body write and the refine recompute) — the caller
-    * unpersists. */
+    * With TWO refine rounds (r15 verdict #2) step 3 chains: the first
+    * splice returns its re-ranked set S₁, which is exactly the set of
+    * srcs whose g1 rows may differ — so the second round's splice is the
+    * SAME argument with (oldIn, newIn, changed) = (stored g1, spliced
+    * g1', S₁). Affected sets grow one out-neighborhood per round but
+    * stay delta-proportional (≤ \|S₁\|·(1+K) ids).
+    *
+    * Returns (g0', g1', g2'); g0' and g1' come back PERSISTED (each
+    * feeds both its own body write and the next round's recompute) —
+    * the caller unpersists. */
   private[graft] def nnGraphDelta(
       oldG0: DataFrame,
-      oldRefined: DataFrame,
+      oldG1: DataFrame,
+      oldG2: DataFrame,
       oldLsh: DataFrame,
       deltaPairs: DataFrame,
       vecs: DataFrame,
-      oldFrom: Long): (DataFrame, DataFrame) = {
+      oldFrom: Long): (DataFrame, DataFrame, DataFrame) = {
     def score(pairs: DataFrame): DataFrame = pairs
       .join(vecs.select(col("vec_id").as("a"), col("qv").as("qa"), col("nq").as("na")), "a")
       .join(vecs.select(col("vec_id").as("b"), col("qv").as("qb"), col("nq").as("nb")), "b")
@@ -2136,7 +2343,7 @@ object Similarity {
       .unionByName(deltaPairs.select("vec_id", "t", "b"))
       .select(
         col("vec_id"),
-        array((1 to NnSeedWidth).map(j => lead(col("vec_id"), j).over(wB)): _*).as("nbrs"))
+        array(NnSeedStrides.map(j => lead(col("vec_id"), j).over(wB)): _*).as("nbrs"))
       .select(col("vec_id").as("a"), explode(col("nbrs")).as("nb"))
       .filter(col("nb").isNotNull && col("nb") >= oldFrom)
     // delta-bounded; recomputation from the bounded window is cheaper
@@ -2151,34 +2358,46 @@ object Similarity {
       .join(broadcast(aSrcs), Seq("src"), "left_anti")
       .unionByName(topK(oldG0.join(broadcast(aSrcs), Seq("src")).unionByName(scoredNew)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 3. refine re-rank set S = A ∪ out_old(A) ∪ out_new(A)
-    val sSet = aSrcs
-      .select(col("src").as("id"))
-      .unionByName(oldG0.join(broadcast(aSrcs), Seq("src")).select(col("dst").as("id")))
-      .unionByName(g0New.join(broadcast(aSrcs), Seq("src")).select(col("dst").as("id")))
-      .distinct()
-    // proposers = g0' in-neighbors of S; their wedges, targets in S only
-    val pivots = g0New
-      .join(broadcast(sSet.select(col("id").as("dst"))), Seq("dst"))
-      .select("src")
-      .distinct()
-    val pg = g0New.join(broadcast(pivots), Seq("src"))
-    val wedges = pg
-      .select(col("src").as("u"), col("dst").as("wa"))
-      .join(pg.select(col("src").as("u"), col("dst").as("wb")), Seq("u"))
-      .filter(col("wa") < col("wb"))
-      .select("wa", "wb")
-      .distinct()
-    val wScored = score(wedges.select(col("wa").as("a"), col("wb").as("b")))
-    val props = wScored
-      .unionByName(wScored.select(col("dst").as("src"), col("src").as("dst"), col("cos_sim")))
-      .join(broadcast(sSet.select(col("id").as("src"))), Seq("src"))
-    val refined = oldRefined
-      .join(broadcast(sSet.select(col("id").as("src"))), Seq("src"), "left_anti")
-      .unionByName(
-        topK(g0New.join(broadcast(sSet.select(col("id").as("src"))), Seq("src"))
-          .unionByName(props)))
-    (g0New, refined)
+    // 3. one refine round spliced: re-rank set S = changed ∪ out_old ∪
+    // out_new (the only possible targets of changed proposals), pivots =
+    // newIn in-neighbors of S (the only possible proposers), everything
+    // else verbatim; returns S so the next round can chain
+    def refineDelta(
+        oldOut: DataFrame,
+        oldIn: DataFrame,
+        newIn: DataFrame,
+        changed: DataFrame): (DataFrame, DataFrame) = {
+      val sSet = changed
+        .select(col("src").as("id"))
+        .unionByName(oldIn.join(broadcast(changed), Seq("src")).select(col("dst").as("id")))
+        .unionByName(newIn.join(broadcast(changed), Seq("src")).select(col("dst").as("id")))
+        .distinct()
+      val pivots = newIn
+        .join(broadcast(sSet.select(col("id").as("dst"))), Seq("dst"))
+        .select("src")
+        .distinct()
+      val pg = newIn.join(broadcast(pivots), Seq("src"))
+      val wedges = pg
+        .select(col("src").as("u"), col("dst").as("wa"))
+        .join(pg.select(col("src").as("u"), col("dst").as("wb")), Seq("u"))
+        .filter(col("wa") < col("wb"))
+        .select("wa", "wb")
+        .distinct()
+      val wScored = score(wedges.select(col("wa").as("a"), col("wb").as("b")))
+      val props = wScored
+        .unionByName(wScored.select(col("dst").as("src"), col("src").as("dst"), col("cos_sim")))
+        .join(broadcast(sSet.select(col("id").as("src"))), Seq("src"))
+      val out = oldOut
+        .join(broadcast(sSet.select(col("id").as("src"))), Seq("src"), "left_anti")
+        .unionByName(
+          topK(newIn.join(broadcast(sSet.select(col("id").as("src"))), Seq("src"))
+            .unionByName(props)))
+      (out, sSet.select(col("id").as("src")))
+    }
+    val (g1Out, s1) = refineDelta(oldG1, oldG0, g0New, aSrcs)
+    val g1New = g1Out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (g2New, _) = refineDelta(oldG2, oldG1, g1New, s1)
+    (g0New, g1New, g2New)
   }
 
   /** The corpus NN-graph — STORE-BACKED BY DEFAULT (r14 verdict #1, the
@@ -2189,9 +2408,10 @@ object Similarity {
     * scan-time query, [[annRecall]]'s graph row and every later bench
     * pass read 16-byte rows from disk instead of re-running the
     * seed + refine pipeline per pass. On a stale/absent store the
-    * scan-time construction below runs, stamp-cached in two stages
-    * (seed graph + refined graph) so all consumers still share ONE
-    * build per source stamp (shared_cache disclosure) — and
+    * scan-time construction below runs, stamp-cached in three stages
+    * (seed graph + two NN-descent refine rounds — r15 verdict #2) so
+    * all consumers still share ONE build per source stamp (shared_cache
+    * disclosure) — and
     * [[VectorIndex.build]]'s default path persists exactly that cached
     * frame (its meta is deleted before it calls back here, so the
     * dispatch can never recurse into a half-written store). */
@@ -2203,13 +2423,20 @@ object Similarity {
         catch { case _: org.apache.spark.sql.AnalysisException => None }
       else None
     stored.getOrElse {
-      val corpus = quantized(s, dir)
-      val vecs = corpus.select(col("vec_id"), col("qv"), col("nq"))
-      val g0 = PipelineCache.cached(s"nn_g0_d${embDim(s)}", s, dir, "embeddings.parquet")(
-        nnSeedGraph(lshBucketPairs(corpus, "vec_id"), vecs))
+      val vecs = quantized(s, dir).select(col("vec_id"), col("qv"), col("nq"))
       PipelineCache.cached(s"nn_graph_d${embDim(s)}", s, dir, "embeddings.parquet")(
-        nnRefine(g0, vecs))
+        nnRefine(nnG1Cached(s, dir), vecs))
     }
+  }
+
+  /** The FIRST refine round's graph, stamp-cached — the second round's
+    * input and the store's `g1graph` body ([[nnGraphDelta]]'s two-stage
+    * splice needs the intermediate state persisted, exactly like the
+    * seed graph). */
+  private[graft] def nnG1Cached(s: SparkSession, dir: String): DataFrame = {
+    val vecs = quantized(s, dir).select(col("vec_id"), col("qv"), col("nq"))
+    PipelineCache.cached(s"nn_g1_d${embDim(s)}", s, dir, "embeddings.parquet")(
+      nnRefine(nnG0Cached(s, dir), vecs))
   }
 
   /** Graph-ANN top-5 — the scan-time twin of the store-served
@@ -2232,15 +2459,18 @@ object Similarity {
       corpus
         .filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("qv"), col("nq")))
-    graphWalk(nnGraphCached(s, dir), gEntriesOf(vecs), vecs, qf)
+    val entries = gEntriesOfAssigned(
+      corpus.join(ivfCellsSlimCached(s, dir), "vec_id"),
+      codebookRows(ivfCodebookCached(s, dir)))
+    graphWalk(nnGraphCached(s, dir), entries, vecs, qf)
   }
 
   /** Exact SQL replay of the WHOLE graph-ANN pipeline: LSH bucket seeds
     * (annLshSql's plane CTEs), per-bucket successor pairing, exact seed
-    * rescore + top-K, one out-edge wedge refinement, residue-class
-    * entries, and the 2-hop beam walk unrolled — every ranking on the
-    * raw cosine doubles both engines derive from identical integer
-    * vectors. */
+    * rescore + top-K, TWO out-edge wedge refinement rounds, IVF-cell
+    * medoid entries, and the 2-hop beam-8 walk unrolled — every ranking
+    * on the raw cosine doubles both engines derive from identical
+    * integer vectors. */
   val annGraphSql: String = annGraphSqlFrom(embPrelude)
 
   private[operators] def annGraphSqlFrom(prelude: String): String =
@@ -2260,7 +2490,8 @@ object Similarity {
        seeds AS (
          SELECT m1.vec_id AS a, m2.vec_id AS b
          FROM mem m1 JOIN mem m2
-           ON m1.t = m2.t AND m1.b = m2.b AND m2.rn BETWEEN m1.rn + 1 AND m1.rn + 4),
+           ON m1.t = m2.t AND m1.b = m2.b
+          AND m2.rn - m1.rn IN (${NnSeedStrides.mkString(", ")})),
        und AS (SELECT DISTINCT a, b FROM
                  (SELECT a, b FROM seeds UNION ALL SELECT b AS a, a AS b FROM seeds)),
        sscore AS (
@@ -2271,7 +2502,7 @@ object Similarity {
                 SELECT src, dst, cos_sim,
                        ROW_NUMBER() OVER (PARTITION BY src
                                           ORDER BY cos_sim DESC, dst) AS rk
-                FROM sscore) WHERE rk <= 8),
+                FROM sscore) WHERE rk <= $NnGraphDegree),
        wed AS (SELECT DISTINCT g1.dst AS a, g2.dst AS b
                FROM g0 g1 JOIN g0 g2 ON g1.src = g2.src AND g1.dst < g2.dst),
        wscore AS (
@@ -2283,12 +2514,48 @@ object Similarity {
                   UNION ALL SELECT a AS src, b AS dst, cos_sim FROM wscore
                   UNION ALL SELECT b AS src, a AS dst, cos_sim FROM wscore)
                 GROUP BY src, dst),
+       gr1 AS (SELECT src, dst, cos_sim FROM (
+                   SELECT src, dst, cos_sim,
+                          ROW_NUMBER() OVER (PARTITION BY src
+                                             ORDER BY cos_sim DESC, dst) AS rk
+                   FROM gall) WHERE rk <= $NnGraphDegree),
+       wed2 AS (SELECT DISTINCT g1.dst AS a, g2.dst AS b
+                FROM gr1 g1 JOIN gr1 g2 ON g1.src = g2.src AND g1.dst < g2.dst),
+       wscore2 AS (
+         SELECT wed2.a, wed2.b,
+                list_dot_product(na.qv, nb.qv) / (sqrt(na.nq) * sqrt(nb.nq)) AS cos_sim
+         FROM wed2 JOIN n na ON na.vec_id = wed2.a JOIN n nb ON nb.vec_id = wed2.b),
+       gall2 AS (SELECT src, dst, MAX(cos_sim) AS cos_sim FROM (
+                   SELECT src, dst, cos_sim FROM gr1
+                   UNION ALL SELECT a AS src, b AS dst, cos_sim FROM wscore2
+                   UNION ALL SELECT b AS src, a AS dst, cos_sim FROM wscore2)
+                 GROUP BY src, dst),
        graph AS (SELECT src, dst FROM (
                    SELECT src, dst,
                           ROW_NUMBER() OVER (PARTITION BY src
                                              ORDER BY cos_sim DESC, dst) AS rk
-                   FROM gall) WHERE rk <= 8),
-       entries AS (SELECT MIN(vec_id) AS vec_id FROM n GROUP BY vec_id % 16),
+                   FROM gall2) WHERE rk <= $NnGraphDegree),
+       ivfe AS (SELECT vec_id % 16 AS cell, u.i, SUM(qv[u.i]) AS sv
+                FROM n, UNNEST(range(1, $EmbDimDefault + 1)) AS u(i)
+                GROUP BY 1, 2),
+       ivfc AS (SELECT cell, LIST(sv ORDER BY i) AS cv FROM ivfe GROUP BY 1),
+       ivfcn AS (SELECT cell, cv, list_dot_product(cv, cv) AS nc FROM ivfc),
+       ivfscore AS (
+         SELECT n.vec_id, ivfcn.cell,
+                list_dot_product(n.qv, ivfcn.cv) / (sqrt(n.nq) * sqrt(ivfcn.nc)) AS ics
+         FROM n CROSS JOIN ivfcn),
+       ivfassign AS (
+         SELECT vec_id, cell FROM (
+           SELECT vec_id, cell,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ics DESC, cell) AS r
+           FROM ivfscore) WHERE r = 1),
+       entries AS (SELECT vec_id FROM (
+                     SELECT va.vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY va.cell
+                                               ORDER BY sc.ics DESC, va.vec_id) AS rn
+                     FROM ivfassign va
+                     JOIN ivfscore sc ON sc.vec_id = va.vec_id AND sc.cell = va.cell)
+                   WHERE rn = 1),
        queries AS (SELECT vec_id AS query_id, qv, nq FROM n WHERE vec_id % 100 = 0),
        s0 AS (
          SELECT q.query_id, e.vec_id,
@@ -2299,7 +2566,7 @@ object Similarity {
                 SELECT query_id, vec_id,
                        ROW_NUMBER() OVER (PARTITION BY query_id
                                           ORDER BY cos_sim DESC, vec_id) AS rk
-                FROM s0) WHERE rk <= 4),
+                FROM s0) WHERE rk <= $NnBeam),
        c1 AS (SELECT DISTINCT f1.query_id, g.dst AS vec_id
               FROM f1 JOIN graph g ON g.src = f1.vec_id
               WHERE g.dst <> f1.query_id),
@@ -2312,7 +2579,7 @@ object Similarity {
                 SELECT query_id, vec_id,
                        ROW_NUMBER() OVER (PARTITION BY query_id
                                           ORDER BY cos_sim DESC, vec_id) AS rk
-                FROM s1) WHERE rk <= 4),
+                FROM s1) WHERE rk <= $NnBeam),
        c2 AS (SELECT DISTINCT f2.query_id, g.dst AS vec_id
               FROM f2 JOIN graph g ON g.src = f2.vec_id
               WHERE g.dst <> f2.query_id),
@@ -2321,8 +2588,22 @@ object Similarity {
                 list_dot_product(nv.qv, q.qv) / (sqrt(nv.nq) * sqrt(q.nq)) AS cos_sim
          FROM c2 JOIN n nv ON nv.vec_id = c2.vec_id
          JOIN queries q ON q.query_id = c2.query_id),
+       f3 AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, vec_id) AS rk
+                FROM s2) WHERE rk <= $NnBeam),
+       c3 AS (SELECT DISTINCT f3.query_id, g.dst AS vec_id
+              FROM f3 JOIN graph g ON g.src = f3.vec_id
+              WHERE g.dst <> f3.query_id),
+       s3 AS (
+         SELECT c3.query_id, c3.vec_id,
+                list_dot_product(nv.qv, q.qv) / (sqrt(nv.nq) * sqrt(q.nq)) AS cos_sim
+         FROM c3 JOIN n nv ON nv.vec_id = c3.vec_id
+         JOIN queries q ON q.query_id = c3.query_id),
        vis AS (SELECT query_id, vec_id, MAX(cos_sim) AS cos_sim FROM (
-                 SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+                 SELECT * FROM s0 UNION ALL SELECT * FROM s1
+                 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
                GROUP BY query_id, vec_id)
        SELECT query_id, vec_id AS neighbor_id, ROUND(cos_sim, 4) AS cos_sim,
               CAST(rk AS INT) AS rk
@@ -2928,6 +3209,12 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall" -> (annRecall _),
+    // CONSTRUCTION SIDE EFFECT (the one registry exception, accepted under
+    // the eager-literal precedent): building ann_recall_clustered's frame
+    // runs two bounded driver jobs (clustered-view cache materialization +
+    // the ≤ 96-key bucket census the split cap derives from) — plan
+    // inspection of this entry executes cluster work. Every other registry
+    // closure is construction-pure.
     "ann_recall_clustered" -> (annRecallClustered _),
     "skew_lsh_buckets" -> (skewLshBuckets _),
     "ann_chunk_topk" -> (annChunk _),

@@ -49,12 +49,18 @@ object VectorIndex {
 
   /** v2 added the PQ artifacts (pqcodes/pqcodebook); v3 added the LSH
     * bucket body (lshbuckets); v4 added the graph-ANN bodies (nngraph +
-    * gentries); v5 adds the SEED graph body (g0graph) that makes
-    * [[absorb]]'s O(delta) graph maintenance possible — an older store
-    * is stale-by-version and rebuilds, never serves a warm path with
-    * missing bodies. */
+    * gentries); v5 added the SEED graph body (g0graph) that makes
+    * [[absorb]]'s O(delta) graph maintenance possible; v6 (r15 verdict
+    * #1/#2) RE-DEFINES three artifact families — the codebook body
+    * carries the seed-cell count `c`, pqcodes/pqcodebook encode IVF
+    * RESIDUALS (a v5 pqcodebook quantizes raw vectors and would serve
+    * wrong ADC answers against residual query tables), the graph gains
+    * the first-refine body (g1graph), gentries are IVF-cell medoids and
+    * the walk beam is 8 — an older store is stale-by-version and
+    * rebuilds, never serves a warm path with missing or
+    * differently-defined bodies. */
   private[operators] def formatVersion(s: SparkSession): String =
-    s"v5:ivf16:pq8x16:lsh6x4:nn8:d${Similarity.embDim(s)}"
+    s"v6:ivf16c:rpq8x16:lsh6x4:nn16s16b8h3:d${Similarity.embDim(s)}"
 
   private[operators] def stamp(dir: String): String =
     PipelineCache.sourceStamp(dir, "embeddings.parquet")
@@ -88,12 +94,20 @@ object VectorIndex {
     val (assigned, codebook) = Similarity.ivfCellsOf(corpus, 16)
     graft.Sinks.ivfPartitioned(assigned, s"$path/vectors")
     // store reads must never depend on the build session's frames: the
-    // codebook lands as its K struct rows, re-collapsed at read time
-    codebook
-      .select(explode(col("cb")).as("c"))
-      .select(col("c.cell").as("cell"), col("c.cv").as("cv"), col("c.nc").as("nc"))
+    // codebook lands as its K struct rows (v6: + the seed-cell count `c`
+    // the residual encoding floor-divides by), re-collapsed at read time
+    Similarity.codebookRows(codebook)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebook")
+    // v6: the rounded ASSIGNED-cell centroids the residual PQ bodies
+    // subtract — persisted so warm IVF-ADC serving derives its query
+    // residuals without any corpus (or vectors-body) pass; the default
+    // path rides the same stamp-cached frame the live queries use
+    val rcents = excludeFrom match {
+      case None => Similarity.ivfRcents(s, dir)
+      case Some(_) => Similarity.roundedCentroids(Similarity.assignedCentRows(assigned))
+    }
+    rcents.coalesce(1).write.mode("overwrite").parquet(s"$path/rcentroids")
     // qsample derives from the build's own assigned frame (re-reading
     // $path/vectors here would crash on an all-gate-rejected corpus —
     // an empty partitionBy write has no readable schema) and stays a
@@ -121,7 +135,10 @@ object VectorIndex {
         val (c, a) = Similarity.pqFrames(s, dir)
         (c, a, Similarity.ivfCellsSlimCached(s, dir))
       case Some(_) =>
-        val sub = Similarity.subspaceRows(corpus, "vec_id", sd)
+        // v6: the PQ bodies encode IVF RESIDUALS — the exclusion build
+        // derives them from its own filtered corpus's assignment
+        val resid = Similarity.residualOf(assigned, rcents, "vec_id")
+        val sub = Similarity.subspaceRows(resid, "vec_id", sd)
         val c = Similarity.pqCentroids(sub)
         (c, Similarity.pqAssigned(sub, c), assigned.select(col("vec_id"), col("cell")))
     }
@@ -148,21 +165,33 @@ object VectorIndex {
     // (shared_cache); an exclusion build derives from its own filtered
     // frames with a one-shot local persist.
     val vecsSlim = assigned.select(col("vec_id"), col("qv"), col("nq"))
-    val g0Local: Option[org.apache.spark.sql.DataFrame] = excludeFrom.map(_ =>
-      Similarity
-        .nnSeedGraph(bucketPairs, vecsSlim)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // the SEED graph lands as its own body (v5): [[absorb]]'s O(delta)
-    // maintenance needs the refine stage's INPUT, not just its output
-    val (g0Frame, graph) = g0Local match {
-      case None => (Similarity.nnG0Cached(s, dir), Similarity.nnGraphCached(s, dir))
-      case Some(g0) => (g0, Similarity.nnRefine(g0, vecsSlim))
+    val pin = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val gLocal: Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] =
+      excludeFrom.map { _ =>
+        val g0 = Similarity.nnSeedGraph(bucketPairs, vecsSlim).persist(pin)
+        (g0, Similarity.nnRefine(g0, vecsSlim).persist(pin))
+      }
+    // the SEED graph and the FIRST refine round land as their own bodies
+    // (v5/v6): [[absorb]]'s O(delta) maintenance needs each refine
+    // stage's INPUT, not just the final output
+    val (g0Frame, g1Frame, graph) = gLocal match {
+      case None =>
+        (Similarity.nnG0Cached(s, dir), Similarity.nnG1Cached(s, dir),
+          Similarity.nnGraphCached(s, dir))
+      case Some((g0, g1)) => (g0, g1, Similarity.nnRefine(g1, vecsSlim))
     }
     try {
       g0Frame.write.mode("overwrite").parquet(s"$path/g0graph")
+      g1Frame.write.mode("overwrite").parquet(s"$path/g1graph")
       graph.write.mode("overwrite").parquet(s"$path/nngraph")
-      Similarity.gEntriesOf(vecsSlim).coalesce(1).write.mode("overwrite").parquet(s"$path/gentries")
-    } finally g0Local.foreach(_.unpersist(blocking = false))
+      // v6 gentries: the IVF-cell medoids (the walk's geometry-aware
+      // entry points), derived from the build's own assignment/codebook
+      Similarity
+        .gEntriesOfAssigned(assigned, Similarity.codebookRows(codebook))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/gentries")
+    } finally gLocal.foreach { case (g0, g1) =>
+      g0.unpersist(blocking = false); g1.unpersist(blocking = false)
+    }
     // meta follows the house convention (stamp, info, version) plus the
     // recorded batch exclusion ("" = none) so store_status reads all
     // four stores with one shape
@@ -183,15 +212,20 @@ object VectorIndex {
     *
     * What makes this exact (spec-pinned row-identical to
     * `build(..., excludeFrom = Some(newFrom))`): every stored artifact
-    * is an exact integer. Seed-cell centroid sums are additive — old
-    * `cv` + the delta's seed sums equal a rebuild's sums bit-for-bit,
-    * same for the 128 PQ subspace sum-vectors — and re-assignment /
-    * re-coding against the merged codebooks reads (qv, nq) back from
-    * the store losslessly. The one unavoidable linear cost is
-    * re-assigning EVERY vector (new centroids can flip any vector's
-    * argmax cell — the honest price of exact parity; an approximate
-    * deployment that pins old assignments trades that for drift), but
-    * that pass is over the store's slim rows, not the source table.
+    * is an exact integer. Seed-cell centroid sums AND counts are
+    * additive — old `(cv, c)` + the delta's seed sums equal a rebuild's
+    * bit-for-bit — and re-assignment / re-coding against the merged
+    * codebook reads (qv, nq) back from the store losslessly. The v6
+    * RESIDUAL PQ bodies are NOT additive (the rounded centroid moves
+    * with the merged sums, so every established vector's residual
+    * changes): they are recomputed from the merged residual view — a
+    * linear pass over the store's own slim rows, never the source
+    * table, and identical to a rebuild's derivation by construction.
+    * The other unavoidable linear cost is re-assigning EVERY vector
+    * (new centroids can flip any vector's argmax cell — the honest
+    * price of exact parity; an approximate deployment that pins old
+    * assignments trades that for drift), but that pass too is over the
+    * store's slim rows.
     *
     * Unlike the source-label convention, the RANGE convention needs no
     * "next batch already landed" guard: `build(excludeFrom=oldFrom)`
@@ -218,24 +252,26 @@ object VectorIndex {
       when(col(a).isNull, col(b))
         .when(col(b).isNull, col(a))
         .otherwise(zip_with(col(a), col(b), _ + _))
-    // merged IVF codebook: old seed sums + delta seed sums, exact
+    // merged IVF codebook: old seed sums/counts + delta seed sums/counts,
+    // exact (both additive)
     val mergedCb = graft.sources.Tables.stableParquet(s, s"$path/codebook")
       .join(
         delta
           .groupBy((col("vec_id") % 16).cast("int").as("cell"))
-          .agg(call_function("graft_vec_sum", col("qv")).as("cvd")),
+          .agg(call_function("graft_vec_sum", col("qv")).as("cvd"), count(lit(1)).as("cd")),
         Seq("cell"), "full_outer")
-      .select(col("cell"), zipAdd("cv", "cvd").as("cv"))
+      .select(
+        col("cell"), zipAdd("cv", "cvd").as("cv"),
+        (coalesce(col("c"), lit(0L)) + coalesce(col("cd"), lit(0L))).as("c"))
       .filter(Similarity.assertCentroidExact(col("cv"), "IVF centroid"))
       .withColumn("nc", Similarity.selfDot(col("cv")))
       // every multi-consumer frame below is PINNED: each staged write is
       // its own action, and without the persists the reassignment (a
-      // full pass over the store) and both merged codebooks re-run once
+      // full pass over the store) and the merged codebook re-run once
       // per consumer — the recomputation class the pqFrames cache fixed,
       // applied to the one-shot absorb
       .persist(pin)
-    val codebook1 = mergedCb.agg(
-      array_sort(collect_list(struct(col("cell"), col("cv"), col("nc")))).as("cb"))
+    val codebook1 = Similarity.collapseCodebook(mergedCb)
     // every vector re-scored against the merged codebook: stored rows
     // (an empty base store's partitioned body has no readable schema —
     // stand in the typed empty frame) + the delta
@@ -249,23 +285,21 @@ object VectorIndex {
       .unionByName(delta.select(col("vec_id"), col("qv"), col("nq")))
       .persist(pin)
     val reassigned = Similarity.ivfAssign(allVecs, codebook1).persist(pin)
-    // merged PQ subspace codebook (same additive-sums argument, 128 rows)
+    // v6 RESIDUAL PQ: the rounded centroid moves with the merged sums,
+    // so every vector's residual changes and the old additive-sums merge
+    // no longer applies — recompute the subspace codebook and codes from
+    // the merged residual view (a linear pass over the store's own slim
+    // rows; the source table's floats are still never re-read)
     val sd = Similarity.embDim(s) / 8
-    val mergedPq = graft.sources.Tables.stableParquet(s, s"$path/pqcodebook")
-      .join(
-        Similarity
-          .subspaceRows(delta, "vec_id", sd)
-          .groupBy(col("sub_id"), (col("vec_id") % 16).cast("int").as("cid"))
-          .agg(call_function("graft_vec_sum", col("qv")).as("svd"), count(lit(1)).as("cd")),
-        Seq("sub_id", "cid"), "full_outer")
-      .select(
-        col("sub_id"), col("cid"), zipAdd("sv", "svd").as("sv"),
-        (coalesce(col("c"), lit(0L)) + coalesce(col("cd"), lit(0L))).as("c"))
-      .filter(Similarity.assertCentroidExact(col("sv"), "PQ centroid"))
-      .withColumn("ns", Similarity.selfDot(col("sv")))
+    val rcents1 = Similarity
+      .roundedCentroids(Similarity.assignedCentRows(reassigned))
+      .persist(pin)
+    val resid = Similarity.residualOf(reassigned, rcents1, "vec_id").persist(pin)
+    val mergedPq = Similarity
+      .pqCentroids(Similarity.subspaceRows(resid, "vec_id", sd))
       .persist(pin)
     val newCodes = Similarity
-      .pqCodes(Similarity.pqAssigned(Similarity.subspaceRows(allVecs, "vec_id", sd), mergedPq))
+      .pqCodes(Similarity.pqAssigned(Similarity.subspaceRows(resid, "vec_id", sd), mergedPq))
       .join(reassigned.select(col("vec_id"), col("cell")), "vec_id")
     // stage every body (their plans READ the live bodies — overwrite in
     // place would fail or corrupt), then swap; meta is already deleted
@@ -296,14 +330,17 @@ object VectorIndex {
         .persist(pin)
       try {
         mergedLsh.write.mode("overwrite").partitionBy("t", "b").parquet(s"$path/lshbuckets_new")
-        // graph-ANN bodies at O(delta) (r15): the stored seed graph is
-        // spliced — only touched buckets re-pair, only affected srcs
-        // re-rank, only their in-neighbor pivots re-propose — and the
-        // result is ROW-IDENTICAL to a full regeneration (the monotone
-        // top-K and re-rank-set arguments in [[Similarity.nnGraphDelta]];
-        // the parity spec compares against a rebuild byte for byte)
-        val (g0New, refinedNew) = Similarity.nnGraphDelta(
+        // graph-ANN bodies at O(delta) (r15, two-round since v6): the
+        // stored seed graph is spliced — only touched buckets re-pair,
+        // only affected srcs re-rank, only their in-neighbor pivots
+        // re-propose, and the first splice's re-rank set chains into the
+        // second round — and the result is ROW-IDENTICAL to a full
+        // regeneration (the monotone top-K and re-rank-set arguments in
+        // [[Similarity.nnGraphDelta]]; the parity spec compares against
+        // a rebuild byte for byte)
+        val (g0New, g1New, g2New) = Similarity.nnGraphDelta(
           graft.sources.Tables.stableParquet(s, s"$path/g0graph"),
+          graft.sources.Tables.stableParquet(s, s"$path/g1graph"),
           graft.sources.Tables.stableParquet(s, s"$path/nngraph"),
           oldLsh,
           Similarity.lshBucketPairs(delta, "vec_id"),
@@ -311,13 +348,19 @@ object VectorIndex {
           oldFrom)
         try {
           g0New.write.mode("overwrite").parquet(s"$path/g0graph_new")
-          refinedNew.write.mode("overwrite").parquet(s"$path/nngraph_new")
-          Similarity.gEntriesOf(allVecs)
+          g1New.write.mode("overwrite").parquet(s"$path/g1graph_new")
+          g2New.write.mode("overwrite").parquet(s"$path/nngraph_new")
+          rcents1.coalesce(1).write.mode("overwrite").parquet(s"$path/rcentroids_new")
+          Similarity.gEntriesOfAssigned(reassigned, mergedCb)
             .coalesce(1).write.mode("overwrite").parquet(s"$path/gentries_new")
-        } finally g0New.unpersist(blocking = false)
+        } finally {
+          g0New.unpersist(blocking = false)
+          g1New.unpersist(blocking = false)
+        }
       } finally mergedLsh.unpersist(blocking = false)
     } finally
-      Seq(reassigned, allVecs, mergedCb, mergedPq).foreach(_.unpersist(blocking = false))
+      Seq(reassigned, allVecs, mergedCb, mergedPq, resid, rcents1)
+        .foreach(_.unpersist(blocking = false))
     def swap(name: String): Unit = {
       val live = new org.apache.hadoop.fs.Path(s"$path/$name")
       val next = new org.apache.hadoop.fs.Path(s"$path/${name}_new")
@@ -325,8 +368,8 @@ object VectorIndex {
       if (!fs.rename(next, live))
         throw new java.io.IOException(s"absorb: rename $next -> $live failed")
     }
-    Seq("vectors", "codebook", "qsample", "pqcodes", "pqcodebook", "lshbuckets",
-      "g0graph", "nngraph", "gentries").foreach(swap)
+    Seq("vectors", "codebook", "rcentroids", "qsample", "pqcodes", "pqcodebook",
+      "lshbuckets", "g0graph", "g1graph", "nngraph", "gentries").foreach(swap)
     GramIndex.writeMeta(
       s, path,
       Seq(stamp(dir), "k=16", formatVersion(s), newFrom.toString).mkString("\n"))
@@ -346,8 +389,8 @@ object VectorIndex {
     * fresh — candidate reads touch only the probed cell partitions. */
   def annIndexed(s: SparkSession, dir: String, path: String): DataFrame = {
     if (!isFresh(s, dir, path)) build(s, dir, path)
-    val codebook = graft.sources.Tables.stableParquet(s, s"$path/codebook")
-      .agg(array_sort(collect_list(struct(col("cell"), col("cv"), col("nc")))).as("cb"))
+    val codebook = Similarity.collapseCodebook(
+      graft.sources.Tables.stableParquet(s, s"$path/codebook"))
     val qf = graft.sources.Tables.stableParquet(s, s"$path/qsample")
     val probes = ivfProbesCached(s, dir, path, codebook, qf)
     // eager literal: the probed cell set (≤ 16 values) becomes a static
@@ -385,8 +428,8 @@ object VectorIndex {
     * scan-time operator uses. */
   def annIvfPqIndexed(s: SparkSession, dir: String, path: String): DataFrame = {
     if (!isFresh(s, dir, path)) build(s, dir, path)
-    val codebook = graft.sources.Tables.stableParquet(s, s"$path/codebook")
-      .agg(array_sort(collect_list(struct(col("cell"), col("cv"), col("nc")))).as("cb"))
+    val codebook = Similarity.collapseCodebook(
+      graft.sources.Tables.stableParquet(s, s"$path/codebook"))
     val qf = graft.sources.Tables.stableParquet(s, s"$path/qsample")
     val probes = ivfProbesCached(s, dir, path, codebook, qf)
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted
@@ -397,12 +440,19 @@ object VectorIndex {
       s.emptyDataset[(Long, Long, Double, Int)]
         .toDF("query_id", "neighbor_id", "adist", "rk")
     } else {
+      // v6: residual ADC tables per (query, probed cell) — the rounded
+      // assigned-cell centroids read straight from the store's
+      // rcentroids body, the residual subspace codebook is the stored
+      // pqcodebook
       val dt = Similarity.pqQueryTablesFrom(
-        qf, graft.sources.Tables.stableParquet(s, s"$path/pqcodebook"), Similarity.embDim(s) / 8)
+        probes.join(qf.select(col("query_id"), col("qv")), "query_id"),
+        graft.sources.Tables.stableParquet(s, s"$path/rcentroids"),
+        graft.sources.Tables.stableParquet(s, s"$path/pqcodebook"),
+        Similarity.embDim(s) / 8)
       val cand = graft.sources.Tables.stableParquet(s, s"$path/pqcodes")
         .filter(col("cell").isin(cells.map(Int.box): _*))
         .join(broadcast(probes), Seq("cell"))
-      Similarity.pqRank(cand.join(broadcast(dt), "query_id"))
+      Similarity.pqRank(cand.join(broadcast(dt), Seq("query_id", "cell")))
     }
   }
 

@@ -54,6 +54,21 @@ class DedupSpec extends GraftSpecBase {
     assert(sh.filter(col("hamming") > 8 || col("doc_a") >= col("doc_b")).count() == 0)
   }
 
+  test("simhash verify stage: precision >= 0.5 against the 3-gram truth, recall kept") {
+    // the r16 signature-agreement verify's contract (r15 verdict #5):
+    // the unverified hamming<=8 pair set measured 612 ppm precision at
+    // sf0.1 (182,807 predicted vs 256 true); the verified stage must
+    // read at least 50% precise in the engine's own census WITHOUT
+    // giving up the bit-criterion's recall (every true pair that shares
+    // a block and agrees on the minhash signatures survives the filter)
+    val rows = Dedup.dedupRecall(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4), r.getLong(5))).toMap
+    val (nPred, recall, precision) = rows("simhash")
+    assert(nPred > 0, "verify stage emptied the simhash pair set — test is vacuous")
+    assert(precision >= 500000L, s"simhash precision $precision ppm below the 0.5 floor")
+    assert(recall >= 500000L, s"simhash recall $recall ppm collapsed under the verify stage")
+  }
+
   test("ann brute topk: 5 neighbors per query, no self-match, cos desc") {
     val out = Similarity.annBrute(spark, sfDir)
     assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)

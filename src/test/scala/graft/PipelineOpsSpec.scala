@@ -794,10 +794,12 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(out.filter(_.getBoolean(2)).forall(r => r.getLong(3) < r.getLong(0)))
   }
 
-  test("pq: every gated vector gets 8 in-range codes; errors nonneg; codes beat random") {
+  test("pq: residual construction + codes + q_err replay driver-side; codes beat cell-0") {
     val rows = Similarity.embPq(spark, sfDir).collect()
-    val gated = Similarity.quantizedEmbeddings(spark, sfDir).count()
-    assert(rows.length.toLong == gated, "one code word per gated vector")
+    val vecs = Similarity.quantizedEmbeddings(spark, sfDir)
+      .select(col("vec_id"), col("qv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    assert(rows.length == vecs.length, "one code word per gated vector")
     for (r <- rows; j <- 1 to 8) {
       val c = r.getInt(j)
       assert(c >= 0 && c < 16, s"vec ${r.getLong(0)}: code ${j - 1} out of range: $c")
@@ -805,34 +807,91 @@ class PipelineOpsSpec extends GraftSpecBase {
     // float distance sums can dip a hair under zero; anything beyond
     // epsilon means the argmin picked a non-minimal cell
     assert(rows.forall(_.getDouble(9) >= -1e-6), "negative quantization error")
-    // the codebook genuinely fits the data: mean error under the argmin
-    // assignment must beat assigning every vector to cell 0
+    // ---- full driver-side replay of the RESIDUAL construction, with
+    // the SAME IEEE expression shapes the engine uses (lloydD, cosine,
+    // the pmod floor-division) — the r16 oracle-discipline pin that the
+    // residual encoding is bit-replayable, independent of DuckDB
     val subDim = 8
-    val vecs = Similarity.quantizedEmbeddings(spark, sfDir)
-      .select(col("vec_id"), col("qv")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-    // brute per-subspace cell-0 reference error from raw integer sums;
-    // the per-subspace cell-0 sums depend only on j — hoisted out of the
-    // per-vector loop (inline they made the reference quadratic)
-    val cells = vecs.toSeq.groupBy(_._1 % 16)
-    assert(cells.contains(0L), "fixture has no vec_id % 16 == 0 seed member for cell 0")
-    val zeroMembers = cells(0L).map(_._2)
-    def subSlice(v: Array[Long], j: Int) = v.slice(j * subDim, (j + 1) * subDim)
-    val zeroSums = (0 until 8).map(j => zeroMembers.map(subSlice(_, j)).transpose.map(_.sum))
-    val zeroNs = zeroSums.map(_.map(x => x.toDouble * x).sum)
-    val zeroErrById = vecs.map { case (id, v) =>
-      id -> (0 until 8).map { j =>
-        val s = subSlice(v, j)
-        val c = zeroMembers.length.toDouble
-        s.map(x => x.toDouble * x).sum -
-          2.0 * s.zip(zeroSums(j)).map { case (x, sv) => x * sv }.sum / c +
-          zeroNs(j) / (c * c)
-      }.sum
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def sumVecs(vs: Seq[Array[Long]]): Array[Long] =
+      vs.reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    // 1. seed (vec_id % 16) centroid sums + argmax-cosine assignment
+    //    (ties to the lower cell — ascending iteration + strict >)
+    val seed = vecs.groupBy(_._1 % 16).map { case (cell, ms) =>
+      val sv = sumVecs(ms.map(_._2))
+      cell -> (sv, dot(sv, sv))
     }
+    val seedCells = seed.keys.toSeq.sorted
+    val cellOf = vecs.map { case (id, v) =>
+      val sn = math.sqrt(dot(v, v).toDouble)
+      var best = (-2.0, -1L)
+      for (cell <- seedCells) {
+        val (cv, nc) = seed(cell)
+        val cs = dot(v, cv).toDouble / (sn * math.sqrt(nc.toDouble))
+        if (cs > best._1) best = (cs, cell)
+      }
+      id -> best._2
+    }.toMap
+    // 2. rounded ASSIGNED-cell centroids: floor(cv / c) via the exact
+    //    pmod form the engine uses
+    def floorDiv(x: Long, c: Long): Long = (x - (((x % c) + c) % c)) / c
+    val rc = vecs.groupBy(p => cellOf(p._1)).map { case (cell, ms) =>
+      val sv = sumVecs(ms.map(_._2))
+      cell -> sv.map(floorDiv(_, ms.length.toLong))
+    }
+    // 3. integer residuals
+    val resid = vecs.map { case (id, v) =>
+      id -> v.zip(rc(cellOf(id))).map { case (x, m) => x - m }
+    }
+    // 4. residual subspace seed codebooks (vec_id % 16 per sub_id)
+    def subSlice(v: Array[Long], j: Int) = v.slice(j * subDim, (j + 1) * subDim)
+    val subCb: Map[(Int, Long), (Array[Long], Long, Long)] =
+      (for (j <- 0 until 8; (cid, ms) <- resid.groupBy(_._1 % 16)) yield {
+        val sv = sumVecs(ms.map(p => subSlice(p._2, j)))
+        (j, cid) -> (sv, ms.length.toLong, dot(sv, sv))
+      }).toMap
+    // 5. per (vector, subspace) argmin by lloydD's exact expression
+    //    (ties to the lower cid), q_err = the fixed-order d0+…+d7 sum
+    val cids = resid.map(_._1 % 16).distinct.sorted
+    val expect = resid.map { case (id, rv) =>
+      var err = 0.0
+      val codes = (0 until 8).map { j =>
+        val sq = subSlice(rv, j)
+        val nsq = dot(sq, sq).toDouble
+        var best = (Double.MaxValue, -1L)
+        for (cid <- cids) {
+          val (sv, c, ns) = subCb((j, cid))
+          val d = nsq - 2.0 * dot(sq, sv).toDouble / c.toDouble +
+            ns.toDouble / (c * c).toDouble
+          if (d < best._1) best = (d, cid)
+        }
+        err += best._1
+        best._2
+      }
+      id -> (codes, BigDecimal(err).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    for (r <- rows) {
+      val (codes, qe) = expect(r.getLong(0))
+      for (j <- 0 until 8)
+        assert(r.getInt(j + 1).toLong == codes(j),
+          s"vec ${r.getLong(0)} sub $j: code ${r.getInt(j + 1)} != replayed ${codes(j)}")
+      assert(r.getDouble(9) == qe,
+        s"vec ${r.getLong(0)}: q_err ${r.getDouble(9)} != replayed $qe")
+    }
+    // 6. the codebook genuinely fits the residuals: mean argmin error
+    //    beats assigning every residual to cell 0
+    val zeroErr = resid.map { case (_, rv) =>
+      (0 until 8).map { j =>
+        val sq = subSlice(rv, j)
+        val (sv, c, ns) = subCb((j, 0L))
+        dot(sq, sq).toDouble - 2.0 * dot(sq, sv).toDouble / c.toDouble +
+          ns.toDouble / (c * c).toDouble
+      }.sum
+    }.sum / resid.length
     val meanArgmin = rows.map(_.getDouble(9)).sum / rows.length
-    val meanZero = rows.map(r => zeroErrById(r.getLong(0))).sum / rows.length
-    assert(meanArgmin <= meanZero + 1e-9,
-      s"argmin codes ($meanArgmin) must not lose to constant cell 0 ($meanZero)")
+    assert(meanArgmin <= zeroErr + 1e-9,
+      s"argmin codes ($meanArgmin) must not lose to constant cell 0 ($zeroErr)")
   }
 
   test("pq ANN: codes retrieve genuinely near vectors (top-decile containment >> chance)") {

@@ -188,6 +188,36 @@ class VectorIndexSpec extends GraftSpecBase {
     }
   }
 
+  test("v5→v6 migration: a raw-PQ v5 store is stale-by-version and rebuilds with residual bodies") {
+    withStore { path =>
+      VectorIndex.build(spark, sfDir, path)
+      // simulate a store persisted by the r15 (v5) build: raw-vector PQ
+      // codebooks, no rcentroids/g1graph bodies — serving it false-fresh
+      // would answer residual query tables against raw codebooks
+      val v5 = Seq(
+        graft.operators.PipelineCache.sourceStamp(sfDir, "embeddings.parquet"),
+        "k=16",
+        s"v5:ivf16:pq8x16:lsh6x4:nn8:d${Similarity.embDim(spark)}",
+        "").mkString("\n")
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$path/.meta.crc"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$path/meta"),
+        v5.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // a v5 body set would also be missing rcentroids — delete it so a
+      // false-fresh read CANNOT accidentally serve the right answer
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$path/rcentroids"))
+      assert(!VectorIndex.isFresh(spark, sfDir, path), "v5 meta must read stale under v6 code")
+      // serving transparently rebuilds → v6 bodies present, answers the
+      // scan-time residual operator's rows exactly
+      val idx = VectorIndex.annIvfPqIndexed(spark, sfDir, path).collect().toSeq
+      assert(VectorIndex.isFresh(spark, sfDir, path))
+      assert(new java.io.File(s"$path/rcentroids").exists() &&
+        new java.io.File(s"$path/g1graph").exists())
+      assert(idx == Similarity.annIvfPq(spark, sfDir).collect().toSeq,
+        "migrated store diverged from the scan-time residual IVF-ADC")
+    }
+  }
+
   test("VectorIndex.absorb equals a from-scratch rebuild after the batch range rotates") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_vidx_absorb").toString
     def rows(p: String, body: String): Set[List[Any]] = {
@@ -216,8 +246,8 @@ class VectorIndexSpec extends GraftSpecBase {
       assert(VectorIndex.isFresh(spark, sfDir, s"$tmp/idxA", Some(1000L)),
         "absorb did not re-bind")
       VectorIndex.build(spark, sfDir, s"$tmp/idxB", Some(1000L))
-      for (body <- Seq("vectors", "codebook", "qsample", "pqcodes", "pqcodebook", "lshbuckets",
-          "g0graph", "nngraph", "gentries"))
+      for (body <- Seq("vectors", "codebook", "rcentroids", "qsample", "pqcodes", "pqcodebook",
+          "lshbuckets", "g0graph", "g1graph", "nngraph", "gentries"))
         assert(rows(s"$tmp/idxA", body) == rows(s"$tmp/idxB", body),
           s"absorbed $body diverges from a rebuild")
       // wrong oldFrom = stale base — loud, never a silent wrong merge
@@ -230,8 +260,8 @@ class VectorIndexSpec extends GraftSpecBase {
       VectorIndex.build(spark, sfDir, s"$tmp/idxC", Some(250L))
       VectorIndex.absorb(spark, sfDir, s"$tmp/idxC", 250L, 400L)
       VectorIndex.absorb(spark, sfDir, s"$tmp/idxC", 400L, 1000L)
-      for (body <- Seq("vectors", "codebook", "qsample", "pqcodes", "pqcodebook", "lshbuckets",
-          "g0graph", "nngraph", "gentries"))
+      for (body <- Seq("vectors", "codebook", "rcentroids", "qsample", "pqcodes", "pqcodebook",
+          "lshbuckets", "g0graph", "g1graph", "nngraph", "gentries"))
         assert(rows(s"$tmp/idxC", body) == rows(s"$tmp/idxB", body),
           s"chained-absorbed $body diverges from a rebuild")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
@@ -256,6 +286,7 @@ class VectorIndexSpec extends GraftSpecBase {
     try {
       VectorIndex.build(spark, sfDir, path, Some(400L))
       val preG0 = rowsBy(s"$path/g0graph")
+      val preG1 = rowsBy(s"$path/g1graph")
       val preFin = rowsBy(s"$path/nngraph")
       val preLsh = spark.read.parquet(s"$path/lshbuckets")
         .select(col("vec_id"), col("t").cast("int"), col("b").cast("int")).collect()
@@ -267,26 +298,40 @@ class VectorIndexSpec extends GraftSpecBase {
         .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
       val deltaIds = deltaPairs.map(_._1).toSet
       val touched = deltaPairs.map(p => (p._2, p._3)).toSet
+      // tail width = the max seed stride (16): only those established
+      // members' windows can gain a delta id
       val tails = preLsh.filter(r => touched((r._2, r._3)))
         .groupBy(r => (r._2, r._3))
         .toSeq
-        .flatMap { case (_, rs) => rs.map(_._1).sorted.takeRight(4).toSeq }
+        .flatMap { case (_, rs) => rs.map(_._1).sorted.takeRight(16).toSeq }
         .toSet
       VectorIndex.absorb(spark, sfDir, path, 400L, 1000L)
       val postG0 = rowsBy(s"$path/g0graph")
+      val postG1 = rowsBy(s"$path/g1graph")
       val postFin = rowsBy(s"$path/nngraph")
       val aMax = deltaIds ++ tails
       val g0Changed = (preG0.keySet ++ postG0.keySet)
         .filter(k => preG0.get(k) != postG0.get(k))
       assert(g0Changed.subsetOf(aMax),
         s"seed rows changed outside the delta neighborhood: ${(g0Changed -- aMax).take(5)}")
-      val outA = (preG0 ++ Nil).view.filterKeys(aMax).values.flatten.map(_._1).toSet ++
-        postG0.view.filterKeys(aMax).values.flatten.map(_._1).toSet
-      val sMax = aMax ++ outA
+      // each refine round expands the affected set by one out-neighborhood
+      // under EITHER input-graph state — the exact chain nnGraphDelta's
+      // refineDelta derives, so the assertion is per level
+      def expand(ids: Set[Long], pre: Map[Long, Set[(Long, Double)]],
+          post: Map[Long, Set[(Long, Double)]]): Set[Long] =
+        ids ++
+          pre.view.filterKeys(ids).values.flatten.map(_._1).toSet ++
+          post.view.filterKeys(ids).values.flatten.map(_._1).toSet
+      val s1Max = expand(aMax, preG0, postG0)
+      val g1Changed = (preG1.keySet ++ postG1.keySet)
+        .filter(k => preG1.get(k) != postG1.get(k))
+      assert(g1Changed.subsetOf(s1Max),
+        s"first-refine rows changed outside S1: ${(g1Changed -- s1Max).take(5)}")
+      val s2Max = expand(s1Max, preG1, postG1)
       val finChanged = (preFin.keySet ++ postFin.keySet)
         .filter(k => preFin.get(k) != postFin.get(k))
-      assert(finChanged.subsetOf(sMax),
-        s"refined rows changed outside S: ${(finChanged -- sMax).take(5)}")
+      assert(finChanged.subsetOf(s2Max),
+        s"refined rows changed outside S2: ${(finChanged -- s2Max).take(5)}")
       // and the splice genuinely reuses the established graph: some
       // established srcs' refined rows survive bit-identical
       val untouched = preFin.keySet.filter(k => k < 400L && preFin.get(k) == postFin.get(k))
