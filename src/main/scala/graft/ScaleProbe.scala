@@ -410,7 +410,12 @@ object ScaleProbe {
           println(s"[scale-probe] bpe_fit_m64 dir=$d cluster_rounds=$rounds (M=64)")
           df
         } finally s.conf.unset("spark.graft.text.bpeMerges")
-      }))
+      }),
+      // round-16 wave: the trained-langid scan-time fit+apply (one
+      // trigram census shuffle with ≤ 4096-key buckets, a ≤ 4·4097-row
+      // dense fit, scan-speed broadcast argmax — should read ~linear in
+      // corpus characters; the registry query itself is store-served)
+      "langid_model" -> (TextAnalysis.lidModelScan _))
 
     def time(dir: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {

@@ -1251,10 +1251,31 @@ object CorpusOps {
     (keepLang, minQuality)
   }
 
+  /** Which language verdict the curation policy reads (r16):
+    * `heuristic` (default — the oracle-pinned configuration,
+    * [[TextAnalysis.langid]]'s stopword argmax) or `model` (the trained
+    * NB verdict, [[TextAnalysis.lidModel]], served from the quality
+    * store). Non-default is spec territory (the knob convention).
+    * Model-source domain = documents with at least one trigram feature;
+    * shorter documents have no model verdict and fall out of the
+    * curated set — CurateLangSourceSpec pins the swap semantics. */
+  private[operators] def curateLangFrame(s: SparkSession, dir: String): DataFrame = {
+    val src = s.conf.get("spark.graft.corpus.langSource", "heuristic")
+    src match {
+      case "heuristic" =>
+        TextAnalysis.langid(s, dir).select(col("doc_id"), col("pred_lang"))
+      case "model" =>
+        TextAnalysis.lidModel(s, dir).select(col("doc_id"), col("pred_lang"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"spark.graft.corpus.langSource must be 'heuristic' or 'model', got '$other'")
+    }
+  }
+
   def curate(s: SparkSession, dir: String): DataFrame = {
     val (keepLang, minQuality) = curatePolicy(s)
     val survivors = Dedup.corpusDedupNg(s, dir).select(col("doc_id"), col("n_chars"))
-    val lang = TextAnalysis.langid(s, dir).select(col("doc_id"), col("pred_lang"))
+    val lang = curateLangFrame(s, dir)
     val quality = TextAnalysis.quality(s, dir).select(col("doc_id"), col("quality_score"))
     val split = dataSplit(s, dir).select(col("doc_id"), col("split"))
     survivors
@@ -1358,7 +1379,7 @@ object CorpusOps {
     val (keepLang, minQuality) = curatePolicy(s)
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
     val survivors = Dedup.corpusDedupNg(s, dir).select(col("doc_id"), lit(true).as("survived"))
-    val lang = TextAnalysis.langid(s, dir).select(col("doc_id"), col("pred_lang"))
+    val lang = curateLangFrame(s, dir)
     val quality = TextAnalysis.quality(s, dir).select(col("doc_id"), col("quality_score"))
     val stage = when(col("survived").isNull, "dedup")
       .when(col("pred_lang") =!= keepLang, "lang")

@@ -2246,9 +2246,17 @@ FROM mergetab ORDER BY rank"""
   private def qualityStorePath(s: SparkSession, dir: String): String =
     CorpusOps.storePath(s, dir, "graft_quality")
 
+  /** v2 (r16): adds the trained-langid bodies (lid_features /
+    * lid_labels / lid_weights / lid_scored) and the DSIR fit+apply body
+    * (dsir_scored) beside the NB quality family — one store for every
+    * trained text-scoring artifact of the corpus. The dsirTarget knob
+    * folds into the version line like the curation policy: a target
+    * retune is stale-by-version and rebuilds (the whole store — accepted
+    * coupling: one corpus pass, and the alternative is three meta
+    * protocols). */
   private[operators] def qualityStoreVersion(s: SparkSession): String = {
     val (keepLang, minQ) = CorpusOps.curatePolicy(s)
-    s"v1:nb$NbBuckets:$keepLang:$minQ"
+    s"v2:nb$NbBuckets:$keepLang:$minQ:dsir=${dsirTarget(s)}"
   }
 
   private[operators] def qualityStoreFresh(s: SparkSession, dir: String): Boolean =
@@ -2272,6 +2280,18 @@ FROM mergetab ORDER BY rank"""
     qualityModelFrom(feats, weights)
       .join(labels, "doc_id")
       .write.mode("overwrite").parquet(s"$path/scored")
+    // v2: the trained-langid family bodies (same feature/label/weights/
+    // scored quartet at the language grain) …
+    val lf = lidFeatures(s, dir)
+    val ll = lidLabels(s, dir)
+    lf.write.mode("overwrite").parquet(s"$path/lid_features")
+    ll.write.mode("overwrite").parquet(s"$path/lid_labels")
+    val lw = cachedLidTrain(s, dir)
+    lw.coalesce(1).write.mode("overwrite").parquet(s"$path/lid_weights")
+    lidModelFrom(lf, lw).write.mode("overwrite").parquet(s"$path/lid_scored")
+    // … and the DSIR fit+apply body (r15 verdict #4: the per-pass corpus
+    // bigram refit becomes a once-per-(stamp, target) slim parquet read)
+    dsirScan(s, dir).write.mode("overwrite").parquet(s"$path/dsir_scored")
     GramIndex.writeMeta(
       s, path,
       Seq(GramIndex.stamp(dir), "nb", qualityStoreVersion(s), "").mkString("\n"))
@@ -2545,6 +2565,315 @@ FROM mergetab ORDER BY rank"""
               CAST(tp * 1000000 // NULLIF(tp + fn, 0) AS BIGINT) AS recall_ppm
        FROM cm CROSS JOIN ntr"""
 
+  // ──────────────── trained language ID (multiclass NB) ────────────────
+  //
+  // The model-based language scorer (r15 verdict "what's missing" #2 /
+  // next-round #3): [[qualityTrain]]'s NB machinery at the LANGUAGE
+  // grain — multinomial Naive Bayes over hashed character-3-gram
+  // features (fastText-style langid's feature family), trained
+  // in-engine on the stopword heuristic's own verdict (the label a
+  // pipeline already has — the curated-vs-raw move applied to language),
+  // evaluated held-out on the content-hash split, and exposed to
+  // [[CorpusOps.curate]]/[[CorpusOps.funnel]] through the
+  // `spark.graft.corpus.langSource` knob. Char-3-grams rather than word
+  // tokens: language identity lives in sub-word morphology (" th",
+  // "der", "ção"), and the trigram census is what lets the model call
+  // documents whose stopwords are ambiguous.
+
+  /** The fixed class domain — the heuristic's own four classes, ONE
+    * literal shared by fit, apply and the oracles. */
+  private[operators] val LidLangs = Seq("en", "de", "es", "fr")
+
+  /** Per-(doc, bucket) hashed char-3-gram counts: every codepoint
+    * trigram of the raw text, md5-prefix-hashed into the [[NbBuckets]]
+    * domain ([[nbFeatures]]' hashing trick at the character grain).
+    * Codepoint `substring` semantics agree cross-engine (the [[chunk]]
+    * parity). One balanced (doc, bucket) shuffle with map-side partials;
+    * stamp-cached for the family's four consumers. */
+  private def lidFeatures(s: SparkSession, dir: String): DataFrame =
+    PipelineCache.cached("lid_features", s, dir, "documents.parquet") {
+      Tables
+        .documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) >= 3)
+        .select(
+          col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("g"))
+        .groupBy(
+          col("doc_id"),
+          conv(substring(md5(col("g")), 1, 3), 16, 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("occ"))
+    }
+
+  /** Heuristic language labels over the TRAINABLE domain (docs with at
+    * least one trigram feature — the [[nbLabels]] domain rule). */
+  private def lidLabels(s: SparkSession, dir: String): DataFrame =
+    PipelineCache.cached("lid_labels", s, dir, "documents.parquet") {
+      langid(s, dir)
+        .select(col("doc_id"), col("pred_lang").as("lang"))
+        .join(lidFeatures(s, dir).select("doc_id").distinct(), "doc_id")
+    }
+
+  /** FIT core over explicit label/feature frames (the
+    * [[qualityTrainFrom]] sharing rule): per-(lang, bucket)
+    * Laplace-smoothed class-conditional counts DENSE over the observed
+    * bucket set × the literal class domain — density is what keeps the
+    * argmax comparable across classes (each class sums the same bucket
+    * terms; a sparse table would drop different terms per class) — plus
+    * one `bucket = -1` prior row per class. ≤ 4·4097 rows at any corpus
+    * size: broadcastable by construction. */
+  private def lidTrainFrom(s: SparkSession, feats: DataFrame, labels: DataFrame): DataFrame = {
+    import s.implicits._
+    val langs = LidLangs.toDF("lang")
+    val counts = feats
+      .join(labels, "doc_id")
+      .groupBy("lang", "bucket")
+      .agg(sum(col("occ")).as("c"))
+    val tots = counts.groupBy("lang").agg(sum(col("c")).as("t"))
+    // every fit-side frame is ≤ 4·4096 rows by construction but derives
+    // from corpus aggregates the planner sizes pessimistically — hint
+    // each join's bounded side so the fit never sort-merges
+    val wt = feats
+      .select("bucket").distinct()
+      .crossJoin(broadcast(langs))
+      .join(broadcast(counts), Seq("lang", "bucket"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(broadcast(tots), Seq("lang"), "left")
+      .na.fill(0L, Seq("t"))
+      .select(
+        col("lang"), col("bucket"), col("c").cast("long").as("c"),
+        lnMicro(col("c") + 1, col("t") + NbBuckets).as("w_micro"))
+    val nAll = labels.agg(count(lit(1)).as("n"))
+    val prior = langs
+      .join(
+        broadcast(labels.groupBy("lang").agg(count(lit(1)).as("nd"))),
+        Seq("lang"), "left")
+      .na.fill(0L, Seq("nd"))
+      .crossJoin(broadcast(nAll))
+      .select(
+        col("lang"), lit(-1L).as("bucket"), col("nd").cast("long").as("c"),
+        lnMicro(col("nd") + 1, col("n") + LidLangs.length).as("w_micro"))
+    wt.unionByName(prior)
+  }
+
+  def lidTrain(s: SparkSession, dir: String): DataFrame =
+    lidTrainFrom(s, lidFeatures(s, dir), lidLabels(s, dir))
+
+  /** APPLY over explicit frames: per-(doc, class) score = class prior +
+    * Σ occ·w, argmax by (score DESC, lang ASC) — a map-side-combinable
+    * min_by over the negated exact-long score, never a corpus window.
+    * The weight join multiplies each feature row by the 4 classes —
+    * bounded fan-out against the broadcast table. */
+  private def lidModelFrom(feats: DataFrame, weights: DataFrame): DataFrame = {
+    val wt = broadcast(weights.filter(col("bucket") >= 0).select("lang", "bucket", "w_micro"))
+    val prior = broadcast(weights.filter(col("bucket") === -1).select(col("lang"), col("w_micro").as("pw")))
+    feats
+      .join(wt, "bucket")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("occ") * col("w_micro")).as("sw"))
+      .join(prior, "lang")
+      .select(col("doc_id"), col("lang"), (col("pw") + col("sw")).cast("long").as("score"))
+      .groupBy("doc_id")
+      .agg(min_by(
+        struct(col("lang"), col("score")),
+        struct((col("score") * -1).as("neg"), col("lang"))).as("m"))
+      .select(
+        col("doc_id"),
+        col("m.lang").as("pred_lang"),
+        col("m.score").as("score_micro"))
+  }
+
+  def lidModel(s: SparkSession, dir: String): DataFrame =
+    qualityBody(s, dir, "lid_scored").select("doc_id", "pred_lang", "score_micro")
+
+  /** The scan-time APPLY plan (what the store build materializes). */
+  private[graft] def lidModelScan(s: SparkSession, dir: String): DataFrame =
+    lidModelFrom(lidFeatures(s, dir), cachedLidTrain(s, dir))
+
+  private[operators] def cachedLidTrain(s: SparkSession, dir: String): DataFrame =
+    PipelineCache.cached("lid_weight_table", s, dir, "documents.parquet")(
+      lidTrain(s, dir))
+
+  /** HELD-OUT per-class evaluation: fit on the `train` content-hash
+    * split only, score the UNSEEN `val` split against the heuristic
+    * labels, one confusion row per class ([[qualityHoldout]]'s hygiene
+    * at the language grain; OOV val buckets drop from the score — the
+    * same per-class terms drop because the table is dense per bucket,
+    * so the argmax stays comparable). */
+  def lidHoldout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val split = CorpusOps.dataSplit(s, dir).select(col("doc_id"), col("split"))
+    val trainIds = split.filter(col("split") === "train").select("doc_id")
+    val valIds = split.filter(col("split") === "val").select("doc_id")
+    val feats = qualityBody(s, dir, "lid_features")
+    val labels = qualityBody(s, dir, "lid_labels")
+    val weights = lidTrainFrom(
+      s,
+      feats.join(trainIds, "doc_id"),
+      labels.join(trainIds, "doc_id"))
+    val pred = lidModelFrom(feats.join(valIds, "doc_id"), weights)
+    val joined = pred.join(labels, "doc_id")
+    val nTrain = broadcast(labels.join(trainIds, "doc_id").agg(count(lit(1)).as("n_train")))
+    val nVal = broadcast(joined.agg(count(lit(1)).as("n_val")))
+    val perLang = LidLangs.toDF("l")
+    // 4× bounded fan-out (class literal × val rows), LEFT so a class the
+    // split never sees — or an empty val split — still reports its row
+    perLang
+      .join(joined.select(col("pred_lang"), col("lang")), lit(true), "left")
+      .groupBy("l")
+      .agg(
+        sum(when(col("pred_lang") === col("l"), 1L).otherwise(0L)).as("n_pred"),
+        sum(when(col("lang") === col("l"), 1L).otherwise(0L)).as("n_label"),
+        sum(when(col("pred_lang") === col("l") && col("lang") === col("l"), 1L).otherwise(0L))
+          .as("tp"))
+      .na.fill(0L, Seq("n_pred", "n_label", "tp"))
+      .crossJoin(nTrain)
+      .crossJoin(nVal)
+      .selectExpr(
+        "l AS lang",
+        "n_train",
+        "n_val",
+        "CAST(n_pred AS BIGINT) AS n_pred",
+        "CAST(n_label AS BIGINT) AS n_label",
+        "CAST(tp AS BIGINT) AS tp",
+        "CAST(tp * 1000000L DIV NULLIF(n_pred, 0L) AS BIGINT) AS precision_ppm",
+        "CAST(tp * 1000000L DIV NULLIF(n_label, 0L) AS BIGINT) AS recall_ppm")
+      .orderBy("lang")
+  }
+
+  /** The langid-family oracle chains: heuristic labels (`llid`), the
+    * trigram feature census (`lf`), label restriction to the trainable
+    * domain (`llabels`) — one copy for the three oracles. */
+  private val lidDomainCtesSql: String = {
+    def hits(words: Seq[String]): String =
+      words
+        .map(w => countOccSql("(' ' || text || ' ')", s" $w "))
+        .mkString("CAST(", " + ", " AS BIGINT)")
+    val en = hits(Seq("the", "a", "of"))
+    val de = hits(Seq("der", "und", "das"))
+    val es = hits(Seq("el", "los", "que"))
+    val fr = hits(Seq("le", "les", "est"))
+    def hx(i: Int): String =
+      s"(strpos('0123456789abcdef', substr(md5(g), $i, 1)) - 1)"
+    s"""llid AS (
+         SELECT doc_id,
+                CASE WHEN $en >= GREATEST($de, $es, $fr) THEN 'en'
+                     WHEN $de >= GREATEST($es, $fr) THEN 'de'
+                     WHEN $es >= $fr THEN 'es'
+                     ELSE 'fr' END AS lang
+         FROM documents),
+       lf AS (
+         SELECT doc_id,
+                ${hx(1)} * 256 + ${hx(2)} * 16 + ${hx(3)} AS bucket,
+                CAST(COUNT(*) AS BIGINT) AS occ
+         FROM (SELECT doc_id, substr(text, CAST(t.i AS INT), 3) AS g
+               FROM documents, UNNEST(range(1, length(text) - 1)) AS t(i)
+               WHERE text IS NOT NULL AND length(text) >= 3)
+         GROUP BY 1, 2),
+       llabels AS (
+         SELECT llid.doc_id, lang FROM llid
+         JOIN (SELECT DISTINCT doc_id FROM lf) fd ON fd.doc_id = llid.doc_id)"""
+  }
+
+  /** FIT tail over caller-named label/feature CTEs (dense per observed
+    * bucket × the class-literal domain — the [[lidTrainFrom]] density
+    * rule), shared by the whole-corpus and holdout-train chains. */
+  private def lidFitCtesSql(labelsCte: String, featsCte: String): String =
+    s"""lcnt AS (
+         SELECT lang, bucket, SUM(occ) AS c
+         FROM $featsCte JOIN $labelsCte USING (doc_id)
+         GROUP BY 1, 2),
+       lbk AS (SELECT DISTINCT bucket FROM $featsCte),
+       llang(lang) AS (VALUES ('en'), ('de'), ('es'), ('fr')),
+       ltot AS (SELECT lang, SUM(c) AS t FROM lcnt GROUP BY 1),
+       lwt AS (
+         SELECT ll.lang, lbk.bucket,
+                CAST(COALESCE(lcnt.c, 0) AS BIGINT) AS c,
+                CAST(ROUND(LN(CAST(COALESCE(lcnt.c, 0) + 1 AS DOUBLE)
+                              / CAST(COALESCE(ltot.t, 0) + $NbBuckets AS DOUBLE)) * 1e6)
+                     AS BIGINT) AS w_micro
+         FROM lbk CROSS JOIN llang ll
+         LEFT JOIN lcnt ON lcnt.lang = ll.lang AND lcnt.bucket = lbk.bucket
+         LEFT JOIN ltot ON ltot.lang = ll.lang),
+       lnd AS (SELECT lang, COUNT(*) AS nd FROM $labelsCte GROUP BY 1),
+       lnn AS (SELECT COUNT(*) AS n FROM $labelsCte),
+       lprior AS (
+         SELECT ll.lang, CAST(-1 AS BIGINT) AS bucket,
+                CAST(COALESCE(lnd.nd, 0) AS BIGINT) AS c,
+                CAST(ROUND(LN(CAST(COALESCE(lnd.nd, 0) + 1 AS DOUBLE)
+                              / CAST(lnn.n + ${LidLangs.length} AS DOUBLE)) * 1e6)
+                     AS BIGINT) AS w_micro
+         FROM llang ll LEFT JOIN lnd ON lnd.lang = ll.lang CROSS JOIN lnn)"""
+
+  /** APPLY tail over a caller-named feature CTE: per-(doc, class) score
+    * and the (score DESC, lang ASC) argmax. */
+  private def lidScoreCtesSql(featsCte: String): String =
+    s"""lsc AS (
+         SELECT doc_id, lwt.lang, SUM(occ * w_micro) AS sw
+         FROM $featsCte JOIN lwt USING (bucket)
+         GROUP BY 1, 2),
+       lsp AS (
+         SELECT doc_id, lsc.lang, CAST(p.w_micro + sw AS BIGINT) AS score
+         FROM lsc JOIN lprior p ON p.lang = lsc.lang),
+       lpred AS (
+         SELECT doc_id, lang AS pred_lang, score AS score_micro FROM (
+           SELECT doc_id, lang, score,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, lang) AS rn
+           FROM lsp) WHERE rn = 1)"""
+
+  val lidTrainSql: String =
+    s"""WITH $lidDomainCtesSql,
+       ${lidFitCtesSql("llabels", "lf")}
+       SELECT lang, bucket, c, w_micro FROM lwt
+       UNION ALL
+       SELECT lang, bucket, c, w_micro FROM lprior
+       ORDER BY lang, bucket"""
+
+  val lidModelSql: String =
+    s"""WITH $lidDomainCtesSql,
+       ${lidFitCtesSql("llabels", "lf")},
+       ${lidScoreCtesSql("lf")}
+       SELECT doc_id, pred_lang, score_micro FROM lpred
+       ORDER BY doc_id"""
+
+  val lidHoldoutSql: String =
+    s"""WITH $lidDomainCtesSql,
+       lsp0 AS (
+         SELECT doc_id,
+                ${CorpusOps.splitCaseSql} AS split
+         FROM documents),
+       llabels_tr AS (
+         SELECT llabels.doc_id, lang FROM llabels JOIN lsp0 USING (doc_id)
+         WHERE split = 'train'),
+       lf_tr AS (
+         SELECT lf.doc_id, bucket, occ FROM lf JOIN lsp0 USING (doc_id)
+         WHERE split = 'train'),
+       ${lidFitCtesSql("llabels_tr", "lf_tr")},
+       lf_val AS (
+         SELECT lf.doc_id, bucket, occ FROM lf JOIN lsp0 USING (doc_id)
+         WHERE split = 'val'),
+       ${lidScoreCtesSql("lf_val")},
+       jv AS (SELECT p.doc_id, p.pred_lang, l.lang
+              FROM lpred p JOIN llabels l USING (doc_id)),
+       ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM llabels_tr),
+       nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_val FROM jv),
+       cm AS (
+         SELECT ll.lang,
+                CAST(COALESCE(SUM(CASE WHEN jv.pred_lang = ll.lang THEN 1 ELSE 0 END), 0)
+                     AS BIGINT) AS n_pred,
+                CAST(COALESCE(SUM(CASE WHEN jv.lang = ll.lang THEN 1 ELSE 0 END), 0)
+                     AS BIGINT) AS n_label,
+                CAST(COALESCE(SUM(CASE WHEN jv.pred_lang = ll.lang AND jv.lang = ll.lang
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp
+         FROM llang ll LEFT JOIN jv ON TRUE
+         GROUP BY ll.lang)
+       SELECT cm.lang, n_train, n_val, n_pred, n_label, tp,
+              CAST(tp * 1000000 // NULLIF(n_pred, 0) AS BIGINT) AS precision_ppm,
+              CAST(tp * 1000000 // NULLIF(n_label, 0) AS BIGINT) AS recall_ppm
+       FROM cm CROSS JOIN ntr CROSS JOIN nv
+       ORDER BY cm.lang"""
+
   /** The DSIR target-sample selector — which `source` plays the "looks
     * like what I want to train on" role. Session-tunable; the oracle
     * pins the default (the knob convention). */
@@ -2579,7 +2908,17 @@ FROM mergetab ORDER BY rank"""
     * scan-speed ≤ 4096-row broadcast join. The weight table is
     * corpus-size-independent — at 100 TB you fit once and apply
     * everywhere, which is DSIR's whole point. */
-  def dsir(s: SparkSession, dir: String): DataFrame = {
+  /** Store-served (r15 verdict #4): the fit + apply land once per
+    * (documents stamp, dsirTarget) as the quality store's `dsir_scored`
+    * body — warm calls (and every bench pass) read slim parquet instead
+    * of re-running the corpus bigram census; every stored value is an
+    * exact long or a once-computed double, so the store round-trip is
+    * hash-identical to [[dsirScan]] (the same oracle gates both). */
+  def dsir(s: SparkSession, dir: String): DataFrame =
+    qualityBody(s, dir, "dsir_scored")
+
+  /** The scan-time plan (what the store build materializes). */
+  private[graft] def dsirScan(s: SparkSession, dir: String): DataFrame = {
     val feats = dsirFeatures(s, dir)
     feats
       .join(broadcast(dsirWeights(s, dir)), "bucket")
@@ -3096,6 +3435,11 @@ utok AS MATERIALIZED (SELECT doc_id,
     "text_quality_eval" -> (qualityEval _),
     "text_quality_calibration" -> (qualityCalibration _),
     "text_quality_holdout" -> (qualityHoldout _),
+    // trained language-ID family (r16): same store-served FIT/APPLY
+    // discipline at the language grain
+    "langid_train" -> ((s, d) => qualityBody(s, d, "lid_weights")),
+    "langid_model" -> (lidModel _),
+    "langid_holdout" -> (lidHoldout _),
     "text_span_dup" -> (spanDup _),
     "text_span_dup_s4" -> (spanDupStride _),
     "text_span_excise" -> (spanExcise _),
@@ -3115,6 +3459,9 @@ utok AS MATERIALIZED (SELECT doc_id,
     "text_quality_eval" -> qualityEvalSql,
     "text_quality_calibration" -> qualityCalibrationSql,
     "text_quality_holdout" -> qualityHoldoutSql,
+    "langid_train" -> lidTrainSql,
+    "langid_model" -> lidModelSql,
+    "langid_holdout" -> lidHoldoutSql,
     "text_novelty" -> noveltySql,
     "text_bpe_train" -> bpeTrainSql,
     "text_unigram_train" -> unigramTrainSql,

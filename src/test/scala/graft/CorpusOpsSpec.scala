@@ -383,6 +383,41 @@ class CorpusOpsSpec extends GraftSpecBase {
     } finally graft.operators.Dedup.clearSharedCache()
   }
 
+  test("curate langSource knob: model verdict swaps in, set differences are disagreements") {
+    import graft.operators.{CorpusOps, Dedup, TextAnalysis}
+    try {
+      Dedup.clearSharedCache()
+      val keptH = CorpusOps.curate(spark, sfDir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+      spark.conf.set("spark.graft.corpus.langSource", "model")
+      val keptM = CorpusOps.curate(spark, sfDir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+      spark.conf.unset("spark.graft.corpus.langSource")
+      assert(keptM.nonEmpty, "model-sourced curation kept nothing")
+      assert(keptM.values.forall(_ == "en"), "model-sourced curate leaked a non-en verdict")
+      // the two runs may keep different docs, but ONLY on docs where the
+      // two language sources disagree (every other predicate is shared)
+      val heur = TextAnalysis.langid(spark, sfDir)
+        .select("doc_id", "pred_lang").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val model = TextAnalysis.lidModel(spark, sfDir)
+        .select("doc_id", "pred_lang").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val symDiff = (keptH.keySet diff keptM.keySet) ++ (keptM.keySet diff keptH.keySet)
+      for (id <- symDiff)
+        assert(
+          (heur(id) == "en") != (model.get(id).contains("en")),
+          s"doc $id swapped without a language disagreement " +
+            s"(heuristic=${heur(id)}, model=${model.get(id)})")
+      // an invalid source fails loudly, never silently heuristic
+      spark.conf.set("spark.graft.corpus.langSource", "fasttext")
+      intercept[IllegalArgumentException] { CorpusOps.curate(spark, sfDir) }
+    } finally {
+      spark.conf.unset("spark.graft.corpus.langSource")
+      graft.operators.Dedup.clearSharedCache()
+    }
+  }
+
   test("corpus_funnel: waterfall identity holds and reconciles with curate exactly") {
     import graft.operators.{CorpusOps, Dedup}
     try {

@@ -1652,6 +1652,139 @@ class PipelineOpsSpec extends GraftSpecBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("langid model: full driver replay of features, fit, and argmax apply") {
+    // the r16 oracle-discipline pin for the trained language ID: an
+    // independent JVM recomputation of the WHOLE chain — codepoint
+    // trigrams, md5-prefix buckets, heuristic labels, dense multiclass
+    // NB fit in micro-nats, (score DESC, lang ASC) argmax — must agree
+    // with the engine row for row, score for score
+    val texts = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucketOf(g: String): Long = java.lang.Long.parseLong(md5hex(g).substring(0, 3), 16)
+    // codepoint trigrams (Spark substring/length are codepoint-based)
+    def cps(t: String): Array[String] = {
+      val arr = t.codePoints().toArray
+      (0 to arr.length - 3).map(i => new String(arr, i, 3)).toArray
+    }
+    val feats: Map[Long, Map[Long, Long]] = texts
+      .filter(_._2.codePoints().count() >= 3)
+      .map { case (id, t) =>
+        id -> cps(t).groupBy(bucketOf).map { case (b, gs) => b -> gs.length.toLong }
+      }.toMap
+    def occ(padded: String, pat: String): Long =
+      ((padded.length - padded.replace(pat, "").length) / pat.length).toLong
+    def heuristic(t: String): String = {
+      val p = " " + t + " "
+      def hits(ws: Seq[String]) = ws.map(w => occ(p, s" $w ")).sum
+      val (en, de, es, fr) = (
+        hits(Seq("the", "a", "of")), hits(Seq("der", "und", "das")),
+        hits(Seq("el", "los", "que")), hits(Seq("le", "les", "est")))
+      if (en >= Seq(de, es, fr).max) "en"
+      else if (de >= Seq(es, fr).max) "de"
+      else if (es >= fr) "es" else "fr"
+    }
+    val labels: Map[Long, String] =
+      texts.filter(p => feats.contains(p._1)).map(p => p._1 -> heuristic(p._2)).toMap
+    val langs = Seq("en", "de", "es", "fr")
+    def lnMicro(num: Long, den: Long): Long =
+      BigDecimal(math.log(num.toDouble / den.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val counts: Map[(String, Long), Long] = feats.toSeq
+      .flatMap { case (id, bs) => bs.map { case (b, o) => (labels(id), b) -> o } }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val tots = langs.map(l => l -> counts.collect { case ((`l`, _), c) => c }.sum).toMap
+    val buckets = feats.values.flatMap(_.keys).toSet
+    val w: Map[(String, Long), Long] = (for (l <- langs; b <- buckets) yield
+      (l, b) -> lnMicro(counts.getOrElse((l, b), 0L) + 1, tots(l) + 4096L)).toMap
+    val nd = langs.map(l => l -> labels.values.count(_ == l).toLong).toMap
+    val prior = langs.map(l => l -> lnMicro(nd(l) + 1, labels.size.toLong + 4)).toMap
+    val expect: Map[Long, (String, Long)] = feats.map { case (id, bs) =>
+      val scored = langs.map { l =>
+        l -> (prior(l) + bs.map { case (b, o) => o * w((l, b)) }.sum)
+      }
+      val best = scored.minBy { case (l, sc) => (-sc, l) }
+      id -> (best._1, best._2)
+    }
+    val got = graft.operators.TextAnalysis.lidModel(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got.keySet == expect.keySet,
+      s"domain drifted: ${(got.keySet diff expect.keySet).take(3)} / ${(expect.keySet diff got.keySet).take(3)}")
+    for ((id, e) <- expect)
+      assert(got(id) == e, s"doc $id: engine ${got(id)} != replayed $e")
+    // trained artifact shape: dense per observed bucket × 4 classes + 4 priors
+    val wt = graft.operators.TextAnalysis.lidTrain(spark, sfDir).collect()
+    assert(wt.count(_.getLong(1) == -1L) == 4, "one prior row per class")
+    assert(wt.length == 4 * buckets.size + 4, s"weight table not dense: ${wt.length}")
+  }
+
+  test("langid model calls stopword-free morphology the heuristic defaults to 'en'") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lid").toString
+    // training mass: stopword-carrying English and German docs (the
+    // heuristic labels them correctly — these teach the model the
+    // trigram morphology of each class)
+    val en = (1 to 20).map(i =>
+      (i.toLong, "the cat sat of the mat and the dog ran a mile of joy " +
+        s"near the town with good cheer and plenty of light number$i"))
+    val de = (21 to 40).map(i =>
+      (i.toLong, "der hund lief und das haus stand und der baum wuchs " +
+        s"und das kind sang und der wald rauschte leise weiter nummer$i"))
+    // probe: German MORPHOLOGY with the stopword markers removed — zero
+    // hits for every class, so the heuristic's tie rule defaults to 'en'
+    val probe = (41 to 44).map(i =>
+      (i.toLong, "hund lief haus stand baum wuchs kind sang wald rauschte " +
+        s"leise weiter schnell dunkel nummer$i"))
+    (en ++ de ++ probe).toDF("doc_id", "text")
+      .withColumn("lang", lit("xx"))
+      .withColumn("source", lit("fix"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val heur = graft.operators.TextAnalysis.langid(spark, dir)
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    probe.foreach { case (id, _) =>
+      assert(heur(id) == "en", s"probe $id heuristic=${heur(id)} — fixture not stopword-free")
+    }
+    val model = graft.operators.TextAnalysis.lidModel(spark, dir)
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    probe.foreach { case (id, _) =>
+      assert(model(id) == "de",
+        s"probe $id: trained model says ${model(id)}, trigram morphology is German")
+    }
+    // and the model agrees with the heuristic where the heuristic has
+    // real evidence (the training mass itself)
+    (en ++ de).foreach { case (id, _) =>
+      assert(model(id) == heur(id), s"doc $id: model ${model(id)} != heuristic ${heur(id)}")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("dsir + langid serve from the quality store: hash-identical, no corpus re-scan warm") {
+    import graft.operators.TextAnalysis
+    // store-served rows ARE the scan-time rows (the store build
+    // materializes the same plan; parquet round-trips longs and
+    // once-computed doubles losslessly)
+    val stored = TextAnalysis.dsir(spark, sfDir).collect().toSet
+    val scan = TextAnalysis.dsirScan(spark, sfDir).collect().toSet
+    assert(stored == scan, s"dsir store round-trip drifted (${stored.size} vs ${scan.size})")
+    val lidStored = TextAnalysis.lidModel(spark, sfDir).collect().toSet
+    val lidScan = TextAnalysis.lidModelScan(spark, sfDir).collect().toSet
+    assert(lidStored == lidScan, "lid store round-trip drifted")
+    // warm path: the registry frames read the store bodies, never the
+    // documents table (the r15 text_dsir bench-carrier fix)
+    for (df <- Seq(TextAnalysis.dsir(spark, sfDir), TextAnalysis.lidModel(spark, sfDir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("documents.parquet"),
+        s"warm quality-store path re-scans the corpus:\n$plan")
+    }
+  }
+
   test("unigram fit: engine output equals an independent driver reference, fit/apply consistent") {
     import graft.functions.UnigramIds
     // independent reference implementation of the WHOLE fit -- seed

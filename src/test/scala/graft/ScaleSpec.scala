@@ -860,6 +860,19 @@ class ScaleSpec extends GraftSpecBase {
     graft.operators.Dedup.clearSharedCache()
   }
 
+  test("langid model: the 4-class weight table broadcasts into the trigram feature scan") {
+    graft.operators.Dedup.clearSharedCache()
+    // the scan-time APPLY (what the quality store's v2 build executes):
+    // the ≤ 4·4097-row dense class table must BROADCAST — a sort-merge
+    // join would shuffle the corpus-sized trigram feature frame by bucket
+    val plan = graft.operators.TextAnalysis
+      .lidModelScan(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"class-weight join not broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-sized sort-merge join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    graft.operators.Dedup.clearSharedCache()
+  }
+
   test("ann_chunk_topk: query set broadcasts, ranking never sorts a corpus-sized partition") {
     graft.operators.Dedup.clearSharedCache()
     val df = graft.operators.Similarity.annChunk(spark, sfDir)
