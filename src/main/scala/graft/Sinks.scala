@@ -130,6 +130,41 @@ object Sinks {
       props: java.util.Properties = new java.util.Properties): DataFrame =
     spark.read.jdbc(url, table, props)
 
+  /** Catalog census of a JDBC export — the reference's `get_table_info`
+    * (main.py:340-368) on the Spark side: enumerate the second store's
+    * user tables and read back, per table, its row count and column
+    * names. The table LIST comes from driver-side JDBC metadata (it is
+    * catalog-bounded — a handful of rows); each COUNT goes through
+    * [[readJdbc]], so the census exercises exactly the read path a
+    * dashboard consumer gets (round-trip pinned by SinksSpec). Sorted by
+    * qualified name — a census is a report, and its order is part of the
+    * contract. */
+  def jdbcCatalog(
+      spark: org.apache.spark.sql.SparkSession,
+      url: String,
+      props: java.util.Properties = new java.util.Properties): DataFrame = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    val names =
+      try {
+        val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (rs.next()) {
+          val schem = Option(rs.getString("TABLE_SCHEM")).filter(_.nonEmpty)
+          b += schem.map(s => s"$s.${rs.getString("TABLE_NAME")}")
+            .getOrElse(rs.getString("TABLE_NAME"))
+        }
+        rs.close()
+        b.toSeq.sorted
+      } finally conn.close()
+    import spark.implicits._
+    names
+      .map { t =>
+        val df = readJdbc(spark, url, t, props)
+        (t, df.count(), df.columns.length.toLong, df.columns.toSeq)
+      }
+      .toDF("table_name", "n_rows", "n_cols", "columns")
+  }
+
   /** ORC sink — the other columnar interchange format (Hive-ecosystem
     * consumers); same partitioning semantics as [[fullParquet]]. */
   def fullOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {

@@ -1139,6 +1139,87 @@ object EventStreams {
       .select(col("vec_id"), col("best.cid").as("cid"))
   }
 
+  /** Streaming ANN query serving (30th twin, r15 verdict #6) — the
+    * online-RETRIEVAL twin of [[graft.operators.VectorIndex.annLshIndexed]]:
+    * arriving QUERY vectors are admitted under EXACTLY the batch hygiene
+    * rules ([[graft.operators.Similarity.gateQuantize]], shared code),
+    * bucketed by the SAME native `graft_lsh_buckets` kernel, and served
+    * their exact-cosine top-5 against a FROZEN vector store compiled into
+    * the plan as literals at wiring time ([[assignClusters]]' frozen-model
+    * discipline applied to the index itself): `buckets` maps each
+    * (t·16 + b) key to its id-sorted member list (the store's lshbuckets
+    * body), `vectors`/`norms` map vec_id to its quantized vector and
+    * exact self-dot (the store's slim vectors body). Zero joins, zero
+    * state, zero shuffles, zero static re-scans per trigger — candidate
+    * lookup, exact rescoring, the (cos DESC, id ASC) comparator sort and
+    * the top-5 cut are ONE narrow per-row expression, which is the honest
+    * Spark rendering of what an online ANN server does: the index shard
+    * is RESIDENT beside the query, never shuffled to it. At fixture/shard
+    * scale the literals are bounded; at 100 TB the same per-row shape
+    * runs with the store partitions resident per executor (mapPartitions
+    * over the reader-pruned bodies) — re-wire to pick up a re-built
+    * store, exactly the frozen-codebook contract.
+    *
+    * Parity is structural where it can be (admission gate, bucket
+    * kernel, dot/cosine arithmetic — shared code paths produce identical
+    * doubles) and spec-pinned end to end: ordered two-chunk replay of
+    * the store's own query sample is row-identical to ann_lsh_idx's
+    * top-5 (self-matches excluded, candidates deduped across tables,
+    * ties to the lower vec_id — the family conventions). A query whose
+    * buckets hold no candidates emits nothing (batch: no row survives
+    * the candidate join). */
+  def serveAnnLsh(
+      queries: DataFrame,
+      buckets: Map[Long, Seq[Long]],
+      vectors: Map[Long, Seq[Long]],
+      norms: Map[Long, Long]): DataFrame = {
+    require(buckets.nonEmpty, "serveAnnLsh needs a frozen bucket index")
+    require(vectors.nonEmpty && norms.nonEmpty, "serveAnnLsh needs the frozen vector shard")
+    val s = queries.sparkSession
+    val bmap = typedlit(buckets)
+    val vmap = typedlit(vectors)
+    val nmap = typedlit(norms)
+    graft.operators.Similarity
+      .gateQuantize(queries, graft.operators.Similarity.embDim(s))
+      .select(col("vec_id").as("query_id"), col("qv"), col("nq"))
+      // the kernel's array index IS the table id (lshBucketPairs'
+      // posexplode convention) — key each bucket as t·16 + b
+      .withColumn(
+        "cand",
+        array_distinct(flatten(transform(
+          call_function("graft_lsh_buckets", col("qv")),
+          (b, t) => coalesce(
+            element_at(bmap, (t.cast("long") * 16L) + b.cast("long")),
+            typedlit(Seq.empty[Long]))))))
+      .withColumn(
+        "scored",
+        filter(
+          transform(
+            col("cand"),
+            vid => struct(
+              (call_function("graft_dot", col("qv"), element_at(vmap, vid)).cast("double") /
+                (sqrt(col("nq")) * sqrt(element_at(nmap, vid)))).as("cos"),
+              vid.as("vid"))),
+          c => c.getField("vid") =!= col("query_id")))
+      .withColumn(
+        "top",
+        slice(
+          array_sort(
+            col("scored"),
+            (l, r) => when(l.getField("cos") > r.getField("cos"), -1)
+              .when(l.getField("cos") < r.getField("cos"), 1)
+              .when(l.getField("vid") < r.getField("vid"), -1)
+              .when(l.getField("vid") > r.getField("vid"), 1)
+              .otherwise(0)),
+          1, 5))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("p", "n")))
+      .select(
+        col("query_id"),
+        col("n.vid").as("neighbor_id"),
+        round(col("n.cos"), 4).as("cos_sim"),
+        (col("p") + 1).cast("int").as("rk"))
+  }
+
   /** Streaming quality scoring (26th twin) — the online-inference twin
     * of [[graft.operators.TextAnalysis.qualityModel]]: each arriving
     * document is scored against a FROZEN Naive-Bayes weight table

@@ -138,6 +138,34 @@ class SinksSpec extends GraftSpecBase {
     assert(a.sameElements(b), "JDBC round-trip changed values")
   }
 
+  test("jdbc catalog census enumerates the export's tables, counts and columns") {
+    // the reference's get_table_info contract (main.py:340-368): after
+    // exporting sample tables into the second store, the census reads
+    // back table names, row counts and column names through the same
+    // JDBC reader the query side uses
+    val dbDir = Files.createTempDirectory("graft_derby_cat").toString + "/db"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val q1 = Relational.q1Agg(spark, sfDir)
+    Sinks.jdbc(q1, url, "q1_export")
+    Sinks.jdbc(graft.sources.Tables.region(spark, sfDir), url, "region_export")
+    val census = Sinks.jdbcCatalog(spark, url).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getSeq[String](3).map(_.toLowerCase).toSet))
+      .toMap
+    assert(census.keySet == Set("APP.Q1_EXPORT", "APP.REGION_EXPORT"),
+      s"catalog drifted: ${census.keySet}")
+    val (n1, c1, cols1) = census("APP.Q1_EXPORT")
+    assert(n1 == q1.count(), s"q1 export count $n1 != ${q1.count()}")
+    assert(c1 == q1.columns.length.toLong)
+    assert(cols1 == q1.columns.map(_.toLowerCase).toSet, s"q1 columns drifted: $cols1")
+    val (n2, _, cols2) = census("APP.REGION_EXPORT")
+    assert(n2 == graft.sources.Tables.region(spark, sfDir).count())
+    assert(cols2.contains("r_name"), s"region columns drifted: $cols2")
+    // census order is part of the contract: sorted by qualified name
+    val ordered = Sinks.jdbcCatalog(spark, url).collect().map(_.getString(0)).toSeq
+    assert(ordered == ordered.sorted, s"census not name-ordered: $ordered")
+  }
+
   test("jdbc sink append mode accumulates rows") {
     import spark.implicits._
     val dbDir = Files.createTempDirectory("graft_derby").toString + "/db"

@@ -1053,6 +1053,50 @@ class StreamingSpec extends GraftSpecBase {
       s"drift diverged: missing=${batch -- streamed} extra=${streamed -- batch}")
   }
 
+  test("streaming ANN serving equals ann_lsh_idx's top-5 after two-chunk replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_srv_ann").toString
+    val path = s"$tmp/store"
+    try {
+      graft.operators.VectorIndex.build(spark, sfDir, path)
+      // freeze the store's bodies as the resident serving shard
+      val buckets = spark.read.parquet(s"$path/lshbuckets").collect()
+        .map(r => (r.getAs[Number]("t").longValue() * 16L + r.getAs[Number]("b").longValue(),
+          r.getAs[Long]("vec_id")))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted.toSeq }
+      val vecRows = spark.read.parquet(s"$path/vectors").collect()
+      val vectors = vecRows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Long]]("qv")).toMap
+      val norms = vecRows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("nq")).toMap
+      val batch = graft.operators.VectorIndex.annLshIndexed(spark, sfDir, path).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(batch.nonEmpty, "no batch serving rows — parity test is vacuous")
+      // the query stream = the RAW rows behind the store's own sample
+      // (re-gated in-stream; shared admission code)
+      val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter(col("vec_id") % 100 === 0)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+        .toSeq
+      val input = MemoryStream[(Long, Seq[Float], Int)]
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a)
+      val q = EventStreams.serveAnnLsh(
+          input.toDF().toDF("vec_id", "embedding", "label"),
+          buckets, vectors, norms)
+        .writeStream.format("memory").queryName("srv_ann_out")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      input.addData(b)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("srv_ann_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(streamed == batch,
+        s"serving diverged: missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   test("streaming cluster assignment equals the batch kmeans assignment") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
