@@ -377,7 +377,11 @@ object ScaleProbe {
       // join — the weight table is corpus-size-independent) and the LSH
       // bucket census (bucket-domain-bounded groupBys)
       "ann_graph_topk" -> (graft.operators.Similarity.annGraph _),
-      "text_dsir" -> (TextAnalysis.dsir _),
+      // scan-time plan, NOT the store-served registry query (r16: dsir
+      // became store-backed; probing dsir() would time a slim parquet
+      // read after the first once() builds the store — the lidModelScan
+      // rule)
+      "text_dsir" -> (TextAnalysis.dsirScan _),
       "skew_lsh_buckets" -> (graft.operators.Similarity.skewLshBuckets _),
       // later round-14 wave: the leak census (pair-frame-bounded joins —
       // answer grows with near-dup mass, the corpus_curate class) and

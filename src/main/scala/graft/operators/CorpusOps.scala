@@ -1381,13 +1381,21 @@ object CorpusOps {
     val survivors = Dedup.corpusDedupNg(s, dir).select(col("doc_id"), lit(true).as("survived"))
     val lang = curateLangFrame(s, dir)
     val quality = TextAnalysis.quality(s, dir).select(col("doc_id"), col("quality_score"))
+    // pred_lang joins LEFT and a NULL verdict attributes to the lang
+    // stage: under langSource=model, documents outside the model's
+    // domain (no trigram features) have no verdict and are language
+    // rejects by definition — an inner join would drop them from the
+    // census entirely and break the waterfall identity (the census must
+    // account for EVERY document). Under the default heuristic source
+    // the verdict covers every document, so the default path (and its
+    // oracle) is unchanged.
     val stage = when(col("survived").isNull, "dedup")
-      .when(col("pred_lang") =!= keepLang, "lang")
+      .when(col("pred_lang").isNull || col("pred_lang") =!= keepLang, "lang")
       .when(col("quality_score") >= minQuality, "kept")
       .otherwise("quality")
     docs
       .join(survivors, Seq("doc_id"), "left")
-      .join(lang, Seq("doc_id"))
+      .join(lang, Seq("doc_id"), "left")
       .join(quality, Seq("doc_id"), "left")
       .withColumn("stage", stage)
       .groupBy("source")

@@ -2117,12 +2117,12 @@ object Similarity {
   private[operators] val NnGraphDegree = 16
   private[operators] val NnSeedStrides: Seq[Int] = Seq(1, 2, 4, 8, 16)
   private[operators] val NnSeedWidth = 16
-  // beam 8 (r15 verdict #2): the r14 beam-4 walk scored ≤ 16 + 2·4·8
-  // candidates per query and measured 5-13% recall@5; beam 8 doubles the
-  // frontier at the same 2-hop depth (≤ 16 + 2·8·8 scored rows — still
-  // bounded per query at any corpus size)
+  // beam 8, 3 hops (r15 verdict #2): the r14 beam-4 2-hop walk scored
+  // ≤ 16 + 2·4·8 candidates per query and measured 5-13% recall@5; the
+  // r16 walk scores ≤ 16 + 3·8·16 rows — still bounded per query at any
+  // corpus size. The entry count is the IVF cell count (one medoid per
+  // cell — see gEntriesOfAssigned), not a separate knob.
   private[operators] val NnBeam = 8
-  private[operators] val NnEntries = 16
 
   private[operators] def nnSeedGraph(bucketPairs: DataFrame, vecs: DataFrame): DataFrame = {
     val wB = Window.partitionBy("t", "b").orderBy("vec_id")
@@ -2181,7 +2181,7 @@ object Similarity {
       .drop("rk")
   }
 
-  /** The ≤ [[NnEntries]] deterministic walk entry nodes: the MEDOID of
+  /** The ≤ K (one per IVF cell) deterministic walk entry nodes: the MEDOID of
     * each IVF cell — the member with the best cosine against its own
     * cell centroid, ties to the lower vec_id (r15 verdict #2: the old
     * residue-class minima were id-spread but geometry-blind; a medoid
@@ -2468,7 +2468,7 @@ object Similarity {
   /** Exact SQL replay of the WHOLE graph-ANN pipeline: LSH bucket seeds
     * (annLshSql's plane CTEs), per-bucket successor pairing, exact seed
     * rescore + top-K, TWO out-edge wedge refinement rounds, IVF-cell
-    * medoid entries, and the 2-hop beam-8 walk unrolled — every ranking
+    * medoid entries, and the 3-hop beam-8 walk unrolled — every ranking
     * on the raw cosine doubles both engines derive from identical
     * integer vectors. */
   val annGraphSql: String = annGraphSqlFrom(embPrelude)

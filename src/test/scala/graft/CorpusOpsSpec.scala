@@ -409,6 +409,21 @@ class CorpusOpsSpec extends GraftSpecBase {
           (heur(id) == "en") != (model.get(id).contains("en")),
           s"doc $id swapped without a language disagreement " +
             s"(heuristic=${heur(id)}, model=${model.get(id)})")
+      // the funnel census still accounts for EVERY document under the
+      // model source: docs outside the model's domain (no trigram
+      // features) attribute to the lang stage instead of vanishing
+      spark.conf.set("spark.graft.corpus.langSource", "model")
+      val fun = CorpusOps.funnel(spark, sfDir).collect()
+      for (r <- fun)
+        assert(
+          r.getAs[Long]("n_docs") ==
+            r.getAs[Long]("drop_dedup") + r.getAs[Long]("drop_lang") +
+              r.getAs[Long]("drop_quality") + r.getAs[Long]("n_kept"),
+          s"waterfall identity broke under langSource=model: $r")
+      val total = fun.map(_.getAs[Long]("n_docs")).sum
+      assert(total == graft.sources.Tables.documents(spark, sfDir).count(),
+        s"model-sourced funnel lost documents: $total")
+      spark.conf.unset("spark.graft.corpus.langSource")
       // an invalid source fails loudly, never silently heuristic
       spark.conf.set("spark.graft.corpus.langSource", "fasttext")
       intercept[IllegalArgumentException] { CorpusOps.curate(spark, sfDir) }
