@@ -1822,6 +1822,12 @@ object Similarity {
     * corpus scale; queries `vec_id % 100 = 0` remain a subset since
     * 4 | 100), so census cost stays bounded beside the uniform row. */
   def annRecallClustered(s: SparkSession, dir: String): DataFrame = {
+    val (methods, brutePairs) = clusteredLegs(s, dir)
+    recallCensusOf(s, methods, brutePairs)
+  }
+
+  private def clusteredLegs(
+      s: SparkSession, dir: String): (Seq[(String, DataFrame)], DataFrame) = {
     val corpus = clusteredCorpus(s, dir)
     val vecs = corpus.select(col("vec_id"), col("qv"), col("nq"))
     val qf = corpus
@@ -1869,12 +1875,14 @@ object Similarity {
     // graph stages stamp-cached PER LEVEL: each nnRefine consumes its
     // input three times (wedge self-join + the re-rank union), so an
     // uncached chain recomputes the seed pipeline 3^rounds times
-    val cg0 = PipelineCache.cached(s"clustered_g0_d${embDim(s)}", s, dir, "embeddings.parquet")(
+    val cg0 = cachedTruncated(s"clustered_g0_d${embDim(s)}", s, dir)(
       nnSeedGraph(pairs, vecs))
-    val cg1 = PipelineCache.cached(s"clustered_g1_d${embDim(s)}", s, dir, "embeddings.parquet")(
+    val cg1 = cachedTruncated(s"clustered_g1_d${embDim(s)}", s, dir)(
       nnRefine(cg0, vecs))
-    val graph = graphWalk(
-      nnRefine(cg1, vecs), gEntriesOfAssigned(assigned, centsR), vecs, qf)
+    val cg2 = cachedTruncated(s"clustered_g2_d${embDim(s)}", s, dir)(
+      nnRefine(cg1, vecs))
+    val graph = graphWalk(cg2, gEntriesOfAssigned(assigned, centsR), vecs, qf,
+      hopCache = Some((s, dir, s"clustered_walk_d${embDim(s)}")))
     val brutePairs = PipelineCache.cached(
       s"ann_recall_clustered_brute_d${embDim(s)}", s, dir, "embeddings.parquet") {
       annBruteOf(
@@ -1882,9 +1890,7 @@ object Similarity {
         qf.select(col("query_id"), col("qv").as("query_qv"), col("nq").as("query_nq")))
         .select("query_id", "neighbor_id")
     }
-    recallCensusOf(
-      s,
-      Seq("graph" -> graph, "ivf" -> ivf, "ivfpq" -> ivfpq, "lsh" -> lsh, "pq" -> pq),
+    (Seq("graph" -> graph, "ivf" -> ivf, "ivfpq" -> ivfpq, "lsh" -> lsh, "pq" -> pq),
       brutePairs)
   }
 
@@ -1893,7 +1899,7 @@ object Similarity {
     * element range (±32 968) keeps every downstream dot far inside the
     * 2⁵³ exact-double envelope. */
   private def clusteredCorpus(s: SparkSession, dir: String): DataFrame =
-    PipelineCache.cached(s"clustered_corpus_d${embDim(s)}", s, dir, "embeddings.parquet")(
+    cachedTruncated(s"clustered_corpus_d${embDim(s)}", s, dir)(
       quantizedEmbeddings(s, dir)
         .filter(col("vec_id") % 4 === 0)
         .select(col("vec_id"), col("label"))
@@ -2213,13 +2219,40 @@ object Similarity {
     * shuffled); the answer is the exact top-5 over everything visited.
     * Self-matches excluded throughout (the family convention);
     * duplicate visits collapse before ranking (identical doubles). */
+  /** `hopCache`: optional (session, dir, tagPrefix) — when set, each
+    * hop's scored frame lands in the stamp-keyed [[PipelineCache]].
+    * WITHOUT it the walk's lazy lineage re-executes earlier hops once
+    * per later consumer (sᵢ feeds both the union and hop i+1, so s0
+    * runs 4×, s1 3×, …) — measured 42 s for a 100-row answer on fully
+    * cached inputs at sf0.1, ~10 replications of per-hop join/window
+    * fixed costs; with the hop frames cached each stage executes ONCE
+    * (the pagerank eager-N lesson, solved with the house cache instead
+    * of eager literals because a hop frame is data, not a scalar). The
+    * tag prefix must identify the GRAPH being walked, not just the
+    * corpus — the store path folds its MD5 digest in
+    * ([[VectorIndex.annGraphIndexed]], the ivfProbesCached rule) so two
+    * stores of one corpus can never serve each other's frontiers. */
   private[operators] def graphWalk(
-      graph: DataFrame, entries: DataFrame, vecs: DataFrame, qf: DataFrame): DataFrame = {
+      graph: DataFrame,
+      entries: DataFrame,
+      vecs: DataFrame,
+      qf: DataFrame,
+      hopCache: Option[(SparkSession, String, String)] = None): DataFrame = {
+    def cachedHop(name: String)(df: => DataFrame): DataFrame =
+      hopCache.fold(df) { case (s, dir, pfx) =>
+        cachedTruncated(s"${pfx}_$name", s, dir)(df)
+      }
     val qb = broadcast(
       qf.select(col("query_id"), col("qv").as("query_qv"), col("nq").as("query_nq")))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
-    def score(cand: DataFrame): DataFrame = cand
-      .join(vecs.select(col("vec_id"), col("qv"), col("nq")), "vec_id")
+    // the bounded (query, candidate) frame BROADCASTS into the vector
+    // scan — the scan side (corpus-sized at 100 TB) is streamed, never
+    // shuffled (r16: the code now matches the scaladoc's claim; the old
+    // cand-first join order let the planner sort-merge, shuffling the
+    // vector frame once per hop)
+    def score(cand: DataFrame): DataFrame = vecs
+      .select(col("vec_id"), col("qv"), col("nq"))
+      .join(broadcast(cand), "vec_id")
       .join(qb, "query_id")
       .select(
         col("query_id"),
@@ -2227,10 +2260,10 @@ object Similarity {
         graft.functions.VectorOps
           .cosine(col("qv"), col("nq"), col("query_qv"), col("query_nq"))
           .as("cos_sim"))
-    val s0 = score(
+    val s0 = cachedHop("s0")(score(
       qf.select("query_id")
         .crossJoin(broadcast(entries.select("vec_id")))
-        .filter(col("vec_id") =!= col("query_id")))
+        .filter(col("vec_id") =!= col("query_id"))))
     def hop(scored: DataFrame): DataFrame = {
       val frontier = scored
         .withColumn("rk", row_number().over(w))
@@ -2243,8 +2276,8 @@ object Similarity {
           .filter(col("vec_id") =!= col("query_id"))
           .distinct())
     }
-    val s1 = hop(s0)
-    val s2 = hop(s1)
+    val s1 = cachedHop("s1")(hop(s0))
+    val s2 = cachedHop("s2")(hop(s1))
     val s3 = hop(s2)
     s0.unionByName(s1)
       .unionByName(s2)
@@ -2261,13 +2294,34 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Stamp-cache + PLAN-TRUNCATION barrier for the graph family's
+    * chained frames: rebuilds the DataFrame on the cached frame's RDD so
+    * every downstream plan references a LogicalRDD leaf instead of the
+    * full analyzed lineage. Why (r16, measured): the seed → refine →
+    * refine → walk-hop chain's analyzed tree grows multiplicatively, and
+    * AQE re-canonicalizes the whole tree once per query stage — a COUNT
+    * of an already-materialized 673-row cached hop frame cost 3.7 s of
+    * pure driver planning; through the barrier the same count is 60 ms.
+    * Execution still reads the persisted partitions (the RDD wraps the
+    * cached plan), staleness still tracks the stamp (a rebuild
+    * re-derives the RDD from the fresh frame), and lineage-recompute on
+    * executor loss walks through the RDD as before. Row-encoding cost of
+    * the RDD boundary is paid per READ of these frames — acceptable
+    * because every frame behind it is graph/hop-grain (≤ K·corpus edge
+    * rows or beam-bounded hop rows), never the float vectors. */
+  private def cachedTruncated(
+      tag: String, s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+    val c = PipelineCache.cached(tag, s, dir, "embeddings.parquet")(build)
+    s.createDataFrame(c.rdd, c.schema)
+  }
+
   /** The stamp-cached SEED graph (the refine stage's input), exposed so
     * [[VectorIndex.build]]'s default path can persist it as the v5
     * `g0graph` body without a second construction. */
   private[graft] def nnG0Cached(s: SparkSession, dir: String): DataFrame = {
     val corpus = quantized(s, dir)
     val vecs = corpus.select(col("vec_id"), col("qv"), col("nq"))
-    PipelineCache.cached(s"nn_g0_d${embDim(s)}", s, dir, "embeddings.parquet")(
+    cachedTruncated(s"nn_g0_d${embDim(s)}", s, dir)(
       nnSeedGraph(lshBucketPairs(corpus, "vec_id"), vecs))
   }
 
@@ -2424,7 +2478,7 @@ object Similarity {
       else None
     stored.getOrElse {
       val vecs = quantized(s, dir).select(col("vec_id"), col("qv"), col("nq"))
-      PipelineCache.cached(s"nn_graph_d${embDim(s)}", s, dir, "embeddings.parquet")(
+      cachedTruncated(s"nn_graph_d${embDim(s)}", s, dir)(
         nnRefine(nnG1Cached(s, dir), vecs))
     }
   }
@@ -2435,7 +2489,7 @@ object Similarity {
     * seed graph). */
   private[graft] def nnG1Cached(s: SparkSession, dir: String): DataFrame = {
     val vecs = quantized(s, dir).select(col("vec_id"), col("qv"), col("nq"))
-    PipelineCache.cached(s"nn_g1_d${embDim(s)}", s, dir, "embeddings.parquet")(
+    cachedTruncated(s"nn_g1_d${embDim(s)}", s, dir)(
       nnRefine(nnG0Cached(s, dir), vecs))
   }
 
@@ -2462,7 +2516,8 @@ object Similarity {
     val entries = gEntriesOfAssigned(
       corpus.join(ivfCellsSlimCached(s, dir), "vec_id"),
       codebookRows(ivfCodebookCached(s, dir)))
-    graphWalk(nnGraphCached(s, dir), entries, vecs, qf)
+    graphWalk(nnGraphCached(s, dir), entries, vecs, qf,
+      hopCache = Some((s, dir, s"nn_walk_d${embDim(s)}")))
   }
 
   /** Exact SQL replay of the WHOLE graph-ANN pipeline: LSH bucket seeds

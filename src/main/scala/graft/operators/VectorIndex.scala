@@ -539,7 +539,16 @@ object VectorIndex {
     val vecs = bodyOr("vectors",
       s.emptyDataset[(Long, Array[Long], Long)].toDF("vec_id", "qv", "nq"))
       .select(col("vec_id"), col("qv"), col("nq"))
-    Similarity.graphWalk(graph.select("src", "dst"), entries, vecs, qf)
+    // hop frames cached per (corpus stamp, STORE PATH): the digest keeps
+    // two stores of one dir from serving each other's frontiers (the
+    // ivfProbesCached rule)
+    val pathTag = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_))
+      .mkString
+    Similarity.graphWalk(graph.select("src", "dst"), entries, vecs, qf,
+      hopCache = Some((s, dir, s"nn_walk_d${Similarity.embDim(s)}_p$pathTag")))
   }
 
   /** The probe frame is consumed twice (cell literal + rescore join) —
