@@ -172,7 +172,10 @@ object Bench {
         "text_quality_train", "text_quality_model", "text_quality_eval",
         "text_quality_calibration", "text_quality_holdout",
         // r16: the quality store's v2 bodies — trained langid + DSIR
-        "langid_train", "langid_model", "langid_holdout", "text_dsir")
+        "langid_train", "langid_model", "langid_holdout", "text_dsir",
+        // r17: the clustered census served from graft_recall's slim
+        // pair bodies (built once per embeddings stamp)
+        "ann_recall_clustered")
       .filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"")
       .mkString("[", ",", "]")

@@ -98,6 +98,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => LshBuckets(arity(children, 1, "graft_lsh_buckets(sig)").head)))
     ext.injectFunction(
       (
+        FunctionIdentifier("graft_lsh_probes"),
+        new ExpressionInfo(
+          classOf[graft.functions.LshProbes].getName,
+          null,
+          "graft_lsh_probes",
+          "graft_lsh_probes(qv) - multi-probe LSH bucket sequence (3 per table: own + 2 margin flips)",
+          ""),
+        (children: Seq[Expression]) =>
+          graft.functions.LshProbes(arity(children, 1, "graft_lsh_probes(qv)").head)))
+    ext.injectFunction(
+      (
         FunctionIdentifier("graft_vec_sum"),
         new ExpressionInfo(
           classOf[LongVecSum].getName,

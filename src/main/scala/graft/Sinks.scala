@@ -138,29 +138,50 @@ object Sinks {
     * [[readJdbc]], so the census exercises exactly the read path a
     * dashboard consumer gets (round-trip pinned by SinksSpec). Sorted by
     * qualified name — a census is a report, and its order is part of the
-    * contract. */
+    * contract.
+    *
+    * EAGER, driver-side (r16 advice, documented): this method opens a
+    * JDBC connection and runs one count job per table AT CALL TIME — it
+    * returns a materialized local frame, not a lazy plan (a catalog
+    * census is a handful of rows; laziness would only hide when the
+    * connections happen). Identifiers from the catalog metadata are
+    * re-QUOTED through the connection's own quote string before they
+    * re-enter `dbtable`, so a table whose name needs quoting (mixed
+    * case, reserved word, special characters) is censused instead of
+    * throwing; the report's `table_name` column stays the unquoted
+    * human-readable qualified name. */
   def jdbcCatalog(
       spark: org.apache.spark.sql.SparkSession,
       url: String,
       props: java.util.Properties = new java.util.Properties): DataFrame = {
     val conn = java.sql.DriverManager.getConnection(url, props)
+    // (display name, quoted dbtable) pairs — quote with the DRIVER's own
+    // identifier quote string (getMetaData.getIdentifierQuoteString; " "
+    // means "unquotable", fall back to the bare name), doubling embedded
+    // quotes per the SQL rule
     val names =
       try {
+        val qs = Option(conn.getMetaData.getIdentifierQuoteString)
+          .map(_.trim).filter(_.nonEmpty)
+        def quote(id: String): String =
+          qs.map(q => q + id.replace(q, q + q) + q).getOrElse(id)
         val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
-        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        val b = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
         while (rs.next()) {
+          val name = rs.getString("TABLE_NAME")
           val schem = Option(rs.getString("TABLE_SCHEM")).filter(_.nonEmpty)
-          b += schem.map(s => s"$s.${rs.getString("TABLE_NAME")}")
-            .getOrElse(rs.getString("TABLE_NAME"))
+          b += ((
+            schem.map(s => s"$s.$name").getOrElse(name),
+            schem.map(s => s"${quote(s)}.${quote(name)}").getOrElse(quote(name))))
         }
         rs.close()
-        b.toSeq.sorted
+        b.toSeq.sortBy(_._1)
       } finally conn.close()
     import spark.implicits._
     names
-      .map { t =>
-        val df = readJdbc(spark, url, t, props)
-        (t, df.count(), df.columns.length.toLong, df.columns.toSeq)
+      .map { case (display, dbtable) =>
+        val df = readJdbc(spark, url, dbtable, props)
+        (display, df.count(), df.columns.length.toLong, df.columns.toSeq)
       }
       .toDF("table_name", "n_rows", "n_cols", "columns")
   }

@@ -1045,7 +1045,13 @@ object CorpusOps {
       // VERSION line, so the version comparison IS the policy binding
       ("quality_model", storePath(s, dir, "graft_quality"),
         TextAnalysis.qualityStoreVersion(s), docStamp, anyMeta,
-        Seq("features", "labels", "weights", "scored")))
+        Seq("features", "labels", "weights", "scored")),
+      // the clustered-recall census bodies (r17): keyed on the
+      // embeddings stamp like the vector index, version folds every
+      // method-construction knob
+      ("recall_census", Similarity.recallStorePath(s, dir),
+        Similarity.recallStoreVersion(s), VectorIndex.stamp(dir), anyMeta,
+        Seq("clustered_pairs", "clustered_brute")))
     val rows = stores.flatMap { case (name, path, wantVersion, stamp, metaOk, bodies) =>
       val meta = GramIndex.readMeta(s, path).filter(_.length >= 3)
       val fresh = meta.exists(l => l(0) == stamp && l(2) == wantVersion && metaOk(l))

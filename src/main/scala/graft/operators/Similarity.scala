@@ -90,6 +90,17 @@ object Similarity {
     * change never serves a stale frame. */
   private[operators] val EmbDimDefault = 64
 
+  /** Cells per PQ SUBSPACE codebook — 256 (8-bit codes, the public FAISS
+    * default), r16 verdict #1: 16 cells (4-bit) cannot carve ISOTROPIC
+    * residual space — uniform-corpus ADC recall read 110-120k ppm while
+    * clustered read 680k, because on clustered corpora the residual is
+    * tight and 16 cells suffice. 256 seed groups (vec_id % 256) plus [[PqRounds]]
+    * Lloyd refinement rounds per subspace ([[pqCentroids]]) give each
+    * subspace genuinely spread codewords on uniform data too. Fixed, not
+    * a knob: the oracles replay the constant and the [[VectorIndex]]
+    * format version pins it (`rpq8x256r4`). */
+  private[operators] val PqK = 256
+
   private[graft] def embDim(s: SparkSession): Int = {
     val raw = s.conf.get("spark.graft.emb.dim", EmbDimDefault.toString)
     val n =
@@ -267,7 +278,12 @@ object Similarity {
   /** LSH-bucketed ANN — the scale path. 6 independent hash tables, each of
     * 4 deterministic pseudo-random hyperplanes (integer weights from a
     * multiplicative scramble): a vector lands in one 4-bit sign bucket per
-    * table, and a query scores the union of its 6 buckets' candidates.
+    * table, and a query scores the union of its probed buckets' candidates
+    * — 18 probes under [[lshProbePairs]]' multi-probe expansion (its own
+    * bucket + the 2 smallest-margin plane flips per table, r16 verdict
+    * #3): index size is unchanged, only probe fan-out grows, and recall
+    * lifts because a true neighbor one hair-thin hyperplane away is
+    * recovered without another table.
     * Multi-table trades a constant-factor candidate increase for
     * exponentially better recall than one deep table (P[collide in ≥1 of
     * 6 shallow tables] ≫ P[collide in 1 deep one] for true neighbors).
@@ -308,7 +324,7 @@ object Similarity {
       lshCandidates(
         saltedBucketJoin(
           lshBucketPairs(corpus, "vec_id"),
-          lshBucketPairs(qf, "query_id"),
+          lshProbePairs(qf, "query_id"),
           "vec_id",
           lshBucketCap(s))),
       corpus, qf)
@@ -394,6 +410,28 @@ object Similarity {
       col(idCol),
       posexplode(call_function("graft_lsh_buckets", col("qv"))).as(Seq("t", "b")))
 
+  /** MULTI-PROBE query-side probes (r16 verdict #3, public multi-probe
+    * LSH): each query probes its own bucket PLUS the
+    * [[graft.functions.LshProbes.Extra]] = 2 nearest neighboring buckets
+    * per table — the single-plane flips with the smallest absolute
+    * integer projection margin (ties to the lower plane). The INDEX side
+    * ([[lshBucketPairs]], the store's lshbuckets body) is unchanged —
+    * only probe fan-out grows 6 → 18 bucket reads per query, recovering
+    * neighbors that sit one hair-thin hyperplane away (measured at
+    * sf0.1: uniform recall@5 660k → see ann_recall's lsh row). ONE probe
+    * derivation shared by [[annLsh]], the clustered census leg and
+    * [[VectorIndex.annLshIndexed]] so scan-time, census and store paths
+    * cannot fork; the streaming twin replays the same native kernel.
+    * Output shape matches [[lshBucketPairs]] (`id, t, b`) — candidates
+    * colliding through several probes dedup in [[lshCandidates]]. */
+  private[graft] def lshProbePairs(df: DataFrame, idCol: String): DataFrame = {
+    val per = graft.functions.LshProbes.PerTable
+    df.select(
+        col(idCol),
+        posexplode(call_function("graft_lsh_probes", col("qv"))).as(Seq("pos", "b")))
+      .select(col(idCol), (col("pos") / per).cast("int").as("t"), col("b"))
+  }
+
   /** Candidate dedup over a bucket-equality join's output: drop
     * self-matches, keep only ids (the slim-shuffle pattern minhash
     * uses), dedup a candidate colliding in several tables before any
@@ -434,8 +472,11 @@ object Similarity {
 
   /** Exact SQL replay of [[annLsh]]: same integer plane weights
     * (((t*31+p)*97+d)*40503 % 65536 - 32768), same 4-bit sign buckets per
-    * table, same candidate union and exact rescoring. Integer dots are
-    * exact in DuckDB's double arithmetic (|dot| < 2^53). */
+    * table, same MULTI-PROBE expansion (qproj margins → the 2 smallest
+    * |s| plane flips per table, ties to lower p, replayed by ROW_NUMBER
+    * + xor), same candidate union and exact rescoring. Integer dots are
+    * exact in DuckDB's double arithmetic (|dot| < 2^53); the margin
+    * comparison ABS(s) is an exact integer compare in both engines. */
   val annLshSql: String = annLshSqlFrom(embPrelude)
 
   private[operators] def annLshSqlFrom(prelude: String): String =
@@ -444,12 +485,28 @@ object Similarity {
          SELECT t, p, LIST(((((t*31+p)*97+d)*40503) % 65536) - 32768 ORDER BY d) AS wv
          FROM range(6) tt(t), range(4) pp(p), range(64) dd(d)
          GROUP BY t, p),
-       proj AS (
+       proj AS MATERIALIZED (
          SELECT n.vec_id, w.t,
                 SUM(CASE WHEN list_dot_product(n.qv, w.wv) >= 0 THEN (1 << p) ELSE 0 END) AS b
          FROM n CROSS JOIN w
          GROUP BY n.vec_id, w.t),
-       qb AS (SELECT vec_id AS query_id, t, b FROM proj WHERE vec_id % 100 = 0),
+       qproj AS MATERIALIZED (
+         SELECT n.vec_id AS query_id, w.t, w.p, list_dot_product(n.qv, w.wv) AS s
+         FROM n CROSS JOIN w WHERE n.vec_id % 100 = 0),
+       qbase AS MATERIALIZED (
+         SELECT query_id, t,
+                SUM(CASE WHEN s >= 0 THEN (1 << p) ELSE 0 END) AS b
+         FROM qproj GROUP BY query_id, t),
+       qflip AS (
+         SELECT query_id, t, p FROM (
+           SELECT query_id, t, p,
+                  ROW_NUMBER() OVER (PARTITION BY query_id, t ORDER BY ABS(s), p) AS r
+           FROM qproj) WHERE r <= 2),
+       qb AS (
+         SELECT query_id, t, b FROM qbase
+         UNION ALL
+         SELECT f.query_id, f.t, xor(qbase.b, CAST(1 << f.p AS BIGINT)) AS b
+         FROM qflip f JOIN qbase USING (query_id, t)),
        pairs AS (
          SELECT DISTINCT qb.query_id, c.vec_id
          FROM proj c JOIN qb ON c.t = qb.t AND c.b = qb.b
@@ -1310,34 +1367,41 @@ object Similarity {
     * form (r15 verdict #1): each vector is first explained by its IVF
     * cell's ROUNDED integer centroid ([[roundedCentroids]]), and PQ
     * encodes the RESIDUAL `qv - rc(cell)`: the residual splits into 8
-    * subspaces of 8 dims, each subspace gets its own 16-cell codebook
-    * (so a vector stores its cell + 8 four-bit codes — still bytes vs
-    * 256 of floats), and the output is each vector's code word plus its
-    * exact-shape residual quantization error. Why residual: a raw-vector
-    * codebook spends its 16 cells per subspace re-encoding the COARSE
-    * offset (on clustered corpora that is the whole signal, and ADC
-    * recall collapsed to 6% — the r15 census), while the residual
-    * codebook spends them on the fine structure the coarse quantizer
-    * cannot see; the ADC distance `‖(q - rc(cell)) - code‖²` then
-    * carries the cell offset AND the fine term.
+    * subspaces of 8 dims, each subspace gets its own [[PqK]]=256-cell
+    * codebook (so a vector stores its cell + 8 one-byte codes — still
+    * 8 bytes vs 256 of floats), and the output is each vector's code
+    * word plus its exact-shape residual quantization error. Why
+    * residual: a raw-vector codebook spends its cells per subspace
+    * re-encoding the COARSE offset (on clustered corpora that is the
+    * whole signal, and ADC recall collapsed to 6% — the r15 census),
+    * while the residual codebook spends them on the fine structure the
+    * coarse quantizer cannot see; the ADC distance
+    * `‖(q - rc(cell)) - code‖²` then carries the cell offset AND the
+    * fine term. Why 256 (r16 verdict #1): 16 cells per subspace cannot
+    * carve ISOTROPIC residual space — see [[PqK]] and [[pqCentroids]]'
+    * Lloyd refinement round.
     *
     * Construction mirrors [[annIvf]]'s cell discipline per subspace:
-    * deterministic `vec_id % 16` seed partition, centroids as INTEGER
-    * (sum-vector, count) pairs via `graft_vec_sum`, assignment by the
-    * SAME [[lloydD]] L2 expression and [[argminBest]] tie rule
-    * (lower cid) that [[embKmeans]] proved cross-engine — and the
-    * residual itself is integer-exact (floor-divided centroid, integer
-    * subtraction), so the DuckDB oracle replays the residual
-    * construction, the codes AND the error bit-for-bit. The per-vector
-    * error is the FIXED-ORDER sum d0+…+d7 of per-subspace distances
-    * (never a float aggregation — the [[TextAnalysis.search]] rule).
+    * deterministic `vec_id % 256` seed partition + [[PqRounds]] Lloyd
+    * rounds,
+    * centroids as INTEGER (sum-vector, count) pairs via `graft_vec_sum`,
+    * assignment by the SAME [[lloydD]] L2 expression and [[argminBest]]
+    * tie rule (lower cid) that [[embKmeans]] proved cross-engine — and
+    * the residual itself is integer-exact (floor-divided centroid,
+    * integer subtraction), so the DuckDB oracle replays the residual
+    * construction, the refinement, the codes AND the error bit-for-bit.
+    * The per-vector error is the FIXED-ORDER sum d0+…+d7 of
+    * per-subspace distances (never a float aggregation — the
+    * [[TextAnalysis.search]] rule).
     *
     * Scale shape: the residual view is a narrow map against the
     * broadcast 16-row rounded-centroid frame; then one 8× slim-row
     * explode (vec_id, sub_id, 8 ints), one map-side-combined
-    * (sub_id, cid) aggregate to 128 centroid rows, the 128-row codebook
-    * broadcast into a narrow argmin, one final groupBy(vec_id) pivot —
-    * no corpus-sized join, no window. */
+    * (sub_id, cid) aggregate to 2048 centroid rows, the 2048-row
+    * codebook broadcast into a narrow argmin (once to train, once to
+    * encode — the Lloyd round adds exactly one aggregate + one argmin
+    * pass), one final groupBy(vec_id) pivot — no corpus-sized join, no
+    * window. */
   /** One slim row per (id, subspace) with the 8-int slice as (qv, nq) —
     * ONE slicing definition for the corpus ([[pqResidCached]]) and the
     * query sample ([[annPq]]'s table build), so the two sides cannot
@@ -1383,27 +1447,82 @@ object Similarity {
     subspaceRows(pqResidCached(s, dir), "vec_id", dim / 8)
   }
 
-  /** Per-subspace 16-cell centroid frame (sub_id, cid, sv, c, ns). */
+  /** Per-subspace [[PqK]]-cell centroid frame (sub_id, cid, sv, c, ns):
+    * deterministic `vec_id % PqK` seed groups, then [[PqRounds]] Lloyd
+    * refinement rounds — each assigns every subvector to its nearest
+    * current mean
+    * ([[pqAssigned]]'s own distance/tie rule, so train and encode can
+    * never fork) and recompute the means from that assignment. Why the
+    * round matters (r16 verdict #1): on ISOTROPIC residuals the seed
+    * means all sit in a small ball around the subspace global mean
+    * (mean of a random subset), so seed-only codewords barely carve the
+    * space; the refinement means are means of DIRECTIONAL cones and
+    * spread outward — the same collapse-then-M-step fix the r16
+    * assigned-cell residual centroids applied at the IVF level. A cell
+    * that loses all members keeps its seed centroid (the [[embKmeans]]
+    * LEFT JOIN + COALESCE carry — with 256 cells empty cells are
+    * routine, not degenerate). Centroids stay exact INTEGER (sum, count)
+    * pairs end to end; the oracle replays seed, assignment and
+    * refinement bit-for-bit. */
   private[operators] def pqCentroids(sub: DataFrame): DataFrame =
+    (1 to PqRounds).foldLeft(pqSeedCentroids(sub))((c, _) => pqRefineRound(sub, c))
+
+  /** Lloyd refinement rounds per subspace codebook — measured at sf0.1
+    * (uniform recall@5, ppm): rounds 1/2/4 read pq 270k/320k/380k and
+    * ivfpq 250k/260k/360k; 4 clears the r16 verdict bar (≥ 300k) with
+    * headroom while clustered reads 730k (bar ≥ 680k). Fixed, not a
+    * knob — the oracle unrolls exactly this many rounds and the
+    * [[VectorIndex]] format version pins it (`rpq8x256r4`). */
+  private[operators] val PqRounds = 4
+
+  /** The deterministic seed codebook (means of the `vec_id % PqK`
+    * groups). */
+  private[operators] def pqSeedCentroids(sub: DataFrame): DataFrame =
     sub
-      .groupBy(col("sub_id"), (col("vec_id") % 16).cast("int").as("cid"))
+      .groupBy(col("sub_id"), (col("vec_id") % PqK).cast("int").as("cid"))
       .agg(call_function("graft_vec_sum", col("qv")).as("sv"), count(lit(1)).as("c"))
       .filter(assertCentroidExact(col("sv"), "PQ centroid"))
       .withColumn("ns", selfDot(col("sv")))
 
+  /** One Lloyd M-step over `cents`: re-assign `sub` with [[pqAssigned]],
+    * recompute integer (sum, count) means, carry empty cells' previous
+    * centroids. */
+  private[operators] def pqRefineRound(sub: DataFrame, cents: DataFrame): DataFrame = {
+    val agg1 = pqAssignedKeep(sub, cents, Seq("qv"))
+      .groupBy("sub_id", "cid")
+      .agg(call_function("graft_vec_sum", col("qv")).as("sv1"), count(lit(1)).as("c1"))
+    cents
+      .join(agg1, Seq("sub_id", "cid"), "left")
+      .select(
+        col("sub_id"), col("cid"),
+        coalesce(col("sv1"), col("sv")).as("sv"),
+        coalesce(col("c1"), col("c")).as("c"))
+      .filter(assertCentroidExact(col("sv"), "PQ centroid"))
+      .withColumn("ns", selfDot(col("sv")))
+  }
+
   /** The code assignment frame (vec_id, sub_id, cid, d), shared by
-    * [[embPq]] and [[annPq]] — parity is structural. */
-  private[operators] def pqAssigned(sub: DataFrame, cents: DataFrame): DataFrame = {
+    * [[embPq]], [[annPq]] AND the training round itself
+    * ([[pqRefineRound]] via [[pqAssignedKeep]]) — parity is structural. */
+  private[operators] def pqAssigned(sub: DataFrame, cents: DataFrame): DataFrame =
+    pqAssignedKeep(sub, cents, Nil)
+
+  /** [[pqAssigned]] carrying extra pass-through columns (the refinement
+    * round keeps `qv` so the M-step needs no re-join). */
+  private[operators] def pqAssignedKeep(
+      sub: DataFrame, cents: DataFrame, keep: Seq[String]): DataFrame = {
     val cb = cents
       .groupBy("sub_id")
       .agg(collect_list(struct(col("cid"), col("sv"), col("c"), col("ns"))).as("cb"))
     sub
       .join(broadcast(cb), "sub_id")
       .withColumn("best", argminBest(col("cb")))
-      .select(col("vec_id"), col("sub_id"), col("best.cid").as("cid"), col("best.d").as("d"))
+      .select(
+        Seq(col("vec_id"), col("sub_id"), col("best.cid").as("cid"), col("best.d").as("d")) ++
+          keep.map(col): _*)
   }
 
-  /** Stamp-cached (centroids, assignment) pair: the 128-row codebook and
+  /** Stamp-cached (centroids, assignment) pair: the 2048-row codebook and
     * the slim corpus code frame are derived ONCE per source stamp and
     * shared by [[embPq]] and [[annPq]] (the kmCorpus precedent — without
     * it each consumer re-ran the embeddings scan + 8× explode, and
@@ -1431,13 +1550,22 @@ object Similarity {
   }
 
   /** The shared PQ oracle CTE chain (IVF cells → rounded centroids →
-    * integer residuals → subspace slices → seed cells → integer centroid
-    * sums → distance/tie assignment `a`) — ONE copy interpolated into
+    * integer residuals → subspace slices → seed cells (cb0) → one Lloyd
+    * refinement round (a0 → re/rs/rm → cb, empty-cell COALESCE carry) →
+    * distance/tie assignment `a`) — ONE copy interpolated into
     * [[embPqSql]], [[annPqSql]] and [[annIvfPqSql]] (the embPrelude
     * dedup rule). The rounded centroid replays Spark's
     * `(x - pmod(x, c)) div c` as `(sv - ((sv % cn) + cn) % cn) // cn` —
     * the pmod subtraction makes the numerator exactly divisible, so the
-    * two engines' integer divisions agree for any sign. */
+    * two engines' integer divisions agree for any sign.
+    *
+    * The multi-referenced CTEs are `AS MATERIALIZED`: DuckDB 1.0 INLINES
+    * a CTE per reference, and each Lloyd round reads its predecessor
+    * codebook three ways (carry join + the rs/rm chains) — un-fenced,
+    * the [[PqRounds]]-round chain re-evaluates the base pipeline
+    * ~3^rounds times (observed: one sf0.01 oracle ran 20+ min; fenced it
+    * runs in seconds). Semantically identical — an optimization fence
+    * only, same rows. */
   private val pqOraclePrelude: String = {
     val sd = EmbDimDefault / 8
     s"""ivfe AS (SELECT vec_id % 16 AS cell, u.i, SUM(qv[u.i]) AS sv
@@ -1449,7 +1577,7 @@ object Similarity {
          SELECT n.vec_id, ivfcn.cell,
                 list_dot_product(n.qv, ivfcn.cv) / (sqrt(n.nq) * sqrt(ivfcn.nc)) AS ics
          FROM n CROSS JOIN ivfcn),
-       ivfassign AS (
+       ivfassign AS MATERIALIZED (
          SELECT vec_id, cell FROM (
            SELECT vec_id, cell,
                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ics DESC, cell) AS r
@@ -1462,7 +1590,7 @@ object Similarity {
        rce AS (SELECT e.cell, e.i,
                       CAST((e.sv - (((e.sv % cc.cnt) + cc.cnt) % cc.cnt)) // cc.cnt AS BIGINT) AS rc
                FROM ace e JOIN acc cc USING (cell)),
-       rcl AS (SELECT cell, LIST(rc ORDER BY i) AS rc FROM rce GROUP BY 1),
+       rcl AS MATERIALIZED (SELECT cell, LIST(rc ORDER BY i) AS rc FROM rce GROUP BY 1),
        nr AS (SELECT n.vec_id, va.cell,
                      list_transform(range(1, $EmbDimDefault + 1), i -> n.qv[i] - rcl.rc[i]) AS qv
               FROM n JOIN ivfassign va USING (vec_id) JOIN rcl ON rcl.cell = va.cell),
@@ -1470,25 +1598,60 @@ object Similarity {
          SELECT vec_id, CAST(t.j AS INT) AS sub_id,
                 list_slice(qv, t.j * $sd + 1, t.j * $sd + $sd) AS sq
          FROM nr, UNNEST(range(0, 8)) AS t(j)),
-       subn AS (SELECT vec_id, sub_id, sq, list_dot_product(sq, sq) AS nsq FROM sub),
-       ce AS (SELECT sub_id, CAST(vec_id % 16 AS INT) AS cid, u.i, SUM(sq[u.i]) AS sx
+       subn AS MATERIALIZED (SELECT vec_id, sub_id, sq, list_dot_product(sq, sq) AS nsq FROM sub),
+       ce AS (SELECT sub_id, CAST(vec_id % $PqK AS INT) AS cid, u.i, SUM(sq[u.i]) AS sx
               FROM subn, UNNEST(range(1, $sd + 1)) AS u(i)
               GROUP BY 1, 2, 3),
        cs AS (SELECT sub_id, cid, LIST(sx ORDER BY i) AS sv FROM ce GROUP BY 1, 2),
-       cm AS (SELECT sub_id, CAST(vec_id % 16 AS INT) AS cid, COUNT(*) AS c
+       cm AS (SELECT sub_id, CAST(vec_id % $PqK AS INT) AS cid, COUNT(*) AS c
               FROM subn GROUP BY 1, 2),
-       cb AS (SELECT sub_id, cid, sv, c, list_dot_product(sv, sv) AS ns
-              FROM cs JOIN cm USING (sub_id, cid)),
+       cb0 AS MATERIALIZED (SELECT sub_id, cid, sv, c, list_dot_product(sv, sv) AS ns
+               FROM cs JOIN cm USING (sub_id, cid)),
+       ${pqLloydRoundsSql(sd)},
        d AS (SELECT subn.vec_id, subn.sub_id, cb.cid,
                     CAST(subn.nsq AS DOUBLE)
                       - 2.0 * list_dot_product(subn.sq, cb.sv) / CAST(cb.c AS DOUBLE)
                       + CAST(cb.ns AS DOUBLE) / CAST(cb.c * cb.c AS DOUBLE) AS d
              FROM subn JOIN cb USING (sub_id)),
-       a AS (SELECT vec_id, sub_id, cid, d FROM (
+       a AS MATERIALIZED (SELECT vec_id, sub_id, cid, d FROM (
                SELECT vec_id, sub_id, cid, d,
                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id ORDER BY d, cid) AS rn
                FROM d) WHERE rn = 1)"""
   }
+
+  /** The unrolled [[PqRounds]] Lloyd-round CTE chain `cb0 → … → cb`:
+    * round r assigns `subn` against `cb{r-1}` (same distance/tie rule as
+    * the final assignment), recomputes integer (sum, count) means, and
+    * carries empty cells' previous centroids (LEFT JOIN + COALESCE —
+    * [[pqRefineRound]]'s exact shape). The LAST round's codebook is
+    * named `cb` so the downstream distance/ADC CTEs are
+    * round-count-agnostic. */
+  private def pqLloydRoundsSql(sd: Int): String =
+    (1 to PqRounds).map { r =>
+      val prev = s"cb${r - 1}"
+      val out = if (r == PqRounds) "cb" else s"cb$r"
+      s"""d$prev AS (SELECT subn.vec_id, subn.sub_id, $prev.cid,
+                     CAST(subn.nsq AS DOUBLE)
+                       - 2.0 * list_dot_product(subn.sq, $prev.sv) / CAST($prev.c AS DOUBLE)
+                       + CAST($prev.ns AS DOUBLE) / CAST($prev.c * $prev.c AS DOUBLE) AS d
+              FROM subn JOIN $prev USING (sub_id)),
+       a$prev AS MATERIALIZED (SELECT vec_id, sub_id, cid FROM (
+                SELECT vec_id, sub_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id ORDER BY d, cid) AS rn
+                FROM d$prev) WHERE rn = 1),
+       re$r AS (SELECT a$prev.sub_id, a$prev.cid, u.i, SUM(subn.sq[u.i]) AS sx
+              FROM subn JOIN a$prev USING (vec_id, sub_id),
+                   UNNEST(range(1, $sd + 1)) AS u(i)
+              GROUP BY 1, 2, 3),
+       rs$r AS (SELECT sub_id, cid, LIST(sx ORDER BY i) AS sv FROM re$r GROUP BY 1, 2),
+       rm$r AS (SELECT sub_id, cid, COUNT(*) AS c FROM a$prev GROUP BY 1, 2),
+       $out AS MATERIALIZED (SELECT $prev.sub_id, $prev.cid,
+                     COALESCE(rs$r.sv, $prev.sv) AS sv, COALESCE(rm$r.c, $prev.c) AS c,
+                     list_dot_product(COALESCE(rs$r.sv, $prev.sv),
+                                      COALESCE(rs$r.sv, $prev.sv)) AS ns
+              FROM $prev LEFT JOIN rs$r USING (sub_id, cid)
+                         LEFT JOIN rm$r USING (sub_id, cid))"""
+    }.mkString(",\n       ")
 
   /** Exact SQL replay of [[embPq]]: same subspace slices, same seed
     * cells, same integer centroid sums, same distance/tie rule, same
@@ -1511,7 +1674,7 @@ object Similarity {
   /** PQ-coded ANN — ASYMMETRIC DISTANCE search over [[embPq]]'s RESIDUAL
     * codes, completing the compression story (compress, then SEARCH the
     * compressed): each query keeps its full subvectors and precomputes,
-    * per candidate CELL, a 128-entry distance table (its residual
+    * per candidate CELL, a 2048-entry distance table (its residual
     * against that cell's rounded centroid, [[lloydD]]-scored against
     * every (subspace, cid) residual centroid); a candidate's approximate
     * distance `‖(q − rc(cell)) − code‖²` is then EIGHT map lookups
@@ -1520,10 +1683,10 @@ object Similarity {
     * offset too (two-level quantization, comparable ACROSS cells).
     * Per-query top-5 by (adist, vec_id), self excluded.
     *
-    * Scale shape: the distance tables are |queries| × K × 128 doubles
+    * Scale shape: the distance tables are |queries| × K × 2048 doubles
     * collected into a BROADCAST map frame; the scoring pass is a
     * narrow map over the code frame (one row per corpus vector,
-    * cell + 36 bytes — never the 256-byte float vectors), and the top-5
+    * cell + 8 one-byte codes — never the 256-byte float vectors), and the top-5
     * cut is a partial WindowGroupLimit. Compose with [[VectorIndex]]'s
     * cell pruning for the full IVF-ADC shape at 100 TB.
     *
@@ -1538,14 +1701,14 @@ object Similarity {
   }
 
   /** Per-(query, cell) ADC distance tables:
-    * (query_id, cell, dt: map[(sub·16+cid) → d]) over the query's
+    * (query_id, cell, dt: map[(sub·PqK+cid) → d]) over the query's
     * RESIDUAL against that cell's rounded centroid — literally the
     * assignment's own [[lloydD]] over a centroid struct (parity
     * structural: a lloydD edit changes query- and candidate-side doubles
     * TOGETHER). `qcells` carries one (query_id, cell, qv) row per table
     * to build: the IVF-ADC path feeds its ≤ 4 probed cells per query,
     * the exhaustive [[annPq]] path feeds all K — either way the frame is
-    * ≤ K·\|queries\| × 128 doubles, broadcastable at any corpus size.
+    * ≤ K·\|queries\| × 2048 doubles, broadcastable at any corpus size.
     * Shared with the persisted-store serving path
     * ([[VectorIndex.annIvfPqIndexed]] feeds its stored
     * qsample/codebook/pqcodebook frames) — the [[ivfProbes]] rule
@@ -1557,7 +1720,7 @@ object Similarity {
       .select(
         col("query_id"),
         col("cell"),
-        (col("sub_id") * 16 + col("cid")).as("k"),
+        (col("sub_id") * PqK + col("cid")).as("k"),
         lloydD(struct(col("sv"), col("c"), col("ns"))).as("d"))
       .groupBy("query_id", "cell")
       .agg(map_from_entries(collect_list(struct(col("k"), col("d")))).as("dt"))
@@ -1568,7 +1731,7 @@ object Similarity {
     * [[annIvfPq]]. */
   private[operators] def pqRank(cand: DataFrame): DataFrame = {
     val adist = (0 until 8)
-      .map(j => element_at(col("dt"), lit(j * 16) + col(s"c$j")))
+      .map(j => element_at(col("dt"), lit(j * PqK) + col(s"c$j")))
       .reduce(_ + _)
     val w = Window.partitionBy("query_id").orderBy(col("adist"), col("vec_id"))
     cand
@@ -1641,7 +1804,7 @@ object Similarity {
     * exist for ([[annIvf]]'s cell recall filter × [[annPq]]'s compressed
     * ranking, the FAISS IVFPQ shape): probe each query's 4 best cosine
     * cells, then ADC-score ONLY the probed cells' candidates from their
-    * 4-byte PQ codes. Cuts the scored pair count to ~4/16 of the corpus
+    * 8-byte PQ codes. Cuts the scored pair count to ~4/16 of the corpus
     * per query AND scores each survivor with 8 adds instead of 64
     * multiplies — at 100 TB the scan reads the [[VectorIndex]] layout so
     * non-probed cells prune at the reader.
@@ -1776,15 +1939,29 @@ object Similarity {
   private def recallCensusOf(
       s: SparkSession,
       methods: Seq[(String, DataFrame)],
+      brutePairs: DataFrame): DataFrame =
+    recallCensusTail(
+      s,
+      methods.map(_._1),
+      methods
+        .map { case (m, df) =>
+          df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+        }
+        .reduce(_ unionByName _),
+      brutePairs)
+
+  /** The intersection/apportion tail over an already-TAGGED pair frame —
+    * split out so the store-served clustered census ([[annRecallClustered]]
+    * reading the persisted `clustered_pairs` body) and the scan-time
+    * censuses run literally the same final stages. */
+  private def recallCensusTail(
+      s: SparkSession,
+      methodNames: Seq[String],
+      tagged: DataFrame,
       brutePairs: DataFrame): DataFrame = {
     import s.implicits._
-    val tagged = methods
-      .map { case (m, df) =>
-        df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
-      }
-      .reduce(_ unionByName _)
     val nPairs = brutePairs.agg(count(lit(1)).cast("long").as("n_pairs"))
-    methods.map(_._1).toDF("method")
+    methodNames.toDF("method")
       .join(
         tagged
           .join(broadcast(brutePairs), Seq("query_id", "neighbor_id"))
@@ -1822,8 +1999,71 @@ object Similarity {
     * corpus scale; queries `vec_id % 100 = 0` remain a subset since
     * 4 | 100), so census cost stays bounded beside the uniform row. */
   def annRecallClustered(s: SparkSession, dir: String): DataFrame = {
+    if (!recallStoreFresh(s, dir)) buildRecallStore(s, dir)
+    val path = recallStorePath(s, dir)
+    recallCensusTail(
+      s,
+      RecallMethods,
+      graft.sources.Tables.stableParquet(s, s"$path/clustered_pairs"),
+      graft.sources.Tables.stableParquet(s, s"$path/clustered_brute"))
+  }
+
+  private[graft] val RecallMethods = Seq("graph", "ivf", "ivfpq", "lsh", "pq")
+
+  /** Scan-time clustered census — the build path AND the store-vs-scan
+    * parity spec's reference (bypasses the store entirely). */
+  private[graft] def annRecallClusteredScan(s: SparkSession, dir: String): DataFrame = {
     val (methods, brutePairs) = clusteredLegs(s, dir)
     recallCensusOf(s, methods, brutePairs)
+  }
+
+  /** Persisted clustered-recall census bodies (r16 verdict #2 — the
+    * text_dsir store precedent applied to the #1 bench carrier): the six
+    * method pipelines over the clustered view are an expensive
+    * once-per-source construction, but their OUTPUT is two slim frames —
+    * the tagged (method, query_id, neighbor_id) top-5 pairs and the
+    * brute anchor pairs, ≤ 5·|methods|·|queries| rows total. Persist
+    * exactly those, keyed on the embeddings stamp + a version line that
+    * folds EVERY method-construction knob (the [[VectorIndex]] format
+    * version carries IVF/PQ/LSH/graph shape; multi-probe fan-out and
+    * the census quarter-sample are pinned beside it), so any recall
+    * lever retune is stale-by-version and rebuilds — never serves a
+    * stale census. Warm [[annRecallClustered]] is then two tiny parquet
+    * reads + the shared census tail: no clustered-view rebuild, no six
+    * pipelines, no driver bucket fetch (the r16 "1.51 s warm vs 5.41 s
+    * bench" regime gap closes because the construction leaves the
+    * per-pass path entirely). Crash contract: meta deleted FIRST, bodies
+    * written, meta written LAST ([[CorpusProfile]]'s convention). */
+  private[graft] def recallStorePath(s: SparkSession, dir: String): String =
+    CorpusOps.storePath(s, dir, "graft_recall")
+
+  private[graft] def recallStoreVersion(s: SparkSession): String =
+    s"v1:${VectorIndex.formatVersion(s)}:mp${graft.functions.LshProbes.Extra}:q4"
+
+  private[graft] def recallStoreFresh(s: SparkSession, dir: String): Boolean =
+    GramIndex.readMeta(s, recallStorePath(s, dir)).exists(l =>
+      l.length >= 3 && l(0) == PipelineCache.sourceStamp(dir, "embeddings.parquet") &&
+        l(2) == recallStoreVersion(s))
+
+  private[graft] def buildRecallStore(s: SparkSession, dir: String): Unit = {
+    val path = recallStorePath(s, dir)
+    val mp = GramIndex.metaPath(path)
+    mp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(mp, false)
+    val (methods, brutePairs) = clusteredLegs(s, dir)
+    methods
+      .map { case (m, df) =>
+        df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+      }
+      .reduce(_ unionByName _)
+      // ≤ 5·5·|queries| rows — the codebook coalesce convention
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/clustered_pairs")
+    brutePairs
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/clustered_brute")
+    GramIndex.writeMeta(
+      s, path,
+      Seq(
+        PipelineCache.sourceStamp(dir, "embeddings.parquet"),
+        "recall", recallStoreVersion(s), "").mkString("\n"))
   }
 
   private def clusteredLegs(
@@ -1844,7 +2084,7 @@ object Similarity {
       if (st.isNullAt(0)) 1
       else math.max(1L, st.getLong(0) / (math.max(1L, st.getLong(1)) * 4L)).toInt
     val lsh = lshRescore(
-      lshCandidates(saltedBucketJoin(pairs, lshBucketPairs(qf, "query_id"), "vec_id", cap)),
+      lshCandidates(saltedBucketJoin(pairs, lshProbePairs(qf, "query_id"), "vec_id", cap)),
       corpus, qf)
     val centsR = ivfCentRows(corpus, 16)
     val codebook = collapseCodebook(centsR)
@@ -3264,11 +3504,12 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall" -> (annRecall _),
-    // CONSTRUCTION SIDE EFFECT (the one registry exception, accepted under
-    // the eager-literal precedent): building ann_recall_clustered's frame
-    // runs two bounded driver jobs (clustered-view cache materialization +
-    // the ≤ 96-key bucket census the split cap derives from) — plan
-    // inspection of this entry executes cluster work. Every other registry
+    // CONSTRUCTION SIDE EFFECT only when the graft_recall store is STALE
+    // (r17: the warm path reads two slim persisted bodies and builds a
+    // construction-pure plan): a stale/missing store triggers the full
+    // six-pipeline build — including the clustered-view materialization
+    // and the ≤ 96-key bucket census — at frame-construction time, the
+    // accepted eager-literal/store-build precedent. Every other registry
     // closure is construction-pure.
     "ann_recall_clustered" -> (annRecallClustered _),
     "skew_lsh_buckets" -> (skewLshBuckets _),

@@ -1882,6 +1882,108 @@ FROM mergetab ORDER BY rank"""
        LIMIT 20"""
   }
 
+  /** BM25 keyword retrieval (r16 verdict #5) — [[search]]'s ranking
+    * upgraded to the Robertson/Spärck Jones default every retrieval user
+    * expects: `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b +
+    * b·dl/avgdl))` with k1 = 1.2, b = 0.75, and the Lucene-style
+    * never-negative idf `ln((N + 1) / (df + 0.5))` rendered as the exact
+    * integer ratio `(2N + 2) / (2df + 1)`. BM25's two fixes over raw
+    * tf·idf: term-frequency SATURATION (the k1 damping — the 50th
+    * "spark" is worth almost nothing) and length NORMALIZATION (the b
+    * term — a hit in a short doc outranks the same hit in a rambling
+    * one).
+    *
+    * Exactness discipline: with k1 = 6/5 and b = 3/4 the per-term score
+    * is the RATIONAL `idf · 22·tf·L / (10·tf·L + 3·L + 9·dl·N)` (L =
+    * Σ dl — avgdl never materializes as a float): every product is an
+    * exact BIGINT (ANSI mode makes an overflow loud; tf·L·22 fits
+    * through 2^63 far past the 100 TB envelope), so each term costs ONE
+    * double division × one LN — the [[search]] fixed-order-sum rule with
+    * one final double per factor. dl is the NON-EMPTY whitespace token
+    * count — exactly the mass [[TextIndex]]'s postings reproduce as
+    * Σ tf, so the store-served twin ([[TextIndex.searchBm25Indexed]]) is
+    * row-identical by construction (spec-pinned).
+    *
+    * Scale shape: [[search]]'s — tf/dl at scan speed, ONE 1-row
+    * df/N/L aggregate broadcast back, TakeOrdered top-20. */
+  def searchBm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = SearchTerms
+    val toks = split(col("text"), " ")
+    def tf(t: String): Column =
+      coalesce(size(filter(toks, x => x === t)), lit(0)).cast("long")
+    val d = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id") +:
+          coalesce(size(filter(toks, x => x =!= "")), lit(0)).cast("long").as("dl") +:
+          terms.map(t => tf(t).as(s"tf_$t")): _*)
+    val aggCols = count(lit(1)).as("n") +: sum(col("dl")).as("l") +:
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val dfs = d.agg(aggCols.head, aggCols.tail: _*)
+    val score = terms
+      .map(t => bm25Term(col(s"tf_$t"), col(s"df_$t"), col("n"), col("dl"), col("l")))
+      .reduce(_ + _)
+    d.crossJoin(broadcast(dfs))
+      .select(
+        (col("doc_id") +: terms.map(t => col(s"tf_$t"))) :+ col("dl") :+ score.as("sc"): _*)
+      .filter(col("sc") > 0)
+      .orderBy(col("sc").desc, col("doc_id"))
+      .limit(20)
+      .select(
+        (col("doc_id") +: terms.map(t => col(s"tf_$t"))) :+ col("dl") :+
+          round(col("sc"), 4).as("score"): _*)
+  }
+
+  /** The query terms shared by [[search]]/[[searchBm25]] and their
+    * indexed twins. */
+  private[operators] val SearchTerms = Seq("spark", "join", "stream")
+
+  /** ONE BM25 per-term expression for the scan-time operator and the
+    * [[TextIndex]] twin — parity is structural ([[lloydD]]'s rule). */
+  private[operators] def bm25Term(
+      tf: Column, df: Column, n: Column, dl: Column, l: Column): Column =
+    when(
+      df > 0,
+      log((lit(2L) * n + 2L).cast("double") / (lit(2L) * df + 1L).cast("double")) *
+        ((lit(22L) * tf * l).cast("double") /
+          (lit(10L) * tf * l + lit(3L) * l + lit(9L) * dl * n).cast("double")))
+      .otherwise(lit(0.0))
+
+  /** Exact SQL replay of [[searchBm25]]: same tf/dl derivation, same
+    * 1-row census, same rational rendering, same fixed-order term sum. */
+  val searchBm25Sql: String = {
+    def tf(t: String): String =
+      s"CAST(COALESCE(len(list_filter(string_split(text, ' '), x -> x = '$t')), 0) AS BIGINT)"
+    def term(t: String): String =
+      s"""CASE WHEN df_$t > 0
+            THEN LN(CAST(2 * n + 2 AS DOUBLE) / CAST(2 * df_$t + 1 AS DOUBLE))
+                 * (CAST(22 * tf_$t * l AS DOUBLE)
+                    / CAST(10 * tf_$t * l + 3 * l + 9 * dl * n AS DOUBLE))
+            ELSE 0.0 END"""
+    s"""WITH d AS (
+         SELECT doc_id,
+                CAST(COALESCE(len(list_filter(string_split(text, ' '), x -> x <> '')), 0)
+                  AS BIGINT) AS dl,
+                ${tf("spark")} AS tf_spark, ${tf("join")} AS tf_join,
+                ${tf("stream")} AS tf_stream
+         FROM documents),
+       agg AS (
+         SELECT COUNT(*) AS n, SUM(dl) AS l,
+                SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+                SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+                SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS df_stream
+         FROM d),
+       scored AS (
+         SELECT doc_id, tf_spark, tf_join, tf_stream, dl,
+                ${term("spark")} + ${term("join")} + ${term("stream")} AS sc
+         FROM d CROSS JOIN agg)
+       SELECT doc_id, tf_spark, tf_join, tf_stream, dl, ROUND(sc, 4) AS score
+       FROM scored
+       WHERE sc > 0
+       ORDER BY sc DESC, doc_id
+       LIMIT 20"""
+  }
+
   /** Per-document TF-IDF top terms — the "what is this document about"
     * labeler a corpus browser or topic sampler runs over a curated drop.
     * Log-free scoring keeps it cross-engine exact: score = tf · N / df
@@ -2699,7 +2801,18 @@ FROM mergetab ORDER BY rank"""
     * labels, one confusion row per class ([[qualityHoldout]]'s hygiene
     * at the language grain; OOV val buckets drop from the score — the
     * same per-class terms drop because the table is dense per bucket,
-    * so the argmax stays comparable). */
+    * so the argmax stays comparable).
+    *
+    * Population note (r16 advice, documented): the drop is BUCKET-level
+    * AND, in the limit, DOC-level — a val document whose EVERY trigram
+    * bucket is train-OOV has no surviving feature row after the inner
+    * join to the train-domain weight table, so it silently leaves both
+    * `n_val` and the recall denominator (it has no model verdict to
+    * grade). On this corpus the case is empty (every val doc shares at
+    * least one bucket with train at 4096 buckets), but a caller auditing
+    * the holdout population on another corpus should compare `SUM(n_val)`
+    * against the val split's row count; the oracle replays the same
+    * inner-join semantics, so parity is unaffected either way. */
   def lidHoldout(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val split = CorpusOps.dataSplit(s, dir).select(col("doc_id"), col("split"))
@@ -3410,6 +3523,7 @@ utok AS MATERIALIZED (SELECT doc_id,
     "text_len_outliers" -> (lenOutliers _),
     "text_pii" -> (pii _),
     "text_search" -> (search _),
+    "text_search_bm25" -> (searchBm25 _),
     "text_repetition" -> (repetition _),
     "text_lm_score" -> (lmScore _),
     "text_topk_approx" -> (topkApprox _),
@@ -3474,6 +3588,7 @@ utok AS MATERIALIZED (SELECT doc_id,
     "text_len_outliers" -> lenOutliersSql,
     "text_pii" -> piiSql,
     "text_search" -> searchSql,
+    "text_search_bm25" -> searchBm25Sql,
     "text_repetition" -> repetitionSql,
     "text_lm_score" -> lmScoreSql,
     "text_heavy_hitters" -> heavyHittersSql,

@@ -44,8 +44,10 @@ object TextIndex {
   /** Bump when tokenization, the postings schema, the scoring contract,
     * or the meta layout changes — a stale-by-code index must never be
     * served false-fresh. v2 adds the recorded batch-exclusion meta line
-    * ([[absorb]]'s binding; "" = none, the driver path). */
-  private[graft] val FormatVersion = "v2:ws-tok:tfidf"
+    * ([[absorb]]'s binding; "" = none, the driver path); v3 (r17) adds
+    * the `doclen` body (per-doc postings mass Σ tf) that BM25's length
+    * normalization reads — a v2 store has no doclen and rebuilds. */
+  private[graft] val FormatVersion = "v3:ws-tok:tfidf+bm25"
 
   /** Build (overwrite) the index at `indexPath` from `dir`'s documents.
     * `excludeSource`: the incoming-batch exclusion ([[GramIndex.build]]'s
@@ -77,6 +79,9 @@ object TextIndex {
       .write
       .mode("overwrite")
       .parquet(s"$indexPath/vocab")
+    // v3: per-doc token mass — BM25's dl, derived from the postings so
+    // index and scan-time length definitions cannot fork
+    doclenOf(posts).write.mode("overwrite").parquet(s"$indexPath/doclen")
     GramIndex.writeMeta(
       s, indexPath,
       Seq(GramIndex.stamp(dir), n.toString, FormatVersion,
@@ -86,6 +91,11 @@ object TextIndex {
   /** One tokenize/count definition for build and absorb — the fit/apply
     * rule: the delta batch must enter the index through the exact
     * pipeline the corpus did. */
+  /** The doclen body: per-doc postings mass (= non-empty whitespace
+    * token count, [[TextAnalysis.searchBm25]]'s dl definition). */
+  private def doclenOf(posts: DataFrame): DataFrame =
+    posts.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+
   private def postingsOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -149,6 +159,10 @@ object TextIndex {
         .agg(count(lit(1)).as("df"))
         .repartitionByRange(col("tok"))
         .write.mode("overwrite").parquet(s"$indexPath/vocab_new")
+      // v3: doclen re-derived from the merged postings — a linear pass
+      // over the store's own rows, rebuild-identical by the same
+      // sum-merge argument
+      doclenOf(merged).write.mode("overwrite").parquet(s"$indexPath/doclen_new")
     } finally merged.unpersist(blocking = false)
     def swap(name: String): Unit = {
       val live = new org.apache.hadoop.fs.Path(s"$indexPath/$name")
@@ -159,6 +173,7 @@ object TextIndex {
     }
     swap("postings")
     swap("vocab")
+    swap("doclen")
     GramIndex.writeMeta(
       s, indexPath,
       Seq(GramIndex.stamp(dir), n.toString, FormatVersion, newDelta).mkString("\n"))
@@ -232,6 +247,48 @@ object TextIndex {
         col("tf_join"),
         col("tf_stream"),
         round(col("sc"), 4).as("score"))
+  }
+
+  /** [[TextAnalysis.searchBm25]] served from the persisted index — the
+    * identical BM25 contract (same terms, the SAME shared
+    * [[TextAnalysis.bm25Term]] expression, same top-20 cut) with ZERO
+    * corpus scans when fresh: tf from the three terms' pruned postings,
+    * dl from the v3 `doclen` body (one doc_id equi-join against the
+    * bounded matched set), df from the ≤3-row vocab fetch, N from meta,
+    * L from ONE 1-row aggregate over doclen (O(docs) slim rows, never
+    * the text). Row parity with the scan-time operator is spec-pinned —
+    * dl is postings mass in both derivations by construction. */
+  def searchBm25Indexed(s: SparkSession, dir: String, indexPath: String): DataFrame = {
+    if (!isFresh(s, dir, indexPath)) build(s, dir, indexPath)
+    val n = freshMeta(s, dir, indexPath).getOrElse(
+      throw new IllegalStateException(s"TextIndex at $indexPath vanished mid-query"))
+    val terms = TextAnalysis.SearchTerms
+    val dfMap = graft.sources.Tables.stableParquet(s, s"$indexPath/vocab")
+      .filter(col("tok").isin(terms: _*))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val posts = graft.sources.Tables.stableParquet(s, s"$indexPath/postings")
+      .filter(col("tok").isin(terms: _*))
+    val doclen = graft.sources.Tables.stableParquet(s, s"$indexPath/doclen")
+    val pivots = terms.map(t =>
+      coalesce(max(when(col("tok") === t, col("tf"))), lit(0L)).as(s"tf_$t"))
+    val d = posts.groupBy("doc_id").agg(pivots.head, pivots.tail: _*)
+      .join(doclen, "doc_id")
+      .crossJoin(broadcast(doclen.agg(sum(col("dl")).as("l"))))
+    val score = terms
+      .map(t =>
+        TextAnalysis.bm25Term(
+          col(s"tf_$t"), lit(dfMap.getOrElse(t, 0L)), lit(n), col("dl"), col("l")))
+      .reduce(_ + _)
+    d.select(
+        (col("doc_id") +: terms.map(t => col(s"tf_$t"))) :+ col("dl") :+ score.as("sc"): _*)
+      .filter(col("sc") > 0)
+      .orderBy(col("sc").desc, col("doc_id"))
+      .limit(20)
+      .select(
+        (col("doc_id") +: terms.map(t => col(s"tf_$t"))) :+ col("dl") :+
+          round(col("sc"), 4).as("score"): _*)
   }
 
   private[graft] def defaultPath(s: SparkSession, dir: String): String =

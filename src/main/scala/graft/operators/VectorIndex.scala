@@ -20,10 +20,10 @@ import org.apache.spark.sql.functions._
   *     scores (a real serving deployment swaps in its own query batch —
   *     the frame shape `(query_id, qv, nq)` is the API).
   *   - `<path>/pqcodes` (v2): `(vec_id, c0..c7)` PARTITIONED BY `cell`
-  *     — [[Similarity.embPq]]'s 8×16 code rows laid out for IVF-ADC
-  *     serving, so probed-cell candidate reads touch 36-byte code rows
+  *     — [[Similarity.embPq]]'s 8×256 code rows laid out for IVF-ADC
+  *     serving, so probed-cell candidate reads touch slim code rows
   *     of c/K of the corpus and never the float vectors.
-  *   - `<path>/pqcodebook` (v2): the 128-row `(sub_id, cid, sv, c, ns)`
+  *   - `<path>/pqcodebook` (v2): the 2048-row `(sub_id, cid, sv, c, ns)`
   *     exact-integer subspace codebook the ADC distance tables are
   *     computed from.
   *   - `<path>/meta`: freshness stamp + FORMAT VERSION carrying K and
@@ -56,11 +56,14 @@ object VectorIndex {
     * RESIDUALS (a v5 pqcodebook quantizes raw vectors and would serve
     * wrong ADC answers against residual query tables), the graph gains
     * the first-refine body (g1graph), gentries are IVF-cell medoids and
-    * the walk beam is 8 — an older store is stale-by-version and
+    * the walk beam is 8; v7 (r16 verdict #1) widens the PQ subspace
+    * codebooks 16 → 256 cells with four Lloyd refinement rounds
+    * (`rpq8x256r4` — a v6 pqcodebook would serve 4-bit codes against
+    * 8-bit query tables) — an older store is stale-by-version and
     * rebuilds, never serves a warm path with missing or
     * differently-defined bodies. */
   private[operators] def formatVersion(s: SparkSession): String =
-    s"v6:ivf16c:rpq8x16:lsh6x4:nn16s16b8h3:d${Similarity.embDim(s)}"
+    s"v7:ivf16c:rpq8x256r4:lsh6x4:nn16s16b8h3:d${Similarity.embDim(s)}"
 
   private[operators] def stamp(dir: String): String =
     PipelineCache.sourceStamp(dir, "embeddings.parquet")
@@ -117,9 +120,9 @@ object VectorIndex {
       .filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("qv"), col("nq"))
       .write.mode("overwrite").parquet(s"$path/qsample")
-    // PQ artifacts (v2): the 4-byte-per-vector code rows land PARTITIONED
+    // PQ artifacts (v2): the 8-byte-per-vector code rows land PARTITIONED
     // BY CELL like the vectors, so IVF-ADC serving prunes non-probed
-    // cells at the reader; the 128-row integer subspace codebook lands
+    // cells at the reader; the 2048-row integer subspace codebook lands
     // beside them. On the default (no-exclusion) path the cell join
     // rides the stamp-cached slim assignment (the same frame
     // ann_ivfpq_topk / dedup_embedding_ivf share) and pqFrames is the
@@ -418,10 +421,10 @@ object VectorIndex {
     * [[annIndexed]] (one tag — warm IVF and IVF-ADC serving share it),
     * the probed cell set collapses to the same eager literal partition
     * filter, candidate reads touch only the probed cells' `pqcodes`
-    * partitions (36-byte code rows — the ADC trade persisted: the store
+    * partitions (slim code rows — the ADC trade persisted: the store
     * serves compressed candidates, never the 256-byte vectors), and the
     * per-query distance tables are computed from the stored qsample ×
-    * the stored 128-row integer pqcodebook. Exactness survives the store
+    * the stored 2048-row integer pqcodebook. Exactness survives the store
     * round-trip because every persisted number is an exact integer
     * (codes, sum-vectors, counts, quantized query components) — the
     * float work happens at serve time through the same expressions the
@@ -484,7 +487,10 @@ object VectorIndex {
           import s.implicits._
           s.emptyDataset[(Long, Array[Long], Long)].toDF("query_id", "qv", "nq")
       }
-    val queryBuckets = Similarity.lshBucketPairs(qf, "query_id")
+    // MULTI-PROBE query expansion (the scan-time annLsh's own probe
+    // derivation — 3 buckets per table, parity structural); the stored
+    // index body stays one bucket per (vector, table)
+    val queryBuckets = Similarity.lshProbePairs(qf, "query_id")
     // eager literal on the PARTITION columns: the probed bucket set is
     // bounded by the 6×16 domain, so one driver fetch turns the read
     // into reader-level partition pruning (the ann_ivf_idx move)

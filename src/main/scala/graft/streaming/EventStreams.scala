@@ -676,6 +676,58 @@ object EventStreams {
         })
   }
 
+  case class AsofIn(user_id: Long, t_us: Long, event_id: Option[Long], o_orderkey: Option[Long])
+  case class AsofState(tUs: Long, orderkey: Long)
+  case class AsofOut(event_id: Long, user_id: Long, ts_us: Long, matched_orderkey: Long)
+
+  /** Streaming ASOF enrichment (31st twin, r16 verdict #6) — the online
+    * half of [[graft.operators.Windows.asofJoin]]: a merged tagged
+    * stream of order rows and event rows (the batch union+window trick
+    * made incremental — one FEED, time-ordered per user, exactly how a
+    * CDC/event bus delivers both), where each arriving EVENT is enriched
+    * with the user's latest order at-or-before its timestamp. This is
+    * the lookup-enrichment shape a live pipeline runs constantly:
+    * state = ONE (t_us, orderkey) pair per user — the running
+    * `last_value(ignore nulls)` of the batch window — ~24 bytes/user
+    * forever, no buffering of events, no pairwise join state.
+    *
+    * Semantics mirror batch bit-for-bit: an arriving order REPLACES the
+    * state iff it is (t_us, orderkey)-lexicographically later (so the
+    * deduped-to-max-orderkey order feed reproduces the batch groupBy,
+    * and an undeduped feed converges to the same state anyway); within
+    * one trigger chunk, rows replay in (t_us, order-before-event,
+    * event_id) order — the batch window's sort, so an order dated
+    * exactly at an event's timestamp is visible to it (>= match). An
+    * event with no order yet emits nothing (batch: matched_orderkey
+    * NULL rows are filtered). Ordered two-chunk replay is row-identical
+    * to the batch operator (spec-pinned): every event's emission is
+    * final the moment it fires — Append semantics, never revised. */
+  def asofEnrich(rows: Dataset[AsofIn]): Dataset[AsofOut] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, it: Iterator[AsofIn], state: GroupState[AsofState]) => {
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+          val ordered = it.toSeq.sortBy(r =>
+            (r.t_us, r.o_orderkey.isEmpty, r.event_id.getOrElse(0L)))
+          for (r <- ordered) r.o_orderkey match {
+            case Some(k) =>
+              if (st == null || r.t_us > st.tUs || (r.t_us == st.tUs && k > st.orderkey))
+                st = AsofState(r.t_us, k)
+            case None =>
+              if (st != null)
+                out += AsofOut(r.event_id.getOrElse(
+                  throw new IllegalArgumentException(
+                    s"asofEnrich: tagged row for user $userId has neither event_id nor o_orderkey")),
+                  userId, r.t_us, st.orderkey)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+        })
+  }
+
   case class StreakState(lastDay: Long, cur: Long, curStart: Long, best: Long, bestStart: Long)
   case class StreakOut(user_id: Long, best_streak: Long, start_day: Long)
 
@@ -1143,7 +1195,8 @@ object EventStreams {
     * online-RETRIEVAL twin of [[graft.operators.VectorIndex.annLshIndexed]]:
     * arriving QUERY vectors are admitted under EXACTLY the batch hygiene
     * rules ([[graft.operators.Similarity.gateQuantize]], shared code),
-    * bucketed by the SAME native `graft_lsh_buckets` kernel, and served
+    * probe-expanded by the SAME native `graft_lsh_probes` multi-probe
+    * kernel the batch paths use (r17: 3 buckets per table), and served
     * their exact-cosine top-5 against a FROZEN vector store compiled into
     * the plan as literals at wiring time ([[assignClusters]]' frozen-model
     * discipline applied to the index itself): `buckets` maps each
@@ -1175,21 +1228,35 @@ object EventStreams {
       norms: Map[Long, Long]): DataFrame = {
     require(buckets.nonEmpty, "serveAnnLsh needs a frozen bucket index")
     require(vectors.nonEmpty && norms.nonEmpty, "serveAnnLsh needs the frozen vector shard")
+    // literal-size guard (r16 advice): the frozen shard is compiled into
+    // the PLAN — beyond fixture/shard scale that explodes plan size and
+    // codegen during DRIVER planning, long before execution. Fail loudly
+    // with the documented alternative instead of OOMing the driver.
+    val literalCells =
+      vectors.size.toLong * vectors.headOption.map(_._2.size.toLong).getOrElse(1L) +
+        buckets.valuesIterator.map(_.size.toLong).sum
+    require(
+      literalCells <= 2000000L,
+      s"serveAnnLsh: frozen shard too large for plan literals ($literalCells cells > 2e6) — " +
+        "serve this shard via mapPartitions over the reader-pruned store bodies instead " +
+        "(the scaladoc's 100 TB shape)")
     val s = queries.sparkSession
     val bmap = typedlit(buckets)
     val vmap = typedlit(vectors)
     val nmap = typedlit(norms)
+    val per = lit(graft.functions.LshProbes.PerTable)
     graft.operators.Similarity
       .gateQuantize(queries, graft.operators.Similarity.embDim(s))
       .select(col("vec_id").as("query_id"), col("qv"), col("nq"))
-      // the kernel's array index IS the table id (lshBucketPairs'
-      // posexplode convention) — key each bucket as t·16 + b
+      // MULTI-PROBE serving (parity with the batch lshProbePairs): the
+      // kernel's array position encodes the table as pos div PerTable —
+      // key each probed bucket as t·16 + b
       .withColumn(
         "cand",
         array_distinct(flatten(transform(
-          call_function("graft_lsh_buckets", col("qv")),
-          (b, t) => coalesce(
-            element_at(bmap, (t.cast("long") * 16L) + b.cast("long")),
+          call_function("graft_lsh_probes", col("qv")),
+          (b, pos) => coalesce(
+            element_at(bmap, floor(pos / per).cast("long") * 16L + b.cast("long")),
             typedlit(Seq.empty[Long]))))))
       .withColumn(
         "scored",

@@ -19,7 +19,7 @@ class CorpusOpsSpec extends GraftSpecBase {
     spark.conf.set("spark.graft.corpus.storeRoot", s"$tmp/stores")
     try {
       val s0 = CorpusOps.storeStatus(spark, dir).collect()
-      assert(s0.length == 19, s"expected 19 store bodies, got ${s0.length}")
+      assert(s0.length == 21, s"expected 21 store bodies, got ${s0.length}")
       assert(s0.forall(r => !r.getAs[Boolean]("present") && !r.getAs[Boolean]("fresh")),
         "nothing is built yet — all stores must report absent")
       graft.operators.TextIndex.build(
@@ -31,6 +31,7 @@ class CorpusOpsSpec extends GraftSpecBase {
         spark, dir, graft.operators.VectorIndex.defaultPath(spark, dir))
       graft.operators.BloomStore.build(spark, dir, CorpusOps.defaultBloomPath(spark, dir))
       graft.operators.TextAnalysis.buildQualityStore(spark, dir)
+      graft.operators.Similarity.buildRecallStore(spark, dir)
       val s1 = CorpusOps.storeStatus(spark, dir).collect()
       assert(s1.forall(r => r.getAs[Boolean]("present") && r.getAs[Boolean]("fresh")),
         s"freshly built stores must report fresh: ${s1.mkString(";")}")
@@ -48,7 +49,8 @@ class CorpusOpsSpec extends GraftSpecBase {
       val s2 = CorpusOps.storeStatus(spark, dir).collect()
       assert(s2.forall(r => r.getAs[Boolean]("present")))
       assert(s2.forall(r =>
-        r.getAs[Boolean]("fresh") == (r.getAs[String]("store") == "vector_index")),
+        r.getAs[Boolean]("fresh") == Set("vector_index", "recall_census")
+          .contains(r.getAs[String]("store"))),
         s"documents drift must stale exactly the documents-stamped stores: ${s2.mkString(";")}")
       Files.writeString(Paths.get(s"$dir/embeddings.parquet/drift.txt"), "x")
       val s3 = CorpusOps.storeStatus(spark, dir).collect()
@@ -754,6 +756,51 @@ class CorpusOpsSpec extends GraftSpecBase {
       s"term filter not pushed to the postings scan:\n${postScans.mkString("\n")}")
     assert(df.collect().toSeq == TextAnalysis.search(spark, sfDir).collect().toSeq,
       "indexed retrieval diverged from scan-time search")
+  }
+
+  test("text index: BM25 twin equals scan-time searchBm25, zero corpus scans, saturation real") {
+    import graft.operators.{TextAnalysis, TextIndex}
+    val base = java.nio.file.Files.createTempDirectory("graft_tidx_bm25").toString
+    val idx = s"$base/idx"
+    val df = TextIndex.searchBm25Indexed(spark, sfDir, idx) // builds on first call
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"), s"corpus scan in BM25 indexed plan:\n$plan")
+    val indexed = df.collect().toSeq
+    val scan = TextAnalysis.searchBm25(spark, sfDir).collect().toSeq
+    assert(indexed == scan, "BM25 indexed retrieval diverged from scan-time")
+    assert(indexed.nonEmpty)
+    // the two BM25 fixes are live: per-term contribution saturates in tf
+    // (strictly concave: doubling tf less than doubles the term) and
+    // longer docs score lower at equal tf — replayed driver-side from
+    // the result's own (tf, dl) columns via the exact rational shape
+    val rows = scan.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // independent driver-side census (count/df/L) straight off the table
+    val cens = spark.read.parquet(s"$sfDir/documents.parquet").selectExpr(
+      "COUNT(*) AS n",
+      "SUM(CAST(COALESCE(size(filter(split(text, ' '), x -> x != '')), 0) AS LONG)) AS l",
+      "SUM(CASE WHEN array_contains(split(text, ' '), 'spark') THEN 1L ELSE 0L END) AS dfa",
+      "SUM(CASE WHEN array_contains(split(text, ' '), 'join') THEN 1L ELSE 0L END) AS dfb",
+      "SUM(CASE WHEN array_contains(split(text, ' '), 'stream') THEN 1L ELSE 0L END) AS dfc")
+      .collect()(0)
+    val (n, lTot, dfA, dfB, dfC) =
+      (cens.getLong(0), cens.getLong(1), cens.getLong(2), cens.getLong(3), cens.getLong(4))
+    def term(tf: Long, df: Long, dl: Long): Double =
+      if (df <= 0 || tf <= 0) 0.0
+      else math.log((2.0 * n + 2) / (2.0 * df + 1)) *
+        ((22.0 * tf * lTot) / (10.0 * tf * lTot + 3.0 * lTot + 9.0 * dl * n))
+    // recompute each top-20 score from its own row — the engine's score
+    // must match the driver replay to the same 4dp rounding
+    for ((_, tfa, tfb, tfc, dl, score) <- rows) {
+      val replay = BigDecimal(term(tfa, dfA, dl) + term(tfb, dfB, dl) + term(tfc, dfC, dl))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(replay - score) <= 1e-4 + 1e-9,
+        s"BM25 score $score != driver replay $replay")
+    }
+    // saturation: term(2·tf) < 2·term(tf) for any live tf
+    assert(term(10, dfA, 100) < 2 * term(5, dfA, 100))
+    // length normalization: same tf, longer doc scores strictly lower
+    assert(term(5, dfA, 400) < term(5, dfA, 100))
   }
 
   test("text index: a corpus rewrite flips the stamp and triggers a rebuild") {

@@ -237,6 +237,62 @@ class DedupSpec extends GraftSpecBase {
     assert(ru >= 900000, s"clustered split-capped LSH recall $ru below the 0.9 floor")
   }
 
+  test("er_pairs: every planted transposition recovered, scores exact, matches bounded") {
+    val rows = Dedup.erPairs(spark, sfDir).collect()
+    assert(rows.nonEmpty, "er_pairs found nothing — fixture is vacuous")
+    val byPair = rows.map(r =>
+      (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getString(3), r.getInt(4), r.getLong(5), r.getBoolean(6))).toMap
+    // planted truth: every variant record (2k+1, from c_custkey % 7 = 3)
+    // must pair with its canonical (2k) — the transposition key at the
+    // swap position guarantees blocking recall 1.0 by construction
+    val customers = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val planted = customers.keys.filter(k => k % 7 == 3).toSeq.sorted
+    assert(planted.nonEmpty)
+    for (k <- planted) {
+      val pair = (2 * k, 2 * k + 1)
+      assert(byPair.contains(pair), s"planted variant of customer $k not recovered")
+      val (na, nb, lev, simU, same) = byPair(pair)
+      assert(same, s"planted pair $pair must flag same_entity")
+      // driver replay of the swap + Levenshtein bound: an adjacent
+      // transposition is lev 2 when the chars differ, 0 when equal
+      val name = customers(k)
+      val p = (10 + k % 8).toInt - 1 // 0-based
+      val swapped = name.substring(0, p) + name.charAt(p + 1) + name.charAt(p) +
+        name.substring(p + 2)
+      assert(na == name && nb == swapped, s"pair $pair names ($na, $nb) != ($name, $swapped)")
+      val expLev = if (name.charAt(p) == name.charAt(p + 1)) 0 else 2
+      assert(lev == expLev, s"pair $pair lev $lev != $expLev")
+      assert(simU == (name.length - lev).toLong * 1000000L / name.length)
+    }
+    // every reported match is within the threshold; a lev-0 pair across
+    // two entities IS possible (a planted transposition can collide with
+    // another real customer's name — e.g. variant of #31 swaps its last
+    // two digits into #13's exact name; realistic dirty-data ambiguity
+    // the same_entity column exists to surface) but then the two names
+    // must be literally identical
+    assert(rows.forall(_.getInt(4) <= 2))
+    assert(rows.filter(r => !r.getBoolean(6) && r.getInt(4) == 0)
+      .forall(r => r.getString(2) == r.getString(3)),
+      "a cross-entity lev-0 pair with differing names is impossible")
+  }
+
+  test("clustered recall census: store-served rows identical to scan-time (graft_recall parity)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // store-served path (builds the graft_recall bodies if stale) …
+    val served = rows(Similarity.annRecallClustered(spark, sfDir))
+    assert(Similarity.recallStoreFresh(spark, sfDir),
+      "annRecallClustered must leave a fresh graft_recall store behind")
+    // … must answer exactly what the six live pipelines answer
+    val scan = rows(Similarity.annRecallClusteredScan(spark, sfDir))
+    assert(served == scan, s"store-served census diverged: served=$served scan=$scan")
+    // a warm re-read serves the same rows (parquet round-trip stable)
+    assert(rows(Similarity.annRecallClustered(spark, sfDir)) == served)
+  }
+
   test("multi-table lsh recall vs brute-force top-5 is material") {
     val brute = Similarity.annBrute(spark, sfDir).select("query_id", "neighbor_id")
     val lsh = Similarity.annLsh(spark, sfDir).select("query_id", "neighbor_id")

@@ -421,6 +421,38 @@ class FunctionsSpec extends GraftSpecBase {
     assert(!nullRow.head.isNullAt(0) && !nullRow.head.getBoolean(0))
   }
 
+  test("lsh probes kernel: base parity, margin-ordered single-bit flips, 18 probes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vecs = Seq.fill(120)(Array.fill(64)(rnd.nextLong() % 20000))
+    val df = vecs.map(Tuple1(_)).toDF("qv")
+    val out = df.select(
+      call_function("graft_lsh_buckets", col("qv")).as("base"),
+      call_function("graft_lsh_probes", col("qv")).as("probes")).collect()
+    // driver-side margin replay with the pinned weight formula
+    def weights(t: Int, p: Int): Array[Long] =
+      Array.tabulate(64)(d => (((t * 31 + p) * 97 + d) * 40503L) % 65536L - 32768L)
+    for ((v, r) <- vecs.zip(out)) {
+      val base = r.getSeq[Long](0)
+      val probes = r.getSeq[Long](1)
+      assert(probes.length == 18, s"expected 6 tables x 3 probes, got ${probes.length}")
+      for (t <- 0 until 6) {
+        val trio = probes.slice(t * 3, t * 3 + 3)
+        assert(trio.head == base(t), s"table $t: probe 0 must be the own bucket")
+        val margins = (0 until 4).map { p =>
+          (math.abs(v.zip(weights(t, p)).map { case (x, w) => x * w }.sum), p)
+        }.sorted
+        assert(trio(1) == (base(t) ^ (1L << margins(0)._2)),
+          s"table $t: probe 1 must flip the smallest-margin plane")
+        assert(trio(2) == (base(t) ^ (1L << margins(1)._2)),
+          s"table $t: probe 2 must flip the second-smallest-margin plane")
+        // every flip is exactly one bit away and distinct from the base
+        assert(trio.tail.forall(b =>
+          java.lang.Long.bitCount(b ^ base(t)) == 1 && b != base(t)))
+      }
+    }
+  }
+
   test("SQL front door: wrong argument count is a clean analysis-time error") {
     // the builder arity gate: a miscounted call must surface as an
     // error naming the expected signature, never an

@@ -802,7 +802,7 @@ class PipelineOpsSpec extends GraftSpecBase {
     assert(rows.length == vecs.length, "one code word per gated vector")
     for (r <- rows; j <- 1 to 8) {
       val c = r.getInt(j)
-      assert(c >= 0 && c < 16, s"vec ${r.getLong(0)}: code ${j - 1} out of range: $c")
+      assert(c >= 0 && c < 256, s"vec ${r.getLong(0)}: code ${j - 1} out of range: $c")
     }
     // float distance sums can dip a hair under zero; anything beyond
     // epsilon means the argmin picked a non-minimal cell
@@ -844,30 +844,52 @@ class PipelineOpsSpec extends GraftSpecBase {
     val resid = vecs.map { case (id, v) =>
       id -> v.zip(rc(cellOf(id))).map { case (x, m) => x - m }
     }
-    // 4. residual subspace seed codebooks (vec_id % 16 per sub_id)
+    // 4. residual subspace seed codebooks (vec_id % 256 per sub_id),
+    //    then FOUR Lloyd refinement rounds (assign by lloydD's exact
+    //    expression, ties to the lower cid; recompute integer means of
+    //    the assigned groups; a cell losing all members keeps its seed
+    //    centroid) — the r16-verdict 8-bit construction (PqRounds = 4)
     def subSlice(v: Array[Long], j: Int) = v.slice(j * subDim, (j + 1) * subDim)
-    val subCb: Map[(Int, Long), (Array[Long], Long, Long)] =
-      (for (j <- 0 until 8; (cid, ms) <- resid.groupBy(_._1 % 16)) yield {
+    val seedCb: Map[(Int, Long), (Array[Long], Long, Long)] =
+      (for (j <- 0 until 8; (cid, ms) <- resid.groupBy(_._1 % 256)) yield {
         val sv = sumVecs(ms.map(p => subSlice(p._2, j)))
         (j, cid) -> (sv, ms.length.toLong, dot(sv, sv))
       }).toMap
-    // 5. per (vector, subspace) argmin by lloydD's exact expression
-    //    (ties to the lower cid), q_err = the fixed-order d0+…+d7 sum
-    val cids = resid.map(_._1 % 16).distinct.sorted
+    val cids = resid.map(_._1 % 256).distinct.sorted
+    def assignTo(cb: Map[(Int, Long), (Array[Long], Long, Long)])(
+        sq: Array[Long], j: Int): (Long, Double) = {
+      val nsq = dot(sq, sq).toDouble
+      var best = (Double.MaxValue, -1L)
+      for (cid <- cids) {
+        val (sv, c, ns) = cb((j, cid))
+        val d = nsq - 2.0 * dot(sq, sv).toDouble / c.toDouble +
+          ns.toDouble / (c * c).toDouble
+        if (d < best._1) best = (d, cid)
+      }
+      (best._2, best._1)
+    }
+    val subCb: Map[(Int, Long), (Array[Long], Long, Long)] =
+      (1 to 4).foldLeft(seedCb) { (cb, _) =>
+        val assigned: Seq[(Long, Int, Long, Array[Long])] =
+          for ((id, rv) <- resid.toSeq; j <- 0 until 8) yield {
+            val sq = subSlice(rv, j)
+            (id, j, assignTo(cb)(sq, j)._1, sq)
+          }
+        val refined = assigned.groupBy(p => (p._2, p._3)).map { case ((j, cid), ms) =>
+          val sv = sumVecs(ms.map(_._4))
+          (j, cid) -> (sv, ms.length.toLong, dot(sv, sv))
+        }
+        cb.map { case (k, v) => k -> refined.getOrElse(k, v) }
+      }
+    // 5. per (vector, subspace) argmin against the REFINED codebook,
+    //    q_err = the fixed-order d0+…+d7 sum
     val expect = resid.map { case (id, rv) =>
       var err = 0.0
       val codes = (0 until 8).map { j =>
         val sq = subSlice(rv, j)
-        val nsq = dot(sq, sq).toDouble
-        var best = (Double.MaxValue, -1L)
-        for (cid <- cids) {
-          val (sv, c, ns) = subCb((j, cid))
-          val d = nsq - 2.0 * dot(sq, sv).toDouble / c.toDouble +
-            ns.toDouble / (c * c).toDouble
-          if (d < best._1) best = (d, cid)
-        }
-        err += best._1
-        best._2
+        val (cid, d) = assignTo(subCb)(sq, j)
+        err += d
+        cid
       }
       id -> (codes, BigDecimal(err).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.toMap

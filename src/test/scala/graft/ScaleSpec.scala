@@ -479,6 +479,18 @@ class ScaleSpec extends GraftSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("er_pairs: candidate generation is key-equality under the df band — no cartesian") {
+    val plan = graft.operators.Dedup.erPairs(spark, sfDir).queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(!planStr.contains("CartesianProduct"),
+      s"er_pairs plan contains a cartesian:\n$planStr")
+    assert(!planStr.contains("BroadcastNestedLoopJoin"),
+      s"er_pairs plan contains a nested-loop join:\n$planStr")
+    // no window over the record set anywhere (blocking is groupBy/join)
+    assert(!planStr.contains("Window"),
+      s"er_pairs plan sorts records through a window:\n$planStr")
+  }
+
   test("lm_bigram: two corpus scans — head counts are window totals, not a third branch") {
     // 2, not 1: the zip_with lambda below the shared exchange defeats
     // canonicalization, so the census chain and the final join can't

@@ -782,6 +782,46 @@ class StreamingSpec extends GraftSpecBase {
       assert(s0 == b0, s"streamed TWAP diverged: $s0 vs $b0")
   }
 
+  test("streaming asof enrichment equals batch asof_join after ordered two-chunk replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the merged tagged feed: deduped orders (the batch groupBy) +
+    // events, in global (t_us, order-before-event, id) arrival order
+    val orderRows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(col("o_custkey").as("user_id"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("t_us"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .collect()
+      .map(r => EventStreams.AsofIn(r.getLong(0), r.getLong(1), None, Some(r.getLong(2))))
+    val eventFeed = rawEvents()
+      .select(col("user_id"), expr("unix_micros(ts)").as("t_us"), col("event_id"))
+      .collect()
+      .map(r => EventStreams.AsofIn(r.getLong(0), r.getLong(1), Some(r.getLong(2)), None))
+    val feed = (orderRows ++ eventFeed).sortBy(r =>
+      (r.t_us, r.o_orderkey.isEmpty, r.event_id.getOrElse(0L)))
+    val input = MemoryStream[EventStreams.AsofIn]
+    val (a, b) = feed.splitAt(feed.length / 2)
+    input.addData(a.toSeq)
+    val q = EventStreams.asofEnrich(input.toDS())
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(b.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("asof_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val batch = graft.operators.Windows.asofJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(streamed.length == batch.length,
+      s"row count diverged: stream=${streamed.length} batch=${batch.length}")
+    for ((s0, b0) <- streamed.zip(batch))
+      assert(s0 == b0, s"streamed asof diverged: $s0 vs $b0")
+    assert(streamed.nonEmpty, "fixture vacuous: no event matched an order")
+  }
+
   test("streaming autocorr equals batch ts_autocorr after two-chunk ordered replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
