@@ -157,7 +157,10 @@ object Bench {
       // exclusion): when the default store is fresh these queries read the
       // persisted nngraph body instead (store_backed below) and the tag's
       // cached frames never materialize
-      "nn_graph" -> Seq("ann_graph_topk", "ann_recall"))
+      "nn_graph" -> Seq("ann_graph_topk", "ann_recall"),
+      // r17: er_pairs' blocking-key frame (df census + both candidate
+      // join sides)
+      "er_keys" -> Seq("er_pairs"))
       .map { case (tag, qs) =>
         s"\"$tag\":" + qs.filter(SparkEntry.queries.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
       }

@@ -109,6 +109,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.LshProbes(arity(children, 1, "graft_lsh_probes(qv)").head)))
     ext.injectFunction(
       (
+        FunctionIdentifier("graft_char_trigram_buckets"),
+        new ExpressionInfo(
+          classOf[graft.functions.CharTrigramBuckets].getName,
+          null,
+          "graft_char_trigram_buckets",
+          "graft_char_trigram_buckets(text) - per-doc md5-bucketed char-trigram counts, packed (bucket<<40)|occ",
+          ""),
+        (children: Seq[Expression]) =>
+          graft.functions.CharTrigramBuckets(
+            arity(children, 1, "graft_char_trigram_buckets(text)").head)))
+    ext.injectFunction(
+      (
         FunctionIdentifier("graft_vec_sum"),
         new ExpressionInfo(
           classOf[LongVecSum].getName,

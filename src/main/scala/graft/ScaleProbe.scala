@@ -402,7 +402,11 @@ object ScaleProbe {
       // tokenizer family (fit = one census scan + driver EM rounds,
       // corpus-size-independent vocabulary; apply + the two-tokenizer
       // fertility rollup are narrow native maps)
-      "ann_recall_clustered" -> (graft.operators.Similarity.annRecallClustered _),
+      // scan-time pipelines, NOT the store-served registry query (r17:
+      // the clustered census became graft_recall-backed; probing the
+      // registry entry would time a slim parquet read — the dsirScan
+      // rule)
+      "ann_recall_clustered" -> (graft.operators.Similarity.annRecallClusteredScan _),
       "mm_near_dup" -> (graft.operators.Multimodal.nearDup _),
       "text_unigram_train" -> (TextAnalysis.unigramTrain _),
       "text_tokens_unigram" -> (TextAnalysis.tokensUnigram _),
@@ -419,7 +423,19 @@ object ScaleProbe {
       // trigram census shuffle with ≤ 4096-key buckets, a ≤ 4·4097-row
       // dense fit, scan-speed broadcast argmax — should read ~linear in
       // corpus characters; the registry query itself is store-served)
-      "langid_model" -> (TextAnalysis.lidModelScan _))
+      "langid_model" -> (TextAnalysis.lidModelScan _),
+      // round-17 wave: BM25 retrieval (two corpus scans + a 1-row
+      // census broadcast — the text_search class, should read ~linear)
+      // and the ER pair operator. er_pairs DISCLOSURE: the customer
+      // synthesis copies NAMES verbatim across the N copies, so every
+      // blocking key's df grows ×N and keys that sat inside the 2..20
+      // band at 1× blow past it at 20× — the probe therefore reads the
+      // DF-BAND GUARD doing its job (hot keys stop generating pairs;
+      // candidate mass collapses instead of exploding), i.e. the
+      // scale-safety claim, not linear same-answer growth (the
+      // mm_near_dup synthesis-caveat class)
+      "text_search_bm25" -> (TextAnalysis.searchBm25 _),
+      "er_pairs" -> (Dedup.erPairs _))
 
     def time(dir: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {

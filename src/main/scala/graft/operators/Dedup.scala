@@ -1417,7 +1417,11 @@ object Dedup {
 
   def erPairs(s: SparkSession, dir: String): DataFrame = {
     val records = erRecords(s, dir)
-    val keys = erKeys(records)
+    // the key frame has THREE consumers (df census + both sides of the
+    // candidate self-join) — stamp-cached or each re-runs the scan +
+    // two explodes (the multi-consumer subtree rule)
+    val keys = PipelineCache.cached("er_keys", s, dir, "customer.parquet")(
+      erKeys(records))
     val kept = keys
       .groupBy("k")
       .agg(count(lit(1)).as("df"))

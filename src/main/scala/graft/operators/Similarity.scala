@@ -1427,7 +1427,11 @@ object Similarity {
     * — parity structural), so building it costs one narrow map over the
     * corpus join, not a fresh clustering. */
   private[operators] def pqResidCached(s: SparkSession, dir: String): DataFrame =
-    PipelineCache.cached(s"pq_resid_d${embDim(s)}", s, dir, "embeddings.parquet")(
+    // truncation barrier (r17): the residual frame is consumed by the
+    // seed aggregate, every Lloyd round and the encode pass — without
+    // the barrier each consumer re-plans the quantize→cells→rcents
+    // lineage per AQE stage (the pqFrames planning note)
+    cachedTruncated(s"pq_resid_d${embDim(s)}", s, dir)(
       residualOf(
         quantized(s, dir).join(ivfCellsSlimCached(s, dir), "vec_id"),
         ivfRcents(s, dir), "vec_id"))
@@ -1529,8 +1533,20 @@ object Similarity {
     * [[annPq]] alone scanned it twice through the centroid and
     * assignment branches). Bench discloses the pair under `shared_cache`. */
   private[operators] def pqFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val cents = PipelineCache.cached(s"pq_cents_d${embDim(s)}", s, dir, "embeddings.parquet")(
-      pqCentroids(pqSub(s, dir)))
+    // each Lloyd round's ≤ 2048-row codebook sits behind a stamp-cached
+    // plan-truncation barrier: the r17 4-round chain is 5 nested
+    // (aggregate + broadcast-join) stages, and with AQE re-canonicalizing
+    // the FULL analyzed tree per stage the un-truncated chain cost ~15 s
+    // of pure DRIVER PLANNING cold at sf0.01 (the r16
+    // ann_recall_clustered finding, same signature: tiny data, few
+    // tasks); truncated, each round plans against a LogicalRDD leaf
+    val cents = PipelineCache.cached(s"pq_cents_d${embDim(s)}", s, dir, "embeddings.parquet") {
+      (1 to PqRounds).foldLeft(pqSeedCentroids(pqSub(s, dir))) { (cb, r) =>
+        pqRefineRound(
+          pqSub(s, dir),
+          cachedTruncated(s"pq_cb_r${r - 1}_d${embDim(s)}", s, dir)(cb))
+      }
+    }
     val assigned =
       PipelineCache.cached(s"pq_assigned_d${embDim(s)}", s, dir, "embeddings.parquet")(
         pqAssigned(pqSub(s, dir), cents))

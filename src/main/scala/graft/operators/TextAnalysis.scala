@@ -2694,17 +2694,23 @@ FROM mergetab ORDER BY rank"""
     * stamp-cached for the family's four consumers. */
   private def lidFeatures(s: SparkSession, dir: String): DataFrame =
     PipelineCache.cached("lid_features", s, dir, "documents.parquet") {
+      // r17: the native graft_char_trigram_buckets kernel folds the
+      // per-character explode + md5 + corpus-sized (doc, bucket)
+      // census SHUFFLE into one narrow map (counts leave the kernel
+      // per-doc-final; the explode that remains is ≤ min(len, 4096)
+      // packed longs per doc) — row-identical to the declarative
+      // census, kernel-spec fuzz-pinned and the langid oracles
+      // unchanged
       Tables
         .documents(s, dir)
         .filter(col("text").isNotNull && length(col("text")) >= 3)
         .select(
           col("doc_id"),
-          explode(expr(
-            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("g"))
-        .groupBy(
+          explode(call_function("graft_char_trigram_buckets", col("text"))).as("p"))
+        .select(
           col("doc_id"),
-          conv(substring(md5(col("g")), 1, 3), 16, 10).cast("long").as("bucket"))
-        .agg(count(lit(1)).as("occ"))
+          shiftright(col("p"), 40).as("bucket"),
+          col("p").bitwiseAND(lit((1L << 40) - 1)).as("occ"))
     }
 
   /** Heuristic language labels over the TRAINABLE domain (docs with at

@@ -421,6 +421,39 @@ class FunctionsSpec extends GraftSpecBase {
     assert(!nullRow.head.isNullAt(0) && !nullRow.head.getBoolean(0))
   }
 
+  test("char-trigram bucket kernel equals the declarative md5 census (unicode fuzz)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // mixed ascii / multi-byte / astral content, incl. sub-3-char texts
+    val pool = "abc def παρά 漢字 🙂x yz "
+    def randText(): String =
+      (0 until rnd.nextInt(40)).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    val texts = Seq.fill(200)(randText()) :+ "" :+ "ab" :+ "αβ" :+ "🙂🙂🙂🙂"
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    df.createOrReplaceTempView("tri_fuzz")
+    val nat = spark.sql(
+      """SELECT doc_id, p DIV 1099511627776 AS bucket, p % 1099511627776 AS occ
+         FROM tri_fuzz LATERAL VIEW explode(graft_char_trigram_buckets(text)) AS p""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ref = spark.sql(
+      """SELECT doc_id,
+                CAST(conv(substring(md5(g), 1, 3), 16, 10) AS BIGINT) AS bucket,
+                CAST(COUNT(*) AS BIGINT) AS occ
+         FROM (SELECT doc_id, explode(transform(sequence(1, length(text) - 2),
+                        i -> substring(text, i, 3))) AS g
+               FROM tri_fuzz WHERE length(text) >= 3)
+         GROUP BY doc_id, 2""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(nat == ref, s"kernel census diverged from declarative md5 census")
+    assert(nat.nonEmpty)
+    // determinism across evaluations
+    val nat2 = spark.sql(
+      """SELECT doc_id, p DIV 1099511627776 AS bucket, p % 1099511627776 AS occ
+         FROM tri_fuzz LATERAL VIEW explode(graft_char_trigram_buckets(text)) AS p""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(nat2 == nat)
+  }
+
   test("lsh probes kernel: base parity, margin-ordered single-bit flips, 18 probes") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
