@@ -1026,7 +1026,7 @@ object CorpusOps {
       ("gram_index", defaultIndexPath(s, dir), GramIndex.FormatVersion, docStamp,
         (l: Array[String]) => l(1) == GramIndex.DefaultDeltaSource, Seq("grams", "hashes")),
       ("text_index", TextIndex.defaultPath(s, dir), TextIndex.FormatVersion, docStamp,
-        (l: Array[String]) => l.length >= 4 && l(3) == "", Seq("postings", "vocab")),
+        (l: Array[String]) => l.length >= 4 && l(3) == "", Seq("postings", "vocab", "doclen")),
       ("corpus_profile", CorpusProfile.defaultPath(s, dir), CorpusProfile.FormatVersion,
         docStamp, anyMeta, Seq("rows")),
       ("vector_index", VectorIndex.defaultPath(s, dir), VectorIndex.formatVersion(s),

@@ -1406,7 +1406,11 @@ object Dedup {
     val tkeys = records.select(
       col("rec_id"),
       explode(expr(
-        """transform(sequence(1, length(name) - 1), i -> concat(
+        // IF guard (r17 review): sequence(1, 0) DESCENDS in Spark, so a
+        // sub-2-char name would emit bogus i=0 keys the oracle's empty
+        // range never produces; unreachable on c_name, latent for the
+        // generic record shape
+        """transform(if(length(name) >= 2, sequence(1, length(name) - 1), array()), i -> concat(
              't', i, ':',
              substring(name, 1, i - 1),
              least(substring(name, i, 1), substring(name, i + 1, 1)),

@@ -501,7 +501,7 @@ object Similarity {
          SELECT query_id, t, p FROM (
            SELECT query_id, t, p,
                   ROW_NUMBER() OVER (PARTITION BY query_id, t ORDER BY ABS(s), p) AS r
-           FROM qproj) WHERE r <= 2),
+           FROM qproj) WHERE r <= ${graft.functions.LshProbes.Extra}),
        qb AS (
          SELECT query_id, t, b FROM qbase
          UNION ALL
@@ -1703,7 +1703,15 @@ object Similarity {
     * collected into a BROADCAST map frame; the scoring pass is a
     * narrow map over the code frame (one row per corpus vector,
     * cell + 8 one-byte codes — never the 256-byte float vectors), and the top-5
-    * cut is a partial WindowGroupLimit. Compose with [[VectorIndex]]'s
+    * cut is a partial WindowGroupLimit. Broadcast envelope (r17, the
+    * 8-bit honesty note): ~0.5 MB of table per query at K·2048 entries,
+    * and queries scale with the corpus (the 1% sample), so THIS
+    * exhaustive path's broadcast crosses Spark's 8 GB limit around
+    * ~1-2M corpus vectors — it is the declared oracle-anchor form; the
+    * serving forms ([[annIvfPq]] and the store path) build tables for
+    * ≤ 4 PROBED cells per query and a production deployment bounds its
+    * query batch, which is what keeps the tables broadcastable at
+    * corpus scale. Compose with [[VectorIndex]]'s
     * cell pruning for the full IVF-ADC shape at 100 TB.
     *
     * Exactness: table entries and the candidate-side assignment derive
@@ -2110,8 +2118,18 @@ object Similarity {
     val sd = embDim(s) / 8
     val rcents = roundedCentroids(assignedCentRows(assigned))
     val resid = residualOf(assigned, rcents, "vec_id")
-    val cents = pqCentroids(subspaceRows(resid, "vec_id", sd))
-    val assignedPq = pqAssigned(subspaceRows(resid, "vec_id", sd), cents)
+    // the 4-round Lloyd chain rides the SAME per-round truncation
+    // barriers as pqFrames (the r17 driver-planning fix) — this path
+    // runs at store-build time / in the parity spec / under ScaleProbe,
+    // and un-fenced it pays the multiplicative AQE re-planning there
+    val subPq = cachedTruncated(s"clustered_pq_sub_d${embDim(s)}", s, dir)(
+      subspaceRows(resid, "vec_id", sd))
+    val cents = cachedTruncated(s"clustered_pq_cents_d${embDim(s)}", s, dir) {
+      (1 to PqRounds).foldLeft(pqSeedCentroids(subPq)) { (cb, r) =>
+        pqRefineRound(subPq, cachedTruncated(s"clustered_pq_cb_r${r - 1}_d${embDim(s)}", s, dir)(cb))
+      }
+    }
+    val assignedPq = pqAssigned(subPq, cents)
     val cellsSlim = assigned.select(col("vec_id"), col("cell"))
     // ONE all-cells residual table frame serves both ADC legs (the
     // probed-cell rows the ivfpq leg joins are value-identical)

@@ -295,10 +295,15 @@ object TextIndex {
     CorpusOps.storePath(s, dir, "graft_text_index")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_search_idx" -> ((s, d) => searchIndexed(s, d, defaultPath(s, d))))
+    "text_search_idx" -> ((s, d) => searchIndexed(s, d, defaultPath(s, d))),
+    // r17 review: the BM25 twin runs under the per-round driver gate
+    // like its tf-idf sibling — an index/scan divergence (e.g. a doclen
+    // absorb bug) surfaces in CORRECTNESS, not only in one spec
+    "text_search_bm25_idx" -> ((s, d) => searchBm25Indexed(s, d, defaultPath(s, d))))
 
   /** Identical contract → identical oracle ([[GramIndex]]'s
     * dedup_incremental_idx convention). */
   val oracles: Map[String, String] = Map(
-    "text_search_idx" -> TextAnalysis.searchSql)
+    "text_search_idx" -> TextAnalysis.searchSql,
+    "text_search_bm25_idx" -> TextAnalysis.searchBm25Sql)
 }

@@ -63,7 +63,11 @@ object VectorIndex {
     * rebuilds, never serves a warm path with missing or
     * differently-defined bodies. */
   private[operators] def formatVersion(s: SparkSession): String =
-    s"v7:ivf16c:rpq8x256r4:lsh6x4:nn16s16b8h3:d${Similarity.embDim(s)}"
+    // rpq/lsh segments INTERPOLATE their constants (r17 review): a PqK /
+    // PqRounds / probe-fan-out retune must flip the version by itself —
+    // a hand-maintained literal would let an old store serve false-fresh
+    s"v7:ivf16c:rpq8x${Similarity.PqK}r${Similarity.PqRounds}" +
+      s":lsh6x4mp${graft.functions.LshProbes.Extra}:nn16s16b8h3:d${Similarity.embDim(s)}"
 
   private[operators] def stamp(dir: String): String =
     PipelineCache.sourceStamp(dir, "embeddings.parquet")

@@ -479,6 +479,17 @@ class ScaleSpec extends GraftSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("text_search_bm25: two corpus scans, census broadcast back, no cartesian blow-up") {
+    val plan = graft.operators.TextAnalysis.searchBm25(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = "documents.parquet".r.findAllIn(plan).size
+    assert(scans == 2, s"bm25 scanned documents $scans times (want 2 — doc frame + census):\n$plan")
+    // the 1-row census joins back as a broadcast, never a shuffled join
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"census must broadcast back:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"bm25 plan contains a cartesian:\n$plan")
+  }
+
   test("er_pairs: candidate generation is key-equality under the df band — no cartesian") {
     val plan = graft.operators.Dedup.erPairs(spark, sfDir).queryExecution.executedPlan
     val planStr = plan.toString
